@@ -1,0 +1,85 @@
+"""Stable, vectorized feature hashing (the engine's MALLET-Alphabet twin).
+
+The reference maps feature strings to integer indices through a growable
+MALLET ``Alphabet`` (a mutable driver-side string->int dictionary [K MALLET]).
+A distributed mutable alphabet would serialize every executor through the
+driver, so the engine replaces it with the *hashing trick*: a fixed,
+deterministic 64-bit FNV-1a hash of the feature string taken modulo a fixed
+feature-space size. No coordination, no growth, same semantics for a frozen
+model (SURVEY.md §2.1 P8, §7 hard part #3).
+
+Everything here is vectorized over numpy object arrays — these functions run
+inside Arrow-batched pandas UDFs on the hot path, never per-row Spark Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FEATURE_SPACE = 1 << 20  # 2^20 hashed feature buckets
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a_bytes(data: bytes) -> int:
+    """FNV-1a 64-bit of raw bytes (scalar reference implementation)."""
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def hash_str_array(strings: np.ndarray, space: int = FEATURE_SPACE) -> np.ndarray:
+    """Hash an object array of strings to int64 indices in [0, space).
+
+    Vectorized: encodes all strings into one contiguous byte buffer and runs
+    a batched FNV-1a over fixed-length chunks. Deterministic across runs,
+    Python versions, and machines (unlike built-in ``hash``).
+    """
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    encoded = [s.encode("utf-8") for s in strings]
+    lens = np.fromiter((len(b) for b in encoded), count=n, dtype=np.int64)
+    maxlen = int(lens.max()) if n else 0
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    # Scatter variable-length byte strings into the padded matrix.
+    col_idx = np.arange(maxlen)
+    mask = col_idx[None, :] < lens[:, None]
+    buf[mask] = flat
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            h[active] ^= buf[active, j].astype(np.uint64)
+            h[active] *= _FNV_PRIME
+    return (h % np.uint64(space)).astype(np.int64)
+
+
+def minhash_signatures(
+    token_sets: list[np.ndarray], num_hashes: int = 64, seed: int = 42
+) -> np.ndarray:
+    """MinHash signatures for a list of already-hashed shingle-id arrays.
+
+    Uses the standard (a*x + b) mod p family with deterministic seeded
+    coefficients; returns an (n_docs, num_hashes) int64 matrix.
+    """
+    p = np.uint64((1 << 61) - 1)  # Mersenne prime
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 31, size=num_hashes).astype(np.uint64)
+    b = rng.randint(0, 1 << 31, size=num_hashes).astype(np.uint64)
+    out = np.empty((len(token_sets), num_hashes), dtype=np.int64)
+    empty_sig = ((b % p) % np.uint64(1 << 62)).astype(np.int64)
+    with np.errstate(over="ignore"):
+        for i, ids in enumerate(token_sets):
+            if len(ids) == 0:
+                out[i] = empty_sig
+                continue
+            x = ids.astype(np.uint64)[:, None]  # (m, 1)
+            hv = (a[None, :] * x + b[None, :]) % p  # (m, k)
+            out[i] = hv.min(axis=0).astype(np.int64)
+    return out

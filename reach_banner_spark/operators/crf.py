@@ -1,0 +1,173 @@
+"""Linear-chain sequence model: batched Viterbi decode + perceptron trainer.
+
+Reference semantics: BANNER tags tokens with a MALLET CRF
+(``banner.tagging.CRFTagger`` wrapping ``cc.mallet.fst.CRF`` [P]):
+per-token sparse feature vectors -> emission potentials, a transition
+matrix over an IOB label scheme, and Viterbi (``CRF.transduce``) for the
+best label sequence; training is L-BFGS likelihood on BC2GM
+(``CRFTrainerByLabelLikelihood`` [K MALLET]).
+
+Engine re-expression:
+- the model is two dense numpy arrays — ``emission[FEATURE_SPACE, L]``
+  (hashed sparse features, so a gather+sum gives per-token scores) and
+  ``transition[L+1, L]`` (row L = start) — broadcast once per executor and
+  cached module-level in the Python worker;
+- decode is a *batched* vectorized Viterbi over all turns of an Arrow batch
+  at once (pad to max length, DP over time on (B, L) score planes);
+- training (out of the query path; used only to produce the committed
+  deterministic fixture weights, SURVEY.md §2.1 P9) is a seeded averaged
+  structured perceptron — exactly reproducible, unlike L-BFGS on floats.
+
+Labels use the IOB scheme: O=0, B=1, I=2 (banner.tagging.TagFormat [P]).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.hashing import FEATURE_SPACE
+
+LABELS = ("O", "B-ENT", "I-ENT")
+N_LABELS = 3
+START = N_LABELS  # virtual start state index in the transition matrix
+
+
+class CrfModel:
+    """Dense hashed-feature linear-chain model."""
+
+    __slots__ = ("emission", "transition")
+
+    def __init__(self, emission: np.ndarray, transition: np.ndarray):
+        assert emission.shape == (FEATURE_SPACE, N_LABELS)
+        assert transition.shape == (N_LABELS + 1, N_LABELS)
+        self.emission = emission
+        self.transition = transition
+
+    def save_npz(self, path: str) -> None:
+        nz = np.nonzero(self.emission)
+        np.savez_compressed(
+            path,
+            idx=nz[0].astype(np.int64),
+            lab=nz[1].astype(np.int8),
+            w=self.emission[nz].astype(np.float32),
+            transition=self.transition.astype(np.float32),
+        )
+
+    @classmethod
+    def load_npz(cls, path: str) -> "CrfModel":
+        d = np.load(path)
+        emission = np.zeros((FEATURE_SPACE, N_LABELS), dtype=np.float32)
+        emission[d["idx"], d["lab"]] = d["w"]
+        return cls(emission, d["transition"].astype(np.float32))
+
+
+def emission_scores(model: CrfModel, feat_idx: np.ndarray) -> np.ndarray:
+    """(n_tokens, N_FEATURES) hashed indices -> (n_tokens, L) scores."""
+    if feat_idx.shape[0] == 0:
+        return np.zeros((0, N_LABELS), dtype=np.float32)
+    return model.emission[feat_idx].sum(axis=1)
+
+
+def viterbi_batch(
+    emit_flat: np.ndarray, seq_lens: np.ndarray, transition: np.ndarray
+) -> np.ndarray:
+    """Vectorized Viterbi over a batch of variable-length sequences.
+
+    ``emit_flat``: (total_tokens, L) emission scores, sequences concatenated;
+    ``seq_lens``: (B,) lengths. Returns flat int8 label array (total_tokens,).
+    """
+    total = emit_flat.shape[0]
+    if total == 0:
+        return np.empty(0, dtype=np.int8)
+    B = len(seq_lens)
+    T = int(seq_lens.max())
+    # pad into (B, T, L); padded slots get 0 emission (they are masked out of
+    # the backtrace by seq_lens, and 0 keeps the DP finite)
+    emit = np.zeros((B, T, N_LABELS), dtype=np.float32)
+    rows = np.repeat(np.arange(B), seq_lens)
+    cols = np.concatenate([np.arange(n) for n in seq_lens])
+    emit[rows, cols] = emit_flat
+    return _viterbi_backtrace(emit, seq_lens, transition, rows, cols)
+
+
+def _viterbi_backtrace(
+    emit: np.ndarray, seq_lens: np.ndarray, transition: np.ndarray,
+    rows: np.ndarray, cols: np.ndarray,
+) -> np.ndarray:
+    B, T, L = emit.shape
+    trans = transition[:N_LABELS]
+    deltas = np.empty((B, T, L), dtype=np.float32)
+    back = np.zeros((B, T, L), dtype=np.int8)
+    deltas[:, 0] = transition[START][None, :] + emit[:, 0]
+    for t in range(1, T):
+        scores = deltas[:, t - 1][:, :, None] + trans[None, :, :]
+        back[:, t] = np.argmax(scores, axis=1).astype(np.int8)
+        deltas[:, t] = np.max(scores, axis=1) + emit[:, t]
+    labels = np.zeros((B, T), dtype=np.int8)
+    last = seq_lens - 1
+    cur = np.argmax(deltas[np.arange(B), last], axis=1).astype(np.int8)
+    labels[np.arange(B), last] = cur
+    for t in range(T - 1, 0, -1):
+        active = last >= t
+        prev = back[np.arange(B), t, cur]
+        cur = np.where(active, prev, cur).astype(np.int8)
+        labels[:, t - 1] = np.where(active, cur, labels[:, t - 1])
+    return labels[rows, cols]
+
+
+def decode(model: CrfModel, feat_idx: np.ndarray, seq_lens: np.ndarray) -> np.ndarray:
+    """feat_idx (total_tokens, F), seq_lens (B,) -> flat labels (total_tokens,)."""
+    emit = emission_scores(model, feat_idx)
+    return viterbi_batch(emit, seq_lens, model.transition)
+
+
+def train_perceptron(
+    feat_idx: np.ndarray,
+    gold_flat: np.ndarray,
+    seq_lens: np.ndarray,
+    epochs: int = 8,
+    seed: int = 42,
+) -> CrfModel:
+    """Deterministic averaged structured perceptron (fixture-model trainer)."""
+    rng = np.random.RandomState(seed)
+    emission = np.zeros((FEATURE_SPACE, N_LABELS), dtype=np.float32)
+    transition = np.zeros((N_LABELS + 1, N_LABELS), dtype=np.float32)
+    emis_sum = np.zeros_like(emission)
+    trans_sum = np.zeros_like(transition)
+    offsets = np.concatenate(([0], np.cumsum(seq_lens)))
+    n_seq = len(seq_lens)
+    order = np.arange(n_seq)
+    model = CrfModel(emission, transition)
+    steps = 0
+    for _ in range(epochs):
+        rng.shuffle(order)
+        for si in order:
+            a, b = offsets[si], offsets[si + 1]
+            if b == a:
+                continue
+            fi = feat_idx[a:b]
+            gold = gold_flat[a:b]
+            pred = decode(model, fi, np.array([b - a]))
+            steps += 1
+            if np.array_equal(pred, gold):
+                continue
+            # additive updates on mismatched positions + transitions
+            for t in range(b - a):
+                if pred[t] != gold[t]:
+                    emission[fi[t], gold[t]] += 1.0
+                    emission[fi[t], pred[t]] -= 1.0
+            gprev, pprev = START, START
+            for t in range(b - a):
+                if gold[t] != pred[t] or gprev != pprev:
+                    transition[gprev, gold[t]] += 1.0
+                    transition[pprev, pred[t]] -= 1.0
+                gprev, pprev = gold[t], pred[t]
+            emis_sum += emission
+            trans_sum += transition
+    if steps:
+        # averaged weights for stability
+        model = CrfModel(
+            (emission + emis_sum / max(1, steps)).astype(np.float32) / 2.0,
+            (transition + trans_sum / max(1, steps)).astype(np.float32) / 2.0,
+        )
+    return model

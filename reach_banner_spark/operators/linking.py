@@ -1,0 +1,316 @@
+"""Entity linking: broadcast dictionary join + MinHash-LSH blocking (G1/G2).
+
+Reference analogue: ``banner.tagging.dictionary.DictionaryTagger`` [P] does
+exact lexicon lookup over token n-grams; the graft spec extends this to
+fuzzy entity linking: MinHash-LSH blocking over character-3-gram shingles to
+produce candidate (mention surface, lexicon alias) pairs, verified by exact
+Jaccard, plus a broadcast exact-match join for the easy path.
+
+Scale design:
+- the lexicon is a small dimension table -> always ``broadcast()`` joined;
+  the big mentions side never shuffles for the exact path;
+- LSH banding turns the all-pairs O(N*M) similarity problem into an
+  equi-join on (band_idx, band_hash): Catalyst broadcasts the exploded
+  lexicon band table, so the candidate join is also shuffle-free;
+- Jaccard verification is a vectorized pandas pass over candidates only.
+
+The pandas-level helpers (shingles / signatures / bands) are shared with
+fixtures.py so golden linking output is identical by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import hash_str_array, minhash_signatures
+
+NUM_HASHES = 64
+NUM_BANDS = 32  # 32 bands x 2 rows: >99% candidate recall at Jaccard 0.4
+_BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def char3_shingle_ids(surfaces: "pd.Series | np.ndarray") -> list[np.ndarray]:
+    """Hashed character-3-gram shingle-id sets per lowercased surface."""
+    out: list[np.ndarray] = []
+    for s in surfaces:
+        s = (s or "").lower()
+        if len(s) < 3:
+            grams = [s] if s else []
+        else:
+            grams = [s[i : i + 3] for i in range(len(s) - 2)]
+        ids = hash_str_array(np.array(grams, dtype=object), 1 << 32)
+        out.append(np.unique(ids))
+    return out
+
+
+def band_hashes(surfaces: "pd.Series | np.ndarray", num_hashes: int = NUM_HASHES,
+                num_bands: int = NUM_BANDS) -> np.ndarray:
+    """(n, num_bands) int64 LSH band hashes per surface (deterministic)."""
+    shingles = char3_shingle_ids(surfaces)
+    sigs = minhash_signatures(shingles, num_hashes=num_hashes).astype(np.uint64)
+    rows = num_hashes // num_bands
+    sigs = sigs.reshape(len(shingles), num_bands, rows)
+    h = np.zeros((len(shingles), num_bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            h ^= sigs[:, :, r]
+            h *= _BAND_MIX
+    return (h >> np.uint64(1)).astype(np.int64)  # keep positive
+
+
+def jaccard_pairs(a: "pd.Series", b: "pd.Series") -> np.ndarray:
+    """Exact char-3-gram Jaccard for parallel surface Series."""
+    sa = char3_shingle_ids(a)
+    sb = char3_shingle_ids(b)
+    out = np.empty(len(sa), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(sa, sb)):
+        if len(x) == 0 and len(y) == 0:
+            out[i] = 1.0
+            continue
+        inter = np.intersect1d(x, y, assume_unique=True).size
+        out[i] = inter / (len(x) + len(y) - inter)
+    return out
+
+
+_BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("surface_key", T.StringType(), False),
+        T.StructField("band_idx", T.IntegerType(), False),
+        T.StructField("band_hash", T.LongType(), False),
+    ]
+)
+
+
+def surface_bands(df: DataFrame, surface_col: str = "surface_key") -> DataFrame:
+    """Explode a distinct-surface DataFrame into (surface, band_idx, band_hash)."""
+    narrow = df.select(surface_col).distinct()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bh = band_hashes(pdf[surface_col])
+            n, b = bh.shape
+            yield pd.DataFrame(
+                {
+                    "surface_key": np.repeat(pdf[surface_col].to_numpy(), b),
+                    "band_idx": np.tile(np.arange(b, dtype=np.int32), n),
+                    "band_hash": bh.reshape(-1),
+                }
+            )
+
+    return narrow.mapInPandas(run, schema=_BANDS_SCHEMA)
+
+
+def link_mentions(
+    mentions: DataFrame,
+    lexicon: DataFrame,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """mentions + lexicon -> mentions with (entity_id, canonical) columns.
+
+    Path 1 (G2): exact broadcast join on lowercased surface == alias.
+    Path 2 (G1): for unmatched surfaces, MinHash-LSH candidate join against
+    the lexicon's band table, exact-Jaccard verify, best-match per surface
+    (ties broken by alias then entity_id for determinism).
+    """
+    from pyspark.sql import Window
+
+    # dedupe the lexicon on lowercased alias (deterministic: min entity_id)
+    # so the exact join never fans mentions out
+    wl = Window.partitionBy("alias_key").orderBy("entity_id", "canonical")
+    lex = (
+        lexicon.select(
+            F.lower(F.col("alias")).alias("alias_key"),
+            "canonical",
+            "entity_id",
+            F.col("entity_type").alias("lex_entity_type"),
+        )
+        .withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    m = mentions.withColumn("surface_key", F.lower(F.col("surface")))
+
+    exact = m.join(
+        F.broadcast(lex), m["surface_key"] == lex["alias_key"], "left"
+    ).drop("alias_key", "lex_entity_type")
+
+    linked = exact.filter(F.col("entity_id").isNotNull())
+    unlinked = exact.filter(F.col("entity_id").isNull()).drop(
+        "entity_id", "canonical"
+    )
+
+    # LSH blocking: bands of distinct unmatched surfaces vs lexicon bands.
+    lex_bands = surface_bands(
+        lex.select(F.col("alias_key").alias("surface_key"))
+    ).withColumnRenamed("surface_key", "alias_key")
+    men_bands = surface_bands(unlinked.select("surface_key"))
+    cands = (
+        men_bands.join(
+            F.broadcast(lex_bands),
+            ["band_idx", "band_hash"],
+        )
+        .select("surface_key", "alias_key")
+        .distinct()
+    )
+
+    @F.pandas_udf("double")
+    def jacc(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(jaccard_pairs(a, b))
+
+    verified = cands.withColumn("jaccard", jacc("surface_key", "alias_key")).filter(
+        F.col("jaccard") >= F.lit(min_jaccard)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("surface_key").orderBy(
+        F.desc("jaccard"), F.asc("alias_key")
+    )
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    fuzzy = (
+        unlinked.join(F.broadcast(best), "surface_key", "left")
+        .join(F.broadcast(lex), "alias_key", "left")
+        .drop("alias_key", "jaccard", "lex_entity_type")
+    )
+    return linked.unionByName(fuzzy).drop("surface_key")
+
+
+def entity_edges(lexicon: DataFrame, min_jaccard: float = 0.4) -> DataFrame:
+    """Similarity edges between entity ids whose canonical surfaces are
+    near-duplicates (LSH candidates + exact Jaccard verify) — the input to
+    canonicalization via connected components (G3).
+    """
+    ents = lexicon.select("entity_id", F.lower("canonical").alias("surface_key")).distinct()
+    bands = surface_bands(ents)
+    a = bands.join(ents, "surface_key").select(
+        F.col("entity_id").alias("src"),
+        F.col("surface_key").alias("ka"),
+        "band_idx",
+        "band_hash",
+    )
+    b = bands.join(ents, "surface_key").select(
+        F.col("entity_id").alias("dst"),
+        F.col("surface_key").alias("kb"),
+        "band_idx",
+        "band_hash",
+    )
+    cands = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "ka", "kb")
+        .distinct()
+    )
+
+    @F.pandas_udf("double")
+    def jacc(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(jaccard_pairs(x, y))
+
+    return (
+        cands.withColumn("sim", jacc("ka", "kb"))
+        .filter(F.col("sim") >= F.lit(min_jaccard))
+        .select("src", "dst", "sim")
+    )
+
+
+def entity_edges_pandas(lex_pdf: pd.DataFrame, min_jaccard: float = 0.4) -> pd.DataFrame:
+    """Single-process twin of ``entity_edges`` (same bands, same verify)."""
+    ents = (
+        lex_pdf.assign(surface_key=lex_pdf["canonical"].str.lower())[
+            ["entity_id", "surface_key"]
+        ]
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    bh = band_hashes(ents["surface_key"].to_numpy())
+    index: dict[tuple[int, int], list[int]] = {}
+    for i, row in enumerate(bh):
+        for bi, h in enumerate(row):
+            index.setdefault((bi, int(h)), []).append(i)
+    pairs: set[tuple[int, int]] = set()
+    for bucket in index.values():
+        for x in range(len(bucket)):
+            for y in range(x + 1, len(bucket)):
+                i, j = bucket[x], bucket[y]
+                ei = int(ents["entity_id"][i])
+                ej = int(ents["entity_id"][j])
+                if ei != ej:
+                    pairs.add((min(ei, ej), max(ei, ej), i, j) if ei < ej else (min(ei, ej), max(ei, ej), j, i))
+    if not pairs:
+        return pd.DataFrame(columns=["src", "dst", "sim"])
+    plist = sorted(pairs)
+    js = jaccard_pairs(
+        pd.Series([ents["surface_key"][p[2]] for p in plist]),
+        pd.Series([ents["surface_key"][p[3]] for p in plist]),
+    )
+    out = pd.DataFrame(
+        {
+            "src": [p[0] for p in plist],
+            "dst": [p[1] for p in plist],
+            "sim": js,
+        }
+    )
+    return out[out["sim"] >= min_jaccard].reset_index(drop=True)
+
+
+def link_surfaces_pandas(
+    surfaces: np.ndarray, lex_pdf: pd.DataFrame, min_jaccard: float = 0.5
+) -> pd.DataFrame:
+    """Single-process twin of ``link_mentions`` keyed by surface.
+
+    Returns DataFrame(surface_key, entity_id, canonical) for the golden
+    generator — same hashes, same bands, same tie-breaks.
+    """
+    lex = lex_pdf.copy()
+    lex["alias_key"] = lex["alias"].str.lower()
+    exact_map = (
+        lex.sort_values(["alias_key", "entity_id"])
+        .drop_duplicates("alias_key")
+        .set_index("alias_key")
+    )
+    keys = pd.Series(pd.unique(pd.Series(surfaces).str.lower()), name="surface_key")
+    hit = keys.isin(exact_map.index)
+    out_rows = []
+    for k in keys[hit]:
+        r = exact_map.loc[k]
+        out_rows.append((k, int(r["entity_id"]), r["canonical"]))
+    miss = keys[~hit]
+    if len(miss):
+        lex_b = band_hashes(exact_map.index.to_numpy())
+        lex_index: dict[tuple[int, int], list[str]] = {}
+        for alias, row in zip(exact_map.index, lex_b):
+            for bi, bh in enumerate(row):
+                lex_index.setdefault((bi, int(bh)), []).append(alias)
+        men_b = band_hashes(miss.to_numpy())
+        for skey, row in zip(miss, men_b):
+            cand: set[str] = set()
+            for bi, bh in enumerate(row):
+                cand.update(lex_index.get((bi, int(bh)), ()))
+            if not cand:
+                continue
+            cand_list = sorted(cand)
+            js = jaccard_pairs(
+                pd.Series([skey] * len(cand_list)), pd.Series(cand_list)
+            )
+            ok = [(j, a) for j, a in zip(js, cand_list) if j >= min_jaccard]
+            if not ok:
+                continue
+            # tie-break: highest jaccard, then lexicographically smallest alias
+            best_j = max(t[0] for t in ok)
+            alias = min(a for jj, a in ok if jj == best_j)
+            r = exact_map.loc[alias]
+            out_rows.append((skey, int(r["entity_id"]), r["canonical"]))
+    return pd.DataFrame(
+        out_rows, columns=["surface_key", "entity_id", "canonical"]
+    )

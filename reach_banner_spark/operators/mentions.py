@@ -1,0 +1,254 @@
+"""Fused mention-detection stage + mention assembly + post-processing.
+
+Reference lifecycle being re-created (SURVEY.md §3.1 E1 [P banner.*]):
+``Sentence`` -> ``Tokenizer.tokenize`` -> MALLET feature pipes ->
+``CRF.transduce`` Viterbi -> contiguous-tag ``Mention`` assembly ->
+``ParenthesisPostProcessor`` / ``LocalAbbreviationPostProcessor``.
+
+Engine re-expression: ALL of tokenize -> featurize -> Viterbi -> assemble ->
+abbreviation-expand run inside ONE ``mapInPandas`` generator
+(``detect_mentions``): one Arrow round-trip per batch instead of five
+chained UDF nodes (SURVEY.md §4.3). The parenthesis filter is a pure column
+expression (no Python at all). The exact same batch core
+(``recognize_batch``) is invoked single-process by fixtures.py to produce
+golden mentions, giving BANNER-style exact-span agreement by construction.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import schemas
+from .crf import CrfModel, decode, emission_scores
+from .features import featurize_flat
+from .tokenizer import tokenize_batch
+
+_ABBREV_RE = re.compile(r"^ ?\(([A-Za-z0-9-]{1,10})\)")
+
+# module-level model cache: one deserialization per Python worker process,
+# not per task (SURVEY.md §4.3 "broadcast of model weights")
+_MODEL_CACHE: dict[str, CrfModel] = {}
+
+
+def _load_model(path: str) -> CrfModel:
+    m = _MODEL_CACHE.get(path)
+    if m is None:
+        m = CrfModel.load_npz(path)
+        _MODEL_CACHE[path] = m
+    return m
+
+
+def _flatten_tokens(
+    toks: list[list[str]], starts: list[np.ndarray], ends: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    seq_lens = np.fromiter((len(t) for t in toks), count=len(toks), dtype=np.int64)
+    flat_toks = np.array([t for ts in toks for t in ts], dtype=object)
+    flat_starts = (
+        np.concatenate(starts) if starts else np.empty(0, np.int32)
+    ) if len(starts) else np.empty(0, np.int32)
+    flat_ends = (
+        np.concatenate(ends) if ends else np.empty(0, np.int32)
+    ) if len(ends) else np.empty(0, np.int32)
+    seq_ids = np.repeat(np.arange(len(toks)), seq_lens)
+    return flat_toks, flat_starts, flat_ends, seq_ids, seq_lens
+
+
+def recognize_batch(
+    pdf: pd.DataFrame, model: CrfModel, entity_type: str = "GENE"
+) -> pd.DataFrame:
+    """Batch core: (conv_id, turn_idx, text) -> mentions rows.
+
+    Pure pandas/numpy — runs identically inside the Spark worker (via
+    ``detect_mentions``) and single-process (reference recognizer).
+    """
+    texts = pdf["text"]
+    toks, starts, ends = tokenize_batch(texts, fine=True)
+    flat_toks, flat_starts, flat_ends, seq_ids, seq_lens = _flatten_tokens(
+        toks, starts, ends
+    )
+    n = len(flat_toks)
+    empty = pd.DataFrame(
+        {
+            "conv_id": pd.Series([], dtype="string"),
+            "turn_idx": pd.Series([], dtype="int32"),
+            "begin_tok": pd.Series([], dtype="int32"),
+            "end_tok": pd.Series([], dtype="int32"),
+            "begin_char": pd.Series([], dtype="int32"),
+            "end_char": pd.Series([], dtype="int32"),
+            "entity_type": pd.Series([], dtype="string"),
+            "surface": pd.Series([], dtype="string"),
+            "score": pd.Series([], dtype="float64"),
+        }
+    )
+    if n == 0:
+        return empty
+
+    feat_idx = featurize_flat(flat_toks, seq_ids)
+    nonempty = seq_lens > 0
+    labels = decode(model, feat_idx, seq_lens[nonempty])
+    emit = emission_scores(model, feat_idx)
+
+    # --- mention assembly (P11): contiguous B(-I)* runs; I after O = B ---
+    lab = labels.astype(np.int8)
+    is_seq_start = np.zeros(n, dtype=bool)
+    offs = np.concatenate(([0], np.cumsum(seq_lens[nonempty])[:-1]))
+    is_seq_start[offs] = True
+    prev = np.concatenate(([0], lab[:-1]))
+    prev[is_seq_start] = 0
+    is_start = (lab == 1) | ((lab == 2) & (prev == 0))
+    nxt = np.concatenate((lab[1:], [0]))
+    is_seq_end = np.zeros(n, dtype=bool)
+    last = np.cumsum(seq_lens[nonempty]) - 1
+    is_seq_end[last] = True
+    nxt[is_seq_end] = 0
+    in_m = lab != 0
+    is_end = in_m & ((nxt != 2) | is_seq_end)
+    s_idx = np.flatnonzero(is_start)
+    e_idx = np.flatnonzero(is_end)
+    # pair each start with the first end >= it
+    e_pos = e_idx[np.searchsorted(e_idx, s_idx, side="left")]
+
+    sent_of = seq_ids[s_idx]
+    sent_base = np.concatenate(([0], np.cumsum(seq_lens)[:-1]))
+    begin_tok = (s_idx - sent_base[sent_of]).astype(np.int32)
+    end_tok = (e_pos - sent_base[sent_of] + 1).astype(np.int32)
+    begin_char = flat_starts[s_idx].astype(np.int32)
+    end_char = flat_ends[e_pos].astype(np.int32)
+    # score: mean Viterbi margin over the span (entity score vs O)
+    margin = emit[:, 1:].max(axis=1) - emit[:, 0]
+    cm = np.concatenate(([0.0], np.cumsum(margin)))
+    span_len = (e_pos - s_idx + 1).astype(np.float64)
+    score = (cm[e_pos + 1] - cm[s_idx]) / span_len
+
+    conv = pdf["conv_id"].to_numpy()
+    tidx = pdf["turn_idx"].to_numpy()
+    texts_np = texts.to_numpy()
+    rows = {
+        "conv_id": conv[sent_of],
+        "turn_idx": tidx[sent_of].astype(np.int32),
+        "begin_tok": begin_tok,
+        "end_tok": end_tok,
+        "begin_char": begin_char,
+        "end_char": end_char,
+        "entity_type": np.full(len(s_idx), entity_type, dtype=object),
+        "surface": np.array(
+            [texts_np[si][b:e] for si, b, e in zip(sent_of, begin_char, end_char)],
+            dtype=object,
+        ),
+        "score": score,
+    }
+    out = pd.DataFrame(rows)
+
+    # --- local abbreviation post-processing (P13 analogue): a detected
+    # mention immediately followed by " (ABBR)" also yields the ABBR span ---
+    extra = []
+    for si, e in zip(sent_of, end_char):
+        text = texts_np[si]
+        m = _ABBREV_RE.match(text[e:])
+        if m:
+            b2 = e + m.start(1)
+            e2 = e + m.end(1)
+            extra.append(
+                (
+                    conv[si],
+                    int(tidx[si]),
+                    -1,
+                    -1,
+                    b2,
+                    e2,
+                    entity_type,
+                    text[b2:e2],
+                    0.0,
+                )
+            )
+    if extra:
+        out = pd.concat(
+            [out, pd.DataFrame(extra, columns=list(rows.keys()))], ignore_index=True
+        )
+        out = out.drop_duplicates(
+            subset=["conv_id", "turn_idx", "begin_char", "end_char"]
+        )
+    return out.astype(
+        {
+            "turn_idx": "int32",
+            "begin_tok": "int32",
+            "end_tok": "int32",
+            "begin_char": "int32",
+            "end_char": "int32",
+            "score": "float64",
+        }
+    )
+
+
+def detect_mentions(
+    turns: DataFrame, model_path: str, entity_type: str = "GENE"
+) -> DataFrame:
+    """Spark stage: turns -> mentions via ONE fused Arrow-batched pass.
+
+    Selects narrow columns first so Catalyst prunes the scan before the
+    Arrow boundary (only conv_id/turn_idx/text cross into Python).
+    """
+    narrow = turns.select("conv_id", "turn_idx", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _load_model(model_path)
+        for pdf in batches:
+            if len(pdf):
+                yield recognize_batch(pdf, model, entity_type)
+
+    return narrow.mapInPandas(run, schema=schemas.MENTIONS)
+
+
+def paren_balanced(col: str | Column = "surface") -> Column:
+    """ParenthesisPostProcessor twin (P12) as a pure column expression:
+    keep mentions whose (), [] and {} counts balance."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def bal(open_ch: str, close_ch: str) -> Column:
+        return (
+            F.length(c) - F.length(F.replace(c, F.lit(open_ch), F.lit("")))
+        ) == (F.length(c) - F.length(F.replace(c, F.lit(close_ch), F.lit(""))))
+
+    return bal("(", ")") & bal("[", "]") & bal("{", "}")
+
+
+def paren_balanced_py(s: str) -> bool:
+    """Python twin of ``paren_balanced`` for the golden generator."""
+    return (
+        s.count("(") == s.count(")")
+        and s.count("[") == s.count("]")
+        and s.count("{") == s.count("}")
+    )
+
+
+def tokenize_turns(turns: DataFrame, fine: bool = True) -> DataFrame:
+    """Standalone tokenizer stage (P2/P3) -> TOKENS schema DataFrame."""
+    narrow = turns.select("conv_id", "turn_idx", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks, starts, ends = tokenize_batch(pdf["text"], fine=fine)
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy(),
+                    "turn_idx": pdf["turn_idx"].to_numpy(),
+                    "tokens": [
+                        [
+                            {"tok": t, "start": int(s), "end": int(e)}
+                            for t, s, e in zip(ts, ss.tolist(), es.tolist())
+                        ]
+                        for ts, ss, es in zip(toks, starts, ends)
+                    ],
+                }
+            )
+
+    return narrow.mapInPandas(run, schema=schemas.TOKENS)

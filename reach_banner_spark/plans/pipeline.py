@@ -1,0 +1,79 @@
+"""The end-to-end KG-construction pipeline (SURVEY.md §3.2 L1).
+
+turns -> salted repartition (G5) -> fused mention detection (P2-P11, one
+mapInPandas) -> parenthesis filter (P12, pure expr) -> entity linking
+(G1/G2) -> canonicalization (G3) -> window triple assembly (G4)
+[-> partitioned materialize + per-partition checkpoints (G6/G7)].
+
+Skew note (G5): transcript corpora have hot conversations (one conv with
+1000x the median turns). The mention stage is embarrassingly parallel per
+TURN, not per conversation, so we repartition on a deterministic composite
+key hash(conv_id, turn_idx) — this splits hot conversations across
+partitions with zero correctness impact (mentions are per-turn). The later
+triple self-join groups by conv_id again; AQE skew-join splitting plus the
+distinct() pre-aggregation keep that stage balanced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.components import connected_components
+from ..operators.linking import entity_edges, link_mentions
+from ..operators.mentions import detect_mentions, paren_balanced
+from ..operators.triples import assemble_triples
+
+
+def salt_repartition(turns: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Deterministic skew-busting repartition on hash(conv_id, turn_idx).
+
+    Salt is derived from turn_idx (not rand()) so a resumed run reproduces
+    identical partitions (SURVEY.md §7 hard part #2).
+    """
+    key = F.pmod(F.hash(F.col("conv_id"), F.col("turn_idx")), F.lit(1 << 20))
+    if num_partitions:
+        return turns.repartition(num_partitions, key)
+    return turns.repartition(key)
+
+
+def canonicalize(linked: DataFrame, lexicon: DataFrame) -> DataFrame:
+    """Replace each mention's (entity_id, canonical) with its connected-
+    component representative (min entity_id in the similarity component)."""
+    edges = entity_edges(lexicon)
+    comp = connected_components(edges)
+    id2canon = (
+        lexicon.select("entity_id", "canonical")
+        .groupBy("entity_id")
+        .agg(F.min("canonical").alias("rep_canonical"))
+    )
+    rep = (
+        comp.join(id2canon, comp["comp"] == id2canon["entity_id"])
+        .select(
+            F.col("node").alias("entity_id"),
+            F.col("comp").alias("rep_id"),
+            "rep_canonical",
+        )
+    )
+    return (
+        linked.join(F.broadcast(rep), "entity_id", "left")
+        .withColumn("entity_id", F.coalesce("rep_id", "entity_id"))
+        .withColumn("canonical", F.coalesce("rep_canonical", "canonical"))
+        .drop("rep_id", "rep_canonical")
+    )
+
+
+def run_pipeline(
+    turns: DataFrame,
+    lexicon: DataFrame,
+    model_path: str,
+    window_turns: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """turns + lexicon -> triples DataFrame (no side effects)."""
+    salted = salt_repartition(turns, num_partitions)
+    mentions = detect_mentions(salted, model_path)
+    mentions = mentions.filter(paren_balanced("surface"))
+    linked = link_mentions(mentions, lexicon)
+    linked = canonicalize(linked, lexicon)
+    return assemble_triples(linked, turns, window_turns=window_turns)

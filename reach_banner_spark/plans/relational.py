@@ -1,0 +1,630 @@
+"""Relational operator surface (SURVEY.md §2.2) with DuckDB oracle twins.
+
+Each operator is registered as ``REGISTRY[key] = (spark_fn, oracle_sql)``;
+``spark_fn(spark, sf_dir) -> DataFrame`` and the SQL string is the ANSI
+equivalent DuckDB runs on the same parquet tables. Keys with ``None`` SQL
+get the driver's weaker rows-only check (∅-oracle).
+
+Conventions for exact value-hash agreement with the oracle:
+- session timezone is UTC (session.py) so timestamps compare bit-exact;
+- every computed column is aliased identically on both sides;
+- double aggregates are computed on DECIMAL(18,2) internally (exact,
+  order-independent sums) and cast back to double rounded, so Spark's
+  partial-agg ordering can never flip a low bit vs DuckDB;
+- arrays in outputs are sorted and joined to strings (the driver's hash
+  stringifies values; array formatting differs between engines).
+
+All of these run pure JVM-side (whole-stage codegen); none cross into
+Python. Catalyst handles pushdown/pruning — tests assert that with
+``explain``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register(key: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[key] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def dec_sum(col: str, alias: str):
+    """Exact order-independent SUM of a 2-decimal double column."""
+    return F.round(
+        F.sum(F.col(col).cast("decimal(18,2)")).cast("double"), 2
+    ).alias(alias)
+
+
+# ---------------------------------------------------------------- scans ----
+
+@register("scan_parquet", "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem")
+def scan_parquet(spark, sf):
+    return _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "scan_prune_pushdown",
+    "SELECT l_orderkey, l_extendedprice FROM lineitem "
+    "WHERE l_quantity > 45 AND l_returnflag = 'R'",
+)
+def scan_prune_pushdown(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_extendedprice")
+    )
+
+
+# ------------------------------------------------------ project / filter ----
+
+@register(
+    "project_expr",
+    "SELECT l_orderkey, l_linenumber, "
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
+    "CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS qty_class, "
+    "COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag "
+    "FROM lineitem",
+)
+def project_expr(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.when(F.col("l_quantity") >= 25, "bulk").otherwise("small").alias("qty_class"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias("flag"),
+    )
+
+
+@register(
+    "filter_pred",
+    "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders "
+    "WHERE (o_totalprice BETWEEN 1000 AND 150000) "
+    "AND o_orderstatus IN ('O','F') "
+    "AND o_orderpriority LIKE '%URGENT%' AND NOT (o_custkey % 7 = 0)",
+)
+def filter_pred(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(1000, 150000)
+        & F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_orderpriority").like("%URGENT%")
+        & ~(F.col("o_custkey") % 7 == 0)
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "filter_subquery_in",
+    "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
+    "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000)",
+)
+def filter_subquery_in(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 9000)
+    return o.join(
+        c, o["o_custkey"] == c["c_custkey"], "left_semi"
+    ).select("o_orderkey", "o_custkey")
+
+
+# ---------------------------------------------------------------- joins ----
+
+@register(
+    "join_broadcast",
+    "SELECT c_custkey, c_name, n_name, r_name FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey",
+)
+def join_broadcast(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_shuffle_hash",
+    "SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey",
+)
+def join_shuffle_hash(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").hint("shuffle_hash")
+    return o.join(c, o["o_custkey"] == c["c_custkey"]).select("o_orderkey", "c_name")
+
+
+@register(
+    "join_sortmerge",
+    "SELECT l_orderkey, l_linenumber, o_orderstatus FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey",
+)
+def join_sortmerge(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").hint("merge")
+    return li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_linenumber", "o_orderstatus"
+    )
+
+
+@register(
+    "join_nested_loop",
+    "SELECT s_suppkey, n_nationkey FROM supplier, nation "
+    "WHERE s_acctbal > 9990 AND s_nationkey <> n_nationkey AND n_nationkey < 3",
+)
+def join_nested_loop(spark, sf):
+    s = _t(spark, sf, "supplier").filter(F.col("s_acctbal") > 9990)
+    n = _t(spark, sf, "nation").filter(F.col("n_nationkey") < 3)
+    return s.join(n, s["s_nationkey"] != n["n_nationkey"]).select(
+        "s_suppkey", "n_nationkey"
+    )
+
+
+@register(
+    "join_range",
+    # per-user event pairs within a 10-minute interval (range/interval join)
+    "SELECT a.event_id AS eid_a, b.event_id AS eid_b FROM events a JOIN events b "
+    "ON a.user_id = b.user_id AND b.ts > a.ts "
+    "AND b.ts <= a.ts + INTERVAL 10 MINUTE",
+)
+def join_range(spark, sf):
+    a = _t(spark, sf, "events").alias("a")
+    b = _t(spark, sf, "events").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTE")),
+        )
+        .select(
+            F.col("a.event_id").alias("eid_a"),
+            F.col("b.event_id").alias("eid_b"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    # as-of: for each event, the latest order at-or-before the event time
+    # for the same customer (DuckDB could use ASOF JOIN; spelled with
+    # ROW_NUMBER so the SQL twin is engine-portable)
+    "SELECT event_id, o_orderkey FROM ("
+    " SELECT e.event_id, o.o_orderkey, "
+    "  ROW_NUMBER() OVER (PARTITION BY e.event_id "
+    "   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn"
+    " FROM events e JOIN orders o ON o.o_custkey = e.user_id "
+    "  AND o.o_orderdate <= e.ts"
+    ") WHERE rn = 1",
+)
+def join_asof(spark, sf):
+    o = _t(spark, sf, "orders")
+    e = _t(spark, sf, "events")
+    j = e.join(
+        o, (o["o_custkey"] == e["user_id"]) & (o["o_orderdate"] <= e["ts"])
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "o_orderkey")
+    )
+
+
+@register(
+    "join_semi",
+    "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+)
+def join_semi(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select("c_custkey")
+
+
+@register(
+    "join_anti",
+    "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+)
+def join_anti(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey")
+
+
+@register(
+    "join_outer_full",
+    "SELECT n_nationkey, n_name, s_suppkey FROM nation "
+    "FULL OUTER JOIN supplier ON n_nationkey = s_nationkey AND s_acctbal > 5000",
+)
+def join_outer_full(spark, sf):
+    n = _t(spark, sf, "nation")
+    s = _t(spark, sf, "supplier")
+    return n.join(
+        s, (n["n_nationkey"] == s["s_nationkey"]) & (s["s_acctbal"] > 5000), "full"
+    ).select("n_nationkey", "n_name", "s_suppkey")
+
+
+# ---------------------------------------------------------- aggregation ----
+
+@register(
+    "agg_hash",
+    "SELECT l_returnflag, l_linestatus, "
+    "ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty, "
+    "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price, "
+    "COUNT(*) AS count_order, "
+    "ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 2) AS min_price, "
+    "ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 2) AS max_price "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def agg_hash(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity", "sum_qty"),
+        dec_sum("l_extendedprice", "sum_base_price"),
+        F.count(F.lit(1)).alias("count_order"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_distinct",
+    "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, "
+    "COUNT(DISTINCT o_orderpriority) AS n_prio FROM orders GROUP BY o_orderstatus",
+)
+def agg_distinct(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+    )
+
+
+@register("agg_approx", None)  # HLL estimate: tolerance-checked in pytest, ∅-oracle
+def agg_approx(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_cust"))
+
+
+@register(
+    "agg_rollup",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+    "CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag, CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+)
+def agg_rollup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+    )
+
+
+@register(
+    "agg_cube",
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+    "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+)
+def agg_cube(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "agg_collect",
+    "SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS names "
+    "FROM nation GROUP BY n_regionkey",
+)
+def agg_collect(spark, sf):
+    n = _t(spark, sf, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("names")
+    )
+
+
+# ---------------------------------------------------------------- windows ----
+
+@register(
+    "win_rank",
+    "SELECT c_custkey, c_nationkey, "
+    "ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn, "
+    "RANK() OVER (PARTITION BY c_nationkey ORDER BY c_mktsegment) AS rnk, "
+    "NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS quartile "
+    "FROM customer",
+)
+def win_rank(spark, sf):
+    c = _t(spark, sf, "customer")
+    w1 = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w2 = Window.partitionBy("c_nationkey").orderBy("c_mktsegment")
+    w3 = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w1).alias("rn"),
+        F.rank().over(w2).alias("rnk"),
+        F.ntile(4).over(w3).alias("quartile"),
+    )
+
+
+@register(
+    "win_analytic",
+    "SELECT o_custkey, o_orderkey, "
+    "LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order, "
+    "LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order, "
+    "FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order "
+    "FROM orders",
+)
+def win_analytic(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+    )
+
+
+@register(
+    "win_frame_rows",
+    "SELECT l_orderkey, l_linenumber, "
+    "ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER ("
+    "PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_qty "
+    "FROM lineitem",
+)
+def win_frame_rows(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("running_qty"),
+    )
+
+
+@register(
+    "win_frame_range",
+    "SELECT o_orderkey, o_custkey, COUNT(*) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_totalprice "
+    "RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_close "
+    "FROM orders",
+)
+def win_frame_range(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey", F.count(F.lit(1)).over(w).alias("n_close")
+    )
+
+
+# -------------------------------------------------------- sort/limit/topk ----
+
+@register(
+    "sort_global",
+    "SELECT s_suppkey, s_acctbal FROM supplier ORDER BY s_acctbal DESC, s_suppkey",
+)
+def sort_global(spark, sf):
+    s = _t(spark, sf, "supplier")
+    return s.select("s_suppkey", "s_acctbal").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+
+
+@register(
+    "topk",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
+)
+def topk(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------- set ops ----
+
+@register(
+    "set_union_all",
+    "SELECT c_nationkey AS nationkey FROM customer "
+    "UNION ALL SELECT s_nationkey AS nationkey FROM supplier",
+)
+def set_union_all(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s)
+
+
+@register(
+    "set_union_distinct",
+    "SELECT c_nationkey AS nationkey FROM customer "
+    "UNION SELECT s_nationkey AS nationkey FROM supplier",
+)
+def set_union_distinct(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "set_intersect",
+    "SELECT c_nationkey AS nationkey FROM customer "
+    "INTERSECT SELECT s_nationkey AS nationkey FROM supplier",
+)
+def set_intersect(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    "SELECT c_nationkey AS nationkey FROM customer "
+    "EXCEPT SELECT s_nationkey AS nationkey FROM supplier",
+)
+def set_except(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# ------------------------------------------------------ scalar fn families ----
+
+@register(
+    "fn_string",
+    "SELECT doc_id, LOWER(text) AS lo, UPPER(lang) AS up, "
+    "TRIM(source) AS src, SUBSTRING(text, 1, 10) AS head10, "
+    "LENGTH(text) AS len, "
+    "REGEXP_REPLACE(text, '[0-9]+', '#', 'g') AS nodigits, "
+    "LEVENSHTEIN(lang, 'en') AS lev, "
+    "CONCAT_WS('|', lang, source) AS tag "
+    "FROM documents",
+)
+def fn_string(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.lower("text").alias("lo"),
+        F.upper("lang").alias("up"),
+        F.trim("source").alias("src"),
+        F.substring("text", 1, 10).alias("head10"),
+        F.length("text").cast("long").alias("len"),
+        F.regexp_replace("text", "[0-9]+", "#").alias("nodigits"),
+        F.levenshtein("lang", F.lit("en")).cast("long").alias("lev"),
+        F.concat_ws("|", "lang", "source").alias("tag"),
+    )
+
+
+@register(
+    "fn_date",
+    "SELECT o_orderkey, EXTRACT(YEAR FROM o_orderdate) AS yr, "
+    "EXTRACT(MONTH FROM o_orderdate) AS mo, "
+    "STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start, "
+    "DATEDIFF('day', CAST('2024-01-01' AS DATE), CAST(o_orderdate AS DATE)) AS days_since, "
+    "STRFTIME(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due "
+    "FROM orders",
+)
+def fn_date(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("due"),
+    )
+
+
+@register(
+    "fn_math",
+    "SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 1) AS r1, "
+    "ABS(l_discount - 0.05) AS adelta, "
+    "ROUND(POW(l_quantity, 2), 4) AS q2, "
+    "ROUND(LN(l_extendedprice + 1), 6) AS lnp, "
+    "CAST(l_orderkey % 97 AS BIGINT) AS m97 "
+    "FROM lineitem",
+)
+def fn_math(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("adelta"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("q2"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("lnp"),
+        (F.col("l_orderkey") % 97).cast("long").alias("m97"),
+    )
+
+
+@register(
+    "fn_array",
+    "SELECT doc_id, words[1] AS first_word, len(words) AS n_words, "
+    "list_contains(words, 'data') AS has_data, "
+    "array_to_string(list_sort(list_distinct(words[1:4])), ' ') AS head_sorted "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)",
+)
+def fn_array(spark, sf):
+    d = _t(spark, sf, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.element_at(words, 1).alias("first_word"),
+        F.size(words).cast("long").alias("n_words"),
+        F.array_contains(words, "data").alias("has_data"),
+        F.array_join(F.array_sort(F.array_distinct(F.slice(words, 1, 4))), " ").alias(
+            "head_sorted"
+        ),
+    )
+
+
+@register(
+    "fn_json",
+    "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+    "FROM events",
+)
+def fn_json(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "fn_map",
+    # map semantics exercised Spark-side; oracle checks the flattened result
+    "SELECT event_id, 'k' AS key, CAST(json_extract(props, '$.k') AS BIGINT) AS val "
+    "FROM events",
+)
+def fn_map(spark, sf):
+    e = _t(spark, sf, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("k")),
+        F.array(F.get_json_object("props", "$.k").cast("long")),
+    )
+    return e.select(
+        "event_id",
+        F.explode(m).alias("key", "val"),
+    )

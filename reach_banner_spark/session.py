@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine.
+
+Design-for-scale defaults (see SURVEY.md §4.2/§6):
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing);
+- Arrow on for every pandas-UDF boundary, with a bounded batch size so a
+  single Arrow batch never balloons executor memory at wide rows;
+- shuffle partitions scaled with cores locally (a 1000-executor cluster
+  would instead set this to ~2-3x total cores, or rely on AQE coalescing);
+- session timezone pinned to UTC so timestamps compare exactly against the
+  DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "reach_banner_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's standard conf."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8
+        if master.startswith("local[") and master[6:-1].isdigit():
+            n = int(master[6:-1])
+        shuffle_partitions = max(8, n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

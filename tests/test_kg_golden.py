@@ -1,0 +1,106 @@
+"""BANNER-style golden evaluation (SURVEY.md §5.2.2, BASELINE.md gates).
+
+The reference recognizer (fixtures.reference_*: same numpy core, single
+process, no Spark) defines golden mentions and triples; the Spark pipeline
+must agree: exact-span mention agreement, triple-set P >= 0.95 and
+R >= 0.95, per-turn text equality under stable (conv_id, turn_idx) order,
+and no per-row Python anywhere in the physical plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from reach_banner_spark import schemas
+
+
+@pytest.fixture(scope="module")
+def spark_triples(spark, small_turns, lexicon_pdf, model_path):
+    from reach_banner_spark.plans.pipeline import run_pipeline
+
+    turns_pdf, _ = small_turns
+    turns = spark.createDataFrame(turns_pdf, schema=schemas.TURNS)
+    lexicon = spark.createDataFrame(lexicon_pdf, schema=schemas.LEXICON)
+    df = run_pipeline(turns, lexicon, model_path, window_turns=2)
+    return df
+
+
+def test_mention_exact_span_agreement(spark, small_turns, model_path):
+    from reach_banner_spark.fixtures import reference_mentions
+    from reach_banner_spark.operators.mentions import detect_mentions, paren_balanced
+
+    turns_pdf, _ = small_turns
+    turns = spark.createDataFrame(turns_pdf, schema=schemas.TURNS)
+    got = (
+        detect_mentions(turns, model_path)
+        .filter(paren_balanced("surface"))
+        .select("conv_id", "turn_idx", "begin_char", "end_char", "surface")
+        .toPandas()
+    )
+    want = reference_mentions(turns_pdf)[
+        ["conv_id", "turn_idx", "begin_char", "end_char", "surface"]
+    ]
+    gs = {tuple(r) for r in got.itertuples(index=False, name=None)}
+    ws = {tuple(r) for r in want.itertuples(index=False, name=None)}
+    assert gs == ws, (
+        f"span mismatch: {len(gs - ws)} spurious, {len(ws - gs)} missing "
+        f"of {len(ws)} golden"
+    )
+
+
+def test_triple_set_precision_recall(spark_triples, small_turns, lexicon_pdf):
+    from reach_banner_spark.fixtures import reference_triples
+
+    turns_pdf, _ = small_turns
+    golden = reference_triples(turns_pdf, lexicon_pdf)
+    got = spark_triples.toPandas()
+    cols = ["conv_id", "window_start", "subj", "pred", "obj"]
+    gs = {tuple(r) for r in got[cols].itertuples(index=False, name=None)}
+    ws = {tuple(r) for r in golden[cols].itertuples(index=False, name=None)}
+    assert ws, "golden triple set empty — fixture broken"
+    tp = len(gs & ws)
+    precision = tp / max(1, len(gs))
+    recall = tp / max(1, len(ws))
+    assert precision >= 0.95, f"P={precision:.3f} ({len(gs)} got, {tp} tp)"
+    assert recall >= 0.95, f"R={recall:.3f} ({len(ws)} gold, {tp} tp)"
+
+
+def test_per_turn_text_equality_invariant(spark, small_turns):
+    """Texts survive every shuffle bit-for-bit under stable ordering."""
+    from reach_banner_spark.plans.pipeline import salt_repartition
+
+    turns_pdf, _ = small_turns
+    turns = spark.createDataFrame(turns_pdf, schema=schemas.TURNS)
+    out = (
+        salt_repartition(turns)
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        turns_pdf[["conv_id", "turn_idx", "text"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == ref["text"].tolist()
+
+
+def test_no_per_row_python_in_plan(spark_triples):
+    """north_star forbids per-row Python: only Arrow nodes may appear."""
+    plan = spark_triples._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF in plan"
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as em
+
+    df = em.entry(spark)
+    assert df.schema.fieldNames() == [
+        "conv_id",
+        "window_start",
+        "subj",
+        "pred",
+        "obj",
+    ]
+    assert df.count() > 0
