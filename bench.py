@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + the KG pipeline at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {"q_name": sec, ...}, "sf": "<dir>", ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  RBS_BENCH_CONVS      synthetic-transcript conversations (default 3000)
+
+The KG-pipeline input is the deterministic seeded transcript corpus
+(fixtures.make_turns) materialized once to a /tmp parquet cache keyed by its
+parameters, so repeated runs measure the ENGINE, not fixture generation.
+Each query is forced end-to-end with a noop sink (full materialization, no
+driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("RBS_BENCH_CONVS", "3000"))
+SKEW_TURNS = 3000
+
+HEADLINE = [
+    "agg_hash",
+    "join_sortmerge",
+    "join_broadcast",
+    "win_rank",
+    "topk",
+    "triple_assembly",
+    "mention_assembly",
+]
+
+
+def bench_turns_path() -> str:
+    """Materialize (once) the deterministic bench transcript corpus."""
+    path = f"/tmp/rbs_bench_turns_c{N_CONVS}_s{SKEW_TURNS}_seed42"
+    if os.path.exists(os.path.join(path, "_DONE")):
+        return path
+    from reach_banner_spark.fixtures import make_turns
+
+    turns, _ = make_turns(n_convs=N_CONVS, skew_conv_turns=SKEW_TURNS, seed=42)
+    turns["ts"] = turns["ts"].astype("datetime64[us]")  # Spark can't read ns
+    os.makedirs(path, exist_ok=True)
+    # write via pyarrow (no Spark needed for fixture materialization)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.Table.from_pandas(turns, preserve_index=False)
+    pq.write_table(tbl, os.path.join(path, "turns.parquet"))
+    open(os.path.join(path, "_DONE"), "w").write("ok")
+    return path
+
+
+def force(df) -> int:
+    """Materialize the full result without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from reach_banner_spark.session import build_session
+
+    turns_path = bench_turns_path()
+
+    spark = build_session(
+        app_name="rbs-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(8, CPUS),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+
+    q = em.queries()
+    times: dict[str, float] = {}
+
+    # warm the JVM/python-worker pool once (excluded from timings)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    for key in HEADLINE:
+        fn = q[key]
+        t0 = time.time()
+        force(fn(spark, SF_DIR))
+        times[key] = round(time.time() - t0, 3)
+
+    # KG pipeline over the synthetic transcript corpus
+    from reach_banner_spark.fixtures import ensure_model, make_lexicon
+    from reach_banner_spark import schemas
+    from reach_banner_spark.plans.pipeline import run_pipeline
+
+    turns = spark.read.parquet(f"{turns_path}/turns.parquet")
+    n_turns = turns.count()
+    lexicon = spark.createDataFrame(make_lexicon(), schema=schemas.LEXICON)
+    model_path = ensure_model()
+
+    t0 = time.time()
+    force(run_pipeline(turns, lexicon, model_path, window_turns=2))
+    kg_sec = round(time.time() - t0, 3)
+    times["kg_pipeline"] = kg_sec
+
+    # mention-detection-only throughput (the BANNER-core number)
+    from reach_banner_spark.operators.mentions import detect_mentions, paren_balanced
+
+    t0 = time.time()
+    force(detect_mentions(turns, model_path).filter(paren_balanced("surface")))
+    times["mention_detect"] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "kg_turns": n_turns,
+                "kg_turns_per_sec": round(n_turns / kg_sec, 1),
+                "mention_turns_per_sec": round(n_turns / times["mention_detect"], 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,533 @@
+"""KG-pipeline operators exposed as oracle-checkable queries (SURVEY.md §2.1/§2.3).
+
+These keys cover the BANNER-semantics operators whose *relational algebra*
+DuckDB can express — the SQL twins prove the span/segment/join logic while
+the CRF-specific keys (Viterbi etc.) are covered by pytest goldens and
+rows-only checks.
+
+Reference parity notes per key:
+- ``shape_features``  : P4 word-shape pipes (nested regexp_replace twin)
+- ``tokenize_count``  : P2 SimpleTokenizer twin (regexp_extract_all)
+- ``paren_filter``    : P12 ParenthesisPostProcessor
+- ``dict_join``       : P14 DictionaryTagger (broadcast join over tokens)
+- ``mention_assembly``: P11 contiguous-run span assembly (window segmentation)
+- ``eval_tp_join`` / ``eval_pr``: P15 BC2GeneMentionTest joins -> P/R/F1
+- ``connected_components``: G3 on a chain graph derived from doc_ids
+- ``triple_assembly`` : G4 windowed pairing + role/tool predicate rules
+- ``join_skew_salted``: G5 — salted join whose RESULT must equal a plain join
+- ``lsh_candidate_pairs`` / ``minhash_bands``: G1 (∅-oracle; pytest goldens)
+- ``udf_*``           : §2.5 pandas-UDF surface (each with a JVM-SQL twin)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(key: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[key] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+# shared mini-lexicon over the documents vocabulary (DictionaryTagger dim table)
+PIPE_DICT = [
+    ("data", 1), ("query", 2), ("table", 3), ("join", 4),
+    ("filter", 5), ("spark", 6), ("stream", 7), ("row", 8),
+]
+_DICT_SQL_VALUES = ", ".join(f"('{w}', {i})" for w, i in PIPE_DICT)
+
+
+def _dict_df(spark):
+    return spark.createDataFrame(PIPE_DICT, ["term", "term_id"])
+
+
+def _doc_tokens(spark, sf):
+    """documents exploded to (doc_id, pos, word) — whitespace tokens."""
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+
+
+_DOC_TOKENS_SQL = (
+    "SELECT doc_id, CAST(generate_subscripts(words, 1) - 1 AS INT) AS pos, "
+    "unnest(words) AS word FROM ("
+    "SELECT doc_id, string_split(text, ' ') AS words FROM documents) t"
+)
+
+
+# ------------------------------------------------------------ P2/P4/P12 ----
+
+@register(
+    "shape_features",
+    "SELECT doc_id, REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE("
+    "SUBSTRING(text, 1, 20), '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), "
+    "'[0-9]', '0', 'g') AS shape FROM documents",
+)
+def shape_features(spark, sf):
+    d = _docs(spark, sf)
+    shape = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.substring("text", 1, 20), "[A-Z]", "A"),
+            "[a-z]",
+            "a",
+        ),
+        "[0-9]",
+        "0",
+    )
+    return d.select("doc_id", shape.alias("shape"))
+
+
+@register(
+    "tokenize_count",
+    "SELECT doc_id, CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+')) AS BIGINT)"
+    " AS n_tokens FROM documents",
+)
+def tokenize_count(spark, sf):
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+@register(
+    "paren_filter",
+    "SELECT doc_id FROM documents WHERE "
+    "LENGTH(text) - LENGTH(REPLACE(text, '(', '')) = "
+    "LENGTH(text) - LENGTH(REPLACE(text, ')', ''))",
+)
+def paren_filter(spark, sf):
+    from ..operators.mentions import paren_balanced
+
+    d = _docs(spark, sf)
+    # only () occurs in the documents corpus; the full operator also
+    # balances [] and {} (see operators.mentions.paren_balanced)
+    bal = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("("), F.lit("")))
+    ) == (F.length("text") - F.length(F.replace(F.col("text"), F.lit(")"), F.lit(""))))
+    return d.filter(bal).select("doc_id")
+
+
+# ------------------------------------------------------------------ P14 ----
+
+@register(
+    "dict_join",
+    f"SELECT doc_id, pos, word, term_id FROM ({_DOC_TOKENS_SQL}) toks "
+    f"JOIN (VALUES {_DICT_SQL_VALUES}) AS d(term, term_id) ON word = term",
+)
+def dict_join(spark, sf):
+    toks = _doc_tokens(spark, sf)
+    dic = _dict_df(spark)
+    return toks.join(
+        F.broadcast(dic), toks["word"] == dic["term"]
+    ).select("doc_id", "pos", "word", "term_id")
+
+
+# ------------------------------------------------------------------ P11 ----
+
+@register(
+    "mention_assembly",
+    # contiguous runs of dictionary words form one mention (B/I run-length
+    # assembly as window segmentation: seg = pos - dense rank among hits)
+    f"SELECT doc_id, CAST(MIN(pos) AS INT) AS begin_pos, "
+    f"CAST(MAX(pos) AS INT) AS end_pos, CAST(COUNT(*) AS BIGINT) AS n_toks, "
+    f"STRING_AGG(word, ' ' ORDER BY pos) AS surface FROM ("
+    f" SELECT doc_id, pos, word, pos - ROW_NUMBER() OVER ("
+    f"  PARTITION BY doc_id ORDER BY pos) AS seg"
+    f" FROM ({_DOC_TOKENS_SQL}) toks"
+    f" WHERE word IN (SELECT term FROM (VALUES {_DICT_SQL_VALUES}) AS d(term, term_id))"
+    f") GROUP BY doc_id, seg",
+)
+def mention_assembly(spark, sf):
+    toks = _doc_tokens(spark, sf)
+    dic = _dict_df(spark)
+    hits = toks.join(F.broadcast(dic), toks["word"] == dic["term"]).select(
+        "doc_id", "pos", "word"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    segged = hits.withColumn("seg", F.col("pos") - F.row_number().over(w))
+    return segged.groupBy("doc_id", "seg").agg(
+        F.min("pos").cast("int").alias("begin_pos"),
+        F.max("pos").cast("int").alias("end_pos"),
+        F.count(F.lit(1)).alias("n_toks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("word")))
+                ),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("surface"),
+    ).drop("seg")
+
+
+# ------------------------------------------------------------------ P15 ----
+# BC2-style eval: predicted = dictionary hits; gold = dictionary hits with
+# len(word) >= 5 (a deterministic subset). TP by exact-position join,
+# FP/FN via anti joins, then P/R/F1.
+
+_PRED_SQL = (
+    f"SELECT doc_id, pos, word FROM ({_DOC_TOKENS_SQL}) toks "
+    f"WHERE word IN (SELECT term FROM (VALUES {_DICT_SQL_VALUES}) AS d(term, term_id))"
+)
+_GOLD_SQL = f"SELECT doc_id, pos, word FROM ({_PRED_SQL}) p WHERE LENGTH(word) >= 5"
+
+
+def _pred_gold(spark, sf):
+    toks = _doc_tokens(spark, sf)
+    dic = _dict_df(spark)
+    pred = toks.join(F.broadcast(dic), toks["word"] == dic["term"]).select(
+        "doc_id", "pos", "word"
+    )
+    gold = pred.filter(F.length("word") >= 5)
+    return pred, gold
+
+
+@register(
+    "eval_tp_join",
+    f"SELECT p.doc_id, p.pos, p.word FROM ({_PRED_SQL}) p "
+    f"JOIN ({_GOLD_SQL}) g ON p.doc_id = g.doc_id AND p.pos = g.pos",
+)
+def eval_tp_join(spark, sf):
+    pred, gold = _pred_gold(spark, sf)
+    return pred.join(
+        gold.select("doc_id", "pos"), ["doc_id", "pos"], "left_semi"
+    ).select("doc_id", "pos", "word")
+
+
+@register(
+    "eval_pr",
+    f"WITH p AS ({_PRED_SQL}), g AS ({_GOLD_SQL}), "
+    f"tp AS (SELECT p.doc_id, p.pos FROM p JOIN g ON p.doc_id=g.doc_id AND p.pos=g.pos) "
+    f"SELECT CAST((SELECT COUNT(*) FROM tp) AS BIGINT) AS tp, "
+    f"CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_pred, "
+    f"CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_gold, "
+    f"ROUND((SELECT COUNT(*) FROM tp) * 1.0 / (SELECT COUNT(*) FROM p), 6) AS precision_, "
+    f"ROUND((SELECT COUNT(*) FROM tp) * 1.0 / (SELECT COUNT(*) FROM g), 6) AS recall_",
+)
+def eval_pr(spark, sf):
+    pred, gold = _pred_gold(spark, sf)
+    tp = pred.join(gold.select("doc_id", "pos"), ["doc_id", "pos"], "left_semi")
+    n_tp = tp.count()
+    n_pred = pred.count()
+    n_gold = gold.count()
+    return spark.createDataFrame(
+        [(n_tp, n_pred, n_gold,
+          round(n_tp / max(1, n_pred), 6), round(n_tp / max(1, n_gold), 6))],
+        T.StructType([
+            T.StructField("tp", T.LongType()),
+            T.StructField("n_pred", T.LongType()),
+            T.StructField("n_gold", T.LongType()),
+            T.StructField("precision_", T.DoubleType()),
+            T.StructField("recall_", T.DoubleType()),
+        ]),
+    )
+
+
+# ------------------------------------------------------------------- G3 ----
+
+@register(
+    "connected_components",
+    # chain graph: edge (d, d+1) whenever d % 10 != 9 and d+1 is a doc ->
+    # components are decades; oracle derives comp arithmetically (DuckDB's
+    # recursive-CTE answer reduces to this closed form on a chain)
+    "WITH ids AS (SELECT doc_id FROM documents), "
+    "e AS (SELECT a.doc_id AS src, a.doc_id + 1 AS dst FROM ids a "
+    " WHERE a.doc_id % 10 <> 9 AND EXISTS "
+    " (SELECT 1 FROM ids b WHERE b.doc_id = a.doc_id + 1)), "
+    "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e) "
+    "SELECT node, node - node % 10 AS comp FROM nodes",
+)
+def connected_components_q(spark, sf):
+    from ..operators.components import connected_components
+
+    d = _docs(spark, sf).select("doc_id")
+    a = d.withColumnRenamed("doc_id", "src")
+    edges = (
+        a.filter(F.col("src") % 10 != 9)
+        .withColumn("dst", F.col("src") + 1)
+        .join(d.withColumnRenamed("doc_id", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+    )
+    return connected_components(edges).select("node", "comp")
+
+
+# ------------------------------------------------------------------- G4 ----
+
+_TURNS_SQL = (
+    "SELECT CAST(source AS VARCHAR) AS conv_id, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS turn_idx, "
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+    " WHEN 2 THEN 'system' ELSE 'tool' END AS role, "
+    "text, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '' WHEN 1 THEN 'search' "
+    " ELSE 'python' END AS tool "
+    "FROM documents"
+)
+
+_TMENTIONS_SQL = (
+    f"SELECT conv_id, turn_idx, begin_char, word AS canonical FROM ("
+    f"SELECT t.conv_id, t.turn_idx, "
+    f"CAST(generate_subscripts(string_split(t.text, ' '), 1) - 1 AS INT) AS begin_char, "
+    f"unnest(string_split(t.text, ' ')) AS word FROM ({_TURNS_SQL}) t) x "
+    f"WHERE word IN (SELECT term FROM (VALUES {_DICT_SQL_VALUES}) AS d(term, term_id))"
+)
+
+
+@register(
+    "triple_assembly",
+    f"WITH turns AS ({_TURNS_SQL}), m AS (SELECT DISTINCT * FROM ({_TMENTIONS_SQL})) "
+    "SELECT DISTINCT a.conv_id, CAST(a.turn_idx AS INT) AS window_start, "
+    "a.canonical AS subj, "
+    "CASE WHEN a.turn_idx = b.turn_idx THEN 'co_mentioned' "
+    " WHEN t.role = 'assistant' AND t.tool <> '' THEN 'derived_via_' || t.tool "
+    " WHEN t.role = 'assistant' THEN 'answered_with' "
+    " WHEN t.role = 'user' THEN 'asked_about' "
+    " WHEN t.role = 'tool' THEN 'observed_with' "
+    " ELSE 'followed_by' END AS pred, "
+    "b.canonical AS obj "
+    "FROM m a JOIN m b ON a.conv_id = b.conv_id "
+    " AND b.turn_idx BETWEEN a.turn_idx AND a.turn_idx + 2 "
+    " AND (a.turn_idx < b.turn_idx OR (a.turn_idx = b.turn_idx AND a.begin_char < b.begin_char)) "
+    " AND a.canonical <> b.canonical "
+    "JOIN turns t ON t.conv_id = b.conv_id AND t.turn_idx = b.turn_idx",
+)
+def triple_assembly(spark, sf):
+    from ..operators.triples import assemble_triples
+    from ..sources.transcripts import documents_as_turns
+
+    turns = documents_as_turns(spark, sf)
+    toks = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+    dic = _dict_df(spark)
+    mentions = toks.join(F.broadcast(dic), toks["word"] == dic["term"]).select(
+        "conv_id",
+        "turn_idx",
+        F.col("pos").cast("int").alias("begin_char"),
+        F.col("word").alias("canonical"),
+    )
+    return assemble_triples(mentions, turns, window_turns=2)
+
+
+# ------------------------------------------------------------------- G5 ----
+
+@register(
+    "join_skew_salted",
+    # the salted two-phase join must produce EXACTLY the plain join's result
+    "SELECT l_orderkey, l_linenumber, o_orderstatus FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey",
+)
+def join_skew_salted(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    n_salt = 8
+    # deterministic salt on the big/skewed side; replicate the small side
+    salted_li = li.withColumn(
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber", "l_quantity"), F.lit(n_salt))
+    )
+    replicated_o = o.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return salted_li.join(
+        replicated_o,
+        (salted_li["l_orderkey"] == replicated_o["o_orderkey"])
+        & (salted_li["salt"] == replicated_o["salt"]),
+    ).select("l_orderkey", "l_linenumber", "o_orderstatus")
+
+
+# -------------------------------------------------------------- G1 (∅) ----
+
+@register("minhash_bands", None)  # deterministic hashes: golden-checked in pytest
+def minhash_bands(spark, sf):
+    from ..operators.linking import surface_bands
+
+    d = _docs(spark, sf).select(
+        F.lower(F.substring("text", 1, 40)).alias("surface_key")
+    )
+    return surface_bands(d)
+
+
+@register("lsh_candidate_pairs", None)  # verified in pytest vs exhaustive Jaccard
+def lsh_candidate_pairs(spark, sf):
+    from ..operators.linking import surface_bands
+
+    d = _docs(spark, sf).select(
+        "doc_id", F.lower(F.substring("text", 1, 40)).alias("surface_key")
+    )
+    bands = surface_bands(d)
+    withid = bands.join(d, "surface_key")
+    a = withid.select(
+        F.col("doc_id").alias("a"), "band_idx", "band_hash"
+    )
+    b = withid.select(
+        F.col("doc_id").alias("b"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------- §2.5 UDFs ----
+
+@register(
+    "udf_scalar_pandas",
+    "SELECT doc_id, REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE("
+    "source, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '0', 'g') "
+    "AS src_shape FROM documents",
+)
+def udf_scalar_pandas(spark, sf):
+    from ..operators.features import word_shape
+
+    @F.pandas_udf("string")
+    def shape_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(word_shape(s.to_numpy()), dtype="object")
+
+    d = _docs(spark, sf)
+    return d.select("doc_id", shape_udf("source").alias("src_shape"))
+
+
+@register(
+    "udf_grouped_agg",
+    "SELECT source, ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)"
+    " / COUNT(*), 6) AS mean_chars FROM documents GROUP BY source",
+)
+def udf_grouped_agg(spark, sf):
+    @F.pandas_udf("double")
+    def mean_chars(v: pd.Series) -> float:
+        # decimal-free but order-stable: sum of int64 is exact
+        return float(v.sum()) / len(v)
+
+    d = _docs(spark, sf)
+    return d.groupBy("source").agg(
+        F.round(mean_chars("n_chars"), 6).alias("mean_chars")
+    )
+
+
+@register(
+    "udf_grouped_map",
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY source",
+)
+def udf_grouped_map(spark, sf):
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": np.array([len(pdf)], dtype=np.int64),
+                "total_chars": np.array([pdf["n_chars"].sum()], dtype=np.int64),
+            }
+        )
+
+    d = _docs(spark, sf)
+    return d.groupBy("source").applyInPandas(
+        summarize, "source string, n_docs long, total_chars long"
+    )
+
+
+@register(
+    "udf_map_batches",
+    "SELECT doc_id, CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+')) AS BIGINT)"
+    " AS n_tokens FROM documents",
+)
+def udf_map_batches(spark, sf):
+    from ..operators.tokenizer import tokenize_batch
+
+    def count_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks, _, _ = tokenize_batch(pdf["text"], fine=False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_tokens": np.fromiter(
+                        (len(t) for t in toks), count=len(toks), dtype=np.int64
+                    ),
+                }
+            )
+
+    d = _docs(spark, sf).select("doc_id", "text")
+    return d.mapInPandas(count_tokens, "doc_id long, n_tokens long")
+
+
+# -------------------------------------------------------------- sinks ----
+
+@register("sink_partitioned_parquet", None)  # rows-only on read-back
+def sink_partitioned_parquet(spark, sf):
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"rbs_sink_{os.path.basename(sf.rstrip('/'))}"
+    )
+    d = _docs(spark, sf).withColumn("p_bucket", F.pmod(F.col("doc_id"), F.lit(8)))
+    d.write.mode("overwrite").partitionBy("p_bucket").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select("doc_id", "p_bucket").filter(F.col("p_bucket") == 3)
+
+
+@register(
+    "scan_partitioned",
+    "SELECT doc_id, n_chars FROM documents WHERE doc_id % 8 = 3",
+)
+def scan_partitioned(spark, sf):
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"rbs_part_{os.path.basename(sf.rstrip('/'))}"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        d = _docs(spark, sf).withColumn(
+            "p_bucket", F.pmod(F.col("doc_id"), F.lit(8))
+        )
+        d.write.mode("overwrite").partitionBy("p_bucket").parquet(out)
+    back = spark.read.parquet(out)
+    # partition pruning: only the p_bucket=3 directory is scanned
+    return back.filter(F.col("p_bucket") == 3).select("doc_id", "n_chars")
+
+
+@register(
+    "sort_within_partitions",
+    None,  # per-partition order is not SQL-observable; rows-only + pytest
+)
+def sort_within_partitions(spark, sf):
+    d = _docs(spark, sf)
+    return (
+        d.repartition(4, "source")
+        .sortWithinPartitions("source", "doc_id")
+        .select("doc_id", "source")
+    )
+
+
+@register("limit", "SELECT doc_id FROM documents ORDER BY doc_id LIMIT 10")
+def limit_q(spark, sf):
+    return _docs(spark, sf).select("doc_id").orderBy("doc_id").limit(10)
