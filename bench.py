@@ -111,9 +111,14 @@ def main() -> None:
 
     # mention-detection-only throughput (the BANNER-core number)
     from reach_banner_spark.operators.mentions import detect_mentions, paren_balanced
+    from reach_banner_spark.plans.pipeline import salt_repartition
 
     t0 = time.time()
-    force(detect_mentions(turns, model_path).filter(paren_balanced("surface")))
+    force(
+        detect_mentions(salt_repartition(turns), model_path).filter(
+            paren_balanced("surface")
+        )
+    )
     times["mention_detect"] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)

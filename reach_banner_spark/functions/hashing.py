@@ -60,6 +60,49 @@ def hash_str_array(strings: np.ndarray, space: int = FEATURE_SPACE) -> np.ndarra
     return (h % np.uint64(space)).astype(np.int64)
 
 
+def fnv64_array(strings: np.ndarray) -> np.ndarray:
+    """Full 64-bit FNV-1a per string (uint64), vectorized like
+    ``hash_str_array`` but without the modulo — used as the value-hash that
+    feature families numerically mix (see operators/features.py)."""
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    encoded = [s.encode("utf-8") for s in strings]
+    lens = np.fromiter((len(b) for b in encoded), count=n, dtype=np.int64)
+    maxlen = int(lens.max()) if n else 0
+    buf = np.zeros((n, max(1, maxlen)), dtype=np.uint8)
+    flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    col_idx = np.arange(max(1, maxlen))
+    mask = col_idx[None, :] < lens[:, None]
+    buf[mask] = flat
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            h[active] ^= buf[active, j].astype(np.uint64)
+            h[active] *= _FNV_PRIME
+    return h
+
+
+_MIX_P1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX_P2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def mix64(a: np.ndarray, b: "np.ndarray | int") -> np.ndarray:
+    """Deterministic 64-bit mixing of two hash streams (uint64 in/out)."""
+    b = np.uint64(b) if np.isscalar(b) else b.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (a.astype(np.uint64) ^ b) * _MIX_P1
+        x ^= x >> np.uint64(33)
+        x *= _MIX_P2
+        x ^= x >> np.uint64(29)
+    return x
+
+
+def to_space(h: np.ndarray, space: int = FEATURE_SPACE) -> np.ndarray:
+    return (h.astype(np.uint64) % np.uint64(space)).astype(np.int64)
+
+
 def minhash_signatures(
     token_sets: list[np.ndarray], num_hashes: int = 64, seed: int = 42
 ) -> np.ndarray:

@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Image/audio/video are opaque ``binary`` columns with typed metadata
+(schemas.ASSETS). The Spark-side plumbing — schema, partition-friendly
+synthesis, Arrow batch shape through ``mapInPandas``, deterministic
+feature extraction over raw bytes — is real and tested; the actual
+image/audio DECODE step is stubbed (the codec libraries are not in this
+container): ``decode_asset`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic byte-statistics "feature"
+stands in so the downstream plumbing is exercisable end-to-end.
+
+Keys:
+- ``mm_metadata``   : synthesize assets from documents (binary = UTF-8 bytes
+                      of text), project typed metadata — DuckDB oracle.
+- ``mm_decode_stub``: mapInPandas over binary payloads -> per-asset feature
+                      vector stats (∅-oracle; deterministic, pytest-checked).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(key: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[key] = (fn, sql)
+        return fn
+
+    return deco
+
+
+_KINDS = ["image", "audio", "video"]
+
+
+def assets_from_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic asset table: payload = encode(text), kind by doc_id%3."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    kinds = F.array(*[F.lit(k) for k in _KINDS])
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.when(F.col("doc_id") % 3 == 0, (F.col("n_chars") % 640).cast("int")).alias("width"),
+        F.when(F.col("doc_id") % 3 == 0, (F.col("n_chars") % 480).cast("int")).alias("height"),
+        F.when(F.col("doc_id") % 3 != 0, (F.col("n_chars") * 10).cast("int")).alias("duration_ms"),
+    )
+
+
+def decode_asset(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
+    """Decode an asset payload into a feature array.
+
+    STUB: real decoding needs codec libraries absent from this container
+    (PIL/ffmpeg/torchaudio). With ``fake=True`` a deterministic byte-level
+    statistic vector is returned so the distributed plumbing is testable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "asset decoding requires codec libraries not present in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+    b = np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(np.float64)
+    return np.array(
+        [len(b), float(b.mean()), float(b.std()), float(b.min()), float(b.max())]
+    )
+
+
+@register(
+    "mm_metadata",
+    "SELECT doc_id AS asset_id, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END AS kind, "
+    "CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes "
+    "FROM documents",
+)
+def mm_metadata(spark, sf):
+    a = assets_from_documents(spark, sf)
+    return a.select(
+        "asset_id", "kind", F.octet_length("payload").cast("long").alias("n_bytes")
+    )
+
+
+@register("mm_decode_stub", None)  # deterministic stub; pytest-checked
+def mm_decode_stub(spark, sf):
+    """Arrow-batched decode/feature-extract over binary payloads."""
+    a = assets_from_documents(spark, sf).select("asset_id", "kind", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            feats = np.stack(
+                [
+                    decode_asset(p, k, fake=True)
+                    for p, k in zip(pdf["payload"], pdf["kind"])
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": feats[:, 0].astype(np.int64),
+                    "byte_mean": np.round(feats[:, 1], 6),
+                    "byte_std": np.round(feats[:, 2], 6),
+                }
+            )
+
+    return a.mapInPandas(
+        run,
+        "asset_id long, kind string, n_bytes long, byte_mean double, byte_std double",
+    )

@@ -1,0 +1,172 @@
+"""Text-analysis operators over ``documents`` (training-data pipeline).
+
+- ``text_quality``   : length / punctuation / stopword / alpha ratios +
+                       composite score, all JVM expressions (oracle-checked)
+- ``lang_id``        : marker-word n-gram heuristic language ID (oracle)
+- ``token_count_bpe``: whitespace + BPE-ish regex token counts (oracle)
+- ``doc_fingerprint``: winnowing-style fingerprint = min MD5 over word
+                       3-gram shingles (oracle via self-joined positions)
+
+Everything stays in whole-stage codegen; no Python in any of these.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(key: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[key] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "on", "for"]
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "text_quality",
+    "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_q, "
+    "CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words, "
+    "ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)"
+    " / GREATEST(LENGTH(text), 1), 6) AS punct_ratio, "
+    f"ROUND(CAST(LEN(list_filter(string_split(LOWER(text), ' '), w -> w IN ({_SW_SQL})))"
+    " AS DOUBLE) / GREATEST(LEN(string_split(text, ' ')), 1), 6) AS stopword_ratio "
+    "FROM documents",
+)
+def text_quality(spark, sf):
+    d = _docs(spark, sf)
+    words = F.split("text", " ")
+    lower_words = F.split(F.lower("text"), " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_chars = F.length("text").cast("long")
+    punct = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast("double")
+    sw_hits = F.size(F.filter(lower_words, lambda w: F.array_contains(sw, w)))
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_q"),
+        F.size(words).cast("long").alias("n_words"),
+        F.round(punct / F.greatest(F.length("text"), F.lit(1)), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(
+            sw_hits.cast("double") / F.greatest(F.size(words), F.lit(1)), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+}
+
+
+def _marker_hits_sql(lang: str) -> str:
+    ws = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return (
+        f"LEN(list_filter(string_split(LOWER(text), ' '), w -> w IN ({ws})))"
+    )
+
+
+@register(
+    "lang_id",
+    "SELECT doc_id, CASE "
+    f"WHEN {_marker_hits_sql('de')} > {_marker_hits_sql('en')} "
+    f" AND {_marker_hits_sql('de')} >= {_marker_hits_sql('fr')} THEN 'de' "
+    f"WHEN {_marker_hits_sql('fr')} > {_marker_hits_sql('en')} THEN 'fr' "
+    f"WHEN {_marker_hits_sql('en')} > 0 THEN 'en' ELSE 'unknown' END AS lang_guess "
+    "FROM documents",
+)
+def lang_id(spark, sf):
+    d = _docs(spark, sf)
+    lower_words = F.split(F.lower("text"), " ")
+
+    def hits(lang: str):
+        arr = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter(lower_words, lambda w: F.array_contains(arr, w)))
+
+    en, de, fr = hits("en"), hits("de"), hits("fr")
+    return d.select(
+        "doc_id",
+        F.when((de > en) & (de >= fr), "de")
+        .when(fr > en, "fr")
+        .when(en > 0, "en")
+        .otherwise("unknown")
+        .alias("lang_guess"),
+    )
+
+
+@register(
+    "token_count_bpe",
+    "SELECT doc_id, "
+    "CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, "
+    "CAST(LEN(REGEXP_EXTRACT_ALL(text, "
+    "'[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens "
+    "FROM documents",
+)
+def token_count_bpe(spark, sf):
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9\s]"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    # winnowing-style: min MD5 over word-3-gram shingles per doc
+    "SELECT doc_id, MIN(MD5(w1 || ' ' || w2 || ' ' || w3)) AS fingerprint FROM ("
+    " SELECT a.doc_id, a.word w1, b.word w2, c.word w3 FROM "
+    "  (SELECT doc_id, CAST(generate_subscripts(words,1) AS INT) pos, unnest(words) word "
+    "   FROM (SELECT doc_id, string_split(text,' ') words FROM documents)) a "
+    " JOIN (SELECT doc_id, CAST(generate_subscripts(words,1) AS INT) pos, unnest(words) word "
+    "   FROM (SELECT doc_id, string_split(text,' ') words FROM documents)) b "
+    "  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+    " JOIN (SELECT doc_id, CAST(generate_subscripts(words,1) AS INT) pos, unnest(words) word "
+    "   FROM (SELECT doc_id, string_split(text,' ') words FROM documents)) c "
+    "  ON a.doc_id = c.doc_id AND c.pos = a.pos + 2"
+    ") GROUP BY doc_id",
+)
+def doc_fingerprint(spark, sf):
+    d = _docs(spark, sf)
+    words = F.split("text", " ")
+    # shingle via transform over positions 0..n-3 (JVM-side, no explode);
+    # sequence() auto-descends when stop < start, so gate on size >= 3
+    shingles = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                    F.element_at(words, i + 3),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id", F.array_min(shingles).alias("fingerprint")
+    ).filter(F.col("fingerprint").isNotNull())

@@ -66,10 +66,20 @@ def assemble_triples(
         F.col("begin_char").alias("c2"),
         F.col("canonical").alias("obj"),
     )
-    pairs = a.join(b, "conv_id").filter(
-        (F.col("t2") >= F.col("t1"))
-        & (F.col("t2") <= F.col("t1") + F.lit(window_turns))
-        & (
+    # Equi-join on (conv_id, t1): each object mention is exploded to the
+    # window_turns+1 subject turns that may pair with it. A plain join on
+    # conv_id alone would be a within-conversation cartesian product —
+    # O(mentions_per_conv^2) intermediate rows, catastrophic for hot
+    # conversations; including the turn in the key both bounds the join
+    # fan-out and spreads hot conv_ids across partitions.
+    b_exp = b.withColumn(
+        "t1",
+        F.explode(
+            F.array(*[F.col("t2") - F.lit(d) for d in range(window_turns + 1)])
+        ),
+    )
+    pairs = a.join(b_exp, ["conv_id", "t1"]).filter(
+        (
             (F.col("t1") < F.col("t2"))
             | ((F.col("t1") == F.col("t2")) & (F.col("c1") < F.col("c2")))
         )

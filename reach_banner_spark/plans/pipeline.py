@@ -37,11 +37,31 @@ def salt_repartition(turns: DataFrame, num_partitions: int | None = None) -> Dat
     return turns.repartition(key)
 
 
-def canonicalize(linked: DataFrame, lexicon: DataFrame) -> DataFrame:
+def canonicalize(
+    linked: DataFrame, lexicon: DataFrame, small_edge_cutoff: int = 100_000
+) -> DataFrame:
     """Replace each mention's (entity_id, canonical) with its connected-
-    component representative (min entity_id in the similarity component)."""
+    component representative (min entity_id in the similarity component).
+
+    Size-adaptive: the similarity graph lives on the *lexicon* (a dimension
+    table), so it is usually tiny relative to the fact side. Below
+    ``small_edge_cutoff`` edges we run union-find on the driver (identical
+    output, zero shuffle rounds) and only go to the distributed
+    min-label-propagation loop for genuinely large alias graphs — the same
+    decision a planner makes between broadcast and shuffle joins.
+    """
     edges = entity_edges(lexicon)
-    comp = connected_components(edges)
+    n_edges = edges.count()
+    if n_edges <= small_edge_cutoff:
+        from ..operators.components import connected_components_pandas
+
+        comp_pdf = connected_components_pandas(edges.toPandas())
+        spark = linked.sparkSession
+        if len(comp_pdf) == 0:
+            return linked
+        comp = spark.createDataFrame(comp_pdf)
+    else:
+        comp = connected_components(edges)
     id2canon = (
         lexicon.select("entity_id", "canonical")
         .groupBy("entity_id")

@@ -25,9 +25,16 @@ def _registries() -> list[dict[str, tuple[QueryFn, str | None]]]:
     except ImportError:
         pass
     try:
-        from ..operators import dedup, similarity, textstats
+        from ..operators import dedup, multimodal, similarity, textstats
 
-        regs.extend([dedup.REGISTRY, similarity.REGISTRY, textstats.REGISTRY])
+        regs.extend(
+            [
+                dedup.REGISTRY,
+                similarity.REGISTRY,
+                textstats.REGISTRY,
+                multimodal.REGISTRY,
+            ]
+        )
     except ImportError:
         pass
     try:

@@ -1,0 +1,273 @@
+"""Structured Streaming operator surface over ``events`` (SURVEY.md §2.4).
+
+The reference is batch-only [P] — this surface comes from the analytics-
+engine capability requirement. Each ``stream_*`` key replays the driver's
+``events`` parquet as a bounded file stream (``Trigger.availableNow`` via
+``processAllAvailable``), runs the streaming operator, and RETURNS the
+collected sink contents as a normal DataFrame so the harness can count
+rows. Determinism: event-time logic only (watermarks/windows), never
+wall-clock; micro-batch boundaries pinned by availableNow over a static
+directory.
+
+Oracle policy: streaming keys are ∅-oracle for the driver (DuckDB has no
+streaming), but ``stream_tumbling``/``stream_sliding``/``stream_session``
+outputs are equality-checked against their own BATCH twins in pytest — the
+strongest cross-check available (incrementalized plan vs one-shot plan).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(key: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[key] = (fn, sql)
+        return fn
+
+    return deco
+
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+N_STREAM_FILES = 4  # deterministic micro-batch boundaries
+
+
+def _stage_stream_dir(sf: str) -> str:
+    """Stage events.parquet as a DIRECTORY of N files (file streams read
+    dirs); files split deterministically on sorted event_id so micro-batch
+    boundaries are stable across runs."""
+    tag = sf.rstrip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"rbs_stream_events{tag}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf}/events.parquet")
+    pdf = tbl.to_pandas().sort_values("event_id").reset_index(drop=True)
+    os.makedirs(out, exist_ok=True)
+    import pyarrow as pa
+
+    n = len(pdf)
+    step = max(1, (n + N_STREAM_FILES - 1) // N_STREAM_FILES)
+    for i in range(0, n, step):
+        chunk = pa.Table.from_pandas(pdf.iloc[i : i + step], preserve_index=False)
+        pq.write_table(chunk, os.path.join(out, f"part-{i // step:03d}.parquet"))
+    open(done, "w").write("ok")
+    return out
+
+
+def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """The events table as a file stream (one parquet file = one batch)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_stream_dir(sf))
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Run a bounded stream to completion into an in-memory sink."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"rbs_ck_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _run_complete(stream_df: DataFrame, name: str) -> DataFrame:
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"rbs_ck_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register("stream_tumbling", None)
+def stream_tumbling(spark, sf):
+    return _run_complete(tumbling_agg(_events_stream(spark, sf)), "t_tumbling")
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+        )
+    )
+
+
+@register("stream_sliding", None)
+def stream_sliding(spark, sf):
+    return _run_complete(sliding_agg(_events_stream(spark, sf)), "t_sliding")
+
+
+def session_agg(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "user_id",
+            "n",
+        )
+    )
+
+
+@register("stream_session", None)
+def stream_session(spark, sf):
+    return _run_complete(session_agg(_events_stream(spark, sf)), "t_session")
+
+
+@register("stream_watermark_late", None)
+def stream_watermark_late(spark, sf):
+    """Watermark + append mode: only windows the watermark has passed emit."""
+    ev = _events_stream(spark, sf)
+    out = (
+        ev.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+        )
+    )
+    return _run_to_memory(out, "t_late")
+
+
+@register("stream_dedup", None)
+def stream_dedup(spark, sf):
+    ev = _events_stream(spark, sf)
+    out = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return _run_to_memory(out.select("event_id", "event_type"), "t_dedup")
+
+
+@register("stream_stateful", None)
+def stream_stateful(spark, sf):
+    """Arbitrary stateful op: running per-user event counter via
+    applyInPandasWithState (the custom-operator escape hatch)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf)
+
+    out_schema = "user_id long, n_events long"
+    state_schema = "n long"
+
+    def count_events(key, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    out = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_events,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    spark_df = _run_update(out, "t_stateful")
+    # final count per user = max across update emissions
+    return spark_df.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+def _run_update(stream_df: DataFrame, name: str) -> DataFrame:
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"rbs_ck_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register("stream_stream_join", None)
+def stream_stream_join(spark, sf):
+    """Stream-stream self-join with event-time bounds: pairs of events by
+    the same user within 10 minutes (streaming twin of ``join_range``)."""
+    a = _events_stream(spark, sf).withWatermark("ts", "10 minutes").alias("a")
+    b = (
+        _events_stream(spark, sf)
+        .withColumnRenamed("ts", "ts_b")
+        .withColumnRenamed("event_id", "event_id_b")
+        .withColumnRenamed("user_id", "user_id_b")
+        .withWatermark("ts_b", "10 minutes")
+        .alias("b")
+    )
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id_b"))
+        & (F.col("b.ts_b") > F.col("a.ts"))
+        & (F.col("b.ts_b") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTE")),
+    ).select(
+        F.col("a.event_id").alias("eid_a"), F.col("b.event_id_b").alias("eid_b")
+    )
+    return _run_to_memory(joined, "t_ssjoin")

@@ -1,0 +1,125 @@
+"""Streaming goldens (SURVEY.md §5.2.5): each incrementalized plan must
+match its one-shot batch twin on the same bounded input, and watermark
+semantics must actually drop late windows in append mode."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _batch_events(spark):
+    from reach_banner_spark.streaming.ops import _stage_stream_dir
+
+    return spark.read.parquet(_stage_stream_dir(SF))
+
+
+def _sorted_tuples(df):
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return sorted(map(tuple, pdf[cols].astype(str).values.tolist())), cols
+
+
+@pytest.mark.parametrize("key", ["stream_tumbling", "stream_sliding", "stream_session"])
+def test_stream_matches_batch_twin(spark, key):
+    from reach_banner_spark.streaming import ops
+
+    fn, _ = ops.REGISTRY[key]
+    got, _ = _sorted_tuples(fn(spark, SF))
+    batch = _batch_events(spark)
+    twin = {
+        "stream_tumbling": ops.tumbling_agg,
+        "stream_sliding": ops.sliding_agg,
+        "stream_session": ops.session_agg,
+    }[key](batch)
+    want, _ = _sorted_tuples(twin)
+    assert got == want, f"{key}: streaming result != batch twin"
+
+
+def test_stream_dedup_unique(spark):
+    from reach_banner_spark.streaming import ops
+
+    fn, _ = ops.REGISTRY["stream_dedup"]
+    pdf = fn(spark, SF).toPandas()
+    assert pdf["event_id"].is_unique
+
+
+def test_stream_stateful_counts(spark):
+    from reach_banner_spark.streaming import ops
+
+    fn, _ = ops.REGISTRY["stream_stateful"]
+    got = fn(spark, SF).toPandas().set_index("user_id")["n_events"].sort_index()
+    want = (
+        _batch_events(spark)
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+        .sort_index()
+    )
+    assert got.astype(int).to_dict() == want.astype(int).to_dict()
+
+
+def test_stream_watermark_drops_late_window(spark, tmp_path):
+    """Append-mode windows past the watermark emit exactly once; a late row
+    arriving after its window's watermark has passed is dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from reach_banner_spark.streaming.ops import EVENTS_SCHEMA
+    import tempfile
+
+    d = str(tmp_path / "stream")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def mk(path, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+    ck = tempfile.mkdtemp(prefix="rbs_late_")
+    sink = tempfile.mkdtemp(prefix="rbs_late_sink_")
+
+    def run_once():
+        ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+        out = (
+            ev.withWatermark("ts", "5 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").cast("string").alias("w"), "n")
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: window [00:00,00:10) gets 2 rows; the 00:25 row advances the
+    # watermark to 00:20, finalizing and emitting that window
+    mk(
+        f"{d}/b1.parquet",
+        [
+            (1, base, 1, "a", 1.0, "{}"),
+            (2, base + pd.Timedelta("5min"), 1, "a", 1.0, "{}"),
+            (3, base + pd.Timedelta("25min"), 1, "a", 1.0, "{}"),
+        ],
+    )
+    run_once()
+    # run 2 (same checkpoint = stream restart): a LATE row for the already-
+    # finalized window arrives — the watermark (00:20) must drop it
+    mk(f"{d}/b2.parquet", [(4, base + pd.Timedelta("1min"), 1, "a", 1.0, "{}")])
+    run_once()
+    res = {r["w"]: r["n"] for r in spark.read.parquet(sink).collect()}
+    # exactly 2 rows in the first window; late event_id=4 dropped, no re-emit
+    assert res.get("2024-01-01 00:00:00") == 2, res
