@@ -183,11 +183,35 @@ def train_fixture_model(epochs: int = 8) -> CrfModel:
 
 
 def ensure_model(path: str = MODEL_PATH) -> str:
-    """Train-and-save the fixture model if the committed .npz is missing."""
-    if not os.path.exists(path):
+    """Return a readable filesystem path to the fixture model.
+
+    Resolution order: (1) the committed .npz on disk; (2) extraction from
+    the package via importlib.resources — needed when the package ships as
+    a ``spark-submit --py-files`` zip; (3) deterministic retraining into a
+    /tmp cache (fresh checkouts without the committed file).
+    """
+    if os.path.exists(path):
+        return path
+    cache = os.path.join("/tmp", "rbs_model_cache.npz")
+    if os.path.exists(cache):
+        return cache
+    try:
+        from importlib import resources
+
+        ref = resources.files("reach_banner_spark") / "resources" / "model.npz"
+        data = ref.read_bytes()
+        with open(cache, "wb") as f:
+            f.write(data)
+        return cache
+    except Exception:
+        pass
+    try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         train_fixture_model().save_npz(path)
-    return path
+        return path
+    except OSError:
+        train_fixture_model().save_npz(cache)
+        return cache
 
 
 def reference_mentions(turns: pd.DataFrame, model: CrfModel | None = None) -> pd.DataFrame:

@@ -33,15 +33,28 @@ from .tokenizer import tokenize_batch
 _ABBREV_RE = re.compile(r"^ ?\(([A-Za-z0-9-]{1,10})\)")
 
 # module-level model cache: one deserialization per Python worker process,
-# not per task (SURVEY.md §4.3 "broadcast of model weights")
-_MODEL_CACHE: dict[str, CrfModel] = {}
+# not per task (SURVEY.md §4.3 "broadcast of model weights"). Weights travel
+# as ONE SparkContext.broadcast of the raw .npz bytes — a driver filesystem
+# path would not exist on real executors.
+_MODEL_CACHE: dict[tuple[int, int], CrfModel] = {}
 
 
-def _load_model(path: str) -> CrfModel:
-    m = _MODEL_CACHE.get(path)
+def _load_model_bytes(blob: bytes) -> CrfModel:
+    import io
+    import zlib
+
+    key = (len(blob), zlib.crc32(blob))
+    m = _MODEL_CACHE.get(key)
     if m is None:
-        m = CrfModel.load_npz(path)
-        _MODEL_CACHE[path] = m
+        import numpy as _np
+
+        d = _np.load(io.BytesIO(blob))
+        from ..functions.hashing import FEATURE_SPACE
+
+        emission = _np.zeros((FEATURE_SPACE, 3), dtype=_np.float32)
+        emission[d["idx"], d["lab"]] = d["w"]
+        m = CrfModel(emission, d["transition"].astype(_np.float32))
+        _MODEL_CACHE[key] = m
     return m
 
 
@@ -196,9 +209,12 @@ def detect_mentions(
     Arrow boundary (only conv_id/turn_idx/text cross into Python).
     """
     narrow = turns.select("conv_id", "turn_idx", "text")
+    with open(model_path, "rb") as f:
+        blob = f.read()
+    bc = turns.sparkSession.sparkContext.broadcast(blob)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _load_model(model_path)
+        model = _load_model_bytes(bc.value)
         for pdf in batches:
             if len(pdf):
                 yield recognize_batch(pdf, model, entity_type)

@@ -86,8 +86,10 @@ def assemble_triples(
         & (F.col("subj") != F.col("obj"))
     )
     pairs = pairs.withColumn("same_turn", F.col("t1") == F.col("t2"))
+    # turns is the 10^12-row fact table — never broadcastable; pin the
+    # sort-merge path so size misestimates can't pull it through the driver
     pairs = pairs.join(
-        turn_meta.withColumnRenamed("turn_idx", "t2"),
+        turn_meta.withColumnRenamed("turn_idx", "t2").hint("merge"),
         ["conv_id", "t2"],
         "left",
     )

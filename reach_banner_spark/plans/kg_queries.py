@@ -478,6 +478,52 @@ def udf_map_batches(spark, sf):
     return d.mapInPandas(count_tokens, "doc_id long, n_tokens long")
 
 
+@register(
+    "udtf",
+    # Python UDTF (Spark 4): explode documents into fixed-size text chunks
+    "SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk FROM ("
+    " SELECT doc_id, CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS chunk_idx, "
+    "  unnest(chunks) AS chunk FROM ("
+    "  SELECT doc_id, [SUBSTRING(text, s, 100) "
+    "   FOR s IN range(1, GREATEST(LENGTH(text), 1) + 1, 100)] AS chunks "
+    "  FROM documents))",
+)
+def udtf_chunks(spark, sf):
+    # Arrow-optimized UDTF (no per-row Python; plan shows ArrowEvalPythonUDTF)
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="doc_id bigint, chunk_idx int, chunk string")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):
+            t = text or ""
+            n = max(len(t), 1)
+            for i, s in enumerate(range(0, n, 100)):
+                yield doc_id, i, t[s : s + 100]
+
+    spark.udtf.register("rbs_chunk_doc", ChunkDoc)
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("rbs_docs_udtf")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_idx, c.chunk FROM rbs_docs_udtf t, "
+        "LATERAL rbs_chunk_doc(t.doc_id, t.text) c"
+    )
+
+
+@register(
+    "udf_arrow_optimized",
+    "SELECT doc_id, UPPER(lang) || ':' || CAST(n_chars AS VARCHAR) AS tagged "
+    "FROM documents",
+)
+def udf_arrow_optimized(spark, sf):
+    @F.udf(returnType="string", useArrow=True)
+    def tag(lang: str, n_chars: int) -> str:
+        return f"{lang.upper()}:{n_chars}"
+
+    d = _docs(spark, sf)
+    return d.select("doc_id", tag("lang", "n_chars").alias("tagged"))
+
+
 # -------------------------------------------------------------- sinks ----
 
 @register("sink_partitioned_parquet", None)  # rows-only on read-back

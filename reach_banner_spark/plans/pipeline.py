@@ -89,11 +89,27 @@ def run_pipeline(
     model_path: str,
     window_turns: int = 2,
     num_partitions: int | None = None,
+    persist_stages: bool = True,
 ) -> DataFrame:
-    """turns + lexicon -> triples DataFrame (no side effects)."""
-    salted = salt_repartition(turns, num_partitions)
+    """turns + lexicon -> triples DataFrame (no side effects).
+
+    ``persist_stages``: the mention stage feeds multiple downstream branches
+    (exact-link, fuzzy-link candidates, triples); without persistence the
+    Arrow UDF would re-run once per branch. MEMORY_AND_DISK persistence is
+    the in-session analogue of the checkpointed variant's materialization
+    (plans/checkpoint.py), which is what a resumable production run uses.
+    """
+    # prune to the mention stage's columns BEFORE the salt shuffle — the
+    # repartition otherwise moves role/tool/ts bytes that never get used
+    salted = salt_repartition(
+        turns.select("conv_id", "turn_idx", "text"), num_partitions
+    )
     mentions = detect_mentions(salted, model_path)
     mentions = mentions.filter(paren_balanced("surface"))
+    if persist_stages:
+        mentions = mentions.persist()
     linked = link_mentions(mentions, lexicon)
     linked = canonicalize(linked, lexicon)
+    if persist_stages:
+        linked = linked.persist()
     return assemble_triples(linked, turns, window_turns=window_turns)

@@ -335,6 +335,20 @@ def agg_cube(spark, sf):
 
 
 @register(
+    "agg_grouping_sets",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n "
+    "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())",
+)
+def agg_grouping_sets(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    li.createOrReplaceTempView("rbs_li_gs")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM rbs_li_gs "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    )
+
+
+@register(
     "agg_collect",
     "SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS names "
     "FROM nation GROUP BY n_regionkey",

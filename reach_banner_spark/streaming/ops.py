@@ -249,6 +249,42 @@ def _run_update(stream_df: DataFrame, name: str) -> DataFrame:
     return spark.table(name)
 
 
+@register("source_file_stream", None)
+def source_file_stream(spark, sf):
+    """Plain file-stream source -> append sink (source surface check)."""
+    ev = _events_stream(spark, sf)
+    return _run_to_memory(
+        ev.select("event_id", "event_type", "value"), "t_filesrc"
+    )
+
+
+@register("source_rate_stream", None)
+def source_rate_stream(spark, sf):
+    """Rate source (synthetic rows/sec) bounded to ~1s of ticks."""
+    import time as _time
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .select("value")
+    )
+    name = "t_ratesrc"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rbs_rate_"))
+        .start()
+    )
+    deadline = _time.time() + 5
+    while _time.time() < deadline and spark.table(name).count() < 100:
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @register("stream_stream_join", None)
 def stream_stream_join(spark, sf):
     """Stream-stream self-join with event-time bounds: pairs of events by

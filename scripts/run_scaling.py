@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.md protocol).
+
+The north rule's "N and 4N executors" is evidenced in this single-host
+sandbox by running the SAME spark-submit job on the SAME input at two
+parallelism levels — local[8] (N) and local[32] (4N) — and reporting both
+throughputs plus efficiency = T(4N) / (4 * T(N)), gate >= 0.8.
+
+Steps:
+ 1. stage a deterministic transcript corpus big enough that local[8] runs
+    >= 60 s (the cached 67k-turn seed corpus replicated 16x with distinct
+    conv_id suffixes -> ~1.09M turns);
+ 2. zip the package (spark-submit --py-files contract);
+ 3. spark-submit scripts/kg_job.py at local[8] then local[32];
+ 4. write BENCH/BASELINE.md with both runs + efficiency + the Spark conf.
+
+Run:  python scripts/run_scaling.py [--repl 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+
+
+def stage_input(repl: int) -> str:
+    out = f"/tmp/rbs_scaling_turns_x{repl}"
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    import bench  # reuses the cached seed corpus
+
+    seed_path = bench.bench_turns_path()
+    from reach_banner_spark.session import build_session
+    from pyspark.sql import functions as F
+
+    spark = build_session(app_name="rbs-stage", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    turns = spark.read.parquet(f"{seed_path}/turns.parquet")
+    reps = spark.range(repl).select(F.col("id").alias("rep"))
+    big = (
+        turns.crossJoin(F.broadcast(reps))
+        .withColumn("conv_id", F.concat_ws("_", "conv_id", "rep"))
+        .drop("rep")
+        .repartition(64, "conv_id")
+    )
+    big.write.mode("overwrite").parquet(out)
+    spark.stop()
+    return out
+
+
+def make_zip() -> str:
+    zpath = "/tmp/rbs_pkg.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "reach_banner_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith((".pyc",)):
+                    continue
+                full = os.path.join(root, f)
+                z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def run_job(parallelism: int, input_path: str, zpath: str) -> dict:
+    # Pin the WHOLE process tree (JVM + python workers) to `parallelism`
+    # physical cores: bare local[N] only caps Spark task slots, while the
+    # Python UDF workers and JVM shuffle/GC threads spill onto the other
+    # idle cores — which would make the "N-executor" baseline artificially
+    # fast and the scaling efficiency meaningless as cluster evidence.
+    cmd = [
+        "taskset",
+        "-c",
+        f"0-{parallelism - 1}",
+        SPARK_SUBMIT,
+        "--master",
+        f"local[{parallelism}]",
+        "--py-files",
+        zpath,
+        "--conf",
+        "spark.ui.enabled=false",
+        "--driver-memory",
+        "16g",
+        os.path.join(REPO, "scripts", "kg_job.py"),
+        "--input",
+        input_path,
+        "--parallelism",
+        str(parallelism),
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in reversed(res.stdout.splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from job: {res.stdout[-2000:]} {res.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repl", type=int, default=16)
+    args = ap.parse_args()
+
+    input_path = stage_input(args.repl)
+    zpath = make_zip()
+    r8 = run_job(8, input_path, zpath)
+    r32 = run_job(32, input_path, zpath)
+    eff = r32["turns_per_sec"] / (4 * r8["turns_per_sec"])
+
+    md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+
+Protocol (BASELINE.md): same `spark-submit --py-files` job
+(`scripts/kg_job.py`, full KG pipeline: salted repartition -> fused
+mention detection -> entity linking -> canonicalization -> windowed triple
+assembly -> noop-forced materialization) on identical input at two
+parallelism levels. Input: deterministic seeded transcript corpus,
+{r8['turns']:,} turns ({args.repl}x replicated 67,851-turn seed corpus,
+distinct conv_ids). Single host, 32 cores / 125 GB; "executors" are
+evidenced as local[N] task slots per the driver instruction, with the whole
+process tree (JVM + Python UDF workers) pinned to N cores via `taskset`
+so the N-core run cannot borrow idle cores.
+
+| run | master | wall (s) | turns/sec |
+|---|---|---|---|
+| N  | local[8]  | {r8['wall_sec']} | {r8['turns_per_sec']:,} |
+| 4N | local[32] | {r32['wall_sec']} | {r32['turns_per_sec']:,} |
+
+**Scaling efficiency** = T(4N) / (4 x T(N)) =
+{r32['turns_per_sec']:,} / (4 x {r8['turns_per_sec']:,}) = **{eff:.3f}**
+(gate: >= 0.8 — {"PASS" if eff >= 0.8 else "FAIL"})
+
+Spark conf (both runs): AQE on (incl. skewJoin), Arrow pandas UDFs with
+maxRecordsPerBatch=10000, shuffle.partitions = max(8, parallelism),
+session timezone UTC, driver-memory 16g. Package shipped via
+`--py-files /tmp/rbs_pkg.zip`.
+
+Raw job outputs:
+
+```json
+{json.dumps(r8)}
+{json.dumps(r32)}
+```
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({"n": r8, "4n": r32, "efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    main()

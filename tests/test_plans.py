@@ -1,0 +1,101 @@
+"""Physical-plan quality gates (SURVEY.md §4.2): the optimizer must actually
+get the plans we designed for — pushdown at the scan, broadcast for
+dimensions, no row-at-a-time Python anywhere, pruned columns before the
+Arrow boundary."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    from reach_banner_spark.plans.relational import REGISTRY
+
+    df = REGISTRY["scan_prune_pushdown"][0](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:200], plan[:500]
+
+
+def test_column_pruning_at_scan(spark):
+    from reach_banner_spark.plans.relational import REGISTRY
+
+    df = REGISTRY["scan_prune_pushdown"][0](spark, SF)
+    plan = _plan(df)
+    # ReadSchema must contain only the needed columns, not all 11
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_shipdate" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_broadcast_join_chosen_for_dimension(spark):
+    from reach_banner_spark.plans.relational import REGISTRY
+
+    df = REGISTRY["join_broadcast"][0](spark, SF)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_mention_stage_prunes_before_arrow(spark, small_turns, model_path):
+    """Only (conv_id, turn_idx, text) may cross the Arrow boundary — the
+    mapInPandas node's child projects exactly the narrow columns."""
+    from reach_banner_spark import schemas
+    from reach_banner_spark.operators.mentions import detect_mentions
+
+    turns_pdf, _ = small_turns
+    turns = spark.createDataFrame(turns_pdf, schema=schemas.TURNS)
+    df = detect_mentions(turns, model_path)
+    opt = _optimized(df)
+    # the direct child of MapInPandas carries only the 3 narrow columns
+    lines = opt.splitlines()
+    child = next(
+        lines[i + 1] for i, ln in enumerate(lines) if "MapInPandas" in ln
+    )
+    for needed in ("conv_id", "turn_idx", "text"):
+        assert needed in child, child
+    for dropped in ("role", "tool", "ts#"):
+        assert dropped not in child, f"{dropped} shipped through Arrow: {child}"
+
+
+def test_no_row_python_in_any_registered_query(spark):
+    """north_star: never per-row Python. Every registered operator's plan
+    must be free of BatchEvalPython (row-at-a-time UDF) nodes; Arrow nodes
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are allowed."""
+    import __spark_entry__ as em
+
+    q = em.queries()
+    skip = {k for k in q if k.startswith(("stream_", "source_"))}
+    skip |= {"sink_partitioned_parquet", "scan_partitioned"}  # side-effecting
+    bad = []
+    for key in sorted(set(q) - skip):
+        try:
+            plan = _plan(q[key](spark, SF))
+        except Exception as e:  # pragma: no cover
+            bad.append((key, f"plan error: {e}"))
+            continue
+        if "BatchEvalPython" in plan:
+            bad.append((key, "BatchEvalPython in plan"))
+    assert not bad, bad
+
+
+def test_salted_repartition_is_deterministic_exchange(spark, small_turns):
+    from reach_banner_spark import schemas
+    from reach_banner_spark.plans.pipeline import salt_repartition
+
+    turns_pdf, _ = small_turns
+    turns = spark.createDataFrame(turns_pdf, schema=schemas.TURNS)
+    plan = _plan(salt_repartition(turns))
+    assert "Exchange hashpartitioning" in plan
+    assert "rand" not in plan.lower().replace("operand", ""), (
+        "salt must not use rand() — resume determinism"
+    )
