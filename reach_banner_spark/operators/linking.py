@@ -149,9 +149,32 @@ def link_mentions(
     )
 
     # LSH blocking: bands of distinct unmatched surfaces vs lexicon bands.
-    lex_bands = surface_bands(
-        lex.select(F.col("alias_key").alias("surface_key"))
-    ).withColumnRenamed("surface_key", "alias_key")
+    # The lexicon is a dimension table — compute ITS bands driver-side in
+    # one vectorized pass instead of a dedicated Spark job; the (big)
+    # mention side stays distributed.
+    n_lex = lex.count()
+    lex_keys = (
+        [r[0] for r in lex.select("alias_key").distinct().collect()]
+        if n_lex <= 100_000
+        else []
+    )
+    if lex_keys:
+        import pandas as _pd
+
+        bh = band_hashes(_pd.Series(lex_keys))
+        n, b = bh.shape
+        lex_bands_pdf = pd.DataFrame(
+            {
+                "alias_key": np.repeat(np.array(lex_keys, dtype=object), b),
+                "band_idx": np.tile(np.arange(b, dtype=np.int32), n),
+                "band_hash": bh.reshape(-1),
+            }
+        )
+        lex_bands = mentions.sparkSession.createDataFrame(lex_bands_pdf)
+    else:
+        lex_bands = surface_bands(
+            lex.select(F.col("alias_key").alias("surface_key"))
+        ).withColumnRenamed("surface_key", "alias_key")
     men_bands = surface_bands(unlinked.select("surface_key"))
     cands = (
         men_bands.join(

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from .. import schemas
 from .crf import CrfModel, decode, emission_scores
 from .features import featurize_flat
-from .tokenizer import tokenize_batch
+from .tokenizer import tokenize_batch, tokenize_flat
 
 _ABBREV_RE = re.compile(r"^ ?\(([A-Za-z0-9-]{1,10})\)")
 
@@ -58,21 +58,6 @@ def _load_model_bytes(blob: bytes) -> CrfModel:
     return m
 
 
-def _flatten_tokens(
-    toks: list[list[str]], starts: list[np.ndarray], ends: list[np.ndarray]
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    seq_lens = np.fromiter((len(t) for t in toks), count=len(toks), dtype=np.int64)
-    flat_toks = np.array([t for ts in toks for t in ts], dtype=object)
-    flat_starts = (
-        np.concatenate(starts) if starts else np.empty(0, np.int32)
-    ) if len(starts) else np.empty(0, np.int32)
-    flat_ends = (
-        np.concatenate(ends) if ends else np.empty(0, np.int32)
-    ) if len(ends) else np.empty(0, np.int32)
-    seq_ids = np.repeat(np.arange(len(toks)), seq_lens)
-    return flat_toks, flat_starts, flat_ends, seq_ids, seq_lens
-
-
 def recognize_batch(
     pdf: pd.DataFrame, model: CrfModel, entity_type: str = "GENE"
 ) -> pd.DataFrame:
@@ -82,9 +67,8 @@ def recognize_batch(
     ``detect_mentions``) and single-process (reference recognizer).
     """
     texts = pdf["text"]
-    toks, starts, ends = tokenize_batch(texts, fine=True)
-    flat_toks, flat_starts, flat_ends, seq_ids, seq_lens = _flatten_tokens(
-        toks, starts, ends
+    flat_toks, flat_starts, flat_ends, seq_ids, seq_lens = tokenize_flat(
+        texts, fine=True
     )
     n = len(flat_toks)
     empty = pd.DataFrame(

@@ -30,28 +30,49 @@ _SIMPLE_RE = re.compile(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")
 _FINE_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z]*|[a-z]+|[0-9]+|[^\sA-Za-z0-9]")
 
 
+def tokenize_flat(
+    texts: "pd.Series | list", fine: bool = True
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a whole batch in ONE regex pass over a '\\n'-joined
+    megastring (both token classes exclude whitespace, so tokens never
+    cross the separator). Returns flat arrays:
+    (tokens, starts, ends, seq_ids, seq_lens) with per-text char offsets.
+    ~2x faster than per-text ``finditer`` loops on Arrow-size batches.
+    """
+    rx = _FINE_RE if fine else _SIMPLE_RE
+    tl = [t if isinstance(t, str) else ("" if t is None else str(t)) for t in texts]
+    n = len(tl)
+    lens = np.fromiter((len(t) for t in tl), count=n, dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens + 1, out=offsets[1:])  # +1 per '\n' separator
+    big = "\n".join(tl)
+    spans = [m.span() for m in rx.finditer(big)]
+    if spans:
+        arr = np.asarray(spans, dtype=np.int64)
+        gs, ge = arr[:, 0], arr[:, 1]
+    else:
+        gs = ge = np.empty(0, dtype=np.int64)
+    seq_ids = np.searchsorted(offsets, gs, side="right") - 1
+    starts = (gs - offsets[seq_ids]).astype(np.int32)
+    ends = (ge - offsets[seq_ids]).astype(np.int32)
+    toks = np.array([big[s:e] for s, e in spans], dtype=object)
+    seq_lens = np.bincount(seq_ids, minlength=n).astype(np.int64)
+    return toks, starts, ends, seq_ids.astype(np.int64), seq_lens
+
+
 def tokenize_batch(
     texts: pd.Series, fine: bool = True
 ) -> tuple[list[list[str]], list[np.ndarray], list[np.ndarray]]:
     """Tokenize a batch of texts; returns (tokens, starts, ends) per text."""
-    rx = _FINE_RE if fine else _SIMPLE_RE
+    toks, starts, ends, _seq_ids, seq_lens = tokenize_flat(texts, fine=fine)
+    cuts = np.cumsum(seq_lens)[:-1]
+    starts_out = np.split(starts, cuts)
+    ends_out = np.split(ends, cuts)
     toks_out: list[list[str]] = []
-    starts_out: list[np.ndarray] = []
-    ends_out: list[np.ndarray] = []
-    for text in texts:
-        if text is None:
-            toks_out.append([])
-            starts_out.append(np.empty(0, np.int32))
-            ends_out.append(np.empty(0, np.int32))
-            continue
-        toks, starts, ends = [], [], []
-        for m in rx.finditer(text):
-            toks.append(m.group(0))
-            starts.append(m.start())
-            ends.append(m.end())
-        toks_out.append(toks)
-        starts_out.append(np.asarray(starts, dtype=np.int32))
-        ends_out.append(np.asarray(ends, dtype=np.int32))
+    idx = 0
+    for c in seq_lens:
+        toks_out.append(list(toks[idx : idx + c]))
+        idx += int(c)
     return toks_out, starts_out, ends_out
 
 

@@ -50,18 +50,23 @@ def canonicalize(
     min-label-propagation loop for genuinely large alias graphs — the same
     decision a planner makes between broadcast and shuffle joins.
     """
-    edges = entity_edges(lexicon)
-    n_edges = edges.count()
-    if n_edges <= small_edge_cutoff:
+    spark = linked.sparkSession
+    n_lex = lexicon.count()
+    if n_lex <= small_edge_cutoff:
+        # dimension-scale lexicon: build the similarity graph + components
+        # entirely on the driver (same shared band/jaccard/union-find code
+        # as the distributed twins) — avoids ~6 tiny Spark jobs whose fixed
+        # scheduling cost would dominate and serialize the pipeline
         from ..operators.components import connected_components_pandas
+        from ..operators.linking import entity_edges_pandas
 
-        comp_pdf = connected_components_pandas(edges.toPandas())
-        spark = linked.sparkSession
-        if len(comp_pdf) == 0:
+        edges_pdf = entity_edges_pandas(lexicon.toPandas())
+        if len(edges_pdf) == 0:
             return linked
+        comp_pdf = connected_components_pandas(edges_pdf)
         comp = spark.createDataFrame(comp_pdf)
     else:
-        comp = connected_components(edges)
+        comp = connected_components(entity_edges(lexicon))
     id2canon = (
         lexicon.select("entity_id", "canonical")
         .groupBy("entity_id")
@@ -107,9 +112,15 @@ def run_pipeline(
     mentions = detect_mentions(salted, model_path)
     mentions = mentions.filter(paren_balanced("surface"))
     if persist_stages:
+        # persist AND materialize: the linking stage fans mentions into
+        # three branches (exact, fuzzy, candidate bands) inside one action;
+        # an unmaterialized cache would let all three recompute the Arrow
+        # UDF concurrently before the cache fills (measured 1.7x job cost)
         mentions = mentions.persist()
+        mentions.count()
     linked = link_mentions(mentions, lexicon)
     linked = canonicalize(linked, lexicon)
     if persist_stages:
         linked = linked.persist()
+        linked.count()
     return assemble_triples(linked, turns, window_turns=window_turns)

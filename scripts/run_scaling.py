@@ -106,12 +106,13 @@ def run_job(parallelism: int, input_path: str, zpath: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repl", type=int, default=16)
+    ap.add_argument("--n-cores", type=int, default=8, help="N (4N runs too)")
     args = ap.parse_args()
 
     input_path = stage_input(args.repl)
     zpath = make_zip()
-    r8 = run_job(8, input_path, zpath)
-    r32 = run_job(32, input_path, zpath)
+    r8 = run_job(args.n_cores, input_path, zpath)
+    r32 = run_job(4 * args.n_cores, input_path, zpath)
     eff = r32["turns_per_sec"] / (4 * r8["turns_per_sec"])
 
     md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
@@ -129,8 +130,8 @@ so the N-core run cannot borrow idle cores.
 
 | run | master | wall (s) | turns/sec |
 |---|---|---|---|
-| N  | local[8]  | {r8['wall_sec']} | {r8['turns_per_sec']:,} |
-| 4N | local[32] | {r32['wall_sec']} | {r32['turns_per_sec']:,} |
+| N  | local[{r8['parallelism']}]  | {r8['wall_sec']} | {r8['turns_per_sec']:,} |
+| 4N | local[{r32['parallelism']}] | {r32['wall_sec']} | {r32['turns_per_sec']:,} |
 
 **Scaling efficiency** = T(4N) / (4 x T(N)) =
 {r32['turns_per_sec']:,} / (4 x {r8['turns_per_sec']:,}) = **{eff:.3f}**
