@@ -108,21 +108,27 @@ def minhash_signatures(
 ) -> np.ndarray:
     """MinHash signatures for a list of already-hashed shingle-id arrays.
 
-    Uses the standard (a*x + b) mod p family with deterministic seeded
-    coefficients; returns an (n_docs, num_hashes) int64 matrix.
+    Each hash function is ``mix64(x ^ salt_i)`` (murmur-style finalizer) —
+    a genuine pseudo-permutation of the 64-bit space. (The textbook affine
+    ``(a*x+b) mod p`` family is a trap when ``a*x`` rarely wraps ``p``: it
+    becomes order-preserving, every hash picks the same minimum element,
+    and Jaccard estimates are badly biased — caught by the
+    ``test_minhash_estimates_jaccard`` property test.)
+
+    Returns an (n_docs, num_hashes) int64 matrix (top bit cleared).
     """
-    p = np.uint64((1 << 61) - 1)  # Mersenne prime
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 31, size=num_hashes).astype(np.uint64)
-    b = rng.randint(0, 1 << 31, size=num_hashes).astype(np.uint64)
+    salts = rng.randint(0, 1 << 62, size=num_hashes, dtype=np.int64).astype(
+        np.uint64
+    )
     out = np.empty((len(token_sets), num_hashes), dtype=np.int64)
-    empty_sig = ((b % p) % np.uint64(1 << 62)).astype(np.int64)
+    empty_sig = (mix64(salts, np.uint64(0x5A17)) >> np.uint64(1)).astype(np.int64)
     with np.errstate(over="ignore"):
         for i, ids in enumerate(token_sets):
             if len(ids) == 0:
                 out[i] = empty_sig
                 continue
             x = ids.astype(np.uint64)[:, None]  # (m, 1)
-            hv = (a[None, :] * x + b[None, :]) % p  # (m, k)
-            out[i] = hv.min(axis=0).astype(np.int64)
+            hv = mix64(x ^ salts[None, :], np.uint64(0))  # (m, k)
+            out[i] = (hv.min(axis=0) >> np.uint64(1)).astype(np.int64)
     return out

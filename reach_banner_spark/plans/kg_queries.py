@@ -144,6 +144,31 @@ def dict_join(spark, sf):
     ).select("doc_id", "pos", "word", "term_id")
 
 
+@register(
+    "dict_join_ngram",
+    # DictionaryTagger over token n-grams (n=2): the reference matches
+    # multi-token lexicon entries against every token window [P
+    # banner.tagging.dictionary.DictionaryTagger]
+    f"SELECT a.doc_id, a.pos AS begin_pos, a.word || ' ' || b.word AS surface "
+    f"FROM ({_DOC_TOKENS_SQL}) a JOIN ({_DOC_TOKENS_SQL}) b "
+    f"ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+    f"WHERE a.word || ' ' || b.word IN "
+    f"('data query', 'query table', 'join filter', 'stream row', 'table scan')",
+)
+def dict_join_ngram(spark, sf):
+    toks = _doc_tokens(spark, sf)
+    bigrams = ["data query", "query table", "join filter", "stream row", "table scan"]
+    dic = spark.createDataFrame([(b,) for b in bigrams], ["term"])
+    a = toks.select("doc_id", F.col("pos").alias("begin_pos"), F.col("word").alias("w1"))
+    b = toks.select("doc_id", (F.col("pos") - 1).alias("begin_pos"), F.col("word").alias("w2"))
+    grams = a.join(b, ["doc_id", "begin_pos"]).select(
+        "doc_id", "begin_pos", F.concat_ws(" ", "w1", "w2").alias("surface")
+    )
+    return grams.join(F.broadcast(dic), grams["surface"] == dic["term"]).select(
+        "doc_id", "begin_pos", "surface"
+    )
+
+
 # ------------------------------------------------------------------ P11 ----
 
 @register(
