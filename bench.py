@@ -39,6 +39,12 @@ HEADLINE = [
     "topk",
     "triple_assembly",
     "mention_assembly",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+    "doc_fingerprint",
+    "connected_components",
 ]
 
 

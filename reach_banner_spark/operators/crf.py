@@ -28,20 +28,31 @@ import numpy as np
 from ..functions.hashing import FEATURE_SPACE
 
 LABELS = ("O", "B-ENT", "I-ENT")
-N_LABELS = 3
-START = N_LABELS  # virtual start state index in the transition matrix
+N_LABELS = 3  # default scheme (IOB); models carry their own label count
+START = N_LABELS  # virtual start state index of the DEFAULT scheme
 
 
 class CrfModel:
-    """Dense hashed-feature linear-chain model."""
+    """Dense hashed-feature linear-chain model.
 
-    __slots__ = ("emission", "transition")
+    ``fmt`` names the tag scheme (IO/IOB/IOBEW, see tagformat.py); the
+    label count is ``emission.shape[1]`` and the virtual start state is
+    row ``n_labels`` of the transition matrix.
+    """
 
-    def __init__(self, emission: np.ndarray, transition: np.ndarray):
-        assert emission.shape == (FEATURE_SPACE, N_LABELS)
-        assert transition.shape == (N_LABELS + 1, N_LABELS)
+    __slots__ = ("emission", "transition", "fmt")
+
+    def __init__(self, emission: np.ndarray, transition: np.ndarray, fmt: str = "IOB"):
+        L = emission.shape[1]
+        assert emission.shape == (FEATURE_SPACE, L)
+        assert transition.shape == (L + 1, L)
         self.emission = emission
         self.transition = transition
+        self.fmt = fmt
+
+    @property
+    def n_labels(self) -> int:
+        return self.emission.shape[1]
 
     def save_npz(self, path: str) -> None:
         nz = np.nonzero(self.emission)
@@ -51,20 +62,24 @@ class CrfModel:
             lab=nz[1].astype(np.int8),
             w=self.emission[nz].astype(np.float32),
             transition=self.transition.astype(np.float32),
+            fmt=np.array(self.fmt),
         )
 
     @classmethod
     def load_npz(cls, path: str) -> "CrfModel":
         d = np.load(path)
-        emission = np.zeros((FEATURE_SPACE, N_LABELS), dtype=np.float32)
+        trans = d["transition"].astype(np.float32)
+        L = trans.shape[1]
+        emission = np.zeros((FEATURE_SPACE, L), dtype=np.float32)
         emission[d["idx"], d["lab"]] = d["w"]
-        return cls(emission, d["transition"].astype(np.float32))
+        fmt = str(d["fmt"]) if "fmt" in d else "IOB"
+        return cls(emission, trans, fmt)
 
 
 def emission_scores(model: CrfModel, feat_idx: np.ndarray) -> np.ndarray:
     """(n_tokens, N_FEATURES) hashed indices -> (n_tokens, L) scores."""
     if feat_idx.shape[0] == 0:
-        return np.zeros((0, N_LABELS), dtype=np.float32)
+        return np.zeros((0, model.n_labels), dtype=np.float32)
     return model.emission[feat_idx].sum(axis=1)
 
 
@@ -79,11 +94,12 @@ def viterbi_batch(
     total = emit_flat.shape[0]
     if total == 0:
         return np.empty(0, dtype=np.int8)
+    L = emit_flat.shape[1]
     B = len(seq_lens)
     T = int(seq_lens.max())
     # pad into (B, T, L); padded slots get 0 emission (they are masked out of
     # the backtrace by seq_lens, and 0 keeps the DP finite)
-    emit = np.zeros((B, T, N_LABELS), dtype=np.float32)
+    emit = np.zeros((B, T, L), dtype=np.float32)
     rows = np.repeat(np.arange(B), seq_lens)
     cols = np.concatenate([np.arange(n) for n in seq_lens])
     emit[rows, cols] = emit_flat
@@ -95,10 +111,10 @@ def _viterbi_backtrace(
     rows: np.ndarray, cols: np.ndarray,
 ) -> np.ndarray:
     B, T, L = emit.shape
-    trans = transition[:N_LABELS]
+    trans = transition[:L]
     deltas = np.empty((B, T, L), dtype=np.float32)
     back = np.zeros((B, T, L), dtype=np.int8)
-    deltas[:, 0] = transition[START][None, :] + emit[:, 0]
+    deltas[:, 0] = transition[L][None, :] + emit[:, 0]
     for t in range(1, T):
         scores = deltas[:, t - 1][:, :, None] + trans[None, :, :]
         back[:, t] = np.argmax(scores, axis=1).astype(np.int8)
@@ -127,17 +143,21 @@ def train_perceptron(
     seq_lens: np.ndarray,
     epochs: int = 8,
     seed: int = 42,
+    fmt: str = "IOB",
 ) -> CrfModel:
     """Deterministic averaged structured perceptron (fixture-model trainer)."""
+    from .tagformat import n_labels as _nl
+
+    L = _nl(fmt)
     rng = np.random.RandomState(seed)
-    emission = np.zeros((FEATURE_SPACE, N_LABELS), dtype=np.float32)
-    transition = np.zeros((N_LABELS + 1, N_LABELS), dtype=np.float32)
+    emission = np.zeros((FEATURE_SPACE, L), dtype=np.float32)
+    transition = np.zeros((L + 1, L), dtype=np.float32)
     emis_sum = np.zeros_like(emission)
     trans_sum = np.zeros_like(transition)
     offsets = np.concatenate(([0], np.cumsum(seq_lens)))
     n_seq = len(seq_lens)
     order = np.arange(n_seq)
-    model = CrfModel(emission, transition)
+    model = CrfModel(emission, transition, fmt)
     steps = 0
     for _ in range(epochs):
         rng.shuffle(order)
@@ -156,7 +176,7 @@ def train_perceptron(
                 if pred[t] != gold[t]:
                     emission[fi[t], gold[t]] += 1.0
                     emission[fi[t], pred[t]] -= 1.0
-            gprev, pprev = START, START
+            gprev, pprev = L, L
             for t in range(b - a):
                 if gold[t] != pred[t] or gprev != pprev:
                     transition[gprev, gold[t]] += 1.0
@@ -169,5 +189,6 @@ def train_perceptron(
         model = CrfModel(
             (emission + emis_sum / max(1, steps)).astype(np.float32) / 2.0,
             (transition + trans_sum / max(1, steps)).astype(np.float32) / 2.0,
+            fmt,
         )
     return model

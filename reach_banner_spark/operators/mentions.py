@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from .. import schemas
 from .crf import CrfModel, decode, emission_scores
 from .features import featurize_flat
+from .tagformat import labels_to_spans
 from .tokenizer import tokenize_batch, tokenize_flat
 
 _ABBREV_RE = re.compile(r"^ ?\(([A-Za-z0-9-]{1,10})\)")
@@ -51,9 +52,11 @@ def _load_model_bytes(blob: bytes) -> CrfModel:
         d = _np.load(io.BytesIO(blob))
         from ..functions.hashing import FEATURE_SPACE
 
-        emission = _np.zeros((FEATURE_SPACE, 3), dtype=_np.float32)
+        trans = d["transition"].astype(_np.float32)
+        emission = _np.zeros((FEATURE_SPACE, trans.shape[1]), dtype=_np.float32)
         emission[d["idx"], d["lab"]] = d["w"]
-        m = CrfModel(emission, d["transition"].astype(_np.float32))
+        fmt = str(d["fmt"]) if "fmt" in d else "IOB"
+        m = CrfModel(emission, trans, fmt)
         _MODEL_CACHE[key] = m
     return m
 
@@ -92,25 +95,15 @@ def recognize_batch(
     labels = decode(model, feat_idx, seq_lens[nonempty])
     emit = emission_scores(model, feat_idx)
 
-    # --- mention assembly (P11): contiguous B(-I)* runs; I after O = B ---
+    # --- mention assembly (P11): scheme-aware contiguous-run grouping ---
     lab = labels.astype(np.int8)
     is_seq_start = np.zeros(n, dtype=bool)
     offs = np.concatenate(([0], np.cumsum(seq_lens[nonempty])[:-1]))
     is_seq_start[offs] = True
-    prev = np.concatenate(([0], lab[:-1]))
-    prev[is_seq_start] = 0
-    is_start = (lab == 1) | ((lab == 2) & (prev == 0))
-    nxt = np.concatenate((lab[1:], [0]))
     is_seq_end = np.zeros(n, dtype=bool)
     last = np.cumsum(seq_lens[nonempty]) - 1
     is_seq_end[last] = True
-    nxt[is_seq_end] = 0
-    in_m = lab != 0
-    is_end = in_m & ((nxt != 2) | is_seq_end)
-    s_idx = np.flatnonzero(is_start)
-    e_idx = np.flatnonzero(is_end)
-    # pair each start with the first end >= it
-    e_pos = e_idx[np.searchsorted(e_idx, s_idx, side="left")]
+    s_idx, e_pos = labels_to_spans(model.fmt, lab, is_seq_start, is_seq_end)
 
     sent_of = seq_ids[s_idx]
     sent_base = np.concatenate(([0], np.cumsum(seq_lens)[:-1]))

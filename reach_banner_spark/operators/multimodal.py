@@ -89,6 +89,35 @@ def mm_metadata(spark, sf):
     )
 
 
+@register(
+    "mm_frame_sample",
+    # frame sampling plumbing: every 4th 64-byte block of video payloads
+    "SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx, "
+    "CAST(LEAST(64, n_bytes - frame_idx * 256) AS BIGINT) AS n_bytes FROM ("
+    " SELECT doc_id AS asset_id, OCTET_LENGTH(ENCODE(text)) AS n_bytes, "
+    "  unnest(range(0, CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / 256.0) AS BIGINT))) AS frame_idx"
+    " FROM documents WHERE doc_id % 3 = 2)",
+)
+def mm_frame_sample(spark, sf):
+    """Frame-sample plumbing for video assets: one 'frame' per 256-byte
+    stride, 64 bytes each (deterministic stand-in for real frame decode —
+    codec libs absent; the distributed stride/explode shape is real)."""
+    a = assets_from_documents(spark, sf).filter(F.col("kind") == "video")
+    n_frames = F.ceil(F.octet_length("payload") / F.lit(256.0)).cast("long")
+    frames = a.select(
+        "asset_id",
+        F.octet_length("payload").alias("total"),
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    )
+    return frames.select(
+        "asset_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.least(F.lit(64), F.col("total") - F.col("frame_idx") * 256)
+        .cast("long")
+        .alias("n_bytes"),
+    )
+
+
 @register("mm_decode_stub", None)  # deterministic stub; pytest-checked
 def mm_decode_stub(spark, sf):
     """Arrow-batched decode/feature-extract over binary payloads."""

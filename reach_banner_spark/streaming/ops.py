@@ -249,6 +249,30 @@ def _run_update(stream_df: DataFrame, name: str) -> DataFrame:
     return spark.table(name)
 
 
+@register("sink_foreach_batch", None)
+def sink_foreach_batch(spark, sf):
+    """foreachBatch sink: per-micro-batch custom write (parquet + batch id
+    ledger) — the escape hatch for sinks Structured Streaming lacks."""
+    out_dir = tempfile.mkdtemp(prefix="rbs_feb_")
+    ledger: list[tuple[int, int]] = []
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        ledger.append((batch_id, n))
+        batch_df.write.mode("append").parquet(f"{out_dir}/data")
+
+    ev = _events_stream(spark, sf).select("event_id", "event_type", "value")
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rbs_feb_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(ledger) >= 1 and all(n >= 0 for _b, n in ledger)
+    return spark.read.parquet(f"{out_dir}/data")
+
+
 @register("source_file_stream", None)
 def source_file_stream(spark, sf):
     """Plain file-stream source -> append sink (source surface check)."""

@@ -46,6 +46,17 @@ def test_broadcast_join_chosen_for_dimension(spark):
     assert "BroadcastHashJoin" in _plan(df)
 
 
+def test_join_strategy_hints_respected(spark):
+    """Each join key exercises the physical strategy it claims."""
+    from reach_banner_spark.plans.relational import REGISTRY
+
+    assert "ShuffledHashJoin" in _plan(REGISTRY["join_shuffle_hash"][0](spark, SF))
+    assert "SortMergeJoin" in _plan(REGISTRY["join_sortmerge"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" in _plan(
+        REGISTRY["join_nested_loop"][0](spark, SF)
+    )
+
+
 def test_mention_stage_prunes_before_arrow(spark, small_turns, model_path):
     """Only (conv_id, turn_idx, text) may cross the Arrow boundary — the
     mapInPandas node's child projects exactly the narrow columns."""
