@@ -137,6 +137,144 @@ def decode(model: CrfModel, feat_idx: np.ndarray, seq_lens: np.ndarray) -> np.nd
     return viterbi_batch(emit, seq_lens, model.transition)
 
 
+# ---------------------------------------------------------------- order-2 ----
+# The reference's published best config is an order-2 CRF [K PSB-2008:
+# "order-2 CRF" vs order-1 trade-off]. Engine re-expression: Viterbi over
+# PAIR states (prev_label, label); transition tensor T2[i, j, k] scores the
+# move (i,j) -> (j,k), with index L acting as the virtual start label.
+
+
+class Crf2Model:
+    """Order-2 model: emission (F, L) + transition2 (L+1, L+1, L)."""
+
+    __slots__ = ("emission", "transition2", "fmt")
+
+    def __init__(self, emission: np.ndarray, transition2: np.ndarray, fmt: str = "IOB"):
+        L = emission.shape[1]
+        assert transition2.shape == (L + 1, L + 1, L)
+        self.emission = emission
+        self.transition2 = transition2
+        self.fmt = fmt
+
+    @property
+    def n_labels(self) -> int:
+        return self.emission.shape[1]
+
+
+def viterbi2_batch(
+    emit_flat: np.ndarray, seq_lens: np.ndarray, t2: np.ndarray
+) -> np.ndarray:
+    """Order-2 Viterbi over pair states, vectorized across the batch.
+
+    delta[b, j, k] = best score of a sequence ending with (label j at t-1,
+    label k at t); step: max over i of delta[b, i, j] + T2[i, j, k].
+    """
+    total = emit_flat.shape[0]
+    if total == 0:
+        return np.empty(0, dtype=np.int8)
+    L = emit_flat.shape[1]
+    B = len(seq_lens)
+    T = int(seq_lens.max())
+    emit = np.zeros((B, T, L), dtype=np.float32)
+    rows = np.repeat(np.arange(B), seq_lens)
+    cols = np.concatenate([np.arange(n) for n in seq_lens])
+    emit[rows, cols] = emit_flat
+
+    NEG = np.float32(-1e30)
+    # t = 0: only (j=START) pairs are reachable; store delta over (j, k)
+    delta = np.full((B, L + 1, L), NEG, dtype=np.float32)
+    delta[:, L, :] = t2[L, L, :][None, :] + emit[:, 0]
+    deltas = np.empty((B, T, L + 1, L), dtype=np.float32)
+    back = np.zeros((B, T, L + 1, L), dtype=np.int8)
+    deltas[:, 0] = delta
+    for t in range(1, T):
+        # scores[b, i, j, k] = delta[b, i, j] + t2[i, j, k]
+        scores = deltas[:, t - 1][:, :, : , None] + t2[:, :L, :][None, :, :, :]
+        back[:, t, :L, :] = np.argmax(scores, axis=1).astype(np.int8)[:, :, :]
+        best = np.max(scores, axis=1)  # (B, j<=L? , k) -> (B, L, L)
+        new = np.full((B, L + 1, L), NEG, dtype=np.float32)
+        new[:, :L, :] = best + emit[:, t][:, None, :]
+        deltas[:, t] = new
+    labels = np.zeros((B, T), dtype=np.int8)
+    last = seq_lens - 1
+    flat = deltas[np.arange(B), last].reshape(B, -1)
+    arg = np.argmax(flat, axis=1)
+    cur_j = (arg // L).astype(np.int8)  # label at t-1 (or START)
+    cur_k = (arg % L).astype(np.int8)  # label at t
+    labels[np.arange(B), last] = cur_k
+    for t in range(T - 1, 0, -1):
+        active = last >= t
+        prev_i = back[np.arange(B), t, np.minimum(cur_j, L), cur_k]
+        labels[:, t - 1] = np.where(active, cur_j, labels[:, t - 1])
+        nj = np.where(active, prev_i, cur_j).astype(np.int8)
+        nk = np.where(active, cur_j, cur_k).astype(np.int8)
+        cur_j, cur_k = nj, nk
+    return labels[rows, cols]
+
+
+def decode2(model: Crf2Model, feat_idx: np.ndarray, seq_lens: np.ndarray) -> np.ndarray:
+    emit = model.emission[feat_idx].sum(axis=1) if len(feat_idx) else np.zeros(
+        (0, model.n_labels), dtype=np.float32
+    )
+    return viterbi2_batch(emit, seq_lens, model.transition2)
+
+
+def train_perceptron2(
+    feat_idx: np.ndarray,
+    gold_flat: np.ndarray,
+    seq_lens: np.ndarray,
+    epochs: int = 8,
+    seed: int = 42,
+    fmt: str = "IOB",
+) -> Crf2Model:
+    """Deterministic averaged structured perceptron, order-2 transitions."""
+    from .tagformat import n_labels as _nl
+
+    L = _nl(fmt)
+    rng = np.random.RandomState(seed)
+    emission = np.zeros((FEATURE_SPACE, L), dtype=np.float32)
+    t2 = np.zeros((L + 1, L + 1, L), dtype=np.float32)
+    emis_sum = np.zeros_like(emission)
+    t2_sum = np.zeros_like(t2)
+    offsets = np.concatenate(([0], np.cumsum(seq_lens)))
+    order = np.arange(len(seq_lens))
+    model = Crf2Model(emission, t2, fmt)
+    steps = 0
+    for _ in range(epochs):
+        rng.shuffle(order)
+        for si in order:
+            a, b = offsets[si], offsets[si + 1]
+            if b == a:
+                continue
+            fi = feat_idx[a:b]
+            gold = gold_flat[a:b]
+            pred = decode2(model, fi, np.array([b - a]))
+            steps += 1
+            if np.array_equal(pred, gold):
+                continue
+            for t in range(b - a):
+                if pred[t] != gold[t]:
+                    emission[fi[t], gold[t]] += 1.0
+                    emission[fi[t], pred[t]] -= 1.0
+            g2, g1 = L, L
+            p2, p1 = L, L
+            for t in range(b - a):
+                if gold[t] != pred[t] or (g2, g1) != (p2, p1):
+                    t2[g2, g1, gold[t]] += 1.0
+                    t2[p2, p1, pred[t]] -= 1.0
+                g2, g1 = g1, gold[t]
+                p2, p1 = p1, pred[t]
+            emis_sum += emission
+            t2_sum += t2
+    if steps:
+        model = Crf2Model(
+            (emission + emis_sum / max(1, steps)).astype(np.float32) / 2.0,
+            (t2 + t2_sum / max(1, steps)).astype(np.float32) / 2.0,
+            fmt,
+        )
+    return model
+
+
 def train_perceptron(
     feat_idx: np.ndarray,
     gold_flat: np.ndarray,

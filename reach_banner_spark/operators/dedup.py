@@ -63,8 +63,20 @@ def dedup_exact(spark, sf):
 
 # ----------------------------------------------------------- minhash-lsh ----
 
+# Doc near-dup LSH operating point: 8 bands x 8 rows targets TRUE near-dups
+# (candidate prob 0.99 at j=0.9, 0.03 at j=0.5). This synthetic corpus has
+# MEDIAN pairwise char-3-gram Jaccard ~0.48 (measured) — a high-recall-at-
+# 0.5 scheme would admit essentially all ~1.25B pairs at sf0.1.
+DOC_NUM_HASHES = 64
+DOC_NUM_BANDS = 8
+MAX_BUCKET = 50  # degenerate-bucket cap: buckets this big are common-pattern
+# collisions contributing O(size^2) low-similarity pairs; a true near-dup
+# pair collides in ~all of its 8 bands, so dropping its few huge buckets
+# barely dents recall (standard "stop bucket" trick in LSH dedup).
+
+
 def doc_band_hashes(d: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, band_idx, band_hash) via word-3-gram shingles + MinHash."""
+    """(doc_id, band_idx, band_hash) via char-3-gram shingles + MinHash."""
     from .linking import band_hashes
 
     narrow = d.select("doc_id", text_col)
@@ -73,7 +85,9 @@ def doc_band_hashes(d: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            bh = band_hashes(pdf[text_col])
+            bh = band_hashes(
+                pdf[text_col], num_hashes=DOC_NUM_HASHES, num_bands=DOC_NUM_BANDS
+            )
             n, b = bh.shape
             yield pd.DataFrame(
                 {
@@ -86,13 +100,45 @@ def doc_band_hashes(d: DataFrame, text_col: str = "text") -> DataFrame:
     return narrow.mapInPandas(run, "doc_id long, band_idx int, band_hash long")
 
 
-@register("dedup_minhash_lsh", None)  # pytest-golden vs exhaustive Jaccard
-def dedup_minhash_lsh(spark, sf):
-    """Near-duplicate candidate pairs with verified char-3-gram Jaccard."""
-    from .linking import jaccard_pairs
+def doc_shingles(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh: array<long>) sorted distinct hashed char-3-gram sets —
+    computed ONCE per doc so pair verification stays JVM-side."""
+    from .linking import char3_shingle_ids
 
+    narrow = d.select("doc_id", text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sh = char3_shingle_ids(pdf[text_col])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "sh": [x.tolist() for x in sh],
+                }
+            )
+
+    return narrow.mapInPandas(run, "doc_id long, sh array<long>")
+
+
+@register("dedup_minhash_lsh", None)  # pytest-golden vs exhaustive Jaccard
+def dedup_minhash_lsh(spark, sf, min_jaccard: float = 0.9):
+    """Near-duplicate pairs (j >= 0.9) with exact verified Jaccard.
+
+    shingle -> minhash -> band -> bucket-join (degenerate buckets capped)
+    -> JVM-side exact verify (array_intersect on precomputed shingle sets;
+    no Python in the quadratic part).
+    """
     d = _docs(spark, sf)
     bands = doc_band_hashes(d)
+    # cap degenerate buckets
+    sizes = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    bands = bands.join(
+        sizes.filter(F.col("bucket_n") <= MAX_BUCKET), ["band_idx", "band_hash"]
+    ).drop("bucket_n")
     a = bands.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
     b = bands.select(F.col("doc_id").alias("b"), "band_idx", "band_hash")
     cands = (
@@ -101,21 +147,16 @@ def dedup_minhash_lsh(spark, sf):
         .select("a", "b")
         .distinct()
     )
-    texts = d.select("doc_id", "text")
+    sh = doc_shingles(d)
     pairs = (
-        cands.join(texts.withColumnRenamed("doc_id", "a"), "a")
-        .withColumnRenamed("text", "text_a")
-        .join(texts.withColumnRenamed("doc_id", "b"), "b")
-        .withColumnRenamed("text", "text_b")
+        cands.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
     )
-
-    @F.pandas_udf("double")
-    def jacc(x: pd.Series, y: pd.Series) -> pd.Series:
-        return pd.Series(jaccard_pairs(x, y))
-
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
-        pairs.withColumn("jaccard", F.round(jacc("text_a", "text_b"), 6))
-        .filter(F.col("jaccard") >= 0.5)
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
         .select("a", "b", "jaccard")
     )
 

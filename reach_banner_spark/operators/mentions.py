@@ -92,7 +92,12 @@ def recognize_batch(
 
     feat_idx = featurize_flat(flat_toks, seq_ids)
     nonempty = seq_lens > 0
-    labels = decode(model, feat_idx, seq_lens[nonempty])
+    if hasattr(model, "transition2"):  # order-2 CRF (PSB-2008 best config)
+        from .crf import decode2
+
+        labels = decode2(model, feat_idx, seq_lens[nonempty])
+    else:
+        labels = decode(model, feat_idx, seq_lens[nonempty])
     emit = emission_scores(model, feat_idx)
 
     # --- mention assembly (P11): scheme-aware contiguous-run grouping ---

@@ -22,9 +22,9 @@ def test_minhash_bands_deterministic():
 
 
 def test_lsh_candidates_superset_of_high_jaccard(spark):
-    """Every pair with char-3-gram Jaccard >= 0.7 must be an LSH candidate
-    (32x2 bands -> expected miss rate < 1e-6 at j=0.7); verified pairs must
-    carry exact Jaccard values."""
+    """Every pair with char-3-gram Jaccard >= 0.95 must be found (8x8 bands:
+    candidate prob ~0.9998 at j=0.95); all returned pairs carry EXACT
+    Jaccard >= the 0.9 threshold."""
     from reach_banner_spark.operators.dedup import REGISTRY
     from reach_banner_spark.operators.linking import jaccard_pairs
 
@@ -32,7 +32,6 @@ def test_lsh_candidates_superset_of_high_jaccard(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
     texts = docs.set_index("doc_id")["text"]
     ids = docs["doc_id"].to_numpy()
-    # exhaustive high-similarity pairs on this small corpus
     found = {(a, b) for a, b in got[["a", "b"]].itertuples(index=False, name=None)}
     import itertools
 
@@ -45,17 +44,17 @@ def test_lsh_candidates_superset_of_high_jaccard(spark):
     missed = [
         (a, b, j)
         for (a, b), j in zip(pairs, js)
-        if j >= 0.7 and (a, b) not in found and (b, a) not in found
+        if j >= 0.95 and (a, b) not in found and (b, a) not in found
     ]
     assert not missed, f"high-jaccard pairs missed by LSH: {missed[:5]}"
-    # verify reported jaccards are the exact values
+    # all returned pairs: exact jaccard values, above threshold
     if len(got):
-        sub = got.head(50)
         expect = jaccard_pairs(
-            pd.Series([texts[a] for a in sub["a"]]),
-            pd.Series([texts[b] for b in sub["b"]]),
+            pd.Series([texts[a] for a in got["a"]]),
+            pd.Series([texts[b] for b in got["b"]]),
         )
-        assert np.allclose(sub["jaccard"].to_numpy(), np.round(expect, 6))
+        assert np.allclose(got["jaccard"].to_numpy(), np.round(expect, 6))
+        assert (got["jaccard"] >= 0.9).all()
 
 
 def test_simhash_deterministic_and_sane(spark):
