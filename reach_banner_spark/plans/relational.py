@@ -520,6 +520,43 @@ def set_except(spark, sf):
     return c.subtract(s)
 
 
+@register(
+    "pivot",
+    "SELECT l_returnflag, "
+    "CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS st_O, "
+    "CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS st_F "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def pivot_q(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("st_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("st_F"),
+    )
+
+
+@register(
+    "unpivot",
+    "SELECT n_nationkey, k AS metric, v AS val FROM ("
+    " SELECT n_nationkey, 'nation' AS k, CAST(n_nationkey AS BIGINT) AS v FROM nation"
+    " UNION ALL"
+    " SELECT n_nationkey, 'region' AS k, CAST(n_regionkey AS BIGINT) AS v FROM nation)",
+)
+def unpivot_q(spark, sf):
+    n = _t(spark, sf, "nation")
+    return n.select(
+        "n_nationkey",
+        F.col("n_nationkey").cast("long").alias("nation"),
+        F.col("n_regionkey").cast("long").alias("region"),
+    ).unpivot("n_nationkey", ["nation", "region"], "metric", "val")
+
+
 # ------------------------------------------------------ scalar fn families ----
 
 @register(

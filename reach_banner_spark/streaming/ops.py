@@ -249,6 +249,36 @@ def _run_update(stream_df: DataFrame, name: str) -> DataFrame:
     return spark.table(name)
 
 
+@register("stream_mentions", None)
+def stream_mentions(spark, sf):
+    """The KG mention core over a TURN STREAM: the same fused Arrow batch
+    stage (detect_mentions) applied to a streaming DataFrame — streaming
+    ingestion of transcripts feeding the same mention detector, unchanged
+    (mapInPandas works on streaming plans)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .. import schemas
+    from ..fixtures import ensure_model, make_turns
+    from ..operators.mentions import detect_mentions
+
+    d = os.path.join(tempfile.gettempdir(), "rbs_stream_turns_v1")
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        os.makedirs(d, exist_ok=True)
+        turns, _ = make_turns(n_convs=12, skew_conv_turns=12)
+        turns["ts"] = turns["ts"].astype("datetime64[us]")
+        step = (len(turns) + 2) // 3
+        for i in range(0, len(turns), step):
+            pq.write_table(
+                pa.Table.from_pandas(turns.iloc[i : i + step], preserve_index=False),
+                os.path.join(d, f"part-{i // step:03d}.parquet"),
+            )
+        open(os.path.join(d, "_DONE"), "w").write("ok")
+    turn_stream = spark.readStream.schema(schemas.TURNS).parquet(d)
+    mentions = detect_mentions(turn_stream, ensure_model())
+    return _run_to_memory(mentions, "t_stream_mentions")
+
+
 @register("sink_foreach_batch", None)
 def sink_foreach_batch(spark, sf):
     """foreachBatch sink: per-micro-batch custom write (parquet + batch id

@@ -123,3 +123,19 @@ def test_stream_watermark_drops_late_window(spark, tmp_path):
     res = {r["w"]: r["n"] for r in spark.read.parquet(sink).collect()}
     # exactly 2 rows in the first window; late event_id=4 dropped, no re-emit
     assert res.get("2024-01-01 00:00:00") == 2, res
+
+
+def test_stream_mentions_matches_batch(spark):
+    """The fused mention stage over a turn stream == batch on same turns."""
+    from reach_banner_spark import schemas
+    from reach_banner_spark.fixtures import ensure_model, make_turns
+    from reach_banner_spark.operators.mentions import detect_mentions
+    from reach_banner_spark.streaming import ops
+
+    got, _ = _sorted_tuples(ops.REGISTRY["stream_mentions"][0](spark, SF))
+    turns, _g = make_turns(n_convs=12, skew_conv_turns=12)
+    batch = detect_mentions(
+        spark.createDataFrame(turns, schema=schemas.TURNS), ensure_model()
+    )
+    want, _ = _sorted_tuples(batch)
+    assert got == want
