@@ -116,11 +116,16 @@ def recognize_batch(
     end_tok = (e_pos - sent_base[sent_of] + 1).astype(np.int32)
     begin_char = flat_starts[s_idx].astype(np.int32)
     end_char = flat_ends[e_pos].astype(np.int32)
-    # score: mean Viterbi margin over the span (entity score vs O)
-    margin = emit[:, 1:].max(axis=1) - emit[:, 0]
-    cm = np.concatenate(([0.0], np.cumsum(margin)))
+    # score: mean Viterbi margin over the span (entity score vs O).
+    # Summed PER SPAN (not via a batch-global cumsum): prefix-sum low bits
+    # would depend on every preceding token in the Arrow batch, making the
+    # score sensitive to batch composition — caught by the streaming==batch
+    # equality test.
+    margin = (emit[:, 1:].max(axis=1) - emit[:, 0]).astype(np.float64)
     span_len = (e_pos - s_idx + 1).astype(np.float64)
-    score = (cm[e_pos + 1] - cm[s_idx]) / span_len
+    score = np.array(
+        [margin[s : e + 1].sum() for s, e in zip(s_idx, e_pos)], dtype=np.float64
+    ) / span_len
 
     conv = pdf["conv_id"].to_numpy()
     tidx = pdf["turn_idx"].to_numpy()
