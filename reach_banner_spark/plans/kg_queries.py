@@ -549,6 +549,73 @@ def udf_arrow_optimized(spark, sf):
     return d.select("doc_id", tag("lang", "n_chars").alias("tagged"))
 
 
+# ----------------------------------------------------- file-format sources ----
+# The reference's corpus IO is flat text files (BC2GM train.in/GENE.eval —
+# see sources/bc2gm.py for that exact format); these keys cover the generic
+# source formats by staging the documents table once per sf and reading it
+# back through each reader. Oracle = the same rows from the parquet view.
+
+
+def _stage_format(spark, sf: str, fmt: str) -> str:
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"rbs_src_{fmt}_{os.path.basename(sf.rstrip('/'))}"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        d = _docs(spark, sf).select("doc_id", "lang", "source", "n_chars")
+        if fmt == "csv":
+            d.write.mode("overwrite").option("header", True).csv(out)
+        elif fmt == "json":
+            d.write.mode("overwrite").json(out)
+        else:  # text: one tab-joined line per row
+            d.select(
+                F.concat_ws(
+                    "\t",
+                    F.col("doc_id").cast("string"),
+                    "lang",
+                    "source",
+                    F.col("n_chars").cast("string"),
+                ).alias("value")
+            ).write.mode("overwrite").text(out)
+    return out
+
+
+_SRC_SQL = "SELECT doc_id, lang, source, n_chars FROM documents"
+
+
+@register("source_csv", _SRC_SQL)
+def source_csv(spark, sf):
+    path = _stage_format(spark, sf, "csv")
+    return (
+        spark.read.option("header", True)
+        .schema("doc_id long, lang string, source string, n_chars long")
+        .csv(path)
+    )
+
+
+@register("source_json", _SRC_SQL)
+def source_json(spark, sf):
+    path = _stage_format(spark, sf, "json")
+    return spark.read.schema(
+        "doc_id long, lang string, source string, n_chars long"
+    ).json(path)
+
+
+@register("source_text", _SRC_SQL)
+def source_text(spark, sf):
+    path = _stage_format(spark, sf, "text")
+    raw = spark.read.text(path)
+    parts = F.split("value", "\t")
+    return raw.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).alias("source"),
+        parts.getItem(3).cast("long").alias("n_chars"),
+    )
+
+
 # -------------------------------------------------------------- sinks ----
 
 @register("sink_partitioned_parquet", None)  # rows-only on read-back
