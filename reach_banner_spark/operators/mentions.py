@@ -123,9 +123,17 @@ def recognize_batch(
     # equality test.
     margin = (emit[:, 1:].max(axis=1) - emit[:, 0]).astype(np.float64)
     span_len = (e_pos - s_idx + 1).astype(np.float64)
-    score = np.array(
-        [margin[s : e + 1].sum() for s, e in zip(s_idx, e_pos)], dtype=np.float64
-    ) / span_len
+    if len(s_idx):
+        # segment sums via reduceat on interleaved (start, end+1) boundaries
+        # (vectorized; a per-span Python loop here costs ~25s/job at bench
+        # scale). Pad one zero so a span ending at the last token is legal.
+        mpad = np.concatenate((margin, [0.0]))
+        bounds = np.empty(2 * len(s_idx), dtype=np.int64)
+        bounds[0::2] = s_idx
+        bounds[1::2] = e_pos + 1
+        score = np.add.reduceat(mpad, bounds)[0::2] / span_len
+    else:
+        score = np.empty(0, dtype=np.float64)
 
     conv = pdf["conv_id"].to_numpy()
     tidx = pdf["turn_idx"].to_numpy()
