@@ -104,10 +104,15 @@ def mm_frame_sample(spark, sf):
     codec libs absent; the distributed stride/explode shape is real)."""
     a = assets_from_documents(spark, sf).filter(F.col("kind") == "video")
     n_frames = F.ceil(F.octet_length("payload") / F.lit(256.0)).cast("long")
+    # Empty payload => n_frames=0 and sequence(0,-1) auto-DESCENDS to [0,-1]
+    # (two bogus frames) while the oracle's range(0,0) emits none — gate it.
+    idx_seq = F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
     frames = a.select(
         "asset_id",
         F.octet_length("payload").alias("total"),
-        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        F.explode(idx_seq).alias("frame_idx"),
     )
     return frames.select(
         "asset_id",

@@ -23,11 +23,32 @@ from __future__ import annotations
 
 import json
 import os
+import zlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources import tables
+
+# Bump when operator semantics change: invalidates every existing checkpoint
+# (part of the lineage note, alongside upstream hash + stage config).
+CODE_VERSION = "2"
+
+
+def file_fingerprint(path: str) -> str:
+    """crc32 of a file's bytes (e.g. model.npz) for lineage invalidation."""
+    crc = 0
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            crc = zlib.crc32(chunk, crc)
+    return f"{crc & 0xFFFFFFFF:08x}"
+
+
+def _config_fingerprint(config: dict | None) -> str:
+    if not config:
+        return "-"
+    blob = json.dumps(config, sort_keys=True, default=str).encode()
+    return f"{zlib.crc32(blob) & 0xFFFFFFFF:08x}"
 
 
 class CheckpointedPipeline:
@@ -51,16 +72,21 @@ class CheckpointedPipeline:
         build: Callable[[], DataFrame],
         bucket_col: str | None = None,
         upstream: str | None = None,
+        config: dict | None = None,
     ) -> DataFrame:
         """Return the stage output, recomputing only when not checkpointed.
 
         ``upstream`` (a prior stage name) ties this stage's validity to the
         upstream manifest's total content hash — if the upstream changed,
         the cached output is invalid and is rebuilt (lineage check).
+        ``config`` (stage parameters: model fingerprint, window_turns, …)
+        is folded into the lineage note along with CODE_VERSION, so a
+        retrained model or changed kwargs invalidates the cached stage
+        instead of silently returning stale output.
         """
         path = self._stage_dir(name)
         manifest = tables.read_manifest(path)
-        want_lineage = self._lineage_of(upstream)
+        want_lineage = self._lineage_of(upstream, config)
         if manifest is not None and manifest.get("note") == want_lineage:
             self.stages_resumed.append(name)
             return tables.read_graph_table(self.spark, path)
@@ -75,14 +101,15 @@ class CheckpointedPipeline:
         self.stages_run.append(name)
         return tables.read_graph_table(self.spark, path)
 
-    def _lineage_of(self, upstream: str | None) -> str:
+    def _lineage_of(self, upstream: str | None, config: dict | None = None) -> str:
+        cfg = f"|v{CODE_VERSION}|cfg:{_config_fingerprint(config)}"
         if upstream is None:
-            return "root"
+            return "root" + cfg
         m = tables.read_manifest(self._stage_dir(upstream))
         if m is None:
-            return "missing-upstream"
+            return "missing-upstream" + cfg
         total = sum(p["content_hash"] for p in m["partitions"].values())
-        return f"{upstream}:{total & 0xFFFFFFFFFFFFFFFF:x}"
+        return f"{upstream}:{total & 0xFFFFFFFFFFFFFFFF:x}" + cfg
 
     def _append_ledger(self, stage: str, manifest: dict) -> None:
         with open(self.ledger_path, "a") as f:
@@ -122,12 +149,14 @@ def run_pipeline_checkpointed(
     from .pipeline import canonicalize, salt_repartition
 
     cp = CheckpointedPipeline(spark, root)
+    model_fp = file_fingerprint(model_path)
 
     mentions = cp.stage(
         "mentions",
         lambda: detect_mentions(salt_repartition(turns), model_path).filter(
             paren_balanced("surface")
         ),
+        config={"model": model_fp},
     )
     linked = cp.stage(
         "linked", lambda: link_mentions(mentions, lexicon), upstream="mentions"
@@ -139,5 +168,6 @@ def run_pipeline_checkpointed(
         "triples",
         lambda: assemble_triples(canon, turns, window_turns=window_turns),
         upstream="canonical",
+        config={"window_turns": window_turns},
     )
     return triples, cp

@@ -249,8 +249,8 @@ def eval_tp_join(spark, sf):
     f"SELECT CAST((SELECT COUNT(*) FROM tp) AS BIGINT) AS tp, "
     f"CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_pred, "
     f"CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_gold, "
-    f"ROUND((SELECT COUNT(*) FROM tp) * 1.0 / (SELECT COUNT(*) FROM p), 6) AS precision_, "
-    f"ROUND((SELECT COUNT(*) FROM tp) * 1.0 / (SELECT COUNT(*) FROM g), 6) AS recall_",
+    f"ROUND((SELECT COUNT(*) FROM tp) * 1.0 / GREATEST((SELECT COUNT(*) FROM p), 1), 6) AS precision_, "
+    f"ROUND((SELECT COUNT(*) FROM tp) * 1.0 / GREATEST((SELECT COUNT(*) FROM g), 1), 6) AS recall_",
 )
 def eval_pr(spark, sf):
     pred, gold = _pred_gold(spark, sf)

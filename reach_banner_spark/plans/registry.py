@@ -14,36 +14,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _registries() -> list[dict[str, tuple[QueryFn, str | None]]]:
-    regs = []
-    from . import relational
+    # Unconditional imports: a broken transitive import must fail loudly
+    # rather than silently shrink the graded queries() contract
+    # (tests/test_plans.py pins the total key count as a second guard).
+    from . import kg_queries, relational
+    from ..operators import dedup, multimodal, similarity, textstats
+    from ..streaming import ops as stream_ops
 
-    regs.append(relational.REGISTRY)
-    try:
-        from . import kg_queries
-
-        regs.append(kg_queries.REGISTRY)
-    except ImportError:
-        pass
-    try:
-        from ..operators import dedup, multimodal, similarity, textstats
-
-        regs.extend(
-            [
-                dedup.REGISTRY,
-                similarity.REGISTRY,
-                textstats.REGISTRY,
-                multimodal.REGISTRY,
-            ]
-        )
-    except ImportError:
-        pass
-    try:
-        from ..streaming import ops as stream_ops
-
-        regs.append(stream_ops.REGISTRY)
-    except ImportError:
-        pass
-    return regs
+    return [
+        relational.REGISTRY,
+        kg_queries.REGISTRY,
+        dedup.REGISTRY,
+        similarity.REGISTRY,
+        textstats.REGISTRY,
+        multimodal.REGISTRY,
+        stream_ops.REGISTRY,
+    ]
 
 
 def all_queries() -> dict[str, QueryFn]:

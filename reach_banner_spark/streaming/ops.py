@@ -314,7 +314,11 @@ def source_file_stream(spark, sf):
 
 @register("source_rate_stream", None)
 def source_rate_stream(spark, sf):
-    """Rate source (synthetic rows/sec) bounded to ~1s of ticks."""
+    """Rate source (synthetic rows/sec), result fixed to exactly values
+    0..99: the stream is filtered to ``value < 100`` so the materialized
+    table is the same 100 rows every run (the rate source emits a
+    monotone value sequence from 0 — only the *timing* is wall-clock,
+    never the returned data)."""
     import time as _time
 
     stream = (
@@ -322,6 +326,7 @@ def source_rate_stream(spark, sf):
         .option("rowsPerSecond", 500)
         .load()
         .select("value")
+        .filter(F.col("value") < 100)
     )
     name = "t_ratesrc"
     q = (
@@ -331,11 +336,12 @@ def source_rate_stream(spark, sf):
         .option("checkpointLocation", tempfile.mkdtemp(prefix="rbs_rate_"))
         .start()
     )
-    deadline = _time.time() + 5
+    deadline = _time.time() + 30
     while _time.time() < deadline and spark.table(name).count() < 100:
         _time.sleep(0.2)
     q.stop()
     q.awaitTermination()
+    assert spark.table(name).count() == 100, "rate source did not reach 100 rows"
     return spark.table(name)
 
 

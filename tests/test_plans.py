@@ -110,3 +110,16 @@ def test_salted_repartition_is_deterministic_exchange(spark, small_turns):
     assert "rand" not in plan.lower().replace("operand", ""), (
         "salt must not use rand() — resume determinism"
     )
+
+
+def test_registry_key_count_pinned():
+    """Silent coverage loss guard: the graded queries() contract must not
+    shrink — a broken transitive import now raises (registry imports are
+    unconditional), and this pin catches accidental key removal."""
+    from reach_banner_spark.plans import registry
+
+    q = registry.all_queries()
+    o = registry.all_oracle_sql()
+    assert len(q) >= 89, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 69, f"oracle_sql() shrank: {len(o)} keys"
+    assert set(o) <= set(q)

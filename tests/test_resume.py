@@ -69,3 +69,41 @@ def test_manifest_partition_stats(spark, small_turns, tmp_path):
     # re-write produces identical content hashes (determinism)
     manifest2 = tables.write_graph_table(turns, path, bucket_col="conv_id", n_buckets=8)
     assert manifest["partitions"] == manifest2["partitions"]
+
+
+def test_resume_invalidated_by_config_and_model(
+    spark, small_turns, lexicon_pdf, model_path, tmp_path
+):
+    """Lineage covers stage parameters + model content: rerunning on an
+    existing checkpoint root after changing window_turns or retraining the
+    model must recompute, never return stale stage outputs."""
+    import shutil
+
+    from reach_banner_spark.plans.checkpoint import run_pipeline_checkpointed
+
+    turns_pdf, _ = small_turns
+    turns = spark.createDataFrame(turns_pdf, schema=schemas.TURNS)
+    lexicon = spark.createDataFrame(lexicon_pdf, schema=schemas.LEXICON)
+    root = str(tmp_path / "ck2")
+
+    _t1, cp1 = run_pipeline_checkpointed(
+        spark, turns, lexicon, model_path, root, window_turns=2
+    )
+    assert cp1.stages_resumed == []
+
+    # same root, different window_turns: triples stage must rebuild
+    t2, cp2 = run_pipeline_checkpointed(
+        spark, turns, lexicon, model_path, root, window_turns=3
+    )
+    assert "triples" in cp2.stages_run, "stale triples returned for new window_turns"
+    assert "mentions" in cp2.stages_resumed  # upstream unaffected
+
+    # 'retrained' model (different bytes at a new path): mentions must rebuild
+    model2 = str(tmp_path / "model2.npz")
+    shutil.copy(model_path, model2)
+    with open(model2, "ab") as f:
+        f.write(b"\x00")
+    _t3, cp3 = run_pipeline_checkpointed(
+        spark, turns, lexicon, model2, root, window_turns=3
+    )
+    assert "mentions" in cp3.stages_run, "stale mentions returned for new model"
