@@ -582,6 +582,28 @@ def _stage_format(spark, sf: str, fmt: str) -> str:
     return out
 
 
+@register(
+    "sentence_break",
+    # P1 sentence breaking (BANNER's SentenceBreaker stand-in): same
+    # replace/split/window spelling as the Spark side — no lookbehind
+    # (DuckDB's RE2 lacks it), offsets from the running length sum.
+    "WITH s AS (SELECT doc_id, string_split("
+    " replace(replace(replace(text, '. ', '.' || chr(1)), '! ', '!' || chr(1)),"
+    " '? ', '?' || chr(1)), chr(1)) AS sents FROM documents), "
+    "e AS (SELECT doc_id, CAST(generate_subscripts(sents, 1) - 1 AS INT) AS sent_idx,"
+    " unnest(sents) AS sentence FROM s) "
+    "SELECT doc_id, sent_idx, sentence, "
+    "CAST(COALESCE(SUM(LENGTH(sentence) + 1) OVER ("
+    " PARTITION BY doc_id ORDER BY sent_idx"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS char_offset "
+    "FROM e",
+)
+def sentence_break(spark, sf):
+    from ..sources.transcripts import break_sentences
+
+    return break_sentences(_docs(spark, sf))
+
+
 _SRC_SQL = "SELECT doc_id, lang, source, n_chars FROM documents"
 
 

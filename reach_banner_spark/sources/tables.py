@@ -30,15 +30,39 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def iceberg_writer(
+    df: DataFrame, table: str, bucket_col: str = "conv_id", n_buckets: int = 64
+):
+    """The real Iceberg write path: a DataFrameWriterV2 configured with the
+    same bucket partition spec the Parquet facade emulates. Construction is
+    jar-independent (nothing touches the catalog until create/append), so
+    this branch is unit-testable in the jar-less sandbox; on a cluster with
+    the Iceberg catalog, ``iceberg_writer(df, t).createOrReplace()`` is the
+    whole write."""
+    return (
+        df.writeTo(table)
+        .partitionedBy(F.bucket(n_buckets, F.col(bucket_col)))
+        .tableProperty("write.format.default", "parquet")
+    )
+
+
 def write_graph_table(
     df: DataFrame,
     path: str,
     bucket_col: str = "conv_id",
     n_buckets: int = 64,
     snapshot_note: str = "",
+    iceberg_table: str | None = None,
 ) -> dict:
-    """Write a bucket-partitioned graph table + manifest; returns manifest."""
+    """Write a bucket-partitioned graph table + manifest; returns manifest.
+
+    When an Iceberg catalog is on the classpath AND ``iceberg_table`` is
+    given, the data goes through ``writeTo(...).partitionedBy(bucket(...))``
+    (the manifest is still written beside it for checkpoint lineage);
+    otherwise the partitioned-Parquet emulation below."""
     spark = df.sparkSession
+    if iceberg_table is not None and iceberg_available(spark):
+        iceberg_writer(df, iceberg_table, bucket_col, n_buckets).createOrReplace()
     bucketed = df.withColumn(
         "p_bucket", F.pmod(F.hash(F.col(bucket_col)), F.lit(n_buckets))
     )

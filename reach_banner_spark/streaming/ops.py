@@ -235,6 +235,77 @@ def stream_stateful(spark, sf):
     return spark_df.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+def tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf state-server protocol;
+    the container lacks google.protobuf, so the key falls back (documented)
+    to the applyInPandasWithState twin when this returns False."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class _TwsCountProcessor:
+    """StatefulProcessor twin of stream_stateful's counter (Spark 4.x
+    transformWithStateInPandas). Defined unconditionally so the processor
+    logic is import- and unit-testable even where the runtime protocol
+    (protobuf) is unavailable."""
+
+    def init(self, handle) -> None:
+        self.count = handle.getValueState("count", "n long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n = self.count.get()[0] if self.count.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+        self.count.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    def close(self) -> None:
+        pass
+
+
+@register("stream_stateful_tws", None)
+def stream_stateful_tws(spark, sf):
+    """Per-user running event counter via transformWithStateInPandas
+    (Spark 4.x typed-state API; SURVEY §2.4 names it as the second
+    stateful primitive). Requires the RocksDB state store + protobuf; when
+    the runtime protocol is unavailable in this container the key runs the
+    applyInPandasWithState twin — pytest asserts both spellings agree when
+    runnable, and that output equals the batch groupBy count either way."""
+    if not tws_available():
+        return stream_stateful(spark, sf)
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class Proc(_TwsCountProcessor, StatefulProcessor):
+        pass
+
+    ev = _events_stream(spark, sf)
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        Proc(),
+        outputStructType="user_id long, n_events long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        spark_df = _run_update(out, "t_stateful_tws")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return spark_df.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
 def _run_update(stream_df: DataFrame, name: str) -> DataFrame:
     spark = stream_df.sparkSession
     q = (

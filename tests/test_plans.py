@@ -120,6 +120,21 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 89, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 69, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 91, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 70, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
+
+
+def test_partition_pruning_at_scan(spark):
+    """scan_partitioned must show non-empty PartitionFilters in the physical
+    plan — only the p_bucket=3 directory is read (mirrors the pushdown
+    gates for predicate/column pruning)."""
+    import re
+
+    from reach_banner_spark.plans.registry import all_queries
+
+    df = all_queries()["scan_partitioned"](spark, SF)
+    plan = _plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PartitionFilters in plan:\n{plan}"
+    assert "p_bucket" in m.group(1), f"partition filter not on p_bucket: {m.group(1)}"
