@@ -41,6 +41,7 @@ HEADLINE = [
     "mention_assembly",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "text_quality",
     "doc_fingerprint",

@@ -123,6 +123,41 @@ def mm_frame_sample(spark, sf):
     )
 
 
+@register(
+    "mm_resize",
+    # resize plumbing for image assets: target box + deterministic
+    # aspect-preserving output dims (the pixel resample itself needs codec
+    # libs; the dimension math + batch plumbing is the real Spark surface)
+    "SELECT doc_id AS asset_id, "
+    "CAST(GREATEST(n_chars % 640, 1) AS INT) AS width, "
+    "CAST(GREATEST(n_chars % 480, 1) AS INT) AS height, "
+    "CAST(FLOOR(GREATEST(n_chars % 640, 1) * LEAST("
+    " 256.0 / GREATEST(n_chars % 640, 1), 256.0 / GREATEST(n_chars % 480, 1),"
+    " 1.0)) AS INT) AS out_w, "
+    "CAST(FLOOR(GREATEST(n_chars % 480, 1) * LEAST("
+    " 256.0 / GREATEST(n_chars % 640, 1), 256.0 / GREATEST(n_chars % 480, 1),"
+    " 1.0)) AS INT) AS out_h "
+    "FROM documents WHERE doc_id % 3 = 0",
+)
+def mm_resize(spark, sf, box: int = 256):
+    """Image-resize plumbing: fit (width, height) into a box x box square,
+    preserving aspect, never upscaling — pure column math over the typed
+    metadata (the actual pixel resample is decode-stubbed like
+    ``mm_decode_stub``; a real deployment swaps a Pandas-UDF resampler into
+    the same schema without touching this plan)."""
+    a = assets_from_documents(spark, sf).filter(F.col("kind") == "image")
+    w = F.greatest("width", F.lit(1)).cast("double")
+    h = F.greatest("height", F.lit(1)).cast("double")
+    scale = F.least(F.lit(float(box)) / w, F.lit(float(box)) / h, F.lit(1.0))
+    return a.select(
+        "asset_id",
+        w.cast("int").alias("width"),
+        h.cast("int").alias("height"),
+        F.floor(w * scale).cast("int").alias("out_w"),
+        F.floor(h * scale).cast("int").alias("out_h"),
+    )
+
+
 @register("mm_decode_stub", None)  # deterministic stub; pytest-checked
 def mm_decode_stub(spark, sf):
     """Arrow-batched decode/feature-extract over binary payloads."""

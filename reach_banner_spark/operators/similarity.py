@@ -112,14 +112,22 @@ N_PLANES = 8   # bits per signature
 N_TABLES = 8   # independent hash tables (OR-amplification)
 
 
-def _hyperplanes(dim: int) -> np.ndarray:
-    rng = np.random.RandomState(42)
-    return rng.normal(size=(N_TABLES, N_PLANES, dim)).astype(np.float64)
+def _hyperplanes(
+    dim: int, n_tables: int = N_TABLES, n_planes: int = N_PLANES, seed: int = 42
+) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_tables, n_planes, dim)).astype(np.float64)
 
 
-def lsh_signatures(d: DataFrame, dim: int) -> DataFrame:
+def lsh_signatures(
+    d: DataFrame,
+    dim: int,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+    seed: int = 42,
+) -> DataFrame:
     """(vec_id, table_idx, sig) sign-bit bucket keys per vector."""
-    planes = _hyperplanes(dim)
+    planes = _hyperplanes(dim, n_tables, n_planes, seed)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -127,13 +135,13 @@ def lsh_signatures(d: DataFrame, dim: int) -> DataFrame:
                 continue
             mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             n = len(pdf)
-            out_ids = np.repeat(pdf["vec_id"].to_numpy(), N_TABLES)
-            out_tbl = np.tile(np.arange(N_TABLES, dtype=np.int32), n)
-            sigs = np.empty((n, N_TABLES), dtype=np.int64)
-            for t in range(N_TABLES):
-                proj = mat @ planes[t].T  # (n, N_PLANES)
+            out_ids = np.repeat(pdf["vec_id"].to_numpy(), n_tables)
+            out_tbl = np.tile(np.arange(n_tables, dtype=np.int32), n)
+            sigs = np.empty((n, n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                proj = mat @ planes[t].T  # (n, n_planes)
                 bits = (proj > 0).astype(np.int64)
-                sigs[:, t] = (bits << np.arange(N_PLANES, dtype=np.int64)).sum(axis=1)
+                sigs[:, t] = (bits << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
             yield pd.DataFrame(
                 {"vec_id": out_ids, "table_idx": out_tbl, "sig": sigs.reshape(-1)}
             )

@@ -80,6 +80,14 @@ def run_job(parallelism: int, input_path: str, zpath: str) -> dict:
     # Python UDF workers and JVM shuffle/GC threads spill onto the other
     # idle cores — which would make the "N-executor" baseline artificially
     # fast and the scaling efficiency meaningless as cluster evidence.
+    # Shuffle local dirs on tmpfs: the two "cluster sizes" otherwise share
+    # the ONE physical disk of this sandbox host for shuffle I/O — a real
+    # N- vs 4N-executor cluster brings N vs 4N local disks, so the shared
+    # spindle is a single-host artifact that contaminates the measurement
+    # (measured: it alone cost ~19% wall at 8 cores and compressed the
+    # efficiency ratio). Both parallelism levels get the identical conf.
+    local_dir = f"/dev/shm/rbs_shuffle_p{parallelism}"
+    os.makedirs(local_dir, exist_ok=True)
     cmd = [
         "taskset",
         "-c",
@@ -91,6 +99,8 @@ def run_job(parallelism: int, input_path: str, zpath: str) -> dict:
         zpath,
         "--conf",
         "spark.ui.enabled=false",
+        "--conf",
+        f"spark.local.dir={local_dir}",
         "--driver-memory",
         "16g",
         os.path.join(REPO, "scripts", "kg_job.py"),
@@ -100,6 +110,9 @@ def run_job(parallelism: int, input_path: str, zpath: str) -> dict:
         str(parallelism),
     ]
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    import shutil
+
+    shutil.rmtree(local_dir, ignore_errors=True)  # Spark cleans on exit; belt+braces
     for line in reversed(res.stdout.splitlines()):
         if line.startswith("{"):
             return json.loads(line)
@@ -136,7 +149,12 @@ parallelism levels. Input: deterministic seeded transcript corpus,
 distinct conv_ids). Single host, 32 cores / 125 GB; "executors" are
 evidenced as local[N] task slots per the driver instruction, with the whole
 process tree (JVM + Python UDF workers) pinned to N cores via `taskset`
-so the N-core run cannot borrow idle cores.
+so the N-core run cannot borrow idle cores. Shuffle local dirs are on
+tmpfs (`spark.local.dir=/dev/shm/...`, identical at both levels): the two
+"cluster sizes" would otherwise share this host's ONE physical disk for
+shuffle I/O, while a real N- vs 4N-executor cluster brings N vs 4N local
+disks — the shared spindle is a single-host artifact, not a property of
+the job (on-disk shuffle numbers are retained below for comparison).
 
 | run | master | wall (s) | turns/sec |
 |---|---|---|---|
@@ -149,8 +167,8 @@ so the N-core run cannot borrow idle cores.
 
 Spark conf (both runs): AQE on (incl. skewJoin), Arrow pandas UDFs with
 maxRecordsPerBatch=10000, shuffle.partitions = max(8, parallelism),
-session timezone UTC, driver-memory 16g. Package shipped via
-`--py-files /tmp/rbs_pkg.zip`.
+session timezone UTC, driver-memory 16g, spark.local.dir on tmpfs (see
+above). Package shipped via `--py-files /tmp/rbs_pkg.zip`.
 
 Raw job outputs:
 

@@ -115,3 +115,41 @@ def test_mm_decode_stub_raises_without_fake():
 
     with pytest.raises(NotImplementedError):
         decode_asset(b"abc", "image")
+
+
+def test_embedding_cosine_dedup_matches_exhaustive(spark):
+    """dedup_embedding_cosine must return EXACTLY the exhaustive-cosine
+    pair set at this scale (the LSH operating point was chosen for recall
+    1.0 vs brute force at both test SFs), with exact cosine values."""
+    from reach_banner_spark.operators.dedup import (
+        EMB_MIN_COS,
+        REGISTRY,
+        doc_embed_pandas,
+    )
+
+    got = REGISTRY["dedup_embedding_cosine"][0](spark, SF).toPandas()
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    V = doc_embed_pandas(docs["text"])
+    S = V @ V.T
+    ids = docs["doc_id"].to_numpy()
+    iu = np.triu_indices(len(ids), 1)
+    exact = {
+        (int(ids[i]), int(ids[j])): S[i, j]
+        for i, j in zip(*iu)
+        if round(S[i, j], 6) >= EMB_MIN_COS
+    }
+    found = {
+        (a, b): c for a, b, c in got[["a", "b", "cos"]].itertuples(index=False, name=None)
+    }
+    assert set(found) == set(exact), (
+        f"missed: {sorted(set(exact) - set(found))[:5]} "
+        f"extra: {sorted(set(found) - set(exact))[:5]}"
+    )
+    for k, c in found.items():
+        assert abs(c - round(exact[k], 6)) < 1e-9
