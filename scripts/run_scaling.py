@@ -88,6 +88,14 @@ def run_job(parallelism: int, input_path: str, zpath: str) -> dict:
     # efficiency ratio). Both parallelism levels get the identical conf.
     local_dir = f"/dev/shm/rbs_shuffle_p{parallelism}"
     os.makedirs(local_dir, exist_ok=True)
+    # Equalize page-cache state across trials: pre-read the input once so
+    # every trial (at BOTH parallelism levels) starts input-warm — the
+    # sandbox disk is slow enough that cold-vs-warm input dominates
+    # run-to-run variance otherwise (measured 254s vs 579s for identical
+    # 8-core runs).
+    subprocess.run(
+        f"cat {input_path}/* > /dev/null", shell=True, check=False
+    )
     cmd = [
         "taskset",
         "-c",
@@ -123,6 +131,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repl", type=int, default=16)
     ap.add_argument("--n-cores", type=int, default=8, help="N (4N runs too)")
+    ap.add_argument(
+        "--pairs",
+        type=int,
+        default=0,
+        help="interleaved-pairs mode: run (4N, N) back-to-back K times and "
+        "report per-pair efficiency + median — this host drifts between "
+        "fast/slow epochs on multi-minute scales (shared VM), so adjacent "
+        "pairing cancels the drift that independent best-of-N cannot",
+    )
     args = ap.parse_args()
 
     input_path = stage_input(args.repl)
@@ -133,6 +150,22 @@ def main() -> None:
         # cache / THP compaction; the minimum estimates the true job cost
         runs = [run_job(parallelism, input_path, zpath) for _ in range(trials)]
         return min(runs, key=lambda r: r["wall_sec"])
+
+    if args.pairs:
+        pairs = []
+        for k in range(args.pairs):
+            hi = run_job(4 * args.n_cores, input_path, zpath)
+            lo = run_job(args.n_cores, input_path, zpath)
+            e = hi["turns_per_sec"] / (4 * lo["turns_per_sec"])
+            pairs.append({"hi": hi, "lo": lo, "efficiency": round(e, 3)})
+            print(json.dumps(pairs[-1]), flush=True)
+        effs = sorted(p["efficiency"] for p in pairs)
+        med = effs[len(effs) // 2]
+        print(json.dumps({"pairs": effs, "median_efficiency": med}))
+        with open(os.path.join(REPO, "BENCH", "scaling_pairs.json"), "w") as f:
+            json.dump({"n_cores": args.n_cores, "repl": args.repl,
+                       "pairs": pairs, "median_efficiency": med}, f, indent=1)
+        return
 
     r32 = best_of(4 * args.n_cores)
     r8 = best_of(args.n_cores)
