@@ -469,6 +469,105 @@ def win_frame_range(spark, sf):
     )
 
 
+@register(
+    "win_session_batch",
+    # batch session windows (30-min gap) as gaps-and-islands: a new session
+    # starts where the gap to the previous event exceeds the timeout; the
+    # session id is the running count of starts. Same spelling both engines.
+    "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start FROM ("
+    " SELECT user_id, ts, SUM(is_new) OVER ("
+    "  PARTITION BY user_id ORDER BY ts, event_id"
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM ("
+    "  SELECT user_id, ts, event_id, CASE WHEN ts - LAG(ts) OVER ("
+    "   PARTITION BY user_id ORDER BY ts, event_id) <= INTERVAL 30 MINUTE"
+    "   THEN 0 ELSE 1 END AS is_new FROM events)"
+    ") GROUP BY user_id, session_id",
+)
+def win_session_batch(spark, sf):
+    """Batch twin of ``stream_session``: session windows over event gaps,
+    expressed as two windows + a groupBy (one shuffle on user_id — the
+    windows and the aggregation share the partitioning)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")  # NTZ -> epoch seconds
+    gap = secs - F.lag(secs).over(w)
+    with_new = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap <= 30 * 60, F.lit(0)).otherwise(F.lit(1)).alias("is_new"),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = with_new.withColumn("session_id", F.sum("is_new").over(wsum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+@register(
+    "join_bucketed",
+    # oracle over the ORIGINAL parquet — the bucketed tables are a physical
+    # layout choice, not a semantic one
+    "SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items, "
+    "ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue "
+    "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY o.o_orderkey",
+)
+def join_bucketed(spark, sf):
+    """Co-located bucketed join: both fact tables bucketed on the join key
+    at write time -> SortMergeJoin with NO Exchange on either side (the
+    shuffle is paid ONCE at layout time, then every join on that key is
+    shuffle-free — the core trick for repeated 100 TB fact-fact joins;
+    plan-asserted in tests/test_plans.py). The groupBy on the same key
+    also reuses the bucketing."""
+    import os
+
+    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    spark.sql("CREATE DATABASE IF NOT EXISTS rbs_bucketed")
+    names = {
+        "orders": f"rbs_bucketed.orders_b_{tag}",
+        "lineitem": f"rbs_bucketed.lineitem_b_{tag}",
+    }
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        if not spark.catalog.tableExists(names[tbl]):
+            # the in-memory catalog is per-session but the warehouse dir is
+            # not: drop an orphaned location before re-registering (a real
+            # deployment uses a persistent metastore and skips this)
+            import shutil
+
+            loc = os.path.join(
+                warehouse.removeprefix("file:"),
+                "rbs_bucketed.db",
+                names[tbl].split(".", 1)[1],
+            )
+            shutil.rmtree(loc, ignore_errors=True)
+            (
+                _t(spark, sf, tbl)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(names[tbl])
+            )
+    o = spark.table(names["orders"]).select("o_orderkey")
+    li = spark.table(names["lineitem"]).select("l_orderkey", "l_extendedprice")
+    # merge hint: at test scale Catalyst would broadcast the small side,
+    # which never exercises the bucketing; SMJ over bucket-sorted tables is
+    # the layout's payoff — zero Exchange AND zero Sort (plan-asserted)
+    j = o.hint("merge").join(li, o["o_orderkey"] == li["l_orderkey"])
+    return j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum("l_extendedprice", "revenue"),
+    )
+
+
 # -------------------------------------------------------- sort/limit/topk ----
 
 @register(

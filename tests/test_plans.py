@@ -120,8 +120,8 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 93, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 71, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 95, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 73, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
 
 
@@ -138,3 +138,18 @@ def test_partition_pruning_at_scan(spark):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m, f"no PartitionFilters in plan:\n{plan}"
     assert "p_bucket" in m.group(1), f"partition filter not on p_bucket: {m.group(1)}"
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """join_bucketed: SortMergeJoin over bucket-sorted tables must need NO
+    Exchange on either join side (the layout pays the shuffle once at
+    write; the key demonstration for repeated fact-fact joins at scale)."""
+    from reach_banner_spark.plans.registry import all_queries
+
+    df = all_queries()["join_bucketed"](spark, SF)
+    plan = _plan(df)
+    join_part = plan.split("SortMergeJoin")[0]
+    assert "SortMergeJoin" in plan, plan[:600]
+    assert "Exchange hashpartitioning" not in join_part, (
+        f"shuffle above the bucketed join:\n{join_part}"
+    )
