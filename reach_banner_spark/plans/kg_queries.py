@@ -253,21 +253,34 @@ def eval_tp_join(spark, sf):
     f"ROUND((SELECT COUNT(*) FROM tp) * 1.0 / GREATEST((SELECT COUNT(*) FROM g), 1), 6) AS recall_",
 )
 def eval_pr(spark, sf):
+    # ONE Spark job (r2 VERDICT #5): flag full-outer join -> single
+    # aggregate producing (tp, n_pred, n_gold) together, P/R derived in the
+    # same projection — no serial driver-side .count() actions
     pred, gold = _pred_gold(spark, sf)
-    tp = pred.join(gold.select("doc_id", "pos"), ["doc_id", "pos"], "left_semi")
-    n_tp = tp.count()
-    n_pred = pred.count()
-    n_gold = gold.count()
-    return spark.createDataFrame(
-        [(n_tp, n_pred, n_gold,
-          round(n_tp / max(1, n_pred), 6), round(n_tp / max(1, n_gold), 6))],
-        T.StructType([
-            T.StructField("tp", T.LongType()),
-            T.StructField("n_pred", T.LongType()),
-            T.StructField("n_gold", T.LongType()),
-            T.StructField("precision_", T.DoubleType()),
-            T.StructField("recall_", T.DoubleType()),
-        ]),
+    p = pred.select("doc_id", "pos", F.lit(1).alias("is_pred"))
+    g = gold.select("doc_id", "pos", F.lit(1).alias("is_gold"))
+    agg = (
+        p.join(g, ["doc_id", "pos"], "full_outer")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("is_pred").isNotNull() & F.col("is_gold").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("tp"),
+            F.sum(F.coalesce("is_pred", F.lit(0))).alias("n_pred"),
+            F.sum(F.coalesce("is_gold", F.lit(0))).alias("n_gold"),
+        )
+    )
+    return agg.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("n_gold").cast("long").alias("n_gold"),
+        F.round(F.col("tp") / F.greatest(F.col("n_pred"), F.lit(1)), 6).alias(
+            "precision_"
+        ),
+        F.round(F.col("tp") / F.greatest(F.col("n_gold"), F.lit(1)), 6).alias(
+            "recall_"
+        ),
     )
 
 

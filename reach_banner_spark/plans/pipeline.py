@@ -115,12 +115,16 @@ def run_pipeline(
         # persist AND materialize: the linking stage fans mentions into
         # three branches (exact, fuzzy, candidate bands) inside one action;
         # an unmaterialized cache would let all three recompute the Arrow
-        # UDF concurrently before the cache fills (measured 1.7x job cost)
-        mentions = mentions.persist()
-        mentions.count()
+        # UDF concurrently before the cache fills (measured 1.7x job cost).
+        # Tracked persists: materializing the linked stage below releases
+        # the mention cache (its only consumer), and the next pipeline run
+        # releases the linked cache — executor storage stays bounded across
+        # repeated invocations in one session (ADVICE r2).
+        from ..caching import persist_swap
+
+        mentions = persist_swap(mentions)
     linked = link_mentions(mentions, lexicon)
     linked = canonicalize(linked, lexicon)
     if persist_stages:
-        linked = linked.persist()
-        linked.count()
+        linked = persist_swap(linked)
     return assemble_triples(linked, turns, window_turns=window_turns)

@@ -491,13 +491,19 @@ def win_session_batch(spark, sf):
     windows and the aggregation share the partitioning)."""
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.col("ts").cast("timestamp").cast("long")  # NTZ -> epoch seconds
-    gap = secs - F.lag(secs).over(w)
+    # compare gaps at MICROSECOND precision: events carry microsecond
+    # timestamps and the oracle compares full-precision intervals, so a
+    # second-truncated epoch would disagree on gaps fractionally around
+    # the 1800 s boundary (integer micros — no float rounding either)
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
     with_new = e.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(gap <= 30 * 60, F.lit(0)).otherwise(F.lit(1)).alias("is_new"),
+        F.when(gap <= 30 * 60 * 1_000_000, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("is_new"),
     )
     wsum = (
         Window.partitionBy("user_id")
@@ -527,9 +533,32 @@ def join_bucketed(spark, sf):
     shuffle-free — the core trick for repeated 100 TB fact-fact joins;
     plan-asserted in tests/test_plans.py). The groupBy on the same key
     also reuses the bucketing."""
+    import hashlib
     import os
 
-    tag = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    # tag = basename + content fingerprint of the SOURCE parquet (full path
+    # + per-file size/mtime): two sf dirs sharing a basename, or parquet
+    # regenerated in place mid-session, must NOT silently reuse a stale
+    # bucketed table (ADVICE r2)
+    def _fingerprint() -> str:
+        h = hashlib.sha1(sf.encode())
+        for tbl in ("orders", "lineitem"):
+            p = os.path.join(sf, f"{tbl}.parquet")
+            files = (
+                sorted(
+                    os.path.join(p, f) for f in os.listdir(p) if not f.startswith("_")
+                )
+                if os.path.isdir(p)
+                else [p]
+            )
+            for fp in files:
+                st = os.stat(fp)
+                h.update(f"{fp}:{st.st_size}:{st.st_mtime_ns}".encode())
+        return h.hexdigest()[:10]
+
+    tag = (
+        os.path.basename(sf.rstrip("/")).replace(".", "_") + "_" + _fingerprint()
+    )
     spark.sql("CREATE DATABASE IF NOT EXISTS rbs_bucketed")
     names = {
         "orders": f"rbs_bucketed.orders_b_{tag}",

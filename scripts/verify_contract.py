@@ -7,7 +7,9 @@ hash vs the DuckDB oracle at sf0.01; rows-only for ∅-oracle keys) and
 writes CONTRACT_VERIFY.json so per-key verification is on record even for
 keys a sampling driver skips.
 
-Run:  python scripts/verify_contract.py [sf_dir]
+Run:  python scripts/verify_contract.py [sf_dir] [key1,key2,...]
+(with a key filter, CONTRACT_VERIFY.json is NOT rewritten — targeted runs
+print per-key results only)
 """
 
 from __future__ import annotations
@@ -39,9 +41,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     q, o = em.queries(), em.oracle_sql()
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    if only:
+        missing = only - set(q)
+        if missing:
+            raise SystemExit(f"unknown keys: {sorted(missing)}")
     con = duckdb_con(sf)
     report: dict[str, dict] = {}
-    for key in sorted(q):
+    for key in sorted(only or q):
         t0 = time.time()
         try:
             if key in o:
@@ -67,8 +74,9 @@ def main() -> None:
         "oracle_keys": len(o),
         "report": report,
     }
-    with open(os.path.join(REPO, "CONTRACT_VERIFY.json"), "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+    if only is None:  # targeted runs must not masquerade as full records
+        with open(os.path.join(REPO, "CONTRACT_VERIFY.json"), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({"keys": len(report), "ok": n_ok}))
     sys.exit(0 if n_ok == len(report) else 1)
 
