@@ -9,6 +9,14 @@ Env:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
   RBS_BENCH_CONVS      synthetic-transcript conversations (default 3000)
+  RBS_BENCH_TRIALS     trials per query, min reported (default 3)
+
+Every query runs RBS_BENCH_TRIALS times inside ONE process and the MIN is
+the headline number ("queries"); all trials are published under "trials".
+This box is epoch-noisy (identical multi-minute runs vary +62%,
+BENCH/BASELINE.md) and the noise is additive, so min-over-trials is the
+steady-state estimator — a single-shot wall reads the VM lottery, not the
+engine.
 
 The KG-pipeline input is the deterministic seeded transcript corpus
 (fixtures.make_turns) materialized once to a /tmp parquet cache keyed by its
@@ -29,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("RBS_BENCH_CONVS", "3000"))
+TRIALS = max(1, int(os.environ.get("RBS_BENCH_TRIALS", "3")))
 SKEW_TURNS = 3000
 
 HEADLINE = [
@@ -95,11 +104,20 @@ def main() -> None:
     # warm the JVM/python-worker pool once (excluded from timings)
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    trials: dict[str, list[float]] = {}
+
+    def timed(key: str, run) -> None:
+        ts = []
+        for _ in range(TRIALS):
+            t0 = time.time()
+            run()
+            ts.append(round(time.time() - t0, 3))
+        trials[key] = ts
+        times[key] = min(ts)
+
     for key in HEADLINE:
         fn = q[key]
-        t0 = time.time()
-        force(fn(spark, SF_DIR))
-        times[key] = round(time.time() - t0, 3)
+        timed(key, lambda: force(fn(spark, SF_DIR)))
 
     # KG pipeline over the synthetic transcript corpus
     from reach_banner_spark.fixtures import ensure_model, make_lexicon
@@ -111,22 +129,24 @@ def main() -> None:
     lexicon = spark.createDataFrame(make_lexicon(), schema=schemas.LEXICON)
     model_path = ensure_model()
 
-    t0 = time.time()
-    force(run_pipeline(turns, lexicon, model_path, window_turns=2))
-    kg_sec = round(time.time() - t0, 3)
-    times["kg_pipeline"] = kg_sec
+    timed(
+        "kg_pipeline",
+        lambda: force(run_pipeline(turns, lexicon, model_path, window_turns=2)),
+    )
+    kg_sec = times["kg_pipeline"]
 
     # mention-detection-only throughput (the BANNER-core number)
     from reach_banner_spark.operators.mentions import detect_mentions, paren_balanced
     from reach_banner_spark.plans.pipeline import salt_repartition
 
-    t0 = time.time()
-    force(
-        detect_mentions(salt_repartition(turns), model_path).filter(
-            paren_balanced("surface")
-        )
+    timed(
+        "mention_detect",
+        lambda: force(
+            detect_mentions(salt_repartition(turns), model_path).filter(
+                paren_balanced("surface")
+            )
+        ),
     )
-    times["mention_detect"] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -136,6 +156,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "trials": trials,
+                "n_trials": TRIALS,
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "kg_turns": n_turns,

@@ -189,17 +189,147 @@ def surface_bands(df: DataFrame, surface_col: str = "surface_key") -> DataFrame:
     return narrow.mapInPandas(run, schema=_BANDS_SCHEMA)
 
 
+_BEST_SCHEMA = "surface_key string, alias_key string, jaccard double"
+
+
+def fuzzy_best_broadcast(
+    distinct_surfaces: DataFrame,
+    lex_keys: list[str],
+    min_jaccard: float,
+) -> DataFrame:
+    """Best fuzzy (alias, jaccard) per distinct surface — dimension-scale
+    lexicon path: the lexicon band index ({(band_idx, band_hash) ->
+    aliases}) is built driver-side in one vectorized pass and BROADCAST, so
+    candidate generation + exact-Jaccard verify + per-surface argmax all
+    run inside ONE mapInPandas over the (already shuffled-distinct)
+    surfaces: zero additional shuffles on the fact side. The previous plan
+    (band-explode -> candidate join -> distinct -> row_number window) paid
+    two more shuffles for the same result; the scaling runs measured the
+    linking stage at ~0.5 pair efficiency, and shuffle bytes were the
+    dominant term.
+
+    Tie-break identical to the distributed twin and to
+    ``link_surfaces_pandas``: highest jaccard, then lexicographically
+    smallest alias.
+    """
+    spark = distinct_surfaces.sparkSession
+    lex_index: dict[tuple[int, int], list[str]] = {}
+    if lex_keys:
+        bh = band_hashes(pd.Series(lex_keys))
+        for alias, row in zip(lex_keys, bh):
+            for bi, h in enumerate(row):
+                lex_index.setdefault((bi, int(h)), []).append(alias)
+    bc = spark.sparkContext.broadcast(lex_index)
+    minj = float(min_jaccard)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            surfaces = pdf["surface_key"].to_numpy()
+            men_b = band_hashes(pdf["surface_key"])
+            owners: list[int] = []
+            aliases: list[str] = []
+            for i, row in enumerate(men_b):
+                cand: set[str] = set()
+                for bi, h in enumerate(row):
+                    cand.update(idx.get((bi, int(h)), ()))
+                if cand:
+                    cl = sorted(cand)
+                    owners.extend([i] * len(cl))
+                    aliases.extend(cl)
+            if not aliases:
+                continue
+            # ONE vectorized jaccard pass over every candidate pair in the
+            # batch (the expensive part); the argmax below touches only the
+            # few candidates per surface
+            js = jaccard_pairs(
+                pd.Series(surfaces[np.array(owners)]), pd.Series(aliases)
+            )
+            out_s: list[str] = []
+            out_a: list[str] = []
+            out_j: list[float] = []
+            k = 0
+            n_pairs = len(aliases)
+            while k < n_pairs:
+                e = k
+                best_j = -1.0
+                best_a = ""
+                while e < n_pairs and owners[e] == owners[k]:
+                    # aliases are sorted asc within a surface, so strictly-
+                    # greater keeps the lexicographically smallest on ties
+                    if js[e] > best_j:
+                        best_j = float(js[e])
+                        best_a = aliases[e]
+                    e += 1
+                if best_j >= minj:
+                    out_s.append(surfaces[owners[k]])
+                    out_a.append(best_a)
+                    out_j.append(best_j)
+                k = e
+            yield pd.DataFrame(
+                {"surface_key": out_s, "alias_key": out_a, "jaccard": out_j}
+            )
+
+    return distinct_surfaces.mapInPandas(run, _BEST_SCHEMA)
+
+
+def fuzzy_best_distributed(
+    distinct_surfaces: DataFrame,
+    lex: DataFrame,
+    min_jaccard: float,
+) -> DataFrame:
+    """Large-lexicon fallback (> broadcast cutoff): band tables on both
+    sides, candidate equi-join on (band_idx, band_hash), exact-Jaccard
+    verify, per-surface best via row_number. Same output as
+    ``fuzzy_best_broadcast`` (tested equal); costs two more shuffles
+    (candidate distinct + window), which is the right trade only when the
+    lexicon itself is too big to broadcast."""
+    from pyspark.sql import Window
+
+    lex_bands = surface_bands(
+        lex.select(F.col("alias_key").alias("surface_key"))
+    ).withColumnRenamed("surface_key", "alias_key")
+    men_bands = surface_bands(distinct_surfaces)
+    cands = (
+        men_bands.join(F.broadcast(lex_bands), ["band_idx", "band_hash"])
+        .select("surface_key", "alias_key")
+        .distinct()
+    )
+
+    @F.pandas_udf("double")
+    def jacc(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(jaccard_pairs(a, b))
+
+    verified = cands.withColumn("jaccard", jacc("surface_key", "alias_key")).filter(
+        F.col("jaccard") >= F.lit(min_jaccard)
+    )
+    w = Window.partitionBy("surface_key").orderBy(
+        F.desc("jaccard"), F.asc("alias_key")
+    )
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def link_mentions(
     mentions: DataFrame,
     lexicon: DataFrame,
     min_jaccard: float = 0.5,
+    broadcast_lex_cutoff: int = 100_000,
 ) -> DataFrame:
     """mentions + lexicon -> mentions with (entity_id, canonical) columns.
 
     Path 1 (G2): exact broadcast join on lowercased surface == alias.
-    Path 2 (G1): for unmatched surfaces, MinHash-LSH candidate join against
-    the lexicon's band table, exact-Jaccard verify, best-match per surface
-    (ties broken by alias then entity_id for determinism).
+    Path 2 (G1): for unmatched surfaces, MinHash-LSH candidates against the
+    lexicon bands, exact-Jaccard verify, best-match per surface (ties broken
+    by alias for determinism). Below ``broadcast_lex_cutoff`` aliases the
+    whole candidate+verify step fuses into one mapInPandas with a broadcast
+    band index (``fuzzy_best_broadcast``); above it, the distributed
+    band-join twin runs (``fuzzy_best_distributed``).
     """
     from pyspark.sql import Window
 
@@ -228,60 +358,18 @@ def link_mentions(
         "entity_id", "canonical"
     )
 
-    # LSH blocking: bands of distinct unmatched surfaces vs lexicon bands.
-    # The lexicon is a dimension table — compute ITS bands driver-side in
-    # one vectorized pass instead of a dedicated Spark job; the (big)
-    # mention side stays distributed.
-    n_lex = lex.count()
-    lex_keys = (
-        [r[0] for r in lex.select("alias_key").distinct().collect()]
-        if n_lex <= 100_000
-        else []
-    )
-    if lex_keys:
-        import pandas as _pd
-
-        bh = band_hashes(_pd.Series(lex_keys))
-        n, b = bh.shape
-        lex_bands_pdf = pd.DataFrame(
-            {
-                "alias_key": np.repeat(np.array(lex_keys, dtype=object), b),
-                "band_idx": np.tile(np.arange(b, dtype=np.int32), n),
-                "band_hash": bh.reshape(-1),
-            }
+    # ONE size-gate job (limit-collect): <= cutoff rows -> we already hold
+    # the alias keys for the broadcast path; > cutoff -> distributed twin.
+    # (Previously a .count() job AND a .collect() job ran serially here —
+    # driver-serial fixed cost between the pipeline's stage barriers.)
+    lex_rows = lex.select("alias_key").limit(broadcast_lex_cutoff + 1).collect()
+    distinct_surfaces = unlinked.select("surface_key").distinct()
+    if len(lex_rows) <= broadcast_lex_cutoff:
+        best = fuzzy_best_broadcast(
+            distinct_surfaces, [r[0] for r in lex_rows], min_jaccard
         )
-        lex_bands = mentions.sparkSession.createDataFrame(lex_bands_pdf)
     else:
-        lex_bands = surface_bands(
-            lex.select(F.col("alias_key").alias("surface_key"))
-        ).withColumnRenamed("surface_key", "alias_key")
-    men_bands = surface_bands(unlinked.select("surface_key"))
-    cands = (
-        men_bands.join(
-            F.broadcast(lex_bands),
-            ["band_idx", "band_hash"],
-        )
-        .select("surface_key", "alias_key")
-        .distinct()
-    )
-
-    @F.pandas_udf("double")
-    def jacc(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(jaccard_pairs(a, b))
-
-    verified = cands.withColumn("jaccard", jacc("surface_key", "alias_key")).filter(
-        F.col("jaccard") >= F.lit(min_jaccard)
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("surface_key").orderBy(
-        F.desc("jaccard"), F.asc("alias_key")
-    )
-    best = (
-        verified.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+        best = fuzzy_best_distributed(distinct_surfaces, lex, min_jaccard)
     fuzzy = (
         unlinked.join(F.broadcast(best), "surface_key", "left")
         .join(F.broadcast(lex), "alias_key", "left")

@@ -51,8 +51,11 @@ def canonicalize(
     decision a planner makes between broadcast and shuffle joins.
     """
     spark = linked.sparkSession
-    n_lex = lexicon.count()
-    if n_lex <= small_edge_cutoff:
+    # ONE size-gate job: limit-toPandas both decides the path and, on the
+    # driver path, already holds the rows (previously a .count() job and a
+    # .toPandas() job ran serially here — driver-serial fixed cost)
+    lex_pdf = lexicon.limit(small_edge_cutoff + 1).toPandas()
+    if len(lex_pdf) <= small_edge_cutoff:
         # dimension-scale lexicon: build the similarity graph + components
         # entirely on the driver (same shared band/jaccard/union-find code
         # as the distributed twins) — avoids ~6 tiny Spark jobs whose fixed
@@ -60,7 +63,7 @@ def canonicalize(
         from ..operators.components import connected_components_pandas
         from ..operators.linking import entity_edges_pandas
 
-        edges_pdf = entity_edges_pandas(lexicon.toPandas())
+        edges_pdf = entity_edges_pandas(lex_pdf)
         if len(edges_pdf) == 0:
             return linked
         comp_pdf = connected_components_pandas(edges_pdf)

@@ -249,3 +249,43 @@ def test_iceberg_facade_branches(spark, tmp_path):
         iceberg_table="cat.db.graph",
     )
     assert m["iceberg"] is False and m["total_rows"] == 2
+
+
+def test_fuzzy_link_paths_agree(spark, small_turns, lexicon_pdf, model_path):
+    """The broadcast-band-index fuzzy path (dimension-scale lexicon, fused
+    mapInPandas) and the distributed band-join fallback must produce
+    IDENTICAL linked output — the size gate is a physical-plan choice, not
+    a semantic one. Also pins both against the single-process twin."""
+    from reach_banner_spark import schemas
+    from reach_banner_spark.operators.linking import link_mentions
+    from reach_banner_spark.operators.mentions import detect_mentions, paren_balanced
+
+    turns_pdf, _ = small_turns
+    turns = spark.createDataFrame(turns_pdf, schema=schemas.TURNS)
+    lexicon = spark.createDataFrame(lexicon_pdf, schema=schemas.LEXICON)
+    mentions = detect_mentions(turns, model_path).filter(paren_balanced("surface"))
+    mentions = mentions.persist()
+    mentions.count()
+
+    cols = ["conv_id", "turn_idx", "begin_char", "end_char", "entity_id", "canonical"]
+
+    def rows(df):
+        pdf = df.select(*cols).toPandas()
+        return sorted(
+            (c, int(t), int(b), int(e),
+             None if pd.isna(eid) else int(eid),
+             None if canon is None else canon)
+            for c, t, b, e, eid, canon in pdf.itertuples(index=False, name=None)
+        )
+
+    broadcast_path = rows(link_mentions(mentions, lexicon))
+    distributed_path = rows(
+        link_mentions(mentions, lexicon, broadcast_lex_cutoff=0)
+    )
+    mentions.unpersist()
+    assert broadcast_path, "no linked mentions — fixture broken"
+    assert broadcast_path == distributed_path
+    # at least one mention must take the FUZZY path for this test to mean
+    # anything (exact misses, LSH candidate hits)
+    fuzzy_hits = [r for r in broadcast_path if r[4] is not None]
+    assert fuzzy_hits, "no linked mentions at all"
