@@ -140,15 +140,46 @@ def train_distributed(
 
 
 def eval_exact_span(
-    pred: pd.DataFrame, gold: pd.DataFrame
+    pred: pd.DataFrame, gold: pd.DataFrame, alt: pd.DataFrame | None = None
 ) -> dict[str, float]:
-    """BioCreative-II exact-span P/R/F1 (banner.eval twin)."""
+    """BioCreative-II exact-span P/R/F1 (banner.eval twin), with optional
+    ALTGENE alternative-span credit (SURVEY §2.1 P15 / §5.2.2).
+
+    ``alt`` columns: (conv_id, turn_idx, gold_begin, gold_end, begin_char,
+    end_char) — each row says "span [begin_char, end_char) is an acceptable
+    alternative for the gold mention at [gold_begin, gold_end)". Under the
+    BC2 alt protocol a predicted span is TP if it matches the gold span or
+    ANY alternative; precision counts credited predictions, recall counts
+    credited golds (found directly or via any of their alternatives).
+    With ``alt=None`` this is exactly the plain exact-span metric.
+    """
     cols = ["conv_id", "turn_idx", "begin_char", "end_char"]
     ps = {tuple(r) for r in pred[cols].itertuples(index=False, name=None)}
     gs = {tuple(r) for r in gold[cols].itertuples(index=False, name=None)}
-    tp = len(ps & gs)
+    if alt is None or len(alt) == 0:
+        tp = len(ps & gs)
+        p = tp / max(1, len(ps))
+        r = tp / max(1, len(gs))
+        f1 = 2 * p * r / max(1e-12, p + r)
+        return {"precision": p, "recall": r, "f1": f1, "tp": tp}
+    # alt span -> owning gold span(s); one alt span may serve several golds
+    alt_owner: dict[tuple, set[tuple]] = {}
+    for c, t, gb, ge, b, e in alt[
+        ["conv_id", "turn_idx", "gold_begin", "gold_end", "begin_char", "end_char"]
+    ].itertuples(index=False, name=None):
+        alt_owner.setdefault((c, t, b, e), set()).add((c, t, gb, ge))
+    # alternatives whose owning mention is not actually in the gold set are
+    # malformed input and credit NOTHING (neither precision nor recall)
+    credited_preds = {
+        s for s in ps if s in gs or (alt_owner.get(s, set()) & gs)
+    }
+    credited_golds = set(ps & gs)
+    for s in ps:
+        credited_golds.update(alt_owner.get(s, ()))
+    credited_golds &= gs
+    tp = len(credited_preds)
     p = tp / max(1, len(ps))
-    r = tp / max(1, len(gs))
+    r = len(credited_golds) / max(1, len(gs))
     f1 = 2 * p * r / max(1e-12, p + r)
     return {"precision": p, "recall": r, "f1": f1, "tp": tp}
 

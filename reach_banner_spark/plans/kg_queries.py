@@ -219,6 +219,28 @@ _PRED_SQL = (
 )
 _GOLD_SQL = f"SELECT doc_id, pos, word FROM ({_PRED_SQL}) p WHERE LENGTH(word) >= 5"
 
+# ---- ALTGENE-style alternative-credit eval (P15 / SURVEY §5.2.2) ----
+# The BC2 protocol: a predicted span is TP if it matches the gold span OR
+# any listed alternative for that gold; recall credits a gold if its own
+# span or any of its alternatives was predicted. To exercise both sides the
+# gold dictionary is a SUPERSET of the predictor's (PIPE_DICT plus words
+# the predictor never emits), and each gold's alternative is the adjacent
+# token at pos+1 (an alternate-boundary stand-in: BC2 alternatives are
+# mostly boundary variants of the same mention).
+GOLD_EXTRA = ["window", "column", "vector"]
+_GOLD_EXTRA_SQL = ", ".join(f"('{w}')" for w in GOLD_EXTRA)
+_GOLD_ALT_SQL = (
+    f"SELECT doc_id, pos, word FROM ({_DOC_TOKENS_SQL}) toks "
+    f"WHERE LENGTH(word) >= 5 AND (word IN (SELECT term FROM (VALUES "
+    f"{_DICT_SQL_VALUES}) AS d(term, term_id)) OR word IN (SELECT w FROM "
+    f"(VALUES {_GOLD_EXTRA_SQL}) AS e(w)))"
+)
+_ALT_SQL = (
+    f"SELECT g.doc_id, g.pos AS gold_pos, t.pos AS pos "
+    f"FROM ({_GOLD_ALT_SQL}) g JOIN ({_DOC_TOKENS_SQL}) t "
+    f"ON t.doc_id = g.doc_id AND t.pos = g.pos + 1"
+)
+
 
 def _pred_gold(spark, sf):
     toks = _doc_tokens(spark, sf)
@@ -228,6 +250,39 @@ def _pred_gold(spark, sf):
     )
     gold = pred.filter(F.length("word") >= 5)
     return pred, gold
+
+
+def _gold_alt(spark, sf):
+    """ALTGENE-style gold + alternatives (see the SQL-twin comment above).
+
+    ``gold``: (doc_id, pos, word) over the superset dictionary, len >= 5.
+    ``alt``:  (doc_id, gold_pos, pos) — one alternative span per gold (the
+    adjacent token), keyed back to its gold so recall can credit a gold
+    whose alternative (not its own span) was predicted.
+    """
+    toks = _doc_tokens(spark, sf)
+    dic = _dict_df(spark).select("term")
+    extra = spark.createDataFrame([(w,) for w in GOLD_EXTRA], ["term"])
+    gold_terms = dic.unionByName(extra).distinct()
+    gold = (
+        toks.filter(F.length("word") >= 5)
+        .join(F.broadcast(gold_terms), toks["word"] == gold_terms["term"])
+        .select("doc_id", "pos", "word")
+    )
+    alt = (
+        gold.alias("g")
+        .join(
+            toks.alias("t"),
+            (F.col("t.doc_id") == F.col("g.doc_id"))
+            & (F.col("t.pos") == F.col("g.pos") + 1),
+        )
+        .select(
+            F.col("g.doc_id").alias("doc_id"),
+            F.col("g.pos").alias("gold_pos"),
+            F.col("t.pos").alias("pos"),
+        )
+    )
+    return gold, alt
 
 
 @register(
@@ -279,6 +334,85 @@ def eval_pr(spark, sf):
             "precision_"
         ),
         F.round(F.col("tp") / F.greatest(F.col("n_gold"), F.lit(1)), 6).alias(
+            "recall_"
+        ),
+    )
+
+
+@register(
+    "eval_pr_alt",
+    f"WITH p AS ({_PRED_SQL}), g AS ({_GOLD_ALT_SQL}), a AS ({_ALT_SQL}), "
+    "cp AS (SELECT DISTINCT p.doc_id, p.pos FROM p WHERE "
+    " EXISTS (SELECT 1 FROM g WHERE g.doc_id = p.doc_id AND g.pos = p.pos) OR"
+    " EXISTS (SELECT 1 FROM a WHERE a.doc_id = p.doc_id AND a.pos = p.pos)), "
+    "cg AS (SELECT DISTINCT g.doc_id, g.pos FROM g WHERE "
+    " EXISTS (SELECT 1 FROM p WHERE p.doc_id = g.doc_id AND p.pos = g.pos) OR"
+    " EXISTS (SELECT 1 FROM a JOIN p ON p.doc_id = a.doc_id AND p.pos = a.pos"
+    "         WHERE a.doc_id = g.doc_id AND a.gold_pos = g.pos)) "
+    "SELECT CAST((SELECT COUNT(*) FROM cp) AS BIGINT) AS tp_pred, "
+    "CAST((SELECT COUNT(*) FROM cg) AS BIGINT) AS cred_gold, "
+    "CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_pred, "
+    "CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_gold, "
+    "ROUND((SELECT COUNT(*) FROM cp) * 1.0 / "
+    " GREATEST((SELECT COUNT(*) FROM p), 1), 6) AS precision_, "
+    "ROUND((SELECT COUNT(*) FROM cg) * 1.0 / "
+    " GREATEST((SELECT COUNT(*) FROM g), 1), 6) AS recall_",
+)
+def eval_pr_alt(spark, sf):
+    """P15 with ALTGENE alternative-span credit (SURVEY §2.1 P15, §5.2.2):
+    a prediction is TP if it matches the gold span OR any alternative; a
+    gold is found if its span or any of its alternatives was predicted.
+    Precision counts credited predictions; recall counts credited golds —
+    the BC2 alt_eval protocol re-expressed as flag left-joins + one
+    aggregate per side (both joins are 1:1 by construction: spans are
+    unique per (doc_id, pos), one alternative per gold)."""
+    pred, _ = _pred_gold(spark, sf)
+    gold, alt = _gold_alt(spark, sf)
+
+    p = pred.select("doc_id", "pos")
+    g_direct = gold.select("doc_id", "pos", F.lit(1).alias("hit_gold"))
+    a_span = alt.select("doc_id", "pos", F.lit(1).alias("hit_alt"))
+    p_cred = (
+        p.join(g_direct, ["doc_id", "pos"], "left")
+        .join(a_span, ["doc_id", "pos"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_pred"),
+            F.sum(
+                F.when(
+                    F.col("hit_gold").isNotNull() | F.col("hit_alt").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("tp_pred"),
+        )
+    )
+    g = gold.select("doc_id", F.col("pos").alias("gold_pos"))
+    p_direct = pred.select(
+        "doc_id", F.col("pos").alias("gold_pos"), F.lit(1).alias("p_direct")
+    )
+    p_alt = (
+        alt.join(pred.select("doc_id", "pos"), ["doc_id", "pos"])
+        .select("doc_id", "gold_pos", F.lit(1).alias("p_alt"))
+    )
+    g_cred = (
+        g.join(p_direct, ["doc_id", "gold_pos"], "left")
+        .join(p_alt, ["doc_id", "gold_pos"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_gold"),
+            F.sum(
+                F.when(
+                    F.col("p_direct").isNotNull() | F.col("p_alt").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("cred_gold"),
+        )
+    )
+    return p_cred.crossJoin(g_cred).select(
+        F.col("tp_pred").cast("long").alias("tp_pred"),
+        F.col("cred_gold").cast("long").alias("cred_gold"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("n_gold").cast("long").alias("n_gold"),
+        F.round(F.col("tp_pred") / F.greatest(F.col("n_pred"), F.lit(1)), 6).alias(
+            "precision_"
+        ),
+        F.round(F.col("cred_gold") / F.greatest(F.col("n_gold"), F.lit(1)), 6).alias(
             "recall_"
         ),
     )

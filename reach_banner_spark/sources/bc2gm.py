@@ -126,3 +126,34 @@ def read_mentions(spark: SparkSession, path: str, turns: DataFrame) -> DataFrame
         conv,
         "conv_id string, turn_idx int, begin_char int, end_char int, surface string",
     )
+
+
+def read_alt_mentions(
+    spark: SparkSession, path: str, turns: DataFrame, gold: DataFrame
+) -> DataFrame:
+    """ALTGENE.eval-format lines -> alternative spans keyed to their gold.
+
+    The ALTGENE file shares GENE.eval's line format (``<sentence_id>|<start>
+    <end>|<text>``, non-space offsets); the BC2 alt_eval protocol associates
+    each alternative with the gold gene whose span it OVERLAPS in the same
+    sentence. Output columns match ``eval_exact_span(alt=...)``:
+    (conv_id, turn_idx, gold_begin, gold_end, begin_char, end_char).
+    Alternatives overlapping no gold are dropped (they can credit nothing).
+    """
+    alts = read_mentions(spark, path, turns)
+    g = gold.select(
+        "conv_id",
+        "turn_idx",
+        F.col("begin_char").alias("gold_begin"),
+        F.col("end_char").alias("gold_end"),
+    )
+    return (
+        alts.join(g, ["conv_id", "turn_idx"])
+        .filter(
+            (F.col("begin_char") < F.col("gold_end"))
+            & (F.col("gold_begin") < F.col("end_char"))
+        )
+        .select(
+            "conv_id", "turn_idx", "gold_begin", "gold_end", "begin_char", "end_char"
+        )
+    )

@@ -51,3 +51,48 @@ def test_kfold_eval(lexicon_pdf):
     assert len(folds) == 3
     for m in folds:
         assert m["f1"] >= 0.8, folds
+
+
+def test_eval_exact_span_alt_credit():
+    """ALTGENE alternative-span credit (P15): a prediction matching ONLY an
+    alternative span counts as TP and credits its gold — both precision and
+    recall must change vs the plain metric on the same inputs."""
+    import pandas as pd
+
+    from reach_banner_spark.operators.train import eval_exact_span
+
+    cols = ["conv_id", "turn_idx", "begin_char", "end_char"]
+    # gold: two mentions; pred: one exact hit, one boundary-variant hit,
+    # one spurious
+    gold = pd.DataFrame(
+        [("c1", 0, 10, 15), ("c1", 1, 4, 9)], columns=cols
+    )
+    pred = pd.DataFrame(
+        [("c1", 0, 10, 15),   # exact match of gold #1
+         ("c1", 1, 4, 12),    # matches ONLY the alternative of gold #2
+         ("c1", 2, 0, 3)],    # spurious
+        columns=cols,
+    )
+    alt = pd.DataFrame(
+        [("c1", 1, 4, 9, 4, 12)],  # gold #2 accepts the wider boundary
+        columns=["conv_id", "turn_idx", "gold_begin", "gold_end",
+                 "begin_char", "end_char"],
+    )
+
+    plain = eval_exact_span(pred, gold)
+    with_alt = eval_exact_span(pred, gold, alt)
+    assert plain["tp"] == 1 and with_alt["tp"] == 2
+    assert plain["precision"] == 1 / 3 and with_alt["precision"] == 2 / 3
+    assert plain["recall"] == 1 / 2 and with_alt["recall"] == 1.0
+    # alt=None and empty alt are the plain metric exactly
+    assert eval_exact_span(pred, gold, alt.iloc[0:0]) == plain
+    # an alternative whose gold is NOT in the gold set credits nothing
+    stray = pd.DataFrame(
+        [("c1", 2, 99, 100, 0, 3)],
+        columns=["conv_id", "turn_idx", "gold_begin", "gold_end",
+                 "begin_char", "end_char"],
+    )
+    with_stray = eval_exact_span(pred, gold, stray)
+    assert with_stray["recall"] == plain["recall"]
+    assert with_stray["precision"] == plain["precision"]
+    assert with_stray["tp"] == plain["tp"]
