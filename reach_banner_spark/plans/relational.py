@@ -325,10 +325,30 @@ def agg_distinct(spark, sf):
     )
 
 
-@register("agg_approx", None)  # HLL estimate: tolerance-checked in pytest, ∅-oracle
+@register(
+    "agg_approx",
+    # The HLL estimate itself can't hash-match an exact engine, so the
+    # CONTRACT row checks the tolerance PROPERTY: the exact distinct count
+    # (oracle-comparable) plus a boolean asserting the approx estimate
+    # landed within 5% of it (2.5x the requested 2% rsd). DuckDB's side is
+    # the same exact count and a literal TRUE — if Spark's estimate ever
+    # drifts out of tolerance the hash comparison fails. The raw-estimate
+    # variant stays pytest-checked (test_misc_ops).
+    "SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust, "
+    "TRUE AS approx_within_5pct FROM orders",
+)
 def agg_approx(spark, sf):
     o = _t(spark, sf, "orders")
-    return o.agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_cust"))
+    return o.agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_cust"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", 0.02)
+                - F.count_distinct("o_custkey")
+            )
+            <= F.count_distinct("o_custkey") * 0.05
+        ).alias("approx_within_5pct"),
+    )
 
 
 @register(

@@ -9,16 +9,25 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_agg_approx_within_rsd(spark):
+    from pyspark.sql import functions as F
+
     from reach_banner_spark.plans.relational import REGISTRY
 
-    got = REGISTRY["agg_approx"][0](spark, SF).collect()[0]["approx_cust"]
+    row = REGISTRY["agg_approx"][0](spark, SF).collect()[0]
     exact = (
         spark.read.parquet(f"{SF}/orders.parquet")
         .select("o_custkey")
         .distinct()
         .count()
     )
-    # rsd=0.02; allow 5 sigma
+    assert row["exact_cust"] == exact
+    assert row["approx_within_5pct"] is True
+    # raw HLL estimate sanity (rsd=0.02; allow 5 sigma)
+    got = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("a"))
+        .collect()[0]["a"]
+    )
     assert abs(got - exact) <= max(5, 0.10 * exact), (got, exact)
 
 
@@ -289,3 +298,33 @@ def test_fuzzy_link_paths_agree(spark, small_turns, lexicon_pdf, model_path):
     # anything (exact misses, LSH candidate hits)
     fuzzy_hits = [r for r in broadcast_path if r[4] is not None]
     assert fuzzy_hits, "no linked mentions at all"
+
+
+def test_recognize_batch_throughput_floor(model_path, lexicon_pdf):
+    """Per-batch micro-benchmark for the mention core (r2 VERDICT #6):
+    rows/sec of recognize_batch on a fixed 10k-turn batch, so a real
+    featurizer/decoder regression is distinguishable from VM noise in the
+    end-to-end bench. Threshold is GENEROUS (~5x below the warm steady
+    state measured on this box) — it catches order-of-magnitude
+    regressions, not epoch jitter."""
+    import time
+
+    from reach_banner_spark.fixtures import make_turns
+    from reach_banner_spark.operators.crf import CrfModel
+    from reach_banner_spark.operators.mentions import recognize_batch
+
+    turns_pdf, _ = make_turns(n_convs=500, skew_conv_turns=40, lexicon=lexicon_pdf)
+    batch = turns_pdf.iloc[:10_000].reset_index(drop=True)
+    assert len(batch) == 10_000, len(batch)
+    model = CrfModel.load_npz(model_path)
+
+    recognize_batch(batch.iloc[:500], model)  # warm numpy/feature caches
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = recognize_batch(batch, model)
+        best = min(best, time.perf_counter() - t0)
+    assert len(out) > 0
+    rows_per_sec = len(batch) / best
+    # warm steady state on this box: ~12.7k rows/s single-core; floor at 2.5k
+    assert rows_per_sec > 2_500, f"mention core at {rows_per_sec:.0f} rows/s"
