@@ -9,9 +9,14 @@ Jaccard, plus a broadcast exact-match join for the easy path.
 Scale design:
 - the lexicon is a small dimension table -> always ``broadcast()`` joined;
   the big mentions side never shuffles for the exact path;
-- LSH banding turns the all-pairs O(N*M) similarity problem into an
-  equi-join on (band_idx, band_hash): Catalyst broadcasts the exploded
-  lexicon band table, so the candidate join is also shuffle-free;
+- LSH banding turns the all-pairs O(N*M) similarity problem into bucket
+  lookups. Below the 100k-alias gate the WHOLE fuzzy step (candidate
+  generation via per-band sorted-array searchsorted against a broadcast
+  lexicon band index, exact-Jaccard verify, per-surface argmax) fuses into
+  one mapInPandas over distinct surfaces — the fact side pays exactly ONE
+  shuffle (the distinct). Above the gate, the distributed twin equi-joins
+  band tables on (band_idx, band_hash) — two more shuffles, the right
+  trade only when the lexicon can't be broadcast;
 - Jaccard verification is a vectorized pandas pass over candidates only.
 
 The pandas-level helpers (shingles / signatures / bands) are shared with
@@ -213,59 +218,85 @@ def fuzzy_best_broadcast(
     smallest alias.
     """
     spark = distinct_surfaces.sparkSession
-    lex_index: dict[tuple[int, int], list[str]] = {}
-    if lex_keys:
-        bh = band_hashes(pd.Series(lex_keys))
-        for alias, row in zip(lex_keys, bh):
-            for bi, h in enumerate(row):
-                lex_index.setdefault((bi, int(h)), []).append(alias)
-    bc = spark.sparkContext.broadcast(lex_index)
+    # Broadcast payload is per-band SORTED hash arrays + alias indices (not
+    # a python dict): ~16 bytes/alias/band vs hundreds for dict entries —
+    # at the 100k-alias gate that is ~50 MB to every executor instead of
+    # several hundred, and candidate lookup becomes one vectorized
+    # searchsorted per band. Aliases are pre-sorted lexicographically so
+    # alias-index order IS lexicographic order (the tie-break below).
+    lex_sorted = sorted(lex_keys)
+    per_band: list[tuple[np.ndarray, np.ndarray]] = []
+    if lex_sorted:
+        bh = band_hashes(pd.Series(lex_sorted))
+        for b in range(bh.shape[1]):
+            order = np.argsort(bh[:, b], kind="stable").astype(np.int64)
+            per_band.append((bh[order, b], order))
+    bc = spark.sparkContext.broadcast(
+        (np.array(lex_sorted, dtype=object), per_band)
+    )
     minj = float(min_jaccard)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        idx = bc.value
+        keys_arr, bands_idx = bc.value
+        m = len(keys_arr)
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n or m == 0:
                 continue
             surfaces = pdf["surface_key"].to_numpy()
             men_b = band_hashes(pdf["surface_key"])
-            owners: list[int] = []
-            aliases: list[str] = []
-            for i, row in enumerate(men_b):
-                cand: set[str] = set()
-                for bi, h in enumerate(row):
-                    cand.update(idx.get((bi, int(h)), ()))
-                if cand:
-                    cl = sorted(cand)
-                    owners.extend([i] * len(cl))
-                    aliases.extend(cl)
-            if not aliases:
+            owner_chunks: list[np.ndarray] = []
+            alias_chunks: list[np.ndarray] = []
+            for b, (sorted_h, order) in enumerate(bands_idx):
+                h = men_b[:, b]
+                lo = np.searchsorted(sorted_h, h, side="left")
+                hi = np.searchsorted(sorted_h, h, side="right")
+                cnt = hi - lo
+                total = int(cnt.sum())
+                if not total:
+                    continue
+                rep = np.repeat(np.arange(n, dtype=np.int64), cnt)
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt
+                )
+                owner_chunks.append(rep)
+                alias_chunks.append(order[lo[rep] + within])
+            if not owner_chunks:
                 continue
+            # dedupe (owner, alias) across bands; unique() sorts, and since
+            # aliases were pre-sorted lexicographically the pairs come out
+            # grouped by owner with aliases in lexicographic order
+            pair_key = np.concatenate(owner_chunks) * np.int64(m) + np.concatenate(
+                alias_chunks
+            )
+            pair_key = np.unique(pair_key)
+            owners = pair_key // m
+            alias_idx = pair_key % m
             # ONE vectorized jaccard pass over every candidate pair in the
             # batch (the expensive part); the argmax below touches only the
             # few candidates per surface
             js = jaccard_pairs(
-                pd.Series(surfaces[np.array(owners)]), pd.Series(aliases)
+                pd.Series(surfaces[owners]), pd.Series(keys_arr[alias_idx])
             )
             out_s: list[str] = []
             out_a: list[str] = []
             out_j: list[float] = []
             k = 0
-            n_pairs = len(aliases)
+            n_pairs = len(owners)
             while k < n_pairs:
                 e = k
                 best_j = -1.0
-                best_a = ""
+                best_i = -1
                 while e < n_pairs and owners[e] == owners[k]:
                     # aliases are sorted asc within a surface, so strictly-
                     # greater keeps the lexicographically smallest on ties
                     if js[e] > best_j:
                         best_j = float(js[e])
-                        best_a = aliases[e]
+                        best_i = e
                     e += 1
                 if best_j >= minj:
                     out_s.append(surfaces[owners[k]])
-                    out_a.append(best_a)
+                    out_a.append(keys_arr[alias_idx[best_i]])
                     out_j.append(best_j)
                 k = e
             yield pd.DataFrame(
