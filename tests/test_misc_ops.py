@@ -328,3 +328,26 @@ def test_recognize_batch_throughput_floor(model_path, lexicon_pdf):
     rows_per_sec = len(batch) / best
     # warm steady state on this box: ~12.7k rows/s single-core; floor at 2.5k
     assert rows_per_sec > 2_500, f"mention core at {rows_per_sec:.0f} rows/s"
+
+
+def test_persist_swap_lifecycle(spark):
+    """caching.persist_swap: materializes the new DataFrame, then releases
+    intermediates from PRIOR invocations (bounded executor storage across a
+    long session) — and never unpersists the frame it just cached."""
+    from pyspark.storagelevel import StorageLevel
+
+    from reach_banner_spark.caching import persist_swap, release_all
+
+    release_all()
+    a = spark.range(100).selectExpr("id", "id * 2 AS v")
+    a = persist_swap(a)
+    assert a.storageLevel != StorageLevel.NONE
+    b = spark.range(50).selectExpr("id", "id + 1 AS w")
+    b = persist_swap(b)
+    assert b.storageLevel != StorageLevel.NONE
+    assert a.storageLevel == StorageLevel.NONE  # prior cache released
+    # re-swapping the SAME frame must keep it cached
+    b2 = persist_swap(b)
+    assert b2.storageLevel != StorageLevel.NONE
+    release_all()
+    assert b.storageLevel == StorageLevel.NONE
