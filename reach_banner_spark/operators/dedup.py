@@ -271,19 +271,30 @@ def doc_embed_pandas(texts: "pd.Series | np.ndarray") -> np.ndarray:
 
 
 def doc_embeddings(d: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, embedding: array<double>) via the hashed-BoW projection."""
+    """(doc_id, embedding: array<double>) via the hashed-BoW projection.
+
+    mapInArrow: the (n, EMB_DIM) matrix goes out as ONE flat float64
+    buffer + stride offsets (zero-copy from numpy), same pattern as
+    ``doc_shingle_bands``."""
+    import pyarrow as pa
+
     narrow = d.select("doc_id", text_col)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            vecs = doc_embed_pandas(pdf[text_col])
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].to_numpy(), "embedding": list(vecs)}
+            vecs = doc_embed_pandas(rb.column(1).to_pandas())
+            offsets = np.arange(n + 1, dtype=np.int32) * EMB_DIM
+            arr = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(vecs.reshape(-1), type=pa.float64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), arr], ["doc_id", "embedding"]
             )
 
-    return narrow.mapInPandas(run, "doc_id long, embedding array<double>")
+    return narrow.mapInArrow(run, "doc_id long, embedding array<double>")
 
 
 @register("dedup_embedding_cosine", None)  # pytest-golden vs exhaustive cosine
