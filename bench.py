@@ -104,6 +104,26 @@ def main() -> None:
     # warm the JVM/python-worker pool once (excluded from timings)
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    # epoch control: a fixed JVM-only aggregation whose wall classifies the
+    # host state this bench ran in (this shared VM drifts between quiet and
+    # kernel-time-dominated epochs that move multi-minute walls 2x; see
+    # BENCH/scaling_r3_host_state.json). Compare across rounds BEFORE
+    # comparing query walls.
+    ctl = []
+    for _ in range(2):
+        t0 = time.time()
+        (
+            spark.range(30_000_000)
+            .selectExpr("id % 10000 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        ctl.append(round(time.time() - t0, 3))
+    epoch_control = min(ctl)
+
     trials: dict[str, list[float]] = {}
 
     def timed(key: str, run) -> None:
@@ -158,6 +178,7 @@ def main() -> None:
                 "queries": times,
                 "trials": trials,
                 "n_trials": TRIALS,
+                "epoch_control_sec": epoch_control,
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "kg_turns": n_turns,
