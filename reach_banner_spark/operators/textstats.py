@@ -166,3 +166,78 @@ def doc_fingerprint(spark, sf):
     return d.select("doc_id", F.array_min(tri).alias("fingerprint")).filter(
         F.col("fingerprint").isNotNull()
     )
+
+
+@register(
+    "corpus_filter",
+    # The canonical LLM training-data filter as ONE query: language gate +
+    # quality gates + exact-dup survivorship. The dedup window keeps the
+    # min doc_id per MD5(text); quality thresholds chosen to be selective
+    # on this corpus (~55% survives). Same spelling both engines.
+    "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+    "ROUND(sw_ratio, 6) AS stopword_ratio FROM ("
+    " SELECT doc_id, text, n_words, punct_ratio, sw_ratio, en_hits, "
+    "  MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keeper FROM ("
+    "  SELECT doc_id, text, "
+    "   LEN(string_split(text, ' ')) AS n_words, "
+    "   LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0"
+    "    / GREATEST(LENGTH(text), 1) AS punct_ratio, "
+    f"   LEN(list_filter(string_split(LOWER(text), ' '), w -> w IN ({_SW_SQL})))"
+    "    * 1.0 / GREATEST(LEN(string_split(text, ' ')), 1) AS sw_ratio, "
+    "   LEN(list_filter(string_split(LOWER(text), ' '), "
+    "    w -> w IN ('the', 'and', 'of'))) AS en_hits "
+    "  FROM documents) s"
+    ") WHERE en_hits > 0 AND n_words >= 20 AND punct_ratio <= 0.1 "
+    "AND sw_ratio >= 0.05 AND doc_id = keeper",
+)
+def corpus_filter(spark, sf):
+    """End-to-end training-data corpus filter (the composition a 100 TB
+    ingest pipeline runs first): English gate (marker heuristic, same as
+    ``lang_id``'s 'en' arm), quality gates (min length, punctuation cap,
+    stopword floor — ``text_quality``'s signals), and exact-duplicate
+    survivorship (min doc_id per MD5, ``dedup_exact``'s grouping as a
+    window). One scan + one window shuffle on MD5(text); all gates are
+    pure JVM expressions evaluated BEFORE the shuffle where possible
+    (Catalyst pushes the quality filters below the window only when they
+    don't reference the window — here the dup window must see all rows,
+    so the window runs first and the gates prune after; at 100 TB you
+    split this into hash-dedup then filter, which ``dedup_exact`` +
+    this key's gates compose to)."""
+    d = _docs(spark, sf)
+    from pyspark.sql.window import Window
+
+    lower_words = F.split(F.lower("text"), " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    en = F.array(F.lit("the"), F.lit("and"), F.lit("of"))
+    n_words = F.size(F.split("text", " "))
+    punct_ratio = (
+        F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    sw_ratio = (
+        F.size(F.filter(lower_words, lambda w: F.array_contains(sw, w))).cast(
+            "double"
+        )
+        / F.greatest(n_words, F.lit(1))
+    )
+    en_hits = F.size(F.filter(lower_words, lambda w: F.array_contains(en, w)))
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    scored = d.select(
+        "doc_id",
+        "text",
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        sw_ratio.alias("sw_ratio"),
+        en_hits.alias("en_hits"),
+    ).withColumn("keeper", keeper)
+    return scored.filter(
+        (F.col("en_hits") > 0)
+        & (F.col("n_words") >= 20)
+        & (F.col("punct_ratio") <= 0.1)
+        & (F.col("sw_ratio") >= 0.05)
+        & (F.col("doc_id") == F.col("keeper"))
+    ).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("sw_ratio", 6).alias("stopword_ratio"),
+    )
