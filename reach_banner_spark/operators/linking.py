@@ -173,9 +173,15 @@ _BANDS_SCHEMA = T.StructType(
 )
 
 
-def surface_bands(df: DataFrame, surface_col: str = "surface_key") -> DataFrame:
-    """Explode a distinct-surface DataFrame into (surface, band_idx, band_hash)."""
-    narrow = df.select(surface_col).distinct()
+def surface_bands(
+    df: DataFrame, surface_col: str = "surface_key", pre_distinct: bool = False
+) -> DataFrame:
+    """Explode a distinct-surface DataFrame into (surface, band_idx, band_hash).
+
+    ``pre_distinct=True`` skips the dedup shuffle when the caller already
+    holds distinct surfaces (re-distincting an already-distinct column is
+    a pure-waste Exchange)."""
+    narrow = df.select(surface_col) if pre_distinct else df.select(surface_col).distinct()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -312,38 +318,63 @@ def fuzzy_best_distributed(
     min_jaccard: float,
 ) -> DataFrame:
     """Large-lexicon fallback (> broadcast cutoff): band tables on both
-    sides, candidate equi-join on (band_idx, band_hash), exact-Jaccard
-    verify, per-surface best via row_number. Same output as
-    ``fuzzy_best_broadcast`` (tested equal); costs two more shuffles
-    (candidate distinct + window), which is the right trade only when the
-    lexicon itself is too big to broadcast."""
-    from pyspark.sql import Window
-
+    sides, candidate equi-join on (band_idx, band_hash), then ONE groupBy
+    on surface collecting the candidate alias set, with exact-Jaccard
+    verify + argmax fused in the same applyInPandas pass. Same output as
+    ``fuzzy_best_broadcast`` (tested equal). Shuffle ledger on the fact
+    side: candidate groupBy only (the old distinct + row_number window
+    spelling paid two); the right trade only when the lexicon itself is
+    too big to broadcast."""
     lex_bands = surface_bands(
-        lex.select(F.col("alias_key").alias("surface_key"))
+        lex.select(F.col("alias_key").alias("surface_key")), pre_distinct=True
     ).withColumnRenamed("surface_key", "alias_key")
-    men_bands = surface_bands(distinct_surfaces)
-    cands = (
+    men_bands = surface_bands(distinct_surfaces, pre_distinct=True)
+    grouped = (
         men_bands.join(F.broadcast(lex_bands), ["band_idx", "band_hash"])
-        .select("surface_key", "alias_key")
-        .distinct()
+        .groupBy("surface_key")
+        .agg(F.sort_array(F.collect_set("alias_key")).alias("aliases"))
     )
+    minj = float(min_jaccard)
 
-    @F.pandas_udf("double")
-    def jacc(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(jaccard_pairs(a, b))
+    def best(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            surfaces = pdf["surface_key"].to_numpy()
+            counts = pdf["aliases"].map(len).to_numpy()
+            flat_aliases = [a for row in pdf["aliases"] for a in row]
+            if not flat_aliases:
+                continue
+            owners = np.repeat(np.arange(len(pdf)), counts)
+            js = jaccard_pairs(
+                pd.Series(surfaces[owners]), pd.Series(flat_aliases)
+            )
+            out_s: list[str] = []
+            out_a: list[str] = []
+            out_j: list[float] = []
+            k = 0
+            n_pairs = len(flat_aliases)
+            while k < n_pairs:
+                e = k
+                best_j = -1.0
+                best_i = -1
+                while e < n_pairs and owners[e] == owners[k]:
+                    # aliases sorted asc per surface (sort_array), so
+                    # strictly-greater keeps the smallest alias on ties
+                    if js[e] > best_j:
+                        best_j = float(js[e])
+                        best_i = e
+                    e += 1
+                if best_j >= minj:
+                    out_s.append(surfaces[owners[k]])
+                    out_a.append(flat_aliases[best_i])
+                    out_j.append(best_j)
+                k = e
+            yield pd.DataFrame(
+                {"surface_key": out_s, "alias_key": out_a, "jaccard": out_j}
+            )
 
-    verified = cands.withColumn("jaccard", jacc("surface_key", "alias_key")).filter(
-        F.col("jaccard") >= F.lit(min_jaccard)
-    )
-    w = Window.partitionBy("surface_key").orderBy(
-        F.desc("jaccard"), F.asc("alias_key")
-    )
-    return (
-        verified.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return grouped.mapInPandas(best, _BEST_SCHEMA)
 
 
 def link_mentions(
@@ -415,7 +446,7 @@ def entity_edges(lexicon: DataFrame, min_jaccard: float = 0.4) -> DataFrame:
     canonicalization via connected components (G3).
     """
     ents = lexicon.select("entity_id", F.lower("canonical").alias("surface_key")).distinct()
-    bands = surface_bands(ents)
+    bands = surface_bands(ents.select("surface_key").distinct(), pre_distinct=True)
     a = bands.join(ents, "surface_key").select(
         F.col("entity_id").alias("src"),
         F.col("surface_key").alias("ka"),
