@@ -409,6 +409,18 @@ def link_mentions(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+    # ONE size-gate job (limit-collect). Below the cutoff the collected
+    # rows REPLACE the windowed plan with a local relation: the dedup
+    # window would otherwise re-run (scan + Exchange on alias_key) once
+    # per downstream branch — three dimension-side shuffles per pipeline
+    # run for a table the driver already holds. (Previously a .count()
+    # job AND a .collect() job ran serially here.)
+    lex_rows = lex.limit(broadcast_lex_cutoff + 1).collect()
+    small_lex = len(lex_rows) <= broadcast_lex_cutoff
+    if small_lex:
+        lex = mentions.sparkSession.createDataFrame(lex_rows, schema=lex.schema)
+
     m = mentions.withColumn("surface_key", F.lower(F.col("surface")))
 
     exact = m.join(
@@ -420,15 +432,10 @@ def link_mentions(
         "entity_id", "canonical"
     )
 
-    # ONE size-gate job (limit-collect): <= cutoff rows -> we already hold
-    # the alias keys for the broadcast path; > cutoff -> distributed twin.
-    # (Previously a .count() job AND a .collect() job ran serially here —
-    # driver-serial fixed cost between the pipeline's stage barriers.)
-    lex_rows = lex.select("alias_key").limit(broadcast_lex_cutoff + 1).collect()
     distinct_surfaces = unlinked.select("surface_key").distinct()
-    if len(lex_rows) <= broadcast_lex_cutoff:
+    if small_lex:
         best = fuzzy_best_broadcast(
-            distinct_surfaces, [r[0] for r in lex_rows], min_jaccard
+            distinct_surfaces, [r["alias_key"] for r in lex_rows], min_jaccard
         )
     else:
         best = fuzzy_best_distributed(distinct_surfaces, lex, min_jaccard)

@@ -153,3 +153,35 @@ def test_bucketed_join_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in join_part, (
         f"shuffle above the bucketed join:\n{join_part}"
     )
+
+
+def test_link_plan_single_fact_shuffle(spark, small_turns, lexicon_pdf, model_path):
+    """The dimension-scale linking plan must contain EXACTLY ONE shuffle
+    Exchange — the distinct over unlinked surfaces. Everything else is
+    broadcast (exact join, best-match join, lexicon local relation): the
+    structural property the round-3 fusion bought, pinned so a refactor
+    can't silently reintroduce the candidate-distinct / row_number-window
+    shuffles (r2 plan) or the per-branch lexicon dedup window."""
+    from reach_banner_spark import schemas
+    from reach_banner_spark.operators.linking import link_mentions
+    from reach_banner_spark.operators.mentions import detect_mentions, paren_balanced
+
+    turns_pdf, _ = small_turns
+    turns = spark.createDataFrame(turns_pdf.iloc[:200], schema=schemas.TURNS)
+    lexicon = spark.createDataFrame(lexicon_pdf, schema=schemas.LEXICON)
+    linked = link_mentions(
+        detect_mentions(turns, model_path).filter(paren_balanced("surface")),
+        lexicon,
+    )
+    plan = linked._jdf.queryExecution().executedPlan().toString()
+    shuffles = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        or "Exchange rangepartitioning" in line
+        or "Exchange SinglePartition" in line
+    ]
+    assert len(shuffles) == 1, f"expected 1 shuffle Exchange, got:\n" + "\n".join(
+        shuffles
+    )
+    assert "surface_key" in shuffles[0]
