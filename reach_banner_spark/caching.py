@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
+_LIVE_BC: list = []
 
 
 def persist_swap(df: DataFrame) -> DataFrame:
@@ -43,10 +44,37 @@ def persist_swap(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_broadcast(bc):
+    """Track a SparkContext broadcast backing a lazily-consumed DataFrame
+    (the fuzzy-link band index) and unpersist broadcasts from *prior*
+    invocations — without this, repeated ``link_mentions`` calls in one
+    long session accumulate ~tens-of-MB broadcast blocks on every executor
+    (ADVICE r3). Same lifecycle contract as ``persist_swap``: by the time a
+    new invocation broadcasts, the previous invocation's consumers have
+    materialized. ``unpersist`` (not ``destroy``) so a later recompute of
+    an unpersisted upstream DataFrame can still re-fetch the value from
+    the driver."""
+    while _LIVE_BC:
+        prev = _LIVE_BC.pop()
+        if prev is bc:
+            continue
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
+    _LIVE_BC.append(bc)
+    return bc
+
+
 def release_all() -> None:
     """Eagerly unpersist everything tracked (test teardown hook)."""
     while _LIVE:
         try:
             _LIVE.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+    while _LIVE_BC:
+        try:
+            _LIVE_BC.pop().destroy()
         except Exception:
             pass

@@ -41,7 +41,7 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nb = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src")
@@ -70,16 +70,25 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("a")
-            .join(labels.alias("b"), "node")
-            .filter(F.col("a.comp") != F.col("b.comp"))
-            .limit(1)
-            .count()
-        )
+        # epoch-batched fixpoint probe (VERDICT r3): the limit(1).count()
+        # convergence check is a driver barrier per round; with pointer
+        # jumping the round count is already O(log n), so probing every
+        # SECOND round halves the barriers for at most one extra (cheap,
+        # already-converged) iteration. Comparing jumped vs the previous
+        # round's labels is still a sound fixpoint test: if the latest
+        # single round changed nothing, the iteration is at its fixpoint.
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (
+                jumped.alias("a")
+                .join(labels.alias("b"), "node")
+                .filter(F.col("a.comp") != F.col("b.comp"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = jumped
+                break
         labels = jumped
-        if changed == 0:
-            break
     return labels
 
 

@@ -203,6 +203,33 @@ def surface_bands(
 _BEST_SCHEMA = "surface_key string, alias_key string, jaccard double"
 
 
+def _segmented_argmax(
+    owners: np.ndarray, js: np.ndarray, minj: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-owner argmax over owner-sorted candidate pairs.
+
+    For every owner segment whose max jaccard >= ``minj``, returns the
+    segment's start row (``owner_rows`` — for reading the owner id) and
+    the FIRST row attaining the segment max (``best_rows``). Candidates
+    are sorted by alias within each owner on both call sites, so
+    first-max == lexicographically-smallest alias on ties — identical to
+    the scalar walk this replaces (the last per-element Python loop on
+    the linking hot path). The equality test is exact: ``reduceat`` max
+    returns an element value, no arithmetic.
+    """
+    n = len(owners)
+    starts = np.flatnonzero(np.r_[True, owners[1:] != owners[:-1]])
+    seg_max = np.maximum.reduceat(js, starts)
+    counts = np.diff(np.r_[starts, n])
+    seg_id = np.repeat(np.arange(len(starts)), counts)
+    cand = np.flatnonzero(js == seg_max[seg_id])
+    seg_of_cand = seg_id[cand]
+    first = np.flatnonzero(np.r_[True, seg_of_cand[1:] != seg_of_cand[:-1]])
+    best = cand[first]
+    keep = seg_max >= minj
+    return starts[keep], best[keep]
+
+
 def fuzzy_best_broadcast(
     distinct_surfaces: DataFrame,
     lex_keys: list[str],
@@ -237,8 +264,12 @@ def fuzzy_best_broadcast(
         for b in range(bh.shape[1]):
             order = np.argsort(bh[:, b], kind="stable").astype(np.int64)
             per_band.append((bh[order, b], order))
-    bc = spark.sparkContext.broadcast(
-        (np.array(lex_sorted, dtype=object), per_band)
+    from ..caching import track_broadcast
+
+    bc = track_broadcast(
+        spark.sparkContext.broadcast(
+            (np.array(lex_sorted, dtype=object), per_band)
+        )
     )
     minj = float(min_jaccard)
 
@@ -281,32 +312,19 @@ def fuzzy_best_broadcast(
             # ONE vectorized jaccard pass over every candidate pair in the
             # batch (the expensive part); the argmax below touches only the
             # few candidates per surface
-            js = jaccard_pairs(
-                pd.Series(surfaces[owners]), pd.Series(keys_arr[alias_idx])
+            js = np.asarray(
+                jaccard_pairs(
+                    pd.Series(surfaces[owners]), pd.Series(keys_arr[alias_idx])
+                ),
+                dtype=np.float64,
             )
-            out_s: list[str] = []
-            out_a: list[str] = []
-            out_j: list[float] = []
-            k = 0
-            n_pairs = len(owners)
-            while k < n_pairs:
-                e = k
-                best_j = -1.0
-                best_i = -1
-                while e < n_pairs and owners[e] == owners[k]:
-                    # aliases are sorted asc within a surface, so strictly-
-                    # greater keeps the lexicographically smallest on ties
-                    if js[e] > best_j:
-                        best_j = float(js[e])
-                        best_i = e
-                    e += 1
-                if best_j >= minj:
-                    out_s.append(surfaces[owners[k]])
-                    out_a.append(keys_arr[alias_idx[best_i]])
-                    out_j.append(best_j)
-                k = e
+            o_rows, b_rows = _segmented_argmax(owners, js, minj)
             yield pd.DataFrame(
-                {"surface_key": out_s, "alias_key": out_a, "jaccard": out_j}
+                {
+                    "surface_key": surfaces[owners[o_rows]],
+                    "alias_key": keys_arr[alias_idx[b_rows]],
+                    "jaccard": js[b_rows],
+                }
             )
 
     return distinct_surfaces.mapInPandas(run, _BEST_SCHEMA)
@@ -346,32 +364,20 @@ def fuzzy_best_distributed(
             if not flat_aliases:
                 continue
             owners = np.repeat(np.arange(len(pdf)), counts)
-            js = jaccard_pairs(
-                pd.Series(surfaces[owners]), pd.Series(flat_aliases)
+            alias_arr = np.array(flat_aliases, dtype=object)
+            js = np.asarray(
+                jaccard_pairs(
+                    pd.Series(surfaces[owners]), pd.Series(flat_aliases)
+                ),
+                dtype=np.float64,
             )
-            out_s: list[str] = []
-            out_a: list[str] = []
-            out_j: list[float] = []
-            k = 0
-            n_pairs = len(flat_aliases)
-            while k < n_pairs:
-                e = k
-                best_j = -1.0
-                best_i = -1
-                while e < n_pairs and owners[e] == owners[k]:
-                    # aliases sorted asc per surface (sort_array), so
-                    # strictly-greater keeps the smallest alias on ties
-                    if js[e] > best_j:
-                        best_j = float(js[e])
-                        best_i = e
-                    e += 1
-                if best_j >= minj:
-                    out_s.append(surfaces[owners[k]])
-                    out_a.append(flat_aliases[best_i])
-                    out_j.append(best_j)
-                k = e
+            o_rows, b_rows = _segmented_argmax(owners, js, minj)
             yield pd.DataFrame(
-                {"surface_key": out_s, "alias_key": out_a, "jaccard": out_j}
+                {
+                    "surface_key": surfaces[owners[o_rows]],
+                    "alias_key": alias_arr[b_rows],
+                    "jaccard": js[b_rows],
+                }
             )
 
     return grouped.mapInPandas(best, _BEST_SCHEMA)

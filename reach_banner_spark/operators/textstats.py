@@ -175,7 +175,7 @@ def doc_fingerprint(spark, sf):
     # min doc_id per MD5(text); quality thresholds chosen to be selective
     # on this corpus (~55% survives). Same spelling both engines.
     "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
-    "ROUND(sw_ratio, 6) AS stopword_ratio FROM ("
+    "printf('%.6f', sw_ratio) AS stopword_ratio FROM ("
     " SELECT doc_id, text, n_words, punct_ratio, sw_ratio, en_hits, "
     "  MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keeper FROM ("
     "  SELECT doc_id, text, "
@@ -239,5 +239,11 @@ def corpus_filter(spark, sf):
     ).select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
-        F.round("sw_ratio", 6).alias("stopword_ratio"),
+        # formatted string, not ROUND(double, 6): Spark's ROUND (BigDecimal
+        # HALF_UP) and DuckDB's can disagree at decimal tie points, and the
+        # float rule requires decimal-exact or formatted-string outputs.
+        # %.6f of a double is correctly rounded identically on the JVM and
+        # in C (no double is an exact 7-digit decimal tie), so the strings
+        # match byte-for-byte (ADVICE r3).
+        F.format_string("%.6f", F.col("sw_ratio")).alias("stopword_ratio"),
     )

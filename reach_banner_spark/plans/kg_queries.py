@@ -314,16 +314,27 @@ def eval_pr(spark, sf):
     pred, gold = _pred_gold(spark, sf)
     p = pred.select("doc_id", "pos", F.lit(1).alias("is_pred"))
     g = gold.select("doc_id", "pos", F.lit(1).alias("is_gold"))
+    # coalesce every SUM: over an empty join SUM yields NULL while the
+    # DuckDB oracle's COUNT(*) yields 0 — an empty pred+gold corpus must
+    # produce (0, 0, 0, 0, 0), not NULLs (ADVICE r3)
     agg = (
         p.join(g, ["doc_id", "pos"], "full_outer")
         .agg(
-            F.sum(
-                F.when(
-                    F.col("is_pred").isNotNull() & F.col("is_gold").isNotNull(), 1
-                ).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("is_pred").isNotNull() & F.col("is_gold").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             ).alias("tp"),
-            F.sum(F.coalesce("is_pred", F.lit(0))).alias("n_pred"),
-            F.sum(F.coalesce("is_gold", F.lit(0))).alias("n_gold"),
+            F.coalesce(F.sum(F.coalesce("is_pred", F.lit(0))), F.lit(0)).alias(
+                "n_pred"
+            ),
+            F.coalesce(F.sum(F.coalesce("is_gold", F.lit(0))), F.lit(0)).alias(
+                "n_gold"
+            ),
         )
     )
     return agg.select(
@@ -377,10 +388,16 @@ def eval_pr_alt(spark, sf):
         .join(a_span, ["doc_id", "pos"], "left")
         .agg(
             F.count(F.lit(1)).alias("n_pred"),
-            F.sum(
-                F.when(
-                    F.col("hit_gold").isNotNull() | F.col("hit_alt").isNotNull(), 1
-                ).otherwise(0)
+            # coalesce: SUM over zero rows is NULL, oracle COUNT is 0
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("hit_gold").isNotNull()
+                        | F.col("hit_alt").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             ).alias("tp_pred"),
         )
     )
@@ -397,10 +414,15 @@ def eval_pr_alt(spark, sf):
         .join(p_alt, ["doc_id", "gold_pos"], "left")
         .agg(
             F.count(F.lit(1)).alias("n_gold"),
-            F.sum(
-                F.when(
-                    F.col("p_direct").isNotNull() | F.col("p_alt").isNotNull(), 1
-                ).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("p_direct").isNotNull()
+                        | F.col("p_alt").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             ).alias("cred_gold"),
         )
     )

@@ -585,6 +585,25 @@ def join_bucketed(spark, sf):
         "lineitem": f"rbs_bucketed.lineitem_b_{tag}",
     }
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    # GC stale fingerprints (ADVICE r3): every source-parquet regeneration
+    # mints a new tag, and without cleanup the warehouse grows one orphaned
+    # table pair per regeneration. Drop any table sharing this basename
+    # prefix but not the current fingerprint — catalog entry and on-disk
+    # location both (the in-memory catalog forgets across sessions, so the
+    # disk sweep covers orphans the catalog no longer knows).
+    import shutil
+
+    base = os.path.basename(sf.rstrip("/")).replace(".", "_")
+    db_dir = os.path.join(warehouse.removeprefix("file:"), "rbs_bucketed.db")
+    for tbl in ("orders", "lineitem"):
+        prefix = f"{tbl}_b_{base}_"
+        cur = names[tbl].split(".", 1)[1]
+        known = {t.name for t in spark.catalog.listTables("rbs_bucketed")}
+        on_disk = set(os.listdir(db_dir)) if os.path.isdir(db_dir) else set()
+        for stale in (known | on_disk):
+            if stale.startswith(prefix) and stale != cur:
+                spark.sql(f"DROP TABLE IF EXISTS rbs_bucketed.`{stale}`")
+                shutil.rmtree(os.path.join(db_dir, stale), ignore_errors=True)
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         if not spark.catalog.tableExists(names[tbl]):
             # the in-memory catalog is per-session but the warehouse dir is

@@ -193,7 +193,8 @@ def main() -> None:
                 with open(out_path, "w") as f:
                     json.dump(log, f, indent=1)
                 return
-            time.sleep(900)
+            if attempt < args.watch - 1:  # no pointless 15-min sleep after
+                time.sleep(900)  # the final failed probe (ADVICE r3)
         print(json.dumps({"kind": "no_quiet_window", "attempts": args.watch}))
         return
 

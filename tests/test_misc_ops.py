@@ -351,3 +351,127 @@ def test_persist_swap_lifecycle(spark):
     assert b2.storageLevel != StorageLevel.NONE
     release_all()
     assert b.storageLevel == StorageLevel.NONE
+
+
+def test_track_broadcast_lifecycle(spark):
+    """caching.track_broadcast: a new invocation's broadcast evicts the
+    prior one from the tracker (executor blocks unpersisted), re-tracking
+    the same broadcast is a no-op, and the tracked value stays readable."""
+    from reach_banner_spark import caching
+
+    caching.release_all()
+    b1 = caching.track_broadcast(spark.sparkContext.broadcast([1, 2, 3]))
+    assert caching._LIVE_BC == [b1]
+    b2 = caching.track_broadcast(spark.sparkContext.broadcast([4, 5]))
+    assert caching._LIVE_BC == [b2]
+    assert caching.track_broadcast(b2) is b2
+    assert caching._LIVE_BC == [b2]
+    assert b2.value == [4, 5]
+    caching.release_all()
+    assert caching._LIVE_BC == []
+
+
+def test_segmented_argmax_matches_scalar_walk():
+    """linking._segmented_argmax == the scalar first-max walk it replaced
+    (tie -> FIRST row of the segment max, i.e. smallest alias when the
+    candidates are alias-sorted within each owner)."""
+    from reach_banner_spark.operators.linking import _segmented_argmax
+
+    rng_owners = np.array([0, 0, 0, 2, 2, 5, 7, 7, 7, 7], dtype=np.int64)
+    js = np.array([0.2, 0.9, 0.9, 0.1, 0.4, 0.95, 0.5, 0.7, 0.7, 0.3])
+    minj = 0.45
+
+    # scalar reference (the pre-r4 loop)
+    exp = []
+    k = 0
+    n = len(rng_owners)
+    while k < n:
+        e, best_j, best_i = k, -1.0, -1
+        while e < n and rng_owners[e] == rng_owners[k]:
+            if js[e] > best_j:
+                best_j, best_i = float(js[e]), e
+            e += 1
+        if best_j >= minj:
+            exp.append((int(rng_owners[k]), best_i, best_j))
+        k = e
+
+    o_rows, b_rows = _segmented_argmax(rng_owners, js, minj)
+    got = [
+        (int(rng_owners[o]), int(b), float(js[b]))
+        for o, b in zip(o_rows, b_rows)
+    ]
+    assert got == exp
+    # owner 2 (max 0.4 < minj) must be absent; owner 7 tie -> index 7 not 8
+    assert [g[0] for g in got] == [0, 5, 7]
+    assert got[0][1] == 1 and got[2][1] == 7
+
+
+def test_eval_pr_empty_corpus(spark, monkeypatch):
+    """eval_pr / eval_pr_alt on an EMPTY pred+gold corpus produce zero
+    counts and zero P/R — not NULLs (SUM over no rows) — matching the
+    oracle's COUNT(*) semantics (ADVICE r3)."""
+    from reach_banner_spark.plans import kg_queries as kgq
+
+    empty_span = spark.createDataFrame([], "doc_id string, pos int, word string")
+    empty_alt = spark.createDataFrame([], "doc_id string, gold_pos int, pos int")
+    monkeypatch.setattr(kgq, "_pred_gold", lambda s, sf: (empty_span, empty_span))
+    monkeypatch.setattr(kgq, "_gold_alt", lambda s, sf: (empty_span, empty_alt))
+
+    row = kgq.REGISTRY["eval_pr"][0](spark, SF).collect()[0]
+    assert (row["tp"], row["n_pred"], row["n_gold"]) == (0, 0, 0)
+    assert (row["precision_"], row["recall_"]) == (0.0, 0.0)
+
+    row = kgq.REGISTRY["eval_pr_alt"][0](spark, SF).collect()[0]
+    assert (row["tp_pred"], row["cred_gold"], row["n_pred"], row["n_gold"]) == (
+        0,
+        0,
+        0,
+        0,
+    )
+    assert (row["precision_"], row["recall_"]) == (0.0, 0.0)
+
+
+def test_join_bucketed_gc_stale_fingerprints(spark, tmp_path):
+    """Regenerating the source parquet mints a new bucketed-table tag; the
+    stale pair from the previous fingerprint must be dropped (catalog AND
+    warehouse dir), not accumulate forever (ADVICE r3)."""
+    import os
+    import shutil
+
+    from reach_banner_spark.plans.relational import REGISTRY
+
+    sfdir = tmp_path / "gcsf"
+    sfdir.mkdir()
+    for t in ("orders", "lineitem"):
+        src = f"{SF}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, sfdir / f"{t}.parquet")
+        else:
+            shutil.copy2(src, sfdir / f"{t}.parquet")
+
+    def live_tables():
+        return sorted(
+            t.name
+            for t in spark.catalog.listTables("rbs_bucketed")
+            if t.name.startswith(("orders_b_gcsf_", "lineitem_b_gcsf_"))
+        )
+
+    REGISTRY["join_bucketed"][0](spark, str(sfdir)).collect()
+    first = live_tables()
+    assert len(first) == 2
+
+    # "regenerate" the source: same bytes, new mtime -> new fingerprint
+    for root, _, files in os.walk(sfdir):
+        for f in files:
+            os.utime(os.path.join(root, f), (0, 0))
+    REGISTRY["join_bucketed"][0](spark, str(sfdir)).collect()
+    second = live_tables()
+    assert len(second) == 2 and set(second) != set(first)
+
+    # the stale pair is gone from disk too
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    on_disk = {
+        d for d in os.listdir(os.path.join(wh, "rbs_bucketed.db"))
+        if d.split("_b_")[0] in ("orders", "lineitem") and "_b_gcsf_" in d
+    }
+    assert on_disk == set(second)
