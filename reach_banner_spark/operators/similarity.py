@@ -151,6 +151,118 @@ def lsh_signatures(
     )
 
 
+# -------------------------------------------------------------- IVF path ----
+
+N_CELLS = 16       # coarse-quantizer cells (k-means centroids)
+N_PROBE = 4        # cells probed per query
+KMEANS_SAMPLE = 512
+KMEANS_ITERS = 5
+
+
+def _ivf_centroids(sample_mat: np.ndarray, k: int = N_CELLS,
+                   iters: int = KMEANS_ITERS) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a bounded driver-side
+    sample (the standard IVF recipe: the quantizer never sees the full
+    table — at 100 TB you train on the same fixed-size sample and only the
+    assignment pass is distributed). Deterministic: init = evenly strided
+    sample rows, no RNG anywhere; empty cells keep their previous centroid.
+    Returns unit-norm (k, dim) float64 centroids."""
+    m = sample_mat.astype(np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    k = min(k, len(m))
+    c = m[np.linspace(0, len(m) - 1, k).astype(np.int64)].copy()
+    for _ in range(iters):
+        assign = (m @ c.T).argmax(axis=1)
+        for j in range(k):
+            rows = m[assign == j]
+            if len(rows):
+                v = rows.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    c[j] = v / n
+    return c
+
+
+def ivf_assign(d: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(vec_id, cell) nearest-centroid assignment — one Arrow-batched map
+    pass, no shuffle; the centroid matrix is kilobytes and ships in the
+    closure."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": (mat @ centroids.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    return d.select("vec_id", "embedding").mapInPandas(
+        run, "vec_id long, cell int"
+    )
+
+
+@register("ann_ivf_topk", None)  # recall vs brute force checked in pytest
+def ann_ivf_topk(spark, sf):
+    """IVF (inverted-file) ANN: coarse k-means cells + nprobe search.
+    Candidate generation is an equi-join on cell id — the probed cells'
+    vectors only, never the full table; exact cosine re-ranks candidates.
+    Complements ``ann_lsh_topk`` (FAISS's IVF-Flat layout re-expressed as
+    DataFrame ops). The 5-query probe table is computed driver-side (it is
+    N_QUERIES x N_PROBE rows); a batch-query deployment runs the same
+    argpartition inside ``mapInPandas`` like ``ivf_assign``."""
+    e = _emb(spark, sf)
+    sample = (
+        e.orderBy("vec_id").limit(KMEANS_SAMPLE).select("vec_id", "embedding")
+        .toPandas()
+    )
+    cents = _ivf_centroids(np.stack(sample["embedding"].to_numpy()))
+    cells = ivf_assign(e, cents)
+
+    qpdf = sample[sample["vec_id"] < N_QUERIES]
+    qmat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    sims = qmat @ cents.T
+    nprobe = min(N_PROBE, cents.shape[0])
+    probe_rows = [
+        (int(qid), int(cell))
+        for qid, row in zip(qpdf["vec_id"].to_numpy(), sims)
+        for cell in np.argsort(-row, kind="stable")[:nprobe]
+    ]
+    probes = spark.createDataFrame(probe_rows, "qid long, cell int")
+
+    cands = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        cands.join(F.broadcast(q), "qid")
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(_cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", "cos")
+    )
+
+
 @register("ann_lsh_topk", None)  # recall vs brute force checked in pytest
 def ann_lsh_topk(spark, sf):
     e = _emb(spark, sf)

@@ -490,8 +490,10 @@ _TMENTIONS_SQL = (
 )
 
 
-@register(
-    "triple_assembly",
+# the assembled triple set as a reusable SQL fragment: triple_assembly's
+# own oracle, and the FROM-clause of the KG-consumption oracles below
+# (DuckDB accepts a WITH inside a derived-table subquery)
+_TRIPLES_SQL = (
     f"WITH turns AS ({_TURNS_SQL}), m AS (SELECT DISTINCT * FROM ({_TMENTIONS_SQL})) "
     "SELECT DISTINCT a.conv_id, CAST(a.turn_idx AS INT) AS window_start, "
     "a.canonical AS subj, "
@@ -506,9 +508,14 @@ _TMENTIONS_SQL = (
     " AND b.turn_idx BETWEEN a.turn_idx AND a.turn_idx + 2 "
     " AND (a.turn_idx < b.turn_idx OR (a.turn_idx = b.turn_idx AND a.begin_char < b.begin_char)) "
     " AND a.canonical <> b.canonical "
-    "JOIN turns t ON t.conv_id = b.conv_id AND t.turn_idx = b.turn_idx",
+    "JOIN turns t ON t.conv_id = b.conv_id AND t.turn_idx = b.turn_idx"
 )
-def triple_assembly(spark, sf):
+
+
+def _triples(spark, sf):
+    """Assembled (conv_id, window_start, subj, pred, obj) triples — the
+    shared input of the KG-consumption keys (same DataFrame
+    ``triple_assembly`` returns)."""
     from ..operators.triples import assemble_triples
     from ..sources.transcripts import documents_as_turns
 
@@ -526,6 +533,88 @@ def triple_assembly(spark, sf):
         F.col("word").alias("canonical"),
     )
     return assemble_triples(mentions, turns, window_turns=2)
+
+
+@register("triple_assembly", _TRIPLES_SQL)
+def triple_assembly(spark, sf):
+    return _triples(spark, sf)
+
+
+# --------------------------------------------- KG consumption (post-G4) ----
+# Once the graph is materialized, users query it. Three canonical access
+# patterns over the triple table, each a pure relational plan (partial
+# aggregation map-side, shuffles only on the grouping/join keys — all
+# scale-safe because the triple table is already partitioned by conv_id
+# and every query below keys on conv_id first or reduces to a tiny
+# predicate-domain aggregate):
+
+
+@register(
+    "kg_pred_dist",
+    f"SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_triples, "
+    "CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subj, "
+    "CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs "
+    f"FROM ({_TRIPLES_SQL}) tr GROUP BY pred",
+)
+def kg_pred_dist(spark, sf):
+    """Predicate histogram: how the graph's edge types distribute. The
+    predicate domain is tiny (role/tool rules), so the final shuffle
+    carries one partial row per (partition, pred) — safe at any scale."""
+    return _triples(spark, sf).groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+@register(
+    "kg_degree",
+    f"WITH t AS ({_TRIPLES_SQL}), "
+    "e AS (SELECT conv_id, subj AS entity, obj AS nbr FROM t "
+    " UNION SELECT conv_id, obj, subj FROM t) "
+    "SELECT conv_id, entity, CAST(COUNT(*) AS BIGINT) AS degree "
+    "FROM e GROUP BY conv_id, entity",
+)
+def kg_degree(spark, sf):
+    """Per-conversation undirected entity degree (distinct neighbours):
+    symmetrize the edge list, distinct, count. Both shuffles key on
+    conv_id — co-partitioned with the triple table's layout, so at scale
+    this is one local-exchange aggregation per partition."""
+    t = _triples(spark, sf)
+    sym = t.select("conv_id", F.col("subj").alias("entity"), F.col("obj").alias("nbr")).unionByName(
+        t.select("conv_id", F.col("obj").alias("entity"), F.col("subj").alias("nbr"))
+    )
+    return (
+        sym.distinct()
+        .groupBy("conv_id", "entity")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+@register(
+    "kg_two_hop",
+    f"WITH t AS ({_TRIPLES_SQL}) "
+    "SELECT a.conv_id, a.subj, b.obj AS obj2, "
+    "CAST(COUNT(*) AS BIGINT) AS n_paths "
+    "FROM t a JOIN t b ON a.conv_id = b.conv_id AND a.obj = b.subj "
+    "WHERE a.subj <> b.obj GROUP BY a.conv_id, a.subj, b.obj",
+)
+def kg_two_hop(spark, sf):
+    """2-hop reachability with path counts: the canonical graph-traversal
+    join (a)->(mid)->(c), conversation-scoped. The self-join keys on
+    (conv_id, mid): prefixing conv_id keeps the traversal inside each
+    conversation's partition — at 10^12 turns the join never crosses
+    conversations, so skew is bounded by the largest single conversation
+    (the same bound salted repartition already handles for G5)."""
+    t = _triples(spark, sf)
+    a = t.select("conv_id", "subj", F.col("obj").alias("mid"))
+    b = t.select("conv_id", F.col("subj").alias("mid"), F.col("obj").alias("obj2"))
+    return (
+        a.join(b, ["conv_id", "mid"])
+        .filter(F.col("subj") != F.col("obj2"))
+        .groupBy("conv_id", "subj", "obj2")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
 
 
 # ------------------------------------------------------------------- G5 ----

@@ -153,3 +153,52 @@ def test_embedding_cosine_dedup_matches_exhaustive(spark):
     )
     for k, c in found.items():
         assert abs(c - round(exact[k], 6)) < 1e-9
+
+
+def test_ann_ivf_recall_and_exact_scores(spark):
+    """IVF top-k: every vector lands in exactly one cell, returned cosines
+    are exact (subset of brute force scoring), and nprobe=4 of 16 cells
+    achieves usable recall of the true top-10 on this corpus."""
+    import numpy as np
+
+    from reach_banner_spark.operators.similarity import (
+        _ivf_centroids,
+        REGISTRY,
+        TOP_K,
+        N_QUERIES,
+        ivf_assign,
+    )
+
+    brute = REGISTRY["ann_cosine_topk"][0](spark, SF).toPandas()
+    ivf = REGISTRY["ann_ivf_topk"][0](spark, SF).toPandas()
+    assert len(ivf) > 0
+
+    # exact-score property: any IVF hit brute force also ranked must agree
+    exact = {
+        (q, v): c
+        for q, v, c in brute[["qid", "vec_id", "cos"]].itertuples(index=False, name=None)
+    }
+    for q, v, c in ivf[["qid", "vec_id", "cos"]].itertuples(index=False, name=None):
+        if (q, v) in exact:
+            assert abs(c - exact[(q, v)]) < 1e-9
+
+    # recall floor: fraction of true top-10 pairs recovered across queries
+    truth = set(map(tuple, brute[["qid", "vec_id"]].values.tolist()))
+    got = set(map(tuple, ivf[["qid", "vec_id"]].values.tolist()))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.2, f"IVF recall {recall:.2f} below floor"
+
+    # the assignment is a total partition: every vec in exactly one cell
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sample = e.orderBy("vec_id").limit(512).toPandas()
+    cents = _ivf_centroids(np.stack(sample["embedding"].to_numpy()))
+    cells = ivf_assign(e, cents).toPandas()
+    assert len(cells) == e.count()
+    assert cells["vec_id"].is_unique
+    assert cells["cell"].between(0, cents.shape[0] - 1).all()
+
+    # determinism: same seedless pipeline twice -> identical result
+    ivf2 = REGISTRY["ann_ivf_topk"][0](spark, SF).toPandas()
+    assert ivf.sort_values(["qid", "vec_id"]).reset_index(drop=True).equals(
+        ivf2.sort_values(["qid", "vec_id"]).reset_index(drop=True)
+    )
