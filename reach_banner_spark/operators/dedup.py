@@ -368,3 +368,24 @@ def dedup_ngram_jaccard(spark, sf):
     return pairs.select(
         "a", "b", F.round(inter / union, 6).alias("jaccard")
     )
+
+
+@register("dedup_cluster", None)  # pytest vs union-find twin
+def dedup_cluster(spark, sf):
+    """Near-duplicate CLUSTERS with a canonical survivor per cluster:
+    the verified minhash pair graph (``dedup_minhash_lsh``) closed under
+    transitivity by connected components (G3), canonical = min doc_id of
+    the component. This is the shape a 100 TB dedup actually ships — pair
+    lists alone under-remove (a~b, b~c but a!~c leaves two survivors);
+    the component closure removes every non-canonical member once.
+    Output: (doc_id, canonical_id) for every doc in some near-dup
+    cluster; docs with no near-dup are absent (nothing to remove)."""
+    from .components import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("canonical_id")
+    )

@@ -169,6 +169,53 @@ def doc_fingerprint(spark, sf):
 
 
 @register(
+    "sample_hash",
+    # ~10% deterministic sample: first two MD5 hex chars of the doc id,
+    # compared lexicographically — the same rows on every engine and every
+    # run, no RNG. '19' keeps 0x00..0x19 = 26/256 ~ 10.2%.
+    "SELECT doc_id, source FROM documents "
+    "WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'",
+)
+def sample_hash(spark, sf):
+    """Deterministic hash sampling — the reproducible subsample every
+    training-data pipeline needs (eval splits, ablations, cheap stats).
+    Hash-gating beats TABLESAMPLE/rand() because the predicate is pure:
+    the same doc set falls in the sample across engines, runs, and
+    repartitions, and Catalyst pushes the filter into the scan. Rate is
+    tuned by the hex prefix bound (here ~10%)."""
+    d = _docs(spark, sf)
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "19"
+    ).select("doc_id", "source")
+
+
+@register(
+    "corpus_stats",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_words, "
+    "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources, "
+    "printf('%.6f', SUM(LENGTH(text)) * 1.0 / COUNT(*)) AS avg_chars "
+    "FROM documents",
+)
+def corpus_stats(spark, sf):
+    """One-row corpus profile (docs, whitespace tokens, sources, mean
+    length) — the dashboard numbers published per ingest batch. Pure
+    map-side partial aggregation; the final exchange carries one row per
+    partition. avg emitted as exact-sum / exact-count formatted to 6
+    decimals (float rule)."""
+    d = _docs(spark, sf)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_words"),
+        F.countDistinct("source").alias("n_sources"),
+        F.format_string(
+            "%.6f",
+            F.sum(F.length("text")).cast("double") / F.count(F.lit(1)),
+        ).alias("avg_chars"),
+    )
+
+
+@register(
     "corpus_filter",
     # The canonical LLM training-data filter as ONE query: language gate +
     # quality gates + exact-dup survivorship. The dedup window keeps the

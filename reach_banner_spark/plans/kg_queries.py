@@ -512,11 +512,10 @@ _TRIPLES_SQL = (
 )
 
 
-def _triples(spark, sf):
-    """Assembled (conv_id, window_start, subj, pred, obj) triples — the
-    shared input of the KG-consumption keys (same DataFrame
-    ``triple_assembly`` returns)."""
-    from ..operators.triples import assemble_triples
+def _turn_mentions(spark, sf):
+    """(turns, mentions) over the transcript view — dictionary mentions
+    per (conv_id, turn_idx, begin_char). Shared by triple assembly and
+    the conversation-summary key."""
     from ..sources.transcripts import documents_as_turns
 
     turns = documents_as_turns(spark, sf)
@@ -532,6 +531,16 @@ def _triples(spark, sf):
         F.col("pos").cast("int").alias("begin_char"),
         F.col("word").alias("canonical"),
     )
+    return turns, mentions
+
+
+def _triples(spark, sf):
+    """Assembled (conv_id, window_start, subj, pred, obj) triples — the
+    shared input of the KG-consumption keys (same DataFrame
+    ``triple_assembly`` returns)."""
+    from ..operators.triples import assemble_triples
+
+    turns, mentions = _turn_mentions(spark, sf)
     return assemble_triples(mentions, turns, window_turns=2)
 
 
@@ -588,6 +597,56 @@ def kg_degree(spark, sf):
         sym.distinct()
         .groupBy("conv_id", "entity")
         .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+@register(
+    "kg_conv_summary",
+    f"WITH turns AS ({_TURNS_SQL}), "
+    f"m AS (SELECT DISTINCT * FROM ({_TMENTIONS_SQL})), "
+    f"tr AS (SELECT * FROM ({_TRIPLES_SQL}) x), "
+    "ta AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns "
+    " FROM turns GROUP BY conv_id), "
+    "ma AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_mentions, "
+    " CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_entities "
+    " FROM m GROUP BY conv_id), "
+    "tra AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_triples "
+    " FROM tr GROUP BY conv_id) "
+    "SELECT ta.conv_id, n_turns, COALESCE(n_mentions, 0) AS n_mentions, "
+    "COALESCE(n_entities, 0) AS n_entities, "
+    "COALESCE(n_triples, 0) AS n_triples "
+    "FROM ta LEFT JOIN ma ON ma.conv_id = ta.conv_id "
+    "LEFT JOIN tra ON tra.conv_id = ta.conv_id",
+)
+def kg_conv_summary(spark, sf):
+    """Per-conversation rollup — turns, mentions, distinct entities,
+    triples — the monitoring table a KG-construction run publishes next
+    to its checkpoint counters (G6). Three partial aggregates co-keyed on
+    conv_id, joined; every shuffle is on conv_id, so at 10^12 turns this
+    is one co-partitioned pass over data already laid out by
+    conversation."""
+    turns, mentions = _turn_mentions(spark, sf)
+    t = _triples(spark, sf)
+    ta = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    ma = (
+        mentions.distinct()
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("canonical").alias("n_entities"),
+        )
+    )
+    tra = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_triples"))
+    return (
+        ta.join(ma, "conv_id", "left")
+        .join(tra, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
+            F.coalesce("n_entities", F.lit(0)).alias("n_entities"),
+            F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+        )
     )
 
 

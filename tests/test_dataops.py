@@ -202,3 +202,35 @@ def test_ann_ivf_recall_and_exact_scores(spark):
     assert ivf.sort_values(["qid", "vec_id"]).reset_index(drop=True).equals(
         ivf2.sort_values(["qid", "vec_id"]).reset_index(drop=True)
     )
+
+
+def test_dedup_cluster_matches_union_find(spark):
+    """dedup_cluster == union-find closure of the verified minhash pairs,
+    canonical = min doc_id per component."""
+    import pandas as pd
+
+    from reach_banner_spark.operators.components import connected_components_pandas
+    from reach_banner_spark.operators.dedup import REGISTRY
+
+    pairs = REGISTRY["dedup_minhash_lsh"][0](spark, SF).toPandas()
+    got = (
+        REGISTRY["dedup_cluster"][0](spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    if len(pairs) == 0:
+        assert len(got) == 0
+        return
+    want = (
+        connected_components_pandas(
+            pd.DataFrame({"src": pairs["a"], "dst": pairs["b"]})
+        )
+        .rename(columns={"node": "doc_id", "comp": "canonical_id"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.astype("int64").equals(want.astype("int64"))
+    # canonical is a member of its own cluster and the minimum
+    gmin = got.groupby("canonical_id")["doc_id"].min()
+    assert (gmin.index.to_numpy() == gmin.to_numpy()).all()
