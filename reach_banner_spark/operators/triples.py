@@ -44,11 +44,27 @@ def _pred_expr(role_col, tool_col):
 
 
 def assemble_triples(
-    linked_mentions: DataFrame, turns: DataFrame, window_turns: int = 2
+    linked_mentions: DataFrame,
+    turns: DataFrame,
+    window_turns: int = 2,
+    obj_mentions: DataFrame | None = None,
 ) -> DataFrame:
-    """linked mentions (with ``canonical``) + turns -> TRIPLES DataFrame."""
+    """linked mentions (with ``canonical``) + turns -> TRIPLES DataFrame.
+
+    ``obj_mentions`` (optional) restricts the OBJECT side of the pairing
+    to a subset of the mentions (same required columns). The incremental
+    streaming twin (``stream_triples``) passes only the new micro-batch's
+    mentions here while the subject side sees batch + tail: since turns
+    arrive in order, every triple's object turn is >= its subject turn,
+    so object-in-new-batch captures exactly the triples the batch did not
+    emit before."""
     m = (
         linked_mentions.filter(F.col("canonical").isNotNull())
+        .select("conv_id", "turn_idx", "begin_char", "canonical")
+        .distinct()
+    )
+    mb = m if obj_mentions is None else (
+        obj_mentions.filter(F.col("canonical").isNotNull())
         .select("conv_id", "turn_idx", "begin_char", "canonical")
         .distinct()
     )
@@ -60,7 +76,7 @@ def assemble_triples(
         F.col("begin_char").alias("c1"),
         F.col("canonical").alias("subj"),
     )
-    b = m.select(
+    b = mb.select(
         "conv_id",
         F.col("turn_idx").alias("t2"),
         F.col("begin_char").alias("c2"),

@@ -326,12 +326,23 @@ def stream_mentions(spark, sf):
     stage (detect_mentions) applied to a streaming DataFrame — streaming
     ingestion of transcripts feeding the same mention detector, unchanged
     (mapInPandas works on streaming plans)."""
+    from .. import schemas
+    from ..fixtures import ensure_model
+    from ..operators.mentions import detect_mentions
+
+    d = _staged_turn_stream_dir()
+    turn_stream = spark.readStream.schema(schemas.TURNS).parquet(d)
+    mentions = detect_mentions(turn_stream, ensure_model())
+    return _run_to_memory(mentions, "t_stream_mentions")
+
+
+def _staged_turn_stream_dir() -> str:
+    """Shared 3-part staged turn corpus for the KG streaming keys (same
+    fixture ``stream_mentions`` uses); built once per /tmp lifetime."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from .. import schemas
-    from ..fixtures import ensure_model, make_turns
-    from ..operators.mentions import detect_mentions
+    from ..fixtures import make_turns
 
     d = os.path.join(tempfile.gettempdir(), "rbs_stream_turns_v1")
     if not os.path.exists(os.path.join(d, "_DONE")):
@@ -345,9 +356,101 @@ def stream_mentions(spark, sf):
                 os.path.join(d, f"part-{i // step:03d}.parquet"),
             )
         open(os.path.join(d, "_DONE"), "w").write("ok")
-    turn_stream = spark.readStream.schema(schemas.TURNS).parquet(d)
-    mentions = detect_mentions(turn_stream, ensure_model())
-    return _run_to_memory(mentions, "t_stream_mentions")
+    return d
+
+
+# dictionary over the staged fixture corpus vocabulary (the transcript
+# fixtures speak biomedical-ish text; kg_queries.PIPE_DICT targets the
+# documents table's vocabulary and would match nothing here)
+STREAM_DICT = [
+    ("gene", 1), ("protein", 2), ("pathway", 3), ("binding", 4),
+    ("samples", 5), ("response", 6), ("activity", 7), ("regulation", 8),
+]
+
+
+@register("stream_triples", None)  # pytest: streaming == batch twin
+def stream_triples(spark, sf):
+    """INCREMENTAL KG construction (the north star's pipeline as a
+    stream): dictionary mentions + G4 triple assembly over a turn stream,
+    with bounded per-conversation tail state so cross-micro-batch windows
+    are not lost. Each micro-batch:
+
+      1. unions the persisted tail (last ``window_turns`` turns per
+         conversation seen so far) with the new turns;
+      2. assembles triples with the SUBJECT side over tail+new mentions
+         but the OBJECT side restricted to new-batch mentions — turns
+         arrive in order, so obj_turn >= subj_turn and object-in-new
+         yields exactly the not-yet-emitted triples;
+      3. appends triples, rewrites the tail (row_number window keeps the
+         last ``window_turns`` turns per conv — state is O(convs), not
+         O(stream)).
+
+    The tail lives as a parquet table swapped per batch — the foreachBatch
+    spelling of a state store; a 10^12-turn deployment keeps the same tail
+    as a compacted partitioned table (or transformWithState when the
+    runtime allows, see ``stream_stateful_tws``). Streaming-equals-batch
+    is pytest-pinned across the 3-file micro-batch split."""
+    from pyspark.sql.window import Window
+
+    from .. import schemas
+    from ..operators.triples import assemble_triples
+
+    d = _staged_turn_stream_dir()
+    work = tempfile.mkdtemp(prefix="rbs_stream_triples_")
+    out_data = os.path.join(work, "triples")
+    state: dict[str, str | None] = {"tail": None}
+    dic = spark.createDataFrame(STREAM_DICT, ["term", "term_id"])
+    window_turns = 2
+
+    def mentions_of(turns_df: DataFrame) -> DataFrame:
+        toks = turns_df.select(
+            "conv_id",
+            "turn_idx",
+            F.posexplode(F.split("text", " ")).alias("pos", "word"),
+        )
+        return toks.join(F.broadcast(dic), toks["word"] == dic["term"]).select(
+            "conv_id",
+            "turn_idx",
+            F.col("pos").cast("int").alias("begin_char"),
+            F.col("word").alias("canonical"),
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = batch_df.select("conv_id", "turn_idx", "role", "text", "tool")
+        allt = (
+            cur
+            if state["tail"] is None
+            else sp.read.parquet(state["tail"]).unionByName(cur)
+        )
+        triples = assemble_triples(
+            mentions_of(allt),
+            allt,
+            window_turns=window_turns,
+            obj_mentions=mentions_of(cur),
+        )
+        triples.write.mode("append").parquet(out_data)
+        w = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+        tail = (
+            allt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= window_turns)
+            .drop("rn")
+        )
+        new_tail = os.path.join(work, f"tail_b{batch_id}")
+        tail.write.mode("overwrite").parquet(new_tail)
+        state["tail"] = new_tail
+
+    turn_stream = spark.readStream.schema(schemas.TURNS).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    q = (
+        turn_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_data).distinct()
 
 
 @register("sink_foreach_batch", None)

@@ -139,3 +139,38 @@ def test_stream_mentions_matches_batch(spark):
     )
     want, _ = _sorted_tuples(batch)
     assert got == want
+
+
+def test_stream_triples_equals_batch(spark):
+    """Incremental triple assembly over the 3-file micro-batch split ==
+    the one-shot batch pipeline on the same turns: the per-conversation
+    tail state recovers every cross-batch window pair, and the
+    object-in-new-batch restriction emits each triple exactly once
+    (modulo the same distinct the batch applies)."""
+    from pyspark.sql import functions as F
+
+    from reach_banner_spark.operators.triples import assemble_triples
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_triples"][0](spark, SF).toPandas()
+
+    turns = spark.read.parquet(ops._staged_turn_stream_dir()).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+    dic = spark.createDataFrame(ops.STREAM_DICT, ["term", "term_id"])
+    toks = turns.select(
+        "conv_id", "turn_idx", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    mentions = toks.join(F.broadcast(dic), toks["word"] == dic["term"]).select(
+        "conv_id",
+        "turn_idx",
+        F.col("pos").cast("int").alias("begin_char"),
+        F.col("word").alias("canonical"),
+    )
+    want = assemble_triples(mentions, turns, window_turns=2).toPandas()
+
+    cols = ["conv_id", "window_start", "subj", "pred", "obj"]
+    ga = sorted(map(tuple, got[cols].values.tolist()))
+    wa = sorted(map(tuple, want[cols].values.tolist()))
+    assert len(ga) > 0
+    assert ga == wa
