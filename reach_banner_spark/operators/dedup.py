@@ -178,11 +178,30 @@ def dedup_minhash_lsh(spark, sf, min_jaccard: float = 0.9):
         cands.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
         .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
     )
+    # Verify-condition shape matters: a naive `withColumn(jaccard).filter`
+    # gets pushed into the join condition with array_intersect duplicated
+    # (numerator + denominator, no CSE inside the BHJ condition) — the
+    # intersect IS the verify cost, so that doubles it. Spell the pushed
+    # predicate with ONE intersect via the algebra
+    #   inter/(s - inter) >= t  <=>  inter >= t/(1+t) * s,
+    # prefixed by a zero-intersect size-ratio gate (j >= t implies
+    # min/max >= t) that short-circuits ~half the candidates before any
+    # intersect. Tiny epsilon slack keeps boundary pairs (t*max etc. round
+    # up in doubles); the exact jaccard filter afterwards — recomputed only
+    # for the few hundred survivors — restores the precise threshold.
+    minj = float(min_jaccard)
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    cheap = F.least(na, nb).cast("double") >= F.lit(minj) * F.greatest(
+        na, nb
+    ).cast("double") - F.lit(1e-9)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    s = (na + nb).cast("double")
+    pushed = inter >= F.lit(minj / (1.0 + minj) - 1e-12) * s
+    union = s - inter
     return (
-        pairs.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+        pairs.filter(cheap & pushed)
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= F.lit(minj))
         .select("a", "b", "jaccard")
     )
 
