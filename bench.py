@@ -55,6 +55,14 @@ HEADLINE = [
     "text_quality",
     "doc_fingerprint",
     "connected_components",
+    # r4 additions — new flagship ops (totals are NOT comparable to
+    # BENCH_r0[1-3] without subtracting these five keys; per-query walls
+    # and epoch_control_sec remain the cross-round basis)
+    "kg_two_hop",
+    "kg_conv_summary",
+    "dedup_cluster",
+    "ann_ivf_topk",
+    "corpus_filter",
 ]
 
 

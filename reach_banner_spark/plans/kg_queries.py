@@ -660,19 +660,31 @@ def kg_conv_summary(spark, sf):
 )
 def kg_two_hop(spark, sf):
     """2-hop reachability with path counts: the canonical graph-traversal
-    join (a)->(mid)->(c), conversation-scoped. The self-join keys on
-    (conv_id, mid): prefixing conv_id keeps the traversal inside each
-    conversation's partition — at 10^12 turns the join never crosses
-    conversations, so skew is bounded by the largest single conversation
-    (the same bound salted repartition already handles for G5)."""
+    join (a)->(mid)->(c), conversation-scoped. Joining raw triple rows on
+    (conv_id, mid) is QUADRATIC in triples-per-conversation (measured
+    22.6 s at sf0.1 — a hot conversation with 10^4 triples would build
+    10^8 intermediate rows); instead both sides pre-aggregate to distinct
+    edges with multiplicities, so the join input is bounded by
+    conversations x |entity domain|^2 and the path count is the exact
+    same number via sum(n_a * n_b) over the shared midpoint. All three
+    shuffles key on conv_id first — co-partitioned with the triple
+    table's layout, never crossing conversations."""
     t = _triples(spark, sf)
-    a = t.select("conv_id", "subj", F.col("obj").alias("mid"))
-    b = t.select("conv_id", F.col("subj").alias("mid"), F.col("obj").alias("obj2"))
+    a = (
+        t.select("conv_id", "subj", F.col("obj").alias("mid"))
+        .groupBy("conv_id", "subj", "mid")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    b = (
+        t.select("conv_id", F.col("subj").alias("mid"), F.col("obj").alias("obj2"))
+        .groupBy("conv_id", "mid", "obj2")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
     return (
         a.join(b, ["conv_id", "mid"])
         .filter(F.col("subj") != F.col("obj2"))
         .groupBy("conv_id", "subj", "obj2")
-        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("n_paths"))
     )
 
 
