@@ -399,11 +399,27 @@ def dedup_cluster(spark, sf):
     the component closure removes every non-canonical member once.
     Output: (doc_id, canonical_id) for every doc in some near-dup
     cluster; docs with no near-dup are absent (nothing to remove)."""
-    from .components import connected_components
+    from .components import connected_components, connected_components_pandas
 
     pairs = dedup_minhash_lsh(spark, sf).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     )
+    # Size-adaptive closure (same planner decision as pipeline.canonicalize):
+    # the verified pair set is usually TINY relative to the corpus (near-dup
+    # rate, not corpus size), so below the gate union-find runs on the
+    # driver in one collect — identical output, zero iterative shuffle
+    # rounds. The distributed min-label loop only pays off for genuinely
+    # huge pair graphs. ONE gate job: limit-toPandas decides the path and
+    # already holds the rows on the driver path.
+    small_pair_cutoff = 1_000_000
+    pair_pdf = pairs.limit(small_pair_cutoff + 1).toPandas()
+    if len(pair_pdf) <= small_pair_cutoff:
+        if len(pair_pdf) == 0:
+            return spark.createDataFrame([], "doc_id long, canonical_id long")
+        comp_pdf = connected_components_pandas(pair_pdf).rename(
+            columns={"node": "doc_id", "comp": "canonical_id"}
+        )
+        return spark.createDataFrame(comp_pdf, "doc_id long, canonical_id long")
     comp = connected_components(pairs)
     return comp.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("canonical_id")
