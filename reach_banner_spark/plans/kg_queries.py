@@ -625,8 +625,15 @@ def kg_conv_summary(spark, sf):
     conv_id, joined; every shuffle is on conv_id, so at 10^12 turns this
     is one co-partitioned pass over data already laid out by
     conversation."""
+    from ..caching import persist_swap
+    from ..operators.triples import assemble_triples
+
     turns, mentions = _turn_mentions(spark, sf)
-    t = _triples(spark, sf)
+    # one mention derivation (scan + explode + dict join) feeds the
+    # mention rollup AND both sides of the triple pairing — persist it
+    # once instead of re-executing the subtree per consumer
+    mentions = persist_swap(mentions)
+    t = assemble_triples(mentions, turns, window_turns=2)
     ta = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
     ma = (
         mentions.distinct()
