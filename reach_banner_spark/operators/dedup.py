@@ -317,7 +317,9 @@ def doc_embeddings(d: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 @register("dedup_embedding_cosine", None)  # pytest-golden vs exhaustive cosine
-def dedup_embedding_cosine(spark, sf, min_cos: float = EMB_MIN_COS):
+def dedup_embedding_cosine(
+    spark, sf, min_cos: float = EMB_MIN_COS, broadcast_doc_cutoff: int = 200_000
+):
     """Embedding-cosine near-dup pairs (cos >= EMB_MIN_COS = 0.97,
     see the operating-point note on the constant above), LSH-bucketed.
 
@@ -347,6 +349,44 @@ def dedup_embedding_cosine(spark, sf, min_cos: float = EMB_MIN_COS):
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
+    # Size-adaptive verify. The candidate set is ~1000x the survivor set
+    # (488k cands -> 268 pairs at sf0.1), and the JVM higher-order-function
+    # dot (zip_with + aggregate, interpreted per element) paid ~2 s there.
+    # Below the gate the verify ships ONLY (a, b) id pairs through Arrow
+    # and reads the embeddings from a broadcast (n_docs x EMB_DIM) numpy
+    # matrix — one einsum per batch, vectors never join-shuffled. The gate
+    # (200k docs ~ 100 MB float64) is the broadcastability bound; above it
+    # the JVM join twin below runs unchanged (arrays move to the pairs).
+    emb_gate = broadcast_doc_cutoff
+    emb_pdf = emb.limit(emb_gate + 1).toPandas()
+    if len(emb_pdf) <= emb_gate:
+        from ..caching import track_broadcast
+
+        order = np.argsort(emb_pdf["vec_id"].to_numpy(), kind="stable")
+        sids = emb_pdf["vec_id"].to_numpy()[order]
+        mat = np.stack(emb_pdf["embedding"].to_numpy())[order]
+        bc = track_broadcast(spark.sparkContext.broadcast((sids, mat)))
+        minc = float(min_cos)
+
+        def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            vids, vmat = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                a = pdf["a"].to_numpy()
+                b = pdf["b"].to_numpy()
+                ia = np.searchsorted(vids, a)
+                ib = np.searchsorted(vids, b)
+                cos = np.round(
+                    np.einsum("ij,ij->i", vmat[ia], vmat[ib]), 6
+                )
+                keep = cos >= minc
+                yield pd.DataFrame(
+                    {"a": a[keep], "b": b[keep], "cos": cos[keep]}
+                )
+
+        return cands.mapInPandas(verify, "a long, b long, cos double")
+
     ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     dot = F.aggregate(

@@ -234,3 +234,24 @@ def test_dedup_cluster_matches_union_find(spark):
     # canonical is a member of its own cluster and the minimum
     gmin = got.groupby("canonical_id")["doc_id"].min()
     assert (gmin.index.to_numpy() == gmin.to_numpy()).all()
+
+
+def test_dedup_embedding_cosine_paths_identical(spark):
+    """The broadcast-matrix numpy verify (below the doc gate) and the JVM
+    join verify (above it) return the same pair set and cosines."""
+    from reach_banner_spark.operators.dedup import dedup_embedding_cosine
+
+    fast = (
+        dedup_embedding_cosine(spark, SF)
+        .toPandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    jvm = (
+        dedup_embedding_cosine(spark, SF, broadcast_doc_cutoff=0)
+        .toPandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert fast[["a", "b"]].equals(jvm[["a", "b"]])
+    assert np.allclose(fast["cos"].to_numpy(), jvm["cos"].to_numpy(), atol=1e-9)
