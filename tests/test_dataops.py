@@ -255,3 +255,71 @@ def test_dedup_embedding_cosine_paths_identical(spark):
     )
     assert fast[["a", "b"]].equals(jvm[["a", "b"]])
     assert np.allclose(fast["cos"].to_numpy(), jvm["cos"].to_numpy(), atol=1e-9)
+
+
+def test_dedup_minhash_thresholds_exact_boundary(spark):
+    """The single-intersect verify algebra (inter >= t/(1+t)*s behind the
+    size-ratio gate) must keep EXACTLY the pairs the rounded-jaccard
+    threshold keeps, at several thresholds — i.e. the epsilon slack never
+    drops a boundary pair and the final exact filter removes any algebra
+    overshoot. Checked against brute-force jaccard over all returned and
+    candidate-eligible pairs at sf0.001."""
+    from reach_banner_spark.operators.dedup import dedup_minhash_lsh
+    from reach_banner_spark.operators.linking import jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    texts = docs.set_index("doc_id")["text"]
+    for t in (0.8, 0.9, 0.95):
+        got = dedup_minhash_lsh(spark, SF, min_jaccard=t).toPandas()
+        if len(got):
+            expect = jaccard_pairs(
+                pd.Series([texts[a] for a in got["a"]]),
+                pd.Series([texts[b] for b in got["b"]]),
+            )
+            # every returned pair carries its exact rounded jaccard >= t
+            assert np.allclose(got["jaccard"].to_numpy(), np.round(expect, 6))
+            assert (got["jaccard"] >= t).all(), t
+        # no pair ABOVE the threshold that banding surfaced was dropped by
+        # the pushed algebra: recompute with the plain (double-intersect)
+        # spelling and compare pair sets
+        from pyspark.sql import functions as F
+        from reach_banner_spark.operators.dedup import (
+            doc_shingle_bands,
+            MAX_BUCKET,
+        )
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        base = doc_shingle_bands(d)
+        bands = base.select(
+            "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+        )
+        buckets = (
+            bands.groupBy("band_idx", "band_hash")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .filter(F.size("ids").between(2, MAX_BUCKET))
+        )
+        cands = (
+            buckets.select(F.explode("ids").alias("a"), "ids")
+            .select("a", F.explode("ids").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+        )
+        sh = base.select("doc_id", "sh")
+        pairs = (
+            cands.join(
+                sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a"
+            ).join(
+                sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b"
+            )
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+        naive = (
+            pairs.withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= F.lit(t))
+            .select("a", "b")
+            .toPandas()
+        )
+        gset = set(map(tuple, got[["a", "b"]].values.tolist()))
+        nset = set(map(tuple, naive.values.tolist()))
+        assert gset == nset, (t, gset ^ nset)
