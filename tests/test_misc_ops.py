@@ -475,3 +475,47 @@ def test_join_bucketed_gc_stale_fingerprints(spark, tmp_path):
         if d.split("_b_")[0] in ("orders", "lineitem") and "_b_gcsf_" in d
     }
     assert on_disk == set(second)
+
+
+def test_segmented_argmax_property():
+    """Property: for ANY owner-sorted candidate list and threshold, the
+    vectorized argmax equals the scalar first-max walk."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from reach_banner_spark.operators.linking import _segmented_argmax
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=6),   # owner (sorted below)
+                st.floats(min_value=0.0, max_value=1.0, width=32),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        st.floats(min_value=0.0, max_value=1.0),
+    )
+    def check(pairs, minj):
+        pairs = sorted(pairs, key=lambda p: p[0])
+        owners = np.array([p[0] for p in pairs], dtype=np.int64)
+        js = np.array([p[1] for p in pairs], dtype=np.float64)
+
+        exp = []
+        k, n = 0, len(owners)
+        while k < n:
+            e, bj, bi = k, -1.0, -1
+            while e < n and owners[e] == owners[k]:
+                if js[e] > bj:
+                    bj, bi = float(js[e]), e
+                e += 1
+            if bj >= minj:
+                exp.append((int(owners[k]), bi))
+            k = e
+
+        o_rows, b_rows = _segmented_argmax(owners, js, minj)
+        got = [(int(owners[o]), int(b)) for o, b in zip(o_rows, b_rows)]
+        assert got == exp
+
+    check()
