@@ -137,7 +137,7 @@ def doc_shingle_bands(d: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 @register("dedup_minhash_lsh", None)  # pytest-golden vs exhaustive Jaccard
-def dedup_minhash_lsh(spark, sf, min_jaccard: float = 0.9):
+def dedup_minhash_lsh(spark, sf, min_jaccard: float = 0.9, max_bucket: int = MAX_BUCKET):
     """Near-duplicate pairs (j >= 0.9) with exact verified Jaccard.
 
     shingle -> minhash -> band -> bucket pairs (degenerate buckets capped)
@@ -165,7 +165,7 @@ def dedup_minhash_lsh(spark, sf, min_jaccard: float = 0.9):
     buckets = (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids").between(2, MAX_BUCKET))
+        .filter(F.size("ids").between(2, max_bucket))
     )
     cands = (
         buckets.select(F.explode("ids").alias("a"), "ids")

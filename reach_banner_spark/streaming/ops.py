@@ -453,6 +453,144 @@ def stream_triples(spark, sf):
     return spark.read.parquet(out_data).distinct()
 
 
+def _staged_doc_stream_dir(sf: str, n_docs: int = 300, n_parts: int = 3) -> str:
+    """First ``n_docs`` documents of ``sf`` split into ``n_parts`` parquet
+    files for micro-batch streaming (cached per /tmp lifetime)."""
+    import duckdb
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"rbs_stream_docs_{os.path.basename(sf.rstrip('/'))}_{n_docs}_{n_parts}",
+    )
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        os.makedirs(d, exist_ok=True)
+        con = duckdb.connect()
+        step = (n_docs + n_parts - 1) // n_parts
+        for i in range(n_parts):
+            con.execute(
+                f"COPY (SELECT doc_id, text FROM "
+                f"read_parquet('{sf}/documents.parquet') "
+                f"ORDER BY doc_id LIMIT {step} OFFSET {i * step}) "
+                f"TO '{d}/part-{i:03d}.parquet' (FORMAT PARQUET)"
+            )
+        open(os.path.join(d, "_DONE"), "w").write("ok")
+    return d
+
+
+@register("stream_dedup_minhash", None)  # pytest: == uncapped batch pairs
+def stream_dedup_minhash(spark, sf, min_jaccard: float = 0.9):
+    """INGEST-TIME near-dup detection — the dedup every 100 TB pipeline
+    actually runs: documents arrive in micro-batches and each batch is
+    checked against the accumulated corpus, not just itself. Per batch:
+
+      1. ONE Python pass (``doc_shingle_bands``) over the new docs;
+      2. candidate pairs = new-vs-new (in-batch band buckets) UNION
+         new-vs-state (band equi-join against the accumulated band index);
+      3. exact-Jaccard verify with the same single-intersect pushed
+         predicate as the batch operator; pairs normalized (a = smaller
+         doc_id) so the union over batches equals the batch result;
+      4. the new docs' (band, shingle) rows append to the state tables.
+
+    State grows O(corpus) — exactly the persistent band-index/shingle
+    tables a production deployment keeps partitioned by band_hash; here
+    they are append-only parquet dirs swapped per batch. No bucket cap is
+    applied (caps are a per-snapshot policy that would make incremental
+    and batch results diverge); the streaming==batch equality is pinned
+    in pytest against the uncapped batch operator."""
+    from ..operators.dedup import doc_shingle_bands
+
+    d = _staged_doc_stream_dir(sf)
+    work = tempfile.mkdtemp(prefix="rbs_stream_dedup_")
+    out_pairs = os.path.join(work, "pairs")
+    state: dict[str, str | None] = {"base": None}
+    minj = float(min_jaccard)
+
+    def verify(pairs: DataFrame, sh_lookup: DataFrame) -> DataFrame:
+        j = (
+            pairs.join(
+                sh_lookup.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")),
+                "a",
+            ).join(
+                sh_lookup.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")),
+                "b",
+            )
+        )
+        na, nb = F.size("sh_a"), F.size("sh_b")
+        cheap = F.least(na, nb).cast("double") >= F.lit(minj) * F.greatest(
+            na, nb
+        ).cast("double") - F.lit(1e-9)
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        s = (na + nb).cast("double")
+        pushed = inter >= F.lit(minj / (1.0 + minj) - 1e-12) * s
+        union = s - inter
+        return (
+            j.filter(cheap & pushed)
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= F.lit(minj))
+            .select("a", "b", "jaccard")
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        base_new = doc_shingle_bands(batch_df).persist()
+        base_new.count()
+        new_bands = base_new.select(
+            "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+        )
+        # in-batch candidates: bucket the new bands among themselves
+        in_batch = (
+            new_bands.groupBy("band_idx", "band_hash")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+            .select(F.explode("ids").alias("a"), "ids")
+            .select("a", F.explode("ids").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+        )
+        sh_lookup = base_new.select("doc_id", "sh")
+        if state["base"] is not None:
+            old = sp.read.parquet(state["base"])
+            old_bands = old.select(
+                "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+            )
+            cross = (
+                new_bands.join(
+                    old_bands.withColumnRenamed("doc_id", "old_id"),
+                    ["band_idx", "band_hash"],
+                )
+                .select(
+                    F.least("doc_id", "old_id").alias("a"),
+                    F.greatest("doc_id", "old_id").alias("b"),
+                )
+                .filter(F.col("a") != F.col("b"))
+            )
+            cands = in_batch.select("a", "b").unionByName(cross).distinct()
+            sh_lookup = sh_lookup.unionByName(old.select("doc_id", "sh"))
+        else:
+            cands = in_batch.select("a", "b").distinct()
+        verify(cands, sh_lookup).write.mode("append").parquet(out_pairs)
+        new_state = os.path.join(work, f"base_b{batch_id}")
+        merged = (
+            base_new
+            if state["base"] is None
+            else sp.read.parquet(state["base"]).unionByName(base_new)
+        )
+        merged.write.mode("overwrite").parquet(new_state)
+        state["base"] = new_state
+        base_new.unpersist(blocking=False)
+
+    doc_stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_pairs).distinct()
+
+
 @register("sink_foreach_batch", None)
 def sink_foreach_batch(spark, sf):
     """foreachBatch sink: per-micro-batch custom write (parquet + batch id

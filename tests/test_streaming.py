@@ -174,3 +174,40 @@ def test_stream_triples_equals_batch(spark):
     wa = sorted(map(tuple, want[cols].values.tolist()))
     assert len(ga) > 0
     assert ga == wa
+
+
+def test_stream_dedup_minhash_equals_batch(spark, tmp_path):
+    """Ingest-time near-dup detection over 3 micro-batches == the uncapped
+    batch operator on the same 300-doc corpus: in-batch buckets plus the
+    accumulated band-index join surface every candidate the batch run
+    surfaces, and the verify algebra is shared."""
+    import os
+    import shutil
+
+    from reach_banner_spark.operators.dedup import dedup_minhash_lsh
+    from reach_banner_spark.streaming import ops
+
+    got = (
+        ops.REGISTRY["stream_dedup_minhash"][0](spark, SF)
+        .toPandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+    staged = ops._staged_doc_stream_dir(SF)
+    batch_sf = tmp_path / "docsf"
+    (batch_sf / "documents.parquet").mkdir(parents=True)
+    for f in os.listdir(staged):
+        if f.endswith(".parquet"):
+            shutil.copy2(os.path.join(staged, f), batch_sf / "documents.parquet" / f)
+    want = (
+        dedup_minhash_lsh(spark, str(batch_sf), max_bucket=1 << 30)
+        .toPandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got[["a", "b"]].astype("int64").equals(want[["a", "b"]].astype("int64"))
+    import numpy as np
+
+    assert np.allclose(got["jaccard"].to_numpy(), want["jaccard"].to_numpy())
