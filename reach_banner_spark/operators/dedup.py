@@ -136,6 +136,55 @@ def doc_shingle_bands(d: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def verify_jaccard(
+    cands: DataFrame, sh_lookup: DataFrame, minj: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (a, b) pairs against the
+    shingle lookup — the ONE shared spelling for batch and streaming dedup
+    (a per-caller copy would let the algebra drift out from under the
+    streaming==batch test pin).
+
+    Verify-condition shape matters: a naive ``withColumn(jaccard).filter``
+    gets pushed into the join condition with array_intersect duplicated
+    (numerator + denominator, no CSE inside the BHJ condition) — the
+    intersect IS the verify cost, so that doubles it. The pushed predicate
+    uses the algebra  inter/(s - inter) >= t  <=>  inter >= t/(1+t) * s,
+    prefixed by a zero-intersect size-ratio gate (j >= t implies
+    min/max >= t) that short-circuits ~half the candidates before any
+    intersect.
+
+    The contract is round(j, 6) >= minj, so a pair with raw j as low as
+    minj - 5e-7 must still reach the exact filter (6-decimal HALF_UP
+    rounds it up). The gate predicates therefore use t' = minj - 5.01e-7
+    — wide enough for the whole rounding window plus double arithmetic —
+    and the exact rounded filter above the join restores the precise
+    threshold for the few hundred survivors."""
+    pairs = (
+        cands.join(
+            sh_lookup.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")),
+            "a",
+        ).join(
+            sh_lookup.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")),
+            "b",
+        )
+    )
+    t = minj - 5.01e-7  # covers round-half-up at 6 decimals + fp slack
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    cheap = F.least(na, nb).cast("double") >= F.lit(t) * F.greatest(na, nb).cast(
+        "double"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    s = (na + nb).cast("double")
+    pushed = inter >= F.lit(t / (1.0 + t)) * s
+    union = s - inter
+    return (
+        pairs.filter(cheap & pushed)
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= F.lit(minj))
+        .select("a", "b", "jaccard")
+    )
+
+
 @register("dedup_minhash_lsh", None)  # pytest-golden vs exhaustive Jaccard
 def dedup_minhash_lsh(spark, sf, min_jaccard: float = 0.9, max_bucket: int = MAX_BUCKET):
     """Near-duplicate pairs (j >= 0.9) with exact verified Jaccard.
@@ -173,37 +222,7 @@ def dedup_minhash_lsh(spark, sf, min_jaccard: float = 0.9, max_bucket: int = MAX
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
-    sh = base.select("doc_id", "sh")
-    pairs = (
-        cands.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
-        .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
-    )
-    # Verify-condition shape matters: a naive `withColumn(jaccard).filter`
-    # gets pushed into the join condition with array_intersect duplicated
-    # (numerator + denominator, no CSE inside the BHJ condition) — the
-    # intersect IS the verify cost, so that doubles it. Spell the pushed
-    # predicate with ONE intersect via the algebra
-    #   inter/(s - inter) >= t  <=>  inter >= t/(1+t) * s,
-    # prefixed by a zero-intersect size-ratio gate (j >= t implies
-    # min/max >= t) that short-circuits ~half the candidates before any
-    # intersect. Tiny epsilon slack keeps boundary pairs (t*max etc. round
-    # up in doubles); the exact jaccard filter afterwards — recomputed only
-    # for the few hundred survivors — restores the precise threshold.
-    minj = float(min_jaccard)
-    na, nb = F.size("sh_a"), F.size("sh_b")
-    cheap = F.least(na, nb).cast("double") >= F.lit(minj) * F.greatest(
-        na, nb
-    ).cast("double") - F.lit(1e-9)
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    s = (na + nb).cast("double")
-    pushed = inter >= F.lit(minj / (1.0 + minj) - 1e-12) * s
-    union = s - inter
-    return (
-        pairs.filter(cheap & pushed)
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= F.lit(minj))
-        .select("a", "b", "jaccard")
-    )
+    return verify_jaccard(cands, base.select("doc_id", "sh"), float(min_jaccard))
 
 
 # --------------------------------------------------------------- simhash ----
@@ -452,6 +471,12 @@ def dedup_cluster(spark, sf):
     # huge pair graphs. ONE gate job: limit-toPandas decides the path and
     # already holds the rows on the driver path.
     small_pair_cutoff = 1_000_000
+    # persist BEFORE the gate probe: in the above-gate case the probe has
+    # already executed the whole shingle/band/verify pipeline, and without
+    # a cache the distributed component loop would re-execute it all
+    from ..caching import persist_swap
+
+    pairs = persist_swap(pairs)
     pair_pdf = pairs.limit(small_pair_cutoff + 1).toPandas()
     if len(pair_pdf) <= small_pair_cutoff:
         if len(pair_pdf) == 0:

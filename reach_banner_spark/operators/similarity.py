@@ -222,10 +222,15 @@ def ann_ivf_topk(spark, sf):
         e.orderBy("vec_id").limit(KMEANS_SAMPLE).select("vec_id", "embedding")
         .toPandas()
     )
+    empty = spark.createDataFrame([], "qid long, vec_id long, cos double")
+    if len(sample) == 0:  # empty table: degrade like the sibling ANN keys
+        return empty
     cents = _ivf_centroids(np.stack(sample["embedding"].to_numpy()))
     cells = ivf_assign(e, cents)
 
     qpdf = sample[sample["vec_id"] < N_QUERIES]
+    if len(qpdf) == 0:  # no query ids in range: no results, not a crash
+        return empty
     qmat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
     qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     sims = qmat @ cents.T

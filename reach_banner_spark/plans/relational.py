@@ -593,15 +593,20 @@ def join_bucketed(spark, sf):
     # disk sweep covers orphans the catalog no longer knows).
     import shutil
 
+    import re
+
     base = os.path.basename(sf.rstrip("/")).replace(".", "_")
     db_dir = os.path.join(warehouse.removeprefix("file:"), "rbs_bucketed.db")
+    known = {t.name for t in spark.catalog.listTables("rbs_bucketed")}
+    on_disk = set(os.listdir(db_dir)) if os.path.isdir(db_dir) else set()
     for tbl in ("orders", "lineitem"):
-        prefix = f"{tbl}_b_{base}_"
+        # anchor the fingerprint section: a bare startswith(prefix) would
+        # also match a LONGER basename extending this one with '_'
+        # (sf0.01 vs sf0.01_alt) and drop the other dataset's live tables
+        pat = re.compile(rf"^{re.escape(f'{tbl}_b_{base}_')}[0-9a-f]{{10}}$")
         cur = names[tbl].split(".", 1)[1]
-        known = {t.name for t in spark.catalog.listTables("rbs_bucketed")}
-        on_disk = set(os.listdir(db_dir)) if os.path.isdir(db_dir) else set()
         for stale in (known | on_disk):
-            if stale.startswith(prefix) and stale != cur:
+            if pat.match(stale) and stale != cur:
                 spark.sql(f"DROP TABLE IF EXISTS rbs_bucketed.`{stale}`")
                 shutil.rmtree(os.path.join(db_dir, stale), ignore_errors=True)
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):

@@ -355,6 +355,7 @@ def _staged_turn_stream_dir() -> str:
                 pa.Table.from_pandas(turns.iloc[i : i + step], preserve_index=False),
                 os.path.join(d, f"part-{i // step:03d}.parquet"),
             )
+        _space_mtimes(d)  # mtime ties would unorder the micro-batches
         open(os.path.join(d, "_DONE"), "w").write("ok")
     return d
 
@@ -438,7 +439,12 @@ def stream_triples(spark, sf):
         )
         new_tail = os.path.join(work, f"tail_b{batch_id}")
         tail.write.mode("overwrite").parquet(new_tail)
+        prev_tail = state["tail"]
         state["tail"] = new_tail
+        if prev_tail is not None:  # superseded snapshot — don't strand it
+            import shutil
+
+            shutil.rmtree(prev_tail, ignore_errors=True)
 
     turn_stream = spark.readStream.schema(schemas.TURNS).option(
         "maxFilesPerTrigger", 1
@@ -453,14 +459,50 @@ def stream_triples(spark, sf):
     return spark.read.parquet(out_data).distinct()
 
 
+def _source_fingerprint(path: str) -> str:
+    """Content fingerprint (full path + per-file size/mtime) of a parquet
+    file-or-dir — the same stale-cache guard join_bucketed uses: two sf
+    dirs sharing a basename, or parquet regenerated in place, must never
+    silently reuse a stale staged copy."""
+    import hashlib
+
+    h = hashlib.sha1(path.encode())
+    files = (
+        sorted(
+            os.path.join(path, f) for f in os.listdir(path) if not f.startswith("_")
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    for fp in files:
+        st = os.stat(fp)
+        h.update(f"{fp}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:10]
+
+
+def _space_mtimes(d: str) -> None:
+    """Give a staged dir's parquet parts strictly increasing mtimes, one
+    second apart in name order. The file stream source orders micro-batches
+    by modification time; sub-millisecond writes of tiny parts can TIE at
+    file-status granularity, and a tie would let part-001 process before
+    part-000 — breaking every in-order-arrival invariant the incremental
+    operators rely on."""
+    base = 1_600_000_000  # any fixed past epoch; only the ordering matters
+    for i, f in enumerate(sorted(os.listdir(d))):
+        if f.endswith(".parquet"):
+            os.utime(os.path.join(d, f), (base + i, base + i))
+
+
 def _staged_doc_stream_dir(sf: str, n_docs: int = 300, n_parts: int = 3) -> str:
     """First ``n_docs`` documents of ``sf`` split into ``n_parts`` parquet
-    files for micro-batch streaming (cached per /tmp lifetime)."""
+    files for micro-batch streaming (cached per /tmp lifetime, keyed by a
+    content fingerprint of the source parquet)."""
     import duckdb
 
+    src = f"{sf}/documents.parquet"
     d = os.path.join(
         tempfile.gettempdir(),
-        f"rbs_stream_docs_{os.path.basename(sf.rstrip('/'))}_{n_docs}_{n_parts}",
+        f"rbs_stream_docs_{_source_fingerprint(src)}_{n_docs}_{n_parts}",
     )
     if not os.path.exists(os.path.join(d, "_DONE")):
         os.makedirs(d, exist_ok=True)
@@ -468,11 +510,11 @@ def _staged_doc_stream_dir(sf: str, n_docs: int = 300, n_parts: int = 3) -> str:
         step = (n_docs + n_parts - 1) // n_parts
         for i in range(n_parts):
             con.execute(
-                f"COPY (SELECT doc_id, text FROM "
-                f"read_parquet('{sf}/documents.parquet') "
+                f"COPY (SELECT doc_id, text FROM read_parquet('{src}') "
                 f"ORDER BY doc_id LIMIT {step} OFFSET {i * step}) "
                 f"TO '{d}/part-{i:03d}.parquet' (FORMAT PARQUET)"
             )
+        _space_mtimes(d)
         open(os.path.join(d, "_DONE"), "w").write("ok")
     return d
 
@@ -493,42 +535,19 @@ def stream_dedup_minhash(spark, sf, min_jaccard: float = 0.9):
 
     State grows O(corpus) — exactly the persistent band-index/shingle
     tables a production deployment keeps partitioned by band_hash; here
-    they are append-only parquet dirs swapped per batch. No bucket cap is
+    it is ONE append-only parquet dir (each batch appends only its own
+    rows — never a merge-rewrite). No bucket cap is
     applied (caps are a per-snapshot policy that would make incremental
     and batch results diverge); the streaming==batch equality is pinned
     in pytest against the uncapped batch operator."""
-    from ..operators.dedup import doc_shingle_bands
+    from ..operators.dedup import doc_shingle_bands, verify_jaccard
 
     d = _staged_doc_stream_dir(sf)
     work = tempfile.mkdtemp(prefix="rbs_stream_dedup_")
     out_pairs = os.path.join(work, "pairs")
-    state: dict[str, str | None] = {"base": None}
+    state_dir = os.path.join(work, "base")
+    state: dict[str, bool] = {"has_base": False}
     minj = float(min_jaccard)
-
-    def verify(pairs: DataFrame, sh_lookup: DataFrame) -> DataFrame:
-        j = (
-            pairs.join(
-                sh_lookup.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")),
-                "a",
-            ).join(
-                sh_lookup.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")),
-                "b",
-            )
-        )
-        na, nb = F.size("sh_a"), F.size("sh_b")
-        cheap = F.least(na, nb).cast("double") >= F.lit(minj) * F.greatest(
-            na, nb
-        ).cast("double") - F.lit(1e-9)
-        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        s = (na + nb).cast("double")
-        pushed = inter >= F.lit(minj / (1.0 + minj) - 1e-12) * s
-        union = s - inter
-        return (
-            j.filter(cheap & pushed)
-            .withColumn("jaccard", F.round(inter / union, 6))
-            .filter(F.col("jaccard") >= F.lit(minj))
-            .select("a", "b", "jaccard")
-        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -547,8 +566,11 @@ def stream_dedup_minhash(spark, sf, min_jaccard: float = 0.9):
             .filter(F.col("a") < F.col("b"))
         )
         sh_lookup = base_new.select("doc_id", "sh")
-        if state["base"] is not None:
-            old = sp.read.parquet(state["base"])
+        if state["has_base"]:
+            # the file index is resolved at read time, so `old` sees only
+            # the files appended by PRIOR batches even though this batch
+            # appends to the same dir below
+            old = sp.read.parquet(state_dir)
             old_bands = old.select(
                 "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
             )
@@ -567,15 +589,14 @@ def stream_dedup_minhash(spark, sf, min_jaccard: float = 0.9):
             sh_lookup = sh_lookup.unionByName(old.select("doc_id", "sh"))
         else:
             cands = in_batch.select("a", "b").distinct()
-        verify(cands, sh_lookup).write.mode("append").parquet(out_pairs)
-        new_state = os.path.join(work, f"base_b{batch_id}")
-        merged = (
-            base_new
-            if state["base"] is None
-            else sp.read.parquet(state["base"]).unionByName(base_new)
+        verify_jaccard(cands, sh_lookup, minj).write.mode("append").parquet(
+            out_pairs
         )
-        merged.write.mode("overwrite").parquet(new_state)
-        state["base"] = new_state
+        # append ONLY the new batch's rows: the state really is append-only
+        # (a full-merge rewrite per batch would be O(corpus) writes per
+        # batch, O(n^2) total, and would strand every superseded snapshot)
+        base_new.write.mode("append").parquet(state_dir)
+        state["has_base"] = True
         base_new.unpersist(blocking=False)
 
     doc_stream = spark.readStream.schema("doc_id long, text string").option(

@@ -323,3 +323,26 @@ def test_dedup_minhash_thresholds_exact_boundary(spark):
         gset = set(map(tuple, got[["a", "b"]].values.tolist()))
         nset = set(map(tuple, naive.values.tolist()))
         assert gset == nset, (t, gset ^ nset)
+
+
+def test_verify_jaccard_keeps_rounding_window_pair(spark):
+    """Contract is round(j, 6) >= minj: a pair whose RAW jaccard sits just
+    below minj but rounds up to it must survive the pushed single-intersect
+    predicate (the pre-r4-review algebra dropped it — the gate used minj
+    itself, not minj minus the 6-decimal rounding window)."""
+    from reach_banner_spark.operators.dedup import verify_jaccard
+
+    # |a∩b| = 9, union = 11 -> raw j = 9/11 = 0.81818181..,
+    # round(j,6) = 0.818182. minj = 0.8181819 lies ABOVE raw j (gap
+    # ~8e-8, inside the 5e-7 rounding window) but at-or-below round(j,6).
+    sh = spark.createDataFrame(
+        [(1, list(range(10))), (2, [*range(9), 10])], "doc_id long, sh array<long>"
+    )
+    cands = spark.createDataFrame([(1, 2)], "a long, b long")
+    got = verify_jaccard(cands, sh, 0.8181819).collect()
+    assert len(got) == 1
+    assert got[0]["jaccard"] == 0.818182
+
+    # and a pair rounding BELOW the threshold is still rejected
+    got2 = verify_jaccard(cands, sh, 0.8181830).collect()
+    assert len(got2) == 0
