@@ -397,7 +397,16 @@ def stream_triples(spark, sf):
     from ..operators.triples import assemble_triples
 
     d = _staged_turn_stream_dir()
-    work = tempfile.mkdtemp(prefix="rbs_stream_triples_")
+    # one work dir per staged corpus, wiped at invocation start: a fresh
+    # mkdtemp per call would strand triples+tail+checkpoint dirs in /tmp
+    # across the many invocations a bench/driver session makes
+    import shutil
+
+    work = os.path.join(
+        tempfile.gettempdir(), f"rbs_stream_triples_{os.path.basename(d)}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
     out_data = os.path.join(work, "triples")
     state: dict[str, str | None] = {"tail": None}
     dic = spark.createDataFrame(STREAM_DICT, ["term", "term_id"])
@@ -543,7 +552,14 @@ def stream_dedup_minhash(spark, sf, min_jaccard: float = 0.9):
     from ..operators.dedup import doc_shingle_bands, verify_jaccard
 
     d = _staged_doc_stream_dir(sf)
-    work = tempfile.mkdtemp(prefix="rbs_stream_dedup_")
+    # bounded /tmp: one dir per staged corpus, wiped per invocation
+    import shutil
+
+    work = os.path.join(
+        tempfile.gettempdir(), f"rbs_stream_dedup_{os.path.basename(d)}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
     out_pairs = os.path.join(work, "pairs")
     state_dir = os.path.join(work, "base")
     state: dict[str, bool] = {"has_base": False}
