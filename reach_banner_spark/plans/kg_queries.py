@@ -657,6 +657,71 @@ def kg_conv_summary(spark, sf):
     )
 
 
+@register("kg_pagerank", None)  # pytest vs numpy power-iteration twin
+def kg_pagerank(spark, sf, iters: int = 10, damping: float = 0.85):
+    """PageRank over the directed entity graph (distinct subj->obj edges
+    across all conversations): the canonical iterative graph algorithm on
+    the materialized KG, spelled as repeated join + groupBy with a
+    ``localCheckpoint`` per iteration to cut lineage (the same discipline
+    ``connected_components`` uses). Simplified model (dangling mass not
+    redistributed), fixed ``iters`` — no convergence probe, so zero
+    driver barriers inside the loop. At scale the edge list and the rank
+    vector co-partition on the join key; each iteration is one shuffle
+    of the (bounded) entity domain, not the conversations."""
+    t = _triples(spark, sf)
+    edges = t.select("subj", "obj").distinct()
+    nodes = (
+        edges.select(F.col("subj").alias("node"))
+        .unionByName(edges.select(F.col("obj").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("subj").agg(F.count(F.lit(1)).alias("deg"))
+    edges = edges.join(outdeg, "subj").localCheckpoint()
+    n = nodes.count()
+    rank = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = edges.join(
+            rank.withColumnRenamed("node", "subj"), "subj"
+        ).select(
+            F.col("obj").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
+        )
+        agg = contrib.groupBy("node").agg(F.sum("c").alias("in_rank"))
+        rank = (
+            nodes.join(agg, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return rank.select("node", F.round("rank", 6).alias("rank"))
+
+
+def kg_pagerank_pandas(
+    edges: pd.DataFrame, iters: int = 10, damping: float = 0.85
+) -> pd.DataFrame:
+    """Single-process twin of ``kg_pagerank`` for the golden test:
+    ``edges`` has columns (subj, obj); returns (node, rank)."""
+    e = edges.drop_duplicates()
+    nodes = sorted(set(e["subj"]) | set(e["obj"]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = e.groupby("subj").size()
+    src = e["subj"].map(idx).to_numpy()
+    dst = e["obj"].map(idx).to_numpy()
+    d = e["subj"].map(deg).to_numpy().astype(np.float64)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        np.add.at(nxt, dst, rank[src] / d)
+        rank = (1.0 - damping) / n + damping * nxt
+    return pd.DataFrame({"node": nodes, "rank": np.round(rank, 6)})
+
+
 @register(
     "kg_two_hop",
     f"WITH t AS ({_TRIPLES_SQL}) "

@@ -104,3 +104,30 @@ def test_entry_contract(spark):
         "obj",
     ]
     assert df.count() > 0
+
+
+def test_kg_pagerank_matches_numpy_twin(spark):
+    """Distributed PageRank == single-process power iteration on the same
+    entity edge list (6-decimal agreement; Spark's partition-order float
+    sums differ only in late ulps)."""
+    import numpy as np
+
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _triples,
+        kg_pagerank_pandas,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = (
+        REGISTRY["kg_pagerank"][0](spark, SF)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    edges = _triples(spark, SF).select("subj", "obj").distinct().toPandas()
+    want = kg_pagerank_pandas(edges).sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == want["node"].tolist()
+    assert np.allclose(got["rank"].to_numpy(), want["rank"].to_numpy(), atol=2e-6)
+    # ranks form a probability-like vector: positive, bounded by 1
+    assert (got["rank"] > 0).all() and (got["rank"] < 1).all()
