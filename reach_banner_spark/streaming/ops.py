@@ -468,6 +468,91 @@ def stream_triples(spark, sf):
     return spark.read.parquet(out_data).distinct()
 
 
+@register("stream_kg", None)  # pytest: == batch run_pipeline on same turns
+def stream_kg(spark, sf):
+    """The COMPLETE KG-construction pipeline (the north star) running
+    incrementally: CRF mention detection (fused Arrow core) -> entity
+    linking (broadcast dict + MinHash-LSH fuzzy) -> canonicalization
+    (components over lexicon similarity edges) -> windowed triple
+    assembly, per micro-batch over a turn stream with the same bounded
+    per-conversation tail state as ``stream_triples``.
+
+    Why per-batch linking equals global linking: every linking decision
+    is a deterministic function of the mention SURFACE and the (static)
+    lexicon, and canonicalization depends on the lexicon alone — so
+    processing order cannot change any mention's canonical entity. The
+    only cross-batch coupling is the triple window, which the tail state
+    covers. Streaming == one-shot ``run_pipeline`` is pytest-pinned."""
+    from pyspark.sql.window import Window
+
+    from .. import schemas
+    from ..fixtures import ensure_model, make_lexicon
+    from ..operators.linking import link_mentions
+    from ..operators.mentions import detect_mentions, paren_balanced
+    from ..operators.triples import assemble_triples
+    from ..plans.pipeline import canonicalize
+
+    d = _staged_turn_stream_dir()
+    import shutil
+
+    work = os.path.join(
+        tempfile.gettempdir(), f"rbs_stream_kg_{os.path.basename(d)}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    out_data = os.path.join(work, "triples")
+    state: dict[str, str | None] = {"tail": None}
+    model_path = ensure_model()
+    lexicon = spark.createDataFrame(make_lexicon(), schema=schemas.LEXICON)
+    window_turns = 2
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = batch_df.select("conv_id", "turn_idx", "role", "text", "tool")
+        allt = (
+            cur
+            if state["tail"] is None
+            else sp.read.parquet(state["tail"]).unionByName(cur)
+        )
+        mentions = detect_mentions(
+            allt.select("conv_id", "turn_idx", "text"), model_path
+        ).filter(paren_balanced("surface"))
+        linked = canonicalize(link_mentions(mentions, lexicon), lexicon)
+        linked_new = linked.join(
+            cur.select("conv_id", "turn_idx").distinct(),
+            ["conv_id", "turn_idx"],
+            "left_semi",
+        )
+        triples = assemble_triples(
+            linked, allt, window_turns=window_turns, obj_mentions=linked_new
+        )
+        triples.write.mode("append").parquet(out_data)
+        w = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+        tail = (
+            allt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= window_turns)
+            .drop("rn")
+        )
+        new_tail = os.path.join(work, f"tail_b{batch_id}")
+        tail.write.mode("overwrite").parquet(new_tail)
+        prev_tail = state["tail"]
+        state["tail"] = new_tail
+        if prev_tail is not None:
+            shutil.rmtree(prev_tail, ignore_errors=True)
+
+    turn_stream = spark.readStream.schema(schemas.TURNS).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    q = (
+        turn_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_data).distinct()
+
+
 def _source_fingerprint(path: str) -> str:
     """Content fingerprint (full path + per-file size/mtime) of a parquet
     file-or-dir — the same stale-cache guard join_bucketed uses: two sf

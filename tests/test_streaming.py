@@ -211,3 +211,25 @@ def test_stream_dedup_minhash_equals_batch(spark, tmp_path):
     import numpy as np
 
     assert np.allclose(got["jaccard"].to_numpy(), want["jaccard"].to_numpy())
+
+
+def test_stream_kg_equals_batch_pipeline(spark):
+    """The full incremental KG pipeline (CRF mentions -> link ->
+    canonicalize -> triples per micro-batch with tail state) == the
+    one-shot batch run_pipeline on the same turns."""
+    from reach_banner_spark import schemas
+    from reach_banner_spark.fixtures import ensure_model, make_lexicon
+    from reach_banner_spark.plans.pipeline import run_pipeline
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_kg"][0](spark, SF).toPandas()
+
+    turns = spark.read.parquet(ops._staged_turn_stream_dir())
+    lexicon = spark.createDataFrame(make_lexicon(), schema=schemas.LEXICON)
+    want = run_pipeline(turns, lexicon, ensure_model(), window_turns=2).toPandas()
+
+    cols = ["conv_id", "window_start", "subj", "pred", "obj"]
+    ga = sorted(map(tuple, got[cols].values.tolist()))
+    wa = sorted(map(tuple, want[cols].values.tolist()))
+    assert len(ga) > 0
+    assert ga == wa
