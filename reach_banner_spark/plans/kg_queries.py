@@ -679,6 +679,8 @@ def kg_pagerank(spark, sf, iters: int = 10, damping: float = 0.85):
     outdeg = edges.groupBy("subj").agg(F.count(F.lit(1)).alias("deg"))
     edges = edges.join(outdeg, "subj").localCheckpoint()
     n = nodes.count()
+    if n == 0:  # empty graph: degrade to empty, not ZeroDivisionError
+        return spark.createDataFrame([], "node string, rank double")
     rank = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         contrib = edges.join(
@@ -710,6 +712,8 @@ def kg_pagerank_pandas(
     nodes = sorted(set(e["subj"]) | set(e["obj"]))
     idx = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": [], "rank": []})
     deg = e.groupby("subj").size()
     src = e["subj"].map(idx).to_numpy()
     dst = e["obj"].map(idx).to_numpy()

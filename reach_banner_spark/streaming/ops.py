@@ -355,9 +355,98 @@ def _staged_turn_stream_dir() -> str:
                 pa.Table.from_pandas(turns.iloc[i : i + step], preserve_index=False),
                 os.path.join(d, f"part-{i // step:03d}.parquet"),
             )
-        _space_mtimes(d)  # mtime ties would unorder the micro-batches
         open(os.path.join(d, "_DONE"), "w").write("ok")
+    # ALWAYS re-space (idempotent fixed values): a cache staged by an older
+    # build may carry tied mtimes, and a tie lets the file source order
+    # part-001 before part-000 — silently breaking the tail invariant
+    _space_mtimes(d)
     return d
+
+
+def _op_work_dir(op: str, staged: str) -> str:
+    """Per-(operator, corpus, PROCESS) work dir. The pid suffix keeps two
+    concurrent processes (bench.py + pytest, say) from rmtree-ing each
+    other's live checkpoint/output mid-stream; dirs whose owning process
+    is gone are swept so /tmp stays bounded anyway."""
+    import glob
+    import shutil
+
+    prefix = os.path.join(
+        tempfile.gettempdir(), f"rbs_{op}_{os.path.basename(staged)}_p"
+    )
+    for old in glob.glob(prefix + "*"):
+        pid = old.rsplit("_p", 1)[-1]
+        if (
+            not pid.isdigit()
+            or int(pid) == os.getpid()
+            or not os.path.exists(f"/proc/{pid}")
+        ):
+            shutil.rmtree(old, ignore_errors=True)
+    work = f"{prefix}{os.getpid()}"
+    os.makedirs(work)
+    return work
+
+
+def _run_incremental_turns(
+    spark: SparkSession, op: str, per_batch, window_turns: int = 2
+) -> DataFrame:
+    """Shared scaffold for incremental turn-stream operators
+    (``stream_triples``, ``stream_kg``): micro-batch loop over the staged
+    turn corpus with bounded per-conversation tail state (the last
+    ``window_turns`` turns, parquet-swapped per batch, superseded
+    snapshots removed). ``per_batch(allt, cur, cleanup)`` returns the
+    rows to append for this batch — ``allt`` is tail+new turns, ``cur``
+    the new turns only; callables appended to ``cleanup`` run after the
+    batch's output is durably written (persist releases)."""
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from .. import schemas
+
+    d = _staged_turn_stream_dir()
+    work = _op_work_dir(op, d)
+    out_data = os.path.join(work, "out")
+    state: dict[str, str | None] = {"tail": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = batch_df.select("conv_id", "turn_idx", "role", "text", "tool")
+        allt = (
+            cur
+            if state["tail"] is None
+            else sp.read.parquet(state["tail"]).unionByName(cur)
+        )
+        cleanup: list = []
+        try:
+            per_batch(allt, cur, cleanup).write.mode("append").parquet(out_data)
+            w = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+            tail = (
+                allt.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= window_turns)
+                .drop("rn")
+            )
+            new_tail = os.path.join(work, f"tail_b{batch_id}")
+            tail.write.mode("overwrite").parquet(new_tail)
+            prev_tail = state["tail"]
+            state["tail"] = new_tail
+            if prev_tail is not None:  # superseded snapshot
+                shutil.rmtree(prev_tail, ignore_errors=True)
+        finally:
+            for fn in cleanup:
+                fn()
+
+    q = (
+        spark.readStream.schema(schemas.TURNS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_data).distinct()
 
 
 # dictionary over the staged fixture corpus vocabulary (the transcript
@@ -393,24 +482,9 @@ def stream_triples(spark, sf):
     is pytest-pinned across the 3-file micro-batch split."""
     from pyspark.sql.window import Window
 
-    from .. import schemas
     from ..operators.triples import assemble_triples
 
-    d = _staged_turn_stream_dir()
-    # one work dir per staged corpus, wiped at invocation start: a fresh
-    # mkdtemp per call would strand triples+tail+checkpoint dirs in /tmp
-    # across the many invocations a bench/driver session makes
-    import shutil
-
-    work = os.path.join(
-        tempfile.gettempdir(), f"rbs_stream_triples_{os.path.basename(d)}"
-    )
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work)
-    out_data = os.path.join(work, "triples")
-    state: dict[str, str | None] = {"tail": None}
     dic = spark.createDataFrame(STREAM_DICT, ["term", "term_id"])
-    window_turns = 2
 
     def mentions_of(turns_df: DataFrame) -> DataFrame:
         toks = turns_df.select(
@@ -425,47 +499,12 @@ def stream_triples(spark, sf):
             F.col("word").alias("canonical"),
         )
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        cur = batch_df.select("conv_id", "turn_idx", "role", "text", "tool")
-        allt = (
-            cur
-            if state["tail"] is None
-            else sp.read.parquet(state["tail"]).unionByName(cur)
+    def per_batch(allt: DataFrame, cur: DataFrame, cleanup: list) -> DataFrame:
+        return assemble_triples(
+            mentions_of(allt), allt, window_turns=2, obj_mentions=mentions_of(cur)
         )
-        triples = assemble_triples(
-            mentions_of(allt),
-            allt,
-            window_turns=window_turns,
-            obj_mentions=mentions_of(cur),
-        )
-        triples.write.mode("append").parquet(out_data)
-        w = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
-        tail = (
-            allt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= window_turns)
-            .drop("rn")
-        )
-        new_tail = os.path.join(work, f"tail_b{batch_id}")
-        tail.write.mode("overwrite").parquet(new_tail)
-        prev_tail = state["tail"]
-        state["tail"] = new_tail
-        if prev_tail is not None:  # superseded snapshot — don't strand it
-            import shutil
 
-            shutil.rmtree(prev_tail, ignore_errors=True)
-
-    turn_stream = spark.readStream.schema(schemas.TURNS).option(
-        "maxFilesPerTrigger", 1
-    ).parquet(d)
-    q = (
-        turn_stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(work, "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(out_data).distinct()
+    return _run_incremental_turns(spark, "stream_triples", per_batch)
 
 
 @register("stream_kg", None)  # pytest: == batch run_pipeline on same turns
@@ -483,8 +522,6 @@ def stream_kg(spark, sf):
     processing order cannot change any mention's canonical entity. The
     only cross-batch coupling is the triple window, which the tail state
     covers. Streaming == one-shot ``run_pipeline`` is pytest-pinned."""
-    from pyspark.sql.window import Window
-
     from .. import schemas
     from ..fixtures import ensure_model, make_lexicon
     from ..operators.linking import link_mentions
@@ -492,65 +529,35 @@ def stream_kg(spark, sf):
     from ..operators.triples import assemble_triples
     from ..plans.pipeline import canonicalize
 
-    d = _staged_turn_stream_dir()
-    import shutil
-
-    work = os.path.join(
-        tempfile.gettempdir(), f"rbs_stream_kg_{os.path.basename(d)}"
-    )
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work)
-    out_data = os.path.join(work, "triples")
-    state: dict[str, str | None] = {"tail": None}
     model_path = ensure_model()
     lexicon = spark.createDataFrame(make_lexicon(), schema=schemas.LEXICON)
-    window_turns = 2
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        cur = batch_df.select("conv_id", "turn_idx", "role", "text", "tool")
-        allt = (
-            cur
-            if state["tail"] is None
-            else sp.read.parquet(state["tail"]).unionByName(cur)
-        )
+    def per_batch(allt: DataFrame, cur: DataFrame, cleanup: list) -> DataFrame:
+        # persist the expensive stages within the batch: linking fans the
+        # mention stage into three branches and the triple pairing reads
+        # `linked` twice — without the persists the CRF Arrow core would
+        # re-execute per branch (same hazard run_pipeline documents);
+        # released via `cleanup` after the batch's output is written
         mentions = detect_mentions(
             allt.select("conv_id", "turn_idx", "text"), model_path
         ).filter(paren_balanced("surface"))
+        mentions = mentions.persist()
+        mentions.count()
+        cleanup.append(lambda: mentions.unpersist(blocking=False))
         linked = canonicalize(link_mentions(mentions, lexicon), lexicon)
+        linked = linked.persist()
+        linked.count()
+        cleanup.append(lambda: linked.unpersist(blocking=False))
         linked_new = linked.join(
             cur.select("conv_id", "turn_idx").distinct(),
             ["conv_id", "turn_idx"],
             "left_semi",
         )
-        triples = assemble_triples(
-            linked, allt, window_turns=window_turns, obj_mentions=linked_new
+        return assemble_triples(
+            linked, allt, window_turns=2, obj_mentions=linked_new
         )
-        triples.write.mode("append").parquet(out_data)
-        w = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
-        tail = (
-            allt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= window_turns)
-            .drop("rn")
-        )
-        new_tail = os.path.join(work, f"tail_b{batch_id}")
-        tail.write.mode("overwrite").parquet(new_tail)
-        prev_tail = state["tail"]
-        state["tail"] = new_tail
-        if prev_tail is not None:
-            shutil.rmtree(prev_tail, ignore_errors=True)
 
-    turn_stream = spark.readStream.schema(schemas.TURNS).option(
-        "maxFilesPerTrigger", 1
-    ).parquet(d)
-    q = (
-        turn_stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(work, "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(out_data).distinct()
+    return _run_incremental_turns(spark, "stream_kg", per_batch)
 
 
 def _source_fingerprint(path: str) -> str:
@@ -603,13 +610,18 @@ def _staged_doc_stream_dir(sf: str, n_docs: int = 300, n_parts: int = 3) -> str:
         con = duckdb.connect()
         step = (n_docs + n_parts - 1) // n_parts
         for i in range(n_parts):
+            # cap the last part so a non-divisible n_docs never stages
+            # MORE than n_docs rows
+            lim = min(step, n_docs - i * step)
+            if lim <= 0:
+                break
             con.execute(
                 f"COPY (SELECT doc_id, text FROM read_parquet('{src}') "
-                f"ORDER BY doc_id LIMIT {step} OFFSET {i * step}) "
+                f"ORDER BY doc_id LIMIT {lim} OFFSET {i * step}) "
                 f"TO '{d}/part-{i:03d}.parquet' (FORMAT PARQUET)"
             )
-        _space_mtimes(d)
         open(os.path.join(d, "_DONE"), "w").write("ok")
+    _space_mtimes(d)  # idempotent; repairs caches staged with tied mtimes
     return d
 
 
@@ -637,14 +649,7 @@ def stream_dedup_minhash(spark, sf, min_jaccard: float = 0.9):
     from ..operators.dedup import doc_shingle_bands, verify_jaccard
 
     d = _staged_doc_stream_dir(sf)
-    # bounded /tmp: one dir per staged corpus, wiped per invocation
-    import shutil
-
-    work = os.path.join(
-        tempfile.gettempdir(), f"rbs_stream_dedup_{os.path.basename(d)}"
-    )
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work)
+    work = _op_work_dir("stream_dedup", d)
     out_pairs = os.path.join(work, "pairs")
     state_dir = os.path.join(work, "base")
     state: dict[str, bool] = {"has_base": False}
