@@ -75,6 +75,10 @@ def release_all() -> None:
             pass
     while _LIVE_BC:
         try:
-            _LIVE_BC.pop().destroy()
+            # unpersist, NOT destroy, for symmetry with track_broadcast's
+            # documented refetch semantics: a DataFrame that survives
+            # teardown and is re-collected after release_all can still
+            # re-fetch the broadcast value from the driver (ADVICE r4)
+            _LIVE_BC.pop().unpersist(blocking=False)
         except Exception:
             pass

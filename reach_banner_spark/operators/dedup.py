@@ -388,6 +388,17 @@ def dedup_embedding_cosine(
         minc = float(min_cos)
 
         def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # Rounding must match the JVM twin EXACTLY (the paths-identical
+            # test pins pair-set equality): Spark's F.round(x, 6) is
+            # BigDecimal HALF_UP over Double.toString's shortest decimal
+            # form, and Python's repr(float) is the same shortest form —
+            # so Decimal(repr(x)).quantize(HALF_UP) reproduces it bit-for-
+            # bit, where np.round (half-even) can flip a borderline pair
+            # (ADVICE r4). Slack gate first, exact decimal only for the
+            # few survivors near/above threshold.
+            from decimal import ROUND_HALF_UP, Decimal
+
+            q6 = Decimal("0.000001")
             vids, vmat = bc.value
             for pdf in batches:
                 if not len(pdf):
@@ -396,8 +407,19 @@ def dedup_embedding_cosine(
                 b = pdf["b"].to_numpy()
                 ia = np.searchsorted(vids, a)
                 ib = np.searchsorted(vids, b)
-                cos = np.round(
-                    np.einsum("ij,ij->i", vmat[ia], vmat[ib]), 6
+                # left-fold accumulation (cumsum) matches F.aggregate's
+                # sequential fold bit-for-bit; einsum's pairwise/SIMD sum
+                # can differ in the last ulp, which matters at the
+                # rounding boundary below
+                raw = (vmat[ia] * vmat[ib]).cumsum(axis=1)[:, -1]
+                slack = raw >= minc - 5.01e-7  # covers the rounding window
+                a, b, raw = a[slack], b[slack], raw[slack]
+                cos = np.array(
+                    [
+                        float(Decimal(repr(x)).quantize(q6, ROUND_HALF_UP))
+                        for x in raw
+                    ],
+                    dtype=np.float64,
                 )
                 keep = cos >= minc
                 yield pd.DataFrame(
@@ -449,7 +471,7 @@ def dedup_ngram_jaccard(spark, sf):
 
 
 @register("dedup_cluster", None)  # pytest vs union-find twin
-def dedup_cluster(spark, sf):
+def dedup_cluster(spark, sf, small_pair_cutoff: int = 1_000_000):
     """Near-duplicate CLUSTERS with a canonical survivor per cluster:
     the verified minhash pair graph (``dedup_minhash_lsh``) closed under
     transitivity by connected components (G3), canonical = min doc_id of
@@ -469,8 +491,10 @@ def dedup_cluster(spark, sf):
     # driver in one collect — identical output, zero iterative shuffle
     # rounds. The distributed min-label loop only pays off for genuinely
     # huge pair graphs. ONE gate job: limit-toPandas decides the path and
-    # already holds the rows on the driver path.
-    small_pair_cutoff = 1_000_000
+    # already holds the rows on the driver path. The cutoff is a kwarg so
+    # tests can force the distributed branch (small_pair_cutoff=0) and pin
+    # it equal to the driver union-find (same pattern as link_mentions'
+    # broadcast_lex_cutoff).
     # persist BEFORE the gate probe: in the above-gate case the probe has
     # already executed the whole shingle/band/verify pipeline, and without
     # a cache the distributed component loop would re-execute it all

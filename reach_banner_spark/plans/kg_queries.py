@@ -667,7 +667,13 @@ def kg_pagerank(spark, sf, iters: int = 10, damping: float = 0.85):
     redistributed), fixed ``iters`` — no convergence probe, so zero
     driver barriers inside the loop. At scale the edge list and the rank
     vector co-partition on the join key; each iteration is one shuffle
-    of the (bounded) entity domain, not the conversations."""
+    of the (bounded) entity domain, not the conversations.
+
+    Determinism contract: the per-node in-rank reduction is a sorted
+    left fold (not F.sum), so emitted ranks are bit-stable across runs
+    and partitionings; the numpy twin is compared with atol=2e-6 only
+    because ITS accumulation order differs, not because this key's
+    output varies."""
     t = _triples(spark, sf)
     edges = t.select("subj", "obj").distinct()
     nodes = (
@@ -688,7 +694,20 @@ def kg_pagerank(spark, sf, iters: int = 10, damping: float = 0.85):
         ).select(
             F.col("obj").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
         )
-        agg = contrib.groupBy("node").agg(F.sum("c").alias("in_rank"))
+        # deterministic reduction: F.sum over doubles inherits the partial-
+        # aggregation order (a rank ~1 ulp from a 6-decimal boundary could
+        # flip the rounded output between runs — ADVICE r4); collect +
+        # array_sort + left fold pins the accumulation order, making the
+        # emitted rounded ranks run-to-run stable. The per-node list is
+        # bounded by in-degree over the (bounded) entity domain, not by
+        # conversations, so the collect_list stays small at 100x.
+        agg = contrib.groupBy("node").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("c")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("in_rank")
+        )
         rank = (
             nodes.join(agg, "node", "left")
             .select(

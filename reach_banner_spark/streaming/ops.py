@@ -446,7 +446,11 @@ def _run_incremental_turns(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_data).distinct()
+    # localCheckpoint (eager) detaches the result from the work-dir parquet:
+    # a LATER invocation of the same key in this process rmtree's this
+    # work dir (_op_work_dir), which would otherwise break a caller still
+    # holding this DataFrame (ADVICE r4)
+    return spark.read.parquet(out_data).distinct().localCheckpoint()
 
 
 # dictionary over the staged fixture corpus vocabulary (the transcript
@@ -715,7 +719,9 @@ def stream_dedup_minhash(spark, sf, min_jaccard: float = 0.9):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_pairs).distinct()
+    # eager localCheckpoint: survive a later same-key invocation's work-dir
+    # sweep (see _run_incremental_turns; ADVICE r4)
+    return spark.read.parquet(out_pairs).distinct().localCheckpoint()
 
 
 @register("sink_foreach_batch", None)

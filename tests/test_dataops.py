@@ -236,6 +236,29 @@ def test_dedup_cluster_matches_union_find(spark):
     assert (gmin.index.to_numpy() == gmin.to_numpy()).all()
 
 
+def test_dedup_cluster_paths_identical(spark):
+    """Driver union-find (below the pair gate) and the distributed
+    connected-components closure (forced via small_pair_cutoff=0) emit the
+    same (doc_id, canonical_id) rows — the same both-paths pin
+    link_mentions and dedup_embedding_cosine carry (VERDICT r4 #2)."""
+    from reach_banner_spark.operators.dedup import dedup_cluster
+
+    driver = (
+        dedup_cluster(spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    distributed = (
+        dedup_cluster(spark, SF, small_pair_cutoff=0)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(driver) > 0, "no near-dup clusters at this SF — fixture broken"
+    assert driver.astype("int64").equals(distributed.astype("int64"))
+
+
 def test_dedup_embedding_cosine_paths_identical(spark):
     """The broadcast-matrix numpy verify (below the doc gate) and the JVM
     join verify (above it) return the same pair set and cosines."""
