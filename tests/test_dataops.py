@@ -157,8 +157,9 @@ def test_embedding_cosine_dedup_matches_exhaustive(spark):
 
 def test_ann_ivf_recall_and_exact_scores(spark):
     """IVF top-k: every vector lands in exactly one cell, returned cosines
-    are exact (subset of brute force scoring), and nprobe=4 of 16 cells
-    achieves usable recall of the true top-10 on this corpus."""
+    are exact (subset of brute force scoring), and the committed operating
+    point (nprobe=16 of 64 cells, 25% candidate fraction) achieves >= 0.9
+    recall of the true top-10 (measured 1.0 at sf0.01 and sf0.1)."""
     import numpy as np
 
     from reach_banner_spark.operators.similarity import (
@@ -186,15 +187,20 @@ def test_ann_ivf_recall_and_exact_scores(spark):
     truth = set(map(tuple, brute[["qid", "vec_id"]].values.tolist()))
     got = set(map(tuple, ivf[["qid", "vec_id"]].values.tolist()))
     recall = len(truth & got) / len(truth)
-    assert recall >= 0.2, f"IVF recall {recall:.2f} below floor"
+    assert recall >= 0.9, f"IVF recall {recall:.2f} below floor"
 
-    # the assignment is a total partition: every vec in exactly one cell
+    # the assignment covers every vector exactly N_ASSIGN times, with
+    # distinct cells per vector (multi-assignment replication)
+    from reach_banner_spark.operators.similarity import KMEANS_SAMPLE, N_ASSIGN
+
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
-    sample = e.orderBy("vec_id").limit(512).toPandas()
+    sample = e.orderBy("vec_id").limit(KMEANS_SAMPLE).toPandas()
     cents = _ivf_centroids(np.stack(sample["embedding"].to_numpy()))
-    cells = ivf_assign(e, cents).toPandas()
-    assert len(cells) == e.count()
-    assert cells["vec_id"].is_unique
+    cells = ivf_assign(e, cents, n_assign=N_ASSIGN).toPandas()
+    assert len(cells) == e.count() * N_ASSIGN
+    per_vec = cells.groupby("vec_id")["cell"].agg(["count", "nunique"])
+    assert (per_vec["count"] == N_ASSIGN).all()
+    assert (per_vec["nunique"] == N_ASSIGN).all()
     assert cells["cell"].between(0, cents.shape[0] - 1).all()
 
     # determinism: same seedless pipeline twice -> identical result
