@@ -176,6 +176,66 @@ def main() -> None:
         ),
     )
 
+    # --- checkpointed production path (G6): the actual 100 TB story ---
+    # cold leg: full pipeline with a per-stage checkpoint table (G7
+    # bucketed parquet + manifest) after every stage; resume leg: the
+    # kill-after-stage-3 scenario — wipe ONLY the triples stage and re-run;
+    # the three upstream stages must be resumed from their checkpoints.
+    import shutil
+
+    from reach_banner_spark.plans.checkpoint import run_pipeline_checkpointed
+
+    ck_root = os.path.join("/tmp", f"rbs_bench_ckpt_p{os.getpid()}")
+
+    def ckpt_cold():
+        shutil.rmtree(ck_root, ignore_errors=True)
+        triples, cp = run_pipeline_checkpointed(
+            spark, turns, lexicon, model_path, ck_root
+        )
+        force(triples)
+        assert cp.stages_run == ["mentions", "linked", "canonical", "triples"], (
+            cp.stages_run,
+            cp.stages_resumed,
+        )
+
+    timed("kg_pipeline_ckpt", ckpt_cold)
+
+    def ckpt_resume():
+        shutil.rmtree(os.path.join(ck_root, "triples"), ignore_errors=True)
+        triples, cp = run_pipeline_checkpointed(
+            spark, turns, lexicon, model_path, ck_root
+        )
+        force(triples)
+        assert cp.stages_resumed == ["mentions", "linked", "canonical"], (
+            cp.stages_resumed
+        )
+        assert cp.stages_run == ["triples"], cp.stages_run
+
+    timed("kg_pipeline_resume", ckpt_resume)
+    shutil.rmtree(ck_root, ignore_errors=True)
+
+    # --- incremental (streaming) pipeline throughput ---
+    # stream_kg = the complete pipeline per micro-batch with bounded tail
+    # state; measured on its own staged corpus (3 micro-batches) against
+    # one-shot run_pipeline on the SAME turns for the overhead ratio.
+    from reach_banner_spark.streaming.ops import (
+        _staged_turn_stream_dir,
+        stream_kg,
+    )
+
+    stream_convs = int(os.environ.get("RBS_BENCH_STREAM_CONVS", "500"))
+    staged = _staged_turn_stream_dir(n_convs=stream_convs, skew=500)
+    s_turns = spark.read.parquet(staged)
+    n_stream_turns = s_turns.count()
+    timed(
+        "stream_kg",
+        lambda: force(stream_kg(spark, SF_DIR, staged_dir=staged)),
+    )
+    timed(
+        "stream_kg_batch_twin",
+        lambda: force(run_pipeline(s_turns, lexicon, model_path, window_turns=2)),
+    )
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -192,6 +252,22 @@ def main() -> None:
                 "kg_turns": n_turns,
                 "kg_turns_per_sec": round(n_turns / kg_sec, 1),
                 "mention_turns_per_sec": round(n_turns / times["mention_detect"], 1),
+                # checkpointed-path economics (r4 VERDICT #1): what the
+                # per-stage durability costs, and what a mid-run kill saves
+                "ckpt_overhead_ratio": round(
+                    times["kg_pipeline_ckpt"] / kg_sec, 2
+                ),
+                "resume_vs_cold_ratio": round(
+                    times["kg_pipeline_resume"] / times["kg_pipeline_ckpt"], 2
+                ),
+                # incremental pipeline economics (r4 VERDICT #5)
+                "stream_turns": n_stream_turns,
+                "stream_kg_turns_per_sec": round(
+                    n_stream_turns / times["stream_kg"], 1
+                ),
+                "stream_vs_batch_ratio": round(
+                    times["stream_kg"] / times["stream_kg_batch_twin"], 2
+                ),
             }
         )
     )

@@ -336,18 +336,21 @@ def stream_mentions(spark, sf):
     return _run_to_memory(mentions, "t_stream_mentions")
 
 
-def _staged_turn_stream_dir() -> str:
+def _staged_turn_stream_dir(n_convs: int = 12, skew: int = 12) -> str:
     """Shared 3-part staged turn corpus for the KG streaming keys (same
-    fixture ``stream_mentions`` uses); built once per /tmp lifetime."""
+    fixture ``stream_mentions`` uses); built once per /tmp lifetime.
+    Parameterized so bench.py can stage a larger corpus for throughput
+    measurement — the default (12, 12) is the correctness-test fixture."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from ..fixtures import make_turns
 
-    d = os.path.join(tempfile.gettempdir(), "rbs_stream_turns_v1")
+    tag = "v1" if (n_convs, skew) == (12, 12) else f"c{n_convs}_k{skew}_v1"
+    d = os.path.join(tempfile.gettempdir(), f"rbs_stream_turns_{tag}")
     if not os.path.exists(os.path.join(d, "_DONE")):
         os.makedirs(d, exist_ok=True)
-        turns, _ = make_turns(n_convs=12, skew_conv_turns=12)
+        turns, _ = make_turns(n_convs=n_convs, skew_conv_turns=skew)
         turns["ts"] = turns["ts"].astype("datetime64[us]")
         step = (len(turns) + 2) // 3
         for i in range(0, len(turns), step):
@@ -388,7 +391,11 @@ def _op_work_dir(op: str, staged: str) -> str:
 
 
 def _run_incremental_turns(
-    spark: SparkSession, op: str, per_batch, window_turns: int = 2
+    spark: SparkSession,
+    op: str,
+    per_batch,
+    window_turns: int = 2,
+    staged_dir: str | None = None,
 ) -> DataFrame:
     """Shared scaffold for incremental turn-stream operators
     (``stream_triples``, ``stream_kg``): micro-batch loop over the staged
@@ -404,7 +411,7 @@ def _run_incremental_turns(
 
     from .. import schemas
 
-    d = _staged_turn_stream_dir()
+    d = staged_dir if staged_dir is not None else _staged_turn_stream_dir()
     work = _op_work_dir(op, d)
     out_data = os.path.join(work, "out")
     state: dict[str, str | None] = {"tail": None}
@@ -463,7 +470,7 @@ STREAM_DICT = [
 
 
 @register("stream_triples", None)  # pytest: streaming == batch twin
-def stream_triples(spark, sf):
+def stream_triples(spark, sf, staged_dir=None):
     """INCREMENTAL KG construction (the north star's pipeline as a
     stream): dictionary mentions + G4 triple assembly over a turn stream,
     with bounded per-conversation tail state so cross-micro-batch windows
@@ -508,11 +515,13 @@ def stream_triples(spark, sf):
             mentions_of(allt), allt, window_turns=2, obj_mentions=mentions_of(cur)
         )
 
-    return _run_incremental_turns(spark, "stream_triples", per_batch)
+    return _run_incremental_turns(
+        spark, "stream_triples", per_batch, staged_dir=staged_dir
+    )
 
 
 @register("stream_kg", None)  # pytest: == batch run_pipeline on same turns
-def stream_kg(spark, sf):
+def stream_kg(spark, sf, staged_dir=None):
     """The COMPLETE KG-construction pipeline (the north star) running
     incrementally: CRF mention detection (fused Arrow core) -> entity
     linking (broadcast dict + MinHash-LSH fuzzy) -> canonicalization
@@ -561,7 +570,9 @@ def stream_kg(spark, sf):
             linked, allt, window_turns=2, obj_mentions=linked_new
         )
 
-    return _run_incremental_turns(spark, "stream_kg", per_batch)
+    return _run_incremental_turns(
+        spark, "stream_kg", per_batch, staged_dir=staged_dir
+    )
 
 
 def _source_fingerprint(path: str) -> str:
