@@ -32,6 +32,7 @@ from .operators.triples import assemble_triples_pandas
 
 SEED = 42
 MODEL_PATH = os.path.join(os.path.dirname(__file__), "resources", "model.npz")
+MODEL2_PATH = os.path.join(os.path.dirname(__file__), "resources", "model2.npz")
 
 _FILLERS = (
     "the quick analysis shows that expression levels were observed in sample "
@@ -180,6 +181,45 @@ def train_fixture_model(epochs: int = 8) -> CrfModel:
     turns, gold = make_turns(n_convs=60, skew_conv_turns=60, lexicon=lex)
     feat_idx, labels, seq_lens = _training_arrays(turns, gold)
     return train_perceptron(feat_idx, labels, seq_lens, epochs=epochs, seed=SEED)
+
+
+def train_fixture_model2(epochs: int = 8):
+    """Order-2 twin of ``train_fixture_model`` (the reference's published
+    best config [K PSB-2008]) — same corpus, pair-state perceptron."""
+    from .operators.crf import train_perceptron2
+
+    lex = make_lexicon()
+    turns, gold = make_turns(n_convs=60, skew_conv_turns=60, lexicon=lex)
+    feat_idx, labels, seq_lens = _training_arrays(turns, gold)
+    return train_perceptron2(
+        feat_idx, labels, seq_lens, epochs=epochs, seed=SEED
+    )
+
+
+def ensure_model2(path: str = MODEL2_PATH) -> str:
+    """Order-2 counterpart of ``ensure_model`` (resources/model2.npz)."""
+    if os.path.exists(path):
+        return path
+    cache = os.path.join("/tmp", "rbs_model2_cache.npz")
+    if os.path.exists(cache):
+        return cache
+    try:
+        from importlib import resources
+
+        ref = resources.files("reach_banner_spark") / "resources" / "model2.npz"
+        data = ref.read_bytes()
+        with open(cache, "wb") as f:
+            f.write(data)
+        return cache
+    except Exception:
+        pass
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        train_fixture_model2().save_npz(path)
+        return path
+    except OSError:
+        train_fixture_model2().save_npz(cache)
+        return cache
 
 
 def ensure_model(path: str = MODEL_PATH) -> str:

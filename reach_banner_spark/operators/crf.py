@@ -160,6 +160,29 @@ class Crf2Model:
     def n_labels(self) -> int:
         return self.emission.shape[1]
 
+    def save_npz(self, path: str) -> None:
+        """Same sparse-emission layout as CrfModel; the ``transition2``
+        key (vs ``transition``) is what tells the loaders apart."""
+        nz = np.nonzero(self.emission)
+        np.savez_compressed(
+            path,
+            idx=nz[0].astype(np.int64),
+            lab=nz[1].astype(np.int8),
+            w=self.emission[nz].astype(np.float32),
+            transition2=self.transition2.astype(np.float32),
+            fmt=np.array(self.fmt),
+        )
+
+    @classmethod
+    def load_npz(cls, path: str) -> "Crf2Model":
+        d = np.load(path)
+        t2 = d["transition2"].astype(np.float32)
+        L = t2.shape[2]
+        emission = np.zeros((FEATURE_SPACE, L), dtype=np.float32)
+        emission[d["idx"], d["lab"]] = d["w"]
+        fmt = str(d["fmt"]) if "fmt" in d else "IOB"
+        return cls(emission, t2, fmt)
+
 
 def viterbi2_batch(
     emit_flat: np.ndarray, seq_lens: np.ndarray, t2: np.ndarray

@@ -52,11 +52,21 @@ def _load_model_bytes(blob: bytes) -> CrfModel:
         d = _np.load(io.BytesIO(blob))
         from ..functions.hashing import FEATURE_SPACE
 
-        trans = d["transition"].astype(_np.float32)
-        emission = _np.zeros((FEATURE_SPACE, trans.shape[1]), dtype=_np.float32)
-        emission[d["idx"], d["lab"]] = d["w"]
         fmt = str(d["fmt"]) if "fmt" in d else "IOB"
-        m = CrfModel(emission, trans, fmt)
+        if "transition2" in d:  # order-2 model (PSB-2008 best config)
+            from .crf import Crf2Model
+
+            t2 = d["transition2"].astype(_np.float32)
+            emission = _np.zeros((FEATURE_SPACE, t2.shape[2]), dtype=_np.float32)
+            emission[d["idx"], d["lab"]] = d["w"]
+            m = Crf2Model(emission, t2, fmt)
+        else:
+            trans = d["transition"].astype(_np.float32)
+            emission = _np.zeros(
+                (FEATURE_SPACE, trans.shape[1]), dtype=_np.float32
+            )
+            emission[d["idx"], d["lab"]] = d["w"]
+            m = CrfModel(emission, trans, fmt)
         _MODEL_CACHE[key] = m
     return m
 

@@ -71,8 +71,14 @@ def train_distributed(
     n_shards: int = 8,
     epochs: int = 6,
     seed: int = 42,
+    order: int = 1,
 ) -> CrfModel:
-    """Parameter-mixing perceptron over deterministic conv_id shards."""
+    """Parameter-mixing perceptron over deterministic conv_id shards.
+
+    ``order=2`` trains the pair-state (order-2) model — the reference's
+    published best config [K PSB-2008] — with the same parameter-mixing
+    scheme; transition2 deltas ride the same sparse (idx, lab, w) rows
+    with a negative flat index over the (L+1, L+1, L) tensor."""
     g = gold.groupBy("conv_id", "turn_idx").agg(
         F.collect_list(F.struct("begin_char", "end_char")).alias("spans")
     )
@@ -100,9 +106,18 @@ def train_distributed(
             spans, columns=["conv_id", "turn_idx", "begin_char", "end_char"]
         )
         feat_idx, labels, seq_lens = _label_arrays(pdf, gold_pdf)
-        model = train_perceptron(
-            feat_idx, labels, seq_lens, epochs=epochs, seed=seed
-        )
+        if order == 2:
+            from .crf import train_perceptron2
+
+            model = train_perceptron2(
+                feat_idx, labels, seq_lens, epochs=epochs, seed=seed
+            )
+            trans_flat = model.transition2.reshape(-1)
+        else:
+            model = train_perceptron(
+                feat_idx, labels, seq_lens, epochs=epochs, seed=seed
+            )
+            trans_flat = model.transition.reshape(-1)
         nz = np.nonzero(model.emission)
         out = pd.DataFrame(
             {
@@ -111,16 +126,17 @@ def train_distributed(
                 "w": model.emission[nz].astype(np.float64),
             }
         )
-        # transitions ride along with idx = -(row*N_LABELS + col) - 1
-        tr = model.transition
-        trows = []
-        for i in range(tr.shape[0]):
-            for j in range(tr.shape[1]):
-                trows.append((-(i * N_LABELS + j) - 1, 0, float(tr[i, j])))
-        yield pd.concat(
-            [out, pd.DataFrame(trows, columns=["idx", "lab", "w"])],
-            ignore_index=True,
+        # transitions ride along with idx = -(flat_index) - 1 over the
+        # row-major flattening of the order's transition tensor
+        tnz = np.nonzero(trans_flat)[0]
+        trows = pd.DataFrame(
+            {
+                "idx": (-tnz - 1).astype(np.int64),
+                "lab": np.zeros(len(tnz), dtype=np.int32),
+                "w": trans_flat[tnz].astype(np.float64),
+            }
         )
+        yield pd.concat([out, trows], ignore_index=True)
 
     deltas = data.mapInPandas(shard_train, "idx long, lab int, w double")
     avg = (
@@ -129,14 +145,22 @@ def train_distributed(
         .collect()
     )
     emission = np.zeros((FEATURE_SPACE, N_LABELS), dtype=np.float32)
-    transition = np.zeros((N_LABELS + 1, N_LABELS), dtype=np.float32)
+    t_shape = (
+        (N_LABELS + 1, N_LABELS + 1, N_LABELS)
+        if order == 2
+        else (N_LABELS + 1, N_LABELS)
+    )
+    trans_flat = np.zeros(int(np.prod(t_shape)), dtype=np.float32)
     for r in avg:
         if r["idx"] >= 0:
             emission[r["idx"], r["lab"]] = r["w"]
         else:
-            flat = -r["idx"] - 1
-            transition[flat // N_LABELS, flat % N_LABELS] = r["w"]
-    return CrfModel(emission, transition)
+            trans_flat[-r["idx"] - 1] = r["w"]
+    if order == 2:
+        from .crf import Crf2Model
+
+        return Crf2Model(emission, trans_flat.reshape(t_shape))
+    return CrfModel(emission, trans_flat.reshape(t_shape))
 
 
 def eval_exact_span(
@@ -189,8 +213,10 @@ def kfold_eval(
     gold_pdf: pd.DataFrame,
     k: int = 3,
     epochs: int = 6,
+    order: int = 1,
 ) -> list[dict[str, float]]:
-    """k-fold cross-validation, folds split by conv_id hash (deterministic)."""
+    """k-fold cross-validation, folds split by conv_id hash (deterministic).
+    ``order=2`` evaluates the pair-state CRF config."""
     from ..functions.hashing import fnv1a_bytes
     from .mentions import recognize_batch
 
@@ -206,7 +232,14 @@ def kfold_eval(
         te_t = turns_pdf[turns_fold == fold].reset_index(drop=True)
         te_g = gold_pdf[gold_fold == fold].reset_index(drop=True)
         feat_idx, labels, seq_lens = _label_arrays(tr_t, tr_g)
-        model = train_perceptron(feat_idx, labels, seq_lens, epochs=epochs)
+        if order == 2:
+            from .crf import train_perceptron2
+
+            model = train_perceptron2(
+                feat_idx, labels, seq_lens, epochs=epochs
+            )
+        else:
+            model = train_perceptron(feat_idx, labels, seq_lens, epochs=epochs)
         pred = recognize_batch(te_t[["conv_id", "turn_idx", "text"]], model)
         results.append(eval_exact_span(pred, te_g))
     return results

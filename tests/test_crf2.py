@@ -73,3 +73,66 @@ def test_order2_viterbi_agrees_with_bruteforce():
         got = viterbi2_batch(emit, np.array([n]), t2)
         assert score(tuple(got.tolist())) >= score(best) - 1e-4, (
             trial, got, best, score(tuple(got.tolist())), score(best))
+
+
+def test_order2_committed_model_through_spark_path(spark, lexicon_pdf):
+    """The committed order-2 model (resources/model2.npz): ensure_model2
+    resolves it, the npz loader dispatches on the transition2 key, and the
+    Spark detect_mentions path emits EXACTLY the rows the single-process
+    recognizer emits with the same model (the same by-construction parity
+    the order-1 model carries)."""
+    from reach_banner_spark import schemas
+    from reach_banner_spark.fixtures import ensure_model2, make_turns
+    from reach_banner_spark.operators.crf import Crf2Model
+    from reach_banner_spark.operators.mentions import (
+        detect_mentions,
+        recognize_batch,
+    )
+    from reach_banner_spark.operators.train import eval_exact_span
+
+    path = ensure_model2()
+    model = Crf2Model.load_npz(path)
+    turns_pdf, gold_pdf = make_turns(n_convs=20, skew_conv_turns=20, lexicon=lexicon_pdf)
+    turns = spark.createDataFrame(turns_pdf, schema=schemas.TURNS)
+    got = (
+        detect_mentions(turns.select("conv_id", "turn_idx", "text"), path)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx", "begin_char"])
+        .reset_index(drop=True)
+    )
+    want = (
+        recognize_batch(turns_pdf[["conv_id", "turn_idx", "text"]], model)
+        .sort_values(["conv_id", "turn_idx", "begin_char"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got[["conv_id", "turn_idx", "begin_char", "end_char", "surface"]].equals(
+        want[["conv_id", "turn_idx", "begin_char", "end_char", "surface"]]
+    )
+    # the order-2 model recovers the planted spans on its fixture
+    m = eval_exact_span(want, gold_pdf)
+    assert m["f1"] >= 0.95, m
+
+
+def test_order2_train_distributed(spark, lexicon_pdf):
+    """Parameter-mixing trainer with order=2 returns a Crf2Model that
+    learns the fixture (E2 lifecycle, order-2 config)."""
+    from reach_banner_spark import schemas
+    from reach_banner_spark.fixtures import make_turns
+    from reach_banner_spark.operators.crf import Crf2Model
+    from reach_banner_spark.operators.mentions import recognize_batch
+    from reach_banner_spark.operators.train import (
+        eval_exact_span,
+        train_distributed,
+    )
+
+    turns_pdf, gold_pdf = make_turns(n_convs=25, skew_conv_turns=25, lexicon=lexicon_pdf)
+    turns = spark.createDataFrame(turns_pdf, schema=schemas.TURNS)
+    gold = spark.createDataFrame(
+        gold_pdf[["conv_id", "turn_idx", "begin_char", "end_char"]]
+    )
+    model = train_distributed(turns, gold, n_shards=4, epochs=4, order=2)
+    assert isinstance(model, Crf2Model)
+    pred = recognize_batch(turns_pdf[["conv_id", "turn_idx", "text"]], model)
+    m = eval_exact_span(pred, gold_pdf)
+    assert m["f1"] >= 0.9, m
