@@ -96,3 +96,36 @@ def test_eval_exact_span_alt_credit():
     assert with_stray["recall"] == plain["recall"]
     assert with_stray["precision"] == plain["precision"]
     assert with_stray["tp"] == plain["tp"]
+
+
+def test_ambiguity_protocol_tracks_bayes_ceiling(lexicon_pdf):
+    """The irreducible-ambiguity evaluation (BASELINE.md r5 table): when a
+    fraction q of plants lose their gold label, no learner can beat
+    F1* = 2(1-q)/(2-q); the perceptron should land well inside
+    [0.8 * F1*, F1* + slack] — a regression pin on the measured operating
+    point, scaled down for test speed. Deterministic (fixed seeds)."""
+    import numpy as np
+
+    from reach_banner_spark.fixtures import _training_arrays, make_turns
+    from reach_banner_spark.operators.crf import train_perceptron
+    from reach_banner_spark.operators.mentions import recognize_batch
+    from reach_banner_spark.operators.train import eval_exact_span
+
+    q = 0.3
+    tr_t, tr_g = make_turns(n_convs=40, skew_conv_turns=40, lexicon=lexicon_pdf)
+    te_t, te_g = make_turns(
+        n_convs=20, skew_conv_turns=20, lexicon=lexicon_pdf, seed=43
+    )
+    r = np.random.RandomState(7)
+    tr_gq = tr_g[r.rand(len(tr_g)) >= q].reset_index(drop=True)
+    r = np.random.RandomState(11)
+    te_gq = te_g[r.rand(len(te_g)) >= q].reset_index(drop=True)
+    fi, lab, sl = _training_arrays(tr_t, tr_gq)
+    model = train_perceptron(fi, lab, sl, epochs=5)
+    pred = recognize_batch(te_t[["conv_id", "turn_idx", "text"]], model)
+    m = eval_exact_span(pred, te_gq)
+    ceiling = 2 * (1 - q) / (2 - q)
+    # the ceiling is exact only in expectation over the label coin; allow
+    # a small finite-sample margin above it
+    assert m["f1"] <= ceiling + 0.05, m
+    assert m["f1"] >= 0.8 * ceiling, m
