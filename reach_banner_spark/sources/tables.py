@@ -66,8 +66,19 @@ def write_graph_table(
     bucketed = df.withColumn(
         "p_bucket", F.pmod(F.hash(F.col(bucket_col)), F.lit(n_buckets))
     )
+    # One shuffle on the bucket key before the partitioned write — the
+    # parquet twin of Iceberg's write.distribution-mode=hash. Without it
+    # every upstream task appends a file into every bucket dir it touches
+    # (up to tasks x n_buckets files per stage — measured as the dominant
+    # checkpoint overhead); with it each bucket is written by one task,
+    # so the table is n_buckets files and the read-back stats scan opens
+    # 64 footers instead of ~2k. At sizes where one task per bucket would
+    # bottleneck the write, salt the repartition key to a multiple of
+    # n_buckets — the manifest hashes are order-insensitive so the layout
+    # is free to change.
     (
-        bucketed.write.mode("overwrite")
+        bucketed.repartition(n_buckets, F.col("p_bucket"))
+        .write.mode("overwrite")
         .partitionBy("p_bucket")
         .parquet(path)
     )
