@@ -573,6 +573,16 @@ def _triples_table(spark, sf):
         f"{_TRIPLES_TABLE_VERSION}",
     )
     if not os.path.exists(os.path.join(base, "_rbs_manifest.json")):
+        # sweep staging dirs whose owning process died mid-write (same
+        # discipline as streaming's _op_work_dir) so /tmp stays bounded
+        import glob
+
+        for old in glob.glob(f"{base}.p*"):
+            pid = old.rsplit(".p", 1)[-1]
+            if not pid.isdigit() or (
+                int(pid) != os.getpid() and not os.path.exists(f"/proc/{pid}")
+            ):
+                shutil.rmtree(old, ignore_errors=True)
         staging = f"{base}.p{os.getpid()}"
         tables.write_graph_table(
             _triples(spark, sf), staging, bucket_col="conv_id",
