@@ -198,15 +198,25 @@ def train_fixture_model2(epochs: int = 8):
 
 def ensure_model2(path: str = MODEL2_PATH) -> str:
     """Order-2 counterpart of ``ensure_model`` (resources/model2.npz)."""
+    return _ensure_model_file(
+        path, "model2.npz", "rbs_model2_cache.npz", train_fixture_model2
+    )
+
+
+def _ensure_model_file(path: str, resource_name: str, cache_name: str, train_fn) -> str:
+    """Shared model-file resolution: (1) the committed .npz on disk;
+    (2) a /tmp cache; (3) extraction from the package via
+    importlib.resources — needed when the package ships as a
+    ``spark-submit --py-files`` zip; (4) deterministic retraining."""
     if os.path.exists(path):
         return path
-    cache = os.path.join("/tmp", "rbs_model2_cache.npz")
+    cache = os.path.join("/tmp", cache_name)
     if os.path.exists(cache):
         return cache
     try:
         from importlib import resources
 
-        ref = resources.files("reach_banner_spark") / "resources" / "model2.npz"
+        ref = resources.files("reach_banner_spark") / "resources" / resource_name
         data = ref.read_bytes()
         with open(cache, "wb") as f:
             f.write(data)
@@ -215,43 +225,18 @@ def ensure_model2(path: str = MODEL2_PATH) -> str:
         pass
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        train_fixture_model2().save_npz(path)
+        train_fn().save_npz(path)
         return path
     except OSError:
-        train_fixture_model2().save_npz(cache)
+        train_fn().save_npz(cache)
         return cache
 
 
 def ensure_model(path: str = MODEL_PATH) -> str:
-    """Return a readable filesystem path to the fixture model.
-
-    Resolution order: (1) the committed .npz on disk; (2) extraction from
-    the package via importlib.resources — needed when the package ships as
-    a ``spark-submit --py-files`` zip; (3) deterministic retraining into a
-    /tmp cache (fresh checkouts without the committed file).
-    """
-    if os.path.exists(path):
-        return path
-    cache = os.path.join("/tmp", "rbs_model_cache.npz")
-    if os.path.exists(cache):
-        return cache
-    try:
-        from importlib import resources
-
-        ref = resources.files("reach_banner_spark") / "resources" / "model.npz"
-        data = ref.read_bytes()
-        with open(cache, "wb") as f:
-            f.write(data)
-        return cache
-    except Exception:
-        pass
-    try:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        train_fixture_model().save_npz(path)
-        return path
-    except OSError:
-        train_fixture_model().save_npz(cache)
-        return cache
+    """Return a readable filesystem path to the order-1 fixture model."""
+    return _ensure_model_file(
+        path, "model.npz", "rbs_model_cache.npz", train_fixture_model
+    )
 
 
 def reference_mentions(turns: pd.DataFrame, model: CrfModel | None = None) -> pd.DataFrame:

@@ -414,9 +414,13 @@ def dedup_embedding_cosine(
                 raw = (vmat[ia] * vmat[ib]).cumsum(axis=1)[:, -1]
                 slack = raw >= minc - 5.01e-7  # covers the rounding window
                 a, b, raw = a[slack], b[slack], raw[slack]
+                # float(x) first: on NumPy >= 2.0 repr(np.float64) is
+                # "np.float64(...)", which Decimal cannot parse; the plain
+                # Python float keeps the shortest-repr equivalence with
+                # Double.toString that the HALF_UP argument relies on
                 cos = np.array(
                     [
-                        float(Decimal(repr(x)).quantize(q6, ROUND_HALF_UP))
+                        float(Decimal(repr(float(x))).quantize(q6, ROUND_HALF_UP))
                         for x in raw
                     ],
                     dtype=np.float64,

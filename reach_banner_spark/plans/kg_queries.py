@@ -557,32 +557,30 @@ def _triples_table(spark, sf):
     graph table; consumption queries (degree, two-hop, rollups, pagerank)
     read that table rather than re-deriving the graph per query (r4
     VERDICT: the re-derivation was kg_conv_summary's residual cost).
-    Materialized once per (corpus, version) under /tmp, deterministic
-    content (fixed dict, no RNG), pid-staged + atomically renamed so two
-    processes cannot interleave a partial write; losers of the rename
-    race drop their staging copy and read the winner's table."""
+    Materialized once per (corpus-content, version) under /tmp — the dir
+    key includes a content fingerprint of the source parquet (size/mtime
+    per file), so two corpora sharing a basename, or a corpus regenerated
+    in place, never silently serve stale triples (the same guard the
+    staged stream corpora use). Deterministic content (fixed dict, no
+    RNG), pid-staged + atomically renamed so two processes cannot
+    interleave a partial write; losers of the rename race drop their
+    staging copy and read the winner's table."""
     import os
     import shutil
     import tempfile
 
     from ..sources import tables
+    from ..tmputil import source_fingerprint, sweep_dead_dirs
 
+    src_fp = source_fingerprint(f"{sf.rstrip('/')}/documents.parquet")
     base = os.path.join(
         tempfile.gettempdir(),
-        f"rbs_triples_tbl_{os.path.basename(sf.rstrip('/'))}_"
+        f"rbs_triples_tbl_{os.path.basename(sf.rstrip('/'))}_{src_fp}_"
         f"{_TRIPLES_TABLE_VERSION}",
     )
     if not os.path.exists(os.path.join(base, "_rbs_manifest.json")):
-        # sweep staging dirs whose owning process died mid-write (same
-        # discipline as streaming's _op_work_dir) so /tmp stays bounded
-        import glob
-
-        for old in glob.glob(f"{base}.p*"):
-            pid = old.rsplit(".p", 1)[-1]
-            if not pid.isdigit() or (
-                int(pid) != os.getpid() and not os.path.exists(f"/proc/{pid}")
-            ):
-                shutil.rmtree(old, ignore_errors=True)
+        # sweep staging dirs whose owning process died mid-write
+        sweep_dead_dirs(f"{base}.p", keep_own=True)
         staging = f"{base}.p{os.getpid()}"
         tables.write_graph_table(
             _triples(spark, sf), staging, bucket_col="conv_id",

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..tmputil import source_fingerprint as _source_fingerprint
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
@@ -370,21 +372,15 @@ def _op_work_dir(op: str, staged: str) -> str:
     """Per-(operator, corpus, PROCESS) work dir. The pid suffix keeps two
     concurrent processes (bench.py + pytest, say) from rmtree-ing each
     other's live checkpoint/output mid-stream; dirs whose owning process
-    is gone are swept so /tmp stays bounded anyway."""
-    import glob
-    import shutil
+    is gone — and this process's own prior invocation — are swept so
+    /tmp stays bounded (results survive the sweep: they are eagerly
+    localCheckpoint'ed before return)."""
+    from ..tmputil import sweep_dead_dirs
 
     prefix = os.path.join(
         tempfile.gettempdir(), f"rbs_{op}_{os.path.basename(staged)}_p"
     )
-    for old in glob.glob(prefix + "*"):
-        pid = old.rsplit("_p", 1)[-1]
-        if (
-            not pid.isdigit()
-            or int(pid) == os.getpid()
-            or not os.path.exists(f"/proc/{pid}")
-        ):
-            shutil.rmtree(old, ignore_errors=True)
+    sweep_dead_dirs(prefix, keep_own=False)
     work = f"{prefix}{os.getpid()}"
     os.makedirs(work)
     return work
@@ -575,25 +571,8 @@ def stream_kg(spark, sf, staged_dir=None):
     )
 
 
-def _source_fingerprint(path: str) -> str:
-    """Content fingerprint (full path + per-file size/mtime) of a parquet
-    file-or-dir — the same stale-cache guard join_bucketed uses: two sf
-    dirs sharing a basename, or parquet regenerated in place, must never
-    silently reuse a stale staged copy."""
-    import hashlib
-
-    h = hashlib.sha1(path.encode())
-    files = (
-        sorted(
-            os.path.join(path, f) for f in os.listdir(path) if not f.startswith("_")
-        )
-        if os.path.isdir(path)
-        else [path]
-    )
-    for fp in files:
-        st = os.stat(fp)
-        h.update(f"{fp}:{st.st_size}:{st.st_mtime_ns}".encode())
-    return h.hexdigest()[:10]
+# _source_fingerprint moved to tmputil in r5 (shared with the
+# materialized triple table); imported at module top.
 
 
 def _space_mtimes(d: str) -> None:
