@@ -294,6 +294,120 @@ def ann_ivf_topk(spark, sf):
     )
 
 
+RANGE_MIN_COS = 0.25  # range-search threshold (~55 hits at sf0.01, 227 at sf0.1)
+
+
+@register(
+    "ann_range_search",
+    f"""SELECT q.vec_id AS qid, e.vec_id AS vec_id, ROUND({_COS_SQL}, 6) AS cos
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES} AND ROUND({_COS_SQL}, 6) >= {RANGE_MIN_COS}""",
+)
+def ann_range_search(spark, sf):
+    """Range search: ALL neighbours above a similarity threshold, per
+    query — the retrieval primitive under near-duplicate lookup and
+    recall-oriented RAG (top-k truncates; range search doesn't). Exact
+    spelling over the broadcast query side — the correctness baseline the
+    LSH/IVF candidate generators plug into (swap the crossJoin for their
+    bucket equi-join and keep the same threshold filter to make it
+    approximate). The threshold compares the ROUNDED cosine, so the
+    boundary is the same bit pattern in both engines (the float rule);
+    the filter sits directly on the scored stream — no window, no global
+    sort, one broadcast-join pass over the table."""
+    e = _emb(spark, sf)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pairs = F.broadcast(q).crossJoin(e.select("vec_id", "embedding")).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    return (
+        pairs.select(
+            "qid",
+            "vec_id",
+            F.round(_cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= RANGE_MIN_COS)
+    )
+
+
+KMEANS_K = 16  # emb_kmeans cluster count
+
+
+@register("emb_kmeans", None)  # == numpy twin, pytest-pinned (kmeans_assign_pandas)
+def emb_kmeans(spark, sf):
+    """K-means clustering assignments over the embeddings table — the
+    corpus-organization primitive (cluster-then-sample curation, semantic
+    sharding, diversity balancing) and the training half of the IVF
+    index: reuses ``_ivf_centroids``' deterministic spherical k-means
+    (strided init, no RNG) on the bounded driver sample, then one
+    Arrow-batched assignment pass over the full table (``ivf_assign`` with
+    ``n_assign=1``) joined back to an exact-cosine score against the
+    assigned centroid. At 100 TB the sample stays fixed-size (the
+    standard bounded-quantizer recipe), the assignment is embarrassingly
+    parallel with the kilobyte centroid matrix in the closure, and
+    nothing shuffles except the final broadcast join of the (k, dim)
+    centroid table. Cosine emitted as a formatted string (float rule)."""
+    e = _emb(spark, sf)
+    sample = (
+        e.orderBy("vec_id").limit(KMEANS_SAMPLE).select("embedding").toPandas()
+    )
+    if len(sample) == 0:
+        return spark.createDataFrame([], "vec_id long, cluster int, cos string")
+    cents = _ivf_centroids(
+        np.stack(sample["embedding"].to_numpy()), k=KMEANS_K
+    )
+    assigned = ivf_assign(e, cents, n_assign=1).withColumnRenamed("cell", "cluster")
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    cent_df = spark.createDataFrame(cent_rows, "cluster int, cvec array<double>")
+    return (
+        assigned.join(F.broadcast(cent_df), "cluster")
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "vec_id",
+            "cluster",
+            F.format_string(
+                "%.6f", _cosine(F.col("embedding"), F.col("cvec"))
+            ).alias("cos"),
+        )
+    )
+
+
+def kmeans_assign_pandas(emb: pd.DataFrame, k: int = KMEANS_K,
+                         sample_n: int = KMEANS_SAMPLE) -> pd.DataFrame:
+    """Single-process twin of ``emb_kmeans`` for the golden test:
+    ``emb`` has columns (vec_id, embedding); returns (vec_id, cluster,
+    cos) with identical determinism (same strided-init k-means, same
+    argmax tie-handling as ``ivf_assign``'s stable argsort)."""
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    cents = _ivf_centroids(
+        np.stack(emb["embedding"].head(sample_n).to_numpy()), k=k
+    )
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = unit @ cents.T
+    cl = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+    # exact cosine against the assigned centroid, same float64 algebra as
+    # the Spark side's JVM fold (sequential left-to-right dot product)
+    cos = []
+    for row, j in zip(mat, cl):
+        c = cents[j]
+        dot = 0.0
+        for x, y in zip(row, c):
+            dot += float(x) * float(y)
+        na = 0.0
+        for x in row:
+            na += float(x) * float(x)
+        nb = 0.0
+        for y in c:
+            nb += float(y) * float(y)
+        cos.append("%.6f" % (dot / (np.sqrt(na) * np.sqrt(nb))))
+    return pd.DataFrame(
+        {"vec_id": emb["vec_id"].to_numpy(), "cluster": cl.astype(np.int32),
+         "cos": cos}
+    )
+
+
 @register("ann_lsh_topk", None)  # recall vs brute force checked in pytest
 def ann_lsh_topk(spark, sf):
     e = _emb(spark, sf)

@@ -830,6 +830,298 @@ def kg_two_hop(spark, sf):
     )
 
 
+@register(
+    "kg_cooccur_lift",
+    f"WITH t AS ({_TRIPLES_SQL}), "
+    "ec AS (SELECT DISTINCT conv_id, subj AS ent FROM t "
+    " UNION SELECT DISTINCT conv_id, obj FROM t), "
+    "n AS (SELECT CAST(COUNT(DISTINCT conv_id) AS DOUBLE) AS n_convs FROM ec), "
+    "ca AS (SELECT ent, COUNT(*) AS c FROM ec GROUP BY ent), "
+    "pairs AS (SELECT a.ent AS ea, b.ent AS eb, COUNT(*) AS cab FROM ec a "
+    " JOIN ec b ON a.conv_id = b.conv_id AND a.ent < b.ent GROUP BY a.ent, b.ent) "
+    "SELECT ea AS ent_a, eb AS ent_b, CAST(cab AS BIGINT) AS n_co, "
+    "printf('%.6f', (CAST(cab AS DOUBLE) * (SELECT n_convs FROM n)) "
+    " / (CAST(x.c AS DOUBLE) * CAST(y.c AS DOUBLE))) AS lift "
+    "FROM pairs JOIN ca x ON x.ent = ea JOIN ca y ON y.ent = eb",
+)
+def kg_cooccur_lift(spark, sf):
+    """Entity-pair association over conversations: co-occurrence counts
+    and lift = P(a,b) / (P(a)·P(b)) with probabilities over conversations
+    (lift > 1 ⇔ positive PMI; the ratio is emitted instead of its log so
+    both engines produce bit-identical doubles — IEEE ·/÷ are exactly
+    rounded everywhere, libm log is not).
+
+    Scale shape: the per-conversation entity set is bounded by the
+    linking dictionary, so the self-join emits at most |dict|² pairs per
+    conversation, keyed conv_id-first (co-partitioned with the triple
+    table). The global rollups land on the tiny entity/pair domain —
+    virtually all reduction happens in map-side partial aggregation, and
+    the final joins against the per-entity counts broadcast. The corpus
+    total rides along as a broadcast 1-row crossJoin, not a driver
+    action."""
+    t = _triples_table(spark, sf)
+    ec = (
+        t.select("conv_id", F.col("subj").alias("ent"))
+        .unionByName(t.select("conv_id", F.col("obj").alias("ent")))
+        .distinct()
+    )
+    n = ec.agg(F.countDistinct("conv_id").cast("double").alias("n_convs"))
+    ca = ec.groupBy("ent").agg(F.count(F.lit(1)).alias("c"))
+    a = ec.select("conv_id", F.col("ent").alias("ea"))
+    b = ec.select("conv_id", F.col("ent").alias("eb"))
+    pairs = (
+        a.join(b, "conv_id")
+        .filter(F.col("ea") < F.col("eb"))
+        .groupBy("ea", "eb")
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    return (
+        pairs.join(F.broadcast(ca.withColumnRenamed("ent", "ea").withColumnRenamed("c", "cx")), "ea")
+        .join(F.broadcast(ca.withColumnRenamed("ent", "eb").withColumnRenamed("c", "cy")), "eb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("ea").alias("ent_a"),
+            F.col("eb").alias("ent_b"),
+            F.col("cab").cast("long").alias("n_co"),
+            F.format_string(
+                "%.6f",
+                (F.col("cab").cast("double") * F.col("n_convs"))
+                / (F.col("cx").cast("double") * F.col("cy").cast("double")),
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "kg_triangles",
+    f"WITH t AS ({_TRIPLES_SQL}), "
+    "e AS (SELECT DISTINCT conv_id, LEAST(subj, obj) AS a, "
+    " GREATEST(subj, obj) AS b FROM t WHERE subj <> obj) "
+    "SELECT e1.conv_id, CAST(COUNT(*) AS BIGINT) AS n_triangles "
+    "FROM e e1 "
+    "JOIN e e2 ON e2.conv_id = e1.conv_id AND e2.a = e1.a AND e2.b > e1.b "
+    "JOIN e e3 ON e3.conv_id = e1.conv_id AND e3.a = e1.b AND e3.b = e2.b "
+    "GROUP BY e1.conv_id",
+)
+def kg_triangles(spark, sf):
+    """Per-conversation triangle count over the undirected entity graph —
+    the standard clustering/cohesion statistic (how clique-ish each
+    conversation's entity neighbourhood is). Canonical edge orientation
+    (a < b) means each triangle x<y<z is counted exactly once as
+    e1=(x,y), e2=(x,z), e3=(y,z).
+
+    Scale shape: symmetrize/orient + distinct first, so the join input is
+    the DISTINCT edge set, bounded per conversation by |dict|² — the same
+    pre-aggregation discipline that fixed kg_two_hop's quadratic blowup.
+    All three self-join shuffles key conv_id-first (co-partitioned with
+    the triple table's bucketing); nothing ever crosses conversations."""
+    t = _triples_table(spark, sf)
+    e = (
+        t.filter(F.col("subj") != F.col("obj"))
+        .select(
+            "conv_id",
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .distinct()
+    )
+    e1 = e
+    e2 = e.select("conv_id", F.col("a").alias("a2"), F.col("b").alias("b2"))
+    e3 = e.select("conv_id", F.col("a").alias("a3"), F.col("b").alias("b3"))
+    return (
+        e1.join(e2, ["conv_id"])
+        .filter((F.col("a2") == F.col("a")) & (F.col("b2") > F.col("b")))
+        .join(
+            e3,
+            ["conv_id"],
+        )
+        .filter((F.col("a3") == F.col("b")) & (F.col("b3") == F.col("b2")))
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+@register(
+    "kg_temporal_span",
+    f"SELECT subj, pred, obj, CAST(MIN(window_start) AS INT) AS first_w, "
+    "CAST(MAX(window_start) AS INT) AS last_w, "
+    "CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs, "
+    "CAST(COUNT(*) AS BIGINT) AS n_occ "
+    f"FROM ({_TRIPLES_SQL}) tr GROUP BY subj, pred, obj",
+)
+def kg_temporal_span(spark, sf):
+    """Temporal rollup per distinct (subj, pred, obj) fact: first/last
+    turn-window it was observed in, conversation spread, occurrence
+    count — the 'when did the KG learn this, is it still asserted'
+    query temporal knowledge graphs answer. The grouping domain is
+    entity² × the small predicate vocabulary, so virtually all reduction
+    happens map-side in partial aggregation and the final exchange
+    carries one row per (partition, fact); reads the materialized triple
+    table like every consumption key."""
+    return (
+        _triples_table(spark, sf)
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.min("window_start").cast("int").alias("first_w"),
+            F.max("window_start").cast("int").alias("last_w"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+    )
+
+
+@register(
+    "kg_clustering",
+    f"WITH t AS ({_TRIPLES_SQL}), "
+    "e AS (SELECT DISTINCT conv_id, LEAST(subj, obj) AS a, "
+    " GREATEST(subj, obj) AS b FROM t WHERE subj <> obj), "
+    "deg AS (SELECT conv_id, node, COUNT(*) AS d FROM ("
+    " SELECT conv_id, a AS node FROM e UNION ALL SELECT conv_id, b FROM e) "
+    " GROUP BY conv_id, node), "
+    "w AS (SELECT conv_id, CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges "
+    " FROM deg GROUP BY conv_id), "
+    "tri AS (SELECT e1.conv_id, COUNT(*) AS n FROM e e1 "
+    " JOIN e e2 ON e2.conv_id = e1.conv_id AND e2.a = e1.a AND e2.b > e1.b "
+    " JOIN e e3 ON e3.conv_id = e1.conv_id AND e3.a = e1.b AND e3.b = e2.b "
+    " GROUP BY e1.conv_id) "
+    "SELECT w.conv_id, CAST(COALESCE(tri.n, 0) AS BIGINT) AS n_triangles, "
+    "n_wedges, printf('%.6f', (3.0 * CAST(COALESCE(tri.n, 0) AS DOUBLE)) "
+    " / CAST(GREATEST(n_wedges, 1) AS DOUBLE)) AS clustering_coeff "
+    "FROM w LEFT JOIN tri ON tri.conv_id = w.conv_id",
+)
+def kg_clustering(spark, sf):
+    """Per-conversation global clustering coefficient — 3·triangles /
+    wedges over the undirected entity graph (wedge = open or closed
+    2-path, Σ_v d(v)·(d(v)−1)/2). With ``kg_triangles`` this is the
+    standard graph-cohesion pair: how much of each conversation's entity
+    neighbourhood actually closes into cliques.
+
+    Scale shape: degree and wedge counts come from ONE pass over the
+    distinct oriented edge set (the same pre-aggregated relation the
+    triangle join uses), keyed conv_id-first throughout; the triangle arm
+    is kg_triangles' bounded self-join. The division is exact both
+    engines (d·(d−1) is always even; doubles below 2^53), the
+    coefficient a formatted string per the float rule."""
+    t = _triples_table(spark, sf)
+    e = (
+        t.filter(F.col("subj") != F.col("obj"))
+        .select(
+            "conv_id",
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select("conv_id", F.col("a").alias("node"))
+        .unionByName(e.select("conv_id", F.col("b").alias("node")))
+        .groupBy("conv_id", "node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.groupBy("conv_id").agg(
+        (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2))
+        .cast("long")
+        .alias("n_wedges")
+    )
+    e2 = e.select("conv_id", F.col("a").alias("a2"), F.col("b").alias("b2"))
+    e3 = e.select("conv_id", F.col("a").alias("a3"), F.col("b").alias("b3"))
+    tri = (
+        e.join(e2, ["conv_id"])
+        .filter((F.col("a2") == F.col("a")) & (F.col("b2") > F.col("b")))
+        .join(e3, ["conv_id"])
+        .filter((F.col("a3") == F.col("b")) & (F.col("b3") == F.col("b2")))
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        wedges.join(tri, "conv_id", "left")
+        .select(
+            "conv_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_triangles"),
+            "n_wedges",
+            F.format_string(
+                "%.6f",
+                (F.lit(3.0) * F.coalesce("n", F.lit(0)).cast("double"))
+                / F.greatest("n_wedges", F.lit(1)).cast("double"),
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+# BFS depth cap: the entity domain is the linking dictionary, so no
+# shortest path can exceed |dict| - 1 hops; both engines bound at 7.
+_REACH_MAX_HOPS = 7
+
+
+@register(
+    "kg_reach",
+    # DuckDB evaluates the BFS as a recursive CTE (UNION dedups states so
+    # cycles terminate); Spark spells the same fixpoint as bounded
+    # iterative joins below. MIN(d) per node = hop distance.
+    f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), "
+    "e AS (SELECT DISTINCT conv_id, subj AS s, obj AS o FROM t WHERE subj <> obj "
+    " UNION SELECT DISTINCT conv_id, obj, subj FROM t WHERE subj <> obj), "
+    "seed AS (SELECT conv_id, MIN(s) AS node FROM e GROUP BY conv_id), "
+    "r(conv_id, node, d) AS ("
+    " SELECT conv_id, node, 0 FROM seed "
+    " UNION "
+    " SELECT e.conv_id, e.o, r.d + 1 FROM r JOIN e "
+    f"  ON e.conv_id = r.conv_id AND e.s = r.node WHERE r.d < {_REACH_MAX_HOPS}) "
+    "SELECT conv_id, node, CAST(MIN(d) AS INT) AS dist FROM r "
+    "GROUP BY conv_id, node",
+)
+def kg_reach(spark, sf):
+    """Per-conversation BFS hop distances from each conversation's seed
+    entity (its lexicographically-smallest one) over the undirected
+    entity graph — the reachability primitive under 'how is X connected
+    to Y' KG queries. The oracle is a genuine recursive CTE; this side is
+    the distributed spelling of the same fixpoint: frontier-expand,
+    anti-join against settled nodes, repeat.
+
+    Scale shape: fixed ``_REACH_MAX_HOPS`` iterations (the dictionary
+    bounds any shortest path), so there are ZERO in-loop driver barriers
+    — the same discipline as kg_pagerank; ``localCheckpoint`` per round
+    cuts the growing lineage. Every join keys conv_id-first, so each
+    round is a co-partitioned exchange bounded by the per-conversation
+    entity domain, never by turns."""
+    t = _triples_table(spark, sf)
+    half = t.filter(F.col("subj") != F.col("obj")).select(
+        "conv_id", F.col("subj").alias("s"), F.col("obj").alias("o")
+    )
+    e = (
+        half.unionByName(
+            half.select("conv_id", F.col("o").alias("s"), F.col("s").alias("o"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = (
+        e.groupBy("conv_id")
+        .agg(F.min("s").alias("node"))
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for d in range(1, _REACH_MAX_HOPS + 1):
+        # frontier derives from e, so rename its columns before the join
+        # to keep attribute resolution unambiguous across iterations
+        fr = frontier.select(
+            F.col("conv_id").alias("f_conv"), F.col("node").alias("f_node")
+        )
+        reached = fr.join(
+            e, (F.col("f_conv") == F.col("conv_id")) & (F.col("f_node") == F.col("s"))
+        ).select("conv_id", F.col("o").alias("node"))
+        fresh = (
+            reached.distinct()
+            .join(dist.select("conv_id", "node"), ["conv_id", "node"], "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(fresh)
+        frontier = fresh
+    return dist.select("conv_id", "node", F.col("dist").cast("int").alias("dist"))
+
+
 # ------------------------------------------------------------------- G5 ----
 
 @register(

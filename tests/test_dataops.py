@@ -378,3 +378,42 @@ def test_verify_jaccard_keeps_rounding_window_pair(spark):
     # and a pair rounding BELOW the threshold is still rejected
     got2 = verify_jaccard(cands, sh, 0.8181830).collect()
     assert len(got2) == 0
+
+
+def test_emb_kmeans_matches_pandas_twin(spark):
+    """emb_kmeans == kmeans_assign_pandas EXACTLY (cluster ids and the
+    %.6f cosine strings): both sides run the same deterministic strided-
+    init spherical k-means on the same bounded sample and the same
+    float64 assignment algebra, so equality is bitwise, not tolerant.
+    Also pins determinism (second run identical) and the cluster-id
+    domain."""
+    from reach_banner_spark.operators.similarity import (
+        KMEANS_K,
+        REGISTRY,
+        kmeans_assign_pandas,
+    )
+
+    got = (
+        REGISTRY["emb_kmeans"][0](spark, SF)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    want = kmeans_assign_pandas(emb).sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == len(emb)
+    assert got["cluster"].astype(int).equals(want["cluster"].astype(int))
+    assert got["cos"].equals(want["cos"])
+    assert got["cluster"].between(0, KMEANS_K - 1).all()
+
+    again = (
+        REGISTRY["emb_kmeans"][0](spark, SF)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
