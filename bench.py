@@ -63,14 +63,15 @@ HEADLINE = [
     "dedup_cluster",
     "ann_ivf_topk",
     "corpus_filter",
-    # r5 additions — graph analytics + data-pipeline ops (subtract these
-    # seven too when comparing totals to earlier rounds; the r4-comparable
+    # r5 additions — graph analytics + data-pipeline ops (subtract this
+    # group too when comparing totals to earlier rounds; the r4-comparable
     # subtotal = total minus the r4 AND r5 groups)
     "kg_cooccur_lift",
     "kg_triangles",
     "kg_clustering",
     "kg_reach",
     "kg_temporal_span",
+    "kg_communities",
     "quality_repetition",
     "ann_range_search",
     "emb_kmeans",

@@ -1048,6 +1048,101 @@ def kg_clustering(spark, sf):
     )
 
 
+_LPA_ITERS = 4  # fixed synchronous label-propagation rounds
+
+
+@register("kg_communities", None)  # == pandas twin, pytest-pinned (lpa_pandas)
+def kg_communities(spark, sf, iters: int = _LPA_ITERS):
+    """Community detection per conversation via synchronous label
+    propagation (Raghavan et al. 2007) over the undirected entity graph:
+    every node starts labelled with itself; each round it adopts the
+    most frequent label among its neighbours, ties broken by the
+    lexicographically smallest label — fully deterministic (the
+    classic asynchronous/random-order LPA is not; this spelling trades
+    a little convergence speed for run-to-run stability, the repo's
+    determinism rule). Fixed ``iters`` rounds ⇒ zero in-loop driver
+    barriers, ``localCheckpoint`` per round cuts lineage — the same
+    iterative-join discipline as kg_pagerank and kg_reach.
+
+    Scale shape: each round is one join of the label table against the
+    edge list plus one (conv_id, node, label) count aggregation and one
+    per-node argmax window — every shuffle keys conv_id-first, bounded
+    by the per-conversation entity domain, never by turns."""
+    t = _triples_table(spark, sf)
+    half = t.filter(F.col("subj") != F.col("obj")).select(
+        "conv_id", F.col("subj").alias("s"), F.col("obj").alias("o")
+    )
+    e = (
+        half.unionByName(
+            half.select("conv_id", F.col("o").alias("s"), F.col("s").alias("o"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = (
+        e.select("conv_id", F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        # neighbour labels of s = labels joined on the o endpoint;
+        # rename the label side first (lab derives from e — same
+        # attribute-ambiguity trap as kg_reach's frontier)
+        lb = lab.select(
+            F.col("conv_id").alias("l_conv"),
+            F.col("node").alias("l_node"),
+            "label",
+        )
+        nbr = e.join(
+            lb, (F.col("conv_id") == F.col("l_conv")) & (F.col("o") == F.col("l_node"))
+        ).select("conv_id", F.col("s").alias("node"), "label")
+        counts = nbr.groupBy("conv_id", "node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.partitionBy("conv_id", "node").orderBy(
+            F.desc("c"), F.asc("label")
+        )
+        lab = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("conv_id", "node", "label")
+            .localCheckpoint()
+        )
+    return lab.select("conv_id", "node", F.col("label").alias("community"))
+
+
+def lpa_pandas(edges: pd.DataFrame, iters: int = _LPA_ITERS) -> pd.DataFrame:
+    """Single-process twin of ``kg_communities`` for the golden test:
+    ``edges`` has columns (conv_id, subj, obj); returns
+    (conv_id, node, community) under the same synchronous min-label
+    tie-break semantics."""
+    from collections import Counter, defaultdict
+
+    out_conv, out_node, out_comm = [], [], []
+    e = edges[edges["subj"] != edges["obj"]]
+    for conv, grp in e.groupby("conv_id"):
+        adj = defaultdict(set)
+        for s, o in zip(grp["subj"], grp["obj"]):
+            adj[s].add(o)
+            adj[o].add(s)
+        lab = {v: v for v in adj}
+        for _ in range(iters):
+            new = {}
+            for v, nbrs in adj.items():
+                cnt = Counter(lab[u] for u in nbrs)
+                top = max(cnt.values())
+                new[v] = min(l for l, c in cnt.items() if c == top)
+            lab = new
+        for v in sorted(adj):
+            out_conv.append(conv)
+            out_node.append(v)
+            out_comm.append(lab[v])
+    return pd.DataFrame(
+        {"conv_id": out_conv, "node": out_node, "community": out_comm}
+    )
+
+
 # BFS depth cap: the entity domain is the linking dictionary, so no
 # shortest path can exceed |dict| - 1 hops; both engines bound at 7.
 _REACH_MAX_HOPS = 7

@@ -131,3 +131,36 @@ def test_kg_pagerank_matches_numpy_twin(spark):
     assert np.allclose(got["rank"].to_numpy(), want["rank"].to_numpy(), atol=2e-6)
     # ranks form a probability-like vector: positive, bounded by 1
     assert (got["rank"] > 0).all() and (got["rank"] < 1).all()
+
+
+def test_kg_communities_matches_pandas_twin(spark):
+    """Distributed synchronous LPA == single-process twin EXACTLY (same
+    fixed rounds, same min-label tie-break — both deterministic, so the
+    comparison is equality, not tolerance), plus the community-label
+    sanity that every label is itself a node of the same conversation."""
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _triples,
+        lpa_pandas,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = (
+        REGISTRY["kg_communities"][0](spark, SF)
+        .toPandas()
+        .sort_values(["conv_id", "node"])
+        .reset_index(drop=True)
+    )
+    edges = (
+        _triples(spark, SF).select("conv_id", "subj", "obj").distinct().toPandas()
+    )
+    want = lpa_pandas(edges).sort_values(["conv_id", "node"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert got[["conv_id", "node", "community"]].equals(
+        want[["conv_id", "node", "community"]]
+    )
+    nodes = set(map(tuple, got[["conv_id", "node"]].values.tolist()))
+    assert all(
+        (c, comm) in nodes
+        for c, comm in got[["conv_id", "community"]].values.tolist()
+    )
