@@ -14,6 +14,11 @@ Reference parity notes per key:
 - ``eval_tp_join`` / ``eval_pr``: P15 BC2GeneMentionTest joins -> P/R/F1
 - ``connected_components``: G3 on a chain graph derived from doc_ids
 - ``triple_assembly`` : G4 windowed pairing + role/tool predicate rules
+- KG consumption over the materialized triple table: ``kg_pred_dist``
+  ``kg_degree`` ``kg_two_hop`` ``kg_conv_summary`` ``kg_temporal_span``
+  ``kg_cooccur_lift`` ``kg_triangles`` ``kg_clustering`` (all oracled),
+  ``kg_reach`` (oracle = DuckDB RECURSIVE CTE BFS), ``kg_pagerank`` /
+  ``kg_communities`` (∅-oracle, pinned == numpy/pandas twins)
 - ``join_skew_salted``: G5 — salted join whose RESULT must equal a plain join
 - ``lsh_candidate_pairs`` / ``minhash_bands``: G1 (∅-oracle; pytest goldens)
 - ``udf_*``           : §2.5 pandas-UDF surface (each with a JVM-SQL twin)
