@@ -366,8 +366,11 @@ def emb_kmeans(spark, sf):
         .select(
             "vec_id",
             "cluster",
+            # ROUND before formatting: the JVM formatter ties HALF_UP,
+            # other formatters tie half-even; ROUND first removes any
+            # 7th-digit tie (same discipline as quality_repetition)
             F.format_string(
-                "%.6f", _cosine(F.col("embedding"), F.col("cvec"))
+                "%.6f", F.round(_cosine(F.col("embedding"), F.col("cvec")), 6)
             ).alias("cos"),
         )
     )
@@ -401,7 +404,17 @@ def kmeans_assign_pandas(emb: pd.DataFrame, k: int = KMEANS_K,
         nb = 0.0
         for y in c:
             nb += float(y) * float(y)
-        cos.append("%.6f" % (dot / (np.sqrt(na) * np.sqrt(nb))))
+        # Python's %-format ties half-even; mimic Spark's round-then-
+        # format (BigDecimal HALF_UP over the double's shortest repr)
+        from decimal import Decimal, ROUND_HALF_UP
+
+        v = dot / (np.sqrt(na) * np.sqrt(nb))
+        cos.append(
+            "%.6f"
+            % Decimal(repr(float(v))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
     return pd.DataFrame(
         {"vec_id": emb["vec_id"].to_numpy(), "cluster": cl.astype(np.int32),
          "cos": cos}

@@ -194,7 +194,7 @@ def sample_hash(spark, sf):
     "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
     "CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_words, "
     "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources, "
-    "printf('%.6f', SUM(LENGTH(text)) * 1.0 / COUNT(*)) AS avg_chars "
+    "printf('%.6f', ROUND(SUM(LENGTH(text)) * 1.0 / COUNT(*), 6)) AS avg_chars "
     "FROM documents",
 )
 def corpus_stats(spark, sf):
@@ -210,7 +210,9 @@ def corpus_stats(spark, sf):
         F.countDistinct("source").alias("n_sources"),
         F.format_string(
             "%.6f",
-            F.sum(F.length("text")).cast("double") / F.count(F.lit(1)),
+            F.round(
+                F.sum(F.length("text")).cast("double") / F.count(F.lit(1)), 6
+            ),
         ).alias("avg_chars"),
     )
 
@@ -232,10 +234,10 @@ def corpus_stats(spark, sf):
     " FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
     " GROUP BY a.doc_id, big) GROUP BY doc_id) "
     "SELECT wc.doc_id, CAST(n_w AS BIGINT) AS n_words, "
-    "printf('%.6f', CAST(n_distinct AS DOUBLE) / CAST(n_w AS DOUBLE)) AS ttr, "
-    "printf('%.6f', CAST(top_w AS DOUBLE) / CAST(n_w AS DOUBLE)) AS top_word_frac, "
-    "printf('%.6f', CAST(COALESCE(top_bg, 0) AS DOUBLE) "
-    " / CAST(GREATEST(COALESCE(n_bg, 0), 1) AS DOUBLE)) AS top_bigram_frac "
+    "printf('%.6f', ROUND(CAST(n_distinct AS DOUBLE) / CAST(n_w AS DOUBLE), 6)) AS ttr, "
+    "printf('%.6f', ROUND(CAST(top_w AS DOUBLE) / CAST(n_w AS DOUBLE), 6)) AS top_word_frac, "
+    "printf('%.6f', ROUND(CAST(COALESCE(top_bg, 0) AS DOUBLE) "
+    " / CAST(GREATEST(COALESCE(n_bg, 0), 1) AS DOUBLE), 6)) AS top_bigram_frac "
     "FROM wc LEFT JOIN bc ON bc.doc_id = wc.doc_id",
 )
 def quality_repetition(spark, sf):
@@ -283,19 +285,22 @@ def quality_repetition(spark, sf):
         .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
     )
     dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    # ROUND before formatting: DuckDB's printf rounds decimal ties
+    # half-to-even while the JVM's rounds HALF_UP, so a dyadic ratio like
+    # 1/128 = 0.0078125 would format as 0.007812 vs 0.007813. ROUND(x, 6)
+    # itself ties half-away on BOTH engines (verified), and formatting an
+    # already-rounded double can never hit a 7th-digit tie again.
+    fmt6 = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
     return (
         wc.join(bc, "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_w").cast("long").alias("n_words"),
-            F.format_string("%.6f", dbl("n_distinct") / dbl("n_w")).alias("ttr"),
-            F.format_string("%.6f", dbl("top_w") / dbl("n_w")).alias(
-                "top_word_frac"
-            ),
-            F.format_string(
-                "%.6f",
+            fmt6(dbl("n_distinct") / dbl("n_w")).alias("ttr"),
+            fmt6(dbl("top_w") / dbl("n_w")).alias("top_word_frac"),
+            fmt6(
                 F.coalesce(dbl("top_bg"), F.lit(0.0))
-                / F.greatest(F.coalesce(dbl("n_bg"), F.lit(0.0)), F.lit(1.0)),
+                / F.greatest(F.coalesce(dbl("n_bg"), F.lit(0.0)), F.lit(1.0))
             ).alias("top_bigram_frac"),
         )
     )
@@ -308,7 +313,7 @@ def quality_repetition(spark, sf):
     # min doc_id per MD5(text); quality thresholds chosen to be selective
     # on this corpus (~55% survives). Same spelling both engines.
     "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
-    "printf('%.6f', sw_ratio) AS stopword_ratio FROM ("
+    "printf('%.6f', ROUND(sw_ratio, 6)) AS stopword_ratio FROM ("
     " SELECT doc_id, text, n_words, punct_ratio, sw_ratio, en_hits, "
     "  MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keeper FROM ("
     "  SELECT doc_id, text, "
@@ -372,11 +377,13 @@ def corpus_filter(spark, sf):
     ).select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
-        # formatted string, not ROUND(double, 6): Spark's ROUND (BigDecimal
-        # HALF_UP) and DuckDB's can disagree at decimal tie points, and the
-        # float rule requires decimal-exact or formatted-string outputs.
-        # %.6f of a double is correctly rounded identically on the JVM and
-        # in C (no double is an exact 7-digit decimal tie), so the strings
-        # match byte-for-byte (ADVICE r3).
-        F.format_string("%.6f", F.col("sw_ratio")).alias("stopword_ratio"),
+        # ROUND then format (both engines): a dyadic ratio IS an exact
+        # 7-digit decimal tie (1/128 = 0.0078125) and printf ties
+        # half-to-even in DuckDB but HALF_UP on the JVM; ROUND(x, 6) ties
+        # half-away identically on both (verified), after which the
+        # format can never hit a tie again, so the strings match
+        # byte-for-byte even on power-of-two token counts.
+        F.format_string("%.6f", F.round(F.col("sw_ratio"), 6)).alias(
+            "stopword_ratio"
+        ),
     )

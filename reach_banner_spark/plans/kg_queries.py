@@ -835,6 +835,78 @@ def kg_two_hop(spark, sf):
     )
 
 
+# -------- shared graph-shape helpers for the analytics keys below --------
+# (one definition each for the oriented and symmetrized edge sets, used by
+# kg_triangles/kg_clustering and kg_reach/kg_communities respectively, so
+# a future orientation or dedup change cannot silently diverge between
+# keys; the SQL twins share the same fragments)
+
+# distinct undirected edges in canonical orientation (a < b)
+_EDGES_ORIENTED_SQL = (
+    "SELECT DISTINCT conv_id, LEAST(subj, obj) AS a, "
+    "GREATEST(subj, obj) AS b FROM t WHERE subj <> obj"
+)
+
+# distinct symmetrized edges (both directions)
+_EDGES_SYM_SQL = (
+    "SELECT DISTINCT conv_id, subj AS s, obj AS o FROM t WHERE subj <> obj "
+    "UNION SELECT DISTINCT conv_id, obj, subj FROM t WHERE subj <> obj"
+)
+
+# per-conv triangle counts over oriented edges e: each triangle x<y<z is
+# counted once as e1=(x,y), e2=(x,z) with z>y, e3=(y,z)
+_TRIANGLES_SQL = (
+    "SELECT e1.conv_id, COUNT(*) AS n FROM e e1 "
+    "JOIN e e2 ON e2.conv_id = e1.conv_id AND e2.a = e1.a AND e2.b > e1.b "
+    "JOIN e e3 ON e3.conv_id = e1.conv_id AND e3.a = e1.b AND e3.b = e2.b "
+    "GROUP BY e1.conv_id"
+)
+
+
+def _oriented_edges(t: DataFrame) -> DataFrame:
+    """Distinct undirected (conv_id, a, b) edges with a < b."""
+    return (
+        t.filter(F.col("subj") != F.col("obj"))
+        .select(
+            "conv_id",
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def _sym_edges(t: DataFrame) -> DataFrame:
+    """Distinct symmetrized (conv_id, s, o) edges, ``localCheckpoint``ed
+    (both consumers iterate joins against it)."""
+    half = t.filter(F.col("subj") != F.col("obj")).select(
+        "conv_id", F.col("subj").alias("s"), F.col("obj").alias("o")
+    )
+    return (
+        half.unionByName(
+            half.select("conv_id", F.col("o").alias("s"), F.col("s").alias("o"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def _conv_triangles(e: DataFrame) -> DataFrame:
+    """(conv_id, n) triangle counts over oriented edges ``e`` — the
+    DataFrame twin of ``_TRIANGLES_SQL``; conv_id-first equi-joins with
+    the inequality as residual (plan-audited)."""
+    e2 = e.select("conv_id", F.col("a").alias("a2"), F.col("b").alias("b2"))
+    e3 = e.select("conv_id", F.col("a").alias("a3"), F.col("b").alias("b3"))
+    return (
+        e.join(e2, ["conv_id"])
+        .filter((F.col("a2") == F.col("a")) & (F.col("b2") > F.col("b")))
+        .join(e3, ["conv_id"])
+        .filter((F.col("a3") == F.col("b")) & (F.col("b3") == F.col("b2")))
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @register(
     "kg_cooccur_lift",
     f"WITH t AS ({_TRIPLES_SQL}), "
@@ -845,8 +917,8 @@ def kg_two_hop(spark, sf):
     "pairs AS (SELECT a.ent AS ea, b.ent AS eb, COUNT(*) AS cab FROM ec a "
     " JOIN ec b ON a.conv_id = b.conv_id AND a.ent < b.ent GROUP BY a.ent, b.ent) "
     "SELECT ea AS ent_a, eb AS ent_b, CAST(cab AS BIGINT) AS n_co, "
-    "printf('%.6f', (CAST(cab AS DOUBLE) * (SELECT n_convs FROM n)) "
-    " / (CAST(x.c AS DOUBLE) * CAST(y.c AS DOUBLE))) AS lift "
+    "printf('%.6f', ROUND((CAST(cab AS DOUBLE) * (SELECT n_convs FROM n)) "
+    " / (CAST(x.c AS DOUBLE) * CAST(y.c AS DOUBLE)), 6)) AS lift "
     "FROM pairs JOIN ca x ON x.ent = ea JOIN ca y ON y.ent = eb",
 )
 def kg_cooccur_lift(spark, sf):
@@ -888,10 +960,16 @@ def kg_cooccur_lift(spark, sf):
             F.col("ea").alias("ent_a"),
             F.col("eb").alias("ent_b"),
             F.col("cab").cast("long").alias("n_co"),
+            # ROUND before formatting — printf ties diverge between the
+            # engines on dyadic ratios, ROUND(x, 6) does not (see
+            # quality_repetition)
             F.format_string(
                 "%.6f",
-                (F.col("cab").cast("double") * F.col("n_convs"))
-                / (F.col("cx").cast("double") * F.col("cy").cast("double")),
+                F.round(
+                    (F.col("cab").cast("double") * F.col("n_convs"))
+                    / (F.col("cx").cast("double") * F.col("cy").cast("double")),
+                    6,
+                ),
             ).alias("lift"),
         )
     )
@@ -899,14 +977,8 @@ def kg_cooccur_lift(spark, sf):
 
 @register(
     "kg_triangles",
-    f"WITH t AS ({_TRIPLES_SQL}), "
-    "e AS (SELECT DISTINCT conv_id, LEAST(subj, obj) AS a, "
-    " GREATEST(subj, obj) AS b FROM t WHERE subj <> obj) "
-    "SELECT e1.conv_id, CAST(COUNT(*) AS BIGINT) AS n_triangles "
-    "FROM e e1 "
-    "JOIN e e2 ON e2.conv_id = e1.conv_id AND e2.a = e1.a AND e2.b > e1.b "
-    "JOIN e e3 ON e3.conv_id = e1.conv_id AND e3.a = e1.b AND e3.b = e2.b "
-    "GROUP BY e1.conv_id",
+    f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_ORIENTED_SQL}) "
+    f"SELECT conv_id, CAST(n AS BIGINT) AS n_triangles FROM ({_TRIANGLES_SQL}) tri",
 )
 def kg_triangles(spark, sf):
     """Per-conversation triangle count over the undirected entity graph —
@@ -920,29 +992,9 @@ def kg_triangles(spark, sf):
     pre-aggregation discipline that fixed kg_two_hop's quadratic blowup.
     All three self-join shuffles key conv_id-first (co-partitioned with
     the triple table's bucketing); nothing ever crosses conversations."""
-    t = _triples_table(spark, sf)
-    e = (
-        t.filter(F.col("subj") != F.col("obj"))
-        .select(
-            "conv_id",
-            F.least("subj", "obj").alias("a"),
-            F.greatest("subj", "obj").alias("b"),
-        )
-        .distinct()
-    )
-    e1 = e
-    e2 = e.select("conv_id", F.col("a").alias("a2"), F.col("b").alias("b2"))
-    e3 = e.select("conv_id", F.col("a").alias("a3"), F.col("b").alias("b3"))
-    return (
-        e1.join(e2, ["conv_id"])
-        .filter((F.col("a2") == F.col("a")) & (F.col("b2") > F.col("b")))
-        .join(
-            e3,
-            ["conv_id"],
-        )
-        .filter((F.col("a3") == F.col("b")) & (F.col("b3") == F.col("b2")))
-        .groupBy("conv_id")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    e = _oriented_edges(_triples_table(spark, sf))
+    return _conv_triangles(e).select(
+        "conv_id", F.col("n").alias("n_triangles")
     )
 
 
@@ -977,21 +1029,16 @@ def kg_temporal_span(spark, sf):
 
 @register(
     "kg_clustering",
-    f"WITH t AS ({_TRIPLES_SQL}), "
-    "e AS (SELECT DISTINCT conv_id, LEAST(subj, obj) AS a, "
-    " GREATEST(subj, obj) AS b FROM t WHERE subj <> obj), "
+    f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_ORIENTED_SQL}), "
     "deg AS (SELECT conv_id, node, COUNT(*) AS d FROM ("
     " SELECT conv_id, a AS node FROM e UNION ALL SELECT conv_id, b FROM e) "
     " GROUP BY conv_id, node), "
     "w AS (SELECT conv_id, CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges "
     " FROM deg GROUP BY conv_id), "
-    "tri AS (SELECT e1.conv_id, COUNT(*) AS n FROM e e1 "
-    " JOIN e e2 ON e2.conv_id = e1.conv_id AND e2.a = e1.a AND e2.b > e1.b "
-    " JOIN e e3 ON e3.conv_id = e1.conv_id AND e3.a = e1.b AND e3.b = e2.b "
-    " GROUP BY e1.conv_id) "
+    f"tri AS ({_TRIANGLES_SQL}) "
     "SELECT w.conv_id, CAST(COALESCE(tri.n, 0) AS BIGINT) AS n_triangles, "
-    "n_wedges, printf('%.6f', (3.0 * CAST(COALESCE(tri.n, 0) AS DOUBLE)) "
-    " / CAST(GREATEST(n_wedges, 1) AS DOUBLE)) AS clustering_coeff "
+    "n_wedges, printf('%.6f', ROUND((3.0 * CAST(COALESCE(tri.n, 0) AS DOUBLE)) "
+    " / CAST(GREATEST(n_wedges, 1) AS DOUBLE), 6)) AS clustering_coeff "
     "FROM w LEFT JOIN tri ON tri.conv_id = w.conv_id",
 )
 def kg_clustering(spark, sf):
@@ -1007,16 +1054,7 @@ def kg_clustering(spark, sf):
     is kg_triangles' bounded self-join. The division is exact both
     engines (d·(d−1) is always even; doubles below 2^53), the
     coefficient a formatted string per the float rule."""
-    t = _triples_table(spark, sf)
-    e = (
-        t.filter(F.col("subj") != F.col("obj"))
-        .select(
-            "conv_id",
-            F.least("subj", "obj").alias("a"),
-            F.greatest("subj", "obj").alias("b"),
-        )
-        .distinct()
-    )
+    e = _oriented_edges(_triples_table(spark, sf))
     deg = (
         e.select("conv_id", F.col("a").alias("node"))
         .unionByName(e.select("conv_id", F.col("b").alias("node")))
@@ -1028,26 +1066,21 @@ def kg_clustering(spark, sf):
         .cast("long")
         .alias("n_wedges")
     )
-    e2 = e.select("conv_id", F.col("a").alias("a2"), F.col("b").alias("b2"))
-    e3 = e.select("conv_id", F.col("a").alias("a3"), F.col("b").alias("b3"))
-    tri = (
-        e.join(e2, ["conv_id"])
-        .filter((F.col("a2") == F.col("a")) & (F.col("b2") > F.col("b")))
-        .join(e3, ["conv_id"])
-        .filter((F.col("a3") == F.col("b")) & (F.col("b3") == F.col("b2")))
-        .groupBy("conv_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    tri = _conv_triangles(e)
     return (
         wedges.join(tri, "conv_id", "left")
         .select(
             "conv_id",
             F.coalesce("n", F.lit(0)).cast("long").alias("n_triangles"),
             "n_wedges",
+            # ROUND before formatting — see quality_repetition's tie note
             F.format_string(
                 "%.6f",
-                (F.lit(3.0) * F.coalesce("n", F.lit(0)).cast("double"))
-                / F.greatest("n_wedges", F.lit(1)).cast("double"),
+                F.round(
+                    (F.lit(3.0) * F.coalesce("n", F.lit(0)).cast("double"))
+                    / F.greatest("n_wedges", F.lit(1)).cast("double"),
+                    6,
+                ),
             ).alias("clustering_coeff"),
         )
     )
@@ -1073,17 +1106,7 @@ def kg_communities(spark, sf, iters: int = _LPA_ITERS):
     edge list plus one (conv_id, node, label) count aggregation and one
     per-node argmax window — every shuffle keys conv_id-first, bounded
     by the per-conversation entity domain, never by turns."""
-    t = _triples_table(spark, sf)
-    half = t.filter(F.col("subj") != F.col("obj")).select(
-        "conv_id", F.col("subj").alias("s"), F.col("obj").alias("o")
-    )
-    e = (
-        half.unionByName(
-            half.select("conv_id", F.col("o").alias("s"), F.col("s").alias("o"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    e = _sym_edges(_triples_table(spark, sf))
     lab = (
         e.select("conv_id", F.col("s").alias("node"))
         .distinct()
@@ -1158,9 +1181,7 @@ _REACH_MAX_HOPS = 7
     # DuckDB evaluates the BFS as a recursive CTE (UNION dedups states so
     # cycles terminate); Spark spells the same fixpoint as bounded
     # iterative joins below. MIN(d) per node = hop distance.
-    f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), "
-    "e AS (SELECT DISTINCT conv_id, subj AS s, obj AS o FROM t WHERE subj <> obj "
-    " UNION SELECT DISTINCT conv_id, obj, subj FROM t WHERE subj <> obj), "
+    f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), e AS ({_EDGES_SYM_SQL}), "
     "seed AS (SELECT conv_id, MIN(s) AS node FROM e GROUP BY conv_id), "
     "r(conv_id, node, d) AS ("
     " SELECT conv_id, node, 0 FROM seed "
@@ -1184,17 +1205,7 @@ def kg_reach(spark, sf):
     cuts the growing lineage. Every join keys conv_id-first, so each
     round is a co-partitioned exchange bounded by the per-conversation
     entity domain, never by turns."""
-    t = _triples_table(spark, sf)
-    half = t.filter(F.col("subj") != F.col("obj")).select(
-        "conv_id", F.col("subj").alias("s"), F.col("obj").alias("o")
-    )
-    e = (
-        half.unionByName(
-            half.select("conv_id", F.col("o").alias("s"), F.col("s").alias("o"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    e = _sym_edges(_triples_table(spark, sf))
     dist = (
         e.groupBy("conv_id")
         .agg(F.min("s").alias("node"))

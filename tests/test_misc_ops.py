@@ -519,3 +519,41 @@ def test_segmented_argmax_property():
         assert got == exp
 
     check()
+
+
+def test_formatted_ratio_ties_match_oracle_engine(spark):
+    """The %.6f float rule is only engine-portable with ROUND applied
+    BEFORE formatting: DuckDB's printf ties half-to-even while the JVM
+    formatter ties HALF_UP, so a dyadic ratio like 1/128 = 0.0078125
+    (reachable as top_word_frac on a 128-token doc) formats as 0.007812
+    vs 0.007813 raw. ROUND(x, 6) ties half-away identically on both
+    engines; this pins the round-then-format spelling on the adversarial
+    values, including negatives (cosines)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    vals = [0.0078125, 0.0390625, 5 / 64, 0.5000005, -0.0078125, -0.5000005]
+    con = duckdb.connect()
+    want = list(
+        con.sql(
+            "SELECT " + ",".join(f"printf('%.6f', ROUND({v!r}, 6))" for v in vals)
+        ).fetchone()
+    )
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.format_string("%.6f", F.round(F.lit(v), 6)).alias(f"v{i}")
+                for i, v in enumerate(vals)
+            ]
+        )
+        .first()
+    )
+    assert list(row) == want
+    # and the raw (un-rounded) formats DO diverge on the dyadic ties —
+    # the hazard this discipline exists for
+    raw_duck = con.sql("SELECT printf('%.6f', 0.0078125)").fetchone()[0]
+    raw_jvm = (
+        spark.range(1).select(F.format_string("%.6f", F.lit(0.0078125))).first()[0]
+    )
+    assert raw_duck == "0.007812" and raw_jvm == "0.007813"
