@@ -341,9 +341,14 @@ def corpus_filter(spark, sf):
     so the window runs first and the gates prune after; at 100 TB you
     split this into hash-dedup then filter, which ``dedup_exact`` +
     this key's gates compose to)."""
-    d = _docs(spark, sf)
-    from pyspark.sql.window import Window
+    return corpus_filter_df(_docs(spark, sf))
 
+
+def quality_gate_cols(d: DataFrame) -> DataFrame:
+    """Append the ingest-gate signal columns (n_words, punct_ratio,
+    sw_ratio, en_hits) to a (doc_id, text, ...) frame — pure JVM
+    expressions, shared by the batch ``corpus_filter`` and the streaming
+    ingest twin so the gate definitions live exactly once."""
     lower_words = F.split(F.lower("text"), " ")
     sw = F.array(*[F.lit(w) for w in _STOPWORDS])
     en = F.array(F.lit("the"), F.lit("and"), F.lit("of"))
@@ -359,22 +364,32 @@ def corpus_filter(spark, sf):
         / F.greatest(n_words, F.lit(1))
     )
     en_hits = F.size(F.filter(lower_words, lambda w: F.array_contains(en, w)))
-    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-    scored = d.select(
+    return d.select(
         "doc_id",
         "text",
         n_words.alias("n_words"),
         punct_ratio.alias("punct_ratio"),
         sw_ratio.alias("sw_ratio"),
         en_hits.alias("en_hits"),
-    ).withColumn("keeper", keeper)
-    return scored.filter(
+    )
+
+
+def quality_gates():
+    """The ingest gate predicate over ``quality_gate_cols`` output — a
+    function, not a module constant: building a Column requires an
+    active SparkContext, and this module must import session-free."""
+    return (
         (F.col("en_hits") > 0)
         & (F.col("n_words") >= 20)
         & (F.col("punct_ratio") <= 0.1)
         & (F.col("sw_ratio") >= 0.05)
-        & (F.col("doc_id") == F.col("keeper"))
-    ).select(
+    )
+
+
+def _filter_output_cols(df: DataFrame) -> DataFrame:
+    """Project the contract columns of ``corpus_filter`` (shared with the
+    streaming twin): doc_id, n_words, formatted stopword_ratio."""
+    return df.select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
         # ROUND then format (both engines): a dyadic ratio IS an exact
@@ -386,4 +401,17 @@ def corpus_filter(spark, sf):
         F.format_string("%.6f", F.round(F.col("sw_ratio"), 6)).alias(
             "stopword_ratio"
         ),
+    )
+
+
+def corpus_filter_df(d: DataFrame) -> DataFrame:
+    """``corpus_filter`` over an explicit documents frame (the registered
+    key binds it to the sf corpus; the streaming twin's pytest binds it
+    to the staged subset)."""
+    from pyspark.sql.window import Window
+
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    scored = quality_gate_cols(d).withColumn("keeper", keeper)
+    return _filter_output_cols(
+        scored.filter(quality_gates() & (F.col("doc_id") == F.col("keeper")))
     )

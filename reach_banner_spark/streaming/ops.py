@@ -714,6 +714,80 @@ def stream_dedup_minhash(spark, sf, min_jaccard: float = 0.9):
     return spark.read.parquet(out_pairs).distinct().localCheckpoint()
 
 
+@register("stream_corpus_filter", None)  # pytest: == batch corpus_filter_df
+def stream_corpus_filter(spark, sf):
+    """INGEST-TIME canonical corpus filtering — the streaming twin of
+    ``corpus_filter`` (language gate + quality gates + exact-duplicate
+    survivorship), run per micro-batch against the accumulated corpus:
+
+      1. quality/language gate columns are the SAME pure-JVM expressions
+         as the batch key (``quality_gate_cols`` — one definition);
+      2. exact-dup survivorship: within the batch the smallest doc_id per
+         MD5(text) claims the hash; the claim survives only if the hash
+         was never seen in ANY prior batch (anti-join against the state);
+      3. the batch's distinct hashes append to the state — append-only
+         parquet, never a merge-rewrite, O(new docs) per batch.
+
+    Survivorship semantics: streaming emits the FIRST-ARRIVED document
+    per hash; the batch key keeps the MIN doc_id per hash. These agree
+    whenever arrival order is doc_id order — true for the staged corpus
+    (parts are doc_id-ranged) and for any ingest whose ids are
+    assigned monotonically at arrival, which is how production ingest
+    ids work. The equality is pytest-pinned against
+    ``corpus_filter_df`` on the same staged documents. Note a duplicate
+    CLAIMS its hash even when it fails the quality gates (same as the
+    batch window running before the gates), so a later identical doc
+    can never resurrect a rejected text."""
+    from pyspark.sql.window import Window
+
+    from ..operators.textstats import (
+        _filter_output_cols,
+        quality_gate_cols,
+        quality_gates,
+    )
+
+    d = _staged_doc_stream_dir(sf)
+    work = _op_work_dir("stream_cfilter", d)
+    out_dir = os.path.join(work, "kept")
+    state_dir = os.path.join(work, "hashes")
+    state: dict[str, bool] = {"has_base": False}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        scored = quality_gate_cols(batch_df).withColumn(
+            "h", F.md5("text")
+        ).persist()
+        scored.count()
+        w = Window.partitionBy("h")
+        claims = scored.withColumn("keeper", F.min("doc_id").over(w)).filter(
+            F.col("doc_id") == F.col("keeper")
+        )
+        if state["has_base"]:
+            seen = sp.read.parquet(state_dir)
+            claims = claims.join(seen, "h", "left_anti")
+        _filter_output_cols(claims.filter(quality_gates())).write.mode(
+            "append"
+        ).parquet(out_dir)
+        # every hash in the batch is now claimed, gates or not
+        scored.select("h").distinct().write.mode("append").parquet(state_dir)
+        state["has_base"] = True
+        scored.unpersist(blocking=False)
+
+    doc_stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # eager localCheckpoint: survive a later same-key invocation's
+    # work-dir sweep (see _run_incremental_turns; ADVICE r4)
+    return spark.read.parquet(out_dir).localCheckpoint()
+
+
 @register("sink_foreach_batch", None)
 def sink_foreach_batch(spark, sf):
     """foreachBatch sink: per-micro-batch custom write (parquet + batch id

@@ -233,3 +233,42 @@ def test_stream_kg_equals_batch_pipeline(spark):
     wa = sorted(map(tuple, want[cols].values.tolist()))
     assert len(ga) > 0
     assert ga == wa
+
+
+def test_stream_corpus_filter_equals_batch(spark):
+    """Ingest-time canonical filtering over 3 micro-batches == the batch
+    corpus_filter on the same staged 300-doc corpus: the gate expressions
+    are literally shared (quality_gate_cols), and first-arrival
+    survivorship equals min-doc_id survivorship because the staged parts
+    are doc_id-ranged. Runs the key twice to pin determinism across the
+    work-dir sweep."""
+    from reach_banner_spark.operators.textstats import corpus_filter_df
+    from reach_banner_spark.streaming import ops
+
+    got = (
+        ops.REGISTRY["stream_corpus_filter"][0](spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    staged = ops._staged_doc_stream_dir(SF)
+    docs = spark.read.parquet(staged)
+    want = (
+        corpus_filter_df(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got[["doc_id", "n_words", "stopword_ratio"]].equals(
+        want[["doc_id", "n_words", "stopword_ratio"]]
+    )
+
+    again = (
+        ops.REGISTRY["stream_corpus_filter"][0](spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
