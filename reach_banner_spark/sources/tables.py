@@ -63,6 +63,7 @@ def write_graph_table(
     spark = df.sparkSession
     if iceberg_table is not None and iceberg_available(spark):
         iceberg_writer(df, iceberg_table, bucket_col, n_buckets).createOrReplace()
+    schema_json = df.schema.json()
     bucketed = df.withColumn(
         "p_bucket", F.pmod(F.hash(F.col(bucket_col)), F.lit(n_buckets))
     )
@@ -82,23 +83,31 @@ def write_graph_table(
         .partitionBy("p_bucket")
         .parquet(path)
     )
-    back = spark.read.parquet(path)
-    stats = (
-        back.groupBy("p_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            # order-insensitive content hash: sum of bounded row hashes
-            # (bounded to 2^40 so the ANSI-mode long sum can never overflow)
-            F.sum(F.pmod(F.xxhash64(*[c for c in df.columns]), F.lit(1 << 40))).alias(
-                "content_hash"
-            ),
+    try:
+        back = spark.read.parquet(path)
+        stats = (
+            back.groupBy("p_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                # order-insensitive content hash: sum of bounded row hashes
+                # (bounded to 2^40 so the ANSI-mode long sum can never overflow)
+                F.sum(F.pmod(F.xxhash64(*[c for c in df.columns]), F.lit(1 << 40))).alias(
+                    "content_hash"
+                ),
+            )
+            .collect()
         )
-        .collect()
-    )
+    except Exception:
+        # an EMPTY input writes no part files, so the read-back cannot
+        # infer a schema — a legitimate table state (empty corpus), not
+        # an error; the manifest records zero partitions and the stored
+        # schema lets read_graph_table reconstruct the empty frame
+        stats = []
     manifest = {
         "format": "parquet-bucketed-v1",
         "iceberg": iceberg_available(spark),
         "path": path,
+        "schema": schema_json,
         "partition_spec": {"bucket_col": bucket_col, "n_buckets": n_buckets},
         "snapshot_ts": time.time(),
         "note": snapshot_note,
@@ -117,6 +126,17 @@ def write_graph_table(
 
 
 def read_graph_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a graph table back (dropping the physical bucket column). An
+    empty table has no part files to infer a schema from — the manifest's
+    stored schema reconstructs the empty frame instead (an empty corpus
+    is a legitimate state everywhere upstream degrades to empty)."""
+    m = read_manifest(path)
+    if m is not None and m.get("total_rows", -1) == 0 and "schema" in m:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(m["schema"]))
+        )
     return spark.read.parquet(path).drop("p_bucket")
 
 

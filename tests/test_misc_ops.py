@@ -557,3 +557,82 @@ def test_formatted_ratio_ties_match_oracle_engine(spark):
         spark.range(1).select(F.format_string("%.6f", F.lit(0.0078125))).first()[0]
     )
     assert raw_duck == "0.007812" and raw_jvm == "0.007813"
+
+
+def _write_docs_corpus(tmpdir, rows):
+    """Materialize a minimal documents.parquet corpus dir for oracle
+    round-trips on crafted content (schema matches the testdata table)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(tmpdir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["src0"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmpdir, "documents.parquet"))
+    return tmpdir
+
+
+def test_quality_repetition_dyadic_tie_corpus(spark, tmp_path):
+    """End-to-end regression of the printf-tie hazard through the real
+    operator + oracle: a 128-token doc with all-distinct words makes
+    top_word_frac = 1/128 = 0.0078125, an exact 7-decimal tie that the
+    pre-fix spelling formatted as 0.007812 in DuckDB but 0.007813 in
+    Spark. With ROUND-before-format both engines agree."""
+    import duckdb
+
+    from reach_banner_spark.operators.textstats import REGISTRY
+
+    from .oracle_util import compare
+
+    words = [f"w{i:03d}" for i in range(128)]
+    corpus = _write_docs_corpus(
+        str(tmp_path / "tie_sf"),
+        [(1, " ".join(words)), (2, "a a a a"), (3, "solo")],
+    )
+    fn, sql = REGISTRY["quality_repetition"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{corpus}/documents.parquet')"
+    )
+    ok, msg = compare(fn(spark, corpus), con, sql)
+    assert ok, msg
+    got = {
+        r["doc_id"]: r
+        for r in fn(spark, corpus).collect()
+    }
+    assert got[1]["top_word_frac"] == "0.007813"  # 1/128, HALF_UP
+    assert got[1]["ttr"] == "1.000000"
+    assert got[2]["top_word_frac"] == "1.000000"
+    assert got[2]["top_bigram_frac"] == "1.000000"
+    assert got[3]["top_bigram_frac"] == "0.000000"  # no bigrams -> 0/1
+
+
+def test_new_keys_degrade_on_empty_corpus(spark, tmp_path):
+    """Every r5 analytics key returns an EMPTY result (not a crash) on an
+    empty documents corpus — the degradation contract the sibling ANN
+    keys already pin."""
+    from reach_banner_spark.plans.kg_queries import REGISTRY as KG
+    from reach_banner_spark.operators.textstats import REGISTRY as TS
+
+    corpus = _write_docs_corpus(str(tmp_path / "empty_sf"), [])
+    for reg, key in (
+        (KG, "kg_cooccur_lift"),
+        (KG, "kg_triangles"),
+        (KG, "kg_clustering"),
+        (KG, "kg_reach"),
+        (KG, "kg_temporal_span"),
+        (KG, "kg_communities"),
+        (TS, "quality_repetition"),
+    ):
+        df = reg[key][0](spark, corpus)
+        assert df.count() == 0, key
