@@ -75,6 +75,10 @@ HEADLINE = [
     "quality_repetition",
     "ann_range_search",
     "emb_kmeans",
+    "kg_kcore",
+    "contamination_ngram",
+    "sample_stratified",
+    "mix_weights",
 ]
 
 

@@ -6,6 +6,11 @@
 - ``token_count_bpe``: whitespace + BPE-ish regex token counts (oracle)
 - ``doc_fingerprint``: winnowing-style fingerprint = min MD5 over word
                        3-gram shingles (oracle via self-joined positions)
+- ``contamination_ngram``: benchmark decontamination — per-doc fraction of
+                       distinct 3-gram shingles found in a deterministic
+                       held-out benchmark slice (broadcast membership)
+- ``sample_stratified``: balanced per-source downsample by MD5 order
+- ``mix_weights``    : per-source token share (domain-mixture weights)
 
 Everything stays in whole-stage codegen; no Python in any of these.
 """
@@ -133,37 +138,52 @@ def token_count_bpe(spark, sf):
     )
 
 
-@register(
-    "doc_fingerprint",
-    # winnowing-style: min MD5 over word-3-gram shingles per doc
-    "SELECT doc_id, MIN(MD5(w1 || ' ' || w2 || ' ' || w3)) AS fingerprint FROM ("
-    " SELECT a.doc_id, a.word w1, b.word w2, c.word w3 FROM "
-    "  (SELECT doc_id, CAST(generate_subscripts(words,1) AS INT) pos, unnest(words) word "
-    "   FROM (SELECT doc_id, string_split(text,' ') words FROM documents)) a "
-    " JOIN (SELECT doc_id, CAST(generate_subscripts(words,1) AS INT) pos, unnest(words) word "
-    "   FROM (SELECT doc_id, string_split(text,' ') words FROM documents)) b "
-    "  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
-    " JOIN (SELECT doc_id, CAST(generate_subscripts(words,1) AS INT) pos, unnest(words) word "
-    "   FROM (SELECT doc_id, string_split(text,' ') words FROM documents)) c "
-    "  ON a.doc_id = c.doc_id AND c.pos = a.pos + 2"
-    ") GROUP BY doc_id",
+# (doc_id, sh) rows: one MD5 word-3-gram shingle occurrence per row —
+# shared by doc_fingerprint (min per doc) and contamination_ngram
+# (benchmark-overlap membership)
+_TRI_SH_SQL = (
+    "SELECT a.doc_id, MD5(a.word || ' ' || b.word || ' ' || c.word) AS sh FROM "
+    " (SELECT doc_id, CAST(generate_subscripts(words,1) AS INT) pos, unnest(words) word "
+    "  FROM (SELECT doc_id, string_split(text,' ') words FROM documents)) a "
+    "JOIN (SELECT doc_id, CAST(generate_subscripts(words,1) AS INT) pos, unnest(words) word "
+    "  FROM (SELECT doc_id, string_split(text,' ') words FROM documents)) b "
+    " ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+    "JOIN (SELECT doc_id, CAST(generate_subscripts(words,1) AS INT) pos, unnest(words) word "
+    "  FROM (SELECT doc_id, string_split(text,' ') words FROM documents)) c "
+    " ON a.doc_id = c.doc_id AND c.pos = a.pos + 2"
 )
-def doc_fingerprint(spark, sf):
-    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
-    # Linear zip of the word array with its 1- and 2-shifted views (slice is
-    # O(n) once; the previous transform+element_at spelling re-walked the
-    # array per shingle — measured 6x slower). Tail positions where the
-    # shifted views run out yield NULL, which array_min skips; docs with
-    # < 3 words therefore produce NULL and are filtered, same as before.
+
+
+def _tri_md5_col():
+    """MD5 word-3-gram shingle array over the array column ``w`` — a
+    linear zip of the word array with its 1- and 2-shifted views (slice is
+    O(n) once; a transform+element_at spelling re-walks the array per
+    shingle — measured 6x slower). The two tail positions (and every
+    position of a doc under 3 words) yield NULL; callers filter or rely on
+    NULL-skipping aggregates."""
     w2 = F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(0)))
     w3 = F.slice("w", 3, F.greatest(F.size("w") - 2, F.lit(0)))
-    pair = F.zip_with("w", w2, lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)))
-    tri = F.zip_with(
+    pair = F.zip_with(
+        "w", w2, lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b))
+    )
+    return F.zip_with(
         pair,
         w3,
         lambda p, c: F.when(p.isNotNull() & c.isNotNull(), F.md5(F.concat_ws(" ", p, c))),
     )
-    return d.select("doc_id", F.array_min(tri).alias("fingerprint")).filter(
+
+
+@register(
+    "doc_fingerprint",
+    # winnowing-style: min MD5 over word-3-gram shingles per doc
+    f"SELECT doc_id, MIN(sh) AS fingerprint FROM ({_TRI_SH_SQL}) sh GROUP BY doc_id",
+)
+def doc_fingerprint(spark, sf):
+    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    # array_min skips the NULL tail positions; docs with < 3 words produce
+    # an all-NULL array -> NULL fingerprint, filtered (same rows as the
+    # oracle's inner-join derivation, which emits nothing for them).
+    return d.select("doc_id", F.array_min(_tri_md5_col()).alias("fingerprint")).filter(
         F.col("fingerprint").isNotNull()
     )
 
@@ -414,4 +434,159 @@ def corpus_filter_df(d: DataFrame) -> DataFrame:
     scored = quality_gate_cols(d).withColumn("keeper", keeper)
     return _filter_output_cols(
         scored.filter(quality_gates() & (F.col("doc_id") == F.col("keeper")))
+    )
+
+
+# Benchmark membership = deterministic MD5-prefix gate on doc_id (same
+# pure-predicate discipline as sample_hash): '0c' keeps 0x00..0x0c =
+# 13/256 ~ 5% of docs as the held-out "benchmark suite".
+_BENCH_PREFIX_BOUND = "0c"
+_BENCH_PRED_SQL = (
+    f"SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{_BENCH_PREFIX_BOUND}'"
+)
+
+
+def _bench_pred():
+    return (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        <= _BENCH_PREFIX_BOUND
+    )
+
+
+@register(
+    "contamination_ngram",
+    f"WITH sh AS ({_TRI_SH_SQL}), "
+    f"b AS (SELECT DISTINCT sh FROM sh WHERE {_BENCH_PRED_SQL}), "
+    f"d AS (SELECT DISTINCT doc_id, sh FROM sh WHERE NOT ({_BENCH_PRED_SQL})) "
+    "SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, "
+    "CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits, "
+    "printf('%.6f', ROUND(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) * 1.0 "
+    " / COUNT(*), 6)) AS contamination "
+    "FROM d LEFT JOIN b ON b.sh = d.sh GROUP BY d.doc_id",
+)
+def contamination_ngram(spark, sf):
+    """Benchmark-contamination check — the decontamination pass every LLM
+    training pipeline runs before a corpus ships (GPT-3 §2.2 / PaLM-style
+    13-gram overlap, here word 3-grams against this corpus's vocabulary):
+    a deterministic ~5% MD5-prefix slice of docs plays the held-out
+    benchmark suite; every remaining doc reports how many of its DISTINCT
+    shingles appear anywhere in the benchmark set and the contaminated
+    fraction. A real pipeline drops or flags docs above a threshold —
+    emitting the per-doc ratio keeps the key composable and oracle-exact.
+
+    Scale shape: the benchmark shingle set is bounded by the benchmark
+    corpus (at 100 TB: the eval suites — MBs, not TBs), deduplicated and
+    BROADCAST, so the fact side never shuffles for the membership test —
+    one explode + map-side hash lookup + one partial-agg rollup keyed
+    doc_id-first. The per-doc DISTINCT runs map-side against the same
+    doc_id-keyed exchange the rollup needs anyway. At extreme benchmark
+    sizes the broadcast set degrades gracefully to a bloom-filter gate +
+    shuffle-join verify; this corpus sits far below that line."""
+    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    sh = (
+        d.select("doc_id", F.explode(_tri_md5_col()).alias("sh"))
+        .filter(F.col("sh").isNotNull())
+    )
+    bench = (
+        sh.filter(_bench_pred())
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    docsh = sh.filter(~_bench_pred()).distinct()
+    hits = F.sum(F.coalesce("hit", F.lit(0)))
+    return (
+        docsh.join(F.broadcast(bench), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            hits.cast("long").alias("n_hits"),
+            # ROUND before formatting — see quality_repetition's tie note
+            F.format_string(
+                "%.6f",
+                F.round(
+                    hits.cast("double") / F.count(F.lit(1)), 6
+                ),
+            ).alias("contamination"),
+        )
+    )
+
+
+# Balanced-downsample cap per stratum: 3 of each source's 25 docs at this
+# corpus; the point is the deterministic mechanism, not the rate.
+_STRATUM_CAP = 3
+
+
+@register(
+    "sample_stratified",
+    "SELECT doc_id, source FROM ("
+    " SELECT doc_id, source, ROW_NUMBER() OVER ("
+    "  PARTITION BY source ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+    " FROM documents) s "
+    f"WHERE rn <= {_STRATUM_CAP}",
+)
+def sample_stratified(spark, sf):
+    """Stratified (balanced per-source) downsample — the domain-rebalance
+    step of a training-data mix: cap every source at ``_STRATUM_CAP``
+    docs, chosen by MD5 order so the selection is a pure function of the
+    data (same docs every engine, every run, every repartition; doc_id
+    tie-break is unreachable — MD5 inputs are distinct — but pins total
+    order anyway). Complements ``sample_hash``: that key thins globally
+    at a fixed rate, this one equalizes strata.
+
+    Scale shape: ONE window shuffle keyed on source. Stratum skew is the
+    hazard at 100 TB (one source = half the corpus lands on one task);
+    the production spelling gates on a per-source rate threshold first
+    (pure predicate, no window) and only windows the survivors — at this
+    corpus's uniform strata the single window IS that plan."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        _docs(spark, sf)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _STRATUM_CAP)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "mix_weights",
+    "WITH s AS (SELECT source, COUNT(*) AS n_docs, "
+    " SUM(LEN(string_split(text, ' '))) AS n_words FROM documents GROUP BY source) "
+    "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+    "CAST(n_words AS BIGINT) AS n_words, "
+    "printf('%.6f', ROUND(CAST(n_words AS DOUBLE) "
+    " / (SELECT SUM(n_words) FROM s), 6)) AS weight "
+    "FROM s",
+)
+def mix_weights(spark, sf):
+    """Domain-mixture weights — each source's share of corpus tokens, the
+    number a training recipe turns into sampling weights (the static core
+    of DoReMi-style domain reweighting). Emitted as exact counts plus a
+    %.6f-formatted share per the float rule.
+
+    Scale shape: one partial+final aggregation onto the tiny source
+    domain (map-side combine does virtually all reduction at 100 TB); the
+    corpus total rides along as a broadcast 1-row crossJoin, not a driver
+    action."""
+    s = (
+        _docs(spark, sf)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_words"),
+        )
+    )
+    tot = s.agg(F.sum("n_words").cast("double").alias("tot"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_words").cast("long").alias("n_words"),
+        # ROUND before formatting — see quality_repetition's tie note
+        F.format_string(
+            "%.6f", F.round(F.col("n_words").cast("double") / F.col("tot"), 6)
+        ).alias("weight"),
     )

@@ -164,3 +164,57 @@ def test_kg_communities_matches_pandas_twin(spark):
         (c, comm) in nodes
         for c, comm in got[["conv_id", "community"]].values.tolist()
     )
+
+
+def test_kg_kcore_matches_pandas_twin(spark):
+    """Distributed fixed-round 2-core peel == single-process peel-to-
+    fixpoint twin EXACTLY (the dictionary bounds per-conv nodes, so the
+    round budget always reaches the fixpoint), plus the defining core
+    property: every surviving node has >= 2 surviving-set neighbours."""
+    from collections import defaultdict
+
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _triples,
+        kcore_pandas,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = (
+        REGISTRY["kg_kcore"][0](spark, SF)
+        .toPandas()
+        .sort_values(["conv_id", "node"])
+        .reset_index(drop=True)
+    )
+    edges = (
+        _triples(spark, SF).select("conv_id", "subj", "obj").distinct().toPandas()
+    )
+    want = kcore_pandas(edges).sort_values(["conv_id", "node"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert got[["conv_id", "node"]].equals(want[["conv_id", "node"]])
+    # minimum-degree property inside the surviving set
+    surv = set(map(tuple, got[["conv_id", "node"]].values.tolist()))
+    adj = defaultdict(set)
+    for c, s, o in edges[edges["subj"] != edges["obj"]].values.tolist():
+        if (c, s) in surv and (c, o) in surv:
+            adj[(c, s)].add(o)
+            adj[(c, o)].add(s)
+    assert all(len(adj[v]) >= 2 for v in surv)
+
+
+def test_kcore_pandas_peels_pendants():
+    """Unit fixture: a triangle with a pendant chain — the chain is
+    peeled (cascading), the triangle survives as the 2-core."""
+    import pandas as pd
+
+    from reach_banner_spark.plans.kg_queries import kcore_pandas
+
+    edges = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 5,
+            "subj": ["a", "b", "c", "c", "d"],
+            "obj": ["b", "c", "a", "d", "e"],
+        }
+    )
+    got = kcore_pandas(edges)
+    assert got["node"].tolist() == ["a", "b", "c"]
