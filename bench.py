@@ -79,6 +79,9 @@ HEADLINE = [
     "contamination_ngram",
     "sample_stratified",
     "mix_weights",
+    "quality_oov_rate",
+    "chunk_tokens",
+    "kg_pred_conflicts",
 ]
 
 

@@ -11,6 +11,10 @@
                        held-out benchmark slice (broadcast membership)
 - ``sample_stratified``: balanced per-source downsample by MD5 order
 - ``mix_weights``    : per-source token share (domain-mixture weights)
+- ``quality_oov_rate``: rare-word ratio vs the corpus's own frequent
+                       vocabulary (broadcast head-vocab membership)
+- ``chunk_tokens``   : fixed-size context-window chunking (pure array
+                       algebra, zero shuffles)
 
 Everything stays in whole-stage codegen; no Python in any of these.
 """
@@ -589,4 +593,114 @@ def mix_weights(spark, sf):
         F.format_string(
             "%.6f", F.round(F.col("n_words").cast("double") / F.col("tot"), 6)
         ).alias("weight"),
+    )
+
+
+# A word is in-vocabulary when the whole corpus uses it at least this
+# often; rarer words count as OOV for the quality signal.
+_OOV_MIN_COUNT = 5
+
+
+@register(
+    "quality_oov_rate",
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+    " FROM documents), "
+    "v AS (SELECT word FROM (SELECT word, COUNT(*) AS c FROM w GROUP BY word) "
+    f" WHERE c >= {_OOV_MIN_COUNT}) "
+    "SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+    "CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, "
+    "printf('%.6f', ROUND(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1.0 "
+    " / COUNT(*), 6)) AS oov_ratio "
+    "FROM w LEFT JOIN v ON v.word = w.word GROUP BY w.doc_id",
+)
+def quality_oov_rate(spark, sf):
+    """Rare-word (out-of-vocabulary) ratio per document — the CCNet-style
+    lexical quality signal: text whose tokens mostly fall outside the
+    corpus's own frequent vocabulary is noise, OCR garbage, or another
+    language, and a training-data filter gates on this next to the
+    surface ratios of ``text_quality``. In-vocabulary = used at least
+    ``_OOV_MIN_COUNT`` times corpus-wide; exact integer counting, so the
+    ratio is oracle-exact under the %.6f float rule.
+
+    Scale shape: the vocabulary aggregation is explode -> (word) counts
+    with map-side partial aggregation (Zipf: distinct words are sublinear
+    in tokens); the membership side keeps only words at count >=
+    ``_OOV_MIN_COUNT``, which truncates the long tail — the head
+    vocabulary is small and BROADCAST, so the fact-side token stream
+    never shuffles for the membership test, and the per-doc rollup rides
+    the one doc_id-keyed exchange. At corpus scales where even the head
+    vocabulary outgrows a broadcast, the same plan degrades to a
+    shuffle-join on word with AQE skew handling (Zipf head words are the
+    classic skew keys); this corpus sits far below that line."""
+    w = _docs(spark, sf).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _OOV_MIN_COUNT)
+        .select("word")
+        .withColumn("hit", F.lit(1))
+    )
+    n_oov = F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+    return (
+        w.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            n_oov.cast("long").alias("n_oov"),
+            # ROUND before formatting — see quality_repetition's tie note
+            F.format_string(
+                "%.6f",
+                F.round(n_oov.cast("double") / F.count(F.lit(1)), 6),
+            ).alias("oov_ratio"),
+        )
+    )
+
+
+# Context-window chunk size in whitespace tokens; docs here run 10-99
+# words, so each yields 1-4 chunks — the mechanism is what matters.
+_CHUNK_TOKENS = 32
+
+
+@register(
+    "chunk_tokens",
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "c AS (SELECT doc_id, w, unnest(generate_series(0, "
+    f" CAST(CEIL(LEN(w) / {_CHUNK_TOKENS}.0) AS INT) - 1)) AS ci FROM d) "
+    "SELECT doc_id, CAST(ci AS INT) AS chunk_idx, "
+    f"CAST(LEN(list_slice(w, ci * {_CHUNK_TOKENS} + 1, "
+    f" (ci + 1) * {_CHUNK_TOKENS})) AS INT) AS n_tokens, "
+    f"array_to_string(list_slice(w, ci * {_CHUNK_TOKENS} + 1, "
+    f" (ci + 1) * {_CHUNK_TOKENS}), ' ') AS chunk "
+    "FROM c",
+)
+def chunk_tokens(spark, sf):
+    """Fixed-size context-window chunking — the sequence-preparation step
+    between a filtered corpus and a training batch: split every document
+    into consecutive ``_CHUNK_TOKENS``-token pieces, keeping (doc_id,
+    chunk_idx) so chunks trace back to their source (dedup/decontamination
+    verdicts propagate by doc_id). The last chunk per doc is short, as in
+    real packing pipelines before the pad-or-pack decision.
+
+    Scale shape: entirely per-row array algebra — one ``sequence`` over
+    chunk indices, a ``transform`` + ``slice`` producing each chunk from
+    the SAME word array with no re-scan of the text, one explode. No
+    shuffle at all (the plan is scan -> project -> generate), so it
+    pipelines with whatever partitioning the corpus already has; output
+    row width is bounded by the chunk size."""
+    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    cs = F.lit(_CHUNK_TOKENS)
+    n_chunks = F.ceil(F.size("w") / cs.cast("double")).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("ci"), F.slice("w", i * cs + 1, cs).alias("cw")
+        ),
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.ci").cast("int").alias("chunk_idx"),
+        F.size("c.cw").cast("int").alias("n_tokens"),
+        F.array_join("c.cw", " ").alias("chunk"),
     )

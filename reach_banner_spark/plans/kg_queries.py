@@ -1325,6 +1325,39 @@ def kcore_pandas(edges: pd.DataFrame, k: int = _KCORE_K) -> pd.DataFrame:
     return pd.DataFrame({"conv_id": out_conv, "node": out_node})
 
 
+@register(
+    "kg_pred_conflicts",
+    f"WITH t AS ({_TRIPLES_SQL}) "
+    "SELECT conv_id, subj, pred, "
+    "CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_objs, "
+    "MIN(obj) AS first_obj, MAX(obj) AS last_obj "
+    "FROM t GROUP BY conv_id, subj, pred "
+    "HAVING COUNT(DISTINCT obj) > 1",
+)
+def kg_pred_conflicts(spark, sf):
+    """Functional-dependency audit over the graph: (conv_id, subj, pred)
+    groups asserting MORE than one object — the standard KG quality check
+    for predicates expected to be functional (a subject 'answered_with'
+    two different canonicals in one conversation is either a genuine
+    multi-valued fact or an extraction error; the audit surfaces both for
+    review, with the min/max objects as witnesses).
+
+    Scale shape: one hash aggregation over the materialized triple table,
+    keyed conv_id-first (co-partitioned with the table's bucketing, so
+    the groupBy is map-side-heavy); COUNT(DISTINCT obj) is bounded by the
+    entity domain per group. No joins, no windows."""
+    return (
+        _triples_table(spark, sf)
+        .groupBy("conv_id", "subj", "pred")
+        .agg(
+            F.countDistinct("obj").alias("n_objs"),
+            F.min("obj").alias("first_obj"),
+            F.max("obj").alias("last_obj"),
+        )
+        .filter(F.col("n_objs") > 1)
+    )
+
+
 # ------------------------------------------------------------------- G5 ----
 
 @register(
