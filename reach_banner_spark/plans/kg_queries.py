@@ -1358,6 +1358,63 @@ def kg_pred_conflicts(spark, sf):
     )
 
 
+@register(
+    "kg_export_nquads",
+    f"WITH t AS ({_TRIPLES_SQL}) "
+    "SELECT '<urn:rbs:e:' || subj || '> <urn:rbs:p:' || pred || '> "
+    "<urn:rbs:e:' || obj || '> <urn:rbs:g:' || conv_id || '/' "
+    " || CAST(window_start AS VARCHAR) || '> .' AS nquad FROM t",
+)
+def kg_export_nquads(spark, sf):
+    """N-Quads serialization of the graph (W3C RDF 1.1 N-Quads line
+    format) — the interop surface a KG engine needs so downstream RDF
+    stores / SPARQL engines can load the extracted graph directly; the
+    graph label carries (conv_id, window_start) so each quad stays
+    traceable to its provenance window. Entities/predicates here are
+    single lowercase tokens, so no percent-escaping is needed inside the
+    URNs (asserted by the dictionary's charset).
+
+    Scale shape: a pure projection over the materialized triple table —
+    zero shuffles, pipelines with the table's bucketing; writing the
+    lines out is ``sink``-shaped (text sink partitioned by conv bucket)."""
+    t = _triples_table(spark, sf)
+    return t.select(
+        F.concat(
+            F.lit("<urn:rbs:e:"), "subj",
+            F.lit("> <urn:rbs:p:"), "pred",
+            F.lit("> <urn:rbs:e:"), "obj",
+            F.lit("> <urn:rbs:g:"), "conv_id",
+            F.lit("/"), F.col("window_start").cast("string"),
+            F.lit("> ."),
+        ).alias("nquad")
+    )
+
+
+@register(
+    "kg_adjacency",
+    f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_SYM_SQL}) "
+    "SELECT conv_id, s AS node, CAST(COUNT(*) AS BIGINT) AS degree, "
+    "array_to_string(list(o ORDER BY o), ' ') AS neighbors "
+    "FROM e GROUP BY conv_id, s",
+)
+def kg_adjacency(spark, sf):
+    """Adjacency-list export: per (conv_id, node), the degree and the
+    sorted neighbour list over the undirected distinct edge set — the
+    input format of GNN samplers and external graph engines (one line
+    per node beats one line per edge for neighbourhood-local consumers).
+    Neighbour lists are space-joined sorted strings so the output is
+    deterministic and engine-comparable.
+
+    Scale shape: one conv_id-first aggregation over the symmetrized
+    distinct edge set; list width is bounded by the per-conversation
+    entity domain (the linking dictionary), never by turns."""
+    e = _sym_edges(_triples_table(spark, sf))
+    return e.groupBy("conv_id", F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.array_join(F.array_sort(F.collect_list("o")), " ").alias("neighbors"),
+    )
+
+
 # ------------------------------------------------------------------- G5 ----
 
 @register(
