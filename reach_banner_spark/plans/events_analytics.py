@@ -1,0 +1,203 @@
+"""Product-analytics operators over the ``events`` table.
+
+The reference engine's query surface is exercised by its users as an
+analytics engine over event streams (SURVEY.md §2.2 windows/sessionization
+— `win_session_batch` / `stream_session` are already on the surface); this
+module adds the three canonical event-analytics shapes every such engine
+ships: ordered funnel conversion, cohort retention, and the event-type
+transition graph (the Markov edge list — the same edge-list shape the KG
+consumption keys analyze, derived from behavioral sequences instead of
+extracted triples).
+
+Conventions follow plans/relational.py: every computed column aliased
+identically on both engines, formatted ``%.6f`` ratios are ROUND(x, 6)
+BEFORE formatting on BOTH engines (decimal ties round half-away-from-zero
+identically — see the 39f2a8e tie fix), empty-corpus aggregates coalesce
+to zero, and everything runs pure JVM-side (whole-stage codegen, no
+Python in any plan).
+
+Scale notes (100 TB discipline): every key here shuffles user_id-first,
+so the event fact table partitions by its natural key and the windows /
+self-joins reuse one co-partitioning; the final rollups are
+dimension-sized (steps × 1, cohorts × weeks, event-type²).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(key: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[key] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+_FMT6 = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+
+
+# ------------------------------------------------------------- funnel ----
+
+@register(
+    "funnel_conversion",
+    # First-touch ordered funnel view -> click -> purchase: a user reaches
+    # step k when the FIRST occurrence of step k's event is strictly after
+    # the first occurrence of step k-1's (Amplitude-style "first touch"
+    # ordering — computable in ONE pass; NULL first-touch comparisons are
+    # false on both engines).
+    "WITH u AS ("
+    " SELECT user_id,"
+    "  MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,"
+    "  MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,"
+    "  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3"
+    " FROM events GROUP BY user_id), "
+    "f AS ("
+    " SELECT CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS r1,"
+    "  CASE WHEN t2 > t1 THEN 1 ELSE 0 END AS r2,"
+    "  CASE WHEN t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END AS r3 FROM u) "
+    "SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,"
+    " CAST(COALESCE(SUM(r1), 0) AS BIGINT) AS users FROM f "
+    "UNION ALL SELECT 2, 'click', CAST(COALESCE(SUM(r2), 0) AS BIGINT) FROM f "
+    "UNION ALL SELECT 3, 'purchase', CAST(COALESCE(SUM(r3), 0) AS BIGINT) FROM f",
+)
+def funnel_conversion(spark, sf):
+    """First-touch ordered funnel over the event stream: how many users
+    viewed, then first-clicked after their first view, then
+    first-purchased after that click.
+
+    Scale shape: ONE shuffle (the per-user conditional-min aggregate, with
+    map-side partial aggregation — state per user is three timestamps),
+    then a single-row global sum and a constant 3-row ``stack``. No joins,
+    no windows; the plan is two exchanges regardless of event volume."""
+    e = _events(spark, sf)
+    u = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t2"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t3"),
+    )
+    # NULL-comparison semantics match the oracle's CASE: NULL > x is
+    # NULL -> otherwise(0)
+    flags = u.select(
+        F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("r1"),
+        F.when(F.col("t2") > F.col("t1"), 1).otherwise(0).alias("r2"),
+        F.when(
+            (F.col("t2") > F.col("t1")) & (F.col("t3") > F.col("t2")), 1
+        ).otherwise(0).alias("r3"),
+    )
+    tot = flags.agg(
+        F.coalesce(F.sum("r1"), F.lit(0)).cast("long").alias("s1"),
+        F.coalesce(F.sum("r2"), F.lit(0)).cast("long").alias("s2"),
+        F.coalesce(F.sum("r3"), F.lit(0)).cast("long").alias("s3"),
+    )
+    return tot.select(
+        F.expr(
+            "stack(3, CAST(1 AS BIGINT), 'view', s1,"
+            " CAST(2 AS BIGINT), 'click', s2,"
+            " CAST(3 AS BIGINT), 'purchase', s3) AS (step_idx, step, users)"
+        )
+    )
+
+
+# ---------------------------------------------------------- retention ----
+
+@register(
+    "retention_cohort",
+    # Classic D0-cohort weekly retention: cohort = a user's first active
+    # date; a user counts as retained in week k of their cohort when they
+    # have any event in [d0 + 7k, d0 + 7(k+1)).
+    "WITH first AS ("
+    " SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id), "
+    "act AS ("
+    " SELECT DISTINCT e.user_id, f.d0,"
+    "  CAST(FLOOR(DATEDIFF('day', f.d0, CAST(e.ts AS DATE)) / 7) AS BIGINT) AS week_k"
+    " FROM events e JOIN first f ON e.user_id = f.user_id) "
+    "SELECT CAST(d0 AS VARCHAR) AS cohort_date, week_k,"
+    " CAST(COUNT(*) AS BIGINT) AS n_active "
+    "FROM act GROUP BY d0, week_k",
+)
+def retention_cohort(spark, sf):
+    """Weekly cohort retention: users bucketed by first-active date, one
+    row per (cohort_date, week offset) with the retained-user count.
+
+    Scale shape: the cohort derivation and the activity join BOTH key on
+    user_id, so one hash partitioning serves the aggregate, the join, and
+    the per-user DISTINCT (AQE will broadcast the cohort side at small SF;
+    at 100 TB both sides co-partition and no second fact shuffle occurs).
+    The final rollup is cohorts × weeks — dimension-sized."""
+    e = _events(spark, sf)
+    first = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    act = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "d0",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("d0")) / 7
+            ).cast("long").alias("week_k"),
+        )
+        .distinct()
+    )
+    return act.groupBy("d0", "week_k").agg(
+        F.count(F.lit(1)).alias("n_active")
+    ).select(
+        F.date_format("d0", "yyyy-MM-dd").alias("cohort_date"),
+        "week_k",
+        "n_active",
+    )
+
+
+# -------------------------------------------------------- transitions ----
+
+@register(
+    "event_transitions",
+    # Per-user consecutive event-type bigrams (the behavioral Markov edge
+    # list) with per-source transition probabilities as %.6f strings
+    # (ratio of exact BIGINT counts; ROUND before format per house rule).
+    "WITH s AS ("
+    " SELECT user_id, event_type AS src, LEAD(event_type) OVER ("
+    "  PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events), "
+    "c AS ("
+    " SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM s"
+    " WHERE dst IS NOT NULL GROUP BY src, dst) "
+    "SELECT src, dst, n, printf('%.6f', ROUND("
+    " CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6)) AS p "
+    "FROM c",
+)
+def event_transitions(spark, sf):
+    """Event-type transition graph: counts and per-source probabilities of
+    consecutive event-type pairs within each user's timeline (ties broken
+    by event_id — deterministic ordering, per house rule).
+
+    Scale shape: one window shuffle on user_id (sequence derivation), one
+    aggregation shuffle on the (src, dst) pair, then a window over the
+    event-type²-sized count table (dimension-sized — the probability
+    normalization never touches the fact table). The probability is a
+    ratio of exact integer counts, so both engines compute the identical
+    IEEE double before the shared ROUND/format contract."""
+    e = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    c = s.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wn = Window.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        "n",
+        _FMT6(F.col("n").cast("double") / F.sum("n").over(wn)).alias("p"),
+    )

@@ -30,7 +30,14 @@ def main() -> None:
     control_input = stage_input(48)
     gate_input = stage_input(192)
     zpath = make_zip()
+    # Append to any prior recovery log (drop nothing across sessions).
     log: list[dict] = []
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            log = json.load(f)
+    base_attempt = 1 + max(
+        (r.get("attempt", -1) for r in log if isinstance(r, dict)), default=-1
+    )
 
     def emit(rec: dict) -> None:
         rec["t"] = time.strftime("%H:%M:%S")
@@ -39,7 +46,7 @@ def main() -> None:
         with open(OUT, "w") as f:
             json.dump(log, f, indent=1)
 
-    for attempt in range(MAX_ATTEMPTS):
+    for attempt in range(base_attempt, base_attempt + MAX_ATTEMPTS):
         c = run_job(8, control_input, zpath)
         c.update(kind="control_x48_p8", attempt=attempt)
         emit(c)
@@ -53,7 +60,7 @@ def main() -> None:
                       "t2_recorded": 832.95, "efficiency": round(eff, 3),
                       "gate": "PASS"})
                 return
-        if attempt < MAX_ATTEMPTS - 1:
+        if attempt < base_attempt + MAX_ATTEMPTS - 1:
             time.sleep(600)
     emit({"kind": "no_pass", "attempts": MAX_ATTEMPTS})
 
