@@ -1415,6 +1415,127 @@ def kg_adjacency(spark, sf):
     )
 
 
+_WALK_STEPS = 3       # emitted walks are 4 nodes long
+_WALKS_PER_NODE = 2
+
+
+def _walk_step_sql(t: int) -> str:
+    """One unrolled walk step: pick the neighbour minimizing the MD5 of
+    (conv, walk, step, neighbour) — MIN over 32-hex-char-prefixed strings,
+    so the comparison is decided by the hash and the chosen node is read
+    back from offset 35 (32 hash chars + '::')."""
+    return (
+        f"w{t} AS (SELECT conv_id, start, walk_id, cur, "
+        "path || ' ' || cur AS path FROM ("
+        " SELECT w.conv_id, w.start, w.walk_id, w.path,"
+        " SUBSTRING(MIN(MD5(CONCAT_WS('|', w.conv_id,"
+        f" CAST(w.walk_id AS VARCHAR), '{t}', e.o)) || '::' || e.o), 35) AS cur"
+        f" FROM w{t - 1} w JOIN e"
+        " ON e.conv_id = w.conv_id AND e.s = w.cur"
+        " GROUP BY w.conv_id, w.start, w.walk_id, w.path))"
+    )
+
+
+@register(
+    "kg_random_walks",
+    f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_SYM_SQL}), "
+    "w0 AS (SELECT DISTINCT e.conv_id, e.s AS start, wi.walk_id, "
+    " e.s AS cur, e.s AS path FROM e CROSS JOIN "
+    " (SELECT 0 AS walk_id UNION ALL SELECT 1) wi), "
+    + ", ".join(_walk_step_sql(t) for t in range(1, _WALK_STEPS + 1))
+    + " SELECT conv_id, start, CAST(walk_id AS BIGINT) AS walk_id, "
+    f"path AS walk FROM w{_WALK_STEPS}",
+)
+def kg_random_walks(spark, sf):
+    """DeepWalk-style random-walk corpus over the entity graph (Perozzi et
+    al. 2014): ``_WALKS_PER_NODE`` fixed-length walks from every node of
+    every conversation's undirected entity graph — the sentence corpus
+    graph-embedding trainers (word2vec over walks) consume. The 'random'
+    transition is DERANDOMIZED per house rule (no rand()/wall-clock in
+    data paths): each step moves to the neighbour minimizing
+    ``MD5(conv|walk_id|step|neighbour)``, so the walk is a pure function
+    of (graph, start, walk_id) — reproducible across engines, runs, and
+    partitionings, yet hash-scrambled enough that the two walks per node
+    diverge and step choices decorrelate across steps. The oracle unrolls
+    the identical hash-argmin as grouped MIN over 32-hex-prefixed strings.
+
+    Scale shape: the adjacency table (conv_id, node, neighbour array) is
+    built ONCE (one aggregation keyed conv_id-first, dimension-sized:
+    convs × entity domain) and ``localCheckpoint``-ed; each of the
+    ``_WALK_STEPS`` fixed iterations is ONE co-partitioned equi-join of
+    the walk-state table against it with the neighbour choice as pure
+    array algebra (no per-step aggregation shuffle — the grouped MIN of
+    the oracle collapses into ``array_min`` over the pre-collected
+    neighbour list). Zero in-loop driver barriers, same discipline as
+    kg_reach/kg_pagerank; walk-state rows = nodes × walks, bounded by the
+    entity domain, never by turns."""
+    e = _sym_edges(_triples_table(spark, sf))
+    adj = (
+        e.groupBy("conv_id", F.col("s").alias("anode"))
+        .agg(F.collect_list("o").alias("nbrs"))
+        .localCheckpoint()
+    )
+    state = (
+        e.select("conv_id", F.col("s").alias("start"))
+        .distinct()
+        .select(
+            "conv_id",
+            "start",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(_WALKS_PER_NODE)])
+            ).alias("walk_id"),
+        )
+        .withColumn("cur", F.col("start"))
+        .withColumn("path", F.col("start"))
+    )
+    for t in range(1, _WALK_STEPS + 1):
+        # state derives from e (as adj does) — rename before the join so
+        # attribute resolution stays unambiguous across iterations
+        st = state.select(
+            F.col("conv_id").alias("w_conv"), "start", "walk_id", "cur", "path"
+        )
+        joined = st.join(
+            adj,
+            (F.col("w_conv") == F.col("conv_id"))
+            & (F.col("cur") == F.col("anode")),
+        )
+        # NB: the HOF lambda must take exactly ONE parameter — a default
+        # arg (lambda n, t=t) makes PySpark treat it as the binary
+        # (element, index) form and bind t to the array INDEX column.
+        # Close over a pre-built literal instead.
+        step_lit = F.lit(str(t))
+        tag = F.transform(
+            "nbrs",
+            lambda n: F.concat(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("w_conv"),
+                        F.col("walk_id").cast("string"),
+                        step_lit,
+                        n,
+                    )
+                ),
+                F.lit("::"),
+                n,
+            ),
+        )
+        nxt = F.substring(F.array_min(tag), 35, 1 << 30)
+        state = joined.select(
+            F.col("w_conv").alias("conv_id"),
+            "start",
+            "walk_id",
+            nxt.alias("cur"),
+            F.concat_ws(" ", "path", nxt).alias("path"),
+        )
+    return state.select(
+        "conv_id",
+        "start",
+        F.col("walk_id").cast("long").alias("walk_id"),
+        F.col("path").alias("walk"),
+    )
+
+
 # ------------------------------------------------------------------- G5 ----
 
 @register(
