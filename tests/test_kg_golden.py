@@ -218,3 +218,55 @@ def test_kcore_pandas_peels_pendants():
     )
     got = kcore_pandas(edges)
     assert got["node"].tolist() == ["a", "b", "c"]
+
+
+def test_kg_random_walks_matches_python_twin(spark):
+    """Distributed derandomized walks == a from-scratch hashlib twin over
+    the collected (dimension-sized) edge set — EXACT equality, including
+    the hash-argmin transition at every step. Re-implements the choice
+    rule independently (hashlib, not Spark md5), so an expression-level
+    regression in the lambda (e.g. the HOF arity pitfall where a default
+    arg binds to the array index) cannot pass both sides."""
+    import hashlib
+
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _WALK_STEPS,
+        _WALKS_PER_NODE,
+        _sym_edges,
+        _triples_table,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = (
+        REGISTRY["kg_random_walks"][0](spark, SF)
+        .toPandas()
+        .sort_values(["conv_id", "start", "walk_id"])
+        .reset_index(drop=True)
+    )
+    edges = _sym_edges(_triples_table(spark, SF)).toPandas()
+    adj: dict[tuple[str, str], list[str]] = {}
+    for c, s, o in edges.values.tolist():
+        adj.setdefault((c, s), []).append(o)
+
+    def walk(conv: str, start: str, wid: int) -> str:
+        cur, path = start, [start]
+        for t in range(1, _WALK_STEPS + 1):
+            cur = min(
+                hashlib.md5(f"{conv}|{wid}|{t}|{n}".encode()).hexdigest()
+                + "::"
+                + n
+                for n in adj[(conv, cur)]
+            )[34:]
+            path.append(cur)
+        return " ".join(path)
+
+    assert len(got) == len(adj) * _WALKS_PER_NODE > 0
+    for conv, start, wid, w in got[
+        ["conv_id", "start", "walk_id", "walk"]
+    ].values.tolist():
+        assert w == walk(conv, start, wid), (conv, start, wid)
+    # the two walks per node genuinely diverge somewhere (hash scrambling
+    # works): at least one start node's walk_id-0 and walk_id-1 paths differ
+    by_node = got.groupby(["conv_id", "start"])["walk"].nunique()
+    assert (by_node > 1).any()
