@@ -51,6 +51,46 @@ _FMT6 = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
 
 # ------------------------------------------------------------- funnel ----
 
+def first_touch_cols():
+    """The per-user first-touch aggregate columns (built LAZILY — a
+    module-level Column constant would break session-free import, same
+    rule as textstats.quality_gates). Each is a plain MIN, so the state
+    is exactly mergeable across micro-batches: min(merge) == min(all) —
+    the property ``stream_funnel`` relies on."""
+    return [
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t2"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t3"),
+    ]
+
+
+def funnel_rollup(u: DataFrame) -> DataFrame:
+    """Fold a per-user first-touch table (t1, t2, t3) into the 3-row
+    funnel — shared by the batch key and its streaming twin so the step
+    semantics live ONCE."""
+    # NULL-comparison semantics match the oracle's CASE: NULL > x is
+    # NULL -> otherwise(0)
+    flags = u.select(
+        F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("r1"),
+        F.when(F.col("t2") > F.col("t1"), 1).otherwise(0).alias("r2"),
+        F.when(
+            (F.col("t2") > F.col("t1")) & (F.col("t3") > F.col("t2")), 1
+        ).otherwise(0).alias("r3"),
+    )
+    tot = flags.agg(
+        F.coalesce(F.sum("r1"), F.lit(0)).cast("long").alias("s1"),
+        F.coalesce(F.sum("r2"), F.lit(0)).cast("long").alias("s2"),
+        F.coalesce(F.sum("r3"), F.lit(0)).cast("long").alias("s3"),
+    )
+    return tot.select(
+        F.expr(
+            "stack(3, CAST(1 AS BIGINT), 'view', s1,"
+            " CAST(2 AS BIGINT), 'click', s2,"
+            " CAST(3 AS BIGINT), 'purchase', s3) AS (step_idx, step, users)"
+        )
+    )
+
+
 @register(
     "funnel_conversion",
     # First-touch ordered funnel view -> click -> purchase: a user reaches
@@ -83,32 +123,7 @@ def funnel_conversion(spark, sf):
     then a single-row global sum and a constant 3-row ``stack``. No joins,
     no windows; the plan is two exchanges regardless of event volume."""
     e = _events(spark, sf)
-    u = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
-        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t2"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t3"),
-    )
-    # NULL-comparison semantics match the oracle's CASE: NULL > x is
-    # NULL -> otherwise(0)
-    flags = u.select(
-        F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("r1"),
-        F.when(F.col("t2") > F.col("t1"), 1).otherwise(0).alias("r2"),
-        F.when(
-            (F.col("t2") > F.col("t1")) & (F.col("t3") > F.col("t2")), 1
-        ).otherwise(0).alias("r3"),
-    )
-    tot = flags.agg(
-        F.coalesce(F.sum("r1"), F.lit(0)).cast("long").alias("s1"),
-        F.coalesce(F.sum("r2"), F.lit(0)).cast("long").alias("s2"),
-        F.coalesce(F.sum("r3"), F.lit(0)).cast("long").alias("s3"),
-    )
-    return tot.select(
-        F.expr(
-            "stack(3, CAST(1 AS BIGINT), 'view', s1,"
-            " CAST(2 AS BIGINT), 'click', s2,"
-            " CAST(3 AS BIGINT), 'purchase', s3) AS (step_idx, step, users)"
-        )
-    )
+    return funnel_rollup(e.groupBy("user_id").agg(*first_touch_cols()))
 
 
 # ---------------------------------------------------------- retention ----

@@ -788,6 +788,68 @@ def stream_corpus_filter(spark, sf):
     return spark.read.parquet(out_dir).localCheckpoint()
 
 
+@register("stream_funnel", None)  # pytest: == batch funnel_conversion
+def stream_funnel(spark, sf):
+    """INGEST-TIME funnel analytics — the streaming twin of
+    ``funnel_conversion``. The batch key's per-user state is three
+    first-touch MIN timestamps, and MIN is exactly mergeable
+    (min over batches == min over all events), so each micro-batch
+    (1) aggregates its own events with the SHARED
+    ``first_touch_cols()`` definition, (2) element-wise-MIN-merges into
+    the accumulated per-user state (parquet-swapped per batch, superseded
+    snapshot removed), and the final 3-row funnel is the SHARED
+    ``funnel_rollup`` over the last state — streaming == batch is a
+    theorem about MIN, pinned by pytest anyway. Arrival order across
+    micro-batches is irrelevant for the same reason, so the event_id-split
+    staged corpus (non-chronological) is a fair stress.
+
+    State is O(users) — three timestamps each, the bounded-state shape a
+    production ingest pipeline keeps (contrast: buffering raw events
+    would be O(stream)). Every batch's merge keys on user_id only."""
+    import shutil
+
+    from ..plans.events_analytics import first_touch_cols, funnel_rollup
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_funnel", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = batch_df.groupBy("user_id").agg(*first_touch_cols())
+        allu = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("user_id")
+            .agg(
+                F.min("t1").alias("t1"),
+                F.min("t2").alias("t2"),
+                F.min("t3").alias("t3"),
+            )
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allu.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    # eager localCheckpoint: survive a later same-key invocation's
+    # work-dir sweep (see _run_incremental_turns; ADVICE r4)
+    return funnel_rollup(spark.read.parquet(state["path"])).localCheckpoint()
+
+
 @register("sink_foreach_batch", None)
 def sink_foreach_batch(spark, sf):
     """foreachBatch sink: per-micro-batch custom write (parquet + batch id

@@ -272,3 +272,41 @@ def test_stream_corpus_filter_equals_batch(spark):
         .reset_index(drop=True)
     )
     assert got.equals(again)
+
+
+def test_stream_funnel_equals_batch(spark):
+    """Incremental first-touch funnel over micro-batches == the batch
+    funnel_conversion on the full events table: the per-user state is
+    three MIN timestamps, and MIN merges exactly across any batch split
+    (arrival order irrelevant — the staged corpus is event_id-split, not
+    chronological, on purpose). Second invocation pins determinism across
+    the work-dir sweep (the result must survive it: ADVICE r4)."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = (
+        ops.REGISTRY["stream_funnel"][0](spark, SF)
+        .toPandas()
+        .sort_values("step_idx")
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["funnel_conversion"][0](spark, SF)
+        .toPandas()
+        .sort_values("step_idx")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 3
+    assert got.equals(want)
+    # the funnel is monotone non-increasing by construction
+    assert got["users"].is_monotonic_decreasing
+
+    again = (
+        ops.REGISTRY["stream_funnel"][0](spark, SF)
+        .toPandas()
+        .sort_values("step_idx")
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
