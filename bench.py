@@ -82,6 +82,15 @@ HEADLINE = [
     "quality_oov_rate",
     "chunk_tokens",
     "kg_pred_conflicts",
+    # r5b additions (second r5 session) — event analytics + KG export +
+    # walk corpus (subtract this group too for earlier-round-comparable
+    # subtotals)
+    "funnel_conversion",
+    "retention_cohort",
+    "event_transitions",
+    "kg_export_nquads",
+    "kg_adjacency",
+    "kg_random_walks",
 ]
 
 

@@ -86,7 +86,11 @@ def run_job(parallelism: int, input_path: str, zpath: str) -> dict:
     # spindle is a single-host artifact that contaminates the measurement
     # (measured: it alone cost ~19% wall at 8 cores and compressed the
     # efficiency ratio). Both parallelism levels get the identical conf.
-    local_dir = f"/dev/shm/rbs_shuffle_p{parallelism}"
+    # pid suffix: two concurrent harness processes (e.g. a stale recovery
+    # watch plus a fresh one) must never share a shuffle dir — the winner's
+    # post-run rmtree would delete the loser's live shuffle files mid-job
+    # (observed: FileNotFoundError in broadcast tempfile creation)
+    local_dir = f"/dev/shm/rbs_shuffle_p{parallelism}_{os.getpid()}"
     os.makedirs(local_dir, exist_ok=True)
     # Equalize page-cache state across trials: pre-read the input once so
     # every trial (at BOTH parallelism levels) starts input-warm — the
