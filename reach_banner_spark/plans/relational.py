@@ -845,6 +845,57 @@ def fn_array(spark, sf):
 
 
 @register(
+    "fn_higher_order",
+    # higher-order array functions (SQL lambdas): filter / transform /
+    # aggregate, including the BINARY (element, index) transform — DuckDB
+    # indexes 1-based, Spark 0-based, hence (i - 1). All-integer algebra,
+    # so both engines agree bit-exact with no float contract needed.
+    "WITH g AS (SELECT l_orderkey, "
+    " list_sort(list(CAST(l_quantity AS BIGINT))) AS qs "
+    " FROM lineitem GROUP BY l_orderkey) "
+    "SELECT l_orderkey, "
+    "CAST(len(list_filter(qs, x -> x >= 25)) AS BIGINT) AS n_big, "
+    "CAST(COALESCE(list_sum(list_transform(list_filter(qs, x -> x >= 25),"
+    " x -> x * x)), 0) AS BIGINT) AS sum_sq_big, "
+    "CAST(COALESCE(list_sum(list_transform(qs, (x, i) -> x * (i - 1))), 0)"
+    " AS BIGINT) AS idx_weighted FROM g",
+)
+def fn_higher_order(spark, sf):
+    """Higher-order function family over grouped arrays: ``filter``,
+    unary ``transform``, the binary (element, index) ``transform``, and
+    ``aggregate`` (left fold) — the lambda surface Catalyst evaluates
+    JVM-side with zero Python. The binary-transform leg exists on purpose:
+    PySpark picks the (element, index) form from the LAMBDA'S ARITY, and
+    a default argument counts toward arity (the kg_random_walks pitfall —
+    a `lambda n, t=t:` silently binds t to the index), so this key pins
+    the correct arity-2 behavior against the oracle.
+
+    Scale shape: one groupBy shuffle builds the per-order array (bounded
+    by lines-per-order, ~7 max in TPC-H); every lambda then runs
+    inside whole-stage codegen over the collected arrays."""
+    li = _t(spark, sf, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.col("l_quantity").cast("long"))
+        ).alias("qs")
+    )
+    big = F.filter("qs", lambda x: x >= 25)
+    zero = F.lit(0).cast("long")
+    return g.select(
+        "l_orderkey",
+        F.size(big).cast("long").alias("n_big"),
+        F.aggregate(
+            F.transform(big, lambda x: x * x), zero, lambda a, b: a + b
+        ).alias("sum_sq_big"),
+        F.aggregate(
+            F.transform("qs", lambda x, i: x * i.cast("long")),
+            zero,
+            lambda a, b: a + b,
+        ).alias("idx_weighted"),
+    )
+
+
+@register(
     "fn_json",
     "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
     "FROM events",
