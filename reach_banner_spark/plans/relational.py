@@ -845,6 +845,34 @@ def fn_array(spark, sf):
 
 
 @register(
+    "agg_median",
+    # exact interpolated median (continuous quantile). Inputs are
+    # INTEGRAL quantities, so every interpolated median is a dyadic
+    # rational (x.0 or x.5) and the double is bit-exact on both engines —
+    # no float-format contract needed.
+    "SELECT l_returnflag, "
+    "quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS med_qty, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def agg_median(spark, sf):
+    """Exact (non-approximate) median per group — ``percentile`` with
+    linear interpolation, the same continuous-quantile definition DuckDB's
+    ``quantile_cont`` uses. Restricted to integral inputs so the
+    interpolated value is dyadic-exact (house float rule: never hash raw
+    doubles whose low bits an engine could round differently).
+
+    Scale shape: Spark's ``percentile`` is a true aggregate with partial
+    merge (per-partition digests, one final exchange) — unlike a global
+    sort-based median, it never materializes the sorted column."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(CAST(l_quantity AS BIGINT), 0.5D)").alias("med_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "fn_higher_order",
     # higher-order array functions (SQL lambdas): filter / transform /
     # aggregate, including the BINARY (element, index) transform — DuckDB
