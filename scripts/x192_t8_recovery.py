@@ -20,7 +20,10 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 from run_scaling import make_zip, run_job, stage_input  # noqa: E402
 
-QUIET_WALL = 80.0     # x48/p8 control under this = quiet epoch (r2 range)
+# Tightened 80 -> 70 after the first campaign: controls in the 70-80 band
+# fired trials that landed 283-359 s (never < 271); only controls < 70
+# produced the 263-271 s walls, so marginal windows just burn attempts.
+QUIET_WALL = 70.0     # x48/p8 control under this = quiet epoch (r2 range)
 TARGET_T8 = 258.0     # x192/p8 wall that re-passes with T(2)=832.95
 MAX_ATTEMPTS = 10
 OUT = os.path.join(REPO, "BENCH", "scaling_x192_r5_recovery.json")
