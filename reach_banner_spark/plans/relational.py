@@ -668,6 +668,65 @@ def topk(spark, sf):
     )
 
 
+@register(
+    "macro_shipping_priority",
+    # Q3-shaped macro query: dimension filter -> two joins -> grouped
+    # decimal-exact revenue -> top-20. One key exercising the full
+    # select/join/agg/sort/limit stack end-to-end.
+    "SELECT l.l_orderkey, "
+    "ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * "
+    " (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue, "
+    "STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate "
+    "FROM customer c "
+    "JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    " AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+    " AND l.l_shipdate > TIMESTAMP '1998-01-01' "
+    "GROUP BY l.l_orderkey, o.o_orderdate "
+    "ORDER BY revenue DESC, l.l_orderkey LIMIT 20",
+)
+def macro_shipping_priority(spark, sf):
+    """Shipping-priority macro query (TPC-H Q3 shape): segment-filtered
+    customers, pre-cutoff orders, post-cutoff shipments, revenue per
+    order, top 20 — the canonical multi-join analytics query, registered
+    whole so the engine's end-to-end plan (not just per-operator pieces)
+    is under the oracle gate.
+
+    Scale shape: the customer dimension broadcast-prunes orders; the
+    orders↔lineitem join shuffles on the shared orderkey; both date
+    filters push into the parquet scans; the top-20 runs as
+    TakeOrderedAndProject (per-partition heaps + single merge — never a
+    global sort). Revenue is an exact DECIMAL sum (order-independent),
+    rounded to double only at the boundary; ordering reads the rounded
+    alias on BOTH engines so the limit boundary cannot diverge."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    rev = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).cast("double"),
+        2,
+    ).alias("revenue")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(rev)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------- set ops ----
 
 @register(
