@@ -1415,6 +1415,46 @@ def kg_adjacency(spark, sf):
     )
 
 
+@register("sink_nquads_text", None)  # rows-only; pytest: == kg_export_nquads
+def sink_nquads_text(spark, sf):
+    """Land the N-Quads export on disk as line-oriented ``.nq`` text
+    files partitioned by a 16-way conv-hash bucket — the physical shape
+    an external RDF store bulk-loads (one directory per bucket, plain
+    text lines). Returns the read-back so the sink round-trip is under
+    the rows-only gate; pytest pins read-back set == kg_export_nquads.
+
+    Scale shape: the export is a zero-shuffle projection; the single
+    repartition keys on the write bucket (Iceberg
+    write.distribution-mode=hash twin, same discipline as
+    write_graph_table) so each of the 16 partition dirs is written by
+    one task — bounded file counts at any input scale."""
+    import os
+    import tempfile
+
+    from ..tmputil import sweep_dead_dirs
+
+    prefix = os.path.join(tempfile.gettempdir(), "rbs_sink_nq_p")
+    sweep_dead_dirs(prefix, keep_own=False)
+    out = f"{prefix}{os.getpid()}"
+    nq = kg_export_nquads(spark, sf)
+    bucketed = nq.withColumn(
+        "bucket", F.pmod(F.crc32(F.col("nquad")), F.lit(16)).cast("int")
+    )
+    (
+        bucketed.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .text(out)
+    )
+    # partition discovery re-adds the bucket column on read; project it
+    # away so the round-trip schema equals the export's
+    return (
+        spark.read.text(out)
+        .select(F.col("value").alias("nquad"))
+        .localCheckpoint()
+    )
+
+
 _WALK_STEPS = 3       # emitted walks are 4 nodes long
 _WALKS_PER_NODE = 2
 

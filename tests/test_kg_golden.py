@@ -270,3 +270,24 @@ def test_kg_random_walks_matches_python_twin(spark):
     # works): at least one start node's walk_id-0 and walk_id-1 paths differ
     by_node = got.groupby(["conv_id", "start"])["walk"].nunique()
     assert (by_node > 1).any()
+
+
+def test_sink_nquads_roundtrip(spark):
+    """The partitioned text sink lands exactly the export's line set and
+    a second invocation survives the work-dir sweep (determinism +
+    ADVICE-r4 localCheckpoint rule)."""
+    from reach_banner_spark.plans.kg_queries import REGISTRY
+
+    SF = "/root/testdata/sf0.001"
+    exported = sorted(
+        r["nquad"]
+        for r in REGISTRY["kg_export_nquads"][0](spark, SF).collect()
+    )
+    landed = sorted(
+        r["nquad"] for r in REGISTRY["sink_nquads_text"][0](spark, SF).collect()
+    )
+    assert landed == exported and len(landed) > 0
+    again = sorted(
+        r["nquad"] for r in REGISTRY["sink_nquads_text"][0](spark, SF).collect()
+    )
+    assert again == landed
