@@ -74,7 +74,9 @@ def make_zip() -> str:
     return zpath
 
 
-def run_job(parallelism: int, input_path: str, zpath: str) -> dict:
+def run_job(
+    parallelism: int, input_path: str, zpath: str, job: str = "kg_job.py"
+) -> dict:
     # Pin the WHOLE process tree (JVM + python workers) to `parallelism`
     # physical cores: bare local[N] only caps Spark task slots, while the
     # Python UDF workers and JVM shuffle/GC threads spill onto the other
@@ -115,7 +117,7 @@ def run_job(parallelism: int, input_path: str, zpath: str) -> dict:
         f"spark.local.dir={local_dir}",
         "--driver-memory",
         "16g",
-        os.path.join(REPO, "scripts", "kg_job.py"),
+        os.path.join(REPO, "scripts", job),
         "--input",
         input_path,
         "--parallelism",
