@@ -185,3 +185,41 @@ def test_link_plan_single_fact_shuffle(spark, small_turns, lexicon_pdf, model_pa
         shuffles
     )
     assert "surface_key" in shuffles[0]
+
+
+def test_funnel_plan_two_exchanges(spark):
+    """funnel_conversion's physical plan is exactly TWO exchanges (the
+    per-user conditional-min hash aggregation + the single-row global
+    sum) — no joins, no windows, regardless of event volume (the scale
+    claim in its docstring, pinned)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["funnel_conversion"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        or "Exchange rangepartitioning" in line
+        or "Exchange SinglePartition" in line
+    ]
+    assert len(shuffles) == 2, "expected 2 Exchanges:\n" + "\n".join(shuffles)
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_macro_query_plan_shape(spark):
+    """macro_shipping_priority runs as broadcast-dimension joins + a
+    TakeOrderedAndProject top-k (per-partition heaps, no global sort),
+    with the date filters pushed into the parquet scans."""
+    import __spark_entry__ as em
+
+    df = em.queries()["macro_shipping_priority"](spark, "/root/testdata/sf0.01")
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    # pushdown reaches the scans (optimized-plan text carries the
+    # PushedFilters of the v1 parquet source)
+    full = qe.toString()
+    assert "PushedFilters: [" in full
