@@ -704,3 +704,204 @@ def chunk_tokens(spark, sf):
         F.size("c.cw").cast("int").alias("n_tokens"),
         F.array_join("c.cw", " ").alias("chunk"),
     )
+
+
+# Per-doc keyword count for tfidf_topk; ties broken by word so the
+# selection is a total order on (score DESC, word).
+_TFIDF_K = 5
+
+
+@register(
+    "tfidf_topk",
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+    " FROM documents), "
+    "tf AS (SELECT doc_id, word, COUNT(*) AS c_tf FROM w GROUP BY doc_id, word), "
+    "df AS (SELECT word, COUNT(*) AS c_df FROM tf GROUP BY word), "
+    "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+    "s AS (SELECT doc_id, tf.word AS word, c_tf, c_df, "
+    "  CAST(c_tf * (SELECT n_docs FROM n) AS DOUBLE) / c_df AS score "
+    " FROM tf JOIN df ON df.word = tf.word) "
+    "SELECT doc_id, word, CAST(c_tf AS BIGINT) AS tf, "
+    "CAST(c_df AS BIGINT) AS df, "
+    "printf('%.6f', ROUND(score, 6)) AS tfidf FROM ("
+    " SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "  ORDER BY score DESC, word) AS rn FROM s) r "
+    f"WHERE rn <= {_TFIDF_K}",
+)
+def tfidf_topk(spark, sf):
+    """Per-document top-``_TFIDF_K`` keywords by TF-IDF — the keyword /
+    topic-signature extraction step of a corpus analysis (and the feature
+    side of classic lexical retrieval). The weight is the log-free
+    tf · N/df form: every factor is an exact integer, so the score is ONE
+    correctly-rounded IEEE division and both engines produce the same bit
+    pattern — ranking, tie-break (word order), and the %.6f emission are
+    engine-identical by construction (libm log is not exactly rounded and
+    would make cross-engine ordering fragile; N/df is order-equivalent to
+    log(N/df) per term anyway since log is monotone).
+
+    Scale shape: term counts are one (doc_id, word)-keyed partial+final
+    aggregation; document frequencies aggregate THAT table onto the
+    vocabulary (Zipf: sublinear in tokens) and come back as a BROADCAST
+    join, so the fact side never shuffles for the df lookup; the top-k
+    window runs per doc_id on the exchange the tf aggregation already
+    produced. Corpus size rides along as a broadcast 1-row aggregate,
+    not a driver action."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c_tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("c_df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    s = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            (F.col("c_tf") * F.col("n_docs")).cast("double") / F.col("c_df"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
+    return (
+        s.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= _TFIDF_K)
+        .select(
+            "doc_id",
+            "word",
+            F.col("c_tf").cast("long").alias("tf"),
+            F.col("c_df").cast("long").alias("df"),
+            F.format_string("%.6f", F.round("score", 6)).alias("tfidf"),
+        )
+    )
+
+
+# BM25 over the documents table for a fixed 3-term query. All constants
+# are DYADIC (k1=1.25, b=0.75, the +0.5 idf smoothing, k1+1=2.25) so no
+# literal-parsing or decimal-promotion difference can perturb a bit; the
+# idf is Robertson's ratio WITHOUT the log (log is monotone per term, and
+# libm log is not exactly rounded across engines — the ratio keeps every
+# arithmetic step a correctly-rounded IEEE op, making the double score,
+# and hence the ranking, engine-identical by construction).
+_BM25_QUERY = ("spark", "merge", "batch")
+_BM25_TOPK = 20
+
+
+@register(
+    "bm25_topk",
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+    " FROM documents), "
+    "q AS (SELECT doc_id, "
+    + ", ".join(
+        f"SUM(CASE WHEN word = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(_BM25_QUERY)
+    )
+    + " FROM w WHERE word IN ("
+    + ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    + ") GROUP BY doc_id), "
+    "dl AS (SELECT doc_id, LEN(string_split(text, ' ')) AS dl FROM documents), "
+    "st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, "
+    " CAST(SUM(LEN(string_split(text, ' '))) AS DOUBLE) AS total_words "
+    " FROM documents), "
+    "dfs AS (SELECT "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(_BM25_QUERY))
+    )
+    + " FROM q), "
+    "s AS (SELECT q.doc_id, "
+    + " + ".join(f"tf{i}" for i in range(len(_BM25_QUERY)))
+    + " AS n_hits, "
+    + " + ".join(
+        f"(((n_docs - df{i} + 0.5) / (df{i} + 0.5)) * "
+        f"(CAST(tf{i} AS DOUBLE) * 2.25) / "
+        f"(CAST(tf{i} AS DOUBLE) + 1.25 * "
+        f"(0.25 + (0.75 * dl.dl) / (total_words / n_docs))))"
+        for i in range(len(_BM25_QUERY))
+    )
+    + " AS score "
+    " FROM q JOIN dl ON dl.doc_id = q.doc_id, st, dfs) "
+    "SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits, "
+    "printf('%.6f', ROUND(score, 6)) AS bm25 "
+    f"FROM s ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}",
+)
+def bm25_topk(spark, sf):
+    """BM25 lexical retrieval: the global top-``_BM25_TOPK`` documents
+    for the fixed query ``_BM25_QUERY``, scored with Okapi BM25
+    (k1=1.25, b=0.75; log-free Robertson idf — see the constant block
+    above for why every step is bit-identical across engines). The
+    lexical complement of the ``ann_*`` vector-retrieval family: a real
+    corpus-tooling stack serves both and fuses them.
+
+    Scale shape: the postings side (docs containing a query term) is one
+    filtered explode + per-doc conditional-sum aggregation — the filter
+    pushes the |Q|-term IN-list into the scan, so the fact side shrinks
+    BEFORE its only shuffle; document lengths ride a doc_id-keyed join
+    with that tiny postings table pruning it; corpus stats and per-term
+    document frequencies are broadcast 1-row aggregates. The final
+    top-k is a TakeOrderedAndProject (per-partition heads + one driver
+    merge), never a global sort. Per-term scores are summed in FIXED
+    query order (one expression, no float-sum reorder), so the double
+    ranking is run- and engine-deterministic."""
+    d = _docs(spark, sf)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    terms = list(_BM25_QUERY)
+    q = (
+        w.filter(F.col("word").isin(terms))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("word") == t, 1).otherwise(0)).alias(
+                    f"tf{i}"
+                )
+                for i, t in enumerate(terms)
+            ]
+        )
+    )
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    st = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("double").alias("total_words"),
+    )
+    dfs = q.agg(
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int"))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(terms))
+        ]
+    )
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        dfi = F.col(f"df{i}")
+        idf = (F.col("n_docs") - dfi + F.lit(0.5)) / (dfi + F.lit(0.5))
+        denom = tf + F.lit(1.25) * (
+            F.lit(0.25)
+            + (F.lit(0.75) * F.col("dl"))
+            / (F.col("total_words") / F.col("n_docs"))
+        )
+        return idf * (tf * F.lit(2.25)) / denom
+
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = score + term_score(i)
+    n_hits = F.col("tf0")
+    for i in range(1, len(terms)):
+        n_hits = n_hits + F.col(f"tf{i}")
+    return (
+        q.join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(dfs))
+        .select(
+            "doc_id",
+            n_hits.cast("long").alias("n_hits"),
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+        .select(
+            "doc_id",
+            "n_hits",
+            F.format_string("%.6f", F.round("score", 6)).alias("bm25"),
+        )
+    )

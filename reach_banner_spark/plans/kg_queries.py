@@ -1415,6 +1415,74 @@ def kg_adjacency(spark, sf):
     )
 
 
+@register(
+    "kg_neighbor_jaccard",
+    f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_SYM_SQL}), "
+    "deg AS (SELECT conv_id, s AS node, COUNT(*) AS d FROM e "
+    " GROUP BY conv_id, s), "
+    "cm AS (SELECT a.conv_id, a.s AS ea, b.s AS eb, COUNT(*) AS c FROM e a "
+    " JOIN e b ON b.conv_id = a.conv_id AND b.o = a.o AND a.s < b.s "
+    " GROUP BY a.conv_id, a.s, b.s) "
+    "SELECT cm.conv_id, cm.ea AS ent_a, cm.eb AS ent_b, "
+    "CAST(c AS BIGINT) AS n_common, "
+    "printf('%.6f', ROUND(CAST(c AS DOUBLE) / (da.d + db.d - c), 6)) "
+    " AS jaccard "
+    "FROM cm JOIN deg da ON da.conv_id = cm.conv_id AND da.node = cm.ea "
+    "JOIN deg db ON db.conv_id = cm.conv_id AND db.node = cm.eb",
+)
+def kg_neighbor_jaccard(spark, sf):
+    """Link prediction over the KG: neighbourhood Jaccard for every
+    entity pair sharing at least one neighbour within a conversation
+    (Liben-Nowell/Kleinberg common-neighbour similarity over the
+    symmetrized distinct edge set). The classic "suggest a missing edge"
+    primitive a KG consumer runs after construction; counts are exact
+    integers, the ratio is ONE correctly-rounded IEEE division, emitted
+    %.6f per the float rule.
+
+    Scale shape: the same pre-aggregation discipline as ``kg_two_hop`` —
+    pairs are generated by joining the distinct symmetrized edge set to
+    itself on (conv_id, shared-neighbour), so the join is bounded by
+    convs x entity-domain^2, never by turns or raw triples; degrees join
+    back on (conv_id, node). Every shuffle keys conv_id-first, reusing
+    the materialized triple table's conversation co-partitioning."""
+    e = _sym_edges(_triples_table(spark, sf))
+    deg = e.groupBy("conv_id", F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    b_side = e.select("conv_id", F.col("s").alias("eb"), "o")
+    cm = (
+        e.select("conv_id", F.col("s").alias("ea"), "o")
+        .join(b_side, ["conv_id", "o"])
+        .filter(F.col("ea") < F.col("eb"))
+        .groupBy("conv_id", "ea", "eb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    da = deg.select(
+        "conv_id", F.col("node").alias("ea"), F.col("d").alias("da_d")
+    )
+    db = deg.select(
+        "conv_id", F.col("node").alias("eb"), F.col("d").alias("db_d")
+    )
+    return (
+        cm.join(da, ["conv_id", "ea"])
+        .join(db, ["conv_id", "eb"])
+        .select(
+            "conv_id",
+            F.col("ea").alias("ent_a"),
+            F.col("eb").alias("ent_b"),
+            F.col("c").cast("long").alias("n_common"),
+            F.format_string(
+                "%.6f",
+                F.round(
+                    F.col("c").cast("double")
+                    / (F.col("da_d") + F.col("db_d") - F.col("c")),
+                    6,
+                ),
+            ).alias("jaccard"),
+        )
+    )
+
+
 @register("sink_nquads_text", None)  # rows-only; pytest: == kg_export_nquads
 def sink_nquads_text(spark, sf):
     """Land the N-Quads export on disk as line-oriented ``.nq`` text

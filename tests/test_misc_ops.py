@@ -636,3 +636,144 @@ def test_new_keys_degrade_on_empty_corpus(spark, tmp_path):
     ):
         df = reg[key][0](spark, corpus)
         assert df.count() == 0, key
+
+
+def test_tfidf_topk_crafted_corpus(spark, tmp_path):
+    """tfidf_topk on a hand-built corpus: a word unique to one doc wins
+    that doc's ranking with score tf·N/df computed exactly; ubiquitous
+    words score N/df = 1; the oracle round-trips on the same corpus."""
+    import duckdb
+
+    from .oracle_util import compare
+    from reach_banner_spark.operators.textstats import REGISTRY
+
+    corpus = _write_docs_corpus(
+        str(tmp_path / "tfidf_sf"),
+        [
+            (1, "apple apple the the"),   # apple: tf=2 df=1; the: df=4
+            (2, "banana the cherry the"),
+            (3, "cherry the cherry the"),
+            (4, "the the the the"),
+        ],
+    )
+    fn, sql = REGISTRY["tfidf_topk"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{corpus}/documents.parquet')"
+    )
+    ok, msg = compare(fn(spark, corpus), con, sql)
+    assert ok, msg
+    rows = fn(spark, corpus).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], -float(r["tfidf"]), r["word"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: apple tf=2, df=1, N=4 -> score 8.0; the tf=2, df=4 -> 2.0
+    assert by_doc[1][0]["word"] == "apple"
+    assert by_doc[1][0]["tfidf"] == "8.000000"
+    assert by_doc[1][1]["word"] == "the"
+    assert by_doc[1][1]["tfidf"] == "2.000000"
+    # doc 3: cherry tf=2 df=2 -> 4.0 beats the tf=2 df=4 -> 2.0
+    assert by_doc[3][0]["word"] == "cherry"
+    assert by_doc[3][0]["tfidf"] == "4.000000"
+    # every doc emits at most K rows
+    assert all(len(v) <= 5 for v in by_doc.values())
+
+
+def test_bm25_topk_crafted_corpus(spark, tmp_path):
+    """bm25_topk ranking sanity on crafted docs: more query-term hits in
+    a shorter doc outranks fewer hits in a longer one; docs without any
+    query term never appear; ranking is deterministic across re-runs;
+    oracle round-trips on the same corpus."""
+    import duckdb
+
+    from .oracle_util import compare
+    from reach_banner_spark.operators.textstats import REGISTRY
+
+    # query terms are ('spark', 'merge', 'batch')
+    corpus = _write_docs_corpus(
+        str(tmp_path / "bm25_sf"),
+        [
+            (1, "spark merge batch spark"),            # 4 hits, dl 4
+            (2, "spark alpha beta gamma delta zeta"),  # 1 hit, dl 6
+            (3, "alpha beta gamma delta"),             # 0 hits
+            (4, "merge batch alpha beta"),             # 2 hits, dl 4
+            (5, "spark spark alpha beta"),             # 2 hits, dl 4
+        ],
+    )
+    fn, sql = REGISTRY["bm25_topk"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{corpus}/documents.parquet')"
+    )
+    ok, msg = compare(fn(spark, corpus), con, sql)
+    assert ok, msg
+    rows = fn(spark, corpus).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids                      # no query term -> excluded
+    assert ids[0] == 1                       # most hits, shortest -> top
+    assert rows[0]["n_hits"] == 4
+    hits = {r["doc_id"]: r["n_hits"] for r in rows}
+    assert hits == {1: 4, 2: 1, 4: 2, 5: 2}
+    # deterministic re-run: identical ordered output
+    again = fn(spark, corpus).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_kg_neighbor_jaccard_consistent_with_adjacency(spark):
+    """kg_neighbor_jaccard cross-checked against kg_adjacency at
+    sf0.001: for every emitted pair, n_common equals the intersection of
+    the two adjacency neighbour sets and jaccard = c/(da+db-c); every
+    same-conv neighbour-sharing pair is present (completeness)."""
+    from reach_banner_spark.plans.kg_queries import REGISTRY
+
+    adj = {}
+    for r in REGISTRY["kg_adjacency"][0](spark, SF).collect():
+        adj[(r["conv_id"], r["node"])] = set(r["neighbors"].split(" "))
+    rows = REGISTRY["kg_neighbor_jaccard"][0](spark, SF).collect()
+    assert rows, "no pairs at sf0.001 — corpus regression"
+    seen = set()
+    for r in rows:
+        a = adj[(r["conv_id"], r["ent_a"])]
+        b = adj[(r["conv_id"], r["ent_b"])]
+        c = len(a & b)
+        assert r["ent_a"] < r["ent_b"]
+        assert r["n_common"] == c and c > 0
+        # Decimal HALF_UP mirrors Spark's ROUND semantics (Python round()
+        # ties half-even — the printf-tie class the r5 review fixed)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        expect = Decimal(repr(c / (len(a) + len(b) - c))).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+        assert r["jaccard"] == f"{expect:.6f}"
+        seen.add((r["conv_id"], r["ent_a"], r["ent_b"]))
+    # completeness: every unordered same-conv pair with a shared
+    # neighbour is emitted exactly once
+    import itertools
+
+    expect_pairs = set()
+    by_conv: dict[str, list] = {}
+    for (conv, node), nb in adj.items():
+        by_conv.setdefault(conv, []).append((node, nb))
+    for conv, nodes in by_conv.items():
+        for (n1, s1), (n2, s2) in itertools.combinations(sorted(nodes), 2):
+            if s1 & s2:
+                expect_pairs.add((conv, n1, n2))
+    assert seen == expect_pairs
+
+
+def test_retrieval_keys_degrade_on_empty_corpus(spark, tmp_path):
+    """tfidf/bm25/neighbour-jaccard return empty (not crash) on an empty
+    corpus — same degradation contract as the sibling analytics keys."""
+    from reach_banner_spark.operators.textstats import REGISTRY as TS
+    from reach_banner_spark.plans.kg_queries import REGISTRY as KG
+
+    corpus = _write_docs_corpus(str(tmp_path / "empty_ret_sf"), [])
+    for reg, key in (
+        (TS, "tfidf_topk"),
+        (TS, "bm25_topk"),
+        (KG, "kg_neighbor_jaccard"),
+    ):
+        assert reg[key][0](spark, corpus).count() == 0, key

@@ -120,8 +120,8 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 137, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 104, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 140, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 107, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
 
 
@@ -223,3 +223,24 @@ def test_macro_query_plan_shape(spark):
     # PushedFilters of the v1 parquet source)
     full = qe.toString()
     assert "PushedFilters: [" in full
+
+
+def test_retrieval_keys_plan_shape(spark):
+    """The lexical-retrieval keys keep their scale-shape promises:
+    bm25_topk's global top-k is a TakeOrderedAndProject (per-partition
+    heaps, no global sort) with the query-term IN-list pushed into the
+    parquet scan of the postings side; tfidf_topk's df lookup is a
+    BroadcastHashJoin (the fact side never shuffles for it)."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.01"
+    bm = em.queries()["bm25_topk"](spark, sf)
+    qe = bm._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+    tf = em.queries()["tfidf_topk"](spark, sf)
+    tplan = tf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in tplan
+    assert "BatchEvalPython" not in tplan
