@@ -91,6 +91,12 @@ HEADLINE = [
     "kg_export_nquads",
     "kg_adjacency",
     "kg_random_walks",
+    # r5c additions (fourth r5 session) — lexical retrieval + link
+    # prediction (subtract this group too for earlier-round-comparable
+    # subtotals)
+    "tfidf_topk",
+    "bm25_topk",
+    "kg_neighbor_jaccard",
 ]
 
 
