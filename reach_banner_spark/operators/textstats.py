@@ -750,7 +750,16 @@ def tfidf_topk(spark, sf):
 
     d = _docs(spark, sf)
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c_tf"))
+    # localCheckpoint: df AND the fact side both derive from tf — without
+    # it Spark re-runs the whole explode+aggregate lineage for each branch
+    # (no ReusedExchange across the broadcast boundary; plan showed 2x
+    # scans). Same materialize-the-shared-derivation pattern as
+    # kg_queries._sym_edges.
+    tf = (
+        w.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c_tf"))
+        .localCheckpoint()
+    )
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("c_df"))
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
     s = (
@@ -845,6 +854,9 @@ def bm25_topk(spark, sf):
     d = _docs(spark, sf)
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     terms = list(_BM25_QUERY)
+    # localCheckpoint: the per-term dfs AND the fact side both derive
+    # from the postings aggregate — materialize it once instead of
+    # re-running the filtered explode per branch (see tfidf_topk note).
     q = (
         w.filter(F.col("word").isin(terms))
         .groupBy("doc_id")
@@ -856,11 +868,14 @@ def bm25_topk(spark, sf):
                 for i, t in enumerate(terms)
             ]
         )
+        .localCheckpoint()
     )
     dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
-    st = d.agg(
+    # corpus stats aggregate the dl projection (not a fourth scan of the
+    # docs table); both reduce to the same partial+final agg at scale
+    st = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).cast("double").alias("total_words"),
+        F.sum("dl").cast("double").alias("total_words"),
     )
     dfs = q.agg(
         *[
