@@ -97,6 +97,7 @@ HEADLINE = [
     "tfidf_topk",
     "bm25_topk",
     "kg_neighbor_jaccard",
+    "dedup_passage",
 ]
 
 

@@ -15,6 +15,12 @@
                        vocabulary (broadcast head-vocab membership)
 - ``chunk_tokens``   : fixed-size context-window chunking (pure array
                        algebra, zero shuffles)
+- ``tfidf_topk``     : per-doc top-k keywords, log-free tf·N/df (bit-
+                       identical ranking both engines; broadcast df)
+- ``bm25_topk``      : Okapi BM25 top-20 for a fixed query, all-dyadic
+                       constants, fixed-order term sum (heap top-k)
+- ``dedup_passage``  : cross-doc duplicated-passage counts (boilerplate
+                       signal; broadcast duplicate-hash membership)
 
 Everything stays in whole-stage codegen; no Python in any of these.
 """
@@ -918,5 +924,80 @@ def bm25_topk(spark, sf):
             "doc_id",
             "n_hits",
             F.format_string("%.6f", F.round("score", 6)).alias("bm25"),
+        )
+    )
+
+
+# Passage unit for cross-document dedup, in whitespace tokens. 4 keeps
+# the synthetic corpus's duplicate path non-degenerate (~5% of distinct
+# passages repeat across docs at sf0.001); production boilerplate removal
+# uses 50-100-token units — the plan is identical, only this constant
+# changes.
+_PASSAGE_TOKENS = 4
+
+
+@register(
+    "dedup_passage",
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "c AS (SELECT doc_id, w, unnest(generate_series(0, "
+    f" CAST(CEIL(LEN(w) / {_PASSAGE_TOKENS}.0) AS INT) - 1)) AS ci FROM d), "
+    f"ch AS (SELECT doc_id, MD5(array_to_string(list_slice(w, "
+    f" ci * {_PASSAGE_TOKENS} + 1, (ci + 1) * {_PASSAGE_TOKENS}), ' ')) AS h "
+    " FROM c), "
+    "dup AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd "
+    " FROM ch GROUP BY h) g WHERE nd >= 2) "
+    "SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages, "
+    "CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    " AS n_dup, "
+    "printf('%.6f', ROUND(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) "
+    " * 1.0 / COUNT(*), 6)) AS dup_fraction "
+    "FROM ch LEFT JOIN dup ON dup.h = ch.h GROUP BY ch.doc_id",
+)
+def dedup_passage(spark, sf):
+    """Cross-document duplicated-passage detection — the passage/paragraph
+    level between whole-doc ``dedup_exact`` and within-doc
+    ``quality_repetition``: split every doc into consecutive
+    ``_PASSAGE_TOKENS``-token passages, hash each, and report per doc how
+    many of its passages appear verbatim in at least one OTHER document
+    (RefinedWeb/CCNet-style boilerplate signal — a pipeline drops docs
+    above a dup_fraction threshold or strips the repeated passages).
+    Exact integer counts; ratio under the %.6f float rule.
+
+    Scale shape: passage extraction is the zero-shuffle ``chunk_tokens``
+    array algebra + one hash; the duplicate set is ONE content-hash-keyed
+    aggregation (map-side partial on (h, doc_id) pairs), and only hashes
+    seen in >= 2 docs survive — at real dup rates that set is a small
+    fraction of the corpus and is BROADCAST back, so the fact side never
+    shuffles for the membership test and the per-doc rollup rides one
+    doc_id exchange. A pathological all-duplicate corpus degrades the
+    broadcast to a shuffle-join on h (content hashes are uniform — no
+    skew); this corpus sits far below that line."""
+    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    ps = F.lit(_PASSAGE_TOKENS)
+    n_p = F.ceil(F.size("w") / ps.cast("double")).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_p - 1),
+        lambda i: F.md5(F.array_join(F.slice("w", i * ps + 1, ps), " ")),
+    )
+    ch = d.select("doc_id", F.explode(passages).alias("h"))
+    dup = (
+        ch.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+        .withColumn("hit", F.lit(1))
+    )
+    n_dup = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+    return (
+        ch.join(F.broadcast(dup), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            n_dup.cast("long").alias("n_dup"),
+            # ROUND before formatting — see quality_repetition's tie note
+            F.format_string(
+                "%.6f",
+                F.round(n_dup.cast("double") / F.count(F.lit(1)), 6),
+            ).alias("dup_fraction"),
         )
     )

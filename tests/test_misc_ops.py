@@ -777,3 +777,46 @@ def test_retrieval_keys_degrade_on_empty_corpus(spark, tmp_path):
         (KG, "kg_neighbor_jaccard"),
     ):
         assert reg[key][0](spark, corpus).count() == 0, key
+
+
+def test_dedup_passage_planted_duplicates(spark, tmp_path):
+    """dedup_passage on a crafted corpus with planted cross-doc passages:
+    exact per-doc counts, short tail passages counted, within-doc-only
+    repetition NOT flagged; oracle round-trips on the same corpus."""
+    import duckdb
+
+    from .oracle_util import compare
+    from reach_banner_spark.operators.textstats import REGISTRY
+
+    # passage unit is 4 tokens
+    corpus = _write_docs_corpus(
+        str(tmp_path / "passage_sf"),
+        [
+            (1, "a b c d e f g h"),        # [a b c d][e f g h]
+            (2, "a b c d x y z w"),        # shares [a b c d] with doc 1
+            (3, "q r s t"),                # unique
+            (4, "e f g h i"),              # shares [e f g h]; short tail [i]
+            (5, "m m m m m m m m"),        # within-doc repeat only
+        ],
+    )
+    fn, sql = REGISTRY["dedup_passage"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{corpus}/documents.parquet')"
+    )
+    ok, msg = compare(fn(spark, corpus), con, sql)
+    assert ok, msg
+    got = {r["doc_id"]: r for r in fn(spark, corpus).collect()}
+    assert (got[1]["n_passages"], got[1]["n_dup"]) == (2, 2)
+    assert (got[2]["n_passages"], got[2]["n_dup"]) == (2, 1)
+    assert got[2]["dup_fraction"] == "0.500000"
+    assert (got[3]["n_passages"], got[3]["n_dup"]) == (1, 0)
+    assert (got[4]["n_passages"], got[4]["n_dup"]) == (2, 1)
+    # doc 5 repeats [m m m m] twice WITHIN itself but no other doc has it:
+    # cross-doc distinct-count is 1 -> not a duplicate
+    assert (got[5]["n_passages"], got[5]["n_dup"]) == (2, 0)
+    assert got[5]["dup_fraction"] == "0.000000"
+    # empty-corpus degrade
+    empty = _write_docs_corpus(str(tmp_path / "passage_empty_sf"), [])
+    assert fn(spark, empty).count() == 0
