@@ -1001,3 +1001,160 @@ def dedup_passage(spark, sf):
             ).alias("dup_fraction"),
         )
     )
+
+
+# --- PII scrubbing ---------------------------------------------------------
+# The synthetic corpus carries no digits at all (verified: zero docs match
+# [0-9]), so the scrubber's input is the corpus text AUGMENTED with
+# deterministic doc_id-derived contact strings — computed by the SAME
+# expression on both engines, so the oracle still checks the interesting
+# part: the detection/redaction regexes and counts, not the injection.
+# One third of docs get an email, one third a phone + second email, one
+# third stay clean (counts exercise 0/1/2).
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+_PII_AUG_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' "
+    " || CAST(doc_id AS VARCHAR) || '@mail.example.com now' "
+    "WHEN doc_id % 3 = 1 THEN text || ' call +1-555-' "
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' or u' "
+    " || CAST(doc_id AS VARCHAR) || '@ex.org' "
+    "ELSE text END"
+)
+
+
+@register(
+    "pii_scrub",
+    f"WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents) "
+    "SELECT doc_id, "
+    f"CAST(LEN(regexp_extract_all(aug, '{_PII_EMAIL_RE}')) AS BIGINT) "
+    " AS n_emails, "
+    f"CAST(LEN(regexp_extract_all(aug, '{_PII_PHONE_RE}')) AS BIGINT) "
+    " AS n_phones, "
+    f"regexp_replace(regexp_replace(aug, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+    f" '{_PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed "
+    "FROM a",
+)
+def pii_scrub(spark, sf):
+    """PII detection + redaction — the privacy-scrub stage every
+    LLM-training ingest runs before tokenization: count and mask email
+    addresses and phone numbers (the two patterns here; a production list
+    adds SSNs/IPs/credit cards as more alternations over the same plan).
+    Counts are exact integers; the scrubbed text is a deterministic string
+    so the whole row hash-matches the oracle.
+
+    Scale shape: zero shuffles — scan -> project, one regex pass per
+    pattern per row, all inside whole-stage codegen (Java regex JVM-side;
+    no Python). Regexes are RE2-safe (no lookaround) so the same patterns
+    run on engines that compile to DFAs; cost is linear in corpus bytes
+    and pipelines with the scan."""
+    d = _docs(spark, sf)
+    aug = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" or u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@ex.org"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
+
+
+# --- Sequence packing ------------------------------------------------------
+# Training-sequence capacity in whitespace tokens, and the coarse-bucket
+# width (docs per bucket) for the distributed prefix sum. Semantics are
+# concat-and-split packing: documents concatenated in doc_id order, the
+# stream cut every _PACK_CAP tokens, each doc labeled with the sequence
+# its FIRST token lands in plus its offset there (GPT-style packing where
+# documents cross sequence boundaries; the boundary-respecting variant
+# changes only the seq_id arithmetic, not the prefix-sum plan).
+_PACK_CAP = 256
+_PACK_BUCKET = 64
+
+
+@register(
+    "pack_sequences",
+    "WITH d AS (SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT)"
+    " AS n_tok FROM documents), "
+    "c AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER (ORDER BY doc_id "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM d) "
+    f"SELECT doc_id, n_tok, CAST(cumb // {_PACK_CAP} AS BIGINT) AS seq_id, "
+    f"CAST(cumb % {_PACK_CAP} AS BIGINT) AS seq_offset FROM c",
+)
+def pack_sequences(spark, sf):
+    """Global training-sequence packing — assign every document its
+    position in the concat-and-split token stream (seq_id, seq_offset)
+    that the batch assembler needs. The naive spelling is ONE global
+    running sum, i.e. a single-partition window over the whole corpus —
+    the classic scale killer. This is the distributed two-level prefix
+    sum instead:
+
+    1. per-doc token counts (zero-shuffle project),
+    2. coarse buckets of ``_PACK_BUCKET`` consecutive doc_ids; per-bucket
+       token totals via ONE map-side-combined aggregation,
+    3. exclusive cumsum over the TINY bucket-totals table (n_docs/64
+       rows — the only single-partition window, deliberately on the
+       aggregate, mirroring how Spark's own rangepartition sampling
+       centralizes only a sketch),
+    4. broadcast the bucket offsets back; within-bucket exclusive cumsum
+       is a window PARTITIONED by bucket, so the fact-side work is one
+       bucket-keyed exchange with bounded partitions.
+
+    cum_before = bucket_offset + within_bucket_cumsum, then
+    seq_id = cum_before div cap, seq_offset = cum_before mod cap — all
+    integer arithmetic, bit-exact vs the oracle's global window."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.expr(f"doc_id div {_PACK_BUCKET}").alias("b"),
+    )
+    btot = d.groupBy("b").agg(F.sum("n_tok").alias("btot"))
+    w_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "b", F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("b_off")
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(F.broadcast(boff), "b")
+        .withColumn(
+            "cum_before",
+            F.col("b_off") + F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.expr(f"cum_before div {_PACK_CAP}").alias("seq_id"),
+            (F.col("cum_before") % _PACK_CAP).alias("seq_offset"),
+        )
+    )
