@@ -98,6 +98,10 @@ HEADLINE = [
     "bm25_topk",
     "kg_neighbor_jaccard",
     "dedup_passage",
+    # r5d additions (fifth r5 session) — ingest scrub + sequence packing
+    # (subtract this group too for earlier-round-comparable subtotals)
+    "pii_scrub",
+    "pack_sequences",
 ]
 
 
