@@ -1128,9 +1128,18 @@ def pack_sequences(spark, sf):
     cum_before = bucket_offset + within_bucket_cumsum, then
     seq_id = cum_before div cap, seq_offset = cum_before mod cap — all
     integer arithmetic, bit-exact vs the oracle's global window."""
+    return pack_positions(_docs(spark, sf))
+
+
+def pack_positions(docs, carry: int = 0):
+    """The shared packing core over any ``(doc_id, text)`` DataFrame (see
+    ``pack_sequences`` for the plan shape): two-level distributed prefix
+    sum in doc_id order, token-stream position offset by ``carry`` tokens
+    already emitted before this table — 0 for the batch key; the
+    accumulated token count for the streaming twin's micro-batches."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf).select(
+    d = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
         F.expr(f"doc_id div {_PACK_BUCKET}").alias("b"),
@@ -1149,7 +1158,9 @@ def pack_sequences(spark, sf):
         d.join(F.broadcast(boff), "b")
         .withColumn(
             "cum_before",
-            F.col("b_off") + F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)),
+            F.lit(int(carry))
+            + F.col("b_off")
+            + F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)),
         )
         .select(
             "doc_id",

@@ -788,6 +788,59 @@ def stream_corpus_filter(spark, sf):
     return spark.read.parquet(out_dir).localCheckpoint()
 
 
+@register("stream_pack", None)  # pytest: == batch pack_positions
+def stream_pack(spark, sf):
+    """INGEST-TIME training-sequence packing — the streaming twin of
+    ``pack_sequences``: documents arrive in micro-batches and each doc is
+    assigned its (seq_id, seq_offset) in the GLOBAL concat-and-split token
+    stream the moment it lands, so sequence assembly can start shipping
+    batches while ingest is still running. The carried state is a single
+    scalar — the token count emitted by all prior batches — because
+    packing positions are an exclusive prefix sum and prefix sums compose:
+    position(doc) = carry + within-batch prefix. Each batch runs the SAME
+    two-level distributed prefix sum as the batch key
+    (``pack_positions``, one shared definition) with ``carry`` as the
+    stream offset, appends its rows, and advances the carry by its own
+    token total (one tiny aggregate).
+
+    Streaming == batch requires arrival in doc_id order across batches —
+    true for the staged corpus (parts are doc_id-ranged) and for
+    production ingest with monotone arrival ids (same argument as
+    ``stream_corpus_filter``); the equality is pytest-pinned against
+    ``pack_positions`` on the same staged documents. On restart the carry
+    is recoverable from the emitted output alone (SUM(n_tok) — no extra
+    state table)."""
+    from ..operators.textstats import pack_positions
+
+    d = _staged_doc_stream_dir(sf)
+    work = _op_work_dir("stream_pack", d)
+    out_dir = os.path.join(work, "packed")
+    state: dict[str, int] = {"carry": 0, "batches": 0}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        packed = pack_positions(batch_df, carry=state["carry"]).persist()
+        tok = packed.agg(F.sum("n_tok")).collect()[0][0]
+        packed.write.mode("append").parquet(out_dir)
+        state["carry"] += int(tok or 0)
+        state["batches"] += 1
+        packed.unpersist(blocking=False)
+
+    doc_stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["batches"] >= 1, "stream produced no batches"
+    # eager localCheckpoint: survive a later same-key invocation's
+    # work-dir sweep (see _run_incremental_turns; ADVICE r4)
+    return spark.read.parquet(out_dir).localCheckpoint()
+
+
 @register("stream_funnel", None)  # pytest: == batch funnel_conversion
 def stream_funnel(spark, sf):
     """INGEST-TIME funnel analytics — the streaming twin of

@@ -310,3 +310,39 @@ def test_stream_funnel_equals_batch(spark):
         .reset_index(drop=True)
     )
     assert got.equals(again)
+
+
+def test_stream_pack_equals_batch(spark):
+    """Ingest-time sequence packing over 3 micro-batches == the batch
+    pack_positions on the same staged 300-doc corpus: positions are an
+    exclusive prefix sum, prefix sums compose across batches via the
+    carried token count, and the staged parts arrive in doc_id order.
+    Second invocation pins determinism across the work-dir sweep."""
+    from reach_banner_spark.operators.textstats import _PACK_CAP, pack_positions
+    from reach_banner_spark.streaming import ops
+
+    got = (
+        ops.REGISTRY["stream_pack"][0](spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    staged = ops._staged_doc_stream_dir(SF)
+    want = (
+        pack_positions(spark.read.parquet(staged))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 300
+    assert got.equals(want)
+    assert (got["seq_offset"] < _PACK_CAP).all()
+    assert (got["seq_offset"] >= 0).all()
+
+    again = (
+        ops.REGISTRY["stream_pack"][0](spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
