@@ -1131,6 +1131,138 @@ def pack_sequences(spark, sf):
     return pack_positions(_docs(spark, sf))
 
 
+# Train/val/test split boundaries on the first two MD5 hex chars of
+# doc_id: 256 buckets, val = first 3 (~1.2%), test = next 3, train = rest.
+_SPLIT_VAL_BOUND = "02"
+_SPLIT_TEST_BOUND = "05"
+
+
+@register(
+    "split_assign",
+    "SELECT doc_id, CASE "
+    f"WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{_SPLIT_VAL_BOUND}'"
+    " THEN 'val' "
+    f"WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{_SPLIT_TEST_BOUND}'"
+    " THEN 'test' ELSE 'train' END AS split FROM documents",
+)
+def split_assign(spark, sf):
+    """Deterministic train/val/test split assignment — the first thing a
+    training run derives from a frozen corpus. Membership is a pure
+    function of doc_id (MD5-prefix ranges, the ``sample_hash`` mechanism
+    with three bands instead of one), so the split is stable across
+    engines, runs, repartitions, and corpus growth: a doc never migrates
+    between splits when new data arrives — the property random splits
+    lose and hash splits exist to provide.
+
+    Scale shape: a zero-shuffle projection; the split predicate rides the
+    parquet scan and composes with any downstream filter. At 100 TB the
+    split column is what you PARTITION the materialized table by, making
+    val/test reads partition-pruned instead of full scans."""
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.when(h <= _SPLIT_VAL_BOUND, "val")
+        .when(h <= _SPLIT_TEST_BOUND, "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+@register(
+    "shuffle_shard",
+    "SELECT doc_id, shard, CAST(ROW_NUMBER() OVER (PARTITION BY shard "
+    " ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos "
+    "FROM (SELECT doc_id, SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard "
+    " FROM documents) s",
+)
+def shuffle_shard(spark, sf):
+    """Deterministic global training shuffle — assign every doc a shard
+    and a position within that shard, both pure functions of doc_id
+    (shard = first MD5 hex char -> 16 shards; position = rank by the full
+    MD5 within the shard). This is how a pre-training pipeline writes
+    shuffle-once shards: readers stream shards sequentially and the data
+    order is already unbiased, with no epoch-time global sort and no RNG
+    to version.
+
+    Scale shape: ONE exchange keyed on shard; each shard's row_number is
+    an independent per-partition sort (Spark never globally sorts). The
+    16-way fan is deliberate at this corpus — production uses 4-hex-char
+    shards (65,536), keeping every shard's sort bounded at ~1.5 GB per
+    100 TB corpus; the plan shape is identical, only the prefix width
+    changes."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("shard").orderBy(h, "doc_id")
+    return (
+        _docs(spark, sf)
+        .select("doc_id", F.substring(h, 1, 1).alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+
+
+_BIGRAM_SQL = (
+    "SELECT doc_id, unnest(list_transform(generate_series(1, LEN(w) - 1), "
+    "i -> w[i] || ' ' || w[i+1])) AS bg FROM "
+    "(SELECT doc_id, string_split(text, ' ') AS w FROM documents) t "
+    "WHERE LEN(w) >= 2"
+)
+
+
+@register(
+    "bigram_novelty",
+    f"WITH bg AS (SELECT DISTINCT doc_id, bg FROM ({_BIGRAM_SQL})), "
+    "df AS (SELECT bg, COUNT(*) AS n_docs FROM bg GROUP BY bg) "
+    "SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+    "CAST(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, "
+    "printf('%.6f', ROUND(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) * 1.0"
+    " / COUNT(*), 6)) AS novelty "
+    "FROM bg JOIN df ON df.bg = bg.bg GROUP BY bg.doc_id",
+)
+def bigram_novelty(spark, sf):
+    """Corpus-level bigram novelty per document — the fraction of a doc's
+    DISTINCT word bigrams that occur in NO other document. The cheap
+    stand-in for an n-gram-LM surprisal signal: boilerplate and template
+    text scores near 0 (every bigram is shared), fresh prose scores high;
+    a training-data mix uses it opposite ``dedup_passage`` (which finds
+    the shared passages) and next to ``quality_oov_rate`` (word-frequency
+    based, within-doc). Exact integer document frequencies, so the ratio
+    is oracle-exact under the %.6f float rule.
+
+    Scale shape: explode -> per-doc DISTINCT bigrams (map-side distinct
+    against the same doc_id exchange the final rollup needs), document
+    frequency via ONE bigram-keyed partial+final aggregation (Zipf:
+    distinct bigrams are sublinear in tokens), one join back on bigram,
+    rollup keyed doc_id. At 100 TB the df table is the big intermediate;
+    the production spelling keeps only df = 1 rows (a novelty test needs
+    nothing else) which this plan does NOT do because the oracle keys on
+    the full join — the filter is a one-line change."""
+    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    bigrams = F.expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> x || ' ' || w[i + 1])"
+    )
+    bg = (
+        d.filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .distinct()
+    )
+    df_tbl = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("n_docs"))
+    uniq = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+    return (
+        bg.join(df_tbl, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            uniq.cast("long").alias("n_unique"),
+            # ROUND before formatting — see quality_repetition's tie note
+            F.format_string(
+                "%.6f",
+                F.round(uniq.cast("double") / F.count(F.lit(1)), 6),
+            ).alias("novelty"),
+        )
+    )
+
+
 def pack_positions(docs, carry: int = 0):
     """The shared packing core over any ``(doc_id, text)`` DataFrame (see
     ``pack_sequences`` for the plan shape): two-level distributed prefix

@@ -932,6 +932,45 @@ def agg_median(spark, sf):
 
 
 @register(
+    "agg_percentile_approx",
+    # Same tolerance-property contract as agg_approx: the sketch estimate
+    # can't hash-match an exact engine, so the row carries the EXACT p75
+    # (integral inputs + dyadic fraction 0.75 -> the interpolated value is
+    # dyadic-exact on both engines, the agg_median argument) plus a
+    # boolean asserting the approx estimate landed within 2 quantity
+    # units of it. DuckDB emits the same exact value and a literal TRUE.
+    "SELECT l_returnflag, "
+    "quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS p75_qty, "
+    "TRUE AS approx_within_2, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def agg_percentile_approx(spark, sf):
+    """Approximate percentile (Greenwald-Khanna sketch) next to its exact
+    counterpart — the sketch family's quantile member, completing
+    ``agg_approx`` (HLL distinct). The exact value is the oracle-checked
+    payload; the boolean pins the sketch's error bound, so a Spark-side
+    accuracy regression fails the hash comparison.
+
+    Scale shape: both aggregates are partial-merge (per-partition GK
+    sketches / percentile digests, one final exchange on the 3-value
+    group key). At 100 TB the approx side is the one you'd run — fixed
+    sketch memory per group vs the exact digest's value-domain growth —
+    which is why the key measures its error against the exact twin."""
+    li = _t(spark, sf, "lineitem")
+    exact = F.expr("percentile(CAST(l_quantity AS BIGINT), 0.75D)")
+    approx = F.expr(
+        "approx_percentile(CAST(l_quantity AS BIGINT), 0.75D, 10000)"
+    )
+    return li.groupBy("l_returnflag").agg(
+        exact.alias("p75_qty"),
+        (F.abs(approx.cast("double") - exact) <= 2.0).alias(
+            "approx_within_2"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "fn_higher_order",
     # higher-order array functions (SQL lambdas): filter / transform /
     # aggregate, including the BINARY (element, index) transform — DuckDB

@@ -120,8 +120,8 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 145, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 110, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 149, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 114, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
 
 
@@ -266,6 +266,33 @@ def test_pii_scrub_zero_shuffle(spark):
     assert not _shuffle_lines(plan), plan
     # "*(1)" is the whole-stage-codegen marker in executedPlan().toString()
     assert "*(1) Project" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_split_assign_zero_shuffle(spark):
+    """split_assign is a pure scan->project pipeline (hash-range split
+    membership is a per-row function of doc_id): zero Exchanges, so the
+    split column can ride the ingest scan at 100 TB."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["split_assign"](spark, SF))
+    assert not _shuffle_lines(plan), plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_shuffle_shard_single_hash_exchange(spark):
+    """shuffle_shard pays exactly ONE Exchange, hash-keyed on shard; the
+    per-shard row_number must NOT introduce a global sort (no
+    rangepartitioning) or a single-partition window — the failure modes a
+    naive 'order the whole corpus' spelling would show."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["shuffle_shard"](spark, SF))
+    shuffles = _shuffle_lines(plan)
+    assert len(shuffles) == 1, "\n".join(shuffles)
+    assert "hashpartitioning(shard#" in shuffles[0]
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
     assert "BatchEvalPython" not in plan
 
 
