@@ -632,3 +632,120 @@ def emb_pq(spark, sf):
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", "cos")
     )
+
+
+# SemDeDup-style prototypicality: flag the K least-central vectors per
+# label (lowest cosine to the label centroid) as outliers.
+PROTO_OUTLIER_K = 5
+
+
+@register("emb_prototypicality", None)  # == pandas twin, pytest-pinned
+def emb_prototypicality(spark, sf):
+    """Per-label prototypicality scoring — the SemDeDup/D4-family
+    curation signal: how close each embedding sits to its label's
+    centroid. Semantic-dedup pipelines KEEP the prototypes and drop (or
+    down-weight) the tails; this key emits the score plus the bottom-K
+    outlier flag per label so both curation policies compose off it.
+
+    Deterministic by construction: the centroid comes from the bounded
+    driver sample (``KMEANS_SAMPLE`` rows in vec_id order — the same
+    bounded-quantizer recipe as ``emb_kmeans``; labels absent from the
+    sample contribute no centroid and their rows drop, which at real
+    scale means 'sample covers every label' is a stated precondition),
+    the per-vector cosine is the exact JVM fold against that constant
+    centroid, and the outlier rank orders by the ROUNDED cosine with
+    vec_id tie-break.
+
+    Scale shape: ONE Arrow-free broadcast join of the (labels x dim)
+    centroid table, cosine inside whole-stage codegen, then ONE
+    label-keyed window for the bottom-K flag — the same exchange a
+    per-label selection step needs anyway. No full-table driver
+    materialization at any scale (the sample is fixed-size)."""
+    e = _emb(spark, sf)
+    sample = (
+        e.orderBy("vec_id")
+        .limit(KMEANS_SAMPLE)
+        .select("label", "embedding")
+        .toPandas()
+    )
+    if len(sample) == 0:
+        return spark.createDataFrame(
+            [], "vec_id long, label int, cos string, is_outlier boolean"
+        )
+    cent_rows = []
+    for lab in sorted(sample["label"].unique()):
+        mat = np.stack(
+            sample.loc[sample["label"] == lab, "embedding"].to_numpy()
+        ).astype(np.float64)
+        cent_rows.append((int(lab), [float(x) for x in mat.mean(axis=0)]))
+    cent_df = spark.createDataFrame(cent_rows, "label int, cvec array<double>")
+    rc = F.round(_cosine(F.col("embedding"), F.col("cvec")), 6)
+    w = Window.partitionBy("label").orderBy(F.asc("rc"), F.asc("vec_id"))
+    return (
+        e.join(F.broadcast(cent_df), "label")
+        .withColumn("rc", rc)
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "label",
+            # ROUND before formatting — quality_repetition's tie note
+            F.format_string("%.6f", F.col("rc")).alias("cos"),
+            (F.col("rn") <= PROTO_OUTLIER_K).alias("is_outlier"),
+        )
+    )
+
+
+def prototypicality_pandas(
+    emb: pd.DataFrame,
+    sample_n: int = KMEANS_SAMPLE,
+    outlier_k: int = PROTO_OUTLIER_K,
+) -> pd.DataFrame:
+    """Single-process twin of ``emb_prototypicality`` for the golden
+    test: identical bounded sample, identical numpy centroid (same row
+    order -> bit-identical mean), cosine via the sequential left fold the
+    JVM ``F.aggregate`` uses, Decimal-HALF_UP rounding (Spark ROUND
+    semantics), identical (rounded cos, vec_id) outlier ranking."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    sample = emb.head(sample_n)
+    cents = {}
+    for lab in sorted(sample["label"].unique()):
+        mat = np.stack(
+            sample.loc[sample["label"] == lab, "embedding"].to_numpy()
+        ).astype(np.float64)
+        cents[int(lab)] = mat.mean(axis=0)
+    rows = []
+    for vec_id, lab, vec in zip(
+        emb["vec_id"].to_numpy(), emb["label"].to_numpy(), emb["embedding"]
+    ):
+        if int(lab) not in cents:
+            continue
+        c = cents[int(lab)]
+        dot = 0.0
+        for x, y in zip(vec, c):
+            dot += float(x) * float(y)
+        na = 0.0
+        for x in vec:
+            na += float(x) * float(x)
+        nb = 0.0
+        for y in c:
+            nb += float(y) * float(y)
+        v = dot / (np.sqrt(na) * np.sqrt(nb))
+        rv = float(
+            Decimal(repr(float(v))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        rows.append((int(vec_id), int(lab), rv))
+    out = pd.DataFrame(rows, columns=["vec_id", "label", "rc"])
+    out["rn"] = (
+        out.sort_values(["rc", "vec_id"])
+        .groupby("label")
+        .cumcount()
+        .reindex(out.index)
+        + 1
+    )
+    out["is_outlier"] = out["rn"] <= outlier_k
+    out["cos"] = out["rc"].map(lambda x: "%.6f" % x)
+    return out[["vec_id", "label", "cos", "is_outlier"]]

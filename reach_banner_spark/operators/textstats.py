@@ -21,6 +21,12 @@
                        constants, fixed-order term sum (heap top-k)
 - ``dedup_passage``  : cross-doc duplicated-passage counts (boilerplate
                        signal; broadcast duplicate-hash membership)
+- ``split_assign``   : deterministic hash-range train/val/test split
+                       (zero-shuffle projection)
+- ``shuffle_shard``  : shuffle-once training shards (md5 shard + in-shard
+                       md5 rank; one shard-keyed exchange)
+- ``bigram_novelty`` : fraction of corpus-unique bigrams per doc (n-gram
+                       LM surprisal stand-in; exact integer dfs)
 
 Everything stays in whole-stage codegen; no Python in any of these.
 """
@@ -492,18 +498,43 @@ def contamination_ngram(spark, sf):
     doc_id-keyed exchange the rollup needs anyway. At extreme benchmark
     sizes the broadcast set degrades gracefully to a bloom-filter gate +
     shuffle-join verify; this corpus sits far below that line."""
-    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
-    sh = (
+    docs = _docs(spark, sf)
+    return contamination_scores(
+        doc_shingles(docs.filter(~_bench_pred())),
+        benchmark_shingles(docs),
+    )
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle-md5) rows of any (doc_id, text) frame —
+    the shared fact side of the batch and streaming contamination keys."""
+    d = docs.select("doc_id", F.split("text", " ").alias("w"))
+    return (
         d.select("doc_id", F.explode(_tri_md5_col()).alias("sh"))
         .filter(F.col("sh").isNotNull())
+        .distinct()
     )
-    bench = (
-        sh.filter(_bench_pred())
-        .select("sh")
+
+
+def benchmark_shingles(docs: DataFrame) -> DataFrame:
+    """The deduplicated shingle set of the benchmark slice (MD5-prefix
+    band of doc_ids) — the static reference index decontamination checks
+    against; bounded by the benchmark corpus, broadcast by the caller."""
+    d = docs.filter(_bench_pred()).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    return (
+        d.select(F.explode(_tri_md5_col()).alias("sh"))
+        .filter(F.col("sh").isNotNull())
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    docsh = sh.filter(~_bench_pred()).distinct()
+
+
+def contamination_scores(docsh: DataFrame, bench: DataFrame) -> DataFrame:
+    """Per-doc contamination rollup over distinct (doc_id, sh) rows vs a
+    benchmark shingle set (broadcast) — shared by ``contamination_ngram``
+    and its streaming twin; one definition, one float contract."""
     hits = F.sum(F.coalesce("hit", F.lit(0)))
     return (
         docsh.join(F.broadcast(bench), "sh", "left")

@@ -482,3 +482,50 @@ def test_emb_pq_recall_codes_and_determinism(spark):
     assert pq.sort_values(["qid", "vec_id"]).reset_index(drop=True).equals(
         pq2.sort_values(["qid", "vec_id"]).reset_index(drop=True)
     )
+
+
+def test_emb_prototypicality_matches_pandas_twin(spark):
+    """emb_prototypicality == prototypicality_pandas EXACTLY (the %.6f
+    cosine strings and the per-label bottom-K outlier flags): identical
+    bounded sample, identical numpy centroid, the twin's sequential fold
+    mirrors the JVM F.aggregate, ranking keys match. Also pins the
+    outlier-count invariant (exactly K per label when the label has >= K
+    members) and determinism (second run identical)."""
+    from reach_banner_spark.operators.similarity import (
+        PROTO_OUTLIER_K,
+        REGISTRY,
+        prototypicality_pandas,
+    )
+
+    got = (
+        REGISTRY["emb_prototypicality"][0](spark, SF)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
+        .toPandas()
+    )
+    want = prototypicality_pandas(emb).sort_values("vec_id").reset_index(
+        drop=True
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert got["label"].astype(int).equals(want["label"].astype(int))
+    assert got["cos"].equals(want["cos"])
+    assert got["is_outlier"].astype(bool).equals(want["is_outlier"].astype(bool))
+    per_label = got.groupby("label").agg(
+        n=("vec_id", "size"), k=("is_outlier", "sum")
+    )
+    assert (
+        per_label["k"] == per_label["n"].clip(upper=PROTO_OUTLIER_K)
+    ).all()
+
+    again = (
+        REGISTRY["emb_prototypicality"][0](spark, SF)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)

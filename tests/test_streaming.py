@@ -346,3 +346,50 @@ def test_stream_pack_equals_batch(spark):
         .reset_index(drop=True)
     )
     assert got.equals(again)
+
+
+def test_stream_contamination_equals_batch(spark):
+    """Ingest-time decontamination over 3 micro-batches == the batch
+    contamination rollup on the same staged 300-doc corpus: the shingling,
+    benchmark index, membership algebra, and %.6f contract are literally
+    shared (doc_shingles / benchmark_shingles / contamination_scores), and
+    the operator is state-free (score depends only on doc + static index)
+    so the union over batches is the batch result by construction — this
+    test pins that the plumbing preserves it. Runs the key twice to pin
+    determinism across the work-dir sweep."""
+    from reach_banner_spark.operators.textstats import (
+        _bench_pred,
+        benchmark_shingles,
+        contamination_scores,
+        doc_shingles,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = (
+        ops.REGISTRY["stream_contamination"][0](spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    staged = ops._staged_doc_stream_dir(SF)
+    docs = spark.read.parquet(staged).select("doc_id", "text")
+    want = (
+        contamination_scores(
+            doc_shingles(docs.filter(~_bench_pred())),
+            benchmark_shingles(docs),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got.equals(want)
+
+    again = (
+        ops.REGISTRY["stream_contamination"][0](spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
