@@ -102,6 +102,14 @@ HEADLINE = [
     # (subtract this group too for earlier-round-comparable subtotals)
     "pii_scrub",
     "pack_sequences",
+    # r5e additions (sixth r5 session) — split/shard/novelty/percentile +
+    # prototypicality (subtract this group too for earlier-round-comparable
+    # subtotals)
+    "split_assign",
+    "shuffle_shard",
+    "bigram_novelty",
+    "agg_percentile_approx",
+    "emb_prototypicality",
 ]
 
 
