@@ -110,6 +110,7 @@ HEADLINE = [
     "bigram_novelty",
     "agg_percentile_approx",
     "emb_prototypicality",
+    "bpe_train",
 ]
 
 

@@ -1332,3 +1332,118 @@ def pack_positions(docs, carry: int = 0):
             (F.col("cum_before") % _PACK_CAP).alias("seq_offset"),
         )
     )
+
+
+# BPE trainer: fixed merge-round count (the vocab-size knob; the point is
+# the distributed trainer shape, not a production vocabulary).
+BPE_ROUNDS = 8
+
+
+@register("bpe_train", None)  # == python twin, pytest-pinned (bpe_train_py)
+def bpe_train(spark, sf):
+    """Distributed BPE-merge vocabulary training — the tokenizer-training
+    step a data pipeline runs BEFORE ``token_count_bpe``-style counting
+    can exist. Classic trainer decomposition (the one HF tokenizers /
+    SentencePiece use): all pair statistics live on the DISTINCT-WORD
+    table weighted by word frequency, so after the single corpus-scale
+    aggregation (word counts) every round's work is bounded by VOCABULARY
+    size, not corpus size. Per round:
+
+      1. adjacent-symbol pair counts: one explode + partial-agg over the
+         weighted vocab table (pairs ~ vocab x word-length, tiny);
+      2. best pair = (count DESC, left ASC, right ASC) — deterministic
+         integer argmax, ONE TakeOrderedAndProject row to the driver (the
+         R bounded in-loop barriers are the algorithm: each round's merge
+         choice gates the next round's statistics);
+      3. the merge applies to every word as a pure JVM array left fold
+         (leftmost-first, non-overlapping — fold semantics match because
+         a merged symbol can never equal its own left constituent);
+         localCheckpoint per round cuts the lineage (kg_reach discipline).
+
+    Emits the merge table: (round, left, right, merged, pair_count).
+    Exact integer statistics end-to-end -> bit-identical to the pure-
+    python twin (``bpe_train_py``), pytest-pinned."""
+    d = _docs(spark, sf)
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            # split-by-empty-regex can emit a trailing '' (Java split
+            # keep-trailing semantics); filter to the bare char sequence
+            # so Spark's syms == the twin's list(word)
+            "syms", F.expr("filter(split(word, ''), c -> c <> '')")
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for rnd in range(BPE_ROUNDS):
+        pairs = vocab.select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1), "
+                    "(x, i) -> struct(x AS l, syms[i + 1] AS r))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rnd, left, right, left + right, cnt))
+        la, rb = F.lit(left), F.lit(right)
+        fold = F.aggregate(
+            F.col("syms"),
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, s: F.when(
+                (F.get(acc, F.size(acc) - 1) == la) & (s == rb),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.get(acc, F.size(acc) - 1), s)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.withColumn("syms", fold).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, merged string, "
+        "pair_count long"
+    )
+
+
+def bpe_train_py(texts, rounds: int = BPE_ROUNDS):
+    """Pure-python twin of ``bpe_train`` for the golden test: identical
+    word counting, pair statistics, (count DESC, pair ASC) argmax, and
+    leftmost-first non-overlapping merge application."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for rnd in range(rounds):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            n = wc[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (left, right), cnt = best
+        merges.append((rnd, left, right, left + right, cnt))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges

@@ -529,3 +529,43 @@ def test_emb_prototypicality_matches_pandas_twin(spark):
         .reset_index(drop=True)
     )
     assert again.equals(got)
+
+
+def test_bpe_train_matches_python_twin(spark):
+    """bpe_train == bpe_train_py EXACTLY (merge pairs, order, and exact
+    integer pair counts): both sides run identical word counting, pair
+    statistics, (count DESC, pair ASC) argmax, and leftmost-first merge
+    application. Also pins monotone statistics sanity (counts positive,
+    rounds sequential) and determinism (second run identical)."""
+    from reach_banner_spark.operators.textstats import (
+        BPE_ROUNDS,
+        REGISTRY,
+        bpe_train_py,
+    )
+
+    got = (
+        REGISTRY["bpe_train"][0](spark, SF)
+        .toPandas()
+        .sort_values("round")
+        .reset_index(drop=True)
+    )
+    texts = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("text")
+        .toPandas()["text"]
+        .tolist()
+    )
+    want = bpe_train_py(texts)
+    assert len(got) == len(want) == BPE_ROUNDS
+    got_rows = list(map(tuple, got.values.tolist()))
+    assert got_rows == [tuple(r) for r in want]
+    assert (got["pair_count"] > 0).all()
+    assert got["round"].tolist() == list(range(BPE_ROUNDS))
+
+    again = (
+        REGISTRY["bpe_train"][0](spark, SF)
+        .toPandas()
+        .sort_values("round")
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)
