@@ -111,6 +111,7 @@ HEADLINE = [
     "agg_percentile_approx",
     "emb_prototypicality",
     "bpe_train",
+    "kg_sample_neighbors",
 ]
 
 

@@ -1415,6 +1415,44 @@ def kg_adjacency(spark, sf):
     )
 
 
+# GraphSAGE-style sampler fan-out: neighbours kept per node per layer.
+KG_SAMPLE_K = 3
+
+
+@register(
+    "kg_sample_neighbors",
+    f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_SYM_SQL}) "
+    "SELECT conv_id, node, nb, CAST(rnk AS BIGINT) AS rnk FROM ("
+    " SELECT conv_id, s AS node, o AS nb, ROW_NUMBER() OVER ("
+    "  PARTITION BY conv_id, s "
+    "  ORDER BY MD5(conv_id || '|' || s || '|' || o), o) AS rnk FROM e) r "
+    f"WHERE rnk <= {KG_SAMPLE_K}",
+)
+def kg_sample_neighbors(spark, sf):
+    """Deterministic neighbour sampling — the GraphSAGE/GNN mini-batch
+    sampler's per-layer step: keep at most ``KG_SAMPLE_K`` neighbours per
+    (conv_id, node), chosen by MD5 rank over (conv, node, neighbour) so
+    the sample is a pure function of the graph (same neighbours every
+    engine, every run, every repartition — the property an RNG sampler
+    loses and hash sampling exists to provide; re-keying the hash gives
+    a fresh independent sample per training epoch).
+
+    Scale shape: ONE window keyed (conv_id, node) over the symmetrized
+    distinct edge set — the same exchange ``kg_adjacency`` pays; no
+    global sort, no driver materialization. At 100 TB this runs once per
+    sampling epoch and its output IS the GNN dataloader's edge list."""
+    e = _sym_edges(_triples_table(spark, sf))
+    h = F.md5(F.concat_ws("|", "conv_id", "s", "o"))
+    w = Window.partitionBy("conv_id", "s").orderBy(h, "o")
+    return (
+        e.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= KG_SAMPLE_K)
+        .select(
+            "conv_id", F.col("s").alias("node"), F.col("o").alias("nb"), "rnk"
+        )
+    )
+
+
 @register(
     "kg_neighbor_jaccard",
     f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_SYM_SQL}), "

@@ -820,3 +820,43 @@ def test_dedup_passage_planted_duplicates(spark, tmp_path):
     # empty-corpus degrade
     empty = _write_docs_corpus(str(tmp_path / "passage_empty_sf"), [])
     assert fn(spark, empty).count() == 0
+
+
+def test_kg_sample_neighbors_consistent_with_adjacency(spark):
+    """kg_sample_neighbors cross-checked against kg_adjacency at sf0.001:
+    every sampled neighbour is in the node's adjacency set, ranks are
+    1..min(degree, K) with no gaps, per-node sample size = min(degree, K)
+    for EVERY adjacency node (completeness), and the selection is the MD5
+    rank an independent hashlib twin computes."""
+    import hashlib
+
+    from reach_banner_spark.plans.kg_queries import KG_SAMPLE_K, REGISTRY
+
+    adj = {}
+    for r in REGISTRY["kg_adjacency"][0](spark, SF).collect():
+        adj[(r["conv_id"], r["node"])] = set(r["neighbors"].split(" "))
+    rows = REGISTRY["kg_sample_neighbors"][0](spark, SF).collect()
+    assert rows, "no sampled neighbours at sf0.001 — corpus regression"
+    by_node = {}
+    for r in rows:
+        key = (r["conv_id"], r["node"])
+        assert r["nb"] in adj[key], (key, r["nb"])
+        by_node.setdefault(key, []).append((r["rnk"], r["nb"]))
+    for key, picked in by_node.items():
+        nbrs = adj[key]
+        assert sorted(r for r, _ in picked) == list(
+            range(1, min(len(nbrs), KG_SAMPLE_K) + 1)
+        )
+        # independent twin: MD5 rank over (conv|node|neighbour)
+        want = sorted(
+            nbrs,
+            key=lambda o: (
+                hashlib.md5(
+                    f"{key[0]}|{key[1]}|{o}".encode()
+                ).hexdigest(),
+                o,
+            ),
+        )[: KG_SAMPLE_K]
+        got = [nb for _, nb in sorted(picked)]
+        assert got == want, (key, got, want)
+    assert set(by_node) == set(adj), "sampler missed adjacency nodes"
