@@ -112,6 +112,7 @@ HEADLINE = [
     "emb_prototypicality",
     "bpe_train",
     "kg_sample_neighbors",
+    "sketch_hll_merge",
 ]
 
 

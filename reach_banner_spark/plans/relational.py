@@ -932,6 +932,52 @@ def agg_median(spark, sf):
 
 
 @register(
+    "sketch_hll_merge",
+    # Mergeability property contract (agg_approx pattern): per-group HLL
+    # sketches are built independently, UNIONED, and the merged estimate
+    # must land within 5% of the exact global distinct count — the
+    # re-aggregatable-rollup property that lets 100 TB pipelines keep
+    # per-partition/per-day sketches and answer global questions without
+    # rescanning. Oracle side: the same exact counts and a literal TRUE.
+    "SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_parts, "
+    "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust, "
+    "TRUE AS merged_within_5pct FROM orders",
+)
+def sketch_hll_merge(spark, sf):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): build
+    one sketch PER GROUP (as a per-partition/per-day rollup would), union
+    the sketch column, and check the merged estimate against the exact
+    global distinct count. ``agg_approx`` pins the one-shot estimate;
+    this key pins MERGEABILITY — the property that makes sketch rollups
+    composable (union-then-estimate == estimate-over-union), which is the
+    entire reason a 100 TB pipeline stores sketches instead of raw keys.
+
+    Scale shape: both layers are partial-merge aggregates (fixed-size
+    sketch state per group, one exchange per layer on tiny keys); the
+    exact twin rides the same scan and exists only as the property's
+    reference."""
+    o = _t(spark, sf, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = per_group.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = o.agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_cust")
+    )
+    return merged.crossJoin(F.broadcast(exact)).select(
+        F.col("n_parts").cast("long").alias("n_parts"),
+        "exact_cust",
+        (
+            F.abs(F.col("est") - F.col("exact_cust"))
+            <= F.col("exact_cust") * 0.05
+        ).alias("merged_within_5pct"),
+    )
+
+
+@register(
     "agg_percentile_approx",
     # Same tolerance-property contract as agg_approx: the sketch estimate
     # can't hash-match an exact engine, so the row carries the EXACT p75
