@@ -1267,7 +1267,11 @@ def bigram_novelty(spark, sf):
     rollup keyed doc_id. At 100 TB the df table is the big intermediate;
     the production spelling keeps only df = 1 rows (a novelty test needs
     nothing else) which this plan does NOT do because the oracle keys on
-    the full join — the filter is a one-line change."""
+    the full join — the filter is a one-line change. Audited: the
+    distinct-bigram subtree is derived twice (df side + join side;
+    attribute ids differ so ReuseExchange can't fire) — at 100 TB wrap
+    the distinct in caching.persist_swap to pay the derivation once;
+    at test scale the double scan is cheaper than the persist."""
     d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
     bigrams = F.expr(
         "transform(slice(w, 1, size(w) - 1), (x, i) -> x || ' ' || w[i + 1])"
