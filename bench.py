@@ -113,6 +113,7 @@ HEADLINE = [
     "bpe_train",
     "kg_sample_neighbors",
     "sketch_hll_merge",
+    "macro_data_prep",
 ]
 
 

@@ -1298,6 +1298,71 @@ def bigram_novelty(spark, sf):
     )
 
 
+@register(
+    "macro_data_prep",
+    # the full ingest-to-training-batches path as ONE query: quality +
+    # language gates, exact-dup survivorship, train-split membership,
+    # then token-stream packing (naive global window on the oracle side;
+    # Spark runs the distributed two-level prefix sum — bit-equal).
+    "WITH s AS (SELECT doc_id, text, "
+    " LEN(string_split(text, ' ')) AS n_words, "
+    " LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0"
+    "  / GREATEST(LENGTH(text), 1) AS punct_ratio, "
+    f" LEN(list_filter(string_split(LOWER(text), ' '), w -> w IN ({_SW_SQL})))"
+    "  * 1.0 / GREATEST(LEN(string_split(text, ' ')), 1) AS sw_ratio, "
+    " LEN(list_filter(string_split(LOWER(text), ' '), "
+    "  w -> w IN ('the', 'and', 'of'))) AS en_hits FROM documents), "
+    "k AS (SELECT doc_id, text FROM ("
+    " SELECT *, MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keeper FROM s)"
+    " WHERE en_hits > 0 AND n_words >= 20 AND punct_ratio <= 0.1 "
+    " AND sw_ratio >= 0.05 AND doc_id = keeper "
+    f" AND SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) > '{_SPLIT_TEST_BOUND}'), "
+    "d AS (SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT)"
+    " AS n_tok FROM k), "
+    "c AS (SELECT doc_id, n_tok, COALESCE(SUM(n_tok) OVER (ORDER BY doc_id "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM d) "
+    f"SELECT doc_id, n_tok, CAST(cumb // {_PACK_CAP} AS BIGINT) AS seq_id, "
+    f"CAST(cumb % {_PACK_CAP} AS BIGINT) AS seq_offset FROM c",
+)
+def macro_data_prep(spark, sf):
+    """The canonical ingest-to-training-batches macro — the whole data-
+    prep path a pre-training run executes, composed from the SHARED
+    stage definitions in one plan: ``corpus_filter``'s quality/language
+    gates + exact-dup survivorship (quality_gate_cols / quality_gates,
+    one definition), ``split_assign``'s train-band membership (pure
+    predicate), then ``pack_sequences``' distributed two-level prefix
+    sum over the surviving train docs. Demonstrates that the per-stage
+    keys COMPOSE into one Catalyst plan (no materialization between
+    stages) and stay bit-equal to the oracle's naive spelling.
+
+    Scale shape: one MD5(text) window shuffle (survivorship), gates and
+    split membership as pure expressions around it, then the packing's
+    single bucket-keyed exchange + broadcast offsets. The surviving
+    train set is ``localCheckpoint``ed between the stages — the packing
+    prefix sum reads its input TWICE (bucket-totals branch + fact
+    branch), and without the materialization each branch would re-run
+    the survivorship window (audited: the plan showed the window
+    exchange duplicated) — the same persist-between-stages discipline
+    as the KG pipeline."""
+    from pyspark.sql.window import Window
+
+    scored = quality_gate_cols(_docs(spark, sf)).withColumn(
+        "keeper",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = (
+        scored.filter(
+            quality_gates()
+            & (F.col("doc_id") == F.col("keeper"))
+            & (h > _SPLIT_TEST_BOUND)
+        )
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    return pack_positions(train)
+
+
 def pack_positions(docs, carry: int = 0):
     """The shared packing core over any ``(doc_id, text)`` DataFrame (see
     ``pack_sequences`` for the plan shape): two-level distributed prefix
