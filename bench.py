@@ -114,6 +114,7 @@ HEADLINE = [
     "kg_sample_neighbors",
     "sketch_hll_merge",
     "macro_data_prep",
+    "events_anomaly",
 ]
 
 

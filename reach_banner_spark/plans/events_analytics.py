@@ -216,3 +216,71 @@ def event_transitions(spark, sf):
         "n",
         _FMT6(F.col("n").cast("double") / F.sum("n").over(wn)).alias("p"),
     )
+
+
+# ---------------------------------------------------------- anomaly ----
+
+@register(
+    "events_anomaly",
+    # z-scores composed ONLY from exact-integer aggregates and a fixed
+    # IEEE op sequence: numerator cnt*n - sx is an exact BIGINT; variance
+    # is ONE division of exact integers; then sqrt -> multiply -> divide,
+    # spelled identically on both engines, so every intermediate double
+    # is bit-identical and ROUND(z, 6) can't diverge.
+    "WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+    " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+    "s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    " CAST(SUM(cnt) AS BIGINT) AS sx, CAST(SUM(cnt * cnt) AS BIGINT) AS sxx "
+    " FROM d GROUP BY event_type) "
+    "SELECT d.event_type, d.day, d.cnt, "
+    "printf('%.6f', ROUND(CAST(d.cnt * s.n - s.sx AS DOUBLE) / "
+    " (CAST(s.n AS DOUBLE) * SQRT(CAST(s.sxx * s.n - s.sx * s.sx AS DOUBLE)"
+    "  / CAST(s.n * s.n AS DOUBLE))), 6)) AS z, "
+    "ABS(ROUND(CAST(d.cnt * s.n - s.sx AS DOUBLE) / "
+    " (CAST(s.n AS DOUBLE) * SQRT(CAST(s.sxx * s.n - s.sx * s.sx AS DOUBLE)"
+    "  / CAST(s.n * s.n AS DOUBLE))), 6)) >= 2.0 AS is_anomaly "
+    "FROM d JOIN s ON s.event_type = d.event_type "
+    "WHERE s.sxx * s.n > s.sx * s.sx",
+)
+def events_anomaly(spark, sf):
+    """Daily-volume anomaly detection per event type — the ops-monitoring
+    query an analytics engine runs over its own event stream: each
+    (event_type, day) gets the z-score of its daily count against the
+    type's own daily distribution, with |z| >= 2 flagged. All statistics
+    are exact integers (count, sum, sum-of-squares) so the z-score is a
+    FIXED sequence of IEEE ops (one exact-integer numerator, one variance
+    division, sqrt, multiply, divide) that both engines execute
+    identically — the float rule's composed-op variant. Zero-variance
+    types are excluded (z undefined), exact-integer comparison.
+
+    Scale shape: one (event_type, day)-keyed partial+final aggregation
+    over the fact table (map-side combine does the heavy lifting), then
+    a type-level rollup of the TINY daily table and a broadcast join
+    back — the anomaly test itself never reshuffles facts."""
+    d = _events(spark, sf).groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sxx"),
+    )
+    num = (F.col("cnt") * F.col("n") - F.col("sx")).cast("double")
+    var = (
+        (F.col("sxx") * F.col("n") - F.col("sx") * F.col("sx")).cast("double")
+        / (F.col("n") * F.col("n")).cast("double")
+    )
+    z = F.round(num / (F.col("n").cast("double") * F.sqrt(var)), 6)
+    return (
+        d.join(F.broadcast(s), "event_type")
+        .filter(
+            F.col("sxx") * F.col("n") > F.col("sx") * F.col("sx")
+        )
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            F.format_string("%.6f", z).alias("z"),
+            (F.abs(z) >= 2.0).alias("is_anomaly"),
+        )
+    )
