@@ -447,6 +447,60 @@ def win_analytic(spark, sf):
 
 
 @register(
+    "win_ntile",
+    # NTILE over a TOTAL order (o_orderdate, o_orderkey tie-break) — the
+    # bucket assignment is deterministic only under a total order, which
+    # is why the tie-break column is part of the contract.
+    "SELECT o_custkey, o_orderkey, CAST(NTILE(4) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)"
+    " AS quartile FROM orders",
+)
+def win_ntile(spark, sf):
+    """NTILE quartile assignment per customer order history — the window
+    family's equal-frequency bucketing member (used for recency/monetary
+    quartiles in RFM-style scoring). Deterministic because the window
+    order is TOTAL (orderkey tie-break); same single customer-keyed
+    exchange as the other window keys."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "fn_bitwise",
+    # bitwise function family — all-integer, bit-exact on both engines.
+    # DuckDB's >> / << / & / | / xor() on BIGINT match Spark's
+    # shiftright/shiftleft/& /| /^ for the non-negative inputs used here.
+    "SELECT o_orderkey, "
+    "CAST(o_orderkey & 255 AS BIGINT) AS low_byte, "
+    "CAST(o_orderkey >> 4 AS BIGINT) AS shr4, "
+    "CAST((o_orderkey << 2) | 3 AS BIGINT) AS shl2_or3, "
+    "CAST(xor(o_orderkey, 12345) AS BIGINT) AS xored, "
+    "CAST(bit_count(o_orderkey) AS BIGINT) AS popcnt "
+    "FROM orders",
+)
+def fn_bitwise(spark, sf):
+    """Bitwise expression family (&, |, xor, shifts, popcount) — the
+    function surface hash-partitioners, bloom filters, and bit-packed
+    flag columns are built from. All-integer algebra inside whole-stage
+    codegen; zero shuffles."""
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("long").alias("low_byte"),
+        F.shiftright(k, 4).cast("long").alias("shr4"),
+        F.shiftleft(k, 2).bitwiseOR(F.lit(3)).cast("long").alias("shl2_or3"),
+        k.bitwiseXOR(F.lit(12345)).cast("long").alias("xored"),
+        F.bit_count(k).cast("long").alias("popcnt"),
+    )
+
+
+@register(
     "win_frame_rows",
     "SELECT l_orderkey, l_linenumber, "
     "ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER ("
