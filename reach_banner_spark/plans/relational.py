@@ -828,6 +828,168 @@ def set_except(spark, sf):
 
 
 @register(
+    "set_intersect_all",
+    # Multiset semantics: keeps min(multiplicity) per value — the bag
+    # counterpart of set_intersect (distinct semantics).
+    "SELECT c_nationkey AS nationkey FROM customer "
+    "INTERSECT ALL SELECT s_nationkey AS nationkey FROM supplier",
+)
+def set_intersect_all(spark, sf):
+    """INTERSECT ALL — bag intersection preserving duplicate counts.
+    Spark plans this as an aggregate of per-side counts + generate (one
+    shuffle on the value), not a join; multiplicities are what make it
+    distinct from ``set_intersect``."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@register(
+    "set_except_all",
+    # Multiset difference: multiplicity(left) - multiplicity(right),
+    # floored at zero per value.
+    "SELECT c_nationkey AS nationkey FROM customer "
+    "EXCEPT ALL SELECT s_nationkey AS nationkey FROM supplier",
+)
+def set_except_all(spark, sf):
+    """EXCEPT ALL — bag difference preserving residual duplicate counts."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+@register(
+    "agg_conditional",
+    # Conditional-aggregate family (SQL FILTER clause / count_if /
+    # bool_and / bool_or). The filtered SUM runs on DECIMAL(18,2)
+    # internally (order-independent) per the module convention; the
+    # double-literal comparisons (0.05 / 0.07) evaluate identically on
+    # both engines because both compare the same stored double to the
+    # same constant.
+    "SELECT l_returnflag, "
+    "CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk, "
+    "ROUND(CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) "
+    "FILTER (WHERE l_discount > 0.05), 0) AS DOUBLE), 2) AS rev_discounted, "
+    "BOOL_AND(l_quantity > 0) AS all_positive, "
+    "BOOL_OR(l_tax > 0.07) AS any_high_tax "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def agg_conditional(spark, sf):
+    """Conditional aggregates — count_if, filtered SUM, bool_and/bool_or.
+    All partial-aggregable (map-side combine), one hash exchange on the
+    group key; the predicate evaluation stays in whole-stage codegen."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).cast("long").alias("n_bulk"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("l_discount") > 0.05,
+                        F.col("l_extendedprice").cast("decimal(18,2)"),
+                    )
+                ),
+                F.lit(0).cast("decimal(18,2)"),
+            ).cast("double"),
+            2,
+        ).alias("rev_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+    )
+
+
+@register(
+    "agg_mode",
+    # Deterministic MODE per group: most frequent o_orderstatus per
+    # priority, ties broken by min status — a total preference order, so
+    # the answer is engine-independent (DuckDB's native mode() has
+    # unspecified ties; spelling the window makes the contract explicit).
+    "WITH cnt AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n "
+    "FROM orders GROUP BY o_orderpriority, o_orderstatus), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY n DESC, o_orderstatus) AS rn FROM cnt) "
+    "SELECT o_orderpriority, o_orderstatus AS mode_status, "
+    "CAST(n AS BIGINT) AS mode_count FROM r WHERE rn = 1",
+)
+def agg_mode(spark, sf):
+    """Per-group mode with a pinned tie-break (count DESC, value ASC).
+    The window runs over the group×value COUNT table (dimension-sized,
+    not the fact table), so the only fact-scale work is one partial
+    aggregate — the standard scalable mode recipe."""
+    o = _t(spark, sf, "orders")
+    cnt = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), F.col("o_orderstatus")
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("n").cast("long").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "win_distribution",
+    # percent_rank = (rank-1)/(n-1) and cume_dist = n_le/n are each ONE
+    # correctly-rounded IEEE division of exact integers when the window
+    # order is TOTAL (o_orderkey tie-break) — bit-exact on both engines
+    # per the repo float rule (single exactly-rounded op).
+    "SELECT o_orderpriority, o_orderkey, "
+    "PERCENT_RANK() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice, o_orderkey) AS pct_rank, "
+    "CUME_DIST() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice, o_orderkey) AS cum_dist "
+    "FROM orders",
+)
+def win_distribution(spark, sf):
+    """Distribution window family (percent_rank / cume_dist) — the
+    normalized-rank members used for percentile bucketing and CDF
+    features. One priority-keyed exchange shared by both functions."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+@register(
+    "fn_regexp",
+    # Regexp function family. Patterns kept inside the RE2 ∩ java.util.regex
+    # common subset (character classes, groups, anchors — no backrefs or
+    # lookaround) so both engines match identically; DuckDB needs the
+    # explicit 'g' flag to mirror Spark's replace-all semantics.
+    "SELECT o_orderkey, o_orderpriority, "
+    "regexp_extract(o_orderpriority, '([0-9]+)-([A-Z]+)', 2) AS prio_word, "
+    "CAST(regexp_extract(o_orderpriority, '([0-9]+)', 1) AS BIGINT) AS prio_num, "
+    "regexp_replace(o_orderpriority, '[AEIOU]', '_', 'g') AS devoweled, "
+    "regexp_matches(o_orderpriority, '^[12]-') AS is_top2 "
+    "FROM orders",
+)
+def fn_regexp(spark, sf):
+    """Regexp expression family (extract group, extract+cast, replace-all,
+    match) — zero shuffles, all inside whole-stage codegen."""
+    o = _t(spark, sf, "orders")
+    p = F.col("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.regexp_extract(p, "([0-9]+)-([A-Z]+)", 2).alias("prio_word"),
+        F.regexp_extract(p, "([0-9]+)", 1).cast("long").alias("prio_num"),
+        F.regexp_replace(p, "[AEIOU]", "_").alias("devoweled"),
+        p.rlike("^[12]-").alias("is_top2"),
+    )
+
+
+@register(
     "pivot",
     "SELECT l_returnflag, "
     "CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS st_O, "
