@@ -284,3 +284,79 @@ def events_anomaly(spark, sf):
             (F.abs(z) >= 2.0).alias("is_anomaly"),
         )
     )
+
+
+# -------------------------------------------------------- attribution ----
+
+def last_touch_cols():
+    """The per-conversion last-touch window columns (lazy, same rule as
+    first_touch_cols): for every event row, the most recent STRICTLY
+    PRECEDING view/click in the user's totally-ordered timeline
+    (ts, event_id tie-break), carried as last_value IGNORE NULLS over
+    ROWS UNBOUNDED PRECEDING .. 1 PRECEDING. Shared with the streaming
+    twin, where the carried per-user state is exactly this column's
+    prefix — a max-by that merges across any batch split."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    return [
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type_raw"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    ]
+
+
+@register(
+    "events_attribution",
+    # Last-touch conversion attribution: each purchase is credited to the
+    # most recent preceding view/click by the same user (strict precedence
+    # under the total (ts, event_id) order; purchases with no prior touch
+    # are 'none'). The touch->conversion gap is an exact integer
+    # microsecond difference — the win_session_batch precision rule.
+    "WITH a AS (SELECT user_id, event_id, event_type, ts, "
+    " last_value(CASE WHEN event_type IN ('view','click') THEN event_id END"
+    "  IGNORE NULLS) OVER w AS touch_id, "
+    " last_value(CASE WHEN event_type IN ('view','click') THEN event_type END"
+    "  IGNORE NULLS) OVER w AS touch_type_raw, "
+    " last_value(CASE WHEN event_type IN ('view','click') THEN ts END"
+    "  IGNORE NULLS) OVER w AS touch_ts "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+    "SELECT user_id, event_id AS conv_id, "
+    "COALESCE(touch_type_raw, 'none') AS touch_type, touch_id, "
+    "CAST(epoch_us(ts) - epoch_us(touch_ts) AS BIGINT) AS gap_us "
+    "FROM a WHERE event_type = 'purchase'",
+)
+def events_attribution(spark, sf):
+    """Last-touch attribution — the marketing-analytics join every event
+    engine ships: conversions (purchases) credited to the user's most
+    recent preceding touch (view/click), with the touch->conversion gap
+    in exact integer microseconds.
+
+    Scale shape: ONE user_id-keyed window exchange (the same
+    co-partitioning every key in this module rides); no join — the
+    'as-of' lookup is the ignore-nulls running last_value, which beats a
+    range self-join at any scale because each event is touched once."""
+    e = _events(spark, sf)
+    a = e.select("user_id", "event_id", "event_type", "ts", *last_touch_cols())
+    return a.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.coalesce(F.col("touch_type_raw"), F.lit("none")).alias("touch_type"),
+        "touch_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("touch_ts").cast("timestamp"))
+        )
+        .cast("long")
+        .alias("gap_us"),
+    )

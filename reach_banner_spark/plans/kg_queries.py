@@ -1028,6 +1028,93 @@ def kg_temporal_span(spark, sf):
 
 
 @register(
+    "kg_entity_cards",
+    # Per-entity profile card: both participation directions unioned,
+    # one entity-keyed aggregate + the deterministic top-predicate mode
+    # (count DESC, pred ASC — the agg_mode tie contract).
+    f"WITH t AS ({_TRIPLES_SQL}), "
+    "e AS (SELECT conv_id, window_start, subj AS entity, pred, obj AS other,"
+    " 'out' AS dir FROM t "
+    " UNION ALL SELECT conv_id, window_start, obj, pred, subj, 'in' FROM t), "
+    "prof AS (SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_triples, "
+    " CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs, "
+    " CAST(COUNT(DISTINCT CASE WHEN dir = 'out' THEN other END) AS BIGINT)"
+    "  AS n_out_nbrs, "
+    " CAST(COUNT(DISTINCT CASE WHEN dir = 'in' THEN other END) AS BIGINT)"
+    "  AS n_in_nbrs, "
+    " CAST(MIN(window_start) AS INT) AS first_w, "
+    " CAST(MAX(window_start) AS INT) AS last_w "
+    " FROM e GROUP BY entity), "
+    "pc AS (SELECT entity, pred, COUNT(*) AS n FROM e GROUP BY entity, pred), "
+    "pm AS (SELECT entity, pred AS top_pred, ROW_NUMBER() OVER ("
+    " PARTITION BY entity ORDER BY n DESC, pred) AS rn FROM pc) "
+    "SELECT p.entity, p.n_triples, p.n_convs, p.n_out_nbrs, p.n_in_nbrs, "
+    "p.first_w, p.last_w, pm.top_pred "
+    "FROM prof p JOIN pm ON pm.entity = p.entity AND pm.rn = 1",
+)
+def kg_entity_cards(spark, sf):
+    """Entity profile cards — the 'entity page' rollup a KG serving layer
+    precomputes per node: triple participation count, conversation
+    spread, distinct out-/in-neighbour counts, first/last observation
+    window, and the entity's dominant predicate (deterministic mode:
+    count DESC, pred ASC).
+
+    Scale shape: the symmetrized participation view is derived once and
+    feeds two entity-keyed aggregates that reuse ONE hash partitioning;
+    the top-predicate window runs over the entity × predicate-vocabulary
+    count table (dimension-sized), and the final join is entity-keyed
+    against that tiny side (AQE broadcasts it). Nothing shuffles the
+    fact-scale view twice."""
+    t = _triples_table(spark, sf)
+    e = t.select(
+        "conv_id",
+        "window_start",
+        F.col("subj").alias("entity"),
+        "pred",
+        F.col("obj").alias("other"),
+        F.lit("out").alias("dir"),
+    ).unionByName(
+        t.select(
+            "conv_id",
+            "window_start",
+            F.col("obj").alias("entity"),
+            "pred",
+            F.col("subj").alias("other"),
+            F.lit("in").alias("dir"),
+        )
+    )
+    prof = e.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.countDistinct(
+            F.when(F.col("dir") == "out", F.col("other"))
+        ).alias("n_out_nbrs"),
+        F.countDistinct(
+            F.when(F.col("dir") == "in", F.col("other"))
+        ).alias("n_in_nbrs"),
+        F.min("window_start").cast("int").alias("first_w"),
+        F.max("window_start").cast("int").alias("last_w"),
+    )
+    pc = e.groupBy("entity", "pred").agg(F.count(F.lit(1)).alias("n"))
+    wm = Window.partitionBy("entity").orderBy(F.col("n").desc(), F.col("pred"))
+    pm = (
+        pc.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("entity", F.col("pred").alias("top_pred"))
+    )
+    return prof.join(pm, "entity").select(
+        "entity",
+        "n_triples",
+        "n_convs",
+        "n_out_nbrs",
+        "n_in_nbrs",
+        "first_w",
+        "last_w",
+        "top_pred",
+    )
+
+
+@register(
     "kg_clustering",
     f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_ORIENTED_SQL}), "
     "deg AS (SELECT conv_id, node, COUNT(*) AS d FROM ("

@@ -1019,6 +1019,106 @@ def stream_funnel(spark, sf):
     return funnel_rollup(spark.read.parquet(state["path"])).localCheckpoint()
 
 
+@register("stream_attribution", None)  # pytest: == batch events_attribution
+def stream_attribution(spark, sf):
+    """INGEST-TIME last-touch attribution — the streaming twin of
+    ``events_attribution``. Requires time-ordered ingestion (the staged
+    event stream is event_id-split and event_id is chronological in this
+    corpus — ASSERTED per batch, so a violation fails loudly rather than
+    silently mis-attributing; late touches are a watermark/backfill
+    concern, the standard streaming-attribution contract).
+
+    Per-user carried state is ONE row: the latest touch (view/click) seen
+    so far — max by the total (ts, event_id) order, which under
+    chronological batching is exactly the prefix the batch key's
+    ignore-nulls running last_value would have computed. Each micro-batch
+    unions the carried touch rows (as pseudo-events, strictly earlier
+    than every batch event) with the batch and runs the SHARED
+    ``last_touch_cols()`` window, so the attribution expression lives
+    ONCE; purchases are emitted append-only, exactly once.
+
+    State is O(users) x one row; every batch shuffles only on user_id."""
+    import shutil
+
+    from ..plans.events_analytics import last_touch_cols
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_attribution", d)
+    out_dir = os.path.join(work, "attributed")
+    state: dict = {"path": None, "max_eid": -1, "batches": 0}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        ev = batch_df.select("user_id", "event_id", "event_type", "ts")
+        lo, hi = ev.agg(
+            F.min("event_id"), F.max("event_id")
+        ).collect()[0]
+        if lo is None:  # empty trigger
+            return
+        assert lo > state["max_eid"], (
+            f"non-chronological ingestion: batch min event_id {lo} <= "
+            f"carried max {state['max_eid']}"
+        )
+        aug = (
+            ev
+            if state["path"] is None
+            else sp.read.parquet(state["path"]).unionByName(ev)
+        )
+        att = aug.select(
+            "user_id", "event_id", "event_type", "ts", *last_touch_cols()
+        )
+        out = att.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("conv_id"),
+            F.coalesce(F.col("touch_type_raw"), F.lit("none")).alias(
+                "touch_type"
+            ),
+            "touch_id",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("touch_ts").cast("timestamp"))
+            )
+            .cast("long")
+            .alias("gap_us"),
+        )
+        out.write.mode("append").parquet(out_dir)
+        # new carried state: latest touch per user over carried ∪ batch —
+        # max of a (ts, event_id, event_type) struct under the total
+        # order (ts, event_id unique), unpacked back to pseudo-event rows
+        touches = aug.filter(F.col("event_type").isin("view", "click"))
+        latest = (
+            touches.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("t"))
+            .select(
+                "user_id",
+                F.col("t.event_id").alias("event_id"),
+                F.col("t.event_type").alias("event_type"),
+                F.col("t.ts").alias("ts"),
+            )
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        latest.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        state["max_eid"] = int(hi)
+        state["batches"] += 1
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["batches"] >= 1, "stream produced no batches"
+    # eager localCheckpoint: survive a later same-key invocation's
+    # work-dir sweep (see _run_incremental_turns; ADVICE r4)
+    return spark.read.parquet(out_dir).localCheckpoint()
+
+
 @register("sink_foreach_batch", None)
 def sink_foreach_batch(spark, sf):
     """foreachBatch sink: per-micro-batch custom write (parquet + batch id

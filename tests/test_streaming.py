@@ -312,6 +312,48 @@ def test_stream_funnel_equals_batch(spark):
     assert got.equals(again)
 
 
+def test_stream_attribution_equals_batch(spark):
+    """Incremental last-touch attribution over micro-batches == the batch
+    events_attribution on the full events table. The carried per-user
+    state is the single latest touch (max by the total (ts, event_id)
+    order), which is exactly the prior-history prefix the batch window
+    needs — sound because the staged stream is chronological (asserted
+    inside the operator per batch). Purchases must be emitted exactly
+    once (row count equality catches double emission). Second invocation
+    pins determinism across the work-dir sweep."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    key = ["user_id", "conv_id"]
+    got = (
+        ops.REGISTRY["stream_attribution"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["events_attribution"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+    # some conversions must be attributed AND the 'none' branch must be
+    # exercised, else the fixture stopped stressing both paths
+    assert (got["touch_type"] != "none").any()
+
+    again = (
+        ops.REGISTRY["stream_attribution"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
+
+
 def test_stream_pack_equals_batch(spark):
     """Ingest-time sequence packing over 3 micro-batches == the batch
     pack_positions on the same staged 300-doc corpus: positions are an
