@@ -203,12 +203,26 @@ def event_transitions(spark, sf):
     ratio of exact integer counts, so both engines compute the identical
     IEEE double before the shared ROUND/format contract."""
     e = _events(spark, sf)
+    return transition_rollup(transition_pairs(e))
+
+
+def transition_pairs(e: DataFrame) -> DataFrame:
+    """Per-user consecutive event-type bigram counts (src, dst, n) — the
+    fact-scale half of ``event_transitions``, shared with the streaming
+    twin (which runs it per micro-batch over carried-boundary ∪ batch).
+    One user_id window shuffle + one pair-keyed aggregation."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = e.select(
         F.col("event_type").alias("src"),
         F.lead("event_type").over(w).alias("dst"),
     ).where(F.col("dst").isNotNull())
-    c = s.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    return s.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+
+
+def transition_rollup(c: DataFrame) -> DataFrame:
+    """Normalize a (src, dst, n) count table into per-source transition
+    probabilities — dimension-sized (event-type²), shared between the
+    batch key and the streaming twin so the %.6f contract lives ONCE."""
     wn = Window.partitionBy("src")
     return c.select(
         "src",
@@ -257,9 +271,25 @@ def events_anomaly(spark, sf):
     over the fact table (map-side combine does the heavy lifting), then
     a type-level rollup of the TINY daily table and a broadcast join
     back — the anomaly test itself never reshuffles facts."""
-    d = _events(spark, sf).groupBy(
+    return anomaly_rollup(daily_counts(_events(spark, sf)))
+
+
+def daily_counts(e: DataFrame) -> DataFrame:
+    """(event_type, day, cnt) daily volume table — the fact-scale half of
+    ``events_anomaly``, shared with the streaming twin: counts are
+    exactly mergeable (sum over batches == count over all events), so
+    the twin merges per-batch daily counts into carried state and runs
+    the SAME rollup at the end."""
+    return e.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def anomaly_rollup(d: DataFrame) -> DataFrame:
+    """z-score + flag rollup over a (event_type, day, cnt) table — the
+    dimension-sized half of ``events_anomaly`` (see that key's docstring
+    for the exact-integer / fixed-IEEE-sequence float contract), shared
+    with the streaming twin."""
     s = d.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cnt").alias("sx"),

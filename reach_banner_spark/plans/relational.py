@@ -126,6 +126,36 @@ def filter_subquery_in(spark, sf):
     ).select("o_orderkey", "o_custkey")
 
 
+@register(
+    "filter_subquery_correlated",
+    # Correlated SCALAR subquery — each customer's maximum-price order(s).
+    # MAX is order-independent and exact on the stored doubles, so the
+    # equality comparison is bit-identical on both engines (ties: every
+    # order at the max qualifies, identically on both).
+    "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o "
+    "WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2 "
+    "WHERE o2.o_custkey = o.o_custkey)",
+)
+def filter_subquery_correlated(spark, sf):
+    """Correlated scalar subquery — the remaining subquery family member
+    next to ``filter_subquery_in``'s uncorrelated IN. Spelled as real
+    correlated SQL so Catalyst's decorrelation rewrite
+    (RewriteCorrelatedScalarSubquery) is what executes: the optimizer
+    turns the per-row subquery into one o_custkey-keyed MAX aggregate
+    joined back — exactly the plan you'd hand-write, derived from the
+    declarative form. One aggregate + one co-keyed join at any scale;
+    no per-row re-evaluation ever happens."""
+    import hashlib
+
+    v = "orders_subq_corr_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    _t(spark, sf, "orders").createOrReplaceTempView(v)
+    return spark.sql(
+        f"SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM {v} o "
+        f"WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice) FROM {v} o2 "
+        "WHERE o2.o_custkey = o.o_custkey)"
+    )
+
+
 # ---------------------------------------------------------------- joins ----
 
 @register(
@@ -930,6 +960,72 @@ def agg_mode(spark, sf):
             "o_orderpriority",
             F.col("o_orderstatus").alias("mode_status"),
             F.col("n").cast("long").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "agg_stats_corr",
+    # Pearson correlation + population covariance from EXACT integer
+    # sufficient statistics: x = floor(quantity), y = floor(price*100)
+    # (floor, not round — floor of a double is unambiguous on both
+    # engines); the five sums are exact (HUGEINT in DuckDB, DECIMAL(38,0)
+    # in Spark), each is cast to double (correctly rounded, same bits),
+    # and corr/cov are FIXED IEEE op sequences spelled identically on
+    # both engines — the events_anomaly composed-op float rule. Native
+    # corr()/covar_pop() are NOT used: their streaming accumulation order
+    # differs per engine and per partitioning.
+    "WITH b AS (SELECT l_returnflag, CAST(FLOOR(l_quantity) AS BIGINT) AS x,"
+    " CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem), "
+    "s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    " CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(x) AS DOUBLE) AS sx, "
+    " CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(x * x) AS DOUBLE) AS sxx, "
+    " CAST(SUM(y * y) AS DOUBLE) AS syy, CAST(SUM(x * y) AS DOUBLE) AS sxy "
+    " FROM b GROUP BY l_returnflag) "
+    "SELECT l_returnflag, n_rows AS n, "
+    "printf('%.6f', ROUND((n * sxy - sx * sy) / "
+    " (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)) AS corr, "
+    "printf('%.6f', ROUND((n * sxy - sx * sy) / (n * n), 6)) AS cov_pop "
+    "FROM s WHERE n * sxx > sx * sx AND n * syy > sy * sy",
+)
+def agg_stats_corr(spark, sf):
+    """Per-group Pearson correlation and population covariance — the
+    statistics-aggregate family (corr / covar_pop / stddev are all
+    derivable from these five sums), computed the scale-correct way: one
+    partial+final aggregation of exact integer sufficient statistics
+    (map-side combine carries five numbers per group), then constant-time
+    double algebra on the group table. Zero-variance groups are excluded
+    by the same double comparison on both engines (same inputs, same
+    single compare). The Spark sums accumulate in DECIMAL so sum(y*y)
+    can't overflow BIGINT at large SF (DuckDB's HUGEINT twin)."""
+    li = _t(spark, sf, "lineitem")
+    dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    x, y = dec(F.floor("l_quantity")), dec(F.floor(F.col("l_extendedprice") * 100))
+    s = (
+        li.select(F.col("l_returnflag"), x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("x").alias("dsx"),
+            F.sum("y").alias("dsy"),
+            F.sum(F.col("x") * F.col("x")).alias("dsxx"),
+            F.sum(F.col("y") * F.col("y")).alias("dsyy"),
+            F.sum(F.col("x") * F.col("y")).alias("dsxy"),
+        )
+    )
+    n = F.col("n_rows").cast("double")
+    sx, sy = F.col("dsx").cast("double"), F.col("dsy").cast("double")
+    sxx, syy = F.col("dsxx").cast("double"), F.col("dsyy").cast("double")
+    sxy = F.col("dsxy").cast("double")
+    num = n * sxy - sx * sy
+    corr = num / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return (
+        s.filter((n * sxx > sx * sx) & (n * syy > sy * sy))
+        .select(
+            "l_returnflag",
+            F.col("n_rows").alias("n"),
+            F.format_string("%.6f", F.round(corr, 6)).alias("corr"),
+            F.format_string("%.6f", F.round(num / (n * n), 6)).alias("cov_pop"),
         )
     )
 

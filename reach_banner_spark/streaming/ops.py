@@ -1119,6 +1119,149 @@ def stream_attribution(spark, sf):
     return spark.read.parquet(out_dir).localCheckpoint()
 
 
+@register("stream_anomaly", None)  # pytest: == batch events_anomaly
+def stream_anomaly(spark, sf):
+    """INGEST-TIME anomaly detection — the streaming twin of
+    ``events_anomaly``. The batch key's fact-scale half is the
+    (event_type, day) daily count table and COUNT is exactly mergeable
+    (sum over batches == count over all events), so each micro-batch
+    (1) aggregates its own events with the SHARED ``daily_counts()``,
+    (2) sum-merges into the carried state (parquet-swapped per batch),
+    and the final z-score table is the SHARED ``anomaly_rollup`` over the
+    last state — streaming == batch is a theorem about SUM; arrival order
+    across micro-batches is irrelevant, so the event_id-split staged
+    corpus is a fair stress (same soundness shape as ``stream_funnel``).
+
+    State is O(event-types × days) — dimension-sized, the monitoring
+    shape a production ingest pipeline keeps; every batch's merge keys
+    on (event_type, day) only, and the rollup never touches facts."""
+    import shutil
+
+    from ..plans.events_analytics import anomaly_rollup, daily_counts
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_anomaly", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = daily_counts(batch_df)
+        alld = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("event_type", "day")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        alld.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    # eager localCheckpoint: survive a later same-key invocation's
+    # work-dir sweep (see _run_incremental_turns; ADVICE r4)
+    return anomaly_rollup(spark.read.parquet(state["path"])).localCheckpoint()
+
+
+@register("stream_transitions", None)  # pytest: == batch event_transitions
+def stream_transitions(spark, sf):
+    """INGEST-TIME behavioral transition graph — the streaming twin of
+    ``event_transitions``. Two carried pieces, both bounded: (1) the
+    accumulated (src, dst, n) pair-count table (event-type² —
+    dimension-sized; counts sum-merge exactly) and (2) the per-user
+    BOUNDARY event — the latest event seen so far (max by the total
+    (ts, event_id) order, O(users) × one row), so the consecutive pair
+    that straddles a micro-batch boundary is counted exactly once, in
+    the batch where its SECOND element arrives.
+
+    Each micro-batch unions the carried boundary rows (strictly earlier
+    than every batch event under chronological ingestion — ASSERTED per
+    batch, the same contract as ``stream_attribution``) with the batch
+    and runs the SHARED ``transition_pairs``: a user's single boundary
+    row contributes exactly the straddling pair and no within-state
+    pairs. Final probabilities are the SHARED ``transition_rollup`` over
+    the last count state, so the %.6f contract lives ONCE."""
+    import shutil
+
+    from ..plans.events_analytics import transition_pairs, transition_rollup
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_transitions", d)
+    state: dict = {"counts": None, "boundary": None, "max_eid": -1}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        ev = batch_df.select("user_id", "event_id", "event_type", "ts")
+        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+        if lo is None:  # empty trigger
+            return
+        assert lo > state["max_eid"], (
+            f"non-chronological ingestion: batch min event_id {lo} <= "
+            f"carried max {state['max_eid']}"
+        )
+        aug = (
+            ev
+            if state["boundary"] is None
+            else sp.read.parquet(state["boundary"]).unionByName(ev)
+        )
+        pairs = transition_pairs(aug)
+        counts = (
+            pairs
+            if state["counts"] is None
+            else sp.read.parquet(state["counts"])
+            .unionByName(pairs)
+            .groupBy("src", "dst")
+            .agg(F.sum("n").alias("n"))
+        )
+        boundary = (
+            aug.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("t"))
+            .select(
+                "user_id",
+                F.col("t.event_id").alias("event_id"),
+                F.col("t.event_type").alias("event_type"),
+                F.col("t.ts").alias("ts"),
+            )
+        )
+        new_c = os.path.join(work, f"counts_b{batch_id}")
+        new_b = os.path.join(work, f"boundary_b{batch_id}")
+        counts.write.mode("overwrite").parquet(new_c)
+        boundary.write.mode("overwrite").parquet(new_b)
+        prev_c, prev_b = state["counts"], state["boundary"]
+        state["counts"], state["boundary"] = new_c, new_b
+        state["max_eid"] = int(hi)
+        for prev in (prev_c, prev_b):  # superseded snapshots
+            if prev is not None:
+                shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["counts"] is not None, "stream produced no batches"
+    # eager localCheckpoint: survive a later same-key invocation's
+    # work-dir sweep (see _run_incremental_turns; ADVICE r4)
+    return transition_rollup(
+        spark.read.parquet(state["counts"])
+    ).localCheckpoint()
+
+
 @register("sink_foreach_batch", None)
 def sink_foreach_batch(spark, sf):
     """foreachBatch sink: per-micro-batch custom write (parquet + batch id

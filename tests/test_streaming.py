@@ -354,6 +354,87 @@ def test_stream_attribution_equals_batch(spark):
     assert got.equals(again)
 
 
+def test_stream_anomaly_equals_batch(spark):
+    """Incremental daily-volume anomaly detection over micro-batches ==
+    the batch events_anomaly on the full events table: per-(type, day)
+    COUNT is exactly mergeable (sum over batches == count over all), so
+    the shared anomaly_rollup over the merged state must reproduce the
+    batch z-scores bit-for-bit. Second invocation pins determinism
+    across the work-dir sweep."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    key = ["event_type", "day"]
+    got = (
+        ops.REGISTRY["stream_anomaly"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["events_anomaly"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+
+    again = (
+        ops.REGISTRY["stream_anomaly"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
+
+
+def test_stream_transitions_equals_batch(spark):
+    """Incremental transition-graph construction over micro-batches ==
+    the batch event_transitions on the full events table. The boundary
+    state (one latest event per user) must stitch cross-batch pairs
+    exactly once — total pair count equality catches both a dropped and
+    a double-counted boundary pair; probability strings must match
+    bit-for-bit (shared transition_rollup). Second invocation pins
+    determinism across the work-dir sweep."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    key = ["src", "dst"]
+    got = (
+        ops.REGISTRY["stream_transitions"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["event_transitions"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+    # the cross-batch stitch must actually have fired: with 4 micro-
+    # batches over a fixture whose every user has a multi-event timeline,
+    # SOME pair straddles a boundary — equality of total pair mass with
+    # the batch twin is only meaningful if so (guard: > 3 batches' worth
+    # of within-batch-only pairs would undercount total n)
+    assert int(got["n"].sum()) == int(want["n"].sum())
+
+    again = (
+        ops.REGISTRY["stream_transitions"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
+
+
 def test_stream_pack_equals_batch(spark):
     """Ingest-time sequence packing over 3 micro-batches == the batch
     pack_positions on the same staged 300-doc corpus: positions are an
