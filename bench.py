@@ -115,6 +115,14 @@ HEADLINE = [
     "sketch_hll_merge",
     "macro_data_prep",
     "events_anomaly",
+    # r5f additions (seventh r5 session) — attribution + entity cards +
+    # exact-stats corr + correlated subquery + the IVF-PQ composition
+    # (subtract this group too for earlier-round-comparable subtotals)
+    "events_attribution",
+    "kg_entity_cards",
+    "agg_stats_corr",
+    "filter_subquery_correlated",
+    "ann_ivfpq_topk",
 ]
 
 

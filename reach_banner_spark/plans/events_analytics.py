@@ -154,7 +154,17 @@ def retention_cohort(spark, sf):
     The final rollup is cohorts × weeks — dimension-sized."""
     e = _events(spark, sf)
     first = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d0"))
-    act = (
+    return retention_rollup(cohort_activity(e, first))
+
+
+def cohort_activity(e: DataFrame, first: DataFrame) -> DataFrame:
+    """Distinct (user_id, d0, week_k) activity rows for a batch of events
+    against a per-user cohort table — the fact-scale half of
+    ``retention_cohort``, shared with the streaming twin (which calls it
+    per micro-batch against the carried cohort state; rows are
+    idempotent under re-derivation, so union-distinct across batches ==
+    one-shot distinct)."""
+    return (
         e.join(first, "user_id")
         .select(
             "user_id",
@@ -165,6 +175,12 @@ def retention_cohort(spark, sf):
         )
         .distinct()
     )
+
+
+def retention_rollup(act: DataFrame) -> DataFrame:
+    """(cohort_date, week_k, n_active) rollup of a distinct activity
+    table — cohorts × weeks sized; shared between the batch key and the
+    streaming twin."""
     return act.groupBy("d0", "week_k").agg(
         F.count(F.lit(1)).alias("n_active")
     ).select(

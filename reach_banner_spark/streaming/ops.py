@@ -1262,6 +1262,86 @@ def stream_transitions(spark, sf):
     ).localCheckpoint()
 
 
+@register("stream_retention", None)  # pytest: == batch retention_cohort
+def stream_retention(spark, sf):
+    """INGEST-TIME cohort retention — the streaming twin of
+    ``retention_cohort``. Carried state: (1) the per-user cohort date d0
+    (min first-active date — MIN-mergeable, and FINAL the moment a user
+    first appears under chronological ingestion, asserted per batch:
+    a user's earliest event arrives before all their later ones, so the
+    week_k of already-recorded activity can never be invalidated by a
+    late d0 update), and (2) the distinct (user_id, d0, week_k) activity
+    set. Each micro-batch min-merges the cohort table, derives its
+    activity rows with the SHARED ``cohort_activity`` against the merged
+    cohorts, and union-DISTINCTs into the activity state — re-derived
+    rows are idempotent, so streaming == batch is set equality. The
+    final rollup is the SHARED ``retention_rollup``.
+
+    State is O(users) + O(users × active-weeks) — the same cardinality
+    the batch DISTINCT materializes; every batch shuffles on user_id
+    (cohort merge + join) and on the activity triple (distinct)."""
+    import shutil
+
+    from ..plans.events_analytics import cohort_activity, retention_rollup
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_retention", d)
+    state: dict = {"first": None, "act": None, "max_eid": -1}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        ev = batch_df.select("user_id", "event_id", "ts")
+        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+        if lo is None:  # empty trigger
+            return
+        assert lo > state["max_eid"], (
+            f"non-chronological ingestion: batch min event_id {lo} <= "
+            f"carried max {state['max_eid']}"
+        )
+        cur = ev.groupBy("user_id").agg(
+            F.min(F.col("ts").cast("date")).alias("d0")
+        )
+        first = (
+            cur
+            if state["first"] is None
+            else sp.read.parquet(state["first"])
+            .unionByName(cur)
+            .groupBy("user_id")
+            .agg(F.min("d0").alias("d0"))
+        )
+        act_new = cohort_activity(ev, first)
+        act = (
+            act_new
+            if state["act"] is None
+            else sp.read.parquet(state["act"]).unionByName(act_new).distinct()
+        )
+        new_f = os.path.join(work, f"first_b{batch_id}")
+        new_a = os.path.join(work, f"act_b{batch_id}")
+        first.write.mode("overwrite").parquet(new_f)
+        act.write.mode("overwrite").parquet(new_a)
+        prev_f, prev_a = state["first"], state["act"]
+        state["first"], state["act"] = new_f, new_a
+        state["max_eid"] = int(hi)
+        for prev in (prev_f, prev_a):  # superseded snapshots
+            if prev is not None:
+                shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["act"] is not None, "stream produced no batches"
+    # eager localCheckpoint: survive a later same-key invocation's
+    # work-dir sweep (see _run_incremental_turns; ADVICE r4)
+    return retention_rollup(
+        spark.read.parquet(state["act"])
+    ).localCheckpoint()
+
+
 @register("sink_foreach_batch", None)
 def sink_foreach_batch(spark, sf):
     """foreachBatch sink: per-micro-batch custom write (parquet + batch id

@@ -435,6 +435,47 @@ def test_stream_transitions_equals_batch(spark):
     assert got.equals(again)
 
 
+def test_stream_retention_equals_batch(spark):
+    """Incremental cohort retention over micro-batches == the batch
+    retention_cohort on the full events table: under chronological
+    ingestion (asserted inside the operator) each user's cohort date is
+    final at first sight, so the per-batch activity derivation against
+    the carried cohort table is exactly the batch derivation's rows and
+    union-distinct reproduces the one-shot DISTINCT. Second invocation
+    pins determinism across the work-dir sweep."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    key = ["cohort_date", "week_k"]
+    got = (
+        ops.REGISTRY["stream_retention"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["retention_cohort"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+    # retention beyond week 0 must exist, else the fixture stopped
+    # exercising the cross-batch week accumulation
+    assert (got["week_k"] > 0).any()
+
+    again = (
+        ops.REGISTRY["stream_retention"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
+
+
 def test_stream_pack_equals_batch(spark):
     """Ingest-time sequence packing over 3 micro-batches == the batch
     pack_positions on the same staged 300-doc corpus: positions are an
