@@ -1380,6 +1380,38 @@ def fn_higher_order(spark, sf):
 
 
 @register(
+    "fn_generator",
+    # Generator family: POSEXPLODE_OUTER — ordinal position + OUTER
+    # semantics (a doc whose filtered array is empty still emits one row,
+    # with NULL pos/word) in one generator. DuckDB twin: two zipped
+    # unnests (same-length lists zip element-wise) over a CASE that maps
+    # the empty array to [NULL]; NULL - 1 = NULL reproduces the NULL pos.
+    "WITH a AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    " w -> LENGTH(w) > 6) AS arr FROM documents) "
+    "SELECT doc_id, "
+    "unnest(CASE WHEN LEN(arr) = 0 THEN [NULL] "
+    " ELSE generate_series(1, LEN(arr)) END) - 1 AS pos, "
+    "unnest(CASE WHEN LEN(arr) = 0 THEN [NULL] ELSE arr END) AS word "
+    "FROM a",
+)
+def fn_generator(spark, sf):
+    """Generator (table-function) family: ``posexplode_outer`` — the
+    ordinal-emitting, null-preserving member. OUTER matters for
+    provenance joins (a document with no matches must survive the
+    explode to be LEFT-JOIN-visible downstream); POS matters wherever
+    order inside the array is data (token positions, frame indices).
+    One narrow Generate operator inside the scan stage — no shuffle."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: F.length(w) > 6).alias("arr"),
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode_outer("arr").alias("pos", "word"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+
+
+@register(
     "fn_json",
     "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
     "FROM events",
