@@ -655,6 +655,34 @@ def kg_degree(spark, sf):
 
 
 @register(
+    "kg_degree_dist",
+    f"WITH t AS ({_TRIPLES_SQL}), "
+    "e AS (SELECT conv_id, subj AS entity, obj AS nbr FROM t "
+    " UNION SELECT conv_id, obj, subj FROM t), "
+    "deg AS (SELECT conv_id, entity, CAST(COUNT(*) AS BIGINT) AS degree "
+    " FROM e GROUP BY conv_id, entity) "
+    "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+    "CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs "
+    "FROM deg GROUP BY degree",
+)
+def kg_degree_dist(spark, sf):
+    """Degree distribution of the KG — the first thing anyone plots over
+    a graph they just built (scale-free? truncated? broken assembler?).
+    Rolls ``kg_degree``'s per-(conv, entity) degrees up to a histogram:
+    degree -> node count + conversations touched. The second aggregate's
+    key domain is the degree range (bounded by the per-conv entity
+    domain, not the corpus), so the added shuffle after the conv_id-keyed
+    degree pass carries one partial row per (partition, degree) — at
+    10^12 turns the histogram still fits on a screen. Exact integers
+    throughout."""
+    deg = kg_degree(spark, sf)
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+@register(
     "kg_conv_summary",
     f"WITH turns AS ({_TURNS_SQL}), "
     f"m AS (SELECT DISTINCT * FROM ({_TMENTIONS_SQL})), "

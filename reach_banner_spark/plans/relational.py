@@ -319,6 +319,37 @@ def join_outer_full(spark, sf):
     ).select("n_nationkey", "n_name", "s_suppkey")
 
 
+@register(
+    "join_lateral",
+    # Correlated LATERAL derived table — top-2 customers per nation. The
+    # tie-break on c_name makes the per-group top-2 a deterministic SET,
+    # so both engines emit identical rows.
+    "SELECT n.n_name, t.c_name, t.c_acctbal FROM nation n, LATERAL ("
+    "SELECT c_name, c_acctbal FROM customer c "
+    "WHERE c.c_nationkey = n.n_nationkey "
+    "ORDER BY c_acctbal DESC, c_name LIMIT 2) t",
+)
+def join_lateral(spark, sf):
+    """LATERAL join (correlated derived table in FROM) — the SQL spelling
+    of per-row subquery application. Spark does NOT execute this as a
+    nested loop: Catalyst decorrelates the ORDER BY ... LIMIT k subquery
+    into a rank computation on the inner table followed by an equi-join
+    (physical plan: WindowGroupLimit partial+final around ONE
+    c_nationkey exchange, then a broadcast hash join with nation — the
+    group-limit pushdown keeps at most k rows per key ahead of the
+    shuffle, so at 10^12 inner rows the exchange carries k·|keys| rows,
+    not the table). The same query spelled as a driver-side loop over
+    nations would be the classic collect() scale-killer; LATERAL states
+    the intent and the optimizer picks the distributed plan."""
+    return spark.sql(
+        f"SELECT n.n_name, t.c_name, t.c_acctbal "
+        f"FROM parquet.`{sf}/nation.parquet` n, LATERAL ("
+        f"SELECT c_name, c_acctbal FROM parquet.`{sf}/customer.parquet` c "
+        f"WHERE c.c_nationkey = n.n_nationkey "
+        f"ORDER BY c_acctbal DESC, c_name LIMIT 2) t"
+    )
+
+
 # ---------------------------------------------------------- aggregation ----
 
 @register(
@@ -1325,6 +1356,111 @@ def agg_percentile_approx(spark, sf):
             "approx_within_2"
         ),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+# Count-min sketch geometry + the shared md5-derived bucket arithmetic.
+# bucket_r(word) = first-two-hex-chars(md5(r || ':' || word)) mod width —
+# pure integer algebra both engines can evaluate identically (instr over a
+# hex alphabet; no hex-to-int cast, which DuckDB lacks).
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+_CMS_PROBES = ["data", "query", "table", "join", "filter", "spark", "stream", "row"]
+_CMS_HEX = "0123456789abcdef"
+
+
+def _cms_bucket_col(r_col, word_col):
+    h = F.md5(F.concat(r_col.cast("string"), F.lit(":"), word_col))
+    c1 = F.instr(F.lit(_CMS_HEX), F.substring(h, 1, 1)) - 1
+    c2 = F.instr(F.lit(_CMS_HEX), F.substring(h, 2, 1)) - 1
+    return ((c1 * 16 + c2) % _CMS_WIDTH).alias("bucket")
+
+
+def _cms_bucket_sql(r_expr: str, word_expr: str) -> str:
+    h = f"md5(CAST({r_expr} AS VARCHAR) || ':' || {word_expr})"
+    return (
+        f"(((instr('{_CMS_HEX}', substr({h}, 1, 1)) - 1) * 16 + "
+        f"instr('{_CMS_HEX}', substr({h}, 2, 1)) - 1) % {_CMS_WIDTH})"
+    )
+
+
+@register(
+    "sketch_cms",
+    # Same-value oracle (not just a tolerance property): the sketch is
+    # deterministic given the hash family, so DuckDB rebuilds the exact
+    # counter matrix and the exact min-over-rows estimates.
+    "WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS word "
+    "FROM documents), "
+    f"rws AS (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS r), "
+    "probes AS (SELECT unnest(["
+    + ", ".join(f"'{w}'" for w in _CMS_PROBES)
+    + "]) AS word), "
+    "counters AS (SELECT r, "
+    + _cms_bucket_sql("r", "word")
+    + " AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt "
+    "FROM toks CROSS JOIN rws GROUP BY 1, 2), "
+    "est AS (SELECT p.word, MIN(COALESCE(c.cnt, 0)) AS cms_est "
+    "FROM probes p CROSS JOIN rws r LEFT JOIN counters c "
+    "ON c.r = r.r AND c.bucket = " + _cms_bucket_sql("r.r", "p.word") + " "
+    "GROUP BY p.word), "
+    "exact AS (SELECT p.word, CAST(COUNT(t.word) AS BIGINT) AS exact_n "
+    "FROM probes p LEFT JOIN toks t ON t.word = p.word GROUP BY p.word) "
+    "SELECT e.word, exact_n, cms_est, cms_est >= exact_n AS is_overestimate "
+    "FROM exact e JOIN est USING (word)",
+)
+def sketch_cms(spark, sf):
+    """Count-min sketch as pure DataFrame algebra — the frequency member
+    of the sketch family (``agg_approx``/``sketch_hll_merge`` cover
+    distinct-count). A CMS is a depth×width counter matrix; here it is a
+    (r, bucket) -> count table built by ONE partial-merge aggregation
+    over tokens×depth, which makes mergeability structural: per-source
+    counter tables summed elementwise equal the direct build (the rollup
+    below does exactly that merge), because the cells are plain SUMs.
+    Point estimates for the probe words are min-over-depth of their
+    cells, computed by broadcasting the tiny counter matrix
+    (depth·width = 256 rows regardless of corpus size) into the probe
+    side. Spark's builtin ``count_min_sketch`` agg emits an opaque
+    binary with no SQL reader; spelling the sketch relationally keeps
+    the estimate queryable, the merge a GROUP BY, and the whole path in
+    whole-stage codegen. The only corpus-scale work is the token scan;
+    everything downstream is O(depth·width + probes)."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    rws = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("r"))
+    # per-source sketches (the per-partition/per-day rollup a pipeline
+    # would store), then merged: cells are sums, so merge == re-aggregate.
+    per_source = (
+        toks.crossJoin(F.broadcast(rws))
+        .select("source", "r", _cms_bucket_col(F.col("r"), F.col("word")))
+        .groupBy("source", "r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counters = per_source.groupBy("r", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    probes = spark.createDataFrame(
+        [(w,) for w in _CMS_PROBES], ["word"]
+    ).crossJoin(rws).select(
+        "word", "r", _cms_bucket_col(F.col("r"), F.col("word"))
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["r", "bucket"], "left")
+        .groupBy("word")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+    )
+    exact = (
+        spark.createDataFrame([(w,) for w in _CMS_PROBES], ["word"])
+        .join(toks, "word", "left")
+        .groupBy("word")
+        .agg(F.count("source").alias("exact_n"))
+    )
+    return exact.join(est, "word").select(
+        "word",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_n")).alias("is_overestimate"),
     )
 
 
