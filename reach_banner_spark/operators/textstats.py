@@ -1516,3 +1516,107 @@ def bpe_train_py(texts, rounds: int = BPE_ROUNDS):
                     out.append(s)
             vocab[w] = out
     return merges
+
+
+def _merge_fold(left: str, right: str):
+    """The leftmost-first non-overlapping merge as a pure JVM array fold
+    (shared spelling with the trainer's in-loop application)."""
+    la, rb = F.lit(left), F.lit(right)
+    return lambda syms_col: F.aggregate(
+        syms_col,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.get(acc, F.size(acc) - 1) == la) & (s == rb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.get(acc, F.size(acc) - 1), s)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+@register("bpe_encode", None)  # == python twin (bpe_encode_py), pytest-pinned
+def bpe_encode(spark, sf, rounds: int = BPE_ROUNDS):
+    """Apply the trained BPE merge table to the corpus — the ENCODE half
+    of the tokenizer (``bpe_train`` learns the merges; this key tokenizes
+    with them and reports per-doc token economics: words, BPE tokens,
+    characters). Same trainer decomposition on the apply side: merges are
+    applied ONCE PER DISTINCT WORD (vocabulary-bounded work — R
+    sequential JVM array folds, ``localCheckpoint`` between them), then
+    the per-word token length joins back to the corpus through a
+    broadcast of the tiny (word, n_sym) map, so the only corpus-scale
+    passes are the token explode and one doc_id-keyed aggregation.
+    That distinct-word factoring is exactly how production tokenizer
+    passes amortize encode cost at 100 TB (word frequency is Zipfian;
+    the vocab table is orders of magnitude smaller than the corpus).
+    Docs with no non-empty words drop out (no tokens to count — the twin
+    replicates). Exact integers end-to-end -> bit-identical to
+    ``bpe_encode_py``."""
+    merges = [
+        (r["left"], r["right"]) for r in bpe_train(spark, sf).collect()
+    ]
+    d = _docs(spark, sf)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    vocab = (
+        toks.select("word")
+        .distinct()
+        .withColumn("syms", F.expr("filter(split(word, ''), c -> c <> '')"))
+    )
+    for left, right in merges:
+        vocab = vocab.withColumn(
+            "syms", _merge_fold(left, right)(F.col("syms"))
+        ).localCheckpoint()
+    word_len = vocab.select(
+        "word",
+        F.size("syms").alias("n_sym"),
+        F.length("word").alias("n_chr"),
+    )
+    return (
+        toks.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(word_len), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).alias("n_tokens_bpe"),
+            F.sum(F.col("cnt") * F.col("n_chr")).alias("n_chars"),
+        )
+    )
+
+
+def bpe_encode_py(texts_with_ids, rounds: int = BPE_ROUNDS):
+    """Pure-python twin of ``bpe_encode``: trains via ``bpe_train_py`` on
+    the same texts, applies the merges per distinct word, and rolls up
+    per-doc (n_words, n_tokens_bpe, n_chars)."""
+    texts = [t for _, t in texts_with_ids]
+    merges = bpe_train_py(texts, rounds)
+    vocab: dict[str, list[str]] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w and w not in vocab:
+                vocab[w] = list(w)
+    for _, left, right, _, _ in merges:
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            vocab[w] = out
+    rows = []
+    for doc_id, t in texts_with_ids:
+        words = [w for w in t.split(" ") if w]
+        if not words:
+            continue
+        rows.append(
+            (
+                doc_id,
+                len(words),
+                sum(len(vocab[w]) for w in words),
+                sum(len(w) for w in words),
+            )
+        )
+    return rows

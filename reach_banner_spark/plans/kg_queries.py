@@ -825,6 +825,130 @@ def kg_pagerank_pandas(
     return pd.DataFrame({"node": nodes, "rank": np.round(rank, 6)})
 
 
+_HITS_ITERS = 8
+
+
+@register("kg_hits", None)  # pytest == kg_hits_py twin EXACTLY (sorted folds)
+def kg_hits(spark, sf, iters: int = _HITS_ITERS):
+    """HITS hubs/authorities over the directed entity graph — PageRank's
+    bipartite sibling (an entity that POINTS AT many authorities is a hub;
+    one pointed at BY many hubs is an authority — in a KG built from
+    transcripts, hubs ≈ active subjects, authorities ≈ common objects).
+    Same iterative discipline as ``kg_pagerank``: fixed ``iters`` (zero
+    in-loop driver barriers), distinct-edge join + groupBy per half-step,
+    ``localCheckpoint`` per round to cut lineage; each half-step shuffles
+    the bounded entity domain, not the conversations.
+
+    Determinism contract (stricter than pagerank's): per-node reductions
+    are sorted left folds, and normalization divides by the GLOBAL MAX
+    score (a max over doubles is order-independent, unlike the L2 norm's
+    sum of squares) — so every emitted value is a fixed IEEE op sequence
+    and the python twin matches EXACTLY, including the final HALF_UP
+    6-decimal rounding (Decimal-mimicked in the twin)."""
+    t = _triples_table(spark, sf)
+    edges = t.select("subj", "obj").distinct().localCheckpoint()
+    nodes = (
+        edges.select(F.col("subj").alias("node"))
+        .unionByName(edges.select(F.col("obj").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if nodes.isEmpty():
+        return spark.createDataFrame([], "node string, hub double, auth double")
+
+    def _sorted_sum(col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(col)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _normalize(scores, col):
+        mx = scores.agg(F.max(col).alias("m"))
+        return scores.crossJoin(F.broadcast(mx)).select(
+            "node", (F.col(col) / F.col("m")).alias(col)
+        )
+
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    for _ in range(iters):
+        a_raw = (
+            edges.join(hub.withColumnRenamed("node", "subj"), "subj")
+            .groupBy(F.col("obj").alias("node"))
+            .agg(_sorted_sum("hub").alias("auth"))
+        )
+        auth = _normalize(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("auth", F.lit(0.0)).alias("auth")
+            ),
+            "auth",
+        ).localCheckpoint()
+        h_raw = (
+            edges.join(auth.withColumnRenamed("node", "obj"), "obj")
+            .groupBy(F.col("subj").alias("node"))
+            .agg(_sorted_sum("auth").alias("hub"))
+        )
+        hub = _normalize(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        ).localCheckpoint()
+    return (
+        hub.join(auth, "node")
+        .select(
+            "node",
+            F.round("hub", 6).alias("hub"),
+            F.round("auth", 6).alias("auth"),
+        )
+    )
+
+
+def kg_hits_py(edges: pd.DataFrame, iters: int = _HITS_ITERS) -> pd.DataFrame:
+    """Pure-python twin of ``kg_hits``: same sorted-fold sums, same
+    max-normalization, same HALF_UP 6-decimal rounding (via Decimal over
+    repr, the JVM F.round semantics). Exact-equality comparable."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    e = edges.drop_duplicates()
+    nodes = sorted(set(e["subj"]) | set(e["obj"]))
+    if not nodes:
+        return pd.DataFrame({"node": [], "hub": [], "auth": []})
+    out_adj: dict[str, list[str]] = {}
+    in_adj: dict[str, list[str]] = {}
+    for s, o in zip(e["subj"], e["obj"]):
+        out_adj.setdefault(s, []).append(o)
+        in_adj.setdefault(o, []).append(s)
+
+    def half_step(src_scores, adj):
+        raw = {}
+        for n in nodes:
+            vals = sorted(src_scores[m] for m in adj.get(n, []))
+            acc = 0.0
+            for v in vals:
+                acc = acc + v
+            raw[n] = acc
+        mx = max(raw.values())
+        return {n: raw[n] / mx for n in nodes}
+
+    hub = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        auth = half_step(hub, in_adj)
+        hub = half_step(auth, out_adj)
+
+    q6 = Decimal("0.000001")
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(float(x))).quantize(q6, ROUND_HALF_UP))
+
+    return pd.DataFrame(
+        {
+            "node": nodes,
+            "hub": [r6(hub[n]) for n in nodes],
+            "auth": [r6(auth[n]) for n in nodes],
+        }
+    )
+
+
 @register(
     "kg_two_hop",
     f"WITH t AS ({_TRIPLES_SQL}) "

@@ -634,3 +634,34 @@ def test_bpe_train_matches_python_twin(spark):
         .reset_index(drop=True)
     )
     assert again.equals(got)
+
+
+def test_bpe_encode_matches_python_twin(spark):
+    """bpe_encode == bpe_encode_py EXACTLY (per-doc word/BPE-token/char
+    counts are all integers; the twin trains its own merges via
+    bpe_train_py, so agreement covers train AND apply). Plus the encode
+    invariants: merges only ever shrink a word's symbol count, so
+    n_words <= n_tokens_bpe <= n_chars, with strict shrink somewhere on
+    a corpus whose top pairs repeat."""
+    from reach_banner_spark.operators.textstats import (
+        REGISTRY,
+        bpe_encode_py,
+    )
+
+    got = (
+        REGISTRY["bpe_encode"][0](spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    want = sorted(bpe_encode_py(list(zip(docs["doc_id"], docs["text"]))))
+    assert len(got) == len(want) > 0
+    assert list(map(tuple, got.values.tolist())) == want
+    assert (got["n_words"] <= got["n_tokens_bpe"]).all()
+    assert (got["n_tokens_bpe"] <= got["n_chars"]).all()
+    assert (got["n_tokens_bpe"] < got["n_chars"]).any()

@@ -133,6 +133,43 @@ def test_kg_pagerank_matches_numpy_twin(spark):
     assert (got["rank"] > 0).all() and (got["rank"] < 1).all()
 
 
+def test_kg_hits_matches_python_twin(spark):
+    """Distributed HITS == single-process twin EXACTLY: both sides use
+    sorted-fold sums, max-normalization (order-independent), and HALF_UP
+    6-decimal rounding, so every score is the same IEEE op sequence —
+    equality, not tolerance. Determinism re-run included."""
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _triples,
+        kg_hits_py,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = (
+        REGISTRY["kg_hits"][0](spark, SF)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    edges = _triples(spark, SF).select("subj", "obj").distinct().toPandas()
+    want = kg_hits_py(edges).sort_values("node").reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert got["node"].tolist() == want["node"].tolist()
+    assert got["hub"].tolist() == want["hub"].tolist()
+    assert got["auth"].tolist() == want["auth"].tolist()
+    # scores normalized by max: all in [0, 1], and 1.0 is attained
+    for col in ("hub", "auth"):
+        assert got[col].between(0.0, 1.0).all()
+        assert (got[col] == 1.0).any()
+    again = (
+        REGISTRY["kg_hits"][0](spark, SF)
+        .toPandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
+
+
 def test_kg_communities_matches_pandas_twin(spark):
     """Distributed synchronous LPA == single-process twin EXACTLY (same
     fixed rounds, same min-label tie-break — both deterministic, so the
