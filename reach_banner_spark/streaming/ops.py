@@ -957,6 +957,75 @@ def stream_hll(spark, sf):
     return spark.read.parquet(out_dir).localCheckpoint()
 
 
+@register("stream_topk", None)  # pytest: == batch word-count top-20
+def stream_topk(spark, sf, k: int = 20):
+    """INGEST-TIME heavy hitters — running top-k vocabulary words while
+    the corpus is still arriving (the monitoring question next to
+    ``stream_hll``'s "how many distinct": WHICH words dominate). Counts
+    are SUMs and sums are exactly mergeable, so each micro-batch
+    aggregates its own words and SUM-merges into the carried per-word
+    count table (parquet-swapped per batch, superseded snapshot removed
+    — the ``stream_funnel`` state discipline); streaming == batch is a
+    theorem about +, pinned by pytest anyway, and arrival order across
+    batches is irrelevant for the same reason. The final top-k is ONE
+    TakeOrderedAndProject over the last state with the deterministic
+    (count DESC, word ASC) tie-break.
+
+    State is O(vocabulary) — Zipf-bounded, orders of magnitude below the
+    corpus; the EXACT-counts-then-rank shape is what you run when vocab
+    fits (here, and in most text corpora); when even vocab doesn't fit,
+    ``sketch_cms`` is the bounded-memory estimate this key's exact
+    answer validates. Every batch's merge keys on word only."""
+    import shutil
+
+    d = _staged_doc_stream_dir(sf)
+    work = _op_work_dir("stream_topk", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = (
+            batch_df.select(F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.length("word") > 0)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        allw = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("word")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allw.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    doc_stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    # eager localCheckpoint: survive a later same-key invocation's
+    # work-dir sweep (see _run_incremental_turns; ADVICE r4)
+    return (
+        spark.read.parquet(state["path"])
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(k)
+        .localCheckpoint()
+    )
+
+
 @register("stream_funnel", None)  # pytest: == batch funnel_conversion
 def stream_funnel(spark, sf):
     """INGEST-TIME funnel analytics — the streaming twin of

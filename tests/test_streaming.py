@@ -604,3 +604,31 @@ def test_stream_hll_tracks_exact_running_distinct(spark):
         .reset_index(drop=True)
     )
     assert again.equals(got)
+
+
+def test_stream_topk_equals_batch(spark):
+    """stream_topk's final top-20 == the one-shot batch word count over
+    the same documents (counts are SUMs, sums merge exactly — streaming
+    == batch is a theorem; this pins the implementation). Exact integer
+    counts, deterministic (cnt DESC, word ASC) order, re-run identical."""
+    from pyspark.sql import functions as F
+
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_topk"][0](spark, SF).toPandas()
+    want = (
+        spark.read.parquet(ops._staged_doc_stream_dir(SF))
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+        .toPandas()
+    )
+    assert len(got) == len(want) == 20
+    assert got["word"].tolist() == want["word"].tolist()
+    assert got["cnt"].tolist() == want["cnt"].tolist()
+
+    again = ops.REGISTRY["stream_topk"][0](spark, SF).toPandas()
+    assert again.equals(got)
