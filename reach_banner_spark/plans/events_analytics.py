@@ -406,3 +406,52 @@ def events_attribution(spark, sf):
         .cast("long")
         .alias("gap_us"),
     )
+
+
+@register(
+    "events_rolling_dau",
+    # Rolling 7-day active users per calendar day. COUNT(DISTINCT) has no
+    # window form in either engine, so the rolling distinct is spelled as
+    # a bounded range join: anchor days (calendar-sized) x the deduped
+    # (day, user) table restricted to the trailing week.
+    "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id "
+    "FROM events), "
+    "anchors AS (SELECT DISTINCT day FROM du) "
+    "SELECT CAST(a.day AS VARCHAR) AS day, "
+    "CAST(COUNT(DISTINCT CASE WHEN d.day = a.day THEN d.user_id END) "
+    " AS BIGINT) AS dau, "
+    "CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS wau7 "
+    "FROM anchors a JOIN du d "
+    "ON d.day BETWEEN a.day - 6 AND a.day "
+    "GROUP BY a.day",
+)
+def events_rolling_dau(spark, sf):
+    """Rolling engagement: per calendar day, same-day actives (DAU) and
+    trailing-7-day actives (WAU) — the dashboard pair every event
+    pipeline publishes. Distinct-over-a-sliding-window cannot ride a
+    window frame (no windowed COUNT DISTINCT), so the scalable spelling
+    is: dedup events to the (day, user) grain FIRST (the corpus-scale
+    pass, one user-keyed exchange that collapses the fact table to
+    calendar_days x users rows), THEN broadcast the calendar-sized
+    anchor-day list for the trailing-week range join. Join fan-out is
+    bounded by 7 x |day-user pairs| regardless of event volume; the raw
+    fact table is touched exactly once. Day emitted as a formatted
+    string (date rule)."""
+    e = _events(spark, sf)
+    du = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    anchors = du.select("day").distinct()
+    j = F.broadcast(anchors.withColumnRenamed("day", "aday")).join(
+        du,
+        (F.col("day") >= F.date_sub(F.col("aday"), 6))
+        & (F.col("day") <= F.col("aday")),
+    )
+    return j.groupBy("aday").agg(
+        F.countDistinct(
+            F.when(F.col("day") == F.col("aday"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct("user_id").alias("wau7"),
+    ).select(
+        F.date_format("aday", "yyyy-MM-dd").alias("day"), "dau", "wau7"
+    )

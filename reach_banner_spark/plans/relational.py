@@ -605,6 +605,44 @@ def win_frame_range(spark, sf):
 
 
 @register(
+    "win_fill_forward",
+    # IGNORE NULLS running last_value = last observation carried forward.
+    # The NULL gaps are injected by the SAME expression on both engines
+    # (view/error events carry no value), so the fill pattern is
+    # deterministic; ordering is the (ts, event_id) total order.
+    "SELECT event_id, user_id, "
+    "last_value(CASE WHEN event_type IN ('view', 'error') THEN NULL "
+    "ELSE value END IGNORE NULLS) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff "
+    "FROM events",
+)
+def win_fill_forward(spark, sf):
+    """Gap filling by last-observation-carried-forward — the IGNORE NULLS
+    window family (the one analytic-window feature ``win_analytic``'s
+    lag/lead/first_value don't cover), and the canonical time-series
+    repair step before resampling or feature extraction. One user-keyed
+    window exchange; each event is touched once — the running
+    ignore-nulls last_value beats the equivalent as-of self-join at any
+    scale (same argument as ``events_attribution``). Leading rows before
+    the first observation stay NULL on both engines."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gapped = F.when(
+        F.col("event_type").isin("view", "error"), F.lit(None)
+    ).otherwise(F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(gapped, ignorenulls=True).over(w).alias("value_ff"),
+    )
+
+
+@register(
     "win_session_batch",
     # batch session windows (30-min gap) as gaps-and-islands: a new session
     # starts where the gap to the previous event exceeds the timeout; the
