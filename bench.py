@@ -123,6 +123,18 @@ HEADLINE = [
     "agg_stats_corr",
     "filter_subquery_correlated",
     "ann_ivfpq_topk",
+    # r5g additions (eighth r5 session) — lateral join + CMS + degree
+    # distribution + HITS + BPE encode + fill-forward + rolling DAU
+    # (subtract this group too for earlier-round-comparable subtotals)
+    "join_lateral",
+    "sketch_cms",
+    "kg_degree_dist",
+    "kg_hits",
+    "bpe_encode",
+    "win_fill_forward",
+    "events_rolling_dau",
+    "scd2_intervals",
+    "fn_url",
 ]
 
 

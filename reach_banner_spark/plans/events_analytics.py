@@ -455,3 +455,54 @@ def events_rolling_dau(spark, sf):
     ).select(
         F.date_format("aday", "yyyy-MM-dd").alias("day"), "dau", "wau7"
     )
+
+
+@register(
+    "scd2_intervals",
+    # Slowly-changing-dimension type-2 build: collapse consecutive equal
+    # states (gaps-and-islands), open an interval per change, close it
+    # with the next change's timestamp. Exact integer microseconds.
+    "WITH o AS (SELECT user_id, event_type, ts, event_id, "
+    "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS prev_type FROM events), "
+    "ch AS (SELECT user_id, event_type, ts, event_id FROM o "
+    "WHERE prev_type IS NULL OR event_type <> prev_type) "
+    "SELECT user_id, event_type AS state, "
+    "CAST(epoch_us(ts) AS BIGINT) AS valid_from_us, "
+    "CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id)) AS BIGINT) AS valid_to_us, "
+    "LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+    "AS is_current FROM ch",
+)
+def scd2_intervals(spark, sf):
+    """SCD type-2 dimension build — the lakehouse pattern for turning an
+    event stream into a queryable state HISTORY table ([valid_from,
+    valid_to) per state run, open interval = current row). Two window
+    passes over ONE user_id-keyed exchange (change detection via lag,
+    interval close via lead on the collapsed runs — the second window
+    reuses the first's partitioning, so no re-shuffle); no self-join.
+    Validity bounds are exact integer microseconds (events_attribution
+    precedent), the (ts, event_id) total order pins ties, and the
+    output is the MERGE-free way to publish SCD2 at 100 TB: append-only
+    event facts in, deterministic interval table out."""
+    e = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    ch = o.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    nxt = F.lead("ts").over(w)
+    return ch.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(nxt.cast("timestamp")).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )

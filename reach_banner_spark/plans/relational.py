@@ -1155,6 +1155,51 @@ def fn_regexp(spark, sf):
 
 
 @register(
+    "fn_url",
+    # URL decomposition. The corpus has no URL column, so one is
+    # synthesized by the SAME expression on both engines (pii_scrub
+    # precedent); DuckDB has no parse_url, so its twin extracts the
+    # components with anchored regexes over the identical string.
+    "WITH u AS (SELECT c_custkey, 'https://' || lower(c_mktsegment) || "
+    "'.example.com/u/' || CAST(c_custkey AS VARCHAR) || '?ref=' || "
+    "CAST(c_nationkey AS VARCHAR) || '&p=' || "
+    "CAST(c_custkey % 7 AS VARCHAR) AS url FROM customer) "
+    "SELECT c_custkey, url, "
+    "regexp_extract(url, '^https://([^/]+)/', 1) AS host, "
+    "regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path, "
+    "regexp_extract(url, '\\?(.*)$', 1) AS query, "
+    "regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref_param "
+    "FROM u",
+)
+def fn_url(spark, sf):
+    """URL parsing family (``parse_url`` HOST/PATH/QUERY + keyed query
+    parameter) — the log/clickstream-ingest string family next to
+    ``fn_regexp``/``fn_json``. Spark side uses the builtin parse_url
+    (JVM java.net parsing, codegen-friendly); the oracle decomposes the
+    same synthesized URL with regexes. Zero shuffles, pure projection."""
+    c = _t(spark, sf, "customer")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower("c_mktsegment"),
+        F.lit(".example.com/u/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?ref="),
+        F.col("c_nationkey").cast("string"),
+        F.lit("&p="),
+        (F.col("c_custkey") % 7).cast("string"),
+    )
+    u = c.select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )
+
+
+@register(
     "pivot",
     "SELECT l_returnflag, "
     "CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS st_O, "
