@@ -135,6 +135,7 @@ HEADLINE = [
     "events_rolling_dau",
     "scd2_intervals",
     "fn_url",
+    "calendar_densify",
 ]
 
 

@@ -441,6 +441,13 @@ def events_rolling_dau(spark, sf):
     du = e.select(
         F.to_date("ts").alias("day"), "user_id"
     ).distinct()
+    return rolling_dau_rollup(du)
+
+
+def rolling_dau_rollup(du: DataFrame) -> DataFrame:
+    """Trailing-week rollup over the deduped (day, user) table — shared
+    between the batch key and ``stream_dau`` (one definition of the
+    anchor range join and both distinct counts)."""
     anchors = du.select("day").distinct()
     j = F.broadcast(anchors.withColumnRenamed("day", "aday")).join(
         du,
@@ -505,4 +512,51 @@ def scd2_intervals(spark, sf):
         F.unix_micros(F.col("ts").cast("timestamp")).alias("valid_from_us"),
         F.unix_micros(nxt.cast("timestamp")).alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "calendar_densify",
+    # Date densification: one calendar row per user per day of their
+    # activity span, flagged active/inactive — the gap-filling join that
+    # precedes any per-day time series (LOCF, rolling stats, forecasting).
+    "WITH span AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, "
+    "MAX(CAST(ts AS DATE)) AS d1 FROM events GROUP BY user_id), "
+    "cal AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, "
+    "INTERVAL 1 DAY)) AS DATE) AS day FROM span), "
+    "act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) "
+    "SELECT c.user_id, CAST(c.day AS VARCHAR) AS day, "
+    "a.user_id IS NOT NULL AS was_active "
+    "FROM cal c LEFT JOIN act a ON a.user_id = c.user_id AND a.day = c.day",
+)
+def calendar_densify(spark, sf):
+    """Per-user calendar densification via the ``sequence`` generator:
+    expand each user's [first, last] activity span to one row per day,
+    left-joined against the deduped active-day set. The generated rows
+    are bounded by users x span-days (never by event volume), the span
+    aggregate and both join sides key on user_id (one co-partitioning),
+    and generation happens DISTRIBUTED at the owning row — no driver
+    calendar loop, no cross join against a global date dimension (which
+    would fan out to users x global-calendar regardless of span). Day
+    emitted as a formatted string (date rule)."""
+    e = _events(spark, sf)
+    span = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    cal = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    act = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        cal.join(
+            act.withColumn("was_active", F.lit(True)),
+            ["user_id", "day"],
+            "left",
+        )
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("was_active", F.lit(False)).alias("was_active"),
+        )
     )

@@ -1026,6 +1026,63 @@ def stream_topk(spark, sf, k: int = 20):
     )
 
 
+@register("stream_dau", None)  # pytest: == batch events_rolling_dau
+def stream_dau(spark, sf):
+    """INGEST-TIME rolling engagement — the streaming twin of
+    ``events_rolling_dau``. The batch key's only state-bearing input is
+    the DEDUPED (day, user) table, and set union is exactly mergeable
+    (distinct over batch unions == distinct over all events), so each
+    micro-batch dedups its own events to that grain and union-distincts
+    into the carried table (parquet-swapped, ``stream_funnel``
+    discipline); arrival order across batches is irrelevant, making the
+    event_id-split staged corpus a fair stress. The final DAU/WAU table
+    is the SHARED ``rolling_dau_rollup`` over the last state — one
+    definition of the trailing-week semantics for both keys.
+
+    State is O(users x active-days) — the calendar-bounded grain a
+    production dashboard keeps, orders of magnitude below raw events;
+    every batch's merge keys on (day, user_id) only."""
+    import shutil
+
+    from ..plans.events_analytics import rolling_dau_rollup
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_dau", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = batch_df.select(
+            F.to_date("ts").alias("day"), "user_id"
+        ).distinct()
+        alldu = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"]).unionByName(cur).distinct()
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        alldu.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    # eager localCheckpoint: survive a later same-key invocation's
+    # work-dir sweep (see _run_incremental_turns; ADVICE r4)
+    return rolling_dau_rollup(
+        spark.read.parquet(state["path"])
+    ).localCheckpoint()
+
+
 @register("stream_funnel", None)  # pytest: == batch funnel_conversion
 def stream_funnel(spark, sf):
     """INGEST-TIME funnel analytics — the streaming twin of

@@ -632,3 +632,38 @@ def test_stream_topk_equals_batch(spark):
 
     again = ops.REGISTRY["stream_topk"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_dau_equals_batch(spark):
+    """stream_dau's final DAU/WAU table == the one-shot events_rolling_dau
+    over the same events (the carried state is the deduped (day, user)
+    set; set union merges exactly, and the rollup is one shared
+    definition). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = (
+        ops.REGISTRY["stream_dau"][0](spark, SF)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["events_rolling_dau"][0](spark, SF)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+    assert (got["dau"] <= got["wau7"]).all()
+
+    again = (
+        ops.REGISTRY["stream_dau"][0](spark, SF)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)
