@@ -136,6 +136,7 @@ HEADLINE = [
     "scd2_intervals",
     "fn_url",
     "calendar_densify",
+    "macro_kg_report",
 ]
 
 

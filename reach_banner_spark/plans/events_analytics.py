@@ -492,20 +492,36 @@ def scd2_intervals(spark, sf):
     precedent), the (ts, event_id) total order pins ties, and the
     output is the MERGE-free way to publish SCD2 at 100 TB: append-only
     event facts in, deterministic interval table out."""
-    e = _events(spark, sf)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _events(spark, sf).select("user_id", "event_type", "ts", "event_id")
+    return scd2_close(scd2_change_rows(e))
+
+
+def _scd2_w():
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+def scd2_change_rows(e: DataFrame) -> DataFrame:
+    """Collapse consecutive equal states to their opening rows (the lag
+    change-detection half of SCD2) — shared with ``stream_scd2``, which
+    applies it per micro-batch over carried-opener ∪ batch rows."""
     o = e.select(
         "user_id",
         "event_type",
         "ts",
         "event_id",
-        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("event_type").over(_scd2_w()).alias("prev_type"),
     )
-    ch = o.filter(
+    return o.filter(
         F.col("prev_type").isNull()
         | (F.col("event_type") != F.col("prev_type"))
-    )
-    nxt = F.lead("ts").over(w)
+    ).drop("prev_type")
+
+
+def scd2_close(ch: DataFrame) -> DataFrame:
+    """Close each change-opened interval with the next change's timestamp
+    (lead) — the second shared SCD2 half; the open run per user keeps a
+    NULL valid_to and the is_current flag."""
+    nxt = F.lead("ts").over(_scd2_w())
     return ch.select(
         "user_id",
         F.col("event_type").alias("state"),

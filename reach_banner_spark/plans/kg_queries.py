@@ -655,6 +655,67 @@ def kg_degree(spark, sf):
 
 
 @register(
+    "macro_kg_report",
+    f"WITH t AS ({_TRIPLES_SQL}), "
+    "base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triples, "
+    " CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs, "
+    " CAST(COUNT(DISTINCT pred) AS BIGINT) AS n_preds FROM t), "
+    "ent AS (SELECT CAST(COUNT(DISTINCT e) AS BIGINT) AS n_entities FROM "
+    " (SELECT subj AS e FROM t UNION SELECT obj FROM t) x), "
+    "top AS (SELECT pred AS top_pred FROM "
+    " (SELECT pred, COUNT(*) AS c FROM t GROUP BY pred "
+    "  ORDER BY c DESC, pred LIMIT 1) y) "
+    "SELECT n_triples, n_convs, n_preds, n_entities, top_pred, "
+    "printf('%.6f', ROUND(n_triples * 1.0 / n_convs, 6)) "
+    "AS triples_per_conv FROM base, ent, top",
+)
+def macro_kg_report(spark, sf):
+    """The one-row KG health report — the macro query a graph publisher
+    runs after every build (triple volume, conversation/entity/predicate
+    domains, the dominant predicate, density per conversation). Four
+    dimension-sized aggregates over the materialized triple table, each
+    a partial-merge pass, combined by broadcasting 1-row results; the
+    top predicate is a TakeOrderedAndProject over the predicate-domain
+    count table with the (count DESC, pred ASC) deterministic tie-break.
+    Density emitted as a %.6f ROUND-then-format string (float rule)."""
+    t = _triples_table(spark, sf)
+    base = t.agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.countDistinct("pred").alias("n_preds"),
+    )
+    ent = (
+        t.select(F.col("subj").alias("e"))
+        .unionByName(t.select(F.col("obj").alias("e")))
+        .agg(F.countDistinct("e").alias("n_entities"))
+    )
+    top = (
+        t.groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("pred"))
+        .limit(1)
+        .select(F.col("pred").alias("top_pred"))
+    )
+    return (
+        base.crossJoin(F.broadcast(ent))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_triples",
+            "n_convs",
+            "n_preds",
+            "n_entities",
+            "top_pred",
+            F.format_string(
+                "%.6f",
+                F.round(
+                    F.col("n_triples").cast("double") / F.col("n_convs"), 6
+                ),
+            ).alias("triples_per_conv"),
+        )
+    )
+
+
+@register(
     "kg_degree_dist",
     f"WITH t AS ({_TRIPLES_SQL}), "
     "e AS (SELECT conv_id, subj AS entity, obj AS nbr FROM t "

@@ -1245,6 +1245,103 @@ def stream_attribution(spark, sf):
     return spark.read.parquet(out_dir).localCheckpoint()
 
 
+@register("stream_scd2", None)  # pytest: == batch scd2_intervals
+def stream_scd2(spark, sf):
+    """INGEST-TIME SCD2 maintenance — the CDC-to-history-table pattern:
+    closed validity intervals are published append-only the moment the
+    closing state change arrives; exactly one OPEN interval per user is
+    carried as state. Requires chronological ingestion (asserted on
+    event_id, the ``stream_attribution`` contract). Per micro-batch:
+
+      1. aug = carried interval-opener pseudo-events ∪ batch events —
+         each carried opener sorts strictly before its user's batch rows
+         (its ts precedes them under chronological arrival), so the
+         SHARED ``scd2_change_rows`` collapse sees exactly the suffix the
+         batch key's global window would see from that opener on;
+      2. closed = ``scd2_close``(changes) rows whose lead exists — these
+         close in THIS batch and are emitted exactly once (earlier
+         intervals are not in aug, so they can never be re-derived);
+      3. new state = last change row per user (max (ts, event_id)
+         struct), i.e. the opener of the still-open run, keeping its
+         ORIGINAL valid_from across any number of quiet batches.
+
+    The returned table is the appended closed intervals ∪ the final open
+    ones — pinned EXACTLY == one-shot ``scd2_intervals`` by pytest.
+    State is O(users) x one row; every batch shuffles on user_id only."""
+    import shutil
+
+    from ..plans.events_analytics import scd2_change_rows, scd2_close
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_scd2", d)
+    out_dir = os.path.join(work, "closed")
+    state: dict = {"path": None, "max_eid": -1, "batches": 0}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        ev = batch_df.select("user_id", "event_type", "ts", "event_id")
+        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+        if lo is None:  # empty trigger
+            return
+        assert lo > state["max_eid"], (
+            f"non-chronological ingestion: batch min event_id {lo} <= "
+            f"carried max {state['max_eid']}"
+        )
+        aug = (
+            ev
+            if state["path"] is None
+            else sp.read.parquet(state["path"]).unionByName(ev)
+        )
+        ch = scd2_change_rows(aug).persist()
+        ch.count()  # one derivation feeds the emit AND the state swap
+        scd2_close(ch).filter(~F.col("is_current")).write.mode(
+            "append"
+        ).parquet(out_dir)
+        openers = (
+            ch.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("t"))
+            .select(
+                "user_id",
+                F.col("t.event_type").alias("event_type"),
+                F.col("t.ts").alias("ts"),
+                F.col("t.event_id").alias("event_id"),
+            )
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        openers.write.mode("overwrite").parquet(new_state)
+        ch.unpersist(blocking=False)
+        prev = state["path"]
+        state["path"] = new_state
+        state["max_eid"] = int(hi)
+        state["batches"] += 1
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["batches"] >= 1, "stream produced no batches"
+    open_rows = spark.read.parquet(state["path"]).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("valid_from_us"),
+        F.lit(None).cast("long").alias("valid_to_us"),
+        F.lit(True).alias("is_current"),
+    )
+    if not os.path.exists(out_dir):  # no interval ever closed
+        return open_rows.localCheckpoint()
+    # eager localCheckpoint: survive a later same-key invocation's
+    # work-dir sweep (see _run_incremental_turns; ADVICE r4)
+    return (
+        spark.read.parquet(out_dir).unionByName(open_rows).localCheckpoint()
+    )
+
+
 @register("stream_anomaly", None)  # pytest: == batch events_anomaly
 def stream_anomaly(spark, sf):
     """INGEST-TIME anomaly detection — the streaming twin of

@@ -667,3 +667,35 @@ def test_stream_dau_equals_batch(spark):
         .reset_index(drop=True)
     )
     assert again.equals(got)
+
+
+def test_stream_scd2_equals_batch(spark):
+    """stream_scd2 (closed intervals emitted append-only + final open
+    intervals from state) == one-shot scd2_intervals EXACTLY over the
+    same events — exactly-once emission across the micro-batch split,
+    original valid_from preserved across quiet batches. Re-run
+    identical; exactly one current interval per user."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    cols = ["user_id", "state", "valid_from_us", "valid_to_us", "is_current"]
+
+    def canon(df):
+        return (
+            df.toPandas()[cols]
+            .sort_values(["user_id", "valid_from_us"])
+            .reset_index(drop=True)
+        )
+
+    got = canon(ops.REGISTRY["stream_scd2"][0](spark, SF))
+    want = canon(EV_REGISTRY["scd2_intervals"][0](spark, SF))
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+    cur = got[got["is_current"]]
+    assert len(cur) == got["user_id"].nunique()
+    assert cur["valid_to_us"].isna().all()
+
+    again = canon(ops.REGISTRY["stream_scd2"][0](spark, SF))
+    assert again.equals(got)
