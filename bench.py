@@ -137,6 +137,8 @@ HEADLINE = [
     "fn_url",
     "calendar_densify",
     "macro_kg_report",
+    "agg_bitmap_distinct",
+    "join_null_safe",
 ]
 
 

@@ -1548,6 +1548,82 @@ def sketch_cms(spark, sf):
 
 
 @register(
+    "agg_bitmap_distinct",
+    # Exact distinct counting via mergeable bitmaps: every key sets one
+    # bit in a bucketed bitmap; bitmaps OR-merge (order-independent, like
+    # the HLL union but EXACT), so the oracle is the plain COUNT DISTINCT
+    # the bitmap plan must reproduce bit-for-bit.
+    "SELECT o_orderpriority, "
+    "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def agg_bitmap_distinct(spark, sf):
+    """Exact distinct count as a two-level BITMAP aggregation — the
+    scalable exact counterpart to ``sketch_hll_merge``'s estimate: each
+    custkey sets bit ``bitmap_bit_position`` of bucket
+    ``bitmap_bucket_number`` (fixed 4KB bitmaps), per-(group, bucket)
+    bitmaps OR-merge map-side, and the distinct count is the SUM of
+    per-bucket popcounts. Both aggregation levels are partial-merge with
+    fixed-size state, and OR is order-independent — so unlike
+    COUNT(DISTINCT) (which keeps a per-group value SET and re-shuffles
+    the value domain), the shuffled state is bounded by groups x touched
+    buckets regardless of key cardinality. That re-aggregatable layout
+    (store per-partition/per-day bitmaps, OR + popcount to answer any
+    rollup exactly) is the lakehouse pattern for exact distinct at
+    100 TB; this key pins that the bitmap plan reproduces the exact
+    count."""
+    o = _t(spark, sf, "orders")
+    per_bucket = o.groupBy(
+        "o_orderpriority",
+        F.bitmap_bucket_number("o_custkey").alias("bkt"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias("bm")
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_cust")
+    )
+
+
+@register(
+    "join_null_safe",
+    # Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    # each other instead of vanishing. The NULL keys are injected by the
+    # SAME expression on both engines (every 7th supplier / every 5th
+    # customer loses its nation).
+    "WITH s AS (SELECT s_suppkey, CASE WHEN s_suppkey % 7 = 0 THEN NULL "
+    "ELSE s_nationkey END AS nk FROM supplier), "
+    "c AS (SELECT c_custkey, CASE WHEN c_custkey % 5 = 0 THEN NULL "
+    "ELSE c_nationkey END AS nk FROM customer) "
+    "SELECT s.s_suppkey, c.c_custkey "
+    "FROM s JOIN c ON s.nk IS NOT DISTINCT FROM c.nk",
+)
+def join_null_safe(spark, sf):
+    """Null-safe equality join — the join-family member standard equi-join
+    semantics can't express (NULL = NULL is NULL, so nulled keys silently
+    drop; ``<=>`` matches them). Spark plans ``eqNullSafe`` as a regular
+    hash join with the null-safe comparator, so it keeps the equi-join
+    physical strategies (here: broadcast) rather than degrading to a
+    nested loop — the property worth pinning, since the NULL bucket is
+    also the classic skew key at scale (all NULLs co-locate; the salting
+    discipline of ``join_skew_salted`` applies when it grows hot)."""
+    s = _t(spark, sf, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("s_nationkey"))
+        .alias("nk"),
+    )
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    return s.join(c, s["nk"].eqNullSafe(c["nk"])).select(
+        "s_suppkey", "c_custkey"
+    )
+
+
+@register(
     "fn_higher_order",
     # higher-order array functions (SQL lambdas): filter / transform /
     # aggregate, including the BINARY (element, index) transform — DuckDB
