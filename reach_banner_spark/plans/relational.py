@@ -1443,27 +1443,32 @@ def agg_percentile_approx(spark, sf):
 
 
 # Count-min sketch geometry + the shared md5-derived bucket arithmetic.
-# bucket_r(word) = first-two-hex-chars(md5(r || ':' || word)) mod width —
-# pure integer algebra both engines can evaluate identically (instr over a
-# hex alphabet; no hex-to-int cast, which DuckDB lacks).
+# The depth row-hashes are 2-hex-char SLICES of ONE md5 per word (slice r
+# covers hex chars [2r+1, 2r+2] — disjoint, so the rows are independent
+# draws from the same 128-bit hash; the standard one-hash-many-slices
+# family, same as the minhash band construction). Pure integer algebra
+# both engines evaluate identically (instr over a hex alphabet; no
+# hex-to-int cast, which DuckDB lacks).
 _CMS_DEPTH = 4
 _CMS_WIDTH = 64
 _CMS_PROBES = ["data", "query", "table", "join", "filter", "spark", "stream", "row"]
 _CMS_HEX = "0123456789abcdef"
 
 
-def _cms_bucket_col(r_col, word_col):
-    h = F.md5(F.concat(r_col.cast("string"), F.lit(":"), word_col))
-    c1 = F.instr(F.lit(_CMS_HEX), F.substring(h, 1, 1)) - 1
-    c2 = F.instr(F.lit(_CMS_HEX), F.substring(h, 2, 1)) - 1
-    return ((c1 * 16 + c2) % _CMS_WIDTH).alias("bucket")
+def _cms_bucket_col(h, r: int):
+    """Bucket of slice ``r`` of an md5-hex column ``h`` (r is a python
+    int, so the substring positions are literals)."""
+    c1 = F.instr(F.lit(_CMS_HEX), F.substring(h, 2 * r + 1, 1)) - 1
+    c2 = F.instr(F.lit(_CMS_HEX), F.substring(h, 2 * r + 2, 1)) - 1
+    return (c1 * 16 + c2) % _CMS_WIDTH
 
 
 def _cms_bucket_sql(r_expr: str, word_expr: str) -> str:
-    h = f"md5(CAST({r_expr} AS VARCHAR) || ':' || {word_expr})"
+    h = f"md5({word_expr})"
     return (
-        f"(((instr('{_CMS_HEX}', substr({h}, 1, 1)) - 1) * 16 + "
-        f"instr('{_CMS_HEX}', substr({h}, 2, 1)) - 1) % {_CMS_WIDTH})"
+        f"(((instr('{_CMS_HEX}', substr({h}, 2 * {r_expr} + 1, 1)) - 1) * 16 + "
+        f"instr('{_CMS_HEX}', substr({h}, 2 * {r_expr} + 2, 1)) - 1) "
+        f"% {_CMS_WIDTH})"
     )
 
 
@@ -1511,23 +1516,33 @@ def sketch_cms(spark, sf):
     toks = d.select(
         "source", F.explode(F.split("text", " ")).alias("word")
     )
-    rws = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("r"))
-    # per-source sketches (the per-partition/per-day rollup a pipeline
-    # would store), then merged: cells are sums, so merge == re-aggregate.
+    # hashing is factored to the DISTINCT-word grain weighted by count
+    # (the bpe_train discipline): the only corpus-scale pass is the word
+    # count; md5 runs ONCE per (source, word) and the depth buckets are
+    # slices of that one hash, exploded as a literal-position array (no
+    # depth crossJoin). per-source sketches first (the per-partition/
+    # per-day rollup a pipeline would store), then merged: cells are
+    # sums, so merge == re-aggregate. Measured 2.6 -> ~1 s at sf0.1.
+    def bucket_arr(word_col):
+        h = F.md5(word_col)
+        return F.array(
+            *[_cms_bucket_col(h, r) for r in range(_CMS_DEPTH)]
+        )
+
+    wc = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt"))
     per_source = (
-        toks.crossJoin(F.broadcast(rws))
-        .select("source", "r", _cms_bucket_col(F.col("r"), F.col("word")))
+        wc.select(
+            "source", "cnt", F.posexplode(bucket_arr(F.col("word"))).alias("r", "bucket")
+        )
         .groupBy("source", "r", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("cnt").alias("cnt"))
     )
     counters = per_source.groupBy("r", "bucket").agg(
         F.sum("cnt").alias("cnt")
     )
     probes = spark.createDataFrame(
         [(w,) for w in _CMS_PROBES], ["word"]
-    ).crossJoin(rws).select(
-        "word", "r", _cms_bucket_col(F.col("r"), F.col("word"))
-    )
+    ).select("word", F.posexplode(bucket_arr(F.col("word"))).alias("r", "bucket"))
     est = (
         probes.join(F.broadcast(counters), ["r", "bucket"], "left")
         .groupBy("word")
