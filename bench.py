@@ -139,6 +139,8 @@ HEADLINE = [
     "macro_kg_report",
     "agg_bitmap_distinct",
     "join_null_safe",
+    "quality_line_filter",
+    "agg_argminmax",
 ]
 
 

@@ -1620,3 +1620,77 @@ def bpe_encode_py(texts_with_ids, rounds: int = BPE_ROUNDS):
             )
         )
     return rows
+
+
+_LINE_WORDS = 12  # pseudo-line width (the corpus has no newlines)
+_MIN_LINE_WORDS = 3
+
+
+@register(
+    "quality_line_filter",
+    # C4-style LINE-level quality gates re-aggregated to a doc decision.
+    # Lines are fixed 12-word chunks by token position (identical
+    # expression both engines; the corpus has no newline structure).
+    f"WITH toks AS (SELECT doc_id, CAST(generate_subscripts(words, 1) - 1 "
+    "AS INT) AS pos, unnest(words) AS word FROM "
+    "(SELECT doc_id, string_split(text, ' ') AS words FROM documents) t), "
+    f"lines AS (SELECT doc_id, pos // {_LINE_WORDS} AS line_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_words, "
+    "CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct, "
+    f"BOOL_OR(word IN ({_SW_SQL})) AS has_stop FROM toks "
+    "GROUP BY doc_id, line_id), "
+    f"gated AS (SELECT doc_id, n_words >= {_MIN_LINE_WORDS} AND has_stop "
+    "AND n_distinct * 2 >= n_words AS keep FROM lines) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+    "CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) "
+    "AS n_kept, "
+    "printf('%.6f', ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 "
+    "/ COUNT(*), 6)) AS kept_ratio, "
+    "SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 2 >= COUNT(*) AS keep_doc "
+    "FROM gated GROUP BY doc_id",
+)
+def quality_line_filter(spark, sf):
+    """C4-style line-level filtering (the granularity ``corpus_filter``'s
+    doc-level gates don't cover): chunk each doc into fixed-width
+    pseudo-lines, gate every line on the C4 heuristics that translate to
+    this corpus (minimum words, contains a stopword — C4's terminal-
+    punctuation stand-in for unpunctuated text — and a distinct-word
+    floor against boilerplate repetition), then roll the line verdicts
+    up to kept counts and a majority keep decision per doc.
+
+    Scale shape: one explode + ONE doc-keyed aggregation tree (the line
+    grain groups by (doc_id, line_id), the doc rollup reuses the doc_id
+    prefix of that exchange); no joins, no second pass over text. The
+    kept_ratio is ONE division ROUND-then-%.6f formatted (float rule)."""
+    d = _docs(spark, sf)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    lines = (
+        toks.withColumn("line_id", F.expr(f"pos div {_LINE_WORDS}"))
+        .groupBy("doc_id", "line_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.countDistinct("word").alias("n_distinct"),
+            F.max(F.array_contains(sw, F.col("word"))).alias("has_stop"),
+        )
+    )
+    gated = lines.select(
+        "doc_id",
+        (
+            (F.col("n_words") >= _MIN_LINE_WORDS)
+            & F.col("has_stop")
+            & (F.col("n_distinct") * 2 >= F.col("n_words"))
+        ).alias("keep"),
+    )
+    kept = F.sum(F.when(F.col("keep"), 1).otherwise(0))
+    return gated.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.coalesce(kept, F.lit(0)).cast("long").alias("n_kept"),
+        F.format_string(
+            "%.6f",
+            F.round(kept.cast("double") / F.count(F.lit(1)), 6),
+        ).alias("kept_ratio"),
+        (kept * 2 >= F.count(F.lit(1))).alias("keep_doc"),
+    )
