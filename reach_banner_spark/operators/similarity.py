@@ -425,7 +425,15 @@ def kmeans_assign_pandas(emb: pd.DataFrame, k: int = KMEANS_K,
 def ann_lsh_topk(spark, sf):
     e = _emb(spark, sf)
     dim = len(e.select("embedding").first()[0])
-    sigs = lsh_signatures(e, dim)
+    return lsh_query_topk(e, lsh_signatures(e, dim))
+
+
+def lsh_query_topk(e: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Answer the fixed query set over an LSH signature index — the
+    query-side half of ``ann_lsh_topk``, shared with ``stream_ann``
+    (which builds ``sigs`` incrementally at ingest): bucket equi-join
+    for candidates, exact cosine re-rank of candidates only, per-query
+    top-k under the (cos DESC, vec_id ASC) deterministic order."""
     qs = sigs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), "table_idx", "sig"
     )

@@ -619,6 +619,97 @@ def _staged_doc_stream_dir(sf: str, n_docs: int = 300, n_parts: int = 3) -> str:
     return d
 
 
+def _staged_emb_stream_dir(sf: str, n_parts: int = 3) -> str:
+    """embeddings.parquet split into ``n_parts`` vec_id-ranged files for
+    micro-batch streaming (content-fingerprinted /tmp cache, the
+    ``_staged_doc_stream_dir`` discipline)."""
+    import duckdb
+
+    src = f"{sf}/embeddings.parquet"
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"rbs_stream_emb_{_source_fingerprint(src)}_{n_parts}",
+    )
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        os.makedirs(d, exist_ok=True)
+        con = duckdb.connect()
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{src}')"
+        ).fetchone()[0]
+        step = (n + n_parts - 1) // n_parts
+        for i in range(n_parts):
+            lim = min(step, n - i * step)
+            if lim <= 0:
+                break
+            con.execute(
+                f"COPY (SELECT vec_id, embedding FROM read_parquet('{src}') "
+                f"ORDER BY vec_id LIMIT {lim} OFFSET {i * step}) "
+                f"TO '{d}/part-{i:03d}.parquet' (FORMAT PARQUET)"
+            )
+        open(os.path.join(d, "_DONE"), "w").write("ok")
+    _space_mtimes(d)
+    return d
+
+
+@register("stream_ann", None)  # pytest: == batch ann_lsh_topk
+def stream_ann(spark, sf):
+    """INGEST-TIME vector-index maintenance — the production shape of
+    ``ann_lsh_topk``: embeddings arriving in micro-batches are hashed
+    into the LSH signature index THE MOMENT THEY LAND (one
+    ``lsh_signatures`` pass over just the new vectors — the fixed
+    hyperplanes make per-vector signatures independent of every other
+    vector, so the index is APPEND-ONLY and incremental build == full
+    rebuild structurally), with the raw vectors appended beside it for
+    the re-rank path. After ingest, the fixed query set is answered by
+    the SHARED ``lsh_query_topk`` over the accumulated index — pinned
+    EXACTLY == the one-shot batch key by pytest.
+
+    This is the index half a vector database runs at 100 TB: per-batch
+    work is O(new vectors x tables), no rebuild, no global pass; the
+    query join touches candidate buckets only. Contrast ``ann_ivf_topk``,
+    whose trained coarse quantizer would drift under ingest (retraining
+    cadence is a policy knob) — the hyperplane family is the one that
+    stays exactly incremental."""
+    from ..operators.similarity import lsh_query_topk, lsh_signatures
+
+    d = _staged_emb_stream_dir(sf)
+    work = _op_work_dir("stream_ann", d)
+    sig_dir = os.path.join(work, "sig_index")
+    vec_dir = os.path.join(work, "vectors")
+    state = {"batches": 0, "dim": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        first = batch_df.select("embedding").first()
+        if first is None:  # empty trigger
+            return
+        if state["dim"] is None:
+            state["dim"] = len(first[0])
+        lsh_signatures(batch_df, state["dim"]).write.mode("append").parquet(
+            sig_dir
+        )
+        batch_df.select("vec_id", "embedding").write.mode("append").parquet(
+            vec_dir
+        )
+        state["batches"] += 1
+
+    emb_stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).option("maxFilesPerTrigger", 1).parquet(d)
+    q = (
+        emb_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["batches"] >= 1, "stream produced no batches"
+    # eager localCheckpoint: survive a later same-key invocation's
+    # work-dir sweep (see _run_incremental_turns; ADVICE r4)
+    return lsh_query_topk(
+        spark.read.parquet(vec_dir), spark.read.parquet(sig_dir)
+    ).localCheckpoint()
+
+
 @register("stream_dedup_minhash", None)  # pytest: == uncapped batch pairs
 def stream_dedup_minhash(spark, sf, min_jaccard: float = 0.9):
     """INGEST-TIME near-dup detection — the dedup every 100 TB pipeline

@@ -669,6 +669,33 @@ def test_stream_dau_equals_batch(spark):
     assert again.equals(got)
 
 
+def test_stream_ann_equals_batch(spark):
+    """stream_ann (LSH index built append-only across micro-batches,
+    queries answered over the accumulated index via the shared
+    lsh_query_topk) == one-shot ann_lsh_topk EXACTLY — per-vector
+    signatures are independent under fixed hyperplanes, so incremental
+    build == full rebuild. Re-run identical."""
+    from reach_banner_spark.operators.similarity import (
+        REGISTRY as SIM_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    def canon(df):
+        return (
+            df.toPandas()
+            .sort_values(["qid", "vec_id"])
+            .reset_index(drop=True)
+        )
+
+    got = canon(ops.REGISTRY["stream_ann"][0](spark, SF))
+    want = canon(SIM_REGISTRY["ann_lsh_topk"][0](spark, SF))
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+
+    again = canon(ops.REGISTRY["stream_ann"][0](spark, SF))
+    assert again.equals(got)
+
+
 def test_stream_scd2_equals_batch(spark):
     """stream_scd2 (closed intervals emitted append-only + final open
     intervals from state) == one-shot scd2_intervals EXACTLY over the
