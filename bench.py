@@ -141,6 +141,7 @@ HEADLINE = [
     "join_null_safe",
     "quality_line_filter",
     "agg_argminmax",
+    "emb_binarize",
 ]
 
 

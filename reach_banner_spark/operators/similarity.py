@@ -106,6 +106,110 @@ def ann_cosine_topk(spark, sf):
     )
 
 
+HAM_CAND = 50  # Hamming pre-rank candidates re-ranked exactly per query
+
+_BIN_W_SQL = (
+    "CAST(list_sum(list_transform(generate_series(0, 31), i -> "
+    "CASE WHEN embedding[i + {off}] > 0 THEN (CAST(1 AS BIGINT) << i) "
+    "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+)
+
+
+@register(
+    "emb_binarize",
+    # Sign-bit binarization + Hamming pre-rank + exact cosine re-rank,
+    # spelled with identical integer arithmetic on both engines (32-bit
+    # halves packed into BIGINTs; xor + popcount distance).
+    f"""WITH b AS (SELECT vec_id,
+      {_BIN_W_SQL.format(off=1)} AS w1,
+      {_BIN_W_SQL.format(off=33)} AS w2 FROM embeddings),
+    cand AS (SELECT qid, vec_id, ham FROM (
+      SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+        CAST(bit_count(xor(q.w1, e.w1)) + bit_count(xor(q.w2, e.w2))
+          AS BIGINT) AS ham,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY bit_count(xor(q.w1, e.w1)) + bit_count(xor(q.w2, e.w2)),
+          e.vec_id) AS rn
+      FROM b q JOIN b e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}) WHERE rn <= {HAM_CAND})
+    SELECT qid, vec_id, cos, ham FROM (
+      SELECT c.qid, c.vec_id, c.ham, ROUND({_COS_SQL}, 6) AS cos,
+        ROW_NUMBER() OVER (PARTITION BY c.qid
+          ORDER BY ROUND({_COS_SQL}, 6) DESC, c.vec_id) AS rn2
+      FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+      JOIN embeddings e ON e.vec_id = c.vec_id) WHERE rn2 <= {TOP_K}""",
+)
+def emb_binarize(spark, sf):
+    """Binary sign quantization — the 1-bit member of the compression
+    family (256-byte float vectors -> 8 bytes; PQ16x8 is the 16-byte
+    member): pack each dimension's sign into two 32-bit words, pre-rank
+    by Hamming distance (xor + popcount, pure integer codegen — the cheap
+    pass a binarized index runs over EVERY vector), then exact-cosine
+    re-rank only the ``HAM_CAND`` survivors. The same
+    cheap-scan-then-exact-re-rank economics as ``emb_pq``'s ADC, at 2x
+    less memory and a far simpler distance kernel; sign bits are also
+    exactly the hyperplane-LSH signature family with axis-aligned planes,
+    so the key doubles as the quantized complement of ``ann_lsh_topk``.
+
+    Everything is deterministic integer algebra until the final rounded
+    cosine, so the key carries a full same-value oracle (unlike the
+    recall-tested ANN keys). Scale shape: the codes table is 16 B/row;
+    the 5-query broadcast pre-rank touches codes only; float vectors are
+    read for |queries| x HAM_CAND rows."""
+    e = _emb(spark, sf)
+
+    def pack(off: int):
+        return F.expr(
+            f"aggregate(transform(slice(embedding, {off}, 32), (x, i) -> "
+            f"IF(x > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+            f"CAST(0 AS BIGINT), (a, b) -> a + b)"
+        )
+
+    codes = e.select(
+        "vec_id", pack(1).alias("w1"), pack(33).alias("w2")
+    )
+    qc = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
+    )
+    ham = (
+        F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+        + F.bit_count(F.col("qw2").bitwiseXOR(F.col("w2")))
+    ).cast("long")
+    pre = (
+        F.broadcast(qc)
+        .crossJoin(codes)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", ham.alias("ham"))
+    )
+    wh = Window.partitionBy("qid").orderBy(F.asc("ham"), F.asc("vec_id"))
+    cand = (
+        pre.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") <= HAM_CAND)
+        .select("qid", "vec_id", "ham")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(_cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos"),
+            "ham",
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn2", F.row_number().over(w))
+        .filter(F.col("rn2") <= TOP_K)
+        .select("qid", "vec_id", "cos", "ham")
+    )
+
+
 # -------------------------------------------------------------- LSH path ----
 
 N_PLANES = 8   # bits per signature
