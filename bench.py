@@ -142,6 +142,8 @@ HEADLINE = [
     "quality_line_filter",
     "agg_argminmax",
     "emb_binarize",
+    "fn_struct",
+    "fn_try",
 ]
 
 

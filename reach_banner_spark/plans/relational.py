@@ -1200,6 +1200,78 @@ def fn_url(spark, sf):
 
 
 @register(
+    "fn_struct",
+    # Struct family: pack, nested access, struct-returning expressions.
+    # The driver hash stringifies values and engines format structs
+    # differently, so outputs are the UNPACKED fields — the struct lives
+    # inside the expression tree (pack -> compare -> unpack), which is
+    # what the family actually has to prove.
+    # DuckDB's least() has no STRUCT overload, so the struct-min is a
+    # CASE over the struct '<' comparison (same lexicographic order).
+    "SELECT o_orderkey, "
+    "CAST(greatest(struct_extract(s, 'p'), 500000.0) AS DOUBLE) AS p_floor, "
+    "struct_extract(s, 'k') AS k_out, "
+    "struct_extract(CASE WHEN s < {'p': CAST(100000.0 AS DOUBLE), "
+    "'k': CAST(0 AS BIGINT)} THEN s ELSE {'p': CAST(100000.0 AS DOUBLE), "
+    "'k': CAST(0 AS BIGINT)} END, 'p') "
+    "AS p_cap FROM (SELECT o_orderkey, "
+    "{'p': o_totalprice, 'k': o_orderkey} AS s FROM orders) t",
+)
+def fn_struct(spark, sf):
+    """Struct expression family — named_struct construction, field
+    extraction, and struct-valued comparisons (greatest/least compare
+    lexicographically field-by-field, the same ordering
+    ``agg_argminmax`` exploits inside aggregates). Zero shuffles; the
+    nested type exists only inside the projection, proving construction
+    and access compose without ever materializing a nested column in
+    the output (the engines' struct FORMATTING differs; their struct
+    SEMANTICS must not)."""
+    o = _t(spark, sf, "orders")
+    s = F.struct(
+        F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+    )
+    cap = F.struct(
+        F.lit(100000.0).alias("p"), F.lit(0).cast("long").alias("k")
+    )
+    return o.select(
+        "o_orderkey",
+        F.greatest(s.getField("p"), F.lit(500000.0)).alias("p_floor"),
+        s.getField("k").alias("k_out"),
+        F.least(s, cap).getField("p").alias("p_cap"),
+    )
+
+
+@register(
+    "fn_try",
+    # Error-safe function family: TRY_ semantics yield NULL instead of
+    # runtime failure. DuckDB has no try_divide — NULLIF spells the same
+    # zero-guard; try_cast exists on both.
+    "SELECT o_orderkey, "
+    "o_totalprice / NULLIF(o_orderkey % 10, 0) AS safe_div, "
+    "TRY_CAST(o_orderpriority AS BIGINT) AS bad_cast, "
+    "TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_num "
+    "FROM orders",
+)
+def fn_try(spark, sf):
+    """Error-safe expression family (``try_divide`` / ``try_cast``) —
+    the ANSI-mode survival kit: malformed input produces NULL rows
+    instead of failing a 10^12-row job at task 999,997 of a million (the
+    operational reason TRY_ variants exist). Division by zero and an
+    unparseable cast both degrade to NULL identically on both engines;
+    the parseable prefix cast proves TRY doesn't blunt correct inputs.
+    Zero shuffles, whole-stage codegen."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), F.col("o_orderkey") % 10
+        ).alias("safe_div"),
+        F.col("o_orderpriority").try_cast("long").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("long").alias("prio_num"),
+    )
+
+
+@register(
     "pivot",
     "SELECT l_returnflag, "
     "CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS st_O, "
