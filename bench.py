@@ -144,6 +144,15 @@ HEADLINE = [
     "emb_binarize",
     "fn_struct",
     "fn_try",
+    # r5h additions (ninth r5 session) — conditional/codec expression
+    # families, exact histogram, streaks, RFM, URL dedup (subtract this
+    # group too for earlier-round-comparable subtotals)
+    "fn_conditional",
+    "fn_encode",
+    "agg_histogram",
+    "events_streaks",
+    "events_rfm",
+    "dedup_url",
 ]
 
 

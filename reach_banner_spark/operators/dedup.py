@@ -517,3 +517,86 @@ def dedup_cluster(spark, sf, small_pair_cutoff: int = 1_000_000):
     return comp.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("canonical_id")
     )
+
+
+# -------------------------------------------------------------- URL dedup ----
+# The corpus carries no URL column, so (pii_scrub precedent) a raw URL is
+# synthesized per document by the SAME deterministic expression on both
+# engines: scheme/host-case/default-port/www-prefix/utm-param/fragment
+# variations that a crawler actually sees, arranged so canonicalization
+# collapses deterministic groups of docs onto one canonical URL.
+_URL_RAW_SQL = (
+    "'HTTPS://' || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' || CAST(doc_id % 5 AS STRING)"
+    " || '.COM' "
+    "WHEN doc_id % 3 = 1 THEN 'site' || CAST(doc_id % 5 AS STRING) || '.com' "
+    "ELSE 'Site' || CAST(doc_id % 5 AS STRING) || '.com:443' END || "
+    "'/p/' || CAST(doc_id % 40 AS STRING) || "
+    "CASE WHEN doc_id % 4 = 0 THEN '?utm_source=tw&ref=' "
+    "  || CAST(doc_id % 3 AS STRING) "
+    "WHEN doc_id % 4 = 1 THEN '?ref=' || CAST(doc_id % 3 AS STRING) "
+    "WHEN doc_id % 4 = 2 THEN '?ref=' || CAST(doc_id % 3 AS STRING)"
+    " || '&utm_campaign=x' "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END"
+)
+
+# canonicalization pipeline: (pattern, replacement), applied IN ORDER.
+# RE2-safe (no lookaround) so DuckDB and the JVM compile identical
+# semantics; DuckDB needs the explicit 'g' flag to match Spark's
+# replace-all default.
+_URL_CANON_STEPS = [
+    (r"#.*$", ""),                       # strip fragment
+    (r":443/", "/"),                     # strip default https port
+    (r"^https://www\.", "https://"),     # strip www. prefix
+    (r"&utm_[a-z]+=[^&]*", ""),          # utm param in non-leading position
+    (r"\?utm_[a-z]+=[^&]*&", "?"),       # leading utm followed by others
+    (r"\?utm_[a-z]+=[^&]*$", ""),        # query that was ONLY utm params
+]
+
+
+def _url_canon_sql() -> str:
+    expr = f"lower({_URL_RAW_SQL})"
+    for pat, rep in _URL_CANON_STEPS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return expr
+
+
+def _url_canon_col():
+    raw = F.expr(_URL_RAW_SQL)
+    c = F.lower(raw)
+    for pat, rep in _URL_CANON_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+@register(
+    "dedup_url",
+    f"SELECT {_url_canon_sql()} AS canonical_url, "
+    "CAST(MIN(doc_id) AS BIGINT) AS keeper, "
+    "CAST(COUNT(*) AS BIGINT) AS n_dups "
+    "FROM documents GROUP BY 1",
+)
+def dedup_url(spark, sf):
+    """URL-canonicalization dedup — the crawl-frontier companion to
+    content dedup: case-fold, strip fragments, default ports, the
+    ``www.`` prefix and ``utm_*`` tracking parameters (in that fixed
+    order — canonicalization is only deterministic if both engines apply
+    the SAME rewrite sequence, which lives once in ``_URL_CANON_STEPS``),
+    then keep the minimum doc_id per canonical URL. Each rewrite is an
+    RE2-safe regex (no lookaround), so the Java and RE2 engines agree.
+
+    Scale shape: identical to ``dedup_exact`` — a pure projection chain
+    inside whole-stage codegen followed by ONE hash aggregation on the
+    canonical URL (map-side combinable). No joins, no windows; this is
+    the cheapest dedup on the surface and the first one a web-scale
+    ingest runs (before any content hashing)."""
+    d = _docs(spark, sf)
+    return (
+        d.select(_url_canon_col().alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )

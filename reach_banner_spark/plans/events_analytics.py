@@ -576,3 +576,134 @@ def calendar_densify(spark, sf):
             F.coalesce("was_active", F.lit(False)).alias("was_active"),
         )
     )
+
+
+# ------------------------------------------------------------- streaks ----
+
+@register(
+    "events_streaks",
+    # Gaps-and-islands: consecutive-active-day streaks per user via the
+    # classic day - row_number() island key (all date/int arithmetic —
+    # exact on both engines).
+    "WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+    " FROM events), "
+    "r AS (SELECT user_id, day, ROW_NUMBER() OVER ("
+    " PARTITION BY user_id ORDER BY day) AS rn FROM du), "
+    "s AS (SELECT user_id, COUNT(*) AS len FROM ("
+    " SELECT user_id, day - CAST(rn AS INT) AS grp FROM r) g "
+    " GROUP BY user_id, grp) "
+    "SELECT user_id, CAST(MAX(len) AS BIGINT) AS best_streak, "
+    "CAST(COUNT(*) AS BIGINT) AS n_streaks, "
+    "CAST(SUM(len) AS BIGINT) AS active_days "
+    "FROM s GROUP BY user_id",
+)
+def events_streaks(spark, sf):
+    """Consecutive-day activity streaks per user — the gaps-and-islands
+    window pattern (engagement streaks, uptime runs, sensor dropouts all
+    reduce to it). An island is identified by ``day - row_number()``
+    being constant: subtracting the per-user day rank from the calendar
+    day collapses each consecutive run to one key, with no self-join and
+    no iteration.
+
+    Scale shape: dedup to the (user, day) grain first (the corpus-scale
+    pass), then ONE user-keyed window and two user-keyed aggregations
+    that all reuse the same hash partitioning — a single exchange of
+    calendar-bounded rows regardless of raw event volume."""
+    e = _events(spark, sf)
+    du = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = du.select(
+        "user_id",
+        F.date_sub("day", F.row_number().over(w)).alias("grp"),
+    )
+    s = g.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return s.groupBy("user_id").agg(
+        F.max("len").alias("best_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+# ----------------------------------------------------------------- RFM ----
+
+@register(
+    "events_rfm",
+    # RFM segmentation: recency (days since last event vs the corpus max
+    # day — exact int), frequency (count), monetary (exact integer cents
+    # via DECIMAL(12,2) * 100). Quartiles are NTILE(4) under TOTAL orders
+    # (user_id tie-break), so the assignment is deterministic; R orders
+    # ascending (recent = best), F/M descending (high = best).
+    "WITH m AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events), "
+    "u AS (SELECT user_id, "
+    " DATEDIFF('day', MAX(CAST(ts AS DATE)), (SELECT maxd FROM m)) "
+    "  AS recency_days, "
+    " CAST(COUNT(*) AS BIGINT) AS freq, "
+    " CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) "
+    "  AS BIGINT) AS monetary_cents "
+    " FROM events GROUP BY user_id) "
+    "SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, freq, "
+    "monetary_cents, "
+    "CAST(NTILE(4) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_q, "
+    "CAST(NTILE(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f_q, "
+    "CAST(NTILE(4) OVER (ORDER BY monetary_cents DESC, user_id) AS BIGINT)"
+    " AS m_q, "
+    "'R' || CAST(NTILE(4) OVER (ORDER BY recency_days, user_id) AS VARCHAR)"
+    " || 'F' || CAST(NTILE(4) OVER (ORDER BY freq DESC, user_id) AS VARCHAR)"
+    " || 'M' || CAST(NTILE(4) OVER (ORDER BY monetary_cents DESC, user_id)"
+    "  AS VARCHAR) AS segment "
+    "FROM u",
+)
+def events_rfm(spark, sf):
+    """RFM (recency / frequency / monetary) segmentation — the canonical
+    customer-scoring rollup. Every metric is exact: recency is an integer
+    day difference against the corpus's max day, frequency a count, and
+    monetary an integer-cents sum (value -> DECIMAL(12,2) -> cents, so
+    no float accumulation order can leak in). Quartile scores are
+    NTILE(4) under total orders (user_id tie-break — the win_ntile
+    determinism rule), composed into the 'R?F?M?' segment label.
+
+    Scale shape: one user-keyed aggregation over the fact table (map-side
+    combinable, state per user is three scalars), a broadcast 1-row max
+    day (mix_weights precedent), then three NTILE windows over the
+    USER-sized table. Those windows are unpartitioned by construction —
+    quantile ranks are global statements — so at 100 TB this key's fact
+    scan stays fully parallel and only the user-grain profile (orders of
+    magnitude smaller) funnels through the rank step; a production
+    variant swaps NTILE for approx-percentile cutoffs joined back when
+    even the user table outgrows one partition."""
+    e = _events(spark, sf)
+    maxd = e.agg(F.max(F.to_date("ts")).alias("maxd"))
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+            ).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "user_id",
+            F.datediff("maxd", "last_day").cast("long").alias("recency_days"),
+            "freq",
+            "monetary_cents",
+        )
+    )
+    rq = F.ntile(4).over(Window.orderBy("recency_days", "user_id"))
+    fq = F.ntile(4).over(Window.orderBy(F.desc("freq"), "user_id"))
+    mq = F.ntile(4).over(Window.orderBy(F.desc("monetary_cents"), "user_id"))
+    return u.select(
+        "user_id",
+        "recency_days",
+        "freq",
+        "monetary_cents",
+        rq.cast("long").alias("r_q"),
+        fq.cast("long").alias("f_q"),
+        mq.cast("long").alias("m_q"),
+        F.concat(
+            F.lit("R"), rq.cast("string"),
+            F.lit("F"), fq.cast("string"),
+            F.lit("M"), mq.cast("string"),
+        ).alias("segment"),
+    )

@@ -1868,3 +1868,132 @@ def fn_map(spark, sf):
         "event_id",
         F.explode(m).alias("key", "val"),
     )
+
+
+@register(
+    "fn_conditional",
+    # Conditional expression family: CASE, COALESCE, NULLIF, LEAST,
+    # GREATEST, IF, and the NVL2 shape (DuckDB has no nvl2, so the oracle
+    # spells the equivalent CASE — semantics, not surface, are the
+    # contract). All-integer algebra, bit-exact on both engines.
+    "WITH q AS (SELECT l_orderkey, l_linenumber, "
+    " CAST(l_quantity AS BIGINT) AS qty FROM lineitem) "
+    "SELECT l_orderkey, l_linenumber, "
+    "CASE WHEN qty >= 30 THEN 'bulk' WHEN qty >= 10 THEN 'mid' "
+    " ELSE 'small' END AS band, "
+    "CAST(COALESCE(NULLIF(qty % 5, 0), -1) AS BIGINT) AS mod5_nz, "
+    "CAST(LEAST(qty, 25) AS BIGINT) AS capped, "
+    "CAST(GREATEST(qty, 5) AS BIGINT) AS floored, "
+    "CASE WHEN NULLIF(qty % 7, 0) IS NOT NULL THEN 'nz' ELSE 'z' END "
+    " AS nvl2_tag, "
+    "IF(qty % 2 = 0, 'even', 'odd') AS parity "
+    "FROM q",
+)
+def fn_conditional(spark, sf):
+    """Conditional / null-handling expression family — CASE chains,
+    COALESCE, NULLIF, LEAST/GREATEST, IF, NVL2. The whole family folds
+    into whole-stage codegen (zero shuffles, zero Python); NULLIF and
+    NVL2 are exercised through a value that is genuinely NULL on a
+    deterministic subset of rows so the null paths execute, not just
+    parse. All-integer inputs keep both engines bit-exact."""
+    q = _t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    mod5 = F.nullif(F.col("qty") % 5, F.lit(0))
+    return q.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("qty") >= 30, "bulk")
+        .when(F.col("qty") >= 10, "mid")
+        .otherwise("small")
+        .alias("band"),
+        F.coalesce(mod5, F.lit(-1)).cast("long").alias("mod5_nz"),
+        F.least(F.col("qty"), F.lit(25)).cast("long").alias("capped"),
+        F.greatest(F.col("qty"), F.lit(5)).cast("long").alias("floored"),
+        F.expr("nvl2(nullif(qty % 7, 0), 'nz', 'z')").alias("nvl2_tag"),
+        F.expr("if(qty % 2 = 0, 'even', 'odd')").alias("parity"),
+    )
+
+
+@register(
+    "fn_encode",
+    # Binary codec family: hex (uppercase both engines), base64 (RFC 4648,
+    # unchunked both engines), MD5 / SHA-256 (lowercase hex digests), and
+    # byte length. DuckDB's base64/length work on BLOB, hence encode().
+    "SELECT p_partkey, "
+    "hex(p_name) AS hx, "
+    "base64(encode(p_name)) AS b64, "
+    "md5(p_name) AS h_md5, "
+    "sha256(p_name) AS h_sha256, "
+    "CAST(octet_length(encode(p_name)) AS BIGINT) AS n_bytes "
+    "FROM part",
+)
+def fn_encode(spark, sf):
+    """Binary encode/digest function family — hex, base64, MD5, SHA-256,
+    octet length. These are the building blocks every deterministic
+    sampling / sharding / fingerprinting key on this surface leans on
+    (sample_hash, shuffle_shard, doc_fingerprint), pinned here as a
+    family of their own: output case and chunking conventions agree
+    across engines (uppercase hex, unchunked RFC 4648 base64, lowercase
+    hex digests — probed, not assumed). Pure projection inside
+    whole-stage codegen; cost is linear in scanned bytes."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.hex("p_name").alias("hx"),
+        F.base64(F.col("p_name").cast("binary")).alias("b64"),
+        F.md5("p_name").alias("h_md5"),
+        F.sha2("p_name", 256).alias("h_sha256"),
+        F.octet_length("p_name").cast("long").alias("n_bytes"),
+    )
+
+
+@register(
+    "agg_histogram",
+    # Fixed-width histogram with cumulative counts. The bin key is exact
+    # integer arithmetic end-to-end: price -> DECIMAL(18,2) -> integer
+    # cents -> integer division by the $10k bin width, so no float ever
+    # decides a bin boundary on either engine.
+    "WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 "
+    " AS BIGINT) AS cents FROM lineitem), "
+    "b AS (SELECT cents // 1000000 AS bin, CAST(COUNT(*) AS BIGINT) AS n, "
+    " CAST(MIN(cents) AS BIGINT) AS min_cents, "
+    " CAST(MAX(cents) AS BIGINT) AS max_cents "
+    " FROM c GROUP BY 1) "
+    "SELECT CAST(bin AS BIGINT) AS bin, "
+    "CAST(bin * 1000000 AS BIGINT) AS lo_cents, n, min_cents, max_cents, "
+    "CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cum_n "
+    "FROM b",
+)
+def agg_histogram(spark, sf):
+    """Fixed-width histogram of extended price in $10k bins with a
+    cumulative-count column — the profiling aggregate every engine's
+    ``summarize``/``describe`` path runs. Binning is exact-integer
+    (decimal cents, integer division), so bin membership can never
+    diverge across engines on a boundary value.
+
+    Scale shape: one (map-side combinable) aggregation keyed on the bin,
+    then a running sum over the BIN table — the only unpartitioned
+    window in the plan sits over a dimension-sized input (number of
+    bins), never over facts."""
+    c = _t(spark, sf, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    b = c.groupBy(F.expr("cents div 1000000").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return b.select(
+        F.col("bin").cast("long").alias("bin"),
+        (F.col("bin") * 1000000).cast("long").alias("lo_cents"),
+        "n",
+        "min_cents",
+        "max_cents",
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+    )
