@@ -153,6 +153,11 @@ HEADLINE = [
     "events_streaks",
     "events_rfm",
     "dedup_url",
+    "sketch_bloom",
+    "corpus_length_dist",
+    "mix_sample",
+    "events_journey_paths",
+    "kg_diameter",
 ]
 
 

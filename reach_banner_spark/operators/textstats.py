@@ -1694,3 +1694,108 @@ def quality_line_filter(spark, sf):
         ).alias("kept_ratio"),
         (kept * 2 >= F.count(F.lit(1))).alias("keep_doc"),
     )
+
+
+# --- Corpus length distribution --------------------------------------------
+
+@register(
+    "corpus_length_dist",
+    # Log2 length histogram. The bucket is the bit-length of n_chars
+    # (floor(log2) + 1) computed by string length of the base-2 rendering
+    # — pure integer/string ops, no float log whose rounding could flip a
+    # power-of-two boundary value between engines.
+    "WITH b AS (SELECT LENGTH(printf('%b', n_chars)) AS bucket, n_chars "
+    " FROM documents) "
+    "SELECT CAST(bucket AS BIGINT) AS bucket, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(MIN(n_chars) AS BIGINT) AS min_chars, "
+    "CAST(MAX(n_chars) AS BIGINT) AS max_chars "
+    "FROM b GROUP BY bucket",
+)
+def corpus_length_dist(spark, sf):
+    """Document-length distribution in log2 buckets — the first profile a
+    corpus curation pass prints (truncation candidates live in the top
+    buckets, boilerplate in the bottom ones). The bucket key is the BIT
+    LENGTH of n_chars (via base-2 string rendering), so a doc of exactly
+    2^k chars can never land in different buckets on different engines
+    the way floor(log2(x)) could under libm rounding.
+
+    Scale shape: one map-side-combinable aggregation on a ~60-value key;
+    reads only the n_chars column (pruned scan)."""
+    d = _docs(spark, sf)
+    return (
+        d.select(
+            F.length(F.conv(F.col("n_chars"), 10, 2)).cast("long").alias("bucket"),
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+# --- Domain-mixture sampling ------------------------------------------------
+
+_MIX_TARGET = 500  # total docs in the mixed sample
+
+
+@register(
+    "mix_sample",
+    # Materialize the mix_weights table: per-source quotas allocated
+    # proportionally to word share by EXACT integer arithmetic
+    # (n_words * target // total_words — no float weight ever rounds a
+    # quota), filled by deterministic MD5 order within each source.
+    "WITH s AS (SELECT source, SUM(LEN(string_split(text, ' '))) AS n_words "
+    " FROM documents GROUP BY source), "
+    "q AS (SELECT source, CAST((n_words * "
+    f"{_MIX_TARGET}) // (SELECT SUM(n_words) FROM s) AS BIGINT) AS quota "
+    " FROM s), "
+    "r AS (SELECT doc_id, source, ROW_NUMBER() OVER ("
+    " PARTITION BY source ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk "
+    " FROM documents) "
+    "SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS pick_rank, q.quota "
+    "FROM r JOIN q USING (source) WHERE r.rk <= q.quota",
+)
+def mix_sample(spark, sf):
+    """Materialize a domain mixture: downsample the corpus so each source
+    contributes docs in proportion to its word share (the consumption
+    half of ``mix_weights`` — DoReMi-style weights turned into an actual
+    training subset). Quotas are EXACT integer arithmetic
+    (words × target // total), membership is the first ``quota`` docs per
+    source under MD5 order — deterministic, stable under reruns, and
+    unbiased w.r.t. doc content (the sample_hash discipline applied
+    per-stratum, same shape as sample_stratified but with data-derived
+    quotas instead of a fixed per-source cap).
+
+    Scale shape: one source-keyed aggregation for the quota table
+    (source-dimension-sized, broadcast back), one source-keyed window
+    for the rank — a single fact exchange; the rank filter drops
+    everything beyond the quota before any further stage."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf)
+    s = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_words")
+    )
+    tot = s.agg(F.sum("n_words").alias("total_words"))
+    q = (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr(f"(n_words * {_MIX_TARGET}) div total_words")
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = d.select(
+        "doc_id", "source", F.row_number().over(w).cast("long").alias("pick_rank")
+    )
+    return r.join(F.broadcast(q), "source").where(
+        F.col("pick_rank") <= F.col("quota")
+    ).select("doc_id", "source", "pick_rank", "quota")

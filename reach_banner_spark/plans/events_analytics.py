@@ -707,3 +707,40 @@ def events_rfm(spark, sf):
             F.lit("M"), mq.cast("string"),
         ).alias("segment"),
     )
+
+
+# ------------------------------------------------------------- journeys ----
+
+@register(
+    "events_journey_paths",
+    # Top-20 length-3 event-type journeys across all user timelines —
+    # consecutive trigrams under the total (ts, event_id) per-user order,
+    # selected by the deterministic (count DESC, path) total order.
+    "WITH s AS (SELECT event_type AS e1, "
+    " LEAD(event_type, 1) OVER w AS e2, LEAD(event_type, 2) OVER w AS e3 "
+    " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "c AS (SELECT e1 || '>' || e2 || '>' || e3 AS path, "
+    " CAST(COUNT(*) AS BIGINT) AS n FROM s WHERE e3 IS NOT NULL GROUP BY 1) "
+    "SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20",
+)
+def events_journey_paths(spark, sf):
+    """Top user journeys: the most frequent length-3 consecutive
+    event-type paths (the product-analytics 'paths' report; also the
+    order-3 generalization of ``event_transitions``' Markov edges).
+
+    Scale shape: trigram derivation is two LEADs over the SAME user-keyed
+    window (one exchange, shared sort); the count table is bounded by
+    event-type³ (dimension-sized), and the top-20 is
+    TakeOrderedAndProject under a total (n DESC, path) order — no global
+    sort of anything fact-scale."""
+    e = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    c = s.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return c.orderBy(F.desc("n"), "path").limit(20)

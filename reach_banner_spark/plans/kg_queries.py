@@ -2314,3 +2314,124 @@ def sort_within_partitions(spark, sf):
 @register("limit", "SELECT doc_id FROM documents ORDER BY doc_id LIMIT 10")
 def limit_q(spark, sf):
     return _docs(spark, sf).select("doc_id").orderBy("doc_id").limit(10)
+
+
+@register(
+    "kg_diameter",
+    # All-pairs BFS per conversation (the oracle recursion seeds EVERY
+    # node as its own source — the multi-source generalization of
+    # kg_reach's single-seed CTE) over the STRONG-EDGE backbone: only
+    # pairs whose co-occurrence support is strictly above the
+    # conversation's own mean (exact integer cross-multiplication —
+    # n * n_edges > total — so the cut is scale-invariant and no float
+    # ever decides an edge). The raw graph is near-complete (diameter 1
+    # everywhere); the confidence-thresholded backbone is both the graph
+    # a production KG keeps and the one whose geometry is informative.
+    # avg_dist is ONE division of exact integers, then ROUND/%.6f.
+    f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), "
+    "p AS (SELECT conv_id, LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b, "
+    " COUNT(*) AS n FROM t GROUP BY 1, 2, 3), "
+    "st AS (SELECT conv_id, SUM(n) AS tot, COUNT(*) AS ne FROM p GROUP BY 1), "
+    "sp0 AS (SELECT p.conv_id, a, b FROM p JOIN st USING (conv_id) "
+    " WHERE p.n * st.ne > st.tot), "
+    "e AS (SELECT conv_id, a AS s, b AS o FROM sp0 "
+    " UNION SELECT conv_id, b, a FROM sp0), "
+    "nodes AS (SELECT DISTINCT conv_id, s AS node FROM e), "
+    "r(conv_id, src, node, d) AS ("
+    " SELECT conv_id, node, node, 0 FROM nodes "
+    " UNION "
+    " SELECT e.conv_id, r.src, e.o, r.d + 1 FROM r JOIN e "
+    f"  ON e.conv_id = r.conv_id AND e.s = r.node WHERE r.d < {_REACH_MAX_HOPS}), "
+    "sp AS (SELECT conv_id, src, node, MIN(d) AS d FROM r GROUP BY 1, 2, 3) "
+    "SELECT conv_id, "
+    "CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes, "
+    "CAST(MAX(d) AS INT) AS diameter, "
+    "CAST(SUM(CASE WHEN src <> node THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs, "
+    "printf('%.6f', ROUND("
+    " CAST(SUM(CASE WHEN src <> node THEN d ELSE 0 END) AS DOUBLE) "
+    " / SUM(CASE WHEN src <> node THEN 1 ELSE 0 END), 6)) AS avg_dist "
+    "FROM sp GROUP BY conv_id",
+)
+def kg_diameter(spark, sf):
+    """Per-conversation graph diameter, reachable-pair count, and mean
+    shortest-path length over the undirected entity graph — the
+    connectivity health profile (is this conversation's knowledge one
+    tight cluster or a long chain?). Computed as ALL-PAIRS BFS: the same
+    frontier iteration as ``kg_reach`` but with a (src, node) composite
+    state, i.e. every node is simultaneously a BFS source. The graph is
+    the strong-edge backbone: undirected pairs whose triple support is
+    strictly above their conversation's mean support (the
+    confidence-threshold cut a production KG applies before exposing
+    structure; the raw co-occurrence graph here is near-complete and its
+    geometry says nothing). The cut compares n * n_edges > total — exact
+    integers, scale-invariant across corpus sizes.
+
+    Scale shape: the state table is bounded by conversations × entity
+    domain² (the kg_two_hop bound — the dictionary caps it, never turn
+    volume), iterations are FIXED at ``_REACH_MAX_HOPS`` so there are
+    zero in-loop driver barriers, ``localCheckpoint`` cuts lineage per
+    round, and every join keys conv_id-first on the one co-partitioning.
+    Any conversation with an edge has ≥ 2 distinct nodes, so n_pairs ≥ 2
+    and the avg_dist division can never see a zero denominator."""
+    t = _triples_table(spark, sf)
+    pairs = t.groupBy(
+        "conv_id",
+        F.least("subj", "obj").alias("a"),
+        F.greatest("subj", "obj").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    st = pairs.groupBy("conv_id").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("ne")
+    )
+    strong = pairs.join(st, "conv_id").where(
+        F.col("n") * F.col("ne") > F.col("tot")
+    )
+    e = strong.select(
+        "conv_id", F.col("a").alias("s"), F.col("b").alias("o")
+    ).union(
+        strong.select("conv_id", F.col("b").alias("s"), F.col("a").alias("o"))
+    ).distinct()
+    nodes = e.select("conv_id", F.col("s").alias("node")).distinct()
+    dist = (
+        nodes.select("conv_id", F.col("node").alias("src"), "node")
+        .withColumn("d", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for d in range(1, _REACH_MAX_HOPS + 1):
+        fr = frontier.select(
+            F.col("conv_id").alias("f_conv"),
+            F.col("src").alias("f_src"),
+            F.col("node").alias("f_node"),
+        )
+        reached = fr.join(
+            e,
+            (F.col("f_conv") == F.col("conv_id"))
+            & (F.col("f_node") == F.col("s")),
+        ).select(
+            "conv_id", F.col("f_src").alias("src"), F.col("o").alias("node")
+        )
+        fresh = (
+            reached.distinct()
+            .join(
+                dist.select("conv_id", "src", "node"),
+                ["conv_id", "src", "node"],
+                "left_anti",
+            )
+            .withColumn("d", F.lit(d))
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(fresh)
+        frontier = fresh
+    off_diag = F.when(F.col("src") != F.col("node"), F.lit(1)).otherwise(F.lit(0))
+    off_d = F.when(F.col("src") != F.col("node"), F.col("d")).otherwise(F.lit(0))
+    return dist.groupBy("conv_id").agg(
+        F.countDistinct("src").alias("n_nodes"),
+        F.max("d").cast("int").alias("diameter"),
+        F.sum(off_diag).alias("n_pairs"),
+        F.format_string(
+            "%.6f",
+            F.round(
+                F.sum(off_d).cast("double") / F.sum(off_diag), 6
+            ),
+        ).alias("avg_dist"),
+    )

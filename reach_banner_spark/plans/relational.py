@@ -1997,3 +1997,111 @@ def agg_histogram(spark, sf):
         "max_cents",
         F.sum("n").over(w).cast("long").alias("cum_n"),
     )
+
+
+# --- Bloom filter ----------------------------------------------------------
+# m = 4096 bits (3 md5-hex chars per slice), k = 4 hash functions — all four
+# positions are slices of ONE md5, the sketch_cms hashing discipline. The
+# member set is intentionally sparse (every 10th urgent customer) so the
+# filter stays far from saturation at the test SFs; m is a fixed sketch
+# parameter (the point of a Bloom filter: membership state is m bits
+# regardless of key cardinality — resize m, not the plan, as n grows).
+_BLOOM_K = 4
+_BLOOM_M = 4096
+
+
+def _bloom_pos_col(h, r: int):
+    """Bit position of slice ``r`` (python int) of an md5-hex column."""
+    c1 = F.instr(F.lit(_CMS_HEX), F.substring(h, 3 * r + 1, 1)) - 1
+    c2 = F.instr(F.lit(_CMS_HEX), F.substring(h, 3 * r + 2, 1)) - 1
+    c3 = F.instr(F.lit(_CMS_HEX), F.substring(h, 3 * r + 3, 1)) - 1
+    return ((c1 * 16 + c2) * 16 + c3) % _BLOOM_M
+
+
+def _bloom_pos_sql(r: int, key_expr: str) -> str:
+    h = f"md5({key_expr})"
+    return (
+        f"((((instr('{_CMS_HEX}', substr({h}, {3 * r + 1}, 1)) - 1) * 16 + "
+        f"instr('{_CMS_HEX}', substr({h}, {3 * r + 2}, 1)) - 1) * 16 + "
+        f"instr('{_CMS_HEX}', substr({h}, {3 * r + 3}, 1)) - 1) "
+        f"% {_BLOOM_M})"
+    )
+
+
+@register(
+    "sketch_bloom",
+    # Same-value oracle: the filter is deterministic given the hash
+    # family, so DuckDB rebuilds the exact bit set and every per-customer
+    # hit/miss — including which non-members false-positive.
+    "WITH mem AS (SELECT DISTINCT o_custkey AS k FROM orders "
+    " WHERE o_orderpriority = '1-URGENT' AND o_custkey % 10 = 0), "
+    "bits AS (SELECT DISTINCT pos FROM (SELECT unnest(["
+    + ", ".join(_bloom_pos_sql(r, "CAST(k AS STRING)") for r in range(_BLOOM_K))
+    + "]) AS pos FROM mem)), "
+    "p AS (SELECT c_custkey, "
+    + ", ".join(
+        f"{_bloom_pos_sql(r, 'CAST(c_custkey AS STRING)')} AS p{r}"
+        for r in range(_BLOOM_K)
+    )
+    + " FROM customer), "
+    "f AS (SELECT c_custkey, "
+    + " AND ".join(f"(p{r} IN (SELECT pos FROM bits))" for r in range(_BLOOM_K))
+    + " AS bloom_hit, "
+    "c_custkey IN (SELECT k FROM mem) AS is_member FROM p) "
+    "SELECT c_custkey, bloom_hit, is_member, "
+    "bloom_hit AND NOT is_member AS false_pos FROM f",
+)
+def sketch_bloom(spark, sf):
+    """Bloom-filter membership as pure DataFrame algebra — the third
+    mergeable sketch on the surface (CMS = counts, HLL = cardinality,
+    Bloom = membership). Build: hash each member key into k = 4 bit
+    positions (three hex chars each of ONE md5) and keep the DISTINCT
+    set-bit table (≤ m = 4096 rows — the fixed-size state that makes
+    Bloom filters shippable as broadcast runtime filters; union of two
+    filters = OR of bit sets, so per-partition build + merge is exact).
+    Probe: every customer tests all k positions against the bit set.
+    One-sided error pinned by construction: members always hit; the
+    oracle reproduces the exact false-positive set, not just a rate.
+
+    Scale shape: member build is one distinct + explode bounded by m;
+    the probe side pays NO shuffle — the bit set rides in as a broadcast
+    1-row sorted array and each probe is k array_contains lookups inside
+    codegen. At 100 TB this exact plan is how join pruning ships a small
+    dimension's key set to a fact scan."""
+    o = _t(spark, sf, "orders")
+    mem = (
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_custkey") % 10 == 0)
+        )
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    hm = F.md5(F.col("k").cast("string"))
+    bits = (
+        mem.select(
+            F.explode(
+                F.array(*[_bloom_pos_col(hm, r) for r in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .agg(F.array_sort(F.collect_list("pos")).alias("bits"))
+    )
+    c = _t(spark, sf, "customer")
+    hc = F.md5(F.col("c_custkey").cast("string"))
+    probe = c.select(
+        "c_custkey",
+        *[_bloom_pos_col(hc, r).alias(f"p{r}") for r in range(_BLOOM_K)],
+    ).crossJoin(F.broadcast(bits))
+    hit = F.array_contains("bits", F.col("p0"))
+    for r in range(1, _BLOOM_K):
+        hit = hit & F.array_contains("bits", F.col(f"p{r}"))
+    withm = probe.join(
+        F.broadcast(mem), probe["c_custkey"] == mem["k"], "left"
+    )
+    return withm.select(
+        "c_custkey",
+        hit.alias("bloom_hit"),
+        F.col("k").isNotNull().alias("is_member"),
+        (hit & F.col("k").isNull()).alias("false_pos"),
+    )
