@@ -2068,8 +2068,16 @@ def sketch_bloom(spark, sf):
     1-row sorted array and each probe is k array_contains lookups inside
     codegen. At 100 TB this exact plan is how join pruning ships a small
     dimension's key set to a fact scan."""
-    o = _t(spark, sf, "orders")
-    mem = (
+    mem = bloom_members(_t(spark, sf, "orders"))
+    bits = bloom_bit_positions(mem)
+    return bloom_probe(_t(spark, sf, "customer"), bits, mem)
+
+
+def bloom_members(o: DataFrame) -> DataFrame:
+    """The demo filter's member keys (sparse deterministic subset of
+    urgent customers) — shared with ``stream_bloom``, which derives the
+    SAME member set per micro-batch (filter semantics live once)."""
+    return (
         o.filter(
             (F.col("o_orderpriority") == "1-URGENT")
             & (F.col("o_custkey") % 10 == 0)
@@ -2077,22 +2085,32 @@ def sketch_bloom(spark, sf):
         .select(F.col("o_custkey").alias("k"))
         .distinct()
     )
+
+
+def bloom_bit_positions(mem: DataFrame) -> DataFrame:
+    """Distinct set-bit positions of a member-key table — the Bloom
+    filter's whole state (≤ m rows). OR of two filters == union-distinct
+    of their position tables, which is why the streaming twin can merge
+    per-batch builds exactly."""
     hm = F.md5(F.col("k").cast("string"))
-    bits = (
-        mem.select(
-            F.explode(
-                F.array(*[_bloom_pos_col(hm, r) for r in range(_BLOOM_K)])
-            ).alias("pos")
-        )
-        .distinct()
-        .agg(F.array_sort(F.collect_list("pos")).alias("bits"))
-    )
-    c = _t(spark, sf, "customer")
+    return mem.select(
+        F.explode(
+            F.array(*[_bloom_pos_col(hm, r) for r in range(_BLOOM_K)])
+        ).alias("pos")
+    ).distinct()
+
+
+def bloom_probe(c: DataFrame, bits: DataFrame, mem: DataFrame) -> DataFrame:
+    """Probe every customer against a set-bit table (broadcast as ONE
+    sorted array row) and label with ground-truth membership — shared
+    by ``sketch_bloom`` and ``stream_bloom`` so hit semantics live
+    once."""
+    bits_arr = bits.agg(F.array_sort(F.collect_list("pos")).alias("bits"))
     hc = F.md5(F.col("c_custkey").cast("string"))
     probe = c.select(
         "c_custkey",
         *[_bloom_pos_col(hc, r).alias(f"p{r}") for r in range(_BLOOM_K)],
-    ).crossJoin(F.broadcast(bits))
+    ).crossJoin(F.broadcast(bits_arr))
     hit = F.array_contains("bits", F.col("p0"))
     for r in range(1, _BLOOM_K):
         hit = hit & F.array_contains("bits", F.col(f"p{r}"))

@@ -1744,3 +1744,216 @@ def stream_stream_join(spark, sf):
         F.col("a.event_id").alias("eid_a"), F.col("b.event_id_b").alias("eid_b")
     )
     return _run_to_memory(joined, "t_ssjoin")
+
+
+@register("stream_streaks", None)  # pytest: == batch events_streaks
+def stream_streaks(spark, sf):
+    """INGEST-TIME streak maintenance — the streaming twin of
+    ``events_streaks``, with a GENUINELY COMPRESSED state: instead of the
+    raw (user, day) set (the stream_dau shape), the carried table is the
+    per-user set of MERGED day runs [run_start, run_end]. Each
+    micro-batch turns its own distinct active days into singleton runs,
+    unions them with the carried runs, and re-merges overlapping or
+    day-adjacent intervals (one user-keyed window: running max of prior
+    ends, a new island whenever start > prev_end + 1). Interval union is
+    associative and order-independent, so streaming == batch regardless
+    of how events split across batches — a new day can extend a run,
+    bridge two runs, or fall inside one, and the merge handles all three.
+
+    State is O(users × runs) — strictly smaller than the active-day set
+    it summarizes (a 1000-day streak is ONE row), the right shape when
+    the calendar grows unboundedly. The final rollup derives
+    best/count/total from run lengths and must equal the batch key's
+    gaps-and-islands answer (pytest-pinned)."""
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_streaks", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def merge_runs(runs: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("run_start", "run_end")
+        prev_end = F.max("run_end").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        is_new = (
+            prev_end.isNull()
+            | (F.col("run_start") > F.date_add(prev_end, 1))
+        ).cast("int")
+        grp = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        return (
+            runs.select("user_id", "run_start", "run_end", grp.alias("grp"))
+            .groupBy("user_id", "grp")
+            .agg(
+                F.min("run_start").alias("run_start"),
+                F.max("run_end").alias("run_end"),
+            )
+            .drop("grp")
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = (
+            batch_df.select("user_id", F.to_date("ts").alias("day"))
+            .distinct()
+            .select(
+                "user_id",
+                F.col("day").alias("run_start"),
+                F.col("day").alias("run_end"),
+            )
+        )
+        allruns = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"]).unionByName(cur)
+        )
+        merged = merge_runs(allruns)
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        merged.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    runs = spark.read.parquet(state["path"])
+    length = (F.datediff("run_end", "run_start") + 1).cast("long")
+    return (
+        runs.select("user_id", length.alias("len"))
+        .groupBy("user_id")
+        .agg(
+            F.max("len").alias("best_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.sum("len").alias("active_days"),
+        )
+        .localCheckpoint()
+    )
+
+
+ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+def _staged_orders_stream_dir(sf: str, n_parts: int = 3) -> str:
+    """orders.parquet split into ``n_parts`` orderkey-ranged files for
+    micro-batch streaming (content-fingerprinted /tmp cache, the
+    ``_staged_doc_stream_dir`` discipline)."""
+    import duckdb
+
+    src = f"{sf}/orders.parquet"
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"rbs_stream_orders_{_source_fingerprint(src)}_{n_parts}",
+    )
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        os.makedirs(d, exist_ok=True)
+        con = duckdb.connect()
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{src}')"
+        ).fetchone()[0]
+        step = (n + n_parts - 1) // n_parts
+        for i in range(n_parts):
+            lim = min(step, n - i * step)
+            if lim <= 0:
+                break
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src}') "
+                f"ORDER BY o_orderkey LIMIT {lim} OFFSET {i * step}) "
+                f"TO '{d}/part-{i:03d}.parquet' (FORMAT PARQUET)"
+            )
+        open(os.path.join(d, "_DONE"), "w").write("ok")
+    _space_mtimes(d)
+    return d
+
+
+@register("stream_bloom", None)  # pytest: == batch sketch_bloom
+def stream_bloom(spark, sf):
+    """INGEST-TIME Bloom-filter maintenance — the streaming twin of
+    ``sketch_bloom``. A Bloom filter is the textbook mergeable sketch:
+    OR of two filters equals the filter of the union, so each
+    micro-batch of orders derives its own member keys (the SHARED
+    ``bloom_members`` definition), hashes them to set-bit positions (the
+    SHARED ``bloom_bit_positions``), and union-distincts into the
+    carried position table — bounded by m = 4096 rows FOREVER, the
+    whole point of keeping a sketch instead of the key set. Arrival
+    order is irrelevant (set union), so the orderkey-ranged staged
+    corpus is a fair split.
+
+    The member-key table is also carried, but ONLY to label the final
+    probe output with ground-truth membership (the comparison column the
+    batch key emits); the filter itself never needs it. Final answer:
+    the SHARED ``bloom_probe`` of the static customer table against the
+    accumulated bits == the one-shot build (pytest-pinned)."""
+    import shutil
+
+    from ..plans.relational import (
+        bloom_bit_positions,
+        bloom_members,
+        bloom_probe,
+    )
+
+    d = _staged_orders_stream_dir(sf)
+    work = _op_work_dir("stream_bloom", d)
+    state: dict[str, str | None] = {"bits": None, "mem": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        mem_b = bloom_members(batch_df)
+        bits_b = bloom_bit_positions(mem_b)
+        allbits = (
+            bits_b
+            if state["bits"] is None
+            else sp.read.parquet(state["bits"]).unionByName(bits_b).distinct()
+        )
+        allmem = (
+            mem_b
+            if state["mem"] is None
+            else sp.read.parquet(state["mem"]).unionByName(mem_b).distinct()
+        )
+        nb = os.path.join(work, f"bits_b{batch_id}")
+        nm = os.path.join(work, f"mem_b{batch_id}")
+        allbits.write.mode("overwrite").parquet(nb)
+        allmem.write.mode("overwrite").parquet(nm)
+        for key, new in (("bits", nb), ("mem", nm)):
+            prev = state[key]
+            state[key] = new
+            if prev is not None:
+                shutil.rmtree(prev, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(ORDERS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["bits"] is not None, "stream produced no batches"
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    return bloom_probe(
+        c,
+        spark.read.parquet(state["bits"]),
+        spark.read.parquet(state["mem"]),
+    ).localCheckpoint()

@@ -726,3 +726,59 @@ def test_stream_scd2_equals_batch(spark):
 
     again = canon(ops.REGISTRY["stream_scd2"][0](spark, SF))
     assert again.equals(got)
+
+
+def test_stream_streaks_equals_batch(spark):
+    """stream_streaks' merged-run state rolls up to EXACTLY the batch
+    gaps-and-islands answer (interval union is associative, so any
+    micro-batch split of events yields the same maximal runs).
+    Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    def canon(df):
+        return (
+            df.toPandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+            [["user_id", "best_streak", "n_streaks", "active_days"]]
+        )
+
+    got = canon(ops.REGISTRY["stream_streaks"][0](spark, SF))
+    want = canon(EV_REGISTRY["events_streaks"][0](spark, SF))
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+
+    again = canon(ops.REGISTRY["stream_streaks"][0](spark, SF))
+    assert again.equals(got)
+
+
+def test_stream_bloom_equals_batch(spark):
+    """stream_bloom's OR-merged bit state answers every probe EXACTLY
+    like the one-shot sketch_bloom build (filter union == union filter),
+    including which non-members false-positive. Members always hit
+    (one-sided error). Re-run identical."""
+    from reach_banner_spark.plans.relational import (
+        REGISTRY as REL_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    def canon(df):
+        return (
+            df.toPandas()
+            .sort_values("c_custkey")
+            .reset_index(drop=True)
+            [["c_custkey", "bloom_hit", "is_member", "false_pos"]]
+        )
+
+    got = canon(ops.REGISTRY["stream_bloom"][0](spark, SF))
+    want = canon(REL_REGISTRY["sketch_bloom"][0](spark, SF))
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+    # one-sided error: every member hits
+    assert got[got["is_member"]]["bloom_hit"].all()
+
+    again = canon(ops.REGISTRY["stream_bloom"][0](spark, SF))
+    assert again.equals(got)
