@@ -158,6 +158,11 @@ HEADLINE = [
     "mix_sample",
     "events_journey_paths",
     "kg_diameter",
+    "join_temporal",
+    "events_ab_test",
+    "kg_growth",
+    "fn_editdistance",
+    "agg_moments",
 ]
 
 

@@ -464,11 +464,9 @@ def rolling_dau_rollup(du: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "scd2_intervals",
-    # Slowly-changing-dimension type-2 build: collapse consecutive equal
-    # states (gaps-and-islands), open an interval per change, close it
-    # with the next change's timestamp. Exact integer microseconds.
+# the SCD2 interval build as a reusable SQL fragment: scd2_intervals' own
+# oracle, and the dimension-history side of join_temporal's oracle
+_SCD2_SQL = (
     "WITH o AS (SELECT user_id, event_type, ts, event_id, "
     "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
     "AS prev_type FROM events), "
@@ -479,7 +477,16 @@ def rolling_dau_rollup(du: DataFrame) -> DataFrame:
     "CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id "
     "ORDER BY ts, event_id)) AS BIGINT) AS valid_to_us, "
     "LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
-    "AS is_current FROM ch",
+    "AS is_current FROM ch"
+)
+
+
+@register(
+    "scd2_intervals",
+    # Slowly-changing-dimension type-2 build: collapse consecutive equal
+    # states (gaps-and-islands), open an interval per change, close it
+    # with the next change's timestamp. Exact integer microseconds.
+    _SCD2_SQL,
 )
 def scd2_intervals(spark, sf):
     """SCD type-2 dimension build — the lakehouse pattern for turning an
@@ -744,3 +751,154 @@ def events_journey_paths(spark, sf):
         F.concat_ws(">", "e1", "e2", "e3").alias("path")
     ).agg(F.count(F.lit(1)).alias("n"))
     return c.orderBy(F.desc("n"), "path").limit(20)
+
+
+# ------------------------------------------------------ point-in-time ----
+
+@register(
+    "join_temporal",
+    # Point-in-time join: each purchase looked up against the SCD2 state
+    # history — which state run was IN EFFECT when the purchase arrived
+    # (the run it extended or interrupted): valid_from strictly before
+    # ts, valid_to at-or-after ts (or open). Exactly one interval
+    # qualifies per event except a user's very first event (no prior
+    # state — inner join drops it, deterministically on both engines).
+    f"WITH iv AS ({_SCD2_SQL}) "
+    "SELECT e.event_id, e.user_id, iv.state AS state_at, "
+    "iv.valid_from_us, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us "
+    "FROM events e JOIN iv ON iv.user_id = e.user_id "
+    " AND iv.valid_from_us < epoch_us(e.ts) "
+    " AND (iv.valid_to_us IS NULL OR iv.valid_to_us >= epoch_us(e.ts)) "
+    "WHERE e.event_type = 'purchase'",
+)
+def join_temporal(spark, sf):
+    """Point-in-time (temporal) join — the lakehouse lookup every SCD2
+    table exists to serve: join facts to the dimension version that was
+    current at the fact's timestamp. Here: each purchase against the
+    user's state history from the SHARED SCD2 build (one definition of
+    interval semantics across scd2_intervals / stream_scd2 / this key).
+    Bounds are exact integer microseconds; the strict-lower / inclusive-
+    upper pair makes the match unique (a run-opening purchase matches
+    the run it closed, a mid-run purchase matches its own run).
+
+    Scale shape: the join carries the user_id EQUI key — Spark plans a
+    hash join co-partitioned on user_id with the interval predicate as a
+    residual filter, so this is one user-keyed exchange shared with the
+    history build itself, never a cross product. The history side is
+    runs-per-user sized (the SCD2 compression), orders below raw
+    events."""
+    e = _events(spark, sf)
+    iv = scd2_close(
+        scd2_change_rows(
+            e.select("user_id", "event_type", "ts", "event_id")
+        )
+    ).withColumnRenamed("user_id", "iv_user")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return p.join(
+        iv,
+        (F.col("iv_user") == F.col("user_id"))
+        & (F.col("valid_from_us") < F.col("ts_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("valid_to_us") >= F.col("ts_us"))
+        ),
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("state").alias("state_at"),
+        "valid_from_us",
+        "ts_us",
+    )
+
+
+# ------------------------------------------------------------ A/B test ----
+
+@register(
+    "events_ab_test",
+    # Two-proportion z-test between hash-split variants. Counts are exact
+    # integers; every float op (4 divisions, the pooled-variance product,
+    # sqrt, final division) is spelled in the SAME fixed sequence on both
+    # engines — the events_anomaly composed-IEEE-op rule. Significance is
+    # tested on the ROUNDED z (half-away ties) like events_anomaly.
+    "WITH u AS (SELECT user_id, user_id % 2 AS variant, "
+    " CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5 "
+    "  > COUNT(*) THEN 1 ELSE 0 END AS conv "
+    " FROM events GROUP BY user_id), "
+    "g AS (SELECT "
+    " CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, "
+    " CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS ca, "
+    " CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb, "
+    " CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS cb "
+    " FROM u) "
+    "SELECT na, ca, nb, cb, "
+    "printf('%.6f', ROUND(CAST(ca AS DOUBLE) / na, 6)) AS rate_a, "
+    "printf('%.6f', ROUND(CAST(cb AS DOUBLE) / nb, 6)) AS rate_b, "
+    "printf('%.6f', ROUND("
+    " (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) / "
+    " SQRT((CAST(ca + cb AS DOUBLE) / (na + nb)) * "
+    "  (CAST(1 AS DOUBLE) - CAST(ca + cb AS DOUBLE) / (na + nb)) * "
+    "  (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 6)) AS z, "
+    "ABS(ROUND((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) / "
+    " SQRT((CAST(ca + cb AS DOUBLE) / (na + nb)) * "
+    "  (CAST(1 AS DOUBLE) - CAST(ca + cb AS DOUBLE) / (na + nb)) * "
+    "  (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 6)) >= 1.96 AS significant "
+    "FROM g",
+)
+def events_ab_test(spark, sf):
+    """Two-proportion z-test — the experimentation query every product
+    analytics engine ships: users hash-split into variants (user_id
+    parity — the deterministic assignment a real system derives from a
+    hashed unit id, cf. split_assign), conversion = the user's purchase
+    share strictly above 1/5 (an exact integer cross-multiplication,
+    scale-invariant — 'any purchase' saturates to rate 1.0 on this
+    corpus and degenerates the pooled variance), then
+    the pooled z statistic for the rate difference. All counts are exact
+    integers; the z value is a FIXED sequence of correctly-rounded IEEE
+    ops (divisions, one multiply chain, sqrt) spelled identically on
+    both engines, so the %.6f strings — and the significance flag tested
+    on the ROUNDED z — cannot diverge.
+
+    Scale shape: one user-keyed aggregation over facts (map-side
+    combinable conditional MAX), then a single-row rollup — the
+    funnel_conversion plan with a different final expression. Variant
+    counts never reshuffle facts."""
+    e = _events(spark, sf)
+    u = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ) * 5
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
+    ).select((F.col("user_id") % 2).alias("variant"), "conv")
+    g = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).cast("long").alias("cb"),
+    )
+    ra = F.col("ca").cast("double") / F.col("na")
+    rb = F.col("cb").cast("double") / F.col("nb")
+    pp = (F.col("ca") + F.col("cb")).cast("double") / (F.col("na") + F.col("nb"))
+    z = F.round(
+        (ra - rb)
+        / F.sqrt(
+            pp * (F.lit(1.0) - pp)
+            * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+        ),
+        6,
+    )
+    return g.select(
+        "na", "ca", "nb", "cb",
+        _FMT6(ra).alias("rate_a"),
+        _FMT6(rb).alias("rate_b"),
+        F.format_string("%.6f", z).alias("z"),
+        (F.abs(z) >= 1.96).alias("significant"),
+    )

@@ -2435,3 +2435,43 @@ def kg_diameter(spark, sf):
             ),
         ).alias("avg_dist"),
     )
+
+
+@register(
+    "kg_growth",
+    # KG growth curve: facts bucketed by the window in which they were
+    # FIRST observed, with the running cumulative size — all exact
+    # integers; the running sum's window sits over the turn-window
+    # domain, never facts.
+    f"WITH t AS ({_TRIPLES_SQL}), "
+    "f AS (SELECT subj, pred, obj, MIN(window_start) AS w0 FROM t "
+    " GROUP BY 1, 2, 3), "
+    "c AS (SELECT w0, CAST(COUNT(*) AS BIGINT) AS new_facts FROM f "
+    " GROUP BY w0) "
+    "SELECT CAST(w0 AS INT) AS window_start, new_facts, "
+    "CAST(SUM(new_facts) OVER (ORDER BY w0) AS BIGINT) AS cum_facts "
+    "FROM c",
+)
+def kg_growth(spark, sf):
+    """KG growth curve — when did the graph learn what: per turn-window,
+    how many distinct (subj, pred, obj) facts were observed for the
+    FIRST time, plus the cumulative graph size. The monitoring query an
+    incremental KG pipeline (``stream_triples``/``stream_kg``) publishes
+    to show convergence: a flattening curve means the corpus has stopped
+    teaching.
+
+    Scale shape: one fact-keyed aggregation over the materialized triple
+    table (entity² × predicate domain — the kg_temporal_span bound),
+    one window-keyed count, and a running sum over the TURN-WINDOW-sized
+    curve; nothing fact-scale crosses an unpartitioned boundary."""
+    t = _triples_table(spark, sf)
+    f0 = t.groupBy("subj", "pred", "obj").agg(
+        F.min("window_start").alias("w0")
+    )
+    c = f0.groupBy("w0").agg(F.count(F.lit(1)).alias("new_facts"))
+    w = Window.orderBy("w0").rowsBetween(Window.unboundedPreceding, 0)
+    return c.select(
+        F.col("w0").cast("int").alias("window_start"),
+        "new_facts",
+        F.sum("new_facts").over(w).cast("long").alias("cum_facts"),
+    )

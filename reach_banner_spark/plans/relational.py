@@ -2123,3 +2123,116 @@ def bloom_probe(c: DataFrame, bits: DataFrame, mem: DataFrame) -> DataFrame:
         F.col("k").isNotNull().alias("is_member"),
         (hit & F.col("k").isNull()).alias("false_pos"),
     )
+
+
+@register(
+    "fn_editdistance",
+    # Levenshtein distance between each part name and its predecessor
+    # under the total p_partkey order — the fuzzy-matching primitive
+    # entity resolution leans on. Integer-exact on both engines.
+    "WITH s AS (SELECT p_partkey, p_name, "
+    "LAG(p_name) OVER (ORDER BY p_partkey) AS prev_name FROM part) "
+    "SELECT p_partkey, "
+    "CAST(levenshtein(p_name, prev_name) AS BIGINT) AS dist, "
+    "CAST(LENGTH(p_name) AS BIGINT) AS len_a, "
+    "CAST(LENGTH(prev_name) AS BIGINT) AS len_b "
+    "FROM s WHERE prev_name IS NOT NULL",
+)
+def fn_editdistance(spark, sf):
+    """Edit-distance function family: Levenshtein between adjacent part
+    names (the fuzzy string-similarity primitive behind dictionary
+    linking's verify step — here pinned as a standalone expression so
+    both engines' dynamic-programming implementations agree exactly).
+    The window pairs each name with its predecessor, so the workload is
+    one distance per row, not a quadratic pair set.
+
+    Scale shape: one window over the PART dimension (dimension-scale by
+    construction — fact-side fuzzy matching goes through the blocked
+    linking operators, never a global order); distance evaluates inside
+    codegen, cost O(len²) per row on bounded-length names."""
+    p = _t(spark, sf, "part")
+    w = Window.orderBy("p_partkey")
+    s = p.select(
+        "p_partkey",
+        "p_name",
+        F.lag("p_name").over(w).alias("prev_name"),
+    ).where(F.col("prev_name").isNotNull())
+    return s.select(
+        "p_partkey",
+        F.levenshtein("p_name", "prev_name").cast("long").alias("dist"),
+        F.length("p_name").cast("long").alias("len_a"),
+        F.length("prev_name").cast("long").alias("len_b"),
+    )
+
+
+@register(
+    "agg_moments",
+    # Skewness / excess kurtosis from EXACT integer power sums (n, s1..s4
+    # all BIGINT-exact: qty <= 50 so s4 fits easily), finished by a FIXED
+    # sequence of correctly-rounded IEEE ops — +,-,*,/ and sqrt only
+    # (sqrt(m2)*m2 replaces pow(m2,1.5): libm pow is NOT correctly
+    # rounded and could differ across engines; sqrt is). Identical
+    # expression trees on both sides, then ROUND/%.6f.
+    "WITH s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+    " CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1, "
+    " CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2, "
+    " CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3, "
+    " CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4 "
+    " FROM lineitem GROUP BY l_returnflag) "
+    "SELECT l_returnflag, n, "
+    "printf('%.6f', ROUND(CAST(s1 AS DOUBLE) / n, 6)) AS mean, "
+    "printf('%.6f', ROUND("
+    " (CAST(s3 AS DOUBLE) / n "
+    "  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n) "
+    "  + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) "
+    " / (SQRT(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) "
+    "    * (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))), 6)) AS skewness, "
+    "printf('%.6f', ROUND("
+    " (CAST(s4 AS DOUBLE) / n "
+    "  - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n) "
+    "  + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n) "
+    "  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) "
+    " / ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) "
+    "    * (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) "
+    " - 3, 6)) AS excess_kurtosis "
+    "FROM s",
+)
+def agg_moments(spark, sf):
+    """Higher statistical moments (mean, skewness, excess kurtosis) per
+    return flag — the distribution-shape profile next to agg_stats_corr.
+    Built-in skewness()/kurtosis() accumulate floats in partition order
+    (nondeterministic across engines AND runs), so this key computes the
+    moments from EXACT INTEGER power sums — the mergeable-state spelling
+    (n, Σx, Σx², Σx³, Σx⁴ combine across partitions losslessly, the same
+    reason events_anomaly keeps integer stats) — and finishes with a
+    fixed IEEE op sequence: only +,-,*,/ and sqrt (each correctly
+    rounded; pow is deliberately avoided), spelled identically on both
+    engines, so every emitted %.6f string is reproducible bit-for-bit.
+
+    Scale shape: ONE map-side-combinable aggregation; the moment algebra
+    runs on the flag-count-sized rollup."""
+    q = F.col("l_quantity").cast("long")
+    s = _t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    r2 = F.col("s2").cast("double") / F.col("n")
+    r3 = F.col("s3").cast("double") / F.col("n")
+    r4 = F.col("s4").cast("double") / F.col("n")
+    m2 = r2 - m1 * m1
+    skew = (r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1) / (F.sqrt(m2) * m2)
+    kurt = (r4 - 4 * m1 * r3 + 6 * m1 * m1 * r2 - 3 * m1 * m1 * m1 * m1) / (
+        m2 * m2
+    ) - 3
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    return s.select(
+        "l_returnflag",
+        "n",
+        fmt(m1).alias("mean"),
+        fmt(skew).alias("skewness"),
+        fmt(kurt).alias("excess_kurtosis"),
+    )
