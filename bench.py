@@ -163,6 +163,10 @@ HEADLINE = [
     "kg_growth",
     "fn_editdistance",
     "agg_moments",
+    "events_forecast",
+    "lm_bigram",
+    "kg_reciprocity",
+    "fn_mask",
 ]
 
 

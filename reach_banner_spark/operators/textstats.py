@@ -1799,3 +1799,73 @@ def mix_sample(spark, sf):
     return r.join(F.broadcast(q), "source").where(
         F.col("pick_rank") <= F.col("quota")
     ).select("doc_id", "source", "pick_rank", "quota")
+
+
+# bigram stream keeping the two words as separate columns (the joined
+# 'w1 w2' spelling lives in _BIGRAM_SQL); unnest-in-SELECT keeps the
+# word array in scope so w[i]/w[i+1] project directly
+_BIGRAM2_SQL = (
+    "SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM "
+    "(SELECT doc_id, w, unnest(generate_series(1, LEN(w) - 1)) AS i FROM "
+    " (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t0 "
+    " WHERE LEN(w) >= 2) t1"
+)
+
+
+@register(
+    "lm_bigram",
+    # Bigram conditional-probability table, top-100 by pair count: both
+    # counts are exact integers, P(w2|w1) is ONE correctly-rounded IEEE
+    # division (the tfidf_topk rule), full (cnt DESC, w1, w2) tie-break
+    # makes the limit deterministic.
+    f"WITH bg AS ({_BIGRAM2_SQL}), "
+    "p AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg "
+    " GROUP BY 1, 2), "
+    "t AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS cnt1 FROM p GROUP BY 1) "
+    "SELECT p.w1, p.w2, p.cnt, t.cnt1, "
+    "printf('%.6f', ROUND(CAST(p.cnt AS DOUBLE) / t.cnt1, 6)) AS p_cond "
+    "FROM p JOIN t ON t.w1 = p.w1 "
+    "ORDER BY p.cnt DESC, p.w1, p.w2 LIMIT 100",
+)
+def lm_bigram(spark, sf):
+    """Bigram language model head — the top-100 word bigrams with their
+    conditional probability P(w2 | w1) = count(w1 w2) / count(w1 ·).
+    The estimation query behind every count-based n-gram LM (KenLM-style
+    pipelines run exactly this at corpus scale before smoothing) and the
+    complement of ``bigram_novelty`` (which asks what is UNshared; this
+    asks what the corpus repeats). Counts are exact integers, the
+    probability is one division under the %.6f float rule, and the
+    (cnt DESC, w1, w2) tie-break pins the top-100 bit-for-bit.
+
+    Scale shape: explode to bigram pairs, ONE pair-keyed partial+final
+    aggregation (Zipf: distinct pairs are sublinear in tokens), the
+    first-word totals derive from the PAIR table (never a second pass
+    over facts) and join back keyed w1, global top-100 via
+    TakeOrderedAndProject — no global sort materializes."""
+    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    pairs = F.expr(
+        "transform(slice(w, 1, size(w) - 1), "
+        "(x, i) -> struct(x AS w1, w[i + 1] AS w2))"
+    )
+    bg = (
+        d.filter(F.size("w") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    p = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    t = p.groupBy("w1").agg(F.sum("cnt").cast("long").alias("cnt1"))
+    return (
+        p.join(t, "w1")
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            "cnt1",
+            F.format_string(
+                "%.6f",
+                F.round(F.col("cnt").cast("double") / F.col("cnt1"), 6),
+            ).alias("p_cond"),
+        )
+        .orderBy(F.desc("cnt"), "w1", "w2")
+        .limit(100)
+    )

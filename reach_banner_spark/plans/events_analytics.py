@@ -902,3 +902,61 @@ def events_ab_test(spark, sf):
         F.format_string("%.6f", z).alias("z"),
         (F.abs(z) >= 1.96).alias("significant"),
     )
+
+
+# ------------------------------------------------------------ forecast ----
+
+@register(
+    "events_forecast",
+    # Seasonal-naive backtest: forecast(day) = actual(day - 7 days), per
+    # event type, scored only where both sides exist (inner join on the
+    # calendar-shifted key — exact date arithmetic, no row-offset LAG
+    # that would slip across gap days). Counts and errors are exact
+    # integers.
+    "WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+    " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2) "
+    "SELECT a.event_type, a.day, a.cnt AS actual, b.cnt AS forecast, "
+    "CAST(ABS(a.cnt - b.cnt) AS BIGINT) AS abs_err "
+    "FROM d a JOIN d b ON b.event_type = a.event_type "
+    " AND CAST(b.day AS DATE) + INTERVAL 7 DAY = CAST(a.day AS DATE)",
+)
+def events_forecast(spark, sf):
+    """Seasonal-naive forecast backtest — the baseline every real
+    forecasting system is judged against (and at daily-ops granularity,
+    often the one that ships): predict each day's volume per event type
+    as the SAME WEEKDAY's volume one week earlier, scored against the
+    actual. The shifted key is CALENDAR arithmetic (date + 7 days), not
+    a row-offset LAG — gap days must not slide the season. Emits the
+    per-day backtest table (actual, forecast, absolute error — all exact
+    integers); the per-type MAE is one groupBy away and stays exact.
+
+    Scale shape: facts collapse to the (event_type, day) grain in ONE
+    map-side-combinable aggregation; the self-join runs on the
+    calendar-sized daily table (types × days), co-partitioned on
+    event_type — nothing fact-scale shuffles twice."""
+    d = daily_counts(_events(spark, sf))
+    a = d.select(
+        "event_type", "day", F.col("cnt").alias("actual"),
+        F.to_date("day").alias("day_d"),
+    )
+    b = d.select(
+        F.col("event_type").alias("b_type"),
+        F.col("cnt").alias("forecast"),
+        F.date_add(F.to_date("day"), 7).alias("b_day_d"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("b_type") == F.col("event_type"))
+            & (F.col("b_day_d") == F.col("day_d")),
+        )
+        .select(
+            "event_type",
+            "day",
+            "actual",
+            "forecast",
+            F.abs(F.col("actual") - F.col("forecast"))
+            .cast("long")
+            .alias("abs_err"),
+        )
+    )

@@ -2464,7 +2464,16 @@ def kg_growth(spark, sf):
     table (entity² × predicate domain — the kg_temporal_span bound),
     one window-keyed count, and a running sum over the TURN-WINDOW-sized
     curve; nothing fact-scale crosses an unpartitioned boundary."""
-    t = _triples_table(spark, sf)
+    return growth_curve(_triples_table(spark, sf))
+
+
+def growth_curve(t) -> "DataFrame":
+    """The growth-curve rollup over a (conv_id, window_start, subj, pred,
+    obj) triple set — shared between ``kg_growth`` (materialized table)
+    and the ``stream_growth`` ingest twin (incrementally assembled
+    triples): first-seen window per distinct fact, new-fact count per
+    window, running cumulative size. min() is exactly mergeable, so the
+    twin may run this over any exactly-once union of batch outputs."""
     f0 = t.groupBy("subj", "pred", "obj").agg(
         F.min("window_start").alias("w0")
     )
@@ -2474,4 +2483,69 @@ def kg_growth(spark, sf):
         F.col("w0").cast("int").alias("window_start"),
         "new_facts",
         F.sum("new_facts").over(w).cast("long").alias("cum_facts"),
+    )
+
+
+@register(
+    "kg_reciprocity",
+    # Per-predicate reciprocity over the DISTINCT conv-scoped directed
+    # edge set: an edge is reciprocal if the reversed pair exists under
+    # the SAME conv and predicate. Exact integer counts; the ratio is one
+    # division under the %.6f rule.
+    f"WITH t AS ({_TRIPLES_SQL}), "
+    "e AS (SELECT DISTINCT conv_id, pred, subj, obj FROM t), "
+    "r AS (SELECT e.* FROM e JOIN e x ON x.conv_id = e.conv_id "
+    " AND x.pred = e.pred AND x.subj = e.obj AND x.obj = e.subj) "
+    "SELECT e.pred, CAST(COUNT(*) AS BIGINT) AS n_edges, "
+    "CAST(SUM(CASE WHEN r.subj IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    " AS n_reciprocal, "
+    "printf('%.6f', ROUND(SUM(CASE WHEN r.subj IS NOT NULL THEN 1 ELSE 0 "
+    " END) * CAST(1 AS DOUBLE) / COUNT(*), 6)) AS reciprocity "
+    "FROM e LEFT JOIN r ON r.conv_id = e.conv_id AND r.pred = e.pred "
+    " AND r.subj = e.subj AND r.obj = e.obj "
+    "GROUP BY e.pred",
+)
+def kg_reciprocity(spark, sf):
+    """Predicate reciprocity — what fraction of a predicate's directed
+    edges have the reverse edge in the same conversation. The KG-schema
+    diagnostic that separates symmetric relations (``co_mentioned`` reads
+    near-symmetric by construction) from directional ones
+    (``asked_about``/``answered_with`` encode turn order and should sit
+    near zero) — the signal an ontology builder uses to decide which
+    predicates to canonicalize as undirected.
+
+    Scale shape: the kg_triangles discipline — reduce to the DISTINCT
+    conv-scoped edge set first (bounded by convs × entity-domain², far
+    below raw triples), then ONE self-join on the reversed key; every
+    shuffle keys conv_id-first, and the rollup is predicate-domain
+    sized."""
+    t = _triples_table(spark, sf)
+    e = t.select("conv_id", "pred", "subj", "obj").distinct()
+    rev = (
+        e.select(
+            F.col("conv_id").alias("r_conv"),
+            F.col("pred").alias("r_pred"),
+            F.col("subj").alias("r_obj"),
+            F.col("obj").alias("r_subj"),
+        )
+        .distinct()
+    )
+    marked = e.join(
+        rev,
+        (F.col("conv_id") == F.col("r_conv"))
+        & (F.col("pred") == F.col("r_pred"))
+        & (F.col("subj") == F.col("r_subj"))
+        & (F.col("obj") == F.col("r_obj")),
+        "left",
+    )
+    recip = F.when(F.col("r_subj").isNotNull(), 1).otherwise(0)
+    return marked.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(recip).cast("long").alias("n_reciprocal"),
+        F.format_string(
+            "%.6f",
+            F.round(
+                F.sum(recip).cast("double") / F.count(F.lit(1)), 6
+            ),
+        ).alias("reciprocity"),
     )

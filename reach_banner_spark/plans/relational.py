@@ -2236,3 +2236,55 @@ def agg_moments(spark, sf):
         fmt(skew).alias("skewness"),
         fmt(kurt).alias("excess_kurtosis"),
     )
+
+
+@register(
+    "fn_mask",
+    # Data-masking expression family over the customer dimension: the
+    # default class map (upper->X, lower->x, digit->n, other kept), a
+    # custom class map (other chars replaced too), and tail-preserving
+    # redaction (mask all but the last 4 chars). The oracle spells the
+    # same class maps as global regexp_replace chains — names are ASCII
+    # so the character classes agree exactly.
+    "SELECT c_custkey, "
+    "regexp_replace(regexp_replace(regexp_replace(c_name, "
+    " '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') "
+    " AS masked_default, "
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_name, "
+    " '[^A-Za-z0-9]', '*', 'g'), '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), "
+    " '[0-9]', '#', 'g') AS masked_custom, "
+    "regexp_replace(regexp_replace(regexp_replace("
+    "  LEFT(c_name, LENGTH(c_name) - 4), "
+    " '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') "
+    " || RIGHT(c_name, 4) AS masked_keep_tail "
+    "FROM customer",
+)
+def fn_mask(spark, sf):
+    """Masking function family — the PII-redaction expressions a
+    governed lakehouse applies in view definitions (column-level masking
+    policies compile to exactly these): Spark's builtin ``mask()`` with
+    the default and a custom character-class map, plus tail-preserving
+    redaction (everything but the last 4 characters — the
+    account-number display rule). Complements ``pii_scrub`` (which
+    detects and redacts patterns in free text; this masks structured
+    columns wholesale). The oracle re-spells each class map as a chain
+    of global regexp replacements — on ASCII the two definitions agree
+    character-for-character, pinning the builtin's semantics.
+
+    Scale shape: zero-shuffle projection over the dimension; every
+    expression runs inside whole-stage codegen (masking policies must
+    not tax the scan)."""
+    c = _t(spark, sf, "customer")
+    name = F.col("c_name")
+    head = F.expr("substring(c_name, 1, length(c_name) - 4)")
+    return c.select(
+        "c_custkey",
+        F.mask(name).alias("masked_default"),
+        F.mask(
+            name, F.lit("U"), F.lit("l"), F.lit("#"), F.lit("*")
+        ).alias("masked_custom"),
+        F.concat(
+            F.mask(head),
+            F.expr("substring(c_name, length(c_name) - 3, 4)"),
+        ).alias("masked_keep_tail"),
+    )

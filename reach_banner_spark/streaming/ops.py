@@ -487,33 +487,68 @@ def stream_triples(spark, sf, staged_dir=None):
     as a compacted partitioned table (or transformWithState when the
     runtime allows, see ``stream_stateful_tws``). Streaming-equals-batch
     is pytest-pinned across the 3-file micro-batch split."""
-    from pyspark.sql.window import Window
+    return _run_incremental_turns(
+        spark, "stream_triples", _stream_triples_per_batch, staged_dir=staged_dir
+    )
 
+
+def _stream_mentions_of(turns_df: DataFrame) -> DataFrame:
+    """STREAM_DICT dictionary mentions over a turn frame — the mention
+    half of the incremental triple assembly, shared by ``stream_triples``
+    and ``stream_growth``."""
+    dic = turns_df.sparkSession.createDataFrame(STREAM_DICT, ["term", "term_id"])
+    toks = turns_df.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+    return toks.join(F.broadcast(dic), toks["word"] == dic["term"]).select(
+        "conv_id",
+        "turn_idx",
+        F.col("pos").cast("int").alias("begin_char"),
+        F.col("word").alias("canonical"),
+    )
+
+
+def _stream_triples_per_batch(
+    allt: DataFrame, cur: DataFrame, cleanup: list
+) -> DataFrame:
+    """One micro-batch of exactly-once incremental triple assembly
+    (subject side over tail+new, object side restricted to new) — shared
+    by ``stream_triples`` and ``stream_growth``."""
     from ..operators.triples import assemble_triples
 
-    dic = spark.createDataFrame(STREAM_DICT, ["term", "term_id"])
-
-    def mentions_of(turns_df: DataFrame) -> DataFrame:
-        toks = turns_df.select(
-            "conv_id",
-            "turn_idx",
-            F.posexplode(F.split("text", " ")).alias("pos", "word"),
-        )
-        return toks.join(F.broadcast(dic), toks["word"] == dic["term"]).select(
-            "conv_id",
-            "turn_idx",
-            F.col("pos").cast("int").alias("begin_char"),
-            F.col("word").alias("canonical"),
-        )
-
-    def per_batch(allt: DataFrame, cur: DataFrame, cleanup: list) -> DataFrame:
-        return assemble_triples(
-            mentions_of(allt), allt, window_turns=2, obj_mentions=mentions_of(cur)
-        )
-
-    return _run_incremental_turns(
-        spark, "stream_triples", per_batch, staged_dir=staged_dir
+    return assemble_triples(
+        _stream_mentions_of(allt),
+        allt,
+        window_turns=2,
+        obj_mentions=_stream_mentions_of(cur),
     )
+
+
+@register("stream_growth", None)  # pytest: == batch growth_curve twin
+def stream_growth(spark, sf, staged_dir=None):
+    """INGEST-TIME KG growth curve — the streaming twin of ``kg_growth``
+    and the monitoring output an incremental KG pipeline publishes:
+    after consuming the turn stream, per first-seen window the number of
+    new distinct facts plus the cumulative graph size. Triples are
+    assembled incrementally with the SHARED ``stream_triples`` per-batch
+    (bounded per-conversation tail state, exactly-once emission); the
+    curve is the SHARED ``kg_queries.growth_curve`` rollup over the
+    accumulated exactly-once triple set — min(window_start) per fact is
+    exactly mergeable, so streaming == batch holds by construction for
+    any micro-batch split (pytest-pinned anyway, with a determinism
+    re-run).
+
+    State is the stream_triples shape: O(conversations) tail turns plus
+    the emitted fact set (bounded by entity-domain² × predicates ×
+    windows — the graph itself, which the pipeline must keep anyway)."""
+    from ..plans.kg_queries import growth_curve
+
+    t = _run_incremental_turns(
+        spark, "stream_growth", _stream_triples_per_batch, staged_dir=staged_dir
+    )
+    return growth_curve(t).localCheckpoint()
 
 
 @register("stream_kg", None)  # pytest: == batch run_pipeline on same turns

@@ -782,3 +782,33 @@ def test_stream_bloom_equals_batch(spark):
 
     again = canon(ops.REGISTRY["stream_bloom"][0](spark, SF))
     assert again.equals(got)
+
+
+def test_stream_growth_equals_batch(spark):
+    """Incremental growth curve == the shared growth_curve rollup over
+    the one-shot batch triple set on the same staged turns (min per fact
+    is exactly mergeable across the exactly-once batch emissions), and a
+    re-run of the key is bit-identical (work-dir re-entry path)."""
+    from pyspark.sql import functions as F
+
+    from reach_banner_spark.operators.triples import assemble_triples
+    from reach_banner_spark.plans.kg_queries import growth_curve
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_growth"][0](spark, SF).toPandas()
+
+    turns = spark.read.parquet(ops._staged_turn_stream_dir()).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+    want = growth_curve(
+        assemble_triples(ops._stream_mentions_of(turns), turns, window_turns=2)
+    ).toPandas()
+
+    cols = ["window_start", "new_facts", "cum_facts"]
+    ga = sorted(map(tuple, got[cols].values.tolist()))
+    wa = sorted(map(tuple, want[cols].values.tolist()))
+    assert len(ga) > 0
+    assert ga == wa
+
+    again = ops.REGISTRY["stream_growth"][0](spark, SF).toPandas()
+    assert sorted(map(tuple, again[cols].values.tolist())) == ga
