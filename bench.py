@@ -167,6 +167,11 @@ HEADLINE = [
     "lm_bigram",
     "kg_reciprocity",
     "fn_mask",
+    "events_trend",
+    "events_seasonality",
+    "events_gaps",
+    "win_running_distinct",
+    "kg_assortativity",
 ]
 
 

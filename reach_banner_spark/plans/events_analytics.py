@@ -934,7 +934,15 @@ def events_forecast(spark, sf):
     map-side-combinable aggregation; the self-join runs on the
     calendar-sized daily table (types × days), co-partitioned on
     event_type — nothing fact-scale shuffles twice."""
-    d = daily_counts(_events(spark, sf))
+    return forecast_rollup(daily_counts(_events(spark, sf)))
+
+
+def forecast_rollup(d: DataFrame) -> DataFrame:
+    """Seasonal-naive backtest join over a (event_type, day, cnt) daily
+    table — the dimension-sized half of ``events_forecast``, shared with
+    the ``stream_forecast`` ingest twin (daily COUNT is exactly
+    sum-mergeable across micro-batches, so the twin runs this same join
+    over its merged state)."""
     a = d.select(
         "event_type", "day", F.col("cnt").alias("actual"),
         F.to_date("day").alias("day_d"),
@@ -959,4 +967,170 @@ def events_forecast(spark, sf):
             .cast("long")
             .alias("abs_err"),
         )
+    )
+
+
+# -------------------------------------------------------------- trend ----
+
+@register(
+    "events_trend",
+    # Per-type OLS trend of daily volume vs day index: sufficient
+    # statistics (n, Σx, Σy, Σxy, Σx²) are exact integers (x = days
+    # since the fixed 2024-01-01 anchor, y = daily count), slope is ONE
+    # division of exact-integer doubles, intercept is the SAME fixed
+    # IEEE op chain on both engines (events_anomaly precedent:
+    # the float rule extends to composed chains when the expression
+    # trees match exactly). Zero-variance types excluded by the same
+    # integer comparison on both sides.
+    "WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+    " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+    "x AS (SELECT event_type, "
+    " DATEDIFF('day', DATE '2024-01-01', CAST(day AS DATE)) AS xi, cnt "
+    " FROM d), "
+    "s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, "
+    " CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(cnt) AS BIGINT) AS sy, "
+    " CAST(SUM(xi * cnt) AS BIGINT) AS sxy, "
+    " CAST(SUM(xi * xi) AS BIGINT) AS sxx FROM x GROUP BY 1) "
+    "SELECT event_type, n_days, "
+    "printf('%.6f', ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE) / "
+    " CAST(n_days * sxx - sx * sx AS DOUBLE), 6)) AS slope, "
+    "printf('%.6f', ROUND((CAST(sy AS DOUBLE) - "
+    " CAST(n_days * sxy - sx * sy AS DOUBLE) / "
+    " CAST(n_days * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / "
+    " CAST(n_days AS DOUBLE), 6)) AS intercept "
+    "FROM s WHERE n_days * sxx > sx * sx",
+)
+def events_trend(spark, sf):
+    """Per-event-type linear trend of daily volume — the growth/decay
+    diagnostic a metrics platform fits over every series it tracks
+    (OLS slope per series IS the 'trending' column in ops dashboards),
+    and the parametric complement of ``events_forecast``'s seasonal
+    baseline. Day index is exact calendar arithmetic from a fixed
+    anchor, so the fit is invariant to which days happen to have data.
+
+    Scale shape: ONE map-side-combinable aggregation collapses facts to
+    the (type, day) grain; the sufficient-statistic rollup and the
+    closed-form slope/intercept algebra run on the dimension-sized
+    daily table — the fit costs one pass regardless of corpus size."""
+    d = daily_counts(_events(spark, sf))
+    x = d.select(
+        "event_type",
+        F.datediff(F.to_date("day"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("xi"),
+        "cnt",
+    )
+    s = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("xi").cast("long").alias("sx"),
+        F.sum("cnt").cast("long").alias("sy"),
+        F.sum(F.col("xi") * F.col("cnt")).cast("long").alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("long").alias("sxx"),
+    )
+    n, sx, sy = F.col("n_days"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = (n * F.col("sxx") - sx * sx).cast("double")
+    slope = num / den
+    intercept = (
+        sy.cast("double") - slope * sx.cast("double")
+    ) / n.cast("double")
+    return s.filter(n * F.col("sxx") > sx * sx).select(
+        "event_type",
+        "n_days",
+        _FMT6(slope).alias("slope"),
+        _FMT6(intercept).alias("intercept"),
+    )
+
+
+# -------------------------------------------------------- seasonality ----
+
+@register(
+    "events_seasonality",
+    # Weekday volume profile per event type: exact integer counts at the
+    # (type, ISO weekday) grain, share-of-type as one division under the
+    # %.6f rule. isodow (1=Monday..7) twins Spark's weekday()+1.
+    "WITH d AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow, "
+    " strftime(ts, '%A') AS weekday, CAST(COUNT(*) AS BIGINT) AS cnt "
+    " FROM events GROUP BY 1, 2, 3), "
+    "t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total "
+    " FROM d GROUP BY 1) "
+    "SELECT d.event_type, d.dow, d.weekday, d.cnt, "
+    "printf('%.6f', ROUND(CAST(d.cnt AS DOUBLE) / t.total, 6)) AS share "
+    "FROM d JOIN t ON t.event_type = d.event_type",
+)
+def events_seasonality(spark, sf):
+    """Day-of-week seasonality profile — the fraction of each event
+    type's volume landing on each ISO weekday, the table behind every
+    'weekend dip' chart and the seasonal prior ``events_forecast``'s
+    naive baseline implicitly assumes. Counts are exact integers; the
+    share is one correctly-rounded division; the weekday NAME rides
+    along for display (both engines emit English day names).
+
+    Scale shape: facts collapse to (type, weekday) — at most 7 rows per
+    type — in ONE partial+final aggregation; the type-total derives from
+    THAT table (never a second fact pass) and joins back broadcast-
+    sized."""
+    e = _events(spark, sf)
+    d = e.groupBy(
+        "event_type",
+        (F.weekday("ts") + 1).cast("long").alias("dow"),
+        F.date_format("ts", "EEEE").alias("weekday"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    t = d.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("total"))
+    return d.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        "weekday",
+        "cnt",
+        _FMT6(F.col("cnt").cast("double") / F.col("total")).alias("share"),
+    )
+
+
+# --------------------------------------------------------------- gaps ----
+
+@register(
+    "events_gaps",
+    # Per-user inter-arrival profile: gaps in exact integer microseconds
+    # under the TOTAL (ts, event_id) order; min/max/count exact, the
+    # mean is one division under the %.6f rule.
+    "WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+    " PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events) "
+    "SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n_gaps, "
+    "CAST(MIN(gap) AS BIGINT) AS min_gap_us, "
+    "CAST(MAX(gap) AS BIGINT) AS max_gap_us, "
+    # mean emitted in SECONDS: at the µs grain the mean is ~4e10 and six
+    # decimals exceed double's 15.95 exactly-formattable digits (the two
+    # engines' %.6f disagreed in the last digit); ÷1e6 (exact power of
+    # two? no — but the same fixed op chain on both engines) brings the
+    # value into the exact-formatting range.
+    "printf('%.6f', ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(gap) "
+    " / 1000000.0, 6)) AS avg_gap_s "
+    "FROM g WHERE gap IS NOT NULL GROUP BY user_id",
+)
+def events_gaps(spark, sf):
+    """Per-user inter-arrival time profile — the burstiness signal
+    behind bot detection (impossibly small min gap), churn scoring
+    (large max gap), and session-timeout calibration (the gap
+    distribution is what ``win_session_batch``'s 1800 s threshold is
+    fitted against). Gaps are exact integer microseconds under a TOTAL
+    per-user order (event_id tie-break), so every statistic except the
+    %.6f mean is exact.
+
+    Scale shape: ONE user-keyed exchange feeds both the LAG window and
+    the per-user aggregate (they co-partition); no fact-scale data
+    crosses any other boundary, and the output is user-dimension
+    sized."""
+    e = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = e.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_gap_us"),
+        F.max("gap").cast("long").alias("max_gap_us"),
+        _FMT6(
+            F.sum("gap").cast("double") / F.count("gap") / F.lit(1000000.0)
+        ).alias("avg_gap_s"),
     )

@@ -2549,3 +2549,93 @@ def kg_reciprocity(spark, sf):
             ),
         ).alias("reciprocity"),
     )
+
+
+@register(
+    "kg_assortativity",
+    # Degree assortativity over the symmetrized distinct edge set:
+    # Pearson correlation of (deg(s), deg(o)) across directed edge
+    # copies — the standard undirected estimator. All sufficient
+    # statistics are exact integers; the coefficient is the
+    # agg_stats_corr fixed IEEE chain under the %.6f rule.
+    f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_SYM_SQL}), "
+    "deg AS (SELECT conv_id, s AS node, CAST(COUNT(*) AS BIGINT) AS d "
+    " FROM e GROUP BY 1, 2), "
+    "p AS (SELECT ds.d AS x, dd.d AS y FROM e "
+    " JOIN deg ds ON ds.conv_id = e.conv_id AND ds.node = e.s "
+    " JOIN deg dd ON dd.conv_id = e.conv_id AND dd.node = e.o), "
+    "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges, "
+    " CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+    " CAST(SUM(x * y) AS BIGINT) AS sxy, "
+    " CAST(SUM(x * x) AS BIGINT) AS sxx, "
+    " CAST(SUM(y * y) AS BIGINT) AS syy FROM p) "
+    "SELECT n_edges, "
+    "printf('%.6f', ROUND(CAST(n_edges * sxy - sx * sy AS DOUBLE) / "
+    " (SQRT(CAST(n_edges * sxx - sx * sx AS DOUBLE)) * "
+    "  SQRT(CAST(n_edges * syy - sy * sy AS DOUBLE))), 6)) "
+    " AS assortativity "
+    "FROM s WHERE n_edges * sxx > sx * sx AND n_edges * syy > sy * sy",
+)
+def kg_assortativity(spark, sf):
+    """Degree assortativity of the extracted graph — do well-connected
+    entities link to other hubs (r > 0, social-network shape) or to
+    leaves (r < 0, hub-and-spoke shape)? The one-number structural
+    fingerprint that, next to ``kg_clustering`` and ``kg_degree_dist``,
+    tells a KG consumer which graph-algorithm regime they are in
+    (Newman 2002's mixing coefficient, computed exactly).
+
+    Scale shape: the kg_triangles discipline — everything derives from
+    the DISTINCT symmetrized edge set (bounded by convs ×
+    entity-domain²); the degree table joins back twice on
+    (conv_id, node) — co-partitioned with the edge set's own key — and
+    the final sufficient-statistic rollup is ONE single-row aggregate
+    of exact integers (degrees are bounded by the entity domain, so no
+    overflow anywhere near 2^53)."""
+    e = _sym_edges(_triples_table(spark, sf))
+    deg = e.groupBy("conv_id", F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    p = (
+        e.join(
+            deg.select(
+                F.col("conv_id").alias("sc"),
+                F.col("node").alias("sn"),
+                F.col("d").alias("x"),
+            ),
+            (F.col("sc") == F.col("conv_id")) & (F.col("sn") == F.col("s")),
+        )
+        .join(
+            deg.select(
+                F.col("conv_id").alias("oc"),
+                F.col("node").alias("on"),
+                F.col("d").alias("y"),
+            ),
+            (F.col("oc") == F.col("conv_id")) & (F.col("on") == F.col("o")),
+        )
+        .select("x", "y")
+    )
+    s = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n_edges")
+    sx, sy = F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = F.sqrt((n * F.col("sxx") - sx * sx).cast("double")) * F.sqrt(
+        (n * F.col("syy") - sy * sy).cast("double")
+    )
+    return (
+        s.filter(
+            (n * F.col("sxx") > sx * sx) & (n * F.col("syy") > sy * sy)
+        )
+        .select(
+            "n_edges",
+            F.format_string("%.6f", F.round(num / den, 6)).alias(
+                "assortativity"
+            ),
+        )
+    )

@@ -2288,3 +2288,44 @@ def fn_mask(spark, sf):
             F.expr("substring(c_name, length(c_name) - 3, 4)"),
         ).alias("masked_keep_tail"),
     )
+
+
+@register(
+    "win_running_distinct",
+    # Running COUNT(DISTINCT) over an expanding per-user frame: DuckDB
+    # runs the distinct aggregate natively in the window; Spark spells
+    # it as size(collect_set() OVER) — integer-exact on both engines
+    # under the TOTAL (ts, event_id) frame order.
+    "SELECT event_id, user_id, "
+    "CAST(COUNT(DISTINCT event_type) OVER (PARTITION BY user_id "
+    " ORDER BY ts, event_id "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    " AS n_types_seen "
+    "FROM events",
+)
+def win_running_distinct(spark, sf):
+    """Running distinct count over an expanding window — 'how many
+    distinct event types has this user touched so far' at every event,
+    the feature-breadth curve personalization models consume and the
+    window family's distinct-aggregate member (the frame keys cannot be
+    pre-aggregated away, unlike ``agg_distinct``). Spark has no native
+    DISTINCT window aggregate; ``size(collect_set() OVER ...)`` is the
+    standard spelling and stays JVM-side.
+
+    Scale shape: ONE user-keyed exchange + sort serves the whole frame;
+    per-row state is the type set, bounded by the event-type domain
+    (tiny), so the expanding frame never spills; output is fact-sized
+    but a pure projection of the sorted partition."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("long")
+        .alias("n_types_seen"),
+    )

@@ -1484,12 +1484,28 @@ def stream_anomaly(spark, sf):
     State is O(event-types × days) — dimension-sized, the monitoring
     shape a production ingest pipeline keeps; every batch's merge keys
     on (event_type, day) only, and the rollup never touches facts."""
+    from ..plans.events_analytics import anomaly_rollup
+
+    return anomaly_rollup(
+        _stream_daily_counts(spark, sf, "stream_anomaly")
+    ).localCheckpoint()
+
+
+def _stream_daily_counts(spark, sf, op_key: str) -> DataFrame:
+    """Consume the staged event stream accumulating the (event_type,
+    day, cnt) daily-count state — the shared fact-scale half of
+    ``stream_anomaly`` and ``stream_forecast`` (COUNT is exactly
+    sum-mergeable, so the merged state == the batch ``daily_counts``
+    over all events regardless of the micro-batch split). Returns the
+    final merged daily table; callers apply their own dimension-sized
+    rollup (and must localCheckpoint — see the work-dir sweep note on
+    ``_run_incremental_turns``)."""
     import shutil
 
-    from ..plans.events_analytics import anomaly_rollup, daily_counts
+    from ..plans.events_analytics import daily_counts
 
     d = _stage_stream_dir(sf)
-    work = _op_work_dir("stream_anomaly", d)
+    work = _op_work_dir(op_key, d)
     state: dict[str, str | None] = {"path": None}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -1519,9 +1535,29 @@ def stream_anomaly(spark, sf):
     )
     q.awaitTermination()
     assert state["path"] is not None, "stream produced no batches"
-    # eager localCheckpoint: survive a later same-key invocation's
-    # work-dir sweep (see _run_incremental_turns; ADVICE r4)
-    return anomaly_rollup(spark.read.parquet(state["path"])).localCheckpoint()
+    return spark.read.parquet(state["path"])
+
+
+@register("stream_forecast", None)  # pytest: == batch events_forecast
+def stream_forecast(spark, sf):
+    """INGEST-TIME seasonal-naive forecast backtest — the streaming twin
+    of ``events_forecast`` and the monitoring loop a production metrics
+    pipeline actually runs: as events arrive, keep the daily-volume
+    state current and re-score the seasonal-naive prediction against
+    each completed day. Per-(type, day) COUNT is exactly sum-mergeable,
+    so the SHARED ``_stream_daily_counts`` state equals the batch daily
+    table for any micro-batch split, and the SHARED ``forecast_rollup``
+    calendar-shift join over it reproduces the batch backtest
+    bit-for-bit (pytest-pinned, with a determinism re-run).
+
+    State is O(event-types × days) — the same dimension-sized shape as
+    ``stream_anomaly``; the rollup join runs on the calendar-sized
+    table, never on facts."""
+    from ..plans.events_analytics import forecast_rollup
+
+    return forecast_rollup(
+        _stream_daily_counts(spark, sf, "stream_forecast")
+    ).localCheckpoint()
 
 
 @register("stream_transitions", None)  # pytest: == batch event_transitions

@@ -812,3 +812,39 @@ def test_stream_growth_equals_batch(spark):
 
     again = ops.REGISTRY["stream_growth"][0](spark, SF).toPandas()
     assert sorted(map(tuple, again[cols].values.tolist())) == ga
+
+
+def test_stream_forecast_equals_batch(spark):
+    """Incremental seasonal-naive backtest over micro-batches == the
+    batch events_forecast on the full events table: per-(type, day)
+    COUNT is exactly mergeable, so the shared forecast_rollup over the
+    merged state must reproduce the batch backtest exactly. Second
+    invocation pins determinism across the work-dir sweep."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    key = ["event_type", "day"]
+    got = (
+        ops.REGISTRY["stream_forecast"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["events_forecast"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+
+    again = (
+        ops.REGISTRY["stream_forecast"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
