@@ -172,6 +172,10 @@ HEADLINE = [
     "events_gaps",
     "win_running_distinct",
     "kg_assortativity",
+    "fn_variant",
+    "agg_listagg",
+    "basket_pairs",
+    "source_orc",
 ]
 
 

@@ -2192,6 +2192,8 @@ def _stage_format(spark, sf: str, fmt: str) -> str:
             d.write.mode("overwrite").option("header", True).csv(out)
         elif fmt == "json":
             d.write.mode("overwrite").json(out)
+        elif fmt == "orc":
+            d.write.mode("overwrite").orc(out)
         else:  # text: one tab-joined line per row
             d.select(
                 F.concat_ws(
@@ -2238,6 +2240,19 @@ def source_csv(spark, sf):
         .schema("doc_id long, lang string, source string, n_chars long")
         .csv(path)
     )
+
+
+@register("source_orc", _SRC_SQL)
+def source_orc(spark, sf):
+    """ORC source — the second columnar format a lakehouse engine must
+    read (Hive-era tables are overwhelmingly ORC); Spark's reader is
+    built-in (unlike Avro, whose external jar is absent in this
+    container — see NOTES env gates). The oracle reads the SAME rows
+    from the parquet view, so a green row proves the ORC round-trip
+    (writer + reader + schema) end-to-end. Columnar pruning/pushdown
+    apply to ORC scans as to parquet."""
+    path = _stage_format(spark, sf, "orc")
+    return spark.read.orc(path).select("doc_id", "lang", "source", "n_chars")
 
 
 @register("source_json", _SRC_SQL)

@@ -2329,3 +2329,151 @@ def win_running_distinct(spark, sf):
         .cast("long")
         .alias("n_types_seen"),
     )
+
+
+@register(
+    "fn_variant",
+    # VARIANT expression family (Spark 4's semi-structured type) over the
+    # events props JSON: typed path extraction, string extraction, a
+    # missing-path TRY probe, and the inferred variant schema. The oracle
+    # twins each via DuckDB JSON operators; the schema string is the
+    # constant OBJECT<k: BIGINT> because every props row is {"k": N}.
+    "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_int, "
+    "props->>'$.k' AS k_str, "
+    "CAST(NULL AS BIGINT) AS k_missing, "
+    "'OBJECT<k: BIGINT>' AS var_schema "
+    "FROM events",
+)
+def fn_variant(spark, sf):
+    """VARIANT function family — Spark 4's answer to open semi-structured
+    columns (the engine-native replacement for stringly-typed JSON):
+    ``parse_json`` into VARIANT once, then typed ``variant_get`` path
+    extraction, ``try_variant_get`` for absent paths (NULL, not error —
+    the fn_try discipline), and ``schema_of_variant`` introspection. A
+    lakehouse ingesting heterogeneous event payloads stores exactly this
+    shape; the oracle pins each member against DuckDB's JSON operators.
+
+    Scale shape: zero-shuffle projection; VARIANT encode/decode runs
+    columnar inside the scan projection, and a real table would store
+    the VARIANT binary so parse_json happens once at ingest."""
+    e = _t(spark, sf, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
+        F.schema_of_variant(v).alias("var_schema"),
+    )
+
+
+@register(
+    "agg_listagg",
+    # listagg WITHIN GROUP (ORDER BY a DIFFERENT column) — the ordered
+    # string aggregation agg_collect's sort_array spelling cannot
+    # express (it can only sort by the collected value itself). Order is
+    # TOTAL (acctbal DESC, name), so the string is deterministic.
+    "SELECT n_nationkey, string_agg(s_name, ',' "
+    " ORDER BY s_acctbal DESC, s_name) AS names_by_bal "
+    "FROM supplier JOIN nation ON n_nationkey = s_nationkey "
+    "GROUP BY n_nationkey",
+)
+def agg_listagg(spark, sf):
+    """Ordered string aggregation (SQL:2016 LISTAGG, new in Spark 4.0)
+    with a WITHIN GROUP order on a DIFFERENT column than the one being
+    concatenated — suppliers per nation ordered richest-first. This is
+    the member of the collect family ``agg_collect`` cannot reach:
+    ``array_join(sort_array(collect_list(x)))`` sorts by x itself,
+    while LISTAGG's within-group order is arbitrary (here acctbal).
+    Deterministic because the order is TOTAL (name tie-break).
+
+    Scale shape: ONE nation-keyed partial+final aggregation (listagg
+    merges per-partition buffers); the nation join is broadcast-sized.
+    Group payloads are bounded by suppliers-per-nation — the same
+    consideration as any collect: use only where groups are bounded."""
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    j = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    return j.groupBy("n_nationkey").agg(
+        F.expr(
+            "listagg(s_name, ',') within group (order by s_acctbal desc, s_name)"
+        ).alias("names_by_bal")
+    )
+
+
+@register(
+    "basket_pairs",
+    # Market-basket co-occurrence with lift over lineitem orders: pair
+    # support counts are exact integers from the DISTINCT (order, part)
+    # table's self-join (p1 < p2 canonical orientation); lift =
+    # cnt·N / (cnt1·cnt2) is ONE division of exact-integer doubles under
+    # the %.6f rule; global top-100 under the TOTAL
+    # (cnt DESC, p1, p2) order.
+    "WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders "
+    " FROM i), "
+    "pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM i "
+    " GROUP BY 1), "
+    "pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, "
+    " CAST(COUNT(*) AS BIGINT) AS pair_cnt FROM i a "
+    " JOIN i b ON b.l_orderkey = a.l_orderkey "
+    "  AND b.l_partkey > a.l_partkey GROUP BY 1, 2) "
+    "SELECT p1, p2, pair_cnt, "
+    "printf('%.6f', ROUND(CAST(pair_cnt * n.n_orders AS DOUBLE) / "
+    " CAST(c1.cnt * c2.cnt AS DOUBLE), 6)) AS lift "
+    "FROM pairs CROSS JOIN n "
+    "JOIN pc c1 ON c1.l_partkey = p1 JOIN pc c2 ON c2.l_partkey = p2 "
+    "ORDER BY pair_cnt DESC, p1, p2 LIMIT 100",
+)
+def basket_pairs(spark, sf):
+    """Market-basket analysis — co-purchased part pairs with lift, the
+    association-rule head (Apriori's 2-itemset pass) every retail
+    analytics engine ships and the same pair+lift algebra
+    ``kg_cooccur_lift`` applies to entity mentions, here over the
+    transactional schema. Counts are exact; lift is one
+    correctly-rounded division; top-100 under a total order.
+
+    Scale shape: reduce to the DISTINCT (order, part) table first, then
+    ONE order-keyed self-join bounded by Σ basket_size² (baskets are
+    small and bounded — the kg_two_hop discipline); per-part supports
+    come from the SAME distinct table and join back on the
+    part-dimension; the global top-100 is TakeOrderedAndProject, no
+    full sort."""
+    li = _t(spark, sf, "lineitem")
+    i = li.select("l_orderkey", "l_partkey").distinct()
+    n = i.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    pc = i.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    b = i.select(
+        F.col("l_orderkey").alias("b_ok"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        i.join(
+            b,
+            (F.col("b_ok") == F.col("l_orderkey"))
+            & (F.col("p2") > F.col("l_partkey")),
+        )
+        .groupBy(F.col("l_partkey").alias("p1"), "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+    )
+    c1 = pc.select(F.col("l_partkey").alias("p1"), F.col("cnt").alias("cnt1"))
+    c2 = pc.select(F.col("l_partkey").alias("p2"), F.col("cnt").alias("cnt2"))
+    lift = (F.col("pair_cnt") * F.col("n_orders")).cast("double") / (
+        F.col("cnt1") * F.col("cnt2")
+    ).cast("double")
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .join(c1, "p1")
+        .join(c2, "p2")
+        .select(
+            "p1",
+            "p2",
+            "pair_cnt",
+            F.format_string("%.6f", F.round(lift, 6)).alias("lift"),
+        )
+        .orderBy(F.desc("pair_cnt"), "p1", "p2")
+        .limit(100)
+    )
