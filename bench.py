@@ -176,6 +176,9 @@ HEADLINE = [
     "agg_listagg",
     "basket_pairs",
     "source_orc",
+    "events_daily_growth",
+    "fn_collation",
+    "macro_market_share",
 ]
 
 

@@ -1134,3 +1134,50 @@ def events_gaps(spark, sf):
             F.sum("gap").cast("double") / F.count("gap") / F.lit(1000000.0)
         ).alias("avg_gap_s"),
     )
+
+
+# ------------------------------------------------------- daily growth ----
+
+@register(
+    "events_daily_growth",
+    # Day-over-day growth per event type: LAG over the dimension-sized
+    # daily table (previous PRESENT day, matching how metrics tools
+    # compute DoD over sparse series); counts exact, the pct change is
+    # ONE division of exact-integer doubles under the %.6f rule.
+    "WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+    " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+    "g AS (SELECT event_type, day, cnt, lag(cnt) OVER ("
+    " PARTITION BY event_type ORDER BY day) AS prev FROM d) "
+    "SELECT event_type, day, cnt, CAST(prev AS BIGINT) AS prev, "
+    "printf('%.6f', ROUND(CAST(cnt - prev AS DOUBLE) / prev, 6)) "
+    " AS pct_change "
+    "FROM g WHERE prev IS NOT NULL",
+)
+def events_daily_growth(spark, sf):
+    """Day-over-day growth table — the '+12% vs yesterday' column on
+    every metrics dashboard, per event type. The previous point is the
+    previous PRESENT day in the series (LAG over the daily grain), the
+    standard sparse-series DoD; the calendar-exact complement is
+    ``events_forecast``'s shifted join. Counts exact; one
+    correctly-rounded division per row.
+
+    Scale shape: facts collapse once to the (type, day) grain; the LAG
+    window runs on that dimension-sized table partitioned by type —
+    nothing fact-scale is re-touched."""
+    d = daily_counts(_events(spark, sf))
+    w = Window.partitionBy("event_type").orderBy("day")
+    g = d.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.lag("cnt").over(w).cast("long").alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    return g.select(
+        "event_type",
+        "day",
+        "cnt",
+        "prev",
+        _FMT6(
+            (F.col("cnt") - F.col("prev")).cast("double") / F.col("prev")
+        ).alias("pct_change"),
+    )

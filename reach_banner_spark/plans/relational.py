@@ -2477,3 +2477,152 @@ def basket_pairs(spark, sf):
         .orderBy(F.desc("pair_cnt"), "p1", "p2")
         .limit(100)
     )
+
+
+@register(
+    "fn_collation",
+    # Collation-aware string semantics (Spark 4 collations): equality,
+    # prefix, and containment under case-insensitive collations, twinned
+    # in the oracle by explicit lower() algebra — on this ASCII corpus
+    # UTF8_LCASE/UNICODE_CI comparisons and lower()-normalized binary
+    # comparisons agree exactly, which is precisely the semantic the key
+    # pins. Booleans mix true/false across rows (segment-dependent).
+    "SELECT c_custkey, "
+    "lower(c_mktsegment) = 'building' AS eq_ci, "
+    "CASE WHEN lower(c_mktsegment) LIKE 'auto%' THEN TRUE ELSE FALSE END "
+    " AS sw_ci, "
+    "CASE WHEN lower(c_name) LIKE '%customer%' THEN TRUE ELSE FALSE END "
+    " AS has_ci "
+    "FROM customer",
+)
+def fn_collation(spark, sf):
+    """Collation function family (new in Spark 4.0) — string comparison
+    under a named collation instead of binary code-point order:
+    case-insensitive equality (UTF8_LCASE) and ICU-backed prefix /
+    containment (UNICODE_CI). The feature a multilingual lakehouse uses
+    so WHERE name = 'müller' matches without scattering lower() over
+    every predicate. The oracle re-spells each comparison as explicit
+    lower() algebra — equal on ASCII by definition of the collation,
+    pinning the builtin's semantics where the two models coincide.
+
+    Scale shape: zero-shuffle projection, codegen-resident; collation
+    comparison is a scan-level expression exactly like the binary
+    comparison it replaces."""
+    c = _t(spark, sf, "customer")
+    lc = lambda col, coll: F.collate(F.col(col), coll)  # noqa: E731
+    lit = lambda s, coll: F.collate(F.lit(s), coll)  # noqa: E731
+    return c.select(
+        "c_custkey",
+        (lc("c_mktsegment", "UTF8_LCASE") == lit("building", "UTF8_LCASE"))
+        .alias("eq_ci"),
+        F.startswith(
+            lc("c_mktsegment", "UTF8_LCASE"), lit("AUTO", "UTF8_LCASE")
+        ).alias("sw_ci"),
+        F.contains(
+            lc("c_name", "UNICODE_CI"), lit("CUSTOMER", "UNICODE_CI")
+        ).alias("has_ci"),
+    )
+
+
+@register(
+    "macro_market_share",
+    # TPC-H Q8-shaped market-share macro: for the ASIA customer market
+    # restricted to ECONOMY parts, each supplier nation's share of each
+    # order-year's revenue. Revenue is exact integer 1e-4 currency units
+    # (DECIMAL(18,2) price × (1 − DECIMAL(18,2) discount) has scale 4;
+    # ×10000 is integral), sums are exact BIGINTs, the share is ONE
+    # division of exact-integer doubles under the %.6f rule.
+    "WITH rev AS (SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year, "
+    " sn.n_name AS supp_nation, "
+    " CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "  (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS rev_e4 "
+    " FROM lineitem "
+    " JOIN orders ON o_orderkey = l_orderkey "
+    " JOIN customer ON c_custkey = o_custkey "
+    " JOIN nation cn ON cn.n_nationkey = c_nationkey "
+    " JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'ASIA' "
+    " JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY' "
+    " JOIN supplier ON s_suppkey = l_suppkey "
+    " JOIN nation sn ON sn.n_nationkey = s_nationkey), "
+    "a AS (SELECT CAST(o_year AS BIGINT) AS o_year, supp_nation, "
+    " CAST(SUM(rev_e4) AS BIGINT) AS nation_rev FROM rev GROUP BY 1, 2), "
+    "t AS (SELECT o_year, CAST(SUM(nation_rev) AS BIGINT) AS total_rev "
+    " FROM a GROUP BY 1) "
+    "SELECT a.o_year, a.supp_nation, a.nation_rev, "
+    "printf('%.6f', ROUND(CAST(a.nation_rev AS DOUBLE) / t.total_rev, 6)) "
+    " AS mkt_share "
+    "FROM a JOIN t ON t.o_year = a.o_year",
+)
+def macro_market_share(spark, sf):
+    """Market-share macro query (the TPC-H Q8 'national market share'
+    shape): within the ASIA customer market for ECONOMY parts, each
+    supplier nation's share of yearly revenue — the end-to-end query
+    that exercises the FULL join graph (both fact tables + all five
+    dimensions, nation twice under different roles). Revenue stays in
+    exact integer 1e-4 units so every aggregate is exact and the share
+    is one correctly-rounded division.
+
+    Scale shape: lineitem⋈orders is the one fact-fact shuffle (orderkey
+    co-partitioned); customer arrives pre-joined to its
+    nation⋈region(ASIA) dimensions and joins orders on custkey (at this
+    SF AQE broadcasts it; at 100 TB it co-partitions on custkey — the
+    filter already dropped 4/5 of customers); part(ECONOMY), supplier,
+    and both nation roles are broadcast dimensions, so no second
+    fact-scale exchange exists; the share rollup runs on the
+    years × nations table."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf, "supplier")
+    asia_cust = (
+        c.join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                    n["n_regionkey"] == r["r_regionkey"],
+                ).select("n_nationkey")
+            ),
+            c["c_nationkey"] == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    rev_e4 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        * 10000
+    ).cast("long")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(asia_cust, o["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "supp_nation",
+            rev_e4.alias("rev_e4"),
+        )
+    )
+    a = rev.groupBy("o_year", "supp_nation").agg(
+        F.sum("rev_e4").cast("long").alias("nation_rev")
+    )
+    t = a.groupBy(F.col("o_year").alias("t_year")).agg(
+        F.sum("nation_rev").cast("long").alias("total_rev")
+    )
+    return a.join(F.broadcast(t), a["o_year"] == F.col("t_year")).select(
+        "o_year",
+        "supp_nation",
+        "nation_rev",
+        F.format_string(
+            "%.6f",
+            F.round(
+                F.col("nation_rev").cast("double") / F.col("total_rev"), 6
+            ),
+        ).alias("mkt_share"),
+    )
