@@ -179,6 +179,9 @@ HEADLINE = [
     "events_daily_growth",
     "fn_collation",
     "macro_market_share",
+    "merge_upsert",
+    "cdc_apply",
+    "snapshot_diff",
 ]
 
 

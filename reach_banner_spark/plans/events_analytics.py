@@ -1181,3 +1181,149 @@ def events_daily_growth(spark, sf):
             (F.col("cnt") - F.col("prev")).cast("double") / F.col("prev")
         ).alias("pct_change"),
     )
+
+
+# ------------------------------------------------- CDC / table diff ----
+
+def cdc_user_state(e: DataFrame) -> DataFrame:
+    """The per-user CDC state: last change row under the (ts, event_id)
+    total order (MAX over a struct — no window sort, the agg_argminmax
+    spelling) plus the change count. Both aggregates are exactly
+    mergeable (max is associative, count sums), which is the property
+    ``stream_cdc`` relies on to fold micro-batches into carried state.
+    Shared between ``cdc_apply`` and the streaming twin. The change
+    time lives in the struct as exact integer microseconds (orders the
+    same as the timestamp, and survives the parquet state swap without
+    the TIMESTAMP_NTZ round-trip — see NOTES)."""
+    return e.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("event_type"),
+                F.col("value").alias("value"),
+            )
+        ).alias("last"),
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+    )
+
+
+def cdc_snapshot_rollup(state: DataFrame) -> DataFrame:
+    """Project the merged CDC state to the live snapshot: tombstoned
+    keys (last op = 'error') are absent, survivors carry their latest
+    state, exact-micros change time, and lifetime change count."""
+    return state.filter(F.col("last.event_type") != "error").select(
+        "user_id",
+        F.col("last.event_type").alias("state"),
+        F.col("last.ts_us").alias("last_ts_us"),
+        _FMT6(F.col("last.value")).alias("last_value"),
+        "n_changes",
+    )
+
+
+@register(
+    "cdc_apply",
+    # Changelog -> snapshot materialization: events as a CDC stream on
+    # user_id ('error' = tombstone/DELETE, anything else = UPSERT);
+    # the snapshot is each key's last change under the (ts, event_id)
+    # total order, tombstoned keys absent. Exact integer micros; value
+    # under the %.6f rule.
+    "WITH r AS (SELECT user_id, event_type, value, ts, event_id, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id "
+    " ORDER BY ts DESC, event_id DESC) AS rn, "
+    "COUNT(*) OVER (PARTITION BY user_id) AS n_changes FROM events) "
+    "SELECT user_id, event_type AS state, "
+    "CAST(epoch_us(ts) AS BIGINT) AS last_ts_us, "
+    "printf('%.6f', ROUND(value, 6)) AS last_value, "
+    "CAST(n_changes AS BIGINT) AS n_changes "
+    "FROM r WHERE rn = 1 AND event_type <> 'error'",
+)
+def cdc_apply(spark, sf):
+    """Apply a change-data-capture log to materialize the current
+    snapshot — the Debezium/Delta CDF consumption pattern: events are
+    the ordered changelog on user_id, 'error' rows are tombstones, and
+    the live table is each surviving key's latest change (last-write
+    wins under the (ts, event_id) total order, which is unique, so the
+    result is deterministic for any arrival order).
+
+    Scale shape: ONE user-keyed hash aggregate — the last-row pick is a
+    MAX over a (ts, event_id, ...) struct, so it partial-aggregates
+    map-side and never sorts (the oracle's ROW_NUMBER spelling would
+    pay a per-key sort; max_by doesn't). State per key is one row:
+    exactly the compaction a streaming CDC materializer keeps."""
+    e = _events(spark, sf)
+    return cdc_snapshot_rollup(cdc_user_state(e))
+
+
+@register(
+    "snapshot_diff",
+    # Table diff between two snapshots of the per-(user, event_type)
+    # activity profile (first week vs last week of the corpus):
+    # source-only keys ADDED, target-only REMOVED, both-with-different
+    # counts CHANGED; identical rows are omitted (a diff, not a copy).
+    "WITH a AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) "
+    " AS cnt FROM events WHERE ts >= TIMESTAMP '2024-01-01' "
+    " AND ts < TIMESTAMP '2024-01-08' GROUP BY 1, 2), "
+    "b AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) "
+    " AS cnt FROM events WHERE ts >= TIMESTAMP '2024-01-24' "
+    " AND ts < TIMESTAMP '2024-01-31' GROUP BY 1, 2) "
+    "SELECT COALESCE(a.user_id, b.user_id) AS user_id, "
+    "COALESCE(a.event_type, b.event_type) AS event_type, "
+    "(CASE WHEN a.user_id IS NULL THEN 'ADDED' "
+    " WHEN b.user_id IS NULL THEN 'REMOVED' ELSE 'CHANGED' END) "
+    " AS action, a.cnt AS old_cnt, b.cnt AS new_cnt "
+    "FROM a FULL OUTER JOIN b "
+    "ON a.user_id = b.user_id AND a.event_type = b.event_type "
+    "WHERE a.user_id IS NULL OR b.user_id IS NULL OR a.cnt <> b.cnt",
+)
+def snapshot_diff(spark, sf):
+    """Snapshot-to-snapshot table diff — the data-reconciliation
+    operator behind incremental-materialization testing and replica
+    drift checks: full-outer join two snapshots on the key, classify
+    every key as ADDED / REMOVED / CHANGED with old/new values,
+    omit identical rows. Snapshots here are the per-(user, event_type)
+    weekly activity profiles (all three classes occur at every SF —
+    measured before committing the windows).
+
+    Scale shape: both snapshot aggregates and the diff join share ONE
+    (user_id, event_type) hash partitioning — the aggregate exchanges
+    are the only fact-scale shuffles and the join reuses them (no
+    additional exchange under AQE); the WHERE drops SAME rows before
+    anything leaves the join. At 100 TB this is the shape you want:
+    diff cost is bounded by the key domain, not event volume."""
+    e = _events(spark, sf)
+
+    def snap(lo: str, hi: str) -> DataFrame:
+        return (
+            e.filter(
+                (F.col("ts") >= F.lit(lo).cast("timestamp"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    a = snap("2024-01-01", "2024-01-08").alias("a")
+    b = snap("2024-01-24", "2024-01-31").alias("b")
+    j = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") == F.col("b.event_type")),
+        "full_outer",
+    )
+    return j.filter(
+        F.col("a.user_id").isNull()
+        | F.col("b.user_id").isNull()
+        | (F.col("a.cnt") != F.col("b.cnt"))
+    ).select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.coalesce(F.col("a.event_type"), F.col("b.event_type")).alias(
+            "event_type"
+        ),
+        F.when(F.col("a.user_id").isNull(), F.lit("ADDED"))
+        .when(F.col("b.user_id").isNull(), F.lit("REMOVED"))
+        .otherwise(F.lit("CHANGED"))
+        .alias("action"),
+        F.col("a.cnt").alias("old_cnt"),
+        F.col("b.cnt").alias("new_cnt"),
+    )

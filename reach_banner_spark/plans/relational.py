@@ -2626,3 +2626,77 @@ def macro_market_share(spark, sf):
             ),
         ).alias("mkt_share"),
     )
+
+
+@register(
+    "merge_upsert",
+    # MERGE INTO semantics (the lakehouse upsert) spelled as its
+    # relational definition — a full-outer join of target and source on
+    # the merge key, matched rows updated, source-only rows inserted,
+    # target-only rows kept. Target = customer; source = the per-custkey
+    # order-spend rollup (exact integer cents), plus a shifted-key slice
+    # (custkey % 7 == 0, +10M) that is guaranteed not-matched so the
+    # INSERT branch is non-trivial at every SF. Money stays exact:
+    # ROUND(price*100) per order row is within 1 ulp of an integer on
+    # both engines, sums are BIGINTs.
+    "WITH src0 AS (SELECT o_custkey AS k, "
+    " CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "  AS spend_cents FROM orders GROUP BY 1), "
+    "src AS (SELECT k, spend_cents FROM src0 "
+    " UNION ALL SELECT k + 10000000, spend_cents FROM src0 WHERE k % 7 = 0) "
+    "SELECT COALESCE(c.c_custkey, s.k) AS c_custkey, "
+    "COALESCE(c.c_name, 'Customer#NEW-' || CAST(s.k AS VARCHAR)) AS c_name, "
+    "COALESCE(c.c_mktsegment, 'NEW') AS c_mktsegment, "
+    "CASE WHEN s.k IS NULL "
+    " THEN CAST(ROUND(c.c_acctbal * 100) AS BIGINT) "
+    " ELSE s.spend_cents END AS acctbal_cents, "
+    "CASE WHEN c.c_custkey IS NULL THEN 'INSERT' "
+    " WHEN s.k IS NULL THEN 'KEEP' ELSE 'UPDATE' END AS action "
+    "FROM customer c FULL OUTER JOIN src s ON s.k = c.c_custkey",
+)
+def merge_upsert(spark, sf):
+    """MERGE INTO (upsert) — the #1 lakehouse mutation, re-expressed as
+    the full-outer-join algebra every copy-on-write engine (Delta,
+    Iceberg, Hudi) lowers it to: WHEN MATCHED THEN UPDATE (account
+    balance := latest order spend), WHEN NOT MATCHED BY SOURCE THEN
+    KEEP, WHEN NOT MATCHED BY TARGET THEN INSERT. The output IS the
+    post-merge table plus the per-row action tag (the row-level audit
+    column a CDC-aware merge emits).
+
+    Scale shape: the source rollup shuffles orders once on its natural
+    key; the merge itself is ONE full-outer join on c_custkey — at
+    100 TB both sides hash-partition on the merge key (this is exactly
+    the shuffle a real MERGE pays before rewriting files), and AQE
+    handles the skewed-key case. No window, no second fact-scale
+    exchange; money is exact integer cents end-to-end."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    src0 = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("spend_cents")
+    )
+    src = src0.unionByName(
+        src0.filter(F.col("k") % 7 == 0).select(
+            (F.col("k") + 10000000).alias("k"), "spend_cents"
+        )
+    )
+    m = c.join(src, src["k"] == c["c_custkey"], "full_outer")
+    return m.select(
+        F.coalesce(c["c_custkey"], src["k"]).alias("c_custkey"),
+        F.coalesce(
+            c["c_name"],
+            F.concat(F.lit("Customer#NEW-"), src["k"].cast("string")),
+        ).alias("c_name"),
+        F.coalesce(c["c_mktsegment"], F.lit("NEW")).alias("c_mktsegment"),
+        F.when(
+            src["k"].isNull(),
+            F.round(c["c_acctbal"] * 100).cast("long"),
+        )
+        .otherwise(src["spend_cents"])
+        .alias("acctbal_cents"),
+        F.when(c["c_custkey"].isNull(), F.lit("INSERT"))
+        .when(src["k"].isNull(), F.lit("KEEP"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("action"),
+    )

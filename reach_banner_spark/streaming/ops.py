@@ -2028,3 +2028,63 @@ def stream_bloom(spark, sf):
         spark.read.parquet(state["bits"]),
         spark.read.parquet(state["mem"]),
     ).localCheckpoint()
+
+
+@register("stream_cdc", None)  # pytest: == batch cdc_apply
+def stream_cdc(spark, sf):
+    """INGEST-TIME CDC materialization — the streaming twin of
+    ``cdc_apply`` and the loop a Debezium-style consumer actually runs:
+    keep the per-key snapshot current as changelog batches arrive. The
+    carried state is the SHARED ``cdc_user_state`` shape (one row per
+    user: MAX (ts_us, event_id, ...) struct + change count), and both
+    aggregates are exactly mergeable (max associative, count sums), so
+    merging each micro-batch's state into the carried state equals the
+    batch aggregate over all events for ANY split — streaming == batch
+    is a theorem, pinned by pytest anyway (with a determinism re-run).
+    The final snapshot is the SHARED ``cdc_snapshot_rollup`` (tombstoned
+    keys absent).
+
+    State is O(users) — one compacted row per live key, the exact shape
+    a production CDC materializer keeps; each batch's merge keys on
+    user_id only and the rollup never re-touches facts."""
+    import shutil
+
+    from ..plans.events_analytics import cdc_snapshot_rollup, cdc_user_state
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_cdc", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = cdc_user_state(batch_df)
+        merged = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("user_id")
+            .agg(
+                F.max("last").alias("last"),
+                F.sum("n_changes").cast("long").alias("n_changes"),
+            )
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        merged.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return cdc_snapshot_rollup(
+        spark.read.parquet(state["path"])
+    ).localCheckpoint()

@@ -848,3 +848,40 @@ def test_stream_forecast_equals_batch(spark):
         .reset_index(drop=True)
     )
     assert got.equals(again)
+
+
+def test_stream_cdc_equals_batch(spark):
+    """Incremental CDC materialization over micro-batches == the batch
+    cdc_apply snapshot on the full changelog: the per-user state (MAX
+    change struct + change count) is exactly mergeable, so the shared
+    cdc_snapshot_rollup over the merged state must reproduce the batch
+    snapshot exactly — including tombstone (last op = 'error') absence.
+    Second invocation pins determinism across the work-dir sweep."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    key = ["user_id"]
+    got = (
+        ops.REGISTRY["stream_cdc"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["cdc_apply"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+
+    again = (
+        ops.REGISTRY["stream_cdc"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
