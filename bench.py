@@ -182,6 +182,11 @@ HEADLINE = [
     "merge_upsert",
     "cdc_apply",
     "snapshot_diff",
+    "zorder_key",
+    "fn_xml",
+    "kg_provenance",
+    "kg_canonical_facts",
+    "emb_pca",
 ]
 
 

@@ -985,3 +985,85 @@ def prototypicality_pandas(
     out["is_outlier"] = out["rn"] <= outlier_k
     out["cos"] = out["rc"].map(lambda x: "%.6f" % x)
     return out[["vec_id", "label", "cos", "is_outlier"]]
+
+
+# ------------------------------------------------------------- PCA ----
+
+PCA_SAMPLE = 512
+PCA_DIMS = 8
+
+
+def _pca_components(sample_mat: np.ndarray, k: int = PCA_DIMS):
+    """(mean, W) from a bounded driver-side sample — the same bounded-
+    quantizer recipe as ``_ivf_centroids``: at 100 TB the covariance is
+    estimated from a fixed-size sample and only the projection pass is
+    distributed. Deterministic: covariance -> ``eigh`` (symmetric,
+    LAPACK-deterministic for identical input), components ordered by
+    eigenvalue DESC then sign-fixed so the largest-|coefficient|
+    coordinate is positive (eigenvector sign is otherwise arbitrary).
+    Returns float64 (dim,) mean and (dim, k) projection matrix."""
+    m = sample_mat.astype(np.float64)
+    mean = m.mean(axis=0)
+    x = m - mean
+    cov = (x.T @ x) / max(1, len(m))
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(-vals, kind="stable")[: min(k, vecs.shape[1])]
+    w = vecs[:, order]
+    for j in range(w.shape[1]):
+        i = int(np.argmax(np.abs(w[:, j])))  # first max on ties
+        if w[i, j] < 0:
+            w[:, j] = -w[:, j]
+    return mean, w
+
+
+@register("emb_pca", None)  # == numpy twin, pytest-pinned (pca_project_pandas)
+def emb_pca(spark, sf):
+    """PCA projection of the embedding column to its top principal
+    components — the standard dimensionality-reduction prep before
+    clustering / ANN indexing (FAISS's OPQ/PCA pre-transform): train the
+    rotation on a bounded sample, project the full table distributed.
+
+    Scale shape: the sample is a fixed-size single limit-toPandas job
+    (same discipline as the IVF quantizer); the projection is one
+    Arrow-batched ``mapInPandas`` pass with the kilobyte (dim × k)
+    matrix in the closure — embarrassingly parallel, zero shuffles.
+    Output doubles are the raw float64 matmul results; the pytest twin
+    replays the identical numpy op sequence, so equality is bit-exact
+    (∅-oracle: per-row float formatting differs across engines)."""
+    e = _emb(spark, sf)
+    sample = (
+        e.orderBy("vec_id").limit(PCA_SAMPLE).select("embedding").toPandas()
+    )
+    cols = ", ".join(f"pc{i + 1} double" for i in range(PCA_DIMS))
+    if len(sample) == 0:
+        return spark.createDataFrame([], f"vec_id long, {cols}")
+    mean, w = _pca_components(np.stack(sample["embedding"].to_numpy()))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            proj = (mat - mean) @ w
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for i in range(w.shape[1]):
+                out[f"pc{i + 1}"] = proj[:, i]
+            yield pd.DataFrame(out)
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        run, f"vec_id long, {cols}"
+    )
+
+
+def pca_project_pandas(emb: pd.DataFrame, k: int = PCA_DIMS) -> pd.DataFrame:
+    """Pure-pandas twin of ``emb_pca``: identical sample (first
+    PCA_SAMPLE by vec_id), identical component fit, identical float64
+    matmul — bit-for-bit the distributed output."""
+    s = emb.sort_values("vec_id").head(PCA_SAMPLE)
+    mean, w = _pca_components(np.stack(s["embedding"].to_numpy()), k=k)
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    proj = (mat - mean) @ w
+    out = {"vec_id": emb["vec_id"].to_numpy()}
+    for i in range(w.shape[1]):
+        out[f"pc{i + 1}"] = proj[:, i]
+    return pd.DataFrame(out)

@@ -1327,3 +1327,74 @@ def snapshot_diff(spark, sf):
         F.col("a.cnt").alias("old_cnt"),
         F.col("b.cnt").alias("new_cnt"),
     )
+
+
+# ---------------------------------------------------- data layout ----
+
+def _spread_bits_sql(expr: str) -> str:
+    """SQL spelling of the 16-bit Morton spread (part1by1): four
+    shift-or-mask rounds that move bit i of ``expr`` to bit 2i. The
+    same four-step magic-mask sequence as the Spark side — generated
+    from one place so the two engines cannot drift."""
+    s = expr
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                        (2, 0x33333333), (1, 0x55555555)):
+        s = f"(({s} | ({s} << {shift})) & {mask})"
+    return s
+
+
+def _spread_bits_col(c):
+    """Column spelling of the same 16-bit Morton spread."""
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                        (2, 0x33333333), (1, 0x55555555)):
+        c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
+    return c
+
+
+_Z_DAY_SQL = "CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)"
+_Z_SQL = (
+    f"({_spread_bits_sql('user_id')} | ({_spread_bits_sql(_Z_DAY_SQL)} << 1))"
+)
+
+
+@register(
+    "zorder_key",
+    # Z-order (Morton) clustering key over the two dimensions event
+    # scans actually filter by — user and day: interleave the low 16
+    # bits of each (both domains fit), bucket = the 8 high bits of the
+    # 32-bit z-value. Pure BIGINT bit algebra, identical on both
+    # engines.
+    f"SELECT event_id, user_id, {_Z_DAY_SQL} AS day, "
+    f"{_Z_SQL} AS zval, ({_Z_SQL} >> 24) AS zbucket "
+    "FROM events",
+)
+def zorder_key(spark, sf):
+    """Z-order (Morton) clustering key — the multi-dimensional data-
+    layout primitive behind Delta OPTIMIZE ZORDER BY / Iceberg sort
+    orders: interleave the bits of the two filter dimensions (user_id,
+    event day) so that sorting by the z-value co-locates rows close in
+    BOTH dimensions, and range-partitioning by the z-value's high bits
+    (``zbucket``) assigns rows to files such that a predicate on either
+    dimension prunes most files.
+
+    Scale shape: a zero-shuffle whole-stage-codegen projection — the
+    16-bit spread is four shift-or-mask rounds per dimension (the
+    classic part1by1 magic masks), all BIGINT algebra. At 100 TB the
+    layout job is this projection + repartitionByRange(zval) + write;
+    the key computation itself never exchanges. The SQL and Column
+    spellings are generated from the same four-round table above, so
+    the oracle is structurally the same arithmetic."""
+    e = _events(spark, sf)
+    day = F.datediff(
+        F.col("ts").cast("date"), F.to_date(F.lit("2024-01-01"))
+    ).cast("long")
+    z = _spread_bits_col(F.col("user_id")).bitwiseOR(
+        F.shiftleft(_spread_bits_col(day), 1)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        day.alias("day"),
+        z.alias("zval"),
+        F.shiftright(z, 24).alias("zbucket"),
+    )

@@ -2654,3 +2654,88 @@ def kg_assortativity(spark, sf):
             ),
         )
     )
+
+
+@register(
+    "kg_provenance",
+    # Per-fact provenance: every distinct assertion with its supporting
+    # window list (sorted, comma-joined — array formatting differs
+    # between engines), support count, and first/last window.
+    f"WITH t AS ({_TRIPLES_SQL}) "
+    "SELECT conv_id, subj, pred, obj, "
+    "CAST(COUNT(*) AS BIGINT) AS n_windows, "
+    "CAST(MIN(window_start) AS INT) AS first_w, "
+    "CAST(MAX(window_start) AS INT) AS last_w, "
+    "string_agg(CAST(window_start AS VARCHAR), ',' ORDER BY window_start) "
+    " AS windows "
+    "FROM t GROUP BY conv_id, subj, pred, obj",
+)
+def kg_provenance(spark, sf):
+    """Per-fact provenance record — the audit column a production KG
+    publishes next to every assertion: which windows (turn positions)
+    support the fact, how many, and the first/last sighting. Downstream
+    consumers use it for evidence display and recency-weighted
+    confidence.
+
+    Scale shape: ONE hash aggregate over the materialized triple table,
+    keyed conv_id-first (co-partitioned with the table's bucketing).
+    The collected window list is bounded by windows-per-conversation,
+    not corpus size; sorted before joining so the string is
+    deterministic under any partial-agg merge order."""
+    t = _triples_table(spark, sf)
+    return t.groupBy("conv_id", "subj", "pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.min("window_start").cast("int").alias("first_w"),
+        F.max("window_start").cast("int").alias("last_w"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("window_start")),
+                lambda v: v.cast("string"),
+            ),
+            ",",
+        ).alias("windows"),
+    )
+
+
+@register(
+    "kg_canonical_facts",
+    # Conflict RESOLUTION (the write side of kg_pred_conflicts' audit):
+    # one winning object per (conv, subj, pred) under the deterministic
+    # total order (support DESC, first_w ASC, obj ASC).
+    f"WITH t AS ({_TRIPLES_SQL}), "
+    "s AS (SELECT conv_id, subj, pred, obj, "
+    " CAST(COUNT(*) AS BIGINT) AS support, "
+    " CAST(MIN(window_start) AS INT) AS first_w "
+    " FROM t GROUP BY conv_id, subj, pred, obj), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, subj, pred "
+    " ORDER BY support DESC, first_w ASC, obj ASC) AS rn FROM s) "
+    "SELECT conv_id, subj, pred, obj, support, first_w "
+    "FROM r WHERE rn = 1",
+)
+def kg_canonical_facts(spark, sf):
+    """Canonical-fact selection — resolve the multi-object groups
+    ``kg_pred_conflicts`` surfaces by electing ONE object per
+    (conv, subj, pred): most-supported wins, earliest first sighting
+    breaks support ties, lexicographic object breaks exact ties (a
+    total order, so the winner is deterministic for any execution).
+    This is the compaction step that turns an extraction log into a
+    publishable fact table.
+
+    Scale shape: the support aggregate keys conv_id-first on the
+    bucketed triple table; the ROW_NUMBER window runs over the
+    aggregated support table (bounded by entity-domain² per
+    conversation, not raw triples) and reuses the same conv_id-first
+    partitioning."""
+    t = _triples_table(spark, sf)
+    s = t.groupBy("conv_id", "subj", "pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("support"),
+        F.min("window_start").cast("int").alias("first_w"),
+    )
+    w = Window.partitionBy("conv_id", "subj", "pred").orderBy(
+        F.col("support").desc(), F.col("first_w").asc(), F.col("obj").asc()
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

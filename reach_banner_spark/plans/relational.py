@@ -2700,3 +2700,56 @@ def merge_upsert(spark, sf):
         .otherwise(F.lit("UPDATE"))
         .alias("action"),
     )
+
+
+@register(
+    "fn_xml",
+    # XML parse family oracled as a ROUND-TRIP: Spark builds an XML
+    # string from the part columns, parses it back with from_xml +
+    # the xpath family, and must recover the original values exactly.
+    # The oracle states the recovered values directly — any escaping,
+    # parsing, or type-coercion defect on the Spark side breaks the
+    # hash. p_name is [a-z ]+ and p_size a small int, so no XML
+    # entity escaping is exercised (by construction, not by luck).
+    "SELECT p_partkey, p_partkey AS key_rt, p_name AS name_rt, "
+    "CAST(p_size AS BIGINT) AS size_rt, "
+    "CAST(length(p_name) - length(replace(p_name, ' ', '')) + 1 AS BIGINT) "
+    " AS n_words FROM part",
+)
+def fn_xml(spark, sf):
+    """XML function family — ``from_xml`` (schema-ful element parse),
+    ``xpath_long`` on an attribute, ``xpath`` (node-set extraction →
+    array cardinality). Semi-structured XML feeds (SOAP/legacy B2B,
+    sitemap/feed crawls) are a real ingest format for a 100 TB corpus
+    engine; the family is pinned as a round-trip so the oracle needs no
+    XML support of its own: build → parse → recover must be the
+    identity on the generating columns.
+
+    Scale shape: pure projection, zero shuffles. The XML build/parse is
+    JVM-side (no Python); cost is linear in scanned bytes like every
+    fn_* family."""
+    p = _t(spark, sf, "part")
+    xml = F.concat(
+        F.lit('<part key="'),
+        F.col("p_partkey"),
+        F.lit('"><name>'),
+        F.col("p_name"),
+        F.lit("</name><size>"),
+        F.col("p_size"),
+        F.lit("</size></part>"),
+    )
+    w = p.withColumn("xml", xml)
+    parsed = w.withColumn(
+        "s", F.from_xml("xml", "name STRING, size BIGINT")
+    )
+    return parsed.select(
+        "p_partkey",
+        F.expr("xpath_long(xml, '/part/@key')").alias("key_rt"),
+        F.col("s.name").alias("name_rt"),
+        F.col("s.size").alias("size_rt"),
+        # node-set extraction: one text node per word after a JVM-side
+        # re-tokenization of the recovered name
+        F.size(
+            F.split(F.expr("xpath_string(xml, '/part/name')"), " ")
+        ).cast("long").alias("n_words"),
+    )

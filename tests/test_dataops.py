@@ -665,3 +665,49 @@ def test_bpe_encode_matches_python_twin(spark):
     assert (got["n_words"] <= got["n_tokens_bpe"]).all()
     assert (got["n_tokens_bpe"] <= got["n_chars"]).all()
     assert (got["n_tokens_bpe"] < got["n_chars"]).any()
+
+
+def test_emb_pca_matches_pandas_twin(spark):
+    """emb_pca == pca_project_pandas bit-for-bit: both sides fit the
+    same sign-fixed components on the same bounded sample and project
+    with the same float64 matmul, so the raw doubles are identical (no
+    tolerance). Also pins determinism (second run identical) and that
+    the top component actually carries the most variance."""
+    import numpy as np
+
+    from reach_banner_spark.operators.similarity import (
+        PCA_DIMS,
+        REGISTRY,
+        pca_project_pandas,
+    )
+
+    got = (
+        REGISTRY["emb_pca"][0](spark, SF)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    want = pca_project_pandas(emb).sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == len(emb) and len(got) > 0
+    pcs = [f"pc{i + 1}" for i in range(PCA_DIMS)]
+    assert list(got.columns) == ["vec_id"] + pcs
+    assert got["vec_id"].equals(want["vec_id"].astype("int64"))
+    for c in pcs:
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+    # variance ordering: fit components sort eigenvalues descending
+    var = [float(np.var(got[c].to_numpy())) for c in pcs]
+    assert var[0] >= var[-1]
+
+    again = (
+        REGISTRY["emb_pca"][0](spark, SF)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
