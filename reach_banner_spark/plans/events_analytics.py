@@ -1398,3 +1398,49 @@ def zorder_key(spark, sf):
         z.alias("zval"),
         F.shiftright(z, 24).alias("zbucket"),
     )
+
+
+# ---------------------------------------------------- dim enrichment ----
+
+def enrich_with_dim(e: DataFrame, dim: DataFrame) -> DataFrame:
+    """Left broadcast-join events against a user dimension — shared by
+    the batch key and ``stream_enrich`` (state-free, so the streaming
+    twin is exact by construction). Unknown users coalesce to a
+    sentinel segment rather than dropping rows (an enrichment, not a
+    filter)."""
+    return e.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce(F.col("segment"), F.lit("UNKNOWN")).alias("segment"),
+    )
+
+
+def user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user dimension: market segment keyed by custkey."""
+    return spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@register(
+    "events_enrich",
+    # Fact-stream dimension enrichment: LEFT join so unknown users keep
+    # their events with a sentinel segment.
+    "SELECT e.event_id, e.user_id, e.event_type, "
+    "COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment "
+    "FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id",
+)
+def events_enrich(spark, sf):
+    """Dimension enrichment of the event fact stream — the first join
+    every analytics pipeline performs (fact → user/customer attributes)
+    and the batch twin of ``stream_enrich``. LEFT join: events from
+    users outside the dimension survive with segment = 'UNKNOWN'.
+
+    Scale shape: ONE broadcast hash join, zero fact-side shuffles — the
+    dimension is orders of magnitude smaller than the fact table at any
+    scale where this engine runs (and if a user dim ever outgrew the
+    broadcast threshold, AQE falls back to a shuffled join keyed
+    user_id, co-partitioned with every other key in this module)."""
+    return enrich_with_dim(_events(spark, sf), user_dim(spark, sf))

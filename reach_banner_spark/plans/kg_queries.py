@@ -2255,6 +2255,73 @@ def source_orc(spark, sf):
     return spark.read.orc(path).select("doc_id", "lang", "source", "n_chars")
 
 
+_BIN_SQL = (
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, "
+    "md5(text) AS h_md5, substr(text, 1, 16) AS head "
+    "FROM documents WHERE doc_id < 200"
+)
+
+
+def _stage_binary(spark, sf: str) -> str:
+    """Stage a bounded slice of the corpus as one .bin FILE PER DOC —
+    the layout a multimodal ingest actually sees (image/audio blobs as
+    loose objects). Bounded (doc_id < 200) so staging writes at most
+    200 small files once per sf; content is the doc's ASCII text bytes,
+    which keeps the DuckDB oracle able to state the expected hash from
+    the table (this DuckDB cannot md5 raw blobs)."""
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"rbs_src_bin_{os.path.basename(sf.rstrip('/'))}",
+    )
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        rows = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "text")
+            .toPandas()
+        )
+        os.makedirs(out, exist_ok=True)
+        for doc_id, text in rows.itertuples(index=False):
+            with open(os.path.join(out, f"doc_{doc_id}.bin"), "wb") as f:
+                f.write(text.encode("utf-8"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return out
+
+
+@register("source_binary", _BIN_SQL)
+def source_binary(spark, sf):
+    """Binary-file source — ``spark.read.format("binaryFile")``, the
+    ingestion path for multimodal blobs (images/audio/video as opaque
+    bytes + path metadata, the mm_* operators' upstream). Reads a
+    staged one-file-per-doc directory and recovers (id from the path,
+    byte length, MD5 of the raw bytes, decoded prefix); the oracle
+    states the same values from the documents view, so a green row
+    proves the whole loop: stage → binaryFile scan → binary functions.
+
+    Scale shape: binaryFile scans parallelize per file (at 100 TB the
+    blob store IS the table); everything after the scan is a pure
+    projection. pathGlobFilter prunes non-data files at listing time."""
+    path = _stage_binary(spark, sf)
+    b = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return b.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("h_md5"),
+        F.substring(F.col("content").cast("string"), 1, 16).alias("head"),
+    )
+
+
 @register("source_json", _SRC_SQL)
 def source_json(spark, sf):
     path = _stage_format(spark, sf, "json")

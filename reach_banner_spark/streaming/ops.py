@@ -2088,3 +2088,37 @@ def stream_cdc(spark, sf):
     return cdc_snapshot_rollup(
         spark.read.parquet(state["path"])
     ).localCheckpoint()
+
+
+@register("stream_enrich", None)  # pytest: == batch events_enrich
+def stream_enrich(spark, sf):
+    """INGEST-TIME dimension enrichment — the streaming twin of
+    ``events_enrich`` and the first stateful-looking-but-state-FREE
+    pattern every production stream runs: join each arriving fact
+    micro-batch against a static dimension (user → market segment) the
+    moment it lands. The dimension is reference data that exists before
+    ingest starts, built once and localCheckpoint'ed so every batch
+    reuses the materialized table; per-row output depends only on
+    (row, dim), so the operator carries no state and streaming == batch
+    is exact by construction (pytest-pinned anyway, with a determinism
+    re-run). Shares ``enrich_with_dim``/``user_dim`` with the batch key
+    — one definition of the join and the UNKNOWN sentinel."""
+    from ..plans.events_analytics import enrich_with_dim, user_dim
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_enrich", d)
+    out_dir = os.path.join(work, "rows")
+    dim = user_dim(spark, sf).localCheckpoint()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        enrich_with_dim(batch_df, dim).write.mode("append").parquet(out_dir)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).localCheckpoint()

@@ -885,3 +885,48 @@ def test_stream_cdc_equals_batch(spark):
         .reset_index(drop=True)
     )
     assert got.equals(again)
+
+
+def test_stream_enrich_equals_batch(spark):
+    """State-free stream-static enrichment == the batch broadcast-join
+    key on the full fact table (exact: per-row output depends only on
+    (row, dim)); second invocation pins determinism across the
+    work-dir sweep."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    key = ["event_id"]
+    got = (
+        ops.REGISTRY["stream_enrich"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["events_enrich"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+    # LEFT-join sentinel: UNKNOWN appears exactly for users outside the
+    # dim (at sf0.001 every event user IS in the dim, so expect 0 there).
+    n_unknown_expected = int(
+        (~got["user_id"].isin(
+            spark.read.parquet(f"{SF}/customer.parquet")
+            .select("c_custkey")
+            .toPandas()["c_custkey"]
+        )).sum()
+    )
+    assert (got["segment"] == "UNKNOWN").sum() == n_unknown_expected
+
+    again = (
+        ops.REGISTRY["stream_enrich"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
