@@ -190,6 +190,59 @@ def _tri_md5_col():
 
 
 @register(
+    "text_normalize",
+    # Canonical pre-training text normalization: lowercase, strip
+    # non-alphanumerics to spaces, collapse runs, trim. The corpus is
+    # already clean lowercase ASCII, so the input is first MANGLED by
+    # the SAME deterministic expression on both engines (upper-cased
+    # prefix + injected punctuation) to make every normalization stage
+    # do real work; a green row proves the full mangle -> normalize
+    # round trip recovers the original token stream.
+    "WITH m AS (SELECT doc_id, "
+    " UPPER(SUBSTR(text, 1, 12)) || ' ,; ' || SUBSTR(text, 13) AS mangled "
+    " FROM documents), "
+    "n AS (SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE("
+    " LOWER(mangled), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm "
+    " FROM m) "
+    "SELECT doc_id, norm, "
+    "CAST(CASE WHEN norm = '' THEN 0 "
+    " ELSE LEN(string_split(norm, ' ')) END AS BIGINT) AS n_tokens "
+    "FROM n",
+)
+def text_normalize(spark, sf):
+    """Text normalization — the first transform of every training-data
+    pipeline (lowercase → punctuation to whitespace → collapse → trim),
+    applied to a deterministically mangled copy of the corpus so each
+    stage is exercised non-trivially (see the oracle comment).
+
+    Scale shape: a zero-shuffle, zero-join codegen projection — three
+    regex/case passes fused into one WholeStageCodegen stage; at 100 TB
+    this runs at scan speed and is the map stage every downstream key
+    (dedup, quality, tokenize) consumes."""
+    d = _docs(spark, sf)
+    mangled = F.concat(
+        F.upper(F.substring("text", 1, 12)),
+        F.lit(" ,; "),
+        F.expr("substr(text, 13)"),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(mangled), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select("doc_id", norm.alias("norm")).select(
+        "doc_id",
+        "norm",
+        F.when(F.col("norm") == "", F.lit(0))
+        .otherwise(F.size(F.split("norm", " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+@register(
     "doc_fingerprint",
     # winnowing-style: min MD5 over word-3-gram shingles per doc
     f"SELECT doc_id, MIN(sh) AS fingerprint FROM ({_TRI_SH_SQL}) sh GROUP BY doc_id",

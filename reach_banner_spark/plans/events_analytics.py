@@ -126,6 +126,111 @@ def funnel_conversion(spark, sf):
     return funnel_rollup(e.groupBy("user_id").agg(*first_touch_cols()))
 
 
+_W1_US = 24 * 3600 * 1_000_000  # view -> click conversion window
+_W2_US = 72 * 3600 * 1_000_000  # click -> purchase conversion window
+
+
+@register(
+    "events_funnel_window",
+    # TIME-BOUNDED funnel (the Amplitude/GA "conversion window"): step 2
+    # counts the first click STRICTLY AFTER the first view and within
+    # 24 h of it; step 3 the first purchase after that click and within
+    # 72 h. All comparisons in exact integer microseconds; NULL window
+    # anchors propagate NULL (the CASE guards are identical on both
+    # engines).
+    "WITH e AS (SELECT user_id, event_type, "
+    " CAST(epoch_us(ts) AS BIGINT) AS us FROM events), "
+    "w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END) "
+    " OVER (PARTITION BY user_id) AS t1 FROM e), "
+    "w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1 "
+    f" AND us <= t1 + {_W1_US} THEN us END) "
+    " OVER (PARTITION BY user_id) AS t2 FROM w1), "
+    "w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2 "
+    f" AND us <= t2 + {_W2_US} THEN us END) "
+    " OVER (PARTITION BY user_id) AS t3 FROM w2), "
+    "u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3 "
+    " FROM w3 GROUP BY user_id) "
+    "SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, "
+    " CAST(COALESCE(SUM(CASE WHEN t1 IS NOT NULL THEN 1 END), 0) AS BIGINT)"
+    "  AS users FROM u "
+    "UNION ALL SELECT 2, 'click_24h', "
+    " CAST(COALESCE(SUM(CASE WHEN t2 IS NOT NULL THEN 1 END), 0) AS BIGINT)"
+    " FROM u "
+    "UNION ALL SELECT 3, 'purchase_72h', "
+    " CAST(COALESCE(SUM(CASE WHEN t3 IS NOT NULL THEN 1 END), 0) AS BIGINT)"
+    " FROM u",
+)
+def events_funnel_window(spark, sf):
+    """Time-bounded ordered funnel: view → first click within 24 h of
+    the first view → first purchase within 72 h of that click. Unlike
+    ``funnel_conversion`` (pure first-touch ordering), each step's
+    anchor is the first qualifying event AFTER the previous step's
+    anchor and inside its conversion window — the semantics product
+    analytics tools actually ship.
+
+    Scale shape: THREE chained whole-partition window mins over ONE
+    user_id exchange (each window conditions on the previous one's
+    value, so they cannot fuse into a single aggregate, but they all
+    reuse the same partitioning — the per-user rollup and the chained
+    windows add no further fact-scale exchange); the final funnel is a
+    single-row sum + constant 3-row stack."""
+    w = Window.partitionBy("user_id")
+    e = _events(spark, sf).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    t1 = F.min(
+        F.when(F.col("event_type") == "view", F.col("us"))
+    ).over(w)
+    e = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("us") > F.col("t1"))
+            & (F.col("us") <= F.col("t1") + F.lit(_W1_US)),
+            F.col("us"),
+        )
+    ).over(w)
+    e = e.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("us") > F.col("t2"))
+            & (F.col("us") <= F.col("t2") + F.lit(_W2_US)),
+            F.col("us"),
+        )
+    ).over(w)
+    u = (
+        e.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.max("t3").alias("t3"),
+        )
+    )
+    tot = u.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("t1").isNotNull(), 1)), F.lit(0)
+        ).cast("long").alias("s1"),
+        F.coalesce(
+            F.sum(F.when(F.col("t2").isNotNull(), 1)), F.lit(0)
+        ).cast("long").alias("s2"),
+        F.coalesce(
+            F.sum(F.when(F.col("t3").isNotNull(), 1)), F.lit(0)
+        ).cast("long").alias("s3"),
+    )
+    return tot.select(
+        F.expr(
+            "stack(3, CAST(1 AS BIGINT), 'view', s1,"
+            " CAST(2 AS BIGINT), 'click_24h', s2,"
+            " CAST(3 AS BIGINT), 'purchase_72h', s3)"
+            " AS (step_idx, step, users)"
+        )
+    )
+
+
 # ---------------------------------------------------------- retention ----
 
 @register(

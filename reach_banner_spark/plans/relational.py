@@ -2629,6 +2629,214 @@ def macro_market_share(spark, sf):
 
 
 @register(
+    "macro_local_supplier_volume",
+    # TPC-H Q5-shaped macro: revenue per nation from orders where the
+    # customer and the supplier sit in the SAME nation of one region,
+    # for one order-date year. Revenue is the exact DECIMAL sum rounded
+    # to double only at the output boundary (shipping-priority rule).
+    "SELECT n.n_name AS nation, "
+    "ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * "
+    " (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue "
+    "FROM customer c "
+    "JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    " AND c.c_nationkey = s.s_nationkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'ASIA' "
+    " AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    " AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY n.n_name",
+)
+def macro_local_supplier_volume(spark, sf):
+    """Local-supplier-volume macro (TPC-H Q5 shape): yearly revenue per
+    nation counting only orders whose customer and supplier share that
+    nation — the classic star-join with a cross-dimension equality
+    (c_nationkey = s_nationkey) that only materializes AFTER both fact
+    joins, exercising join-residual handling end-to-end.
+
+    Scale shape: lineitem⋈orders is the one fact-fact shuffle (orderkey
+    co-partitioned); customer joins orders on custkey carrying its
+    nationkey; supplier and the nation⋈region(ASIA) dims broadcast, so
+    the same-nation residual folds into the broadcast join condition
+    and no additional fact-scale exchange exists. The date filter
+    pushes into the orders scan; the final rollup is nation-sized."""
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = (
+        _t(spark, sf, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", F.col("n_name").alias("nation"))
+    )
+    rev = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).cast("double"),
+        2,
+    ).alias("revenue")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == F.col("n_nationkey"))
+        .groupBy("nation")
+        .agg(rev)
+    )
+
+
+@register(
+    "macro_returned_items",
+    # TPC-H Q10-shaped macro: top-20 customers by revenue lost to
+    # returned items in one quarter. Exact DECIMAL revenue; the sort
+    # reads the ROUNDED alias on both engines so the limit boundary
+    # cannot diverge; acctbal emitted as exact integer cents.
+    "SELECT c.c_custkey, c.c_name, "
+    "ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * "
+    " (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue, "
+    "CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents, "
+    "n.n_name AS nation "
+    "FROM customer c "
+    "JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "WHERE l.l_returnflag = 'R' "
+    " AND o.o_orderdate >= TIMESTAMP '1996-07-01' "
+    " AND o.o_orderdate < TIMESTAMP '1996-10-01' "
+    "GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name "
+    "ORDER BY revenue DESC, c.c_custkey LIMIT 20",
+)
+def macro_returned_items(spark, sf):
+    """Returned-item report macro (TPC-H Q10 shape): the 20 customers
+    who returned the most revenue in a quarter — the canonical
+    churn-investigation query (filter both facts → join → customer
+    rollup → top-k).
+
+    Scale shape: the returnflag filter pushes into the lineitem scan
+    and the quarter filter into orders (both visible as PushedFilters);
+    lineitem⋈orders shuffles on orderkey; the customer rollup keys
+    custkey (one exchange); nation broadcasts; the top-20 runs as
+    TakeOrderedAndProject — per-partition heaps, never a global sort.
+    c_acctbal rides the GROUP BY as a key (functionally dependent on
+    custkey) so no second aggregate is needed."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    rev = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).cast("double"),
+        2,
+    ).alias("revenue")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
+        .agg(rev)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias(
+                "acctbal_cents"
+            ),
+            "nation",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "macro_promo_share",
+    # TPC-H Q14-shaped macro: the month's share of revenue from PROMO
+    # parts. Revenue stays in exact integer 1e-4 currency units (the Q8
+    # rule); the share is ONE division of exact-integer doubles
+    # (numerator pre-scaled by 100 as an exact BIGINT) under ROUND + the
+    # %.6f formatted-string rule.
+    "WITH rev AS (SELECT "
+    " CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo, "
+    " CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "  (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS rev_e4 "
+    " FROM lineitem JOIN part ON p_partkey = l_partkey "
+    " WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
+    "  AND l_shipdate < TIMESTAMP '1996-10-01') "
+    "SELECT CAST(SUM(is_promo * rev_e4) AS BIGINT) AS promo_rev_e4, "
+    "CAST(SUM(rev_e4) AS BIGINT) AS total_rev_e4, "
+    "printf('%.6f', ROUND(CAST(100 * SUM(is_promo * rev_e4) AS DOUBLE) / "
+    " SUM(rev_e4), 6)) AS promo_pct "
+    "FROM rev",
+)
+def macro_promo_share(spark, sf):
+    """Promotion-effect macro (TPC-H Q14 shape): what percentage of one
+    month's revenue came from promotional parts — the
+    conditional-aggregate-over-a-join pattern (CASE inside SUM) every
+    marketing dashboard runs.
+
+    Scale shape: the ship-month filter pushes into the lineitem scan;
+    part broadcasts (the only join); the whole query is then ONE
+    partial+final aggregate to a single row — no shuffle wider than the
+    two-column partials. Both sums stay exact integers so the percent
+    is one correctly-rounded IEEE division on both engines."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = _t(spark, sf, "part").select(
+        "p_partkey",
+        F.when(F.col("p_type") == "PROMO", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_promo"),
+    )
+    rev_e4 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        * 10000
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("is_promo", rev_e4.alias("rev_e4"))
+        .agg(
+            F.sum(F.col("is_promo") * F.col("rev_e4"))
+            .cast("long")
+            .alias("promo_rev_e4"),
+            F.sum("rev_e4").cast("long").alias("total_rev_e4"),
+        )
+        .select(
+            "promo_rev_e4",
+            "total_rev_e4",
+            F.format_string(
+                "%.6f",
+                F.round(
+                    (F.lit(100) * F.col("promo_rev_e4")).cast("double")
+                    / F.col("total_rev_e4"),
+                    6,
+                ),
+            ).alias("promo_pct"),
+        )
+    )
+
+
+@register(
     "merge_upsert",
     # MERGE INTO semantics (the lakehouse upsert) spelled as its
     # relational definition — a full-outer join of target and source on
