@@ -2961,3 +2961,509 @@ def fn_xml(spark, sf):
             F.split(F.expr("xpath_string(xml, '/part/name')"), " ")
         ).cast("long").alias("n_words"),
     )
+
+
+# ------------------------------------------------ TPC-H macro batch 2 ----
+# The remaining classic report shapes expressible over this schema
+# (no commitdate/receiptdate/shipmode/phone columns exist, so Q4/Q22
+# are re-based on shipdate lateness and nationkey country codes; the
+# join/agg/subquery SHAPE — the thing that exercises the engine — is
+# preserved). SURVEY.md §2.2 macro family; [K] TPC-H spec shapes.
+
+
+@register(
+    "macro_pricing_summary",
+    # TPC-H Q1 shape: the canonical full-scan pricing rollup. All sums
+    # are exact (BIGINT quantities / DECIMAL currency; the 3-factor
+    # charge stays within DECIMAL(38) via narrow input precisions);
+    # averages are ONE IEEE division of exact integers under the
+    # ROUND + %.6f formatted-string rule.
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) "
+    " AS sum_base_price, "
+    "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    " (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) "
+    " AS sum_disc_price, "
+    "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    " (1 - CAST(l_discount AS DECIMAL(4,2))) * "
+    " (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_charge, "
+    "printf('%.6f', ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) "
+    " / COUNT(*), 6)) AS avg_qty, "
+    "printf('%.6f', ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS "
+    " DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / (100 * COUNT(*)), 6)) "
+    " AS avg_price, "
+    "printf('%.6f', ROUND(CAST(SUM(CAST(CAST(l_discount AS DECIMAL(4,2)) "
+    " * 100 AS BIGINT)) AS DOUBLE) / (100 * COUNT(*)), 6)) AS avg_disc, "
+    "COUNT(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def macro_pricing_summary(spark, sf):
+    """Pricing-summary report macro (TPC-H Q1 shape): the canonical
+    near-full-scan rollup — per (returnflag, linestatus): quantity,
+    base/discounted/charged revenue, three averages, and row count.
+    THE reference query for scan + partial-aggregate throughput.
+
+    Scale shape: one pruned scan (6 columns of 11, shipdate filter
+    pushed), partial+final hash aggregate onto a 6-group key — the
+    shuffle carries six rows per map task. Exactness: quantities are
+    integral doubles summed as BIGINT; currency sums use DECIMAL with
+    narrow input precisions so even the 3-factor charge product
+    (12,2)x(4,2)x(4,2) -> (22,6) stays exact; each average is one
+    correctly-rounded IEEE division of exact integers, so Spark's
+    partial-agg order can never flip a bit vs the oracle."""
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= "2001-09-01"
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    qty = F.col("l_quantity").cast("long")
+    fmt6 = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("long").alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(price * (F.lit(1) - disc)).cast("double"), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.sum((price * 100).cast("long")).alias("_price_cents"),
+            F.sum((disc * 100).cast("long")).alias("_disc_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            fmt6(
+                F.col("sum_qty").cast("double") / F.col("count_order")
+            ).alias("avg_qty"),
+            fmt6(
+                F.col("_price_cents").cast("double")
+                / (F.lit(100) * F.col("count_order"))
+            ).alias("avg_price"),
+            fmt6(
+                F.col("_disc_cents").cast("double")
+                / (F.lit(100) * F.col("count_order"))
+            ).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+@register(
+    "macro_order_priority",
+    # TPC-H Q4 shape: per-priority count of one quarter's orders with
+    # at least one LATE lineitem (shipped >60 days after the order —
+    # the schema has no commit/receipt dates, so lateness re-bases the
+    # EXISTS correlation on shipdate vs orderdate).
+    "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+    " AND o_orderdate < TIMESTAMP '1996-04-01' "
+    " AND EXISTS (SELECT 1 FROM lineitem l "
+    "  WHERE l.l_orderkey = o.o_orderkey "
+    "   AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
+    "GROUP BY o_orderpriority",
+)
+def macro_order_priority(spark, sf):
+    """Order-priority-checking macro (TPC-H Q4 shape): how many of one
+    quarter's orders, per priority class, had at least one line shipped
+    more than 60 days after ordering — the canonical correlated-EXISTS
+    report (here spelled as a LEFT SEMI join with a non-equi residual).
+
+    Scale shape: the quarter filter pushes into the orders scan (one
+    quarter of the fact); the semi join shuffles both sides on
+    orderkey and short-circuits per match (no row multiplication, no
+    dedup needed — the reason EXISTS beats JOIN+DISTINCT at scale);
+    the rollup output is 5 rows. The lateness comparison is exact
+    integer-microsecond timestamp arithmetic on both engines."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (
+                li["l_shipdate"]
+                > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "macro_volume_shipping",
+    # TPC-H Q7 shape: bilateral shipping volume between a small nation
+    # set, by supplier nation x customer nation x ship year. Revenue is
+    # the exact DECIMAL sum rounded at the boundary.
+    "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+    "CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+    "ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * "
+    " (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue "
+    "FROM lineitem l "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation sn ON s.s_nationkey = sn.n_nationkey "
+    "JOIN nation cn ON c.c_nationkey = cn.n_nationkey "
+    "WHERE s.s_nationkey < 4 AND c.c_nationkey < 4 "
+    " AND s.s_nationkey <> c.c_nationkey "
+    " AND l.l_shipdate >= TIMESTAMP '1996-01-01' "
+    " AND l.l_shipdate < TIMESTAMP '1998-01-01' "
+    "GROUP BY sn.n_name, cn.n_name, CAST(year(l.l_shipdate) AS BIGINT)",
+)
+def macro_volume_shipping(spark, sf):
+    """Volume-shipping macro (TPC-H Q7 shape): two years of trade
+    revenue between distinct nations of a small set, broken down by
+    supplier nation x customer nation x ship year — the classic
+    bilateral-flow report with a cross-dimension inequality.
+
+    Scale shape: the supplier-nation filter prunes lineitem THROUGH the
+    broadcast supplier join before the fact-fact shuffle, and the
+    customer-nation filter prunes orders through its broadcast customer
+    join — so the one orderkey exchange moves only qualifying rows.
+    The s<>c inequality is a residual on broadcast-joined columns
+    (never a shuffle key); both nation name lookups broadcast; the
+    rollup is (nations^2 x years)-sized."""
+    sn = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cn = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    s = _t(spark, sf, "supplier").filter(F.col("s_nationkey") < 4).select(
+        "s_suppkey", "s_nationkey"
+    )
+    c = _t(spark, sf, "customer").filter(F.col("c_nationkey") < 4).select(
+        "c_custkey", "c_nationkey"
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    rev = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).cast("double"),
+        2,
+    ).alias("revenue")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(rev)
+    )
+
+
+@register(
+    "macro_cust_distribution",
+    # TPC-H Q13 shape: the customer-order-count histogram, with the
+    # filter folded into the LEFT JOIN condition so zero-order
+    # customers survive into the c_count=0 bucket.
+    "SELECT c_count, COUNT(*) AS custdist FROM ("
+    " SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count "
+    " FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+    "  AND o.o_orderpriority <> '4-NOT SPECIFIED' "
+    " GROUP BY c.c_custkey) GROUP BY c_count",
+)
+def macro_cust_distribution(spark, sf):
+    """Customer-distribution macro (TPC-H Q13 shape): the histogram of
+    customers by how many (non-'4-NOT SPECIFIED') orders they placed —
+    the canonical count-of-counts / two-level aggregation, with the
+    subtlety that the priority filter must live in the JOIN CONDITION
+    (not a WHERE) so customers with zero qualifying orders keep their
+    LEFT-join row and land in the c_count=0 bucket.
+
+    Scale shape: orders pre-filters and pre-AGGREGATES to (custkey,
+    cnt) before the join — the left join then joins two custkey-keyed
+    sides (one exchange each) with no row multiplication; the outer
+    count-of-counts groups a customer-sized table onto a ~30-value
+    key. COUNT(o_orderkey) counts non-null matches only, reproduced on
+    the Spark side by coalescing the pre-agg count to 0."""
+    c = _t(spark, sf, "customer").select("c_custkey")
+    per_cust = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        c.join(per_cust, c["c_custkey"] == F.col("ck"), "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "macro_small_qty_revenue",
+    # TPC-H Q17 shape: revenue locked in small-quantity lines of one
+    # brand. The correlated "qty < 0.2 * avg(qty per part)" is spelled
+    # as the EXACT integer inequality 5*qty*cnt < sum_qty, so no float
+    # average ever exists to diverge between engines.
+    "WITH pa AS (SELECT l_partkey AS pk, "
+    "  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq, "
+    "  COUNT(*) AS cq "
+    " FROM lineitem JOIN part ON p_partkey = l_partkey "
+    " WHERE p_brand = 'Brand#11' GROUP BY l_partkey) "
+    "SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) "
+    " AS DOUBLE), 2) AS small_qty_price, COUNT(*) AS n_lines "
+    "FROM lineitem JOIN pa ON l_partkey = pk "
+    "WHERE 5 * CAST(l_quantity AS BIGINT) * cq < sq",
+)
+def macro_small_qty_revenue(spark, sf):
+    """Small-quantity-order revenue macro (TPC-H Q17 shape): total
+    price of one brand's lineitems whose quantity is below 20% of that
+    part's average quantity — the canonical correlated scalar-subquery
+    report, decorrelated into a per-part aggregate joined back to the
+    fact.
+
+    Scale shape: the brand filter prunes part (broadcast) and through
+    it the lineitem scan; the per-part aggregate and the join back
+    both key l_partkey, so AQE reuses one exchange; the per-part stats
+    table is brand-sized (~80 parts) and broadcasts back onto the
+    fact. Exactness: qty < 0.2*avg(qty) is rewritten as
+    5*qty*cnt < sum (all BIGINTs) — no float average exists."""
+    p = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#11").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_lines = li.join(
+        F.broadcast(p), li["l_partkey"] == p["p_partkey"]
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    pa = brand_lines.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sq"),
+        F.count(F.lit(1)).alias("cq"),
+    )
+    return (
+        brand_lines.join(F.broadcast(pa), F.col("l_partkey") == F.col("pk"))
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("long") * F.col("cq")
+            < F.col("sq")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("small_qty_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "macro_top_spenders",
+    # TPC-H Q18 shape: large-volume orders (HAVING sum(qty) > 180) with
+    # their customers, top-20 under a total order. Quantities are exact
+    # BIGINTs; totalprice emitted as exact cents.
+    "WITH big AS (SELECT l_orderkey AS ok, "
+    "  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+    " FROM lineitem GROUP BY l_orderkey "
+    " HAVING SUM(CAST(l_quantity AS BIGINT)) > 180) "
+    "SELECT c.c_custkey, c.c_name, o.o_orderkey, "
+    "CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents, "
+    "sum_qty "
+    "FROM big JOIN orders o ON o.o_orderkey = big.ok "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "ORDER BY sum_qty DESC, o.o_orderkey LIMIT 20",
+)
+def macro_top_spenders(spark, sf):
+    """Large-volume-customer macro (TPC-H Q18 shape): the 20 biggest
+    orders by total quantity with their customers — the canonical
+    HAVING-subquery-drives-the-join report.
+
+    Scale shape: the lineitem rollup keys orderkey (one fact exchange)
+    and the HAVING filter collapses it to a tiny survivor set BEFORE
+    any join — the survivors then BROADCAST onto orders, customer
+    broadcasts too, and the top-20 runs as TakeOrderedAndProject
+    (per-partition heaps under the deterministic (sum_qty DESC,
+    orderkey) total order — orderkey breaks all ties)."""
+    big = (
+        _t(spark, sf, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180)
+    )
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == F.col("ok"))
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("totalprice_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "macro_disjunctive_revenue",
+    # TPC-H Q19 shape: revenue under a 3-branch disjunction of
+    # (brand, size-range, quantity-range) conjunctions — the predicate
+    # shape that defeats naive pushdown.
+    "SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    " (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue, "
+    "COUNT(*) AS n_lines "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+    "   AND l_quantity BETWEEN 1 AND 11) "
+    " OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 20 "
+    "   AND l_quantity BETWEEN 10 AND 20) "
+    " OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 25 "
+    "   AND l_quantity BETWEEN 20 AND 30)",
+)
+def macro_disjunctive_revenue(spark, sf):
+    """Discounted-revenue macro (TPC-H Q19 shape): revenue from three
+    disjoint (brand, size, quantity) market segments — the canonical
+    disjunctive-predicate query, where each OR branch mixes columns
+    from BOTH join sides so the predicate can only be evaluated as a
+    join residual.
+
+    Scale shape: Catalyst derives the implied single-side prefilters
+    (quantity BETWEEN 1 AND 30 on lineitem; the brand IN-list and
+    size BETWEEN 1 AND 25 on part) and pushes them into the scans —
+    the classic OR-expansion win; part broadcasts; the full
+    disjunction evaluates as the BHJ residual; the output is one
+    row of exact-DECIMAL revenue."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    seg = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(
+            F.broadcast(p), (li["l_partkey"] == p["p_partkey"]) & seg
+        ).agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "macro_idle_customers",
+    # TPC-H Q22 shape: per-nation count + balance of above-average-
+    # balance customers DORMANT since 1999 (no phone column exists, so
+    # the country-code IN-list re-bases on nationkey; the NOT EXISTS
+    # anti-join re-bases on recent orders — every customer has SOME
+    # order in this corpus). The above-average cut is the exact integer
+    # inequality cents*n > sum_cents — no float average exists.
+    "WITH pool AS (SELECT c_custkey, c_nationkey, "
+    "  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents "
+    " FROM customer WHERE c_nationkey BETWEEN 10 AND 16), "
+    "stat AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS s, COUNT(*) AS n "
+    " FROM pool WHERE bal_cents > 0) "
+    "SELECT c_nationkey, COUNT(*) AS numcust, "
+    "CAST(SUM(bal_cents) AS BIGINT) AS totbal_cents "
+    "FROM pool, stat "
+    "WHERE bal_cents * n > s "
+    " AND NOT EXISTS (SELECT 1 FROM orders o "
+    "  WHERE o.o_custkey = pool.c_custkey "
+    "   AND o.o_orderdate >= TIMESTAMP '1999-01-01') "
+    "GROUP BY c_nationkey",
+)
+def macro_idle_customers(spark, sf):
+    """Global-sales-opportunity macro (TPC-H Q22 shape): per nation of
+    a 7-nation set, the count and total balance of customers whose
+    balance beats the set's positive-balance average but who placed no
+    order since 1999 — scalar-subquery threshold + NOT EXISTS in one
+    report.
+
+    Scale shape: the nationkey IN-range pushes into the customer scan;
+    the global (sum, count) is a one-row aggregate cross-joined back
+    (broadcast NLJ of one row — free); the anti join shuffles on
+    custkey against the date-pruned orders scan; the rollup is
+    7 rows. Exactness: balances live as exact cents BIGINTs and the
+    average cut is cents*n > sum — integer algebra on both engines."""
+    pool = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_nationkey").between(10, 16))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        )
+    )
+    stat = pool.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").cast("long").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    recent = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    return (
+        pool.crossJoin(F.broadcast(stat))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("s"))
+        .join(recent, pool["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").cast("long").alias("totbal_cents"),
+        )
+    )
