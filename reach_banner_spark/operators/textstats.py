@@ -1922,3 +1922,87 @@ def lm_bigram(spark, sf):
         .orderBy(F.desc("cnt"), "w1", "w2")
         .limit(100)
     )
+
+
+_RRF_TERMS = ("join", "scan")
+_RRF_C = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_K = 20
+
+
+@register(
+    "retrieval_rrf",
+    # Reciprocal-rank fusion of two term-frequency rankings. Ranks are
+    # exact integers under tie-free total orders; the fused score is a
+    # TWO-TERM fixed-order sum of exact reciprocals — the same IEEE op
+    # sequence on both engines — formatted under the ROUND+%.6f rule.
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+    " FROM documents), "
+    "tf AS (SELECT d.doc_id, "
+    f" COALESCE(SUM(CASE WHEN word = '{_RRF_TERMS[0]}' THEN 1 END), 0) AS tf_a, "
+    f" COALESCE(SUM(CASE WHEN word = '{_RRF_TERMS[1]}' THEN 1 END), 0) AS tf_b "
+    " FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id "
+    f"  AND word IN ('{_RRF_TERMS[0]}', '{_RRF_TERMS[1]}') "
+    " GROUP BY d.doc_id), "
+    "r AS (SELECT doc_id, "
+    " ROW_NUMBER() OVER (ORDER BY tf_a DESC, doc_id) AS rank_a, "
+    " ROW_NUMBER() OVER (ORDER BY tf_b DESC, doc_id) AS rank_b FROM tf) "
+    "SELECT doc_id, CAST(rank_a AS BIGINT) AS rank_a, "
+    "CAST(rank_b AS BIGINT) AS rank_b, "
+    f"printf('%.6f', ROUND(1.0 / ({_RRF_C} + rank_a) + "
+    f" 1.0 / ({_RRF_C} + rank_b), 6)) AS rrf_score "
+    "FROM r "
+    f"ORDER BY 1.0 / ({_RRF_C} + rank_a) + 1.0 / ({_RRF_C} + rank_b) DESC, "
+    f"doc_id LIMIT {_RRF_K}",
+)
+def retrieval_rrf(spark, sf):
+    """Reciprocal-rank fusion (RRF): merge two retrieval rankings into
+    one by summing 1/(60+rank) per list — the standard hybrid-search
+    combiner (lexical + semantic, or here two lexical term rankings),
+    valuable precisely because it needs only RANKS, never comparable
+    scores. [K] Cormack et al., SIGIR 2009.
+
+    Exactness: each ranking is a ROW_NUMBER under a tie-free total
+    order (tf DESC, doc_id), so ranks are exact integers; the fused
+    score is one fixed two-term sum of exact-integer reciprocals —
+    bit-identical across engines — and the top-k order ties break on
+    doc_id.
+
+    Scale shape: per-list ranks at 100 TB come from each retriever's
+    own top-k (bounded lists), so the fusion join is list-sized; this
+    key spells the corpus-wide contract: one explode-free conditional
+    aggregate per doc (the word scan prunes to the 2 query terms),
+    two global rank windows over the doc-grain table, and a
+    TakeOrderedAndProject top-20."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    tf_of = lambda t: F.size(F.filter(words, lambda w: w == F.lit(t)))  # noqa: E731
+    tf = d.select(
+        "doc_id",
+        tf_of(_RRF_TERMS[0]).cast("long").alias("tf_a"),
+        tf_of(_RRF_TERMS[1]).cast("long").alias("tf_b"),
+    )
+    wa = Window.orderBy(F.desc("tf_a"), F.asc("doc_id"))
+    wb = Window.orderBy(F.desc("tf_b"), F.asc("doc_id"))
+    r = tf.select(
+        "doc_id",
+        F.row_number().over(wa).cast("long").alias("rank_a"),
+        F.row_number().over(wb).cast("long").alias("rank_b"),
+    )
+    score = F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank_a")) + F.lit(1.0) / (
+        F.lit(_RRF_C) + F.col("rank_b")
+    )
+    return (
+        r.withColumn("_s", score)
+        .orderBy(F.desc("_s"), F.asc("doc_id"))
+        .limit(_RRF_K)
+        .select(
+            "doc_id",
+            "rank_a",
+            "rank_b",
+            F.format_string("%.6f", F.round(F.col("_s"), 6)).alias(
+                "rrf_score"
+            ),
+        )
+    )

@@ -1549,3 +1549,129 @@ def events_enrich(spark, sf):
     broadcast threshold, AQE falls back to a shuffled join keyed
     user_id, co-partitioned with every other key in this module)."""
     return enrich_with_dim(_events(spark, sf), user_dim(spark, sf))
+
+
+@register(
+    "events_islands",
+    # Gaps-and-islands: contiguous active-day runs per user, via the
+    # classic day_number - row_number anchor (exact integer algebra).
+    "WITH d AS (SELECT DISTINCT user_id, "
+    "  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num "
+    " FROM events), "
+    "r AS (SELECT user_id, day_num, day_num - ROW_NUMBER() OVER ("
+    "  PARTITION BY user_id ORDER BY day_num) AS anchor FROM d) "
+    "SELECT user_id, CAST(MIN(day_num) AS BIGINT) AS start_day, "
+    "CAST(MAX(day_num) AS BIGINT) AS end_day, "
+    "COUNT(*) AS n_days "
+    "FROM r GROUP BY user_id, anchor",
+)
+def events_islands(spark, sf):
+    """Gaps-and-islands: collapse each user's active days into maximal
+    CONTIGUOUS runs (start, end, length) — the canonical streak/uptime
+    /coverage-interval report, and the textbook day_num - row_number
+    trick: consecutive days share one anchor, any gap shifts it.
+
+    Scale shape: dedup to the (user, day) grain FIRST (one user-keyed
+    exchange), then the row_number window and the (user, anchor)
+    rollup both reuse that same partitioning — one shuffle total.
+    Day numbers are exact integer day-diffs from epoch, so anchors and
+    island bounds are pure integer algebra on both engines."""
+    d = (
+        _events(spark, sf)
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day_num"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    return (
+        d.withColumn(
+            "anchor", F.col("day_num") - F.row_number().over(w)
+        )
+        .groupBy("user_id", "anchor")
+        .agg(
+            F.min("day_num").cast("long").alias("start_day"),
+            F.max("day_num").cast("long").alias("end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("user_id", "start_day", "end_day", "n_days")
+    )
+
+
+@register(
+    "events_pareto",
+    # Pareto concentration: per event type, how many top users cover
+    # 80% of the volume. The 80% cut is the exact integer inequality
+    # cum*5 >= total*4 — no float share exists before the output.
+    "WITH pu AS (SELECT event_type, user_id, COUNT(*) AS cnt "
+    " FROM events GROUP BY event_type, user_id), "
+    "r AS (SELECT event_type, cnt, "
+    "  SUM(cnt) OVER (PARTITION BY event_type "
+    "   ORDER BY cnt DESC, user_id "
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+    "  ROW_NUMBER() OVER (PARTITION BY event_type "
+    "   ORDER BY cnt DESC, user_id) AS rnk, "
+    "  SUM(cnt) OVER (PARTITION BY event_type) AS total, "
+    "  COUNT(*) OVER (PARTITION BY event_type) AS n_users "
+    " FROM pu) "
+    "SELECT event_type, CAST(MIN(rnk) AS BIGINT) AS users_to_80pct, "
+    "CAST(MAX(total) AS BIGINT) AS total_events, "
+    "CAST(MAX(n_users) AS BIGINT) AS n_users, "
+    "printf('%.6f', ROUND(CAST(MIN(rnk) AS DOUBLE) / MAX(n_users), 6)) "
+    " AS user_frac "
+    "FROM r WHERE cum * 5 >= total * 4 "
+    "GROUP BY event_type",
+)
+def events_pareto(spark, sf):
+    """Pareto concentration report: per event type, the number of
+    heaviest users whose combined volume first reaches 80% of that
+    type's total — the workload-skew / whale-concentration metric that
+    decides whether a key needs salting at scale.
+
+    Scale shape: the per-(type, user) pre-aggregate is the only
+    fact-scale exchange; the running sum + rank windows and the final
+    rollup all key event_type over the already user-grained table.
+    The 80% threshold is the exact integer cut cum*5 >= total*4
+    (quantities are counts), so the boundary user is engine-exact;
+    only the reported user fraction is a float, under ROUND + %.6f."""
+    pu = (
+        _events(spark, sf)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), F.asc("user_id")
+    )
+    r = pu.select(
+        "event_type",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.row_number().over(wrank).alias("rnk"),
+        F.sum("cnt").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n_users"),
+    ).filter(F.col("cum") * 5 >= F.col("total") * 4)
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.min("rnk").cast("long").alias("users_to_80pct"),
+            F.max("total").cast("long").alias("total_events"),
+            F.max("n_users").cast("long").alias("n_users"),
+        )
+        .select(
+            "event_type",
+            "users_to_80pct",
+            "total_events",
+            "n_users",
+            _FMT6(
+                F.col("users_to_80pct").cast("double") / F.col("n_users")
+            ).alias("user_frac"),
+        )
+    )

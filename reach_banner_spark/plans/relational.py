@@ -3467,3 +3467,258 @@ def macro_idle_customers(spark, sf):
             F.sum("bal_cents").cast("long").alias("totbal_cents"),
         )
     )
+
+
+# ------------------------------------------------- data-layout family ----
+# Lakehouse table-maintenance operators: schema evolution across file
+# generations, hidden file-metadata columns, small-file compaction, and
+# ANALYZE-style column profiling. At 100 TB these are the daily-driver
+# maintenance jobs (OPTIMIZE / ANALYZE / schema-drift reads) that sit
+# next to the query surface. Staged inputs live under /tmp/rbs_layout_*
+# keyed by sf-dir basename with a _DONE marker (CLAUDE.md cache rule).
+
+
+def _layout_dir(sf: str, tag: str) -> str:
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"rbs_layout_{tag}_{os.path.basename(sf.rstrip('/'))}",
+    )
+
+
+def _stage_evolved(sf: str) -> str:
+    """Two parquet generations of the documents table: generation A
+    (doc_id < 250) was written BEFORE the `source` column existed;
+    generation B carries it. Staged with pyarrow directly from the
+    testdata parquet — no Spark job, fully deterministic."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = _layout_dir(sf, "evo")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        t = pq.read_table(
+            f"{sf}/documents.parquet", columns=["doc_id", "lang", "source"]
+        )
+        os.makedirs(out, exist_ok=True)
+        a = t.filter(pc.less(t["doc_id"], 250)).select(["doc_id", "lang"])
+        b = t.filter(pc.greater_equal(t["doc_id"], 250))
+        pq.write_table(a, os.path.join(out, "gen_a.parquet"))
+        pq.write_table(b, os.path.join(out, "gen_b.parquet"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return out
+
+
+@register(
+    "scan_schema_evolution",
+    # Schema-drift read: the old generation's rows surface NULL for the
+    # column added later — stated directly from the documents view.
+    "SELECT doc_id, lang, "
+    "CASE WHEN doc_id < 250 THEN NULL ELSE source END AS source "
+    "FROM documents",
+)
+def scan_schema_evolution(spark, sf):
+    """Schema-evolution scan: one read over parquet files written at
+    different schema generations (a column added mid-corpus — the
+    normal state of any table that has lived a year). Spark's
+    ``mergeSchema`` reconciles the footers; old files surface NULL for
+    the new column. The oracle re-states the expected rows from the
+    unified view, so a green row proves the merged read end-to-end.
+
+    Scale shape: schema merge happens at PLANNING time over file
+    footers (listing cost, not data cost); the scan itself stays a
+    normal pruned columnar read — at 100 TB you pay footer listing
+    once, not a table rewrite, which is the point of evolution-aware
+    readers."""
+    path = _stage_evolved(sf)
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(path)
+        .select("doc_id", "lang", "source")
+    )
+
+
+def _stage_sharded(sf: str) -> str:
+    """The documents table as 4 known-name parquet shards
+    (docs_<doc_id%4>.parquet) — the layout for metadata-column tests
+    and the compaction input."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = _layout_dir(sf, "shard4")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        t = pq.read_table(
+            f"{sf}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"],
+        )
+        os.makedirs(out, exist_ok=True)
+        for i in range(4):
+            # doc_id % 4 spelled as & 3 (this pyarrow has no pc.mod)
+            part = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 3), i))
+            pq.write_table(part, os.path.join(out, f"docs_{i}.parquet"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return out
+
+
+@register(
+    "scan_metadata",
+    # Hidden-metadata rollup: per physical file, row count + payload
+    # sum. The staged layout makes file membership a pure function of
+    # doc_id, so the oracle states it from the logical view.
+    "SELECT 'docs_' || CAST(doc_id % 4 AS VARCHAR) || '.parquet' AS file_name, "
+    "COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+    "FROM documents GROUP BY 1",
+)
+def scan_metadata(spark, sf):
+    """File-metadata scan: Spark's hidden ``_metadata`` struct exposes
+    the physical provenance (file name/size/mtime) of every row — the
+    primitive behind incremental-ingest bookkeeping ("which files did
+    these rows come from"), bad-file forensics, and file-grain
+    dedup/GC at lake scale.
+
+    Scale shape: ``_metadata.file_name`` is a constant per scanned
+    file materialized by the reader (no data cost); the rollup groups
+    a files-sized key. The oracle proves the file attribution, not
+    just the counts, because the staged shard membership is a pure
+    function of doc_id."""
+    path = _stage_sharded(sf)
+    return (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_name").alias("file_name"), "n_chars")
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@register(
+    "compact_small_files",
+    # Compaction preserves content exactly; the oracle checks content,
+    # pytest checks the physical file count collapsed 16 -> 2.
+    "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents",
+)
+def compact_small_files(spark, sf):
+    """Small-file compaction (OPTIMIZE): rewrite a 16-shard directory
+    into 2 right-sized files and read the result back — THE table-
+    maintenance job at lake scale, where millions of ingest-grain
+    files destroy scan planning long before they hurt scan IO.
+
+    Scale shape: ``coalesce(2)`` compacts WITHOUT a shuffle (each
+    output task concatenates whole input splits — the correct
+    primitive for bin-packing compaction; ``repartition`` would pay a
+    full exchange for placement no one asked for). Content is proven
+    unchanged by the oracle; the 16 -> 2 physical collapse is pinned
+    by pytest. Idempotent per (sf, pid): the output dir is swapped
+    atomically so re-runs and concurrent sessions never read a
+    half-written directory."""
+    import os
+    import shutil
+    import tempfile
+
+    src = _stage_sharded(sf)
+    out = _layout_dir(sf, "compact_out")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        tmp = tempfile.mkdtemp(
+            prefix=f"rbs_layout_compact_stage_{os.getpid()}_"
+        )
+        stage = os.path.join(tmp, "data")
+        (
+            spark.read.parquet(src)
+            .coalesce(2)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        with open(os.path.join(stage, "_DONE"), "w") as f:
+            f.write("ok")
+        if not os.path.exists(done):
+            try:
+                os.rename(stage, out)
+            except OSError:
+                pass  # another session won the swap; theirs is identical
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(out).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@register(
+    "table_profile",
+    # ANALYZE-style column statistics. The oracle spells it as four
+    # per-column scans; the Spark side computes all columns in ONE
+    # pass and unpivots. min/max emitted as strings (engine-neutral).
+    "SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows, "
+    " COUNT(*) - COUNT(l_orderkey) AS n_null, "
+    " COUNT(DISTINCT l_orderkey) AS n_distinct, "
+    " CAST(MIN(l_orderkey) AS VARCHAR) AS min_val, "
+    " CAST(MAX(l_orderkey) AS VARCHAR) AS max_val FROM lineitem "
+    "UNION ALL SELECT 'l_quantity', COUNT(*), "
+    " COUNT(*) - COUNT(l_quantity), COUNT(DISTINCT l_quantity), "
+    " CAST(CAST(MIN(l_quantity) AS BIGINT) AS VARCHAR), "
+    " CAST(CAST(MAX(l_quantity) AS BIGINT) AS VARCHAR) FROM lineitem "
+    "UNION ALL SELECT 'l_returnflag', COUNT(*), "
+    " COUNT(*) - COUNT(l_returnflag), COUNT(DISTINCT l_returnflag), "
+    " MIN(l_returnflag), MAX(l_returnflag) FROM lineitem "
+    "UNION ALL SELECT 'l_shipdate', COUNT(*), "
+    " COUNT(*) - COUNT(l_shipdate), COUNT(DISTINCT l_shipdate), "
+    " strftime(MIN(l_shipdate), '%Y-%m-%d'), "
+    " strftime(MAX(l_shipdate), '%Y-%m-%d') FROM lineitem",
+)
+def table_profile(spark, sf):
+    """Table-statistics profile (ANALYZE): per column — row count,
+    null count, exact distinct count, min, max — the stats a
+    cost-based optimizer and a data-quality monitor both live on.
+
+    Scale shape: ONE scan computes every column's stats (the oracle's
+    four-scan spelling is for clarity); the multi-column COUNT
+    DISTINCT runs through Catalyst's Expand (one row per distinct
+    aggregate — 4x map-side rows, still one exchange), then a 4-row
+    ``stack`` unpivot shapes the report. For approximate profiles at
+    petabyte scale swap COUNT DISTINCT for the HLL sketches already on
+    this surface (sketch_hll_merge); this key pins the exact
+    contract. min/max emit as strings so one schema carries every
+    column type."""
+    li = _t(spark, sf, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_orderkey").alias("c_ok"),
+        F.countDistinct("l_orderkey").alias("d_ok"),
+        F.min("l_orderkey").cast("string").alias("mn_ok"),
+        F.max("l_orderkey").cast("string").alias("mx_ok"),
+        F.count("l_quantity").alias("c_q"),
+        F.countDistinct("l_quantity").alias("d_q"),
+        F.min("l_quantity").cast("long").cast("string").alias("mn_q"),
+        F.max("l_quantity").cast("long").cast("string").alias("mx_q"),
+        F.count("l_returnflag").alias("c_rf"),
+        F.countDistinct("l_returnflag").alias("d_rf"),
+        F.min("l_returnflag").alias("mn_rf"),
+        F.max("l_returnflag").alias("mx_rf"),
+        F.count("l_shipdate").alias("c_sd"),
+        F.countDistinct("l_shipdate").alias("d_sd"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("mn_sd"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("mx_sd"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "'l_orderkey', n_rows - c_ok, d_ok, mn_ok, mx_ok, "
+            "'l_quantity', n_rows - c_q, d_q, mn_q, mx_q, "
+            "'l_returnflag', n_rows - c_rf, d_rf, mn_rf, mx_rf, "
+            "'l_shipdate', n_rows - c_sd, d_sd, mn_sd, mx_sd) "
+            "AS (col_name, n_null, n_distinct, min_val, max_val)"
+        ),
+        "n_rows",
+    ).select(
+        "col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val"
+    )

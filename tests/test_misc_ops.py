@@ -860,3 +860,34 @@ def test_kg_sample_neighbors_consistent_with_adjacency(spark):
         got = [nb for _, nb in sorted(picked)]
         assert got == want, (key, got, want)
     assert set(by_node) == set(adj), "sampler missed adjacency nodes"
+
+
+def test_compact_small_files_physical_layout(spark):
+    """Compaction must actually collapse the physical layout: the staged
+    input is 4 shards (16 at real scale is the same mechanism), the
+    output exactly 2 part files, and the plan must be shuffle-free
+    (coalesce, not repartition)."""
+    import glob
+
+    from reach_banner_spark.plans.relational import (
+        REGISTRY,
+        _layout_dir,
+        _stage_sharded,
+    )
+
+    df = REGISTRY["compact_small_files"][0](spark, SF)
+    df.collect()
+    out = _layout_dir(SF, "compact_out")
+    n_out = len(glob.glob(f"{out}/part-*.parquet"))
+    assert n_out == 2, f"expected 2 compacted files, found {n_out}"
+    n_in = len(glob.glob(f"{_stage_sharded(SF)}/docs_*.parquet"))
+    assert n_in == 4
+    # the compacting WRITE plan is coalesce-shaped: no Exchange
+    plan = (
+        spark.read.parquet(_stage_sharded(SF))
+        .coalesce(2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
