@@ -1675,3 +1675,68 @@ def events_pareto(spark, sf):
             ).alias("user_frac"),
         )
     )
+
+
+@register(
+    "events_concurrency",
+    # Sweep-line concurrency: +1/-1 deltas at island starts/ends, one
+    # ordered cumulative sum = number of simultaneously-active users
+    # at every change point. Pure integer algebra.
+    "WITH d AS (SELECT DISTINCT user_id, "
+    "  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num "
+    " FROM events), "
+    "r AS (SELECT user_id, day_num, day_num - ROW_NUMBER() OVER ("
+    "  PARTITION BY user_id ORDER BY day_num) AS anchor FROM d), "
+    "isl AS (SELECT user_id, MIN(day_num) AS s, MAX(day_num) AS e "
+    " FROM r GROUP BY user_id, anchor), "
+    "delta AS (SELECT s AS day_num, 1 AS delta FROM isl "
+    " UNION ALL SELECT e + 1, -1 FROM isl), "
+    "g AS (SELECT day_num, SUM(delta) AS dd FROM delta GROUP BY day_num) "
+    "SELECT CAST(day_num AS BIGINT) AS day_num, "
+    "CAST(SUM(dd) OVER (ORDER BY day_num "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    " AS n_active FROM g",
+)
+def events_concurrency(spark, sf):
+    """Concurrency sweep-line: how many users are simultaneously
+    mid-streak at every change point — the interval-stabbing pattern
+    (server sessions online, leases held, experiments running) built
+    on the islands CTE: each activity run emits +1 at its start and
+    -1 the day after it ends; one ordered cumulative sum is the
+    active count.
+
+    Scale shape: islands derive exactly as events_islands (one
+    user-keyed exchange reused by the window and rollup); the deltas
+    collapse to calendar grain BEFORE the global cumsum, so the one
+    necessarily-global ordered window runs over a days-sized table —
+    the sweep-line's whole point at 100 TB (never order the fact
+    table, order the change points)."""
+    d = (
+        _events(spark, sf)
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day_num"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    isl = (
+        d.withColumn("anchor", F.col("day_num") - F.row_number().over(w))
+        .groupBy("user_id", "anchor")
+        .agg(F.min("day_num").alias("s"), F.max("day_num").alias("e"))
+    )
+    delta = isl.select(
+        F.col("s").alias("day_num"), F.lit(1).alias("delta")
+    ).unionAll(
+        isl.select((F.col("e") + 1).alias("day_num"), F.lit(-1).alias("delta"))
+    )
+    g = delta.groupBy("day_num").agg(F.sum("delta").alias("dd"))
+    wcum = Window.orderBy("day_num").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        F.col("day_num").cast("long").alias("day_num"),
+        F.sum("dd").over(wcum).cast("long").alias("n_active"),
+    )

@@ -2381,6 +2381,61 @@ def scan_partitioned(spark, sf):
 
 
 @register(
+    "join_partition_pruned",
+    # Dynamic partition pruning: the dim-side filter decides AT RUNTIME
+    # which p_bucket partition directories of the fact are read. Bucket
+    # membership is a pure function of doc_id, so the oracle states the
+    # expected rows (and the pruning itself is plan-gated in pytest).
+    "SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars, "
+    "CAST(d.doc_id % 8 AS BIGINT) AS p_bucket "
+    "FROM documents d JOIN (SELECT DISTINCT n_nationkey % 8 AS bucket "
+    " FROM nation WHERE n_name IN ('NATION_3', 'NATION_5')) b "
+    "ON d.doc_id % 8 = b.bucket",
+)
+def join_partition_pruned(spark, sf):
+    """Dynamic partition pruning (DPP): join a partition-layout fact
+    table on its PARTITION column against a filtered dimension — the
+    fact directories to scan are only known at runtime, from the dim
+    filter's result, and Spark injects that as a dynamicpruning
+    partition filter on the scan. At 100 TB this is THE mechanism that
+    turns "join against this week's keys" into reading 2 of 8 (or 2 of
+    10,000) partition directories instead of the whole table; a static
+    planner cannot do it because the pruning set is data-dependent.
+
+    Scale shape: the dim subquery (nation -> 2 bucket values)
+    broadcasts; its values reuse the broadcast exchange as the scan's
+    runtime partition filter (visible as dynamicpruningexpression in
+    PartitionFilters — pytest-gated); the fact side then scans exactly
+    the surviving directories. Reuses the scan_partitioned staged
+    layout (p_bucket = doc_id % 8)."""
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"rbs_part_{os.path.basename(sf.rstrip('/'))}"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        d = _docs(spark, sf).withColumn(
+            "p_bucket", F.pmod(F.col("doc_id"), F.lit(8))
+        )
+        d.write.mode("overwrite").partitionBy("p_bucket").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        spark.read.parquet(f"{sf}/nation.parquet")
+        .filter(F.col("n_name").isin("NATION_3", "NATION_5"))
+        .select(F.pmod(F.col("n_nationkey"), F.lit(8)).alias("bucket"))
+        .distinct()
+    )
+    return fact.join(
+        F.broadcast(dim), fact["p_bucket"] == dim["bucket"]
+    ).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("p_bucket").cast("long").alias("p_bucket"),
+    )
+
+
+@register(
     "sort_within_partitions",
     None,  # per-partition order is not SQL-observable; rows-only + pytest
 )

@@ -3722,3 +3722,231 @@ def table_profile(spark, sf):
     ).select(
         "col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val"
     )
+
+
+@register(
+    "macro_forecast_revenue",
+    # TPC-H Q6 shape: the forecasting-revenue-change slice — one pushed
+    # filter + one aggregate. The discount band compares exact CENTS
+    # (ROUND(d*100) BIGINT) because 0.05/0.07 are not dyadic and the
+    # engines parse those literals into different types.
+    "SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    " CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue, "
+    "COUNT(*) AS n_lines FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    " AND l_shipdate < TIMESTAMP '1997-01-01' "
+    " AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 "
+    " AND l_quantity < 24",
+)
+def macro_forecast_revenue(spark, sf):
+    """Forecasting-revenue-change macro (TPC-H Q6 shape): how much
+    revenue a discount-band/quantity slice of one ship-year carries —
+    the canonical scan-dominated aggregate (no join at all), the query
+    that measures pure filter+scan throughput.
+
+    Scale shape: the date and quantity predicates push into the
+    parquet scan; the discount band is evaluated on exact cents (the
+    acctbal-cents precedent: 0.05 is not a dyadic double, so a raw
+    BETWEEN on doubles would hinge on each engine's literal typing);
+    the whole query then collapses in the map-side partial aggregate —
+    the shuffle moves one row per task."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.round(F.col("l_discount") * 100)
+        .cast("long")
+        .between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "macro_top_supplier",
+    # TPC-H Q15 shape: the supplier(s) with the quarter's maximum
+    # revenue — the view + scalar-MAX-subquery pattern. Revenue stays
+    # in exact integer 1e-4 units so the max-equality cannot be a
+    # float comparison.
+    "WITH sr AS (SELECT l_suppkey AS sk, "
+    "  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "   (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) "
+    "   AS BIGINT) AS rev_e4 "
+    " FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "  AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+    "SELECT s.s_suppkey, s.s_name, sr.rev_e4 AS total_rev_e4 "
+    "FROM supplier s JOIN sr ON s.s_suppkey = sr.sk "
+    "WHERE sr.rev_e4 = (SELECT MAX(rev_e4) FROM sr)",
+)
+def macro_top_supplier(spark, sf):
+    """Top-supplier macro (TPC-H Q15 shape): the supplier(s) whose
+    quarter revenue equals the maximum over all suppliers — the
+    view-then-scalar-subquery pattern, kept as an EQUALITY against MAX
+    (not a top-1 limit) so genuine ties all surface, exactly as the
+    spec demands.
+
+    Scale shape: the quarter filter pushes into the scan; the per-
+    supplier rollup is the one fact exchange; the MAX is a one-row
+    aggregate broadcast back (crossJoin of one row); supplier
+    broadcasts for the name lookup. Revenue lives in exact integer
+    1e-4 currency units end-to-end, so the max-equality is integer
+    comparison on both engines."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev_e4 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        * 10000
+    ).cast("long")
+    sr = li.select(
+        F.col("l_suppkey").alias("sk"), rev_e4.alias("r")
+    ).groupBy("sk").agg(F.sum("r").cast("long").alias("rev_e4"))
+    mx = sr.agg(F.max("rev_e4").alias("mx"))
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        sr.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_e4") == F.col("mx"))
+        .join(F.broadcast(s), F.col("sk") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("rev_e4").alias("total_rev_e4"))
+    )
+
+
+@register(
+    "agg_weighted_stats",
+    # Quantity-weighted price statistics per returnflag. Mean and
+    # variance are derived from three EXACT integer/decimal moments
+    # (W, S1, S2 in cents); each output float is ONE fixed op chain
+    # over exact inputs, identical on both engines.
+    "WITH m AS (SELECT l_returnflag, "
+    "  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w, "
+    "  CAST(SUM(CAST(l_quantity AS BIGINT) * "
+    "   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) "
+    "   AS BIGINT) AS s1, "
+    "  SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)) * "
+    "   CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) "
+    "    AS DECIMAL(38,0)) * "
+    "   CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) "
+    "    AS DECIMAL(38,0))) AS s2 "
+    " FROM lineitem GROUP BY l_returnflag) "
+    "SELECT l_returnflag, w AS total_qty, s1 AS price_qty_cents, "
+    "printf('%.6f', ROUND(CAST(s1 AS DOUBLE) / (100 * w), 6)) AS wmean, "
+    "printf('%.6f', ROUND((CAST(s2 * w - CAST(s1 AS DECIMAL(38,0)) * s1 "
+    " AS DOUBLE) / CAST(CAST(w AS DECIMAL(38,0)) * w AS DOUBLE)) "
+    " / 10000.0, 6)) AS wvar FROM m",
+)
+def agg_weighted_stats(spark, sf):
+    """Weighted aggregate statistics: quantity-weighted mean and
+    variance of the line price per returnflag — the pattern behind
+    every volume-weighted metric (VWAP, weighted quality scores,
+    exposure-weighted rates).
+
+    Exactness: the three moments W=Σq, S1=Σq·c, S2=Σq·c² (c = exact
+    price cents) are integers — S2 needs DECIMAL(38) headroom (c² is
+    ~1e14 per row) — so the sums are order-independent; wmean =
+    S1/(100·W) is one division; wvar = (S2·W − S1²)/W²/1e4 is one
+    FIXED chain (decimal subtract exactly, then divide) spelled
+    identically on both engines, under the ROUND+%.6f output rule.
+
+    Scale shape: one scan, partial+final aggregate onto a 3-value
+    key; the decimal moments cost one extra column of shuffle width —
+    the price of exactness, paid in the partials, not in row count."""
+    li = _t(spark, sf, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+        "long"
+    )
+    q = F.col("l_quantity").cast("long")
+    m = li.select(
+        "l_returnflag",
+        q.alias("q"),
+        cents.alias("c"),
+    ).groupBy("l_returnflag").agg(
+        F.sum("q").cast("long").alias("w"),
+        F.sum(F.col("q") * F.col("c")).cast("long").alias("s1"),
+        F.sum(
+            F.col("q").cast("decimal(38,0)")
+            * F.col("c").cast("decimal(38,0)")
+            * F.col("c").cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    fmt6 = lambda c_: F.format_string("%.6f", F.round(c_, 6))  # noqa: E731
+    return m.select(
+        "l_returnflag",
+        F.col("w").alias("total_qty"),
+        F.col("s1").alias("price_qty_cents"),
+        fmt6(F.col("s1").cast("double") / (F.lit(100) * F.col("w"))).alias(
+            "wmean"
+        ),
+        fmt6(
+            (
+                (
+                    F.col("s2") * F.col("w")
+                    - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+                ).cast("double")
+                / (F.col("w").cast("decimal(38,0)") * F.col("w")).cast(
+                    "double"
+                )
+            )
+            / F.lit(10000.0)
+        ).alias("wvar"),
+    )
+
+
+@register(
+    "events_benford",
+    # Benford first-digit forensics over order totals: leading digit of
+    # the exact cents integer, count + share per digit.
+    "WITH d AS (SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) "
+    " AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders "
+    " WHERE o_totalprice > 0), "
+    "t AS (SELECT COUNT(*) AS n FROM d) "
+    "SELECT digit, COUNT(*) AS cnt, "
+    "printf('%.6f', ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(t.n), 6)) AS frac "
+    "FROM d, t GROUP BY digit",
+)
+def events_benford(spark, sf):
+    """Benford's-law first-digit profile of order totals — the
+    data-forensics screen for fabricated or truncated monetary data
+    (natural multiplicative amounts put ~30.1% of leading digits at 1;
+    a flat profile is a red flag). [K] Benford 1938 / Hill 1995.
+
+    Exactness: the leading digit comes from the STRING of the exact
+    cents BIGINT (never from log10 — no libm); the share is one
+    division of exact counts under ROUND+%.6f.
+
+    Scale shape: one scan, one 9-value hash aggregate, plus a one-row
+    total broadcast back — at 100 TB this is a pure map-side profile
+    exactly like corpus_stats."""
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    t = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "cnt",
+            F.format_string(
+                "%.6f",
+                F.round(F.col("cnt").cast("double") / F.col("n"), 6),
+            ).alias("frac"),
+        )
+    )

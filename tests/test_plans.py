@@ -120,8 +120,8 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 265, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 208, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 271, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 214, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
 
 
@@ -319,3 +319,19 @@ def test_pack_sequences_fact_side_single_exchange(spark):
     dim_side = plan.split("BroadcastExchange", 1)[1]
     assert "Exchange SinglePartition" in dim_side
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_dynamic_partition_pruning_in_plan(spark):
+    """join_partition_pruned must actually get DPP: the fact scan's
+    PartitionFilters carry a dynamicpruningexpression on p_bucket (the
+    runtime dim-driven pruning — the capability the key exists to pin,
+    since the oracle can only check the ROWS)."""
+    import re
+
+    from reach_banner_spark.plans.registry import all_queries
+
+    df = all_queries()["join_partition_pruned"](spark, SF)
+    plan = _plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PartitionFilters:\n{plan[:800]}"
+    assert "dynamicpruning" in m.group(1).lower(), m.group(1)
