@@ -1576,19 +1576,28 @@ def events_islands(spark, sf):
     rollup both reuse that same partitioning — one shuffle total.
     Day numbers are exact integer day-diffs from epoch, so anchors and
     island bounds are pure integer algebra on both engines."""
-    d = (
-        _events(spark, sf)
-        .select(
-            "user_id",
-            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
-            .cast("long")
-            .alias("day_num"),
-        )
-        .distinct()
-    )
+    return islands_rollup(user_days(_events(spark, sf)))
+
+
+def user_days(events: DataFrame) -> DataFrame:
+    """The deduped (user_id, day_num) activity grain — the ONLY
+    state-bearing input of the islands family (shared with
+    stream_islands; set union merges it exactly across batches)."""
+    return events.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_num"),
+    ).distinct()
+
+
+def islands_rollup(days: DataFrame) -> DataFrame:
+    """Shared islands definition over the (user_id, day_num) grain —
+    one spelling of the anchor trick for the batch key and its
+    streaming twin."""
     w = Window.partitionBy("user_id").orderBy("day_num")
     return (
-        d.withColumn(
+        days.withColumn(
             "anchor", F.col("day_num") - F.row_number().over(w)
         )
         .groupBy("user_id", "anchor")

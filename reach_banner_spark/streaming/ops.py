@@ -2122,3 +2122,55 @@ def stream_enrich(spark, sf):
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).localCheckpoint()
+
+
+@register("stream_islands", None)  # pytest: == batch events_islands
+def stream_islands(spark, sf):
+    """INGEST-TIME gaps-and-islands — the streaming twin of
+    ``events_islands``. Islands are NOT incrementally patchable in
+    general (one arriving day can FUSE two existing islands), but the
+    batch key's only state-bearing input is the deduped
+    (user, day_num) grain, and set union merges that exactly — so the
+    carried state is that grain (the stream_dau discipline:
+    parquet-swapped snapshot, O(users x active-days), calendar-bounded)
+    and the islands rollup is the ONE SHARED definition re-derived over
+    the merged state. Arrival order across batches is therefore
+    irrelevant; streaming == batch is a theorem, pinned by pytest
+    anyway (incl. a determinism re-run)."""
+    import shutil
+
+    from ..plans.events_analytics import islands_rollup, user_days
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_islands", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = user_days(batch_df)
+        alldu = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"]).unionByName(cur).distinct()
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        alldu.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    # eager localCheckpoint: survive a later same-key invocation's
+    # work-dir sweep (see _run_incremental_turns; ADVICE r4)
+    return islands_rollup(
+        spark.read.parquet(state["path"])
+    ).localCheckpoint()

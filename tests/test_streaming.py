@@ -930,3 +930,42 @@ def test_stream_enrich_equals_batch(spark):
         .reset_index(drop=True)
     )
     assert got.equals(again)
+
+
+def test_stream_islands_equals_batch(spark):
+    """stream_islands' final interval table == the one-shot
+    events_islands (carried state is the deduped (user, day) grain —
+    exactly mergeable even though islands themselves can FUSE when a
+    gap-filling day arrives in a later batch). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    key = ["user_id", "start_day"]
+    got = (
+        ops.REGISTRY["stream_islands"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["events_islands"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+    assert (got["end_day"] >= got["start_day"]).all()
+    assert (
+        got["n_days"] == got["end_day"] - got["start_day"] + 1
+    ).all(), "islands must be contiguous"
+
+    again = (
+        ops.REGISTRY["stream_islands"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)
