@@ -187,6 +187,39 @@ HEADLINE = [
     "kg_provenance",
     "kg_canonical_facts",
     "emb_pca",
+    # r5i additions (ninth-session tail + tenth r5 session) — the
+    # completed TPC-H macro family, data-layout maintenance ops, events
+    # islands/pareto/concurrency/benford, RRF fusion, DPP join, weighted
+    # stats (subtract this group too for earlier-round-comparable
+    # subtotals)
+    "events_enrich",
+    "source_binary",
+    "macro_local_supplier_volume",
+    "macro_returned_items",
+    "macro_promo_share",
+    "events_funnel_window",
+    "text_normalize",
+    "macro_pricing_summary",
+    "macro_order_priority",
+    "macro_volume_shipping",
+    "macro_cust_distribution",
+    "macro_small_qty_revenue",
+    "macro_top_spenders",
+    "macro_disjunctive_revenue",
+    "macro_idle_customers",
+    "macro_forecast_revenue",
+    "macro_top_supplier",
+    "scan_schema_evolution",
+    "scan_metadata",
+    "compact_small_files",
+    "table_profile",
+    "events_islands",
+    "events_pareto",
+    "events_concurrency",
+    "events_benford",
+    "retrieval_rrf",
+    "agg_weighted_stats",
+    "join_partition_pruned",
 ]
 
 
