@@ -2343,6 +2343,41 @@ def source_text(spark, sf):
     )
 
 
+_PYSRC_REGISTERED: set[int] = set()
+
+
+@register("source_python_datasource", _SRC_SQL)
+def source_python_datasource(spark, sf):
+    """Custom Python DataSource (PySpark 4 ``pyspark.sql.datasource``):
+    the user-extension scan path — a plug-in reader for a format no
+    built-in source speaks, scheduled by Spark as one InputPartition
+    per file with readers running in parallel Python workers (see
+    sources/pysource.py). Reads the SAME staged tab-separated layout
+    source_text reads with the built-in text reader, and the SAME
+    documents-view oracle pins both — proving the plug-in path
+    end-to-end (schema, partitioning, typed rows), not just that it
+    returns something.
+
+    Scale shape: partitions() lists files (driver-side metadata only);
+    each file streams through its own worker — the same per-split
+    parallelism as any scan. Python-side decode cost is the price of
+    the extension point; for hot formats you'd promote the reader to a
+    built-in (ORC/CSV/JSON/binaryFile keys on this surface)."""
+    from ..sources.pysource import TsvDocsDataSource
+
+    sid = id(spark)
+    if sid not in _PYSRC_REGISTERED:
+        spark.dataSource.register(TsvDocsDataSource)
+        _PYSRC_REGISTERED.add(sid)
+    path = _stage_format(spark, sf, "text")
+    return (
+        spark.read.format("rbs_tsv_docs")
+        .option("path", path)
+        .load()
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 # -------------------------------------------------------------- sinks ----
 
 @register("sink_partitioned_parquet", None)  # rows-only on read-back

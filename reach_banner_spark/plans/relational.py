@@ -3950,3 +3950,134 @@ def events_benford(spark, sf):
             ).alias("frac"),
         )
     )
+
+
+@register(
+    "join_runtime_filtered",
+    # Runtime Bloom-filter join pruning: semantically a plain join —
+    # the injected might_contain() filter only PRUNES the probe scan.
+    "SELECT l.l_orderkey, "
+    "CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents, "
+    "CAST(l.l_quantity AS BIGINT) AS quantity "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "WHERE o.o_orderpriority = '1-URGENT'",
+)
+def join_runtime_filtered(spark, sf):
+    """Runtime-filter (Bloom) join pruning: for a shuffle join whose
+    build side is selectively filtered, Spark injects a Bloom filter
+    of the build keys as a ``might_contain`` predicate on the PROBE
+    scan — rows that cannot join are dropped before the exchange. At
+    100 TB this is the difference between shuffling the whole fact
+    table and shuffling the ~20% that survives the dim filter, for
+    joins too large to broadcast (the broadcast threshold is disabled
+    here precisely to model that regime).
+
+    The conf overrides live only until the physical plan is
+    materialized (forced below, then restored) — the plan, once built,
+    keeps its runtime filter. Semantically transparent: the oracle is
+    the plain join. The might_contain injection is plan-gated in
+    pytest."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        df = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+            "l_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("totalprice_cents"),
+            F.col("l_quantity").cast("long").alias("quantity"),
+        )
+        # materialize the physical plan NOW, under the overrides — the
+        # QueryExecution caches it, so restoring the confs is safe
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df
+
+
+@register(
+    "sql_parameterized",
+    # Named-parameter SQL + IDENTIFIER clause — same result as the
+    # inlined query.
+    "SELECT l_returnflag, COUNT(*) AS n, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+    "FROM lineitem WHERE l_quantity > 45 GROUP BY l_returnflag",
+)
+def sql_parameterized(spark, sf):
+    """Parameterized SQL: ``spark.sql(query, args={...})`` with named
+    parameter markers and an ``IDENTIFIER(:tbl)`` clause for the table
+    reference — the injection-safe templating surface every SQL
+    front-end needs (values bind as literals, identifiers via the
+    dedicated clause; string concatenation never happens).
+
+    Scale shape: parameters bind at PARSE time, so the bound literal
+    reaches Catalyst as a constant — the quantity predicate pushes
+    into the parquet scan exactly as in the inlined spelling (same
+    plan, same pushdown)."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("rbs_param_lineitem")
+    return spark.sql(
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+        "FROM IDENTIFIER(:tbl) WHERE l_quantity > :min_qty "
+        "GROUP BY l_returnflag",
+        args={"tbl": "rbs_param_lineitem", "min_qty": 45},
+    )
+
+
+@register(
+    "observe_metrics",
+    # The observed query's RESULT is oracled; the observation side
+    # channel is asserted in pytest.
+    "SELECT l_returnflag, "
+    "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) "
+    " AS sum_price FROM lineitem GROUP BY l_returnflag",
+)
+def observe_metrics(spark, sf):
+    """Observation metrics: ``df.observe(Observation, ...)`` attaches
+    named aggregate metrics that are computed AS THE QUERY RUNS and
+    delivered on the driver — zero extra passes, zero extra shuffles.
+    This is the production-pipeline instrumentation surface (row
+    counts, null rates, value bounds observed on the same scan that
+    feeds the job) — at 100 TB a separate validation query would
+    double the IO; observe() rides along free.
+
+    The observe node is semantically transparent (the oracle pins the
+    query result); pytest runs an action and asserts the observed
+    row count and quantity sum equal the table's exact values."""
+    from pyspark.sql import Observation
+
+    obs = Observation("rbs_profile")
+    df = (
+        _t(spark, sf, "lineitem")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_price")
+        )
+    )
+    # expose the Observation for callers/tests that want the metrics
+    df.rbs_observation = obs  # type: ignore[attr-defined]
+    return df

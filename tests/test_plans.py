@@ -120,8 +120,8 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 272, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 214, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 276, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 218, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
 
 
@@ -335,3 +335,36 @@ def test_dynamic_partition_pruning_in_plan(spark):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m, f"no PartitionFilters:\n{plan[:800]}"
     assert "dynamicpruning" in m.group(1).lower(), m.group(1)
+
+
+def test_runtime_bloom_filter_in_plan(spark):
+    """join_runtime_filtered must carry the injected Bloom runtime
+    filter: a might_contain(...) predicate on the probe-side scan
+    (the capability the key exists to pin — the oracle only checks
+    rows), and the conf overrides must be restored afterwards."""
+    from reach_banner_spark.plans.registry import all_queries
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = all_queries()["join_runtime_filtered"](spark, SF)
+    plan = _plan(df)
+    assert "might_contain" in plan.lower(), plan[:800]
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_observe_metrics_side_channel(spark):
+    """observe_metrics' Observation must deliver the exact scan-time
+    profile (row count + quantity sum) of the table the query read —
+    computed on the same pass, no second job."""
+    from reach_banner_spark.plans.registry import all_queries
+
+    df = all_queries()["observe_metrics"](spark, SF)
+    df.write.format("noop").mode("overwrite").save()
+    got = df.rbs_observation.get
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    import pyspark.sql.functions as F
+
+    want = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("q"),
+    ).collect()[0]
+    assert got == {"n_rows": want["n"], "total_qty": want["q"]}
