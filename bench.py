@@ -220,6 +220,10 @@ HEADLINE = [
     "retrieval_rrf",
     "agg_weighted_stats",
     "join_partition_pruned",
+    "join_runtime_filtered",
+    "sql_parameterized",
+    "observe_metrics",
+    "source_python_datasource",
 ]
 
 
