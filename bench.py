@@ -224,6 +224,11 @@ HEADLINE = [
     "sql_parameterized",
     "observe_metrics",
     "source_python_datasource",
+    "recursive_cte",
+    "sql_scalar_udf",
+    "sql_table_udf",
+    "sql_session_variables",
+    "sql_execute_immediate",
 ]
 
 

@@ -827,8 +827,8 @@ def topk(spark, sf):
     # decimal-exact revenue -> top-20. One key exercising the full
     # select/join/agg/sort/limit stack end-to-end.
     "SELECT l.l_orderkey, "
-    "ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * "
-    " (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue, "
+    "CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * "
+    " (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue, "
     "STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate "
     "FROM customer c "
     "JOIN orders o ON c.c_custkey = o.o_custkey "
@@ -858,13 +858,19 @@ def macro_shipping_priority(spark, sf):
         F.col("o_orderdate") < "1998-01-01"
     )
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
-    rev = F.round(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-        ).cast("double"),
-        2,
-    ).alias("revenue")
+    # round the exact DECIMAL sum, THEN cast (scale-4 sums can land on
+    # .xx50 ties; Spark's double round() goes through shortest-repr)
+    rev = (
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -2635,8 +2641,8 @@ def macro_market_share(spark, sf):
     # for one order-date year. Revenue is the exact DECIMAL sum rounded
     # to double only at the output boundary (shipping-priority rule).
     "SELECT n.n_name AS nation, "
-    "ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * "
-    " (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue "
+    "CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * "
+    " (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue "
     "FROM customer c "
     "JOIN orders o ON c.c_custkey = o.o_custkey "
     "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
@@ -2675,13 +2681,19 @@ def macro_local_supplier_volume(spark, sf):
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("n_nationkey", F.col("n_name").alias("nation"))
     )
-    rev = F.round(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-        ).cast("double"),
-        2,
-    ).alias("revenue")
+    # round the exact DECIMAL sum, THEN cast (scale-4 sums can land on
+    # .xx50 ties; Spark's double round() goes through shortest-repr)
+    rev = (
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
@@ -2703,8 +2715,8 @@ def macro_local_supplier_volume(spark, sf):
     # reads the ROUNDED alias on both engines so the limit boundary
     # cannot diverge; acctbal emitted as exact integer cents.
     "SELECT c.c_custkey, c.c_name, "
-    "ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * "
-    " (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue, "
+    "CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * "
+    " (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue, "
     "CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents, "
     "n.n_name AS nation "
     "FROM customer c "
@@ -2739,13 +2751,19 @@ def macro_returned_items(spark, sf):
     n = _t(spark, sf, "nation").select(
         "n_nationkey", F.col("n_name").alias("nation")
     )
-    rev = F.round(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-        ).cast("double"),
-        2,
-    ).alias("revenue")
+    # round the exact DECIMAL sum, THEN cast (scale-4 sums can land on
+    # .xx50 ties; Spark's double round() goes through shortest-repr)
+    rev = (
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
@@ -2982,12 +3000,12 @@ def fn_xml(spark, sf):
     "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
     "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) "
     " AS sum_base_price, "
-    "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * "
-    " (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) "
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    " (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) "
     " AS sum_disc_price, "
-    "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * "
     " (1 - CAST(l_discount AS DECIMAL(4,2))) * "
-    " (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_charge, "
+    " (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge, "
     "printf('%.6f', ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) "
     " / COUNT(*), 6)) AS avg_qty, "
     "printf('%.6f', ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS "
@@ -3026,15 +3044,14 @@ def macro_pricing_summary(spark, sf):
         .agg(
             F.sum(qty).cast("long").alias("sum_qty"),
             F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(price * (F.lit(1) - disc)), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
             F.round(
-                F.sum(price * (F.lit(1) - disc)).cast("double"), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast(
-                    "double"
-                ),
-                2,
-            ).alias("sum_charge"),
+                F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)), 2
+            )
+            .cast("double")
+            .alias("sum_charge"),
             F.sum((price * 100).cast("long")).alias("_price_cents"),
             F.sum((disc * 100).cast("long")).alias("_disc_cents"),
             F.count(F.lit(1)).alias("count_order"),
@@ -3115,8 +3132,8 @@ def macro_order_priority(spark, sf):
     # the exact DECIMAL sum rounded at the boundary.
     "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
     "CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
-    "ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * "
-    " (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue "
+    "CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * "
+    " (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue "
     "FROM lineitem l "
     "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
     "JOIN orders o ON l.l_orderkey = o.o_orderkey "
@@ -3161,13 +3178,19 @@ def macro_volume_shipping(spark, sf):
         & (F.col("l_shipdate") < "1998-01-01")
     )
     o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    rev = F.round(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-        ).cast("double"),
-        2,
-    ).alias("revenue")
+    # round the exact DECIMAL sum, THEN cast (scale-4 sums can land on
+    # .xx50 ties; Spark's double round() goes through shortest-repr)
+    rev = (
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
     return (
         li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -3235,8 +3258,8 @@ def macro_cust_distribution(spark, sf):
     "  COUNT(*) AS cq "
     " FROM lineitem JOIN part ON p_partkey = l_partkey "
     " WHERE p_brand = 'Brand#11' GROUP BY l_partkey) "
-    "SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) "
-    " AS DOUBLE), 2) AS small_qty_price, COUNT(*) AS n_lines "
+    "SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) "
+    " AS DOUBLE) AS small_qty_price, COUNT(*) AS n_lines "
     "FROM lineitem JOIN pa ON l_partkey = pk "
     "WHERE 5 * CAST(l_quantity AS BIGINT) * cq < sq",
 )
@@ -3274,11 +3297,10 @@ def macro_small_qty_revenue(spark, sf):
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
-                    "double"
-                ),
-                2,
-            ).alias("small_qty_price"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("small_qty_price"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -3343,8 +3365,8 @@ def macro_top_spenders(spark, sf):
     # TPC-H Q19 shape: revenue under a 3-branch disjunction of
     # (brand, size-range, quantity-range) conjunctions — the predicate
     # shape that defeats naive pushdown.
-    "SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-    " (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue, "
+    "SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    " (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue, "
     "COUNT(*) AS n_lines "
     "FROM lineitem JOIN part ON p_partkey = l_partkey "
     "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
@@ -3396,9 +3418,11 @@ def macro_disjunctive_revenue(spark, sf):
                 F.sum(
                     F.col("l_extendedprice").cast("decimal(18,2)")
                     * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-                ).cast("double"),
+                ),
                 2,
-            ).alias("revenue"),
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -3730,8 +3754,8 @@ def table_profile(spark, sf):
     # filter + one aggregate. The discount band compares exact CENTS
     # (ROUND(d*100) BIGINT) because 0.05/0.07 are not dyadic and the
     # engines parse those literals into different types.
-    "SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-    " CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue, "
+    "SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    " CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue, "
     "COUNT(*) AS n_lines FROM lineitem "
     "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
     " AND l_shipdate < TIMESTAMP '1997-01-01' "
@@ -3763,9 +3787,11 @@ def macro_forecast_revenue(spark, sf):
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,2)")
                 * F.col("l_discount").cast("decimal(18,2)")
-            ).cast("double"),
+            ),
             2,
-        ).alias("revenue"),
+        )
+        .cast("double")
+        .alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -4081,3 +4107,196 @@ def observe_metrics(spark, sf):
     # expose the Observation for callers/tests that want the metrics
     df.rbs_observation = obs  # type: ignore[attr-defined]
     return df
+
+
+# --------------------------------------------------- SQL-surface family ----
+# SQL:2023-era surface Spark 4.1 ships natively: recursive CTEs, SQL
+# scalar/table UDFs, session variables, dynamic SQL. Session-scoped
+# objects are namespaced rbs_* and CREATE OR REPLACE'd (idempotent per
+# session); every key's oracle states the equivalent inlined query, so
+# green rows prove the FEATURE produces the semantics it claims.
+
+
+@register(
+    "recursive_cte",
+    # BFS over the event-type transition graph via WITH RECURSIVE —
+    # both engines run a genuine recursive CTE (hop-bounded; min-hop
+    # dedup AFTER the recursion).
+    "WITH RECURSIVE edges AS (SELECT DISTINCT src, dst FROM ("
+    "  SELECT event_type AS src, "
+    "   LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "    AS dst FROM events) WHERE dst IS NOT NULL AND src <> dst), "
+    "r(node, hop) AS ("
+    "  SELECT CAST('view' AS VARCHAR), 0 "
+    "  UNION ALL "
+    "  SELECT e.dst, r.hop + 1 FROM r JOIN edges e ON e.src = r.node "
+    "  WHERE r.hop < 3) "
+    "SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hop "
+    "FROM r GROUP BY node",
+)
+def recursive_cte(spark, sf):
+    """Recursive CTE (``WITH RECURSIVE``, SQL:2023 — native in Spark
+    4.x): breadth-first reachability from the 'view' event type over
+    the user-journey transition graph, hop-bounded, min-hop reduced
+    after the recursion. THE declarative form for iterative graph
+    queries — what kg_reach spells as fixed-iteration DataFrame joins,
+    now expressed directly in SQL on BOTH engines (the oracle is the
+    same recursive query in DuckDB).
+
+    Scale shape: the recursion operates on the TYPE graph (a
+    dimension-sized edge list derived by one user-keyed window over
+    the fact), so each recursive step is a tiny join; the hop bound
+    (< 3) caps the unrolling exactly like kg_reach's fixed frontier
+    count. The one fact-scale cost is deriving the edges CTE."""
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (SELECT DISTINCT src, dst FROM (
+           SELECT event_type AS src,
+            LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS dst FROM {ev}) WHERE dst IS NOT NULL AND src <> dst),
+        r(node, hop) AS (
+          SELECT CAST('view' AS STRING), 0
+          UNION ALL
+          SELECT e.dst, r.hop + 1 FROM r JOIN edges e ON e.src = r.node
+          WHERE r.hop < 3)
+        SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hop
+        FROM r GROUP BY node
+        """,
+        ev=_t(spark, sf, "events"),
+    )
+
+
+@register(
+    "sql_scalar_udf",
+    # The SQL UDF body inlined — a green row proves Spark's CREATE
+    # FUNCTION evaluates to the declared semantics.
+    "SELECT l_orderkey, l_linenumber, "
+    "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    " (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_price, "
+    "CASE WHEN l_quantity >= 40 THEN 'XL' WHEN l_quantity >= 20 THEN 'L' "
+    " ELSE 'S' END AS qty_band "
+    "FROM lineitem WHERE l_returnflag = 'R'",
+)
+def sql_scalar_udf(spark, sf):
+    """SQL scalar UDFs (``CREATE FUNCTION ... RETURNS ... RETURN
+    expr``): reusable business logic declared ONCE in SQL and expanded
+    by Catalyst at plan time — unlike Python UDFs these cost nothing
+    (the body inlines into whole-stage codegen; pushdown and pruning
+    see through it). The shareable-semantics layer every SQL warehouse
+    team builds its metric definitions on.
+
+    Two functions — exact-decimal net price and a quantity banding —
+    are created (session-scoped, idempotent) and used in one query;
+    the oracle inlines both bodies."""
+    spark.sql(
+        # round the exact DECIMAL (scale-4 products DO land on .xx50
+        # ties; Spark's double round() goes through shortest-repr while
+        # DuckDB rounds the binary value — rounding the decimal first
+        # makes the tie exact and HALF_UP==half-away for positives)
+        "CREATE OR REPLACE TEMPORARY FUNCTION rbs_net_price("
+        "price DOUBLE, disc DOUBLE) RETURNS DOUBLE RETURN "
+        "CAST(ROUND(CAST(price AS DECIMAL(18,2)) * "
+        "(1 - CAST(disc AS DECIMAL(18,2))), 2) AS DOUBLE)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION rbs_qty_band(q DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN q >= 40 THEN 'XL' "
+        "WHEN q >= 20 THEN 'L' ELSE 'S' END"
+    )
+    _t(spark, sf, "lineitem").createOrReplaceTempView("rbs_sqludf_lineitem")
+    return spark.sql(
+        "SELECT l_orderkey, l_linenumber, "
+        "rbs_net_price(l_extendedprice, l_discount) AS net_price, "
+        "rbs_qty_band(l_quantity) AS qty_band "
+        "FROM rbs_sqludf_lineitem WHERE l_returnflag = 'R'"
+    )
+
+
+@register(
+    "sql_table_udf",
+    # SQL table function LATERAL-applied per row — oracled via
+    # generate_series unnest.
+    "SELECT r_regionkey, CAST(i AS BIGINT) AS i FROM region, "
+    "unnest(generate_series(1, r_regionkey + 1)) AS t(i)",
+)
+def sql_table_udf(spark, sf):
+    """SQL table UDFs (``CREATE FUNCTION ... RETURNS TABLE(...)``):
+    a declared table-valued function applied per row with LATERAL
+    correlation — the SQL-native span/expansion primitive (calendar
+    densification, bucket enumeration) without a Python UDTF. The body
+    inlines like the scalar form, so the expansion stays in codegen as
+    an explode.
+
+    Scale shape: pure generator expansion — output rows = sum of
+    per-row span lengths, no shuffle at all."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION rbs_upto(n INT) "
+        "RETURNS TABLE(i INT) RETURN SELECT explode(sequence(1, n)) AS i"
+    )
+    _t(spark, sf, "region").createOrReplaceTempView("rbs_tvf_region")
+    return spark.sql(
+        "SELECT r_regionkey, CAST(i AS BIGINT) AS i "
+        "FROM rbs_tvf_region, LATERAL rbs_upto(r_regionkey + 1)"
+    )
+
+
+@register(
+    "sql_session_variables",
+    # DECLARE/SET VAR from a scalar subquery, then used as a
+    # predicate — the oracle inlines the subquery.
+    "SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+    " AS totalprice_cents FROM orders "
+    "WHERE o_totalprice * 10 > (SELECT MAX(o_totalprice) FROM orders) * 9",
+)
+def sql_session_variables(spark, sf):
+    """SQL session variables (``DECLARE VARIABLE`` / ``SET VAR``):
+    compute a threshold once — here ``SET VAR`` evaluates a scalar
+    subquery (90% of the max order total, in exact integer tenths) —
+    and reuse it across statements without driver-side string
+    splicing. The multi-statement scripting surface of a SQL
+    warehouse, with the variable binding as a plan-time constant so
+    the final filter still pushes down.
+
+    Exactness: the threshold is compared as o_totalprice*10 >
+    max*9 * ... spelled identically: the variable carries max_cents
+    (exact BIGINT) and the predicate is integer algebra."""
+    _t(spark, sf, "orders").createOrReplaceTempView("rbs_var_orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE rbs_max_cents BIGINT DEFAULT 0"
+    )
+    spark.sql(
+        "SET VAR rbs_max_cents = (SELECT CAST(ROUND(MAX(o_totalprice) "
+        "* 100) AS BIGINT) FROM rbs_var_orders)"
+    )
+    # o_totalprice*10 > max*9  <=>  cents*10 > max_cents*9 (exact ints)
+    return spark.sql(
+        "SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+        "AS totalprice_cents FROM rbs_var_orders "
+        "WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10 "
+        " > rbs_max_cents * 9"
+    )
+
+
+@register(
+    "sql_execute_immediate",
+    # Dynamic SQL with positional USING binding — oracle inlines.
+    "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+    "WHERE l_quantity > 48 GROUP BY l_returnflag",
+)
+def sql_execute_immediate(spark, sf):
+    """Dynamic SQL (``EXECUTE IMMEDIATE ... USING``): a query held as
+    a STRING executed with safely-bound positional parameters — the
+    stored-procedure-era surface (query text from a metadata table,
+    parameters bound, never concatenated). Binding happens at parse
+    time, so the bound constant pushes down like a literal.
+
+    The inner statement is the sql_parameterized pattern one level
+    up: this key pins that the indirection layer itself (string ->
+    parse -> bind -> plan) preserves semantics, via the inlined
+    oracle."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("rbs_exec_lineitem")
+    stmt = (
+        "SELECT l_returnflag, COUNT(*) AS n FROM rbs_exec_lineitem "
+        "WHERE l_quantity > ? GROUP BY l_returnflag"
+    )
+    return spark.sql("EXECUTE IMMEDIATE :stmt USING 48", args={"stmt": stmt})
