@@ -229,6 +229,8 @@ HEADLINE = [
     "sql_table_udf",
     "sql_session_variables",
     "sql_execute_immediate",
+    "events_lifecycle",
+    "udf_map_arrow",
 ]
 
 

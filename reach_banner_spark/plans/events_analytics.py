@@ -1749,3 +1749,114 @@ def events_concurrency(spark, sf):
         F.col("day_num").cast("long").alias("day_num"),
         F.sum("dd").over(wcum).cast("long").alias("n_active"),
     )
+
+
+@register(
+    "events_lifecycle",
+    # Growth accounting: per activity week — new / retained /
+    # resurrected counts, plus churned (active previous week, absent
+    # this week). Weeks are exact integer epoch-week numbers; every
+    # count derives from set algebra over the (user, week) grain.
+    "WITH d AS (SELECT DISTINCT user_id, "
+    "  CAST((dn - (dn % 7)) / 7 AS BIGINT) AS wk FROM ("
+    "   SELECT user_id, date_diff('day', DATE '1970-01-01', "
+    "    CAST(ts AS DATE)) AS dn FROM events)), "
+    "f AS (SELECT user_id, MIN(wk) AS fw FROM d GROUP BY user_id), "
+    "s AS (SELECT d.user_id, d.wk, "
+    "  CASE WHEN d.wk = f.fw THEN 'new' "
+    "   WHEN p.user_id IS NOT NULL THEN 'retained' "
+    "   ELSE 'resurrected' END AS status "
+    " FROM d JOIN f ON d.user_id = f.user_id "
+    " LEFT JOIN d p ON p.user_id = d.user_id AND p.wk = d.wk - 1), "
+    "act AS (SELECT wk, "
+    "  SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS n_new, "
+    "  SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS n_retained, "
+    "  SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) "
+    "   AS n_resurrected FROM s GROUP BY wk), "
+    "ch AS (SELECT d.wk + 1 AS wk, COUNT(*) AS n_churned "
+    " FROM d LEFT JOIN d n ON n.user_id = d.user_id AND n.wk = d.wk + 1 "
+    " WHERE n.user_id IS NULL GROUP BY d.wk + 1) "
+    "SELECT act.wk, CAST(n_new AS BIGINT) AS n_new, "
+    "CAST(n_retained AS BIGINT) AS n_retained, "
+    "CAST(n_resurrected AS BIGINT) AS n_resurrected, "
+    "CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned "
+    "FROM act LEFT JOIN ch ON act.wk = ch.wk",
+)
+def events_lifecycle(spark, sf):
+    """Growth accounting: the canonical user-lifecycle decomposition —
+    per activity week, how many active users are NEW (first week
+    ever), RETAINED (also active the previous week), RESURRECTED
+    (returning after a gap), and how many CHURNED out of the previous
+    week. The additive identity active(w) = new + retained +
+    resurrected (and retained(w) = active(w-1) - churned(w)) is what
+    every growth dashboard reconciles against; pytest pins both.
+
+    Scale shape: everything reduces FIRST to the deduped (user, week)
+    grain — one user-keyed exchange — then first-week, previous-week,
+    and next-week lookups are all self-joins keyed user_id that reuse
+    that partitioning; the rollups key week (weeks-sized). Weeks are
+    exact integer epoch-week numbers ((dn - dn%7)/7 — the division is
+    an exact multiple of 7, so the double result is exact on both
+    engines); churn rows only surface on activity weeks (the
+    act-driven left join), documented contract."""
+    dn = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+    d = (
+        _events(spark, sf)
+        .select(
+            "user_id",
+            ((dn - dn % 7) / 7).cast("long").alias("wk"),
+        )
+        .distinct()
+    )
+    f = d.groupBy("user_id").agg(F.min("wk").alias("fw"))
+    p = d.select(F.col("user_id").alias("pu"), F.col("wk").alias("pw"))
+    s = (
+        d.join(f, "user_id")
+        .join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pw") == F.col("wk") - 1),
+            "left",
+        )
+        .select(
+            "wk",
+            F.when(F.col("wk") == F.col("fw"), "new")
+            .when(F.col("pu").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("status"),
+        )
+    )
+    act = s.groupBy("wk").agg(
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("status") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    nxt = d.select(F.col("user_id").alias("nu"), F.col("wk").alias("nw"))
+    ch = (
+        d.join(
+            nxt,
+            (F.col("user_id") == F.col("nu"))
+            & (F.col("nw") == F.col("wk") + 1),
+            "left_anti",
+        )
+        .groupBy((F.col("wk") + 1).alias("cwk"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        act.join(ch, act["wk"] == ch["cwk"], "left")
+        .select(
+            "wk",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0))
+            .cast("long")
+            .alias("n_churned"),
+        )
+    )

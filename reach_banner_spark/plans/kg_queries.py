@@ -2896,3 +2896,74 @@ def kg_canonical_facts(spark, sf):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "udf_map_arrow",
+    # mapInArrow twin: exact-integer per-vector facts (dimensionality,
+    # positive-component count, argmax index) — float32 COMPARISONS are
+    # engine-exact even though float arithmetic wouldn't be.
+    "SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS n_dims, "
+    "CAST(LEN(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos, "
+    "CAST(list_position(embedding, list_max(embedding)) - 1 AS BIGINT) "
+    " AS argmax_idx "
+    "FROM embeddings",
+)
+def udf_map_arrow(spark, sf):
+    """``mapInArrow`` — the seventh UDF flavor (SURVEY §2.5 family):
+    the iterator-of-RecordBatches contract with NO pandas
+    materialization between Arrow and user code. This is the right
+    boundary for binary/tensor payloads (the multimodal mm_* family's
+    decode path) where pandas object-boxing would dominate: columns
+    arrive as Arrow buffers, numpy views them zero-copy, and the
+    output batch is rebuilt column-wise.
+
+    The computed facts are exact integers (dims, count of positive
+    components, first-argmax index), so the oracle is engine-exact —
+    float COMPARISONS on the same float32 values agree everywhere even
+    though float SUMS would not.
+
+    Scale shape: one Arrow-batched pass, no shuffle; the flattened
+    values buffer is processed with vectorized numpy over offsets
+    (never a per-row Python loop over elements)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def per_batch(batches):
+        for b in batches:
+            ids = b.column(b.schema.get_field_index("vec_id"))
+            emb = b.column(b.schema.get_field_index("embedding"))
+            if isinstance(emb, pa.ChunkedArray):  # pragma: no cover
+                emb = emb.combine_chunks()
+            offs = np.asarray(emb.offsets)
+            flat = np.asarray(emb.values)
+            n = len(offs) - 1
+            n_dims = (offs[1:] - offs[:-1]).astype("int64")
+            # segmented count-positive and argmax via reduceat over the
+            # flattened buffer (empty segments impossible: dims fixed)
+            pos = np.add.reduceat((flat > 0).astype("int64"), offs[:-1])
+            # segmented argmax: global argsort trick not needed — use
+            # maximum.reduceat for the max, then first match per segment
+            seg_max = np.maximum.reduceat(flat, offs[:-1])
+            is_max = flat == np.repeat(seg_max, n_dims)
+            first_idx = np.zeros(n, dtype="int64")
+            flat_idx = np.arange(len(flat), dtype="int64")
+            big = np.where(is_max, flat_idx, np.iinfo(np.int64).max)
+            first_idx = np.minimum.reduceat(big, offs[:-1]) - offs[:-1]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n_dims, type=pa.int64()),
+                    pa.array(pos, type=pa.int64()),
+                    pa.array(first_idx, type=pa.int64()),
+                ],
+                ["vec_id", "n_dims", "n_pos", "argmax_idx"],
+            )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return emb.mapInArrow(
+        per_batch,
+        "vec_id bigint, n_dims bigint, n_pos bigint, argmax_idx bigint",
+    )

@@ -891,3 +891,29 @@ def test_compact_small_files_physical_layout(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_events_lifecycle_growth_identities(spark):
+    """Growth accounting must reconcile: active(w) = new + retained +
+    resurrected, and for consecutive activity weeks retained(w) =
+    active(w-1) - churned(w) (every previous-week user either stays or
+    churns). Week 1 is all-new with zero churn."""
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    df = (
+        REGISTRY["events_lifecycle"][0](spark, SF)
+        .toPandas()
+        .sort_values("wk")
+        .reset_index(drop=True)
+    )
+    assert len(df) > 0
+    active = df.n_new + df.n_retained + df.n_resurrected
+    first = df.iloc[0]
+    assert first.n_retained == 0 and first.n_resurrected == 0
+    assert first.n_churned == 0
+    for i in range(1, len(df)):
+        if df.wk[i] == df.wk[i - 1] + 1:
+            assert df.n_retained[i] == active[i - 1] - df.n_churned[i], (
+                i,
+                df.to_dict("records"),
+            )
