@@ -368,3 +368,30 @@ def test_observe_metrics_side_channel(spark):
         F.sum(F.col("l_quantity").cast("long")).alias("q"),
     ).collect()[0]
     assert got == {"n_rows": want["n"], "total_qty": want["q"]}
+
+
+def test_macro_family_plan_shapes(spark):
+    """The TPC-H macro batch must keep the physical shapes its
+    docstrings promise: Q4 a LEFT SEMI (no row multiplication), Q18 a
+    TakeOrderedAndProject top-k with broadcast survivors, Q7 exactly
+    ONE fact-scale exchange (dim filters prune through broadcasts),
+    Q1 a single partial+final aggregate exchange, Q22 an anti join
+    with the nationkey range pushed to the scan."""
+    from reach_banner_spark.plans.registry import all_queries
+
+    q = all_queries()
+    p4 = _plan(q["macro_order_priority"](spark, SF))
+    assert "LeftSemi" in p4, p4[:400]
+    p18 = _plan(q["macro_top_spenders"](spark, SF))
+    assert "TakeOrderedAndProject" in p18
+    assert p18.count("BroadcastHashJoin") == 2
+    p7 = _plan(q["macro_volume_shipping"](spark, SF))
+    fact_ex = [
+        ln for ln in p7.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(fact_ex) == 1, fact_ex
+    p1 = _plan(q["macro_pricing_summary"](spark, SF))
+    assert "l_shipdate" in p1.split("PushedFilters")[1][:200]
+    p22 = _plan(q["macro_idle_customers"](spark, SF))
+    assert "LeftAnti" in p22
+    assert "c_nationkey" in p22.split("PushedFilters")[1][:250]
