@@ -231,6 +231,8 @@ HEADLINE = [
     "sql_execute_immediate",
     "events_lifecycle",
     "udf_map_arrow",
+    "udf_grouped_arrow",
+    "udtf_polymorphic",
 ]
 
 

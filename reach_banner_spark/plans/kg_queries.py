@@ -2967,3 +2967,120 @@ def udf_map_arrow(spark, sf):
         per_batch,
         "vec_id bigint, n_dims bigint, n_pos bigint, argmax_idx bigint",
     )
+
+
+@register(
+    "udf_grouped_arrow",
+    # applyInArrow grouped-map twin: per-label exact embedding facts
+    # (group size, total dims, positive-component count) — the same
+    # comparisons-only discipline as udf_map_arrow.
+    "SELECT label, COUNT(*) AS n_vecs, "
+    "CAST(SUM(LEN(embedding)) AS BIGINT) AS total_dims, "
+    "CAST(SUM(LEN(list_filter(embedding, x -> x > 0))) AS BIGINT) AS n_pos "
+    "FROM embeddings GROUP BY label",
+)
+def udf_grouped_arrow(spark, sf):
+    """``applyInArrow`` — grouped-map in pure Arrow (the grouped
+    counterpart of udf_map_arrow, completing the UDF-family matrix:
+    scalar/grouped-agg/grouped-map/map-batches x pandas/Arrow). Each
+    group arrives as ONE pyarrow.Table; numpy views the list-column
+    buffers zero-copy; the output is one aggregate row per group.
+    The right boundary when per-group tensor math would pay pandas
+    object-boxing on every element.
+
+    Exactness: group size, summed dims, and positive-component counts
+    are exact integers from float32 COMPARISONS — engine-exact.
+
+    Scale shape: one label-keyed exchange (the groupBy), then per-group
+    Arrow batches; the per-group state is bounded by the label's
+    vector count (balanced labels here; salting applies as for any
+    grouped map at scale)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def per_group(tbl: "pa.Table") -> "pa.Table":
+        label = tbl.column("label")[0].as_py()
+        emb = tbl.column("embedding").combine_chunks()
+        offs = np.asarray(emb.offsets)
+        flat = np.asarray(emb.values)
+        return pa.Table.from_arrays(
+            [
+                pa.array([label], type=pa.int32()),
+                pa.array([tbl.num_rows], type=pa.int64()),
+                pa.array([int(offs[-1] - offs[0])], type=pa.int64()),
+                pa.array([int((flat > 0).sum())], type=pa.int64()),
+            ],
+            ["label", "n_vecs", "total_dims", "n_pos"],
+        )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "label", "embedding"
+    )
+    return emb.groupBy("label").applyInArrow(
+        per_group,
+        "label int, n_vecs bigint, total_dims bigint, n_pos bigint",
+    )
+
+
+@register(
+    "udtf_polymorphic",
+    # Polymorphic UDTF: the output schema is decided by analyze() from
+    # the CONSTANT argument at plan time (here: which stats columns to
+    # emit). Oracle states the chosen projection directly.
+    "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_out, "
+    "CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) "
+    " AS n_words FROM documents",
+)
+def udtf_polymorphic(spark, sf):
+    """Polymorphic Python UDTF (``analyze`` static method, Spark 4):
+    the table function's OUTPUT SCHEMA is computed at plan time from
+    its constant arguments — here a field-list string decides which
+    per-document stats columns exist. This is the schema-on-demand
+    extension point (generic profilers, configurable extractors)
+    that fixed-schema UDTFs cannot express; Catalyst sees the
+    resolved schema, so downstream pruning works as if it were
+    static.
+
+    Scale shape: same as udtf — Arrow-batched lateral application,
+    one pass, no shuffle."""
+    from pyspark.sql.functions import udtf as _udtf
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    class DocStats:
+        @staticmethod
+        def analyze(doc_id, text, fields):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            names = fields.value.split(",")
+            return AnalyzeResult(
+                StructType(
+                    [StructField("doc_id", LongType())]
+                    + [StructField(n, LongType()) for n in names]
+                )
+            )
+
+        def eval(self, doc_id: int, text: str, fields: str):
+            t = text or ""
+            stats = {
+                "n_chars_out": len(t),
+                "n_words": len(t.split(" ")) if t else 1,
+                "n_upper": sum(1 for ch in t if ch.isupper()),
+            }
+            yield tuple(
+                [doc_id] + [stats[n] for n in fields.split(",")]
+            )
+
+    poly = _udtf(DocStats)
+    spark.udtf.register("rbs_doc_stats", poly)
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("rbs_docs_poly")
+    return spark.sql(
+        "SELECT s.doc_id, s.n_chars_out, s.n_words FROM rbs_docs_poly t, "
+        "LATERAL rbs_doc_stats(t.doc_id, t.text, 'n_chars_out,n_words') s"
+    )
