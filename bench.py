@@ -233,6 +233,12 @@ HEADLINE = [
     "udf_map_arrow",
     "udf_grouped_arrow",
     "udtf_polymorphic",
+    # r5j additions (eleventh r5 session) — the final expressible TPC-H
+    # pair (Q12/Q21) + DAU/MAU stickiness (subtract this group too for
+    # earlier-round-comparable subtotals)
+    "macro_shipmode_priority",
+    "macro_waiting_suppliers",
+    "events_stickiness",
 ]
 
 

@@ -1799,15 +1799,27 @@ def events_lifecycle(spark, sf):
     an exact multiple of 7, so the double result is exact on both
     engines); churn rows only surface on activity weeks (the
     act-driven left join), documented contract."""
+    return lifecycle_rollup(user_weeks(_events(spark, sf)))
+
+
+def user_weeks(df: DataFrame) -> DataFrame:
+    """Deduped (user_id, epoch-week) activity grain — the ONLY
+    state-bearing input of the lifecycle decomposition. Set union
+    merges it exactly (distinct of unions == union of distincts),
+    which is what makes ``stream_lifecycle`` == batch a theorem (the
+    stream_dau / stream_islands state discipline)."""
     dn = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
-    d = (
-        _events(spark, sf)
-        .select(
-            "user_id",
-            ((dn - dn % 7) / 7).cast("long").alias("wk"),
-        )
-        .distinct()
-    )
+    return df.select(
+        "user_id",
+        ((dn - dn % 7) / 7).cast("long").alias("wk"),
+    ).distinct()
+
+
+def lifecycle_rollup(d: DataFrame) -> DataFrame:
+    """Fold the (user, week) grain into the growth-accounting table —
+    the ONE SHARED definition used by the batch key and its streaming
+    twin (first/previous/next-week lookups are user-keyed self-joins
+    that reuse the grain's partitioning)."""
     f = d.groupBy("user_id").agg(F.min("wk").alias("fw"))
     p = d.select(F.col("user_id").alias("pu"), F.col("wk").alias("pw"))
     s = (
@@ -1859,4 +1871,71 @@ def events_lifecycle(spark, sf):
             .cast("long")
             .alias("n_churned"),
         )
+    )
+
+
+# --------------------------------------------------------- stickiness ----
+
+@register(
+    "events_stickiness",
+    # DAU/MAU stickiness per epoch-month: ratio of exact BIGINT counts
+    # (sum of daily-distinct actives over monthly-distinct actives x
+    # active days), ROUND(x,6)-then-%.6f per house rule — the division
+    # is ONE correctly-rounded IEEE op on identical integers.
+    "WITH du AS (SELECT DISTINCT user_id, "
+    "  (EXTRACT(YEAR FROM ts) * 12 + EXTRACT(MONTH FROM ts) - 1) AS mo, "
+    "  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn "
+    " FROM events), "
+    "daily AS (SELECT mo, dn, CAST(COUNT(*) AS BIGINT) AS dau "
+    " FROM du GROUP BY mo, dn), "
+    "d AS (SELECT mo, CAST(SUM(dau) AS BIGINT) AS sum_dau, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY mo), "
+    "m AS (SELECT mo, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau "
+    " FROM du GROUP BY mo) "
+    "SELECT CAST(d.mo AS BIGINT) AS mo, sum_dau, n_days, mau, "
+    "printf('%.6f', ROUND(CAST(sum_dau AS DOUBLE) "
+    " / CAST(n_days * mau AS DOUBLE), 6)) AS stickiness "
+    "FROM d JOIN m ON d.mo = m.mo",
+)
+def events_stickiness(spark, sf):
+    """DAU/MAU stickiness — the engagement ratio every product
+    dashboard tracks: per epoch-month, average daily active users
+    (over the month's ACTIVE days, documented contract) divided by
+    monthly active users. 1.0 means every monthly user shows up every
+    active day; the ratio is emitted as a %.6f string of the exact
+    integer division (single IEEE op, identical on both engines).
+
+    Scale shape: everything reduces FIRST to the deduped
+    (user, month, day) grain — one user-keyed exchange, the stream_dau
+    discipline — then both rollups (daily actives, monthly distinct
+    actives) are month-keyed aggregates over that grain; output is
+    months-sized. COUNT(DISTINCT user_id) partial-aggregates per month
+    (Spark expands it to a two-phase exact distinct)."""
+    e = _events(spark, sf)
+    du = e.select(
+        "user_id",
+        (F.year("ts") * 12 + F.month("ts") - 1).cast("long").alias("mo"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias(
+            "dn"
+        ),
+    ).distinct()
+    daily = du.groupBy("mo", "dn").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    d = daily.groupBy("mo").agg(
+        F.sum("dau").cast("long").alias("sum_dau"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    m = du.groupBy("mo").agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    return d.join(m, "mo").select(
+        "mo",
+        "sum_dau",
+        "n_days",
+        "mau",
+        _FMT6(
+            F.col("sum_dau").cast("double")
+            / (F.col("n_days") * F.col("mau")).cast("double")
+        ).alias("stickiness"),
     )

@@ -4300,3 +4300,150 @@ def sql_execute_immediate(spark, sf):
         "WHERE l_quantity > ? GROUP BY l_returnflag"
     )
     return spark.sql("EXECUTE IMMEDIATE :stmt USING 48", args={"stmt": stmt})
+
+
+# ---------------------------------------------- final TPC-H macro pair ----
+# Q12 and Q21 are the last two report shapes expressible on this schema
+# (Q2/Q9/Q11/Q16/Q20 need partsupp). Both re-base lateness on
+# shipdate-vs-orderdate exactly like macro_order_priority (the schema has
+# no commit/receipt dates) and Q12's ship-mode grouping re-bases on
+# l_returnflag (no l_shipmode column).
+
+
+@register(
+    "macro_shipmode_priority",
+    # TPC-H Q12 shape: among one year's LATE lines (shipped >45 days
+    # after ordering), per mode-class: how many belonged to
+    # critical-priority orders vs not.
+    "SELECT l_returnflag AS mode_class, "
+    "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    " THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    " THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' "
+    " AND l.l_shipdate < TIMESTAMP '1998-01-01' "
+    " AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY "
+    "GROUP BY l_returnflag",
+)
+def macro_shipmode_priority(spark, sf):
+    """Shipping-mode-priority macro (TPC-H Q12 shape): did late
+    shipments (>45 days after ordering, within one ship year) hit
+    critical-priority orders — the conditional-pivot-after-join report,
+    re-based on l_returnflag as the mode class (schema has no
+    l_shipmode) and shipdate-vs-orderdate lateness (no receipt/commit
+    dates; macro_order_priority precedent).
+
+    Scale shape: the ship-year filter pushes into the lineitem scan
+    (one year of the fact); ONE orderkey exchange joins it to orders;
+    the lateness comparison is a non-equi residual on the joined row
+    (exact integer-microsecond timestamp arithmetic on both engines);
+    the conditional SUMs pivot in the same pass; output is 3 rows."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+        )
+        .groupBy(F.col("l_returnflag").alias("mode_class"))
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~crit, 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "macro_waiting_suppliers",
+    # TPC-H Q21 shape: suppliers of one nation whose line was late in a
+    # finished multi-supplier order where NO other supplier was late —
+    # the EXISTS + NOT-EXISTS double correlation. Top-20 by blame count.
+    "WITH lo AS (SELECT l.l_orderkey, l.l_suppkey, "
+    "  (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late "
+    " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    " WHERE o.o_orderstatus = 'F') "
+    "SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait "
+    "FROM lo l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey "
+    "WHERE s.s_nationkey = 5 AND l1.late "
+    " AND EXISTS (SELECT 1 FROM lo l2 WHERE l2.l_orderkey = l1.l_orderkey "
+    "  AND l2.l_suppkey <> l1.l_suppkey) "
+    " AND NOT EXISTS (SELECT 1 FROM lo l3 "
+    "  WHERE l3.l_orderkey = l1.l_orderkey "
+    "   AND l3.l_suppkey <> l1.l_suppkey AND l3.late) "
+    "GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20",
+)
+def macro_waiting_suppliers(spark, sf):
+    """Suppliers-who-kept-orders-waiting macro (TPC-H Q21 shape): for
+    one nation, the top-20 suppliers by how many finished multi-supplier
+    orders they ALONE delayed — a semi join (some other supplier exists
+    on the order) stacked on an anti join (no OTHER supplier was late)
+    over the same derived fact. Lateness re-bases on
+    shipdate-vs-orderdate (+60 days; macro_order_priority precedent).
+
+    Scale shape: the status filter prunes orders before the ONE
+    orderkey fact-fact exchange that derives (orderkey, suppkey, late);
+    both correlations then reuse that orderkey partitioning — the semi
+    and anti joins shuffle nothing new and short-circuit per match with
+    zero row multiplication; the supplier dim broadcasts; the top-20 is
+    TakeOrderedAndProject over a supplier-sized count table. The
+    suppkey<>suppkey inequalities are residuals on the orderkey-equi
+    joins, never shuffle keys."""
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    s = _t(spark, sf, "supplier").filter(F.col("s_nationkey") == 5).select(
+        "s_suppkey", "s_name"
+    )
+    l1 = lo.filter(F.col("late")).join(
+        F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    l2 = lo.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = lo.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3")
+    )
+    return (
+        l1.join(
+            l2,
+            (l1["l_orderkey"] == F.col("k2"))
+            & (l1["l_suppkey"] != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -2174,3 +2174,57 @@ def stream_islands(spark, sf):
     return islands_rollup(
         spark.read.parquet(state["path"])
     ).localCheckpoint()
+
+
+@register("stream_lifecycle", None)  # pytest: == batch events_lifecycle
+def stream_lifecycle(spark, sf):
+    """INGEST-TIME growth accounting — the streaming twin of
+    ``events_lifecycle``. Like islands, lifecycle statuses are not
+    incrementally patchable (a week arriving out of order can flip a
+    later week's 'resurrected' to 'retained', and first-week NEW
+    attribution depends on the global minimum), but the batch key's
+    only state-bearing input is the deduped (user, epoch-week) grain
+    and set union merges that exactly — so the carried state is that
+    grain (parquet-swapped snapshot, O(users x active-weeks),
+    calendar-bounded; the stream_dau / stream_islands discipline) and
+    ``lifecycle_rollup`` is the ONE SHARED definition re-derived over
+    the merged state. Arrival order across batches is irrelevant;
+    streaming == batch is a theorem, pinned by pytest anyway (incl. a
+    determinism re-run)."""
+    import shutil
+
+    from ..plans.events_analytics import lifecycle_rollup, user_weeks
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_lifecycle", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = user_weeks(batch_df)
+        alluw = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"]).unionByName(cur).distinct()
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        alluw.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    # eager localCheckpoint: survive a later same-key invocation's
+    # work-dir sweep (see _run_incremental_turns; ADVICE r4)
+    return lifecycle_rollup(
+        spark.read.parquet(state["path"])
+    ).localCheckpoint()

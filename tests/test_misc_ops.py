@@ -917,3 +917,28 @@ def test_events_lifecycle_growth_identities(spark):
                 i,
                 df.to_dict("records"),
             )
+
+
+def test_events_stickiness_bounds_and_format(spark):
+    """Stickiness must reconcile against its own exact integers: the
+    %.6f string re-derives from sum_dau/(n_days*mau), every month's
+    average DAU can't exceed its MAU (ratio <= 1), and a user active on
+    some day is active in the month (sum_dau >= 1 per active day)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    df = (
+        REGISTRY["events_stickiness"][0](spark, SF)
+        .toPandas()
+        .sort_values("mo")
+        .reset_index(drop=True)
+    )
+    assert len(df) > 0
+    assert (df.sum_dau >= df.n_days).all()  # >=1 user per active day
+    assert (df.sum_dau <= df.n_days * df.mau).all()
+    for r in df.itertuples():
+        want = Decimal(repr(r.sum_dau / (r.n_days * r.mau))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert r.stickiness == f"{want:.6f}", r

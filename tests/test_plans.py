@@ -120,8 +120,8 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 285, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 227, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 289, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 230, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
 
 
@@ -395,3 +395,14 @@ def test_macro_family_plan_shapes(spark):
     p22 = _plan(q["macro_idle_customers"](spark, SF))
     assert "LeftAnti" in p22
     assert "c_nationkey" in p22.split("PushedFilters")[1][:250]
+    # Q12: ship-year pushed to the lineitem scan, lateness a residual
+    # (never a cartesian), one conditional-pivot aggregate
+    p12 = _plan(q["macro_shipmode_priority"](spark, SF))
+    assert "l_shipdate" in p12.split("PushedFilters")[1][:250]
+    assert "CartesianProduct" not in p12
+    # Q21: the semi (other supplier exists) AND the anti (no other late
+    # supplier) both survive into the physical plan; top-20 is TOAP
+    p21 = _plan(q["macro_waiting_suppliers"](spark, SF))
+    assert "LeftSemi" in p21, p21[:400]
+    assert "LeftAnti" in p21
+    assert "TakeOrderedAndProject" in p21

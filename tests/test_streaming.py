@@ -969,3 +969,37 @@ def test_stream_islands_equals_batch(spark):
         .reset_index(drop=True)
     )
     assert again.equals(got)
+
+
+def test_stream_lifecycle_equals_batch(spark):
+    """stream_lifecycle's growth-accounting table == the one-shot
+    events_lifecycle (carried state is the deduped (user, week) grain —
+    exactly mergeable even though statuses themselves can flip when an
+    out-of-order week arrives in a later batch). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = (
+        ops.REGISTRY["stream_lifecycle"][0](spark, SF)
+        .toPandas()
+        .sort_values("wk")
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["events_lifecycle"][0](spark, SF)
+        .toPandas()
+        .sort_values("wk")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+
+    again = (
+        ops.REGISTRY["stream_lifecycle"][0](spark, SF)
+        .toPandas()
+        .sort_values("wk")
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)
