@@ -239,6 +239,7 @@ HEADLINE = [
     "macro_shipmode_priority",
     "macro_waiting_suppliers",
     "events_stickiness",
+    "kg_betweenness",
 ]
 
 

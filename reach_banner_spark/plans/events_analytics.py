@@ -1911,14 +1911,27 @@ def events_stickiness(spark, sf):
     actives) are month-keyed aggregates over that grain; output is
     months-sized. COUNT(DISTINCT user_id) partial-aggregates per month
     (Spark expands it to a two-phase exact distinct)."""
-    e = _events(spark, sf)
-    du = e.select(
+    return stickiness_rollup(user_month_days(_events(spark, sf)))
+
+
+def user_month_days(df: DataFrame) -> DataFrame:
+    """Deduped (user_id, epoch-month, day-number) activity grain — the
+    ONLY state-bearing input of the stickiness ratio; set-union
+    mergeable (the stream_dau discipline), which is what makes
+    ``stream_stickiness`` == batch a theorem."""
+    return df.select(
         "user_id",
         (F.year("ts") * 12 + F.month("ts") - 1).cast("long").alias("mo"),
         F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias(
             "dn"
         ),
     ).distinct()
+
+
+def stickiness_rollup(du: DataFrame) -> DataFrame:
+    """Fold the (user, month, day) grain into the per-month DAU/MAU
+    table — the ONE SHARED definition used by the batch key and its
+    streaming twin (the %.6f ratio contract lives here)."""
     daily = du.groupBy("mo", "dn").agg(
         F.count(F.lit(1)).cast("long").alias("dau")
     )

@@ -2228,3 +2228,54 @@ def stream_lifecycle(spark, sf):
     return lifecycle_rollup(
         spark.read.parquet(state["path"])
     ).localCheckpoint()
+
+
+@register("stream_stickiness", None)  # pytest: == batch events_stickiness
+def stream_stickiness(spark, sf):
+    """INGEST-TIME DAU/MAU stickiness — the streaming twin of
+    ``events_stickiness``: the engagement ratio recomputed as events
+    land. The batch key's only state-bearing input is the deduped
+    (user, epoch-month, day) grain and set union merges that exactly,
+    so the carried state is that grain (parquet-swapped snapshot,
+    O(users x active-days), calendar-bounded — the stream_dau /
+    stream_islands discipline) and ``stickiness_rollup`` is the ONE
+    SHARED definition re-derived over the merged state. Arrival order
+    across batches is irrelevant; streaming == batch is a theorem,
+    pinned by pytest anyway (incl. a determinism re-run)."""
+    import shutil
+
+    from ..plans.events_analytics import stickiness_rollup, user_month_days
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_stickiness", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = user_month_days(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"]).unionByName(cur).distinct()
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    # eager localCheckpoint: survive a later same-key invocation's
+    # work-dir sweep (see _run_incremental_turns; ADVICE r4)
+    return stickiness_rollup(
+        spark.read.parquet(state["path"])
+    ).localCheckpoint()

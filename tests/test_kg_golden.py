@@ -328,3 +328,59 @@ def test_sink_nquads_roundtrip(spark):
         r["nquad"] for r in REGISTRY["sink_nquads_text"][0](spark, SF).collect()
     )
     assert again == landed
+
+
+def test_kg_betweenness_matches_pair_sum_twin(spark):
+    """Distributed grouped-map Brandes == the independent pair-sum
+    formulation within 1e-9 (different float add order — per-pair
+    quotients vs back-propagated deltas), plus the structural sanity
+    that leaf nodes (degree 1) have zero betweenness, and a bit-exact
+    determinism re-run (sorted iteration fixes the accumulation
+    order)."""
+    import numpy as np
+
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _triples,
+        betweenness_pairs_py,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = (
+        REGISTRY["kg_betweenness"][0](spark, SF)
+        .toPandas()
+        .sort_values(["conv_id", "node"])
+        .reset_index(drop=True)
+    )
+    edges = (
+        _triples(spark, SF).select("conv_id", "subj", "obj").distinct().toPandas()
+    )
+    want = (
+        betweenness_pairs_py(edges)
+        .sort_values(["conv_id", "node"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got[["conv_id", "node"]].equals(want[["conv_id", "node"]])
+    assert np.allclose(
+        got["betweenness"], want["betweenness"], atol=1e-9, rtol=0
+    )
+    # degree-1 nodes broker nothing
+    deg = {}
+    for c, s, o in edges[edges.subj != edges.obj][
+        ["conv_id", "subj", "obj"]
+    ].itertuples(index=False):
+        deg[(c, s)] = deg.get((c, s), set()) | {o}
+        deg[(c, o)] = deg.get((c, o), set()) | {s}
+    leaves = got[
+        [len(deg[(c, n)]) == 1 for c, n in zip(got.conv_id, got.node)]
+    ]
+    assert (leaves.betweenness == 0.0).all()
+
+    again = (
+        REGISTRY["kg_betweenness"][0](spark, SF)
+        .toPandas()
+        .sort_values(["conv_id", "node"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)

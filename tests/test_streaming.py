@@ -1003,3 +1003,36 @@ def test_stream_lifecycle_equals_batch(spark):
         .reset_index(drop=True)
     )
     assert again.equals(got)
+
+
+def test_stream_stickiness_equals_batch(spark):
+    """stream_stickiness' final DAU/MAU table == the one-shot
+    events_stickiness (carried state is the deduped (user, month, day)
+    grain — exactly mergeable). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = (
+        ops.REGISTRY["stream_stickiness"][0](spark, SF)
+        .toPandas()
+        .sort_values("mo")
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["events_stickiness"][0](spark, SF)
+        .toPandas()
+        .sort_values("mo")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+
+    again = (
+        ops.REGISTRY["stream_stickiness"][0](spark, SF)
+        .toPandas()
+        .sort_values("mo")
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)
