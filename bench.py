@@ -240,6 +240,12 @@ HEADLINE = [
     "macro_waiting_suppliers",
     "events_stickiness",
     "kg_betweenness",
+    # r5k additions (twelfth r5 session) — CUSUM break, lag-1 ACF, SQL
+    # pipe syntax (subtract this group too for earlier-round-comparable
+    # subtotals)
+    "events_changepoint",
+    "events_autocorr",
+    "sql_pipe_syntax",
 ]
 
 

@@ -1952,3 +1952,194 @@ def stickiness_rollup(du: DataFrame) -> DataFrame:
             / (F.col("n_days") * F.col("mau")).cast("double")
         ).alias("stickiness"),
     )
+
+
+# ------------------------------------------------------- changepoint ----
+
+@register(
+    "events_changepoint",
+    # CUSUM structural-break location per event type, on EXACT integers:
+    # the mean-centered cumulative sum S_k = sum_{i<=k}(x_i - tot/n) is
+    # scaled by n so S_k = n*prefix_k - k*tot is an exact BIGINT; the
+    # break is argmax |S_k| over interior positions k < n (earliest-day
+    # tie-break). Only the two segment means are floats — each ONE
+    # division of exact integers under ROUND-then-%.6f.
+    "WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+    " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+    "s AS (SELECT event_type, day, "
+    " CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY day "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre, "
+    " CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) "
+    "  AS BIGINT) AS k, "
+    " CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot, "
+    " CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n "
+    " FROM d), "
+    "c AS (SELECT event_type, day, k, n, pre, tot, "
+    " n * pre - k * tot AS s_k FROM s WHERE k < n), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type "
+    " ORDER BY ABS(s_k) DESC, day) AS rn FROM c) "
+    "SELECT event_type, day AS cp_day, n AS n_days, s_k AS cusum_scaled, "
+    "printf('%.6f', ROUND(CAST(pre AS DOUBLE) / CAST(k AS DOUBLE), 6)) "
+    " AS pre_mean, "
+    "printf('%.6f', ROUND(CAST(tot - pre AS DOUBLE) "
+    " / CAST(n - k AS DOUBLE), 6)) AS post_mean "
+    "FROM r WHERE rn = 1",
+)
+def events_changepoint(spark, sf):
+    """CUSUM change-point detection on each event type's daily-volume
+    series — the structural-break locator behind incident attribution
+    ("volume regime changed on day X"): the day k maximizing the
+    absolute mean-centered cumulative sum, with the pre/post segment
+    means quantifying the shift. Complements ``events_anomaly`` (which
+    flags single outlier days; a level shift spreads z-scores thin but
+    concentrates CUSUM at the break) and ``events_trend`` (a monotone
+    drift has no single break).
+
+    The statistic is kept EXACT: S_k = n*prefix_k - k*total is an
+    integer (BIGINT-safe while days x per-type volume < 2^63 — at any
+    realistic retention the day count is the small factor), so the
+    argmax and its earliest-day tie-break can never be decided by a
+    float; only the two reported segment means divide, each one
+    correctly-rounded IEEE op under the shared ROUND/%.6f contract.
+    Types with a single active day have no interior position and emit
+    nothing (k < n filters all rows).
+
+    Scale shape: facts collapse to the (event_type, day) grain in ONE
+    map-side-combinable aggregation (shared ``daily_counts`` — what the
+    streaming twin accumulates); both windows and the argmax rank run
+    over the dimension-sized daily table (types x days), partitioned by
+    event_type on one exchange."""
+    return changepoint_rollup(daily_counts(_events(spark, sf)))
+
+
+def changepoint_rollup(d: DataFrame) -> DataFrame:
+    """Fold a (event_type, day, cnt) daily table into the one-row-per-
+    type CUSUM break profile — shared by ``events_changepoint`` and its
+    streaming twin (daily counts sum-merge exactly, so streaming ==
+    batch is a theorem about SUM; the float contract lives here)."""
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    s = d.select(
+        "event_type",
+        "day",
+        F.sum("cnt")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("pre"),
+        F.row_number().over(wo).cast("long").alias("k"),
+        F.sum("cnt").over(wp).cast("long").alias("tot"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    c = s.where(F.col("k") < F.col("n")).withColumn(
+        "s_k", F.col("n") * F.col("pre") - F.col("k") * F.col("tot")
+    )
+    r = c.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(F.col("s_k")).desc(), F.col("day")
+            )
+        ),
+    )
+    return r.where(F.col("rn") == 1).select(
+        "event_type",
+        F.col("day").alias("cp_day"),
+        F.col("n").alias("n_days"),
+        F.col("s_k").alias("cusum_scaled"),
+        _FMT6(F.col("pre").cast("double") / F.col("k").cast("double")).alias(
+            "pre_mean"
+        ),
+        _FMT6(
+            (F.col("tot") - F.col("pre")).cast("double")
+            / (F.col("n") - F.col("k")).cast("double")
+        ).alias("post_mean"),
+    )
+
+
+# ----------------------------------------------------------- autocorr ----
+
+@register(
+    "events_autocorr",
+    # Lag-1 autocorrelation of each type's daily-volume series from
+    # EXACT integer moments: dev_i = n*x_i - sx is an exact BIGINT, the
+    # products dev_i*dev_{i+1} and dev_i^2 are exact BIGINTs, and their
+    # DECIMAL(38,0)/HUGEINT sums are exact integers both engines cast
+    # to the SAME correctly-rounded double before the one division
+    # under ROUND-then-%.6f.
+    "WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+    " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+    "s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    " CAST(SUM(cnt) AS BIGINT) AS sx FROM d GROUP BY event_type), "
+    "v AS (SELECT d.event_type, d.cnt * s.n - s.sx AS dev, "
+    " LEAD(d.cnt * s.n - s.sx) OVER (PARTITION BY d.event_type "
+    "  ORDER BY d.day) AS dev_next, s.n "
+    " FROM d JOIN s ON s.event_type = d.event_type), "
+    "a AS (SELECT event_type, MIN(n) AS n_days, "
+    " SUM(CASE WHEN dev_next IS NOT NULL "
+    "  THEN CAST(dev * dev_next AS DECIMAL(38,0)) "
+    "  ELSE CAST(0 AS DECIMAL(38,0)) END) AS num, "
+    " SUM(CAST(dev * dev AS DECIMAL(38,0))) AS den "
+    " FROM v GROUP BY event_type) "
+    "SELECT event_type, CAST(n_days AS BIGINT) AS n_days, "
+    "printf('%.6f', ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)) "
+    " AS r1 FROM a WHERE den > 0 AND n_days >= 2",
+)
+def events_autocorr(spark, sf):
+    """Lag-1 autocorrelation of each event type's daily-volume series —
+    the serial-dependence diagnostic that separates momentum-driven
+    series (yesterday predicts today, r1 near 1) from noise (r1 near
+    0) and alternating load (r1 < 0); the statistic
+    ``events_forecast``'s seasonal-naive baseline implicitly bets on.
+    Standard ACF estimator: global-mean-centered products over adjacent
+    observed days, normalized by the full sum of squares.
+
+    Float discipline (the composed-op variant): deviations are scaled
+    by n so dev_i = n*x_i - sx is an exact BIGINT; adjacent products
+    and squares are exact BIGINTs (bounded by (days x max daily
+    volume)^2 — document-scale safe), accumulated into DECIMAL(38,0)
+    on Spark and HUGEINT on DuckDB — both exact integers that cast to
+    the identical correctly-rounded double, so r1 is ONE IEEE division
+    under the shared ROUND/%.6f contract. The n^2 scaling cancels in
+    the ratio. Zero-variance or single-day types are excluded (r1
+    undefined).
+
+    Scale shape: one map-side-combinable fact collapse to the daily
+    grain (shared ``daily_counts``), a broadcast join of the tiny
+    per-type moment table back onto the daily table, one event_type
+    window for the lag, one final dimension-sized aggregate."""
+    return autocorr_rollup(daily_counts(_events(spark, sf)))
+
+
+def autocorr_rollup(d: DataFrame) -> DataFrame:
+    """Fold a (event_type, day, cnt) daily table into the per-type
+    lag-1 autocorrelation — shared with the streaming twin (same
+    sum-mergeable daily grain as ``changepoint_rollup``)."""
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("sx"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    v = (
+        d.join(F.broadcast(s), "event_type")
+        .withColumn("dev", F.col("cnt") * F.col("n") - F.col("sx"))
+        .withColumn("dev_next", F.lead("dev").over(w))
+    )
+    a = v.groupBy("event_type").agg(
+        F.min("n").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("dev_next").isNotNull(),
+                (F.col("dev") * F.col("dev_next")).cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("num"),
+        F.sum((F.col("dev") * F.col("dev")).cast("decimal(38,0)")).alias(
+            "den"
+        ),
+    )
+    return a.where((F.col("den") > 0) & (F.col("n_days") >= 2)).select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        _FMT6(
+            F.col("num").cast("double") / F.col("den").cast("double")
+        ).alias("r1"),
+    )

@@ -4302,6 +4302,37 @@ def sql_execute_immediate(spark, sf):
     return spark.sql("EXECUTE IMMEDIATE :stmt USING 48", args={"stmt": stmt})
 
 
+@register(
+    "sql_pipe_syntax",
+    # The pipe-operator spelling must produce the identical relation as
+    # the ANSI spelling — the oracle IS the ANSI form.
+    "SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def sql_pipe_syntax(spark, sf):
+    """SQL pipe-operator syntax (``|>``, Spark 4 / GoogleSQL pipes): the
+    linear FROM -> WHERE -> AGGREGATE spelling of a grouped report.
+    Pipes are pure surface syntax — each stage parses onto the same
+    logical operators as the nested ANSI form, so Catalyst sees one
+    identical plan and the scan still receives the pushed shipdate
+    filter (pytest-gated); the oracle pins semantic equivalence by
+    running the ANSI spelling of the same query.
+
+    Scale shape: identical to the ANSI form — filter pushed into the
+    parquet scan, one partial+final aggregation on the two grouping
+    columns."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("rbs_pipe_lineitem")
+    return spark.sql(
+        "FROM rbs_pipe_lineitem "
+        "|> WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n, "
+        "   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+        "   GROUP BY l_returnflag, l_linestatus"
+    )
+
+
 # ---------------------------------------------- final TPC-H macro pair ----
 # Q12 and Q21 are the last two report shapes expressible on this schema
 # (Q2/Q9/Q11/Q16/Q20 need partsupp). Both re-base lateness on

@@ -2279,3 +2279,25 @@ def stream_stickiness(spark, sf):
     return stickiness_rollup(
         spark.read.parquet(state["path"])
     ).localCheckpoint()
+
+
+@register("stream_changepoint", None)  # pytest: == batch events_changepoint
+def stream_changepoint(spark, sf):
+    """INGEST-TIME CUSUM break tracking — the streaming twin of
+    ``events_changepoint``. The break statistic is a pure function of
+    the (event_type, day) daily-count table and COUNT is exactly
+    sum-mergeable, so the twin reuses the SHARED ``_stream_daily_counts``
+    state (the stream_anomaly/stream_forecast machinery — one carried
+    dimension-sized parquet snapshot, sum-merged per micro-batch) and
+    applies the SHARED ``changepoint_rollup`` to the final state:
+    streaming == batch is a theorem about SUM, for ANY micro-batch
+    split. This is the monitoring loop that re-locates a volume regime
+    change as data arrives, without ever retouching historical facts.
+
+    State is O(event-types x days); every merge keys on (event_type,
+    day) and the CUSUM windows run over the dimension-sized table."""
+    from ..plans.events_analytics import changepoint_rollup
+
+    return changepoint_rollup(
+        _stream_daily_counts(spark, sf, "stream_changepoint")
+    ).localCheckpoint()

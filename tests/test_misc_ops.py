@@ -942,3 +942,94 @@ def test_events_stickiness_bounds_and_format(spark):
             Decimal("0.000001"), rounding=ROUND_HALF_UP
         )
         assert r.stickiness == f"{want:.6f}", r
+
+
+def test_events_changepoint_matches_python(spark):
+    """The CUSUM break re-derives per type from the daily-count table in
+    plain Python integers (exact arithmetic, earliest-day tie-break on
+    |S_k|), and the %.6f segment means follow the Decimal-HALF_UP
+    contract (pre/k and (tot-pre)/(n-k) are single IEEE divisions)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY,
+        daily_counts,
+    )
+
+    got = (
+        REGISTRY["events_changepoint"][0](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    d = daily_counts(spark.read.parquet(f"{SF}/events.parquet")).toPandas()
+    assert len(got) > 0
+    seen = set()
+    for et, grp in d.groupby("event_type"):
+        g = grp.sort_values("day").reset_index(drop=True)
+        n, tot = len(g), int(g.cnt.sum())
+        if n < 2:
+            assert et not in got.index
+            continue
+        seen.add(et)
+        best = None
+        pre = 0
+        for k in range(1, n):
+            pre += int(g.cnt[k - 1])
+            s_k = n * pre - k * tot
+            key = (-abs(s_k), g.day[k - 1])
+            if best is None or key < best[0]:
+                best = (key, g.day[k - 1], s_k, pre, k)
+        _, day, s_k, pre, k = best
+        row = got.loc[et]
+        assert row.cp_day == day, (et, row.cp_day, day)
+        assert row.cusum_scaled == s_k and row.n_days == n
+        for val, col in (
+            (pre / k, "pre_mean"),
+            ((tot - pre) / (n - k), "post_mean"),
+        ):
+            want = Decimal(repr(val)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            assert row[col] == f"{want:.6f}", (et, col, row[col], want)
+    assert seen == set(got.index)
+
+
+def test_events_autocorr_matches_python(spark):
+    """r1 re-derives from exact Python-int scaled deviations with the
+    SAME cast-then-divide float sequence (float(num)/float(den) mirrors
+    both engines' integer->double casts), and Cauchy-Schwarz bounds
+    |r1| <= 1."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY,
+        daily_counts,
+    )
+
+    got = (
+        REGISTRY["events_autocorr"][0](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    d = daily_counts(spark.read.parquet(f"{SF}/events.parquet")).toPandas()
+    assert len(got) > 0
+    seen = set()
+    for et, grp in d.groupby("event_type"):
+        g = grp.sort_values("day").reset_index(drop=True)
+        n, sx = len(g), int(g.cnt.sum())
+        dev = [n * int(c) - sx for c in g.cnt]
+        den = sum(v * v for v in dev)
+        if n < 2 or den == 0:
+            assert et not in got.index
+            continue
+        seen.add(et)
+        num = sum(dev[i] * dev[i + 1] for i in range(n - 1))
+        r1 = float(num) / float(den)
+        assert abs(r1) <= 1.0 + 1e-12
+        want = Decimal(repr(r1)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        row = got.loc[et]
+        assert row.n_days == n
+        assert row.r1 == f"{want:.6f}", (et, row.r1, want)
+    assert seen == set(got.index)

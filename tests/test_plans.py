@@ -120,8 +120,8 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 291, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 230, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 295, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 233, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
 
 
@@ -406,3 +406,16 @@ def test_macro_family_plan_shapes(spark):
     assert "LeftSemi" in p21, p21[:400]
     assert "LeftAnti" in p21
     assert "TakeOrderedAndProject" in p21
+
+
+def test_sql_pipe_syntax_plan_matches_ansi(spark):
+    """The pipe-operator spelling must plan like the ANSI form: shipdate
+    filter pushed into the parquet scan, one hash aggregate, no
+    cartesian — pipes are surface syntax only."""
+    from reach_banner_spark.plans.registry import all_queries
+
+    q = all_queries()
+    plan = _plan(q["sql_pipe_syntax"](spark, SF))
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:250], plan[:600]
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
