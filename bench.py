@@ -246,6 +246,8 @@ HEADLINE = [
     "events_changepoint",
     "events_autocorr",
     "sql_pipe_syntax",
+    "kg_closeness",
+    "kg_bridges",
 ]
 
 

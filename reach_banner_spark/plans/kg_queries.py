@@ -2488,6 +2488,33 @@ def limit_q(spark, sf):
     return _docs(spark, sf).select("doc_id").orderBy("doc_id").limit(10)
 
 
+# Strong-edge backbone + all-pairs BFS SQL fragments — shared by the
+# kg_diameter / kg_closeness / kg_bridges oracles (the graph definition
+# lives ONCE; see kg_diameter's docstring for the exact-integer
+# above-mean support cut).
+_STRONG_SQL = (
+    "p AS (SELECT conv_id, LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b, "
+    " COUNT(*) AS n FROM t GROUP BY 1, 2, 3), "
+    "st AS (SELECT conv_id, SUM(n) AS tot, COUNT(*) AS ne FROM p GROUP BY 1), "
+    "sp0 AS (SELECT p.conv_id, a, b FROM p JOIN st USING (conv_id) "
+    " WHERE p.n * st.ne > st.tot), "
+    "e AS (SELECT conv_id, a AS s, b AS o FROM sp0 "
+    " UNION SELECT conv_id, b, a FROM sp0)"
+)
+
+_ALLPAIRS_SQL = (
+    f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), "
+    f"{_STRONG_SQL}, "
+    "nodes AS (SELECT DISTINCT conv_id, s AS node FROM e), "
+    "r(conv_id, src, node, d) AS ("
+    " SELECT conv_id, node, node, 0 FROM nodes "
+    " UNION "
+    " SELECT e.conv_id, r.src, e.o, r.d + 1 FROM r JOIN e "
+    f"  ON e.conv_id = r.conv_id AND e.s = r.node WHERE r.d < {_REACH_MAX_HOPS}), "
+    "sp AS (SELECT conv_id, src, node, MIN(d) AS d FROM r GROUP BY 1, 2, 3) "
+)
+
+
 @register(
     "kg_diameter",
     # All-pairs BFS per conversation (the oracle recursion seeds EVERY
@@ -2500,22 +2527,7 @@ def limit_q(spark, sf):
     # everywhere); the confidence-thresholded backbone is both the graph
     # a production KG keeps and the one whose geometry is informative.
     # avg_dist is ONE division of exact integers, then ROUND/%.6f.
-    f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), "
-    "p AS (SELECT conv_id, LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b, "
-    " COUNT(*) AS n FROM t GROUP BY 1, 2, 3), "
-    "st AS (SELECT conv_id, SUM(n) AS tot, COUNT(*) AS ne FROM p GROUP BY 1), "
-    "sp0 AS (SELECT p.conv_id, a, b FROM p JOIN st USING (conv_id) "
-    " WHERE p.n * st.ne > st.tot), "
-    "e AS (SELECT conv_id, a AS s, b AS o FROM sp0 "
-    " UNION SELECT conv_id, b, a FROM sp0), "
-    "nodes AS (SELECT DISTINCT conv_id, s AS node FROM e), "
-    "r(conv_id, src, node, d) AS ("
-    " SELECT conv_id, node, node, 0 FROM nodes "
-    " UNION "
-    " SELECT e.conv_id, r.src, e.o, r.d + 1 FROM r JOIN e "
-    f"  ON e.conv_id = r.conv_id AND e.s = r.node WHERE r.d < {_REACH_MAX_HOPS}), "
-    "sp AS (SELECT conv_id, src, node, MIN(d) AS d FROM r GROUP BY 1, 2, 3) "
-    "SELECT conv_id, "
+    _ALLPAIRS_SQL + "SELECT conv_id, "
     "CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes, "
     "CAST(MAX(d) AS INT) AS diameter, "
     "CAST(SUM(CASE WHEN src <> node THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs, "
@@ -2545,7 +2557,29 @@ def kg_diameter(spark, sf):
     round, and every join keys conv_id-first on the one co-partitioning.
     Any conversation with an edge has ≥ 2 distinct nodes, so n_pairs ≥ 2
     and the avg_dist division can never see a zero denominator."""
-    t = _triples_table(spark, sf)
+    dist = _strong_allpairs_dist(spark, sf)
+    off_diag = F.when(F.col("src") != F.col("node"), F.lit(1)).otherwise(F.lit(0))
+    off_d = F.when(F.col("src") != F.col("node"), F.col("d")).otherwise(F.lit(0))
+    return dist.groupBy("conv_id").agg(
+        F.countDistinct("src").alias("n_nodes"),
+        F.max("d").cast("int").alias("diameter"),
+        F.sum(off_diag).alias("n_pairs"),
+        F.format_string(
+            "%.6f",
+            F.round(
+                F.sum(off_d).cast("double") / F.sum(off_diag), 6
+            ),
+        ).alias("avg_dist"),
+    )
+
+
+def _strong_canon_edges(t: DataFrame) -> DataFrame:
+    """Canonically-oriented (conv_id, a, b) strong-backbone edges: pairs
+    whose co-occurrence support n is strictly above the conversation's
+    own mean (n * n_edges > total — exact integers, scale-invariant; see
+    kg_diameter). Shared graph definition for the diameter / closeness /
+    bridges family; ``localCheckpoint``ed because every consumer either
+    iterates joins against it or feeds both a sym-union and a kernel."""
     pairs = t.groupBy(
         "conv_id",
         F.least("subj", "obj").alias("a"),
@@ -2554,14 +2588,32 @@ def kg_diameter(spark, sf):
     st = pairs.groupBy("conv_id").agg(
         F.sum("n").alias("tot"), F.count(F.lit(1)).alias("ne")
     )
-    strong = pairs.join(st, "conv_id").where(
-        F.col("n") * F.col("ne") > F.col("tot")
+    return (
+        pairs.join(st, "conv_id")
+        .where(F.col("n") * F.col("ne") > F.col("tot"))
+        .select("conv_id", "a", "b")
+        .localCheckpoint()
     )
-    e = strong.select(
+
+
+def _strong_sym_edges(t: DataFrame) -> DataFrame:
+    """Symmetrized (conv_id, s, o) view of the strong backbone."""
+    strong = _strong_canon_edges(t)
+    return strong.select(
         "conv_id", F.col("a").alias("s"), F.col("b").alias("o")
     ).union(
         strong.select("conv_id", F.col("b").alias("s"), F.col("a").alias("o"))
     ).distinct()
+
+
+def _strong_allpairs_dist(spark, sf) -> DataFrame:
+    """All-pairs BFS hop distances (conv_id, src, node, d) over the
+    strong backbone — the shared derivation of ``kg_diameter`` and
+    ``kg_closeness``: every node is simultaneously a BFS source, FIXED
+    ``_REACH_MAX_HOPS`` frontier iterations (zero in-loop driver
+    barriers), ``localCheckpoint`` per round, every join keyed
+    conv_id-first."""
+    e = _strong_sym_edges(_triples_table(spark, sf)).localCheckpoint()
     nodes = e.select("conv_id", F.col("s").alias("node")).distinct()
     dist = (
         nodes.select("conv_id", F.col("node").alias("src"), "node")
@@ -2594,19 +2646,175 @@ def kg_diameter(spark, sf):
         )
         dist = dist.unionByName(fresh)
         frontier = fresh
-    off_diag = F.when(F.col("src") != F.col("node"), F.lit(1)).otherwise(F.lit(0))
-    off_d = F.when(F.col("src") != F.col("node"), F.col("d")).otherwise(F.lit(0))
-    return dist.groupBy("conv_id").agg(
-        F.countDistinct("src").alias("n_nodes"),
-        F.max("d").cast("int").alias("diameter"),
-        F.sum(off_diag).alias("n_pairs"),
+    return dist
+
+
+@register(
+    "kg_closeness",
+    # Per-entity closeness over the SAME all-pairs BFS table as
+    # kg_diameter (shared _ALLPAIRS_SQL recursion): n_reach and
+    # total_dist are exact integers; closeness = n_reach/total_dist is
+    # ONE IEEE division under ROUND-then-%.6f. Nodes whose only strong
+    # edges are self-loops reach nobody and are excluded (HAVING).
+    _ALLPAIRS_SQL + "SELECT conv_id, src AS entity, "
+    "CAST(SUM(CASE WHEN src <> node THEN 1 ELSE 0 END) AS BIGINT) "
+    " AS n_reach, "
+    "CAST(SUM(d) AS BIGINT) AS total_dist, "
+    "printf('%.6f', ROUND("
+    " CAST(SUM(CASE WHEN src <> node THEN 1 ELSE 0 END) AS DOUBLE) "
+    " / CAST(SUM(d) AS DOUBLE), 6)) AS closeness "
+    "FROM sp GROUP BY conv_id, src HAVING SUM(d) > 0",
+)
+def kg_closeness(spark, sf):
+    """Per-entity closeness centrality over the strong-edge backbone —
+    which entities sit CLOSE to everything in their conversation's
+    graph (small average hop distance), the complement of
+    ``kg_betweenness``'s broker score: a hub can be central without
+    brokering, a bridge endpoint can broker without being close.
+    Defined as n_reach / total_dist (reachable-count over summed hop
+    distances — the component-local closeness that stays comparable
+    across disconnected graphs); both terms are exact integers from
+    the shared all-pairs BFS, so ranking ties can never be decided by
+    a float and the reported ratio is ONE correctly-rounded IEEE
+    division under the shared ROUND/%.6f contract.
+
+    Scale shape: reuses ``_strong_allpairs_dist`` — the kg_diameter
+    derivation — so the state stays bounded by conversations × entity
+    domain² with zero in-loop driver barriers; the final rollup groups
+    the SAME table by (conv_id, src) instead of conv_id. Self-loop-only
+    nodes (total_dist = 0) are excluded on both engines."""
+    dist = _strong_allpairs_dist(spark, sf)
+    off = F.when(F.col("src") != F.col("node"), F.lit(1)).otherwise(F.lit(0))
+    agg = dist.groupBy("conv_id", "src").agg(
+        F.sum(off).cast("long").alias("n_reach"),
+        F.sum("d").cast("long").alias("total_dist"),
+    )
+    return agg.where(F.col("total_dist") > 0).select(
+        "conv_id",
+        F.col("src").alias("entity"),
+        "n_reach",
+        "total_dist",
         F.format_string(
             "%.6f",
             F.round(
-                F.sum(off_d).cast("double") / F.sum(off_diag), 6
+                F.col("n_reach").cast("double")
+                / F.col("total_dist").cast("double"),
+                6,
             ),
-        ).alias("avg_dist"),
+        ).alias("closeness"),
     )
+
+
+@register(
+    "kg_bridges",
+    # The ORACLE takes the definition literally: an edge (a, b) is a
+    # bridge iff b is unreachable from a when that one edge is removed —
+    # one reachability recursion PER EDGE (state: edges × nodes per
+    # conversation, fine at oracle scale). The Spark side runs Tarjan's
+    # linear-time low-link algorithm — a completely independent
+    # formulation, so agreement is a real algorithmic cross-check.
+    f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), "
+    f"{_STRONG_SQL}, "
+    "r(conv_id, ea, eb, node) AS ("
+    " SELECT conv_id, a, b, a FROM sp0 "
+    " UNION "
+    " SELECT r.conv_id, r.ea, r.eb, e.o FROM r JOIN e "
+    "  ON e.conv_id = r.conv_id AND e.s = r.node "
+    "  WHERE NOT (LEAST(e.s, e.o) = r.ea AND GREATEST(e.s, e.o) = r.eb)) "
+    "SELECT s.conv_id, s.a, s.b FROM sp0 s LEFT JOIN r "
+    " ON r.conv_id = s.conv_id AND r.ea = s.a AND r.eb = s.b "
+    " AND r.node = s.b "
+    "WHERE r.node IS NULL",
+)
+def kg_bridges(spark, sf):
+    """Bridge (cut-edge) detection per conversation over the strong
+    backbone — the single points of failure of each conversation's
+    knowledge graph: removing a bridge disconnects it, so these are the
+    facts whose loss partitions what the KG knows (the robustness
+    audit a production graph runs before pruning low-support edges).
+    Tarjan's low-link algorithm is inherently sequential per graph, so
+    this is the class-(b) custom-operator pattern (``kg_betweenness``
+    precedent): a grouped-map ``applyInPandas`` kernel runs the exact
+    linear-time DFS over ONE conversation's canonical edge list, and
+    Spark distributes across conversations — the 100 TB axis. Output
+    is the bridge edge set — a graph invariant, independent of DFS
+    order, all-integer (no floats anywhere).
+
+    The oracle is a per-edge-removal reachability recursion (a
+    DIFFERENT formulation — definition vs algorithm), making agreement
+    a genuine algorithmic cross-check; pytest additionally pins a
+    remove-edge BFS twin and a handcrafted two-triangles-one-bridge
+    case. Self-loops are never bridges (their endpoint seeds its own
+    reachability) and never emitted by either side.
+
+    Scale shape: ONE conv_id exchange (the grouped map's) over the
+    dimension-scale strong edge set; per-task cost is O(V + E) bounded
+    by the per-conv entity domain, never by turns."""
+    strong = _strong_canon_edges(_triples_table(spark, sf)).select(
+        "conv_id", "a", "b"
+    )
+
+    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf["conv_id"].iloc[0]
+        adj: dict = {}
+        for a, b in zip(pdf["a"], pdf["b"]):
+            if a == b:
+                adj.setdefault(a, set())
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        nodes = sorted(adj)
+        adj = {v: sorted(adj[v]) for v in nodes}
+        bridges = _tarjan_bridges(nodes, adj)
+        bridges.sort()
+        return pd.DataFrame(
+            {
+                "conv_id": [conv] * len(bridges),
+                "a": [x for x, _ in bridges],
+                "b": [y for _, y in bridges],
+            }
+        )
+
+    return strong.groupBy("conv_id").applyInPandas(
+        per_conv, "conv_id string, a string, b string"
+    )
+
+
+def _tarjan_bridges(nodes, adj):
+    """Iterative Tarjan low-link bridge finding over a simple undirected
+    graph (sorted adjacency — deterministic traversal; the bridge SET is
+    a graph invariant regardless). Returns canonical (min, max) pairs."""
+    disc: dict = {}
+    low: dict = {}
+    bridges = []
+    timer = 0
+    for root in nodes:
+        if root in disc:
+            continue
+        disc[root] = low[root] = timer
+        timer += 1
+        stack = [(root, None, iter(adj[root]))]
+        while stack:
+            v, parent, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w not in disc:
+                    disc[w] = low[w] = timer
+                    timer += 1
+                    stack.append((w, v, iter(adj[w])))
+                    advanced = True
+                    break
+                elif w != parent:
+                    low[v] = min(low[v], disc[w])
+            if not advanced:
+                stack.pop()
+                if parent is not None:
+                    low[parent] = min(low[parent], low[v])
+                    if low[v] > disc[parent]:
+                        bridges.append(
+                            (min(parent, v), max(parent, v))
+                        )
+    return bridges
 
 
 @register(

@@ -384,3 +384,90 @@ def test_kg_betweenness_matches_pair_sum_twin(spark):
         .reset_index(drop=True)
     )
     assert got.equals(again)
+
+
+def test_tarjan_bridges_unit():
+    """Handcrafted graphs: two triangles joined by one edge (exactly
+    that edge), a path (every edge), a cycle (none)."""
+    from reach_banner_spark.plans.kg_queries import _tarjan_bridges
+
+    def build(edges):
+        adj = {}
+        for x, y in edges:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        nodes = sorted(adj)
+        return nodes, {v: sorted(adj[v]) for v in nodes}
+
+    two_tri = [("a", "b"), ("b", "c"), ("a", "c"),
+               ("c", "d"), ("d", "e"), ("e", "f"), ("d", "f")]
+    assert _tarjan_bridges(*build(two_tri)) == [("c", "d")]
+    path = [("a", "b"), ("b", "c"), ("c", "d")]
+    assert sorted(_tarjan_bridges(*build(path))) == path
+    cycle = [("a", "b"), ("b", "c"), ("c", "a")]
+    assert _tarjan_bridges(*build(cycle)) == []
+
+
+def test_kg_bridges_matches_removal_twin(spark):
+    """Tarjan kernel == the DEFINITIONAL remove-edge-and-BFS twin over
+    the strong backbone (the DuckDB oracle is a third, recursive-CTE
+    formulation), plus an exact determinism re-run."""
+    from collections import deque
+
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _strong_canon_edges,
+        _triples_table,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = REGISTRY["kg_bridges"][0](spark, SF).toPandas()
+    strong = _strong_canon_edges(_triples_table(spark, SF)).toPandas()
+    want = set()
+    for conv, grp in strong.groupby("conv_id"):
+        edges = [(a, b) for a, b in zip(grp.a, grp.b) if a != b]
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for a, b in edges:
+            seen = {a}
+            q = deque([a])
+            while q:
+                v = q.popleft()
+                for w in adj[v]:
+                    if (min(v, w), max(v, w)) == (a, b):
+                        continue
+                    if w not in seen:
+                        seen.add(w)
+                        q.append(w)
+            if b not in seen:
+                want.add((conv, a, b))
+    gset = set(map(tuple, got[["conv_id", "a", "b"]].values.tolist()))
+    assert gset == want
+    assert len(want) > 0
+    again = REGISTRY["kg_bridges"][0](spark, SF).toPandas()
+    assert set(map(tuple, again[["conv_id", "a", "b"]].values.tolist())) == gset
+
+
+def test_kg_closeness_consistent_with_diameter(spark):
+    """Cross-key invariant: the sum of n_reach over a conversation's
+    entities equals kg_diameter's ordered reachable-pair count on the
+    same backbone (both read the shared all-pairs BFS), and the %.6f
+    closeness re-derives from the exact integers (Decimal HALF_UP)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.plans.kg_queries import REGISTRY
+
+    SF = "/root/testdata/sf0.001"
+    clo = REGISTRY["kg_closeness"][0](spark, SF).toPandas()
+    dia = REGISTRY["kg_diameter"][0](spark, SF).toPandas()
+    assert len(clo) > 0 and len(dia) > 0
+    per_conv = clo.groupby("conv_id").n_reach.sum()
+    for r in dia.itertuples():
+        assert per_conv.get(r.conv_id, 0) == r.n_pairs, r
+    for r in clo.itertuples():
+        want = Decimal(repr(r.n_reach / r.total_dist)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert r.closeness == f"{want:.6f}", r
