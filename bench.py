@@ -248,6 +248,8 @@ HEADLINE = [
     "sql_pipe_syntax",
     "kg_closeness",
     "kg_bridges",
+    "kg_articulation",
+    "emb_quantize_int8",
 ]
 
 

@@ -1067,3 +1067,61 @@ def pca_project_pandas(emb: pd.DataFrame, k: int = PCA_DIMS) -> pd.DataFrame:
     for i in range(w.shape[1]):
         out[f"pc{i + 1}"] = proj[:, i]
     return pd.DataFrame(out)
+
+
+@register(
+    "emb_quantize_int8",
+    # Symmetric per-vector int8 scalar quantization with a FULL value
+    # oracle: every arithmetic step is forced to DOUBLE on both engines
+    # (float32 -> double casts are exact; DuckDB would otherwise keep
+    # FLOAT where Spark promotes to double), so x/scale*127.0 is the
+    # identical IEEE op sequence and round() ties (exact .5 doubles)
+    # break half-away-from-zero on both. Zero vectors quantize to all
+    # zeros via the same CASE on both sides.
+    "SELECT vec_id, label, "
+    "printf('%.6f', ROUND(list_max(list_transform(embedding, "
+    " x -> abs(CAST(x AS DOUBLE)))), 6)) AS scale6, "
+    "array_to_string(list_transform(embedding, x -> CASE "
+    " WHEN list_max(list_transform(embedding, "
+    "   y -> abs(CAST(y AS DOUBLE)))) = 0 THEN 0 "
+    " ELSE CAST(ROUND(CAST(x AS DOUBLE) "
+    "  / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))"
+    "  * 127.0) AS BIGINT) END), ',') AS codes "
+    "FROM embeddings",
+)
+def emb_quantize_int8(spark, sf):
+    """Per-vector symmetric int8 scalar quantization — the 8-bit member
+    of the compression family (``emb_binarize`` is the 1-bit member,
+    ``emb_pq`` the 16-byte PQ member): scale = max|x_i|, code_i =
+    round(x_i / scale * 127) in [-127, 127], the layout faiss'
+    ScalarQuantizer QT_8bit_direct-style stores and every int8 ANN
+    index ships. 4x smaller than float32 with a worst-case per-dim
+    reconstruction error of scale/254 (pytest pins the bound by
+    dequantizing).
+
+    Unlike the recall-gated ANN keys this key carries a FULL value
+    oracle: the max is an exact double (no accumulation), the quantized
+    code is ONE division, ONE multiply, one half-away-from-zero round —
+    the fixed-IEEE-op-sequence rule — and codes are emitted as the
+    joined integer string so the whole 64-dim payload is compared.
+
+    Scale shape: zero shuffles — a pure projection over the embeddings
+    scan (array lambdas are JVM codegen); at 100 TB this runs at scan
+    speed and writes the 64-byte codes column a downstream int8 index
+    consumes."""
+    e = _emb(spark, sf)
+    scale = F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+    codes = F.expr(
+        "array_join(transform(embedding, x -> CASE "
+        " WHEN array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0D "
+        "  THEN CAST(0 AS BIGINT) "
+        " ELSE CAST(ROUND(CAST(x AS DOUBLE) "
+        "  / array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE)))) "
+        "  * 127.0) AS BIGINT) END), ',')"
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.format_string("%.6f", F.round(scale, 6)).alias("scale6"),
+        codes.alias("codes"),
+    )

@@ -2781,18 +2781,29 @@ def kg_bridges(spark, sf):
 
 
 def _tarjan_bridges(nodes, adj):
-    """Iterative Tarjan low-link bridge finding over a simple undirected
-    graph (sorted adjacency — deterministic traversal; the bridge SET is
-    a graph invariant regardless). Returns canonical (min, max) pairs."""
+    """Bridge half of ``_tarjan_cuts`` (kept as the kg_bridges kernel's
+    entry point)."""
+    return _tarjan_cuts(nodes, adj)[0]
+
+
+def _tarjan_cuts(nodes, adj):
+    """Iterative Tarjan low-link pass over a simple undirected graph
+    (sorted adjacency — deterministic traversal; both output SETS are
+    graph invariants regardless). Returns (bridges, articulation
+    points): a tree edge (p, v) is a bridge iff low[v] > disc[p]; a
+    non-root p is an articulation point iff some tree child v has
+    low[v] >= disc[p]; a root is one iff it has >= 2 tree children."""
     disc: dict = {}
     low: dict = {}
     bridges = []
+    arts = set()
     timer = 0
     for root in nodes:
         if root in disc:
             continue
         disc[root] = low[root] = timer
         timer += 1
+        root_children = 0
         stack = [(root, None, iter(adj[root]))]
         while stack:
             v, parent, it = stack[-1]
@@ -2814,7 +2825,89 @@ def _tarjan_bridges(nodes, adj):
                         bridges.append(
                             (min(parent, v), max(parent, v))
                         )
-    return bridges
+                    if parent == root:
+                        root_children += 1
+                    elif low[v] >= disc[parent]:
+                        arts.add(parent)
+        if root_children >= 2:
+            arts.add(root)
+    return bridges, sorted(arts)
+
+
+@register(
+    "kg_articulation",
+    # The ORACLE again takes the definition literally: v is an
+    # articulation point iff deleting it INCREASES the number of
+    # connected components — component counts via min-label closure
+    # over a per-candidate-removal reachability recursion (state:
+    # nodes^3 per conversation — fine at oracle scale, the entity
+    # domain is dictionary-bounded), with the baseline component count
+    # read from the SAME all-pairs table kg_diameter/kg_closeness use.
+    _ALLPAIRS_SQL +
+    ", base AS (SELECT conv_id, src, MIN(node) AS lbl FROM sp "
+    " GROUP BY 1, 2), "
+    "bc AS (SELECT conv_id, COUNT(DISTINCT lbl) AS c0 FROM base "
+    " GROUP BY 1), "
+    "rx(conv_id, excl, src, node) AS ("
+    " SELECT n1.conv_id, x.node, n1.node, n1.node "
+    " FROM nodes n1 JOIN nodes x ON x.conv_id = n1.conv_id "
+    "  AND x.node <> n1.node "
+    " UNION "
+    " SELECT rx.conv_id, rx.excl, rx.src, e.o FROM rx JOIN e "
+    "  ON e.conv_id = rx.conv_id AND e.s = rx.node "
+    "  WHERE e.o <> rx.excl AND e.s <> rx.excl), "
+    "xb AS (SELECT conv_id, excl, src, MIN(node) AS lbl FROM rx "
+    " GROUP BY 1, 2, 3), "
+    "xc AS (SELECT conv_id, excl, COUNT(DISTINCT lbl) AS c1 FROM xb "
+    " GROUP BY 1, 2) "
+    "SELECT xc.conv_id, excl AS entity FROM xc JOIN bc "
+    " ON bc.conv_id = xc.conv_id WHERE xc.c1 > bc.c0",
+)
+def kg_articulation(spark, sf):
+    """Articulation-point (cut-vertex) detection per conversation over
+    the strong backbone — the node-level complement of ``kg_bridges``:
+    entities whose removal disconnects their conversation's graph, i.e.
+    the single entities the KG's connectivity depends on (a bridge's
+    endpoints are usually articulation points, but a cut vertex needs
+    no bridge — two triangles sharing one vertex have a cut vertex and
+    zero bridges, which the handcrafted pytest case pins). Same
+    class-(b) kernel pattern: ONE Tarjan low-link pass per conversation
+    inside a grouped-map ``applyInPandas`` task (the SHARED
+    ``_tarjan_cuts`` pass also emits kg_bridges' edges), distributed by
+    conversation; all-integer output.
+
+    The oracle is the definitional component-count-increase test —
+    min-label closure over a per-candidate-removal reachability
+    recursion, with the baseline count read from the SHARED
+    ``_ALLPAIRS_SQL`` table — a genuinely different formulation, so
+    agreement is an algorithmic cross-check; pytest additionally pins a
+    remove-node BFS twin, handcrafted graphs, and a determinism re-run.
+
+    Scale shape: ONE conv_id exchange over the dimension-scale strong
+    edge set; O(V + E) per conversation."""
+    strong = _strong_canon_edges(_triples_table(spark, sf)).select(
+        "conv_id", "a", "b"
+    )
+
+    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf["conv_id"].iloc[0]
+        adj: dict = {}
+        for a, b in zip(pdf["a"], pdf["b"]):
+            if a == b:
+                adj.setdefault(a, set())
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        nodes = sorted(adj)
+        adj = {v: sorted(adj[v]) for v in nodes}
+        arts = _tarjan_cuts(nodes, adj)[1]
+        return pd.DataFrame(
+            {"conv_id": [conv] * len(arts), "entity": arts}
+        )
+
+    return strong.groupBy("conv_id").applyInPandas(
+        per_conv, "conv_id string, entity string"
+    )
 
 
 @register(

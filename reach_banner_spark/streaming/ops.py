@@ -2301,3 +2301,18 @@ def stream_changepoint(spark, sf):
     return changepoint_rollup(
         _stream_daily_counts(spark, sf, "stream_changepoint")
     ).localCheckpoint()
+
+
+@register("stream_autocorr", None)  # pytest: == batch events_autocorr
+def stream_autocorr(spark, sf):
+    """INGEST-TIME serial-dependence tracking — the streaming twin of
+    ``events_autocorr``, riding the SAME shared ``_stream_daily_counts``
+    sum-mergeable state as stream_anomaly/forecast/changepoint; the
+    SHARED ``autocorr_rollup`` re-derives the lag-1 ACF from the final
+    merged daily table, so streaming == batch is a theorem about SUM
+    for any micro-batch split. State is O(event-types x days)."""
+    from ..plans.events_analytics import autocorr_rollup
+
+    return autocorr_rollup(
+        _stream_daily_counts(spark, sf, "stream_autocorr")
+    ).localCheckpoint()

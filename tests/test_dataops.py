@@ -711,3 +711,42 @@ def test_emb_pca_matches_pandas_twin(spark):
         .reset_index(drop=True)
     )
     assert got.equals(again)
+
+
+def test_emb_quantize_int8_twin_and_error_bound(spark):
+    """int8 quantization == a numpy float64 twin bit-for-bit (same
+    cast->divide->multiply->round sequence, half-away-from-zero), codes
+    stay in [-127, 127], and dequantization error per dim is bounded by
+    scale/254 (half a quantization step)."""
+    import numpy as np
+
+    from reach_banner_spark.operators.similarity import REGISTRY
+
+    SF = "/root/testdata/sf0.001"
+    got = (
+        REGISTRY["emb_quantize_int8"][0](spark, SF)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(emb) > 0
+    for row, e in zip(got.itertuples(), emb.itertuples()):
+        x = np.asarray(e.embedding, dtype=np.float64)
+        scale = np.abs(x).max()
+        codes = np.array([int(c) for c in row.codes.split(",")])
+        assert (np.abs(codes) <= 127).all()
+        if scale == 0.0:
+            assert (codes == 0).all()
+            continue
+        # identical op sequence: divide, multiply, round half-away
+        q = x / scale * 127.0
+        twin = np.sign(q) * np.floor(np.abs(q) + 0.5)
+        assert (codes == twin.astype(np.int64)).all(), row.vec_id
+        deq = codes.astype(np.float64) / 127.0 * scale
+        assert np.abs(deq - x).max() <= scale / 254.0 * (1 + 1e-12)

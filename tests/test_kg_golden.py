@@ -471,3 +471,84 @@ def test_kg_closeness_consistent_with_diameter(spark):
             Decimal("0.000001"), rounding=ROUND_HALF_UP
         )
         assert r.closeness == f"{want:.6f}", r
+
+
+def test_tarjan_articulation_unit():
+    """Handcrafted graphs: two triangles joined by an edge (both its
+    endpoints), two triangles SHARING a vertex (that vertex — a cut
+    vertex with zero bridges), a path (interior node), a cycle (none)."""
+    from reach_banner_spark.plans.kg_queries import _tarjan_cuts
+
+    def build(edges):
+        adj = {}
+        for x, y in edges:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        nodes = sorted(adj)
+        return nodes, {v: sorted(adj[v]) for v in nodes}
+
+    two_tri = [("a", "b"), ("b", "c"), ("a", "c"),
+               ("c", "d"), ("d", "e"), ("e", "f"), ("d", "f")]
+    br, ar = _tarjan_cuts(*build(two_tri))
+    assert br == [("c", "d")] and ar == ["c", "d"]
+    shared_v = [("a", "b"), ("b", "c"), ("a", "c"),
+                ("c", "d"), ("d", "e"), ("e", "c")]
+    br, ar = _tarjan_cuts(*build(shared_v))
+    assert br == [] and ar == ["c"]
+    br, ar = _tarjan_cuts(*build([("a", "b"), ("b", "c")]))
+    assert sorted(br) == [("a", "b"), ("b", "c")] and ar == ["b"]
+    br, ar = _tarjan_cuts(*build([("a", "b"), ("b", "c"), ("c", "a")]))
+    assert br == [] and ar == []
+
+
+def test_kg_articulation_matches_removal_twin(spark):
+    """Tarjan kernel == the DEFINITIONAL remove-node component-count
+    twin (components via BFS before and after deleting each node; the
+    DuckDB oracle is a third, min-label recursive-CTE formulation),
+    plus an exact determinism re-run."""
+    from collections import deque
+
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _strong_canon_edges,
+        _triples_table,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = REGISTRY["kg_articulation"][0](spark, SF).toPandas()
+    strong = _strong_canon_edges(_triples_table(spark, SF)).toPandas()
+
+    def n_comps(nodes, adj, excl=None):
+        seen, c = set(), 0
+        for s in nodes:
+            if s == excl or s in seen:
+                continue
+            c += 1
+            q = deque([s])
+            seen.add(s)
+            while q:
+                v = q.popleft()
+                for w in adj.get(v, ()):
+                    if w != excl and w not in seen:
+                        seen.add(w)
+                        q.append(w)
+        return c
+
+    want = set()
+    for conv, grp in strong.groupby("conv_id"):
+        adj: dict = {}
+        nodes = set()
+        for a, b in zip(grp.a, grp.b):
+            nodes.update((a, b))
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        base = n_comps(sorted(nodes), adj)
+        for v in sorted(nodes):
+            if n_comps(sorted(nodes), adj, excl=v) > base:
+                want.add((conv, v))
+    gset = set(map(tuple, got[["conv_id", "entity"]].values.tolist()))
+    assert gset == want
+    assert len(want) > 0
+    again = REGISTRY["kg_articulation"][0](spark, SF).toPandas()
+    assert set(map(tuple, again.values.tolist())) == gset

@@ -1069,3 +1069,34 @@ def test_stream_changepoint_equals_batch(spark):
         .reset_index(drop=True)
     )
     assert again.equals(got)
+
+
+def test_stream_autocorr_equals_batch(spark):
+    """stream_autocorr's final ACF table == the one-shot events_autocorr
+    (shared sum-mergeable daily-count state). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = (
+        ops.REGISTRY["stream_autocorr"][0](spark, SF)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["events_autocorr"][0](spark, SF)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+    again = (
+        ops.REGISTRY["stream_autocorr"][0](spark, SF)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)
