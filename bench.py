@@ -250,6 +250,8 @@ HEADLINE = [
     "kg_bridges",
     "kg_articulation",
     "emb_quantize_int8",
+    "index_inverted",
+    "events_srm",
 ]
 
 

@@ -2006,3 +2006,96 @@ def retrieval_rrf(spark, sf):
             ),
         )
     )
+
+
+# ------------------------------------------------------ inverted index ----
+
+INDEX_HEAD_K = 20    # posting-head length (smallest-doc_id prefix)
+INDEX_TOP_TERMS = 200  # reported dictionary head, (df DESC, term) order
+
+
+@register(
+    "index_inverted",
+    # Inverted-index dictionary head: per term its document frequency,
+    # collection frequency, and the first INDEX_HEAD_K postings (doc_ids
+    # ascending) — all exact integers and a deterministic (df DESC,
+    # term) top-INDEX_TOP_TERMS cut.
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    " FROM documents), "
+    "g AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df, "
+    " CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY term), "
+    "d AS (SELECT DISTINCT term, doc_id FROM tok), "
+    "r AS (SELECT term, doc_id, ROW_NUMBER() OVER (PARTITION BY term "
+    " ORDER BY doc_id) AS rn FROM d), "
+    f"h AS (SELECT term, array_to_string(list_sort(list(doc_id)), ',') "
+    f" AS postings_head FROM r WHERE rn <= {INDEX_HEAD_K} GROUP BY term) "
+    "SELECT g.term, df, cf, postings_head FROM g JOIN h ON h.term = g.term "
+    f"ORDER BY df DESC, g.term LIMIT {INDEX_TOP_TERMS}",
+)
+def index_inverted(spark, sf):
+    """Inverted-index construction — the retrieval-infrastructure
+    operator under ``tfidf_topk``/``bm25_topk`` (both consume df; this
+    key builds the dictionary itself): per term, document frequency,
+    collection frequency, and the posting-list HEAD (the
+    ``INDEX_HEAD_K`` smallest doc_ids, comma-joined) for the
+    ``INDEX_TOP_TERMS`` highest-df terms. Emitting a bounded head
+    instead of full posting lists is the deliberate 100 TB shape: a
+    stop-word's full posting list is corpus-sized and a real index
+    shards it by (term, doc-range) — the head is what a dictionary
+    page stores, while df/cf stay exact over ALL postings.
+
+    Scale shape: ONE fact-scale shuffle to the (term, doc_id) grain
+    (map-side combine collapses within-doc repeats first); df/cf and
+    the head both derive from that grain — df as a row count, never a
+    second fact pass; the head's per-term window rides the same term
+    keying (skewed stop-word partitions spill, they never collect
+    unboundedly — the rn <= K cut bounds what reaches collect_list).
+    Final cut is TakeOrderedAndProject, no global sort. Counts are
+    exact BIGINTs; the only strings are the term and the joined head,
+    so the whole row is oracle-exact."""
+    return index_rollup(term_doc_counts(_docs(spark, sf)))
+
+
+def term_doc_counts(d: DataFrame) -> DataFrame:
+    """(term, doc_id, n) occurrence grain — the fact-scale half of
+    ``index_inverted``, shared with the streaming twin: each document
+    lands in exactly one micro-batch and per-(term, doc) counts are
+    sum-mergeable, so the merged state equals the batch grain for any
+    split."""
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    return tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def index_rollup(g: DataFrame) -> DataFrame:
+    """Fold the (term, doc_id, n) grain into the dictionary head —
+    shared by ``index_inverted`` and ``stream_index`` so the df/cf/
+    head/top-cut semantics live ONCE."""
+    from pyspark.sql.window import Window
+
+    stats = g.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("n").cast("long").alias("cf"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    head = (
+        g.select("term", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= INDEX_HEAD_K)
+        .groupBy("term")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(doc_id)), "
+                "x -> CAST(x AS STRING)), ',')"
+            ).alias("postings_head")
+        )
+    )
+    return (
+        stats.join(head, "term")
+        .orderBy(F.col("df").desc(), "term")
+        .limit(INDEX_TOP_TERMS)
+        .select("term", "df", "cf", "postings_head")
+    )

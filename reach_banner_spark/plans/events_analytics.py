@@ -2143,3 +2143,72 @@ def autocorr_rollup(d: DataFrame) -> DataFrame:
             F.col("num").cast("double") / F.col("den").cast("double")
         ).alias("r1"),
     )
+
+
+# ---------------------------------------------------------------- srm ----
+
+@register(
+    "events_srm",
+    # Sample-ratio-mismatch chi-square for the 50/50 hash split, per
+    # event type: with two cells and expected t/2 each, the statistic
+    # collapses to (na-nb)^2/t — ONE division of exact BIGINTs; the
+    # 95% flag (chi2 > 3.841) is a pure integer cross-multiplication,
+    # so no float ever decides it (3.841 is not dyadic).
+    "WITH u AS (SELECT DISTINCT event_type, user_id, user_id % 2 "
+    " AS variant FROM events), "
+    "g AS (SELECT event_type, "
+    " CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, "
+    " CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb "
+    " FROM u GROUP BY event_type) "
+    "SELECT event_type, na, nb, "
+    "printf('%.6f', ROUND(CAST((na - nb) * (na - nb) AS DOUBLE) "
+    " / CAST(na + nb AS DOUBLE), 6)) AS chi2, "
+    "(na - nb) * (na - nb) * 1000 > 3841 * (na + nb) AS srm "
+    "FROM g",
+)
+def events_srm(spark, sf):
+    """Sample-ratio-mismatch guard — the validity check every
+    experimentation platform runs BEFORE reading ``events_ab_test``'s
+    z-test: if the 50/50 hash split's observed assignment counts differ
+    more than chance allows (chi-square, 1 df), the experiment is
+    corrupted and its effect estimate is meaningless. Uses the SAME
+    user_id % 2 variant hash as events_ab_test, audited per event type
+    (exposure counted once per distinct (type, user)).
+
+    Float discipline: with two cells the chi-square collapses
+    algebraically to (na-nb)^2/(na+nb) — numerator and denominator are
+    exact BIGINTs, the reported chi2 is ONE correctly-rounded IEEE
+    division under ROUND-then-%.6f, and the 95% significance flag
+    avoids the non-dyadic 3.841 literal entirely via integer
+    cross-multiplication ((na-nb)^2 * 1000 > 3841 * t).
+
+    Scale shape: one distinct-reduce to the (type, user) exposure grain
+    (user-keyed exchange, the module's co-partitioning), then a
+    dimension-sized per-type rollup."""
+    u = (
+        _events(spark, sf)
+        .select(
+            "event_type",
+            "user_id",
+            (F.col("user_id") % 2).alias("variant"),
+        )
+        .distinct()
+    )
+    g = u.groupBy("event_type").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    diff2 = (F.col("na") - F.col("nb")) * (F.col("na") - F.col("nb"))
+    return g.select(
+        "event_type",
+        "na",
+        "nb",
+        _FMT6(
+            diff2.cast("double") / (F.col("na") + F.col("nb")).cast("double")
+        ).alias("chi2"),
+        (diff2 * 1000 > 3841 * (F.col("na") + F.col("nb"))).alias("srm"),
+    )

@@ -2316,3 +2316,60 @@ def stream_autocorr(spark, sf):
     return autocorr_rollup(
         _stream_daily_counts(spark, sf, "stream_autocorr")
     ).localCheckpoint()
+
+
+@register("stream_index", None)  # pytest: == batch index_rollup on staged docs
+def stream_index(spark, sf):
+    """INGEST-TIME inverted-index maintenance — the streaming twin of
+    ``index_inverted``: as documents arrive, each micro-batch reduces
+    its own docs to the SHARED ``term_doc_counts`` (term, doc_id, n)
+    grain and sum-merges into the carried state (each document lands in
+    exactly one batch, so the merge is disjoint — but SUM-merging keys
+    on (term, doc_id) keeps it correct under ANY split); the final
+    dictionary head is the SHARED ``index_rollup`` over the last state,
+    so streaming == batch is a theorem about SUM. This is how a real
+    ingest pipeline keeps df/cf and dictionary pages current without
+    re-tokenizing history.
+
+    State is O(distinct (term, doc) pairs over the staged corpus) —
+    the posting-grain table a production index keeps partitioned by
+    term; parquet-swapped per batch (the _stream_daily_counts
+    discipline)."""
+    import shutil
+
+    from ..operators.textstats import index_rollup, term_doc_counts
+
+    d = _staged_doc_stream_dir(sf)
+    work = _op_work_dir("stream_index", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = term_doc_counts(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("term", "doc_id")
+            .agg(F.sum("n").alias("n"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    doc_stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return index_rollup(spark.read.parquet(state["path"])).localCheckpoint()

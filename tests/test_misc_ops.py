@@ -1033,3 +1033,73 @@ def test_events_autocorr_matches_python(spark):
         assert row.n_days == n
         assert row.r1 == f"{want:.6f}", (et, row.r1, want)
     assert seen == set(got.index)
+
+
+def test_events_srm_exact_reconciliation(spark):
+    """SRM counts re-derive from the raw events (distinct (type, user)
+    exposures split by user_id % 2), the chi2 string re-derives from
+    the exact integers (Decimal HALF_UP), and the flag equals the pure
+    integer cross-multiplication — never the float."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = (
+        REGISTRY["events_srm"][0](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ex = ev[["event_type", "user_id"]].drop_duplicates()
+    assert len(got) > 0
+    for et, grp in ex.groupby("event_type"):
+        na = int((grp.user_id % 2 == 0).sum())
+        nb = int((grp.user_id % 2 == 1).sum())
+        row = got.loc[et]
+        assert row.na == na and row.nb == nb
+        chi2 = float((na - nb) * (na - nb)) / float(na + nb)
+        want = Decimal(repr(chi2)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert row.chi2 == f"{want:.6f}"
+        assert row.srm == ((na - nb) ** 2 * 1000 > 3841 * (na + nb))
+
+
+def test_index_inverted_reconciles(spark):
+    """The dictionary head reconciles against pandas token counts: df ==
+    distinct docs containing the term, cf == total occurrences, the
+    posting head is the first min(df, 20) doc_ids ascending, and the cut
+    keeps the (df DESC, term) top slice."""
+    from reach_banner_spark.operators.textstats import (
+        INDEX_HEAD_K,
+        REGISTRY,
+    )
+
+    got = (
+        REGISTRY["index_inverted"][0](spark, SF)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    from collections import Counter, defaultdict
+
+    postings = defaultdict(set)
+    cf = Counter()
+    for d_id, text in zip(docs.doc_id, docs.text):
+        words = text.split(" ")
+        cf.update(words)
+        for wrd in set(words):
+            postings[wrd].add(d_id)
+    assert len(got) > 0
+    for r in got.itertuples():
+        ids = sorted(postings[r.term])
+        assert r.df == len(ids) and r.cf == cf[r.term]
+        assert r.postings_head == ",".join(
+            str(x) for x in ids[:INDEX_HEAD_K]
+        )
+    # the cut is the top slice under (df DESC, term)
+    order = sorted(
+        ((len(v), k) for k, v in postings.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[: len(got)]
+    assert list(got.term) == [k for _, k in order]

@@ -1100,3 +1100,39 @@ def test_stream_autocorr_equals_batch(spark):
         .reset_index(drop=True)
     )
     assert again.equals(got)
+
+
+def test_stream_index_equals_batch(spark):
+    """Ingest-time inverted-index maintenance over 3 micro-batches ==
+    the shared index_rollup over the batch (term, doc_id, n) grain on
+    the same staged 300-doc corpus (counts sum-merge exactly). Re-run
+    identical."""
+    from reach_banner_spark.operators.textstats import (
+        index_rollup,
+        term_doc_counts,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = (
+        ops.REGISTRY["stream_index"][0](spark, SF)
+        .toPandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    staged = ops._staged_doc_stream_dir(SF)
+    docs = spark.read.parquet(staged)
+    want = (
+        index_rollup(term_doc_counts(docs))
+        .toPandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+    again = (
+        ops.REGISTRY["stream_index"][0](spark, SF)
+        .toPandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)
