@@ -419,3 +419,27 @@ def test_sql_pipe_syntax_plan_matches_ansi(spark):
     assert "l_shipdate" in plan.split("PushedFilters")[1][:250], plan[:600]
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_emb_quantize_int8_zero_exchange(spark):
+    """int8 quantization must stay a pure projection: zero Exchanges,
+    no Python in the plan — at scale it runs at parquet-scan speed."""
+    from reach_banner_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["emb_quantize_int8"](spark, SF))
+    assert "Exchange" not in plan, plan[:600]
+    assert "BatchEvalPython" not in plan
+
+
+def test_index_inverted_single_fact_pass(spark):
+    """The checkpointed (term, doc_id, n) grain must feed BOTH rollup
+    branches: no parquet re-scan survives into the physical plan (the
+    grain shuffle happened once, at checkpoint time), at most 3
+    exchanges remain (two term-keyed + one broadcast), and the final
+    cut is TakeOrderedAndProject — never a global sort."""
+    from reach_banner_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["index_inverted"](spark, SF))
+    assert "Scan parquet" not in plan, plan[:600]
+    assert plan.count("Exchange") <= 3, plan[:800]
+    assert "TakeOrderedAndProject" in plan
