@@ -252,6 +252,8 @@ HEADLINE = [
     "emb_quantize_int8",
     "index_inverted",
     "events_srm",
+    "kg_components",
+    "lm_freq_of_freqs",
 ]
 
 

@@ -2106,3 +2106,66 @@ def index_rollup(g: DataFrame) -> DataFrame:
         .limit(INDEX_TOP_TERMS)
         .select("term", "df", "cf", "postings_head")
     )
+
+
+@register(
+    "lm_freq_of_freqs",
+    # Good-Turing frequency-of-frequencies: N_r = how many distinct
+    # terms occur exactly r times, plus the adjusted count
+    # r* = (r+1) * N_{r+1} / N_r where the successor bucket exists
+    # (empty string where it doesn't — identical sentinel on both
+    # engines). All integers exact; r* is ONE division under
+    # ROUND-then-%.6f.
+    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term "
+    " FROM documents), "
+    "c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS r FROM tok "
+    " GROUP BY term), "
+    "f AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM c GROUP BY r) "
+    "SELECT f.r, f.n_r, "
+    "CASE WHEN g.n_r IS NULL THEN '' ELSE "
+    " printf('%.6f', ROUND(CAST((f.r + 1) * g.n_r AS DOUBLE) "
+    "  / CAST(f.n_r AS DOUBLE), 6)) END AS r_star "
+    "FROM f LEFT JOIN f g ON g.r = f.r + 1",
+)
+def lm_freq_of_freqs(spark, sf):
+    """Frequency-of-frequencies table — the Good-Turing smoothing input
+    every count-based LM pipeline derives right after ``lm_bigram``'s
+    raw counts: N_r = number of distinct terms with frequency exactly
+    r, and the Good-Turing adjusted count r* = (r+1)·N_{r+1}/N_r (the
+    expected true frequency of an r-count term; N_1/N estimates the
+    unseen mass). Sparse high-r buckets have no successor and emit an
+    empty-string r* — the same sentinel on both engines, never a NULL
+    vs NaN mismatch.
+
+    Float discipline: counts and bucket sizes are exact BIGINTs; r* is
+    ONE correctly-rounded IEEE division under the shared ROUND/%.6f
+    contract.
+
+    Scale shape: explode to tokens, ONE term-keyed partial+final count
+    (Zipf: distinct terms are sublinear in tokens), then a second
+    aggregation over the VOCABULARY-sized count table into the
+    r-domain (tens of rows) and a broadcast self-join on r+1 — nothing
+    beyond the first aggregation ever touches facts."""
+    tok = _docs(spark, sf).select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    c = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    f = c.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    g = f.select(F.col("r").alias("r_next"), F.col("n_r").alias("n_next"))
+    return (
+        f.join(F.broadcast(g), F.col("r_next") == F.col("r") + 1, "left")
+        .select(
+            "r",
+            "n_r",
+            F.when(F.col("n_next").isNull(), F.lit("")).otherwise(
+                F.format_string(
+                    "%.6f",
+                    F.round(
+                        ((F.col("r") + 1) * F.col("n_next")).cast("double")
+                        / F.col("n_r").cast("double"),
+                        6,
+                    ),
+                )
+            ).alias("r_star"),
+        )
+    )

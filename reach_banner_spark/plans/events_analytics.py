@@ -2185,16 +2185,23 @@ def events_srm(spark, sf):
     Scale shape: one distinct-reduce to the (type, user) exposure grain
     (user-keyed exchange, the module's co-partitioning), then a
     dimension-sized per-type rollup."""
-    u = (
-        _events(spark, sf)
-        .select(
-            "event_type",
-            "user_id",
-            (F.col("user_id") % 2).alias("variant"),
-        )
-        .distinct()
-    )
-    g = u.groupBy("event_type").agg(
+    return srm_rollup(exposure_grain(_events(spark, sf)))
+
+
+def exposure_grain(df: DataFrame) -> DataFrame:
+    """Deduped (event_type, user_id) exposure grain — set-union
+    mergeable (the stream_dau discipline), which is what makes
+    ``stream_srm`` == batch a theorem."""
+    return df.select("event_type", "user_id").distinct()
+
+
+def srm_rollup(u: DataFrame) -> DataFrame:
+    """Fold the exposure grain into the per-type SRM table — the ONE
+    SHARED definition for the batch key and its streaming twin (the
+    chi2/flag contract lives here)."""
+    g = u.withColumn("variant", F.col("user_id") % 2).groupBy(
+        "event_type"
+    ).agg(
         F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
         .cast("long")
         .alias("na"),

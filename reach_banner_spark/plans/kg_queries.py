@@ -3527,3 +3527,49 @@ def betweenness_pairs_py(edges: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {"conv_id": out_conv, "node": out_node, "betweenness": out_bc}
     )
+
+
+@register(
+    "kg_components",
+    # Component labels fall out of the SAME all-pairs table the
+    # diameter/closeness family shares: the label is MIN(reachable
+    # node) — the min-label closure connected_components computes
+    # iteratively, here read off sp for free; comp_size is a window
+    # over the dimension-sized label table. Exact strings/integers
+    # only.
+    _ALLPAIRS_SQL +
+    ", lab AS (SELECT conv_id, src, MIN(node) AS lbl FROM sp "
+    " GROUP BY 1, 2) "
+    "SELECT conv_id, src AS entity, lbl AS comp_label, "
+    "CAST(COUNT(*) OVER (PARTITION BY conv_id, lbl) AS BIGINT) "
+    " AS comp_size FROM lab",
+)
+def kg_components(spark, sf):
+    """Connected-component labels per entity over the strong backbone —
+    which entities share a knowledge island (the structure
+    ``kg_articulation`` guards and ``kg_diameter`` measures within):
+    label = the minimum entity reachable from each node (the canonical
+    min-label convention ``connected_components`` uses for dedup
+    clusters), plus the component size. Falls out of the SHARED
+    ``_strong_allpairs_dist`` table as a per-(conv, src) MIN — the
+    all-pairs BFS already did the work, so the marginal cost is one
+    dimension-sized aggregate and a window over the label table.
+    Labels are exact under the family's ``_REACH_MAX_HOPS`` bound
+    whenever component diameters stay within it (they do here —
+    kg_diameter measures the max), and BOTH engines share the bound so
+    the oracle equality is unconditional.
+
+    Scale shape: identical to kg_closeness — conv_id-first shuffles
+    bounded by conversations × entity domain²; the label window runs
+    over the entity-domain-sized table."""
+    dist = _strong_allpairs_dist(spark, sf)
+    lab = dist.groupBy("conv_id", "src").agg(
+        F.min("node").alias("comp_label")
+    )
+    w = Window.partitionBy("conv_id", "comp_label")
+    return lab.select(
+        "conv_id",
+        F.col("src").alias("entity"),
+        "comp_label",
+        F.count(F.lit(1)).over(w).cast("long").alias("comp_size"),
+    )

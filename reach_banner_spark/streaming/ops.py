@@ -2373,3 +2373,51 @@ def stream_index(spark, sf):
     q.awaitTermination()
     assert state["path"] is not None, "stream produced no batches"
     return index_rollup(spark.read.parquet(state["path"])).localCheckpoint()
+
+
+@register("stream_srm", None)  # pytest: == batch events_srm
+def stream_srm(spark, sf):
+    """INGEST-TIME sample-ratio-mismatch guard — the streaming twin of
+    ``events_srm``: the carried state is the deduped (event_type,
+    user_id) exposure grain (set-union mergeable — the stream_dau
+    discipline), and the SHARED ``srm_rollup`` re-derives the chi-square
+    table from the final state, so streaming == batch is a theorem
+    about set union for any micro-batch split. This is the monitor an
+    experimentation platform keeps hot during a rollout: SRM fires
+    within one micro-batch of assignment corruption.
+
+    State is O(event-types × users); each batch's merge is one
+    distinct over (type, user)."""
+    import shutil
+
+    from ..plans.events_analytics import exposure_grain, srm_rollup
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_srm", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = exposure_grain(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"]).unionByName(cur).distinct()
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return srm_rollup(spark.read.parquet(state["path"])).localCheckpoint()

@@ -552,3 +552,27 @@ def test_kg_articulation_matches_removal_twin(spark):
     assert len(want) > 0
     again = REGISTRY["kg_articulation"][0](spark, SF).toPandas()
     assert set(map(tuple, again.values.tolist())) == gset
+
+
+def test_kg_components_consistent_with_closeness(spark):
+    """Cross-key invariant over the shared all-pairs table: an entity's
+    reachable count equals its component size minus one (BFS complete
+    within the hop bound), entities absent from kg_closeness
+    (self-loop-only) are singleton components, and component labels are
+    the component's own minimum entity."""
+    from reach_banner_spark.plans.kg_queries import REGISTRY
+
+    SF = "/root/testdata/sf0.001"
+    comp = REGISTRY["kg_components"][0](spark, SF).toPandas()
+    clo = REGISTRY["kg_closeness"][0](spark, SF).toPandas()
+    assert len(comp) > 0
+    merged = comp.merge(clo, on=["conv_id", "entity"], how="left")
+    present = merged[~merged.n_reach.isna()]
+    assert len(present) > 0
+    assert (present.n_reach == present.comp_size - 1).all()
+    absent = merged[merged.n_reach.isna()]
+    assert (absent.comp_size == 1).all()
+    # label is the component's minimum member
+    mins = comp.groupby(["conv_id", "comp_label"]).entity.min()
+    for (conv, lbl), m in mins.items():
+        assert lbl == m, (conv, lbl, m)

@@ -1103,3 +1103,41 @@ def test_index_inverted_reconciles(spark):
         key=lambda t: (-t[0], t[1]),
     )[: len(got)]
     assert list(got.term) == [k for _, k in order]
+
+
+def test_lm_freq_of_freqs_reconciles(spark):
+    """N_r re-derives from a pandas Counter, the Good-Turing mass
+    identities hold (sum r*N_r == total tokens, sum N_r == vocabulary
+    size), and r_star follows the Decimal-HALF_UP %.6f contract with
+    the empty-string sentinel exactly where no successor bucket
+    exists."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.operators.textstats import REGISTRY
+
+    got = (
+        REGISTRY["lm_freq_of_freqs"][0](spark, SF)
+        .toPandas()
+        .sort_values("r")
+        .reset_index(drop=True)
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    cf = Counter()
+    for text in docs.text:
+        cf.update(text.split(" "))
+    nr = Counter(cf.values())
+    assert len(got) == len(nr) > 0
+    assert got.r.mul(got.n_r).sum() == sum(cf.values())
+    assert got.n_r.sum() == len(cf)
+    for row in got.itertuples():
+        assert row.n_r == nr[row.r]
+        nxt = nr.get(row.r + 1)
+        if nxt is None:
+            assert row.r_star == ""
+        else:
+            val = float((row.r + 1) * nxt) / float(row.n_r)
+            want = Decimal(repr(val)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            assert row.r_star == f"{want:.6f}", row

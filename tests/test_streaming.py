@@ -1136,3 +1136,35 @@ def test_stream_index_equals_batch(spark):
         .reset_index(drop=True)
     )
     assert again.equals(got)
+
+
+def test_stream_srm_equals_batch(spark):
+    """stream_srm's final chi-square table == the one-shot events_srm
+    (carried state is the set-union-mergeable exposure grain). Re-run
+    identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = (
+        ops.REGISTRY["stream_srm"][0](spark, SF)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["events_srm"][0](spark, SF)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+    again = (
+        ops.REGISTRY["stream_srm"][0](spark, SF)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)
