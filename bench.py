@@ -254,6 +254,9 @@ HEADLINE = [
     "events_srm",
     "kg_components",
     "lm_freq_of_freqs",
+    "events_cuped",
+    "chunk_overlap",
+    "kg_mst",
 ]
 
 

@@ -2169,3 +2169,63 @@ def lm_freq_of_freqs(spark, sf):
             ).alias("r_star"),
         )
     )
+
+
+_OV_WINDOW = 64  # sliding-window chunk width (tokens)
+_OV_STRIDE = 32  # stride (50% overlap)
+
+
+@register(
+    "chunk_overlap",
+    # Sliding-window chunking with stride: starts at 0, S, 2S, ...;
+    # n_starts = 1 + ceil((n - W)/S) for n > W else 1, all INTEGER
+    # arithmetic ((n - W + S - 1) // S — no float ceil), so both
+    # engines enumerate identical windows.
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "s AS (SELECT doc_id, w, LEN(w) AS n, "
+    f" unnest(generate_series(0, CASE WHEN LEN(w) <= {_OV_WINDOW} THEN 0 "
+    f"  ELSE CAST((LEN(w) - {_OV_WINDOW} + {_OV_STRIDE} - 1) "
+    f"   // {_OV_STRIDE} AS INT) END)) AS ci FROM d) "
+    f"SELECT doc_id, CAST(ci AS INT) AS chunk_idx, "
+    f"CAST(ci * {_OV_STRIDE} AS INT) AS start_tok, "
+    f"CAST(LEN(list_slice(w, ci * {_OV_STRIDE} + 1, "
+    f" ci * {_OV_STRIDE} + {_OV_WINDOW})) AS INT) AS n_tokens, "
+    f"array_to_string(list_slice(w, ci * {_OV_STRIDE} + 1, "
+    f" ci * {_OV_STRIDE} + {_OV_WINDOW}), ' ') AS chunk "
+    "FROM s",
+)
+def chunk_overlap(spark, sf):
+    """Overlapping sliding-window chunking — the RAG-retrieval
+    complement of ``chunk_tokens``' disjoint splitter: windows of
+    ``_OV_WINDOW`` tokens every ``_OV_STRIDE`` tokens (50% overlap), so
+    no answer span is ever cut without also appearing whole in a
+    neighboring chunk — the standard trade of index size for recall in
+    retrieval pipelines. (doc_id, chunk_idx, start_tok) trace each
+    chunk to its source offsets for span attribution. Window
+    enumeration is pure integer arithmetic (no float ceil), identical
+    on both engines; the last window is the document tail, short like
+    chunk_tokens' final piece.
+
+    Scale shape: per-row array algebra only (split once, sequence +
+    slice over the same array, one explode) — zero shuffles; output
+    is ~2x the corpus in tokens, the documented overlap cost."""
+    d = _docs(spark, sf).select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).withColumn("n", F.size("w"))
+    n_extra = F.expr(
+        f"CASE WHEN n <= {_OV_WINDOW} THEN 0 "
+        f"ELSE (n - {_OV_WINDOW} + {_OV_STRIDE} - 1) div {_OV_STRIDE} END"
+    )
+    s = d.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), n_extra.cast("int"))).alias("ci"),
+    )
+    chunk_arr = F.expr(f"slice(w, ci * {_OV_STRIDE} + 1, {_OV_WINDOW})")
+    return s.select(
+        "doc_id",
+        F.col("ci").cast("int").alias("chunk_idx"),
+        (F.col("ci") * _OV_STRIDE).cast("int").alias("start_tok"),
+        F.size(chunk_arr).cast("int").alias("n_tokens"),
+        F.array_join(chunk_arr, " ").alias("chunk"),
+    )

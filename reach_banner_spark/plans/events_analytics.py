@@ -2219,3 +2219,137 @@ def srm_rollup(u: DataFrame) -> DataFrame:
         ).alias("chi2"),
         (diff2 * 1000 > 3841 * (F.col("na") + F.col("nb"))).alias("srm"),
     )
+
+
+# -------------------------------------------------------------- cuped ----
+
+@register(
+    "events_cuped",
+    # CUPED variance-reduced A/B effect: theta = cov(x,y)/var(x) from
+    # EXACT pooled moments (n*sxy - sx*sy over n*sxx - sx^2, both
+    # BIGINTs), pre-period covariate x and post-period metric y exact
+    # per-user counts; raw and adjusted differences are FIXED IEEE op
+    # chains (per-variant mean divisions, one theta multiply, one
+    # subtract) spelled identically on both engines — the global-mean
+    # terms cancel in the difference so no extra float enters.
+    "WITH u AS (SELECT user_id, user_id % 2 AS variant, "
+    " CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) "
+    "  AS BIGINT) AS x, "
+    " CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' "
+    "  AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y "
+    " FROM events GROUP BY 1), "
+    "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    " CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+    " CAST(SUM(x * y) AS BIGINT) AS sxy, "
+    " CAST(SUM(x * x) AS BIGINT) AS sxx FROM u), "
+    "g AS (SELECT "
+    " CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, "
+    " CAST(SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sya, "
+    " CAST(SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa, "
+    " CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb, "
+    " CAST(SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS syb, "
+    " CAST(SUM(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb "
+    " FROM u) "
+    "SELECT na, nb, "
+    "printf('%.6f', ROUND(CAST(sya AS DOUBLE) / na "
+    " - CAST(syb AS DOUBLE) / nb, 6)) AS raw_diff, "
+    "printf('%.6f', ROUND(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) "
+    " / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE), 6)) AS theta, "
+    "printf('%.6f', ROUND((CAST(sya AS DOUBLE) / na "
+    "  - CAST(syb AS DOUBLE) / nb) "
+    " - (CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) "
+    "    / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)) "
+    "   * (CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb), 6)) "
+    " AS cuped_diff "
+    "FROM g, m WHERE m.n * m.sxx > m.sx * m.sx",
+)
+def events_cuped(spark, sf):
+    """CUPED variance-reduced experiment readout — the third member of
+    the experimentation family (``events_ab_test`` estimates,
+    ``events_srm`` validates, this key tightens): the post-period
+    purchase-rate difference between hash variants, adjusted by each
+    user's PRE-period activity (covariate x = events before the fixed
+    Jan-16 cut; theta = cov(x,y)/var(x)). Pre-period behavior is
+    unaffected by treatment, so subtracting theta*(xbar_a - xbar_b)
+    removes covariate imbalance without biasing the effect — the
+    Deng et al. 2013 estimator every large platform runs.
+
+    Float discipline (composed-op variant): x, y and all five pooled
+    moments are exact BIGINTs; theta is one division of exact
+    integers, the raw and adjusted differences are fixed IEEE chains
+    spelled identically on both engines, and the global-mean terms
+    cancel algebraically in the difference so nothing else enters.
+    Degenerate zero-variance covariates drop the row (exact integer
+    comparison).
+
+    Scale shape: ONE user-keyed fact aggregation to the per-user (x, y)
+    grain (map-side combinable), then two one-row rollups over it and a
+    1x1 join — facts are touched exactly once."""
+    cut = F.lit("2024-01-16").cast("timestamp")
+    u = _events(spark, sf).groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                (F.col("ts") >= cut) & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    ).withColumn("variant", F.col("user_id") % 2)
+    # one fact pass: both one-row rollups read the checkpointed
+    # user-grain table (index_inverted precedent)
+    u = u.localCheckpoint()
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("variant") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sya"),
+        F.sum(F.when(F.col("variant") == 0, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sxa"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        F.sum(F.when(F.col("variant") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("syb"),
+        F.sum(F.when(F.col("variant") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sxb"),
+    )
+    j = g.crossJoin(m).where(
+        F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx")
+    )
+    raw = (
+        F.col("sya").cast("double") / F.col("na")
+        - F.col("syb").cast("double") / F.col("nb")
+    )
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    xdiff = (
+        F.col("sxa").cast("double") / F.col("na")
+        - F.col("sxb").cast("double") / F.col("nb")
+    )
+    return j.select(
+        "na",
+        "nb",
+        _FMT6(raw).alias("raw_diff"),
+        _FMT6(theta).alias("theta"),
+        _FMT6(raw - theta * xdiff).alias("cuped_diff"),
+    )

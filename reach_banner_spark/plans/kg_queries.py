@@ -2591,7 +2591,7 @@ def _strong_canon_edges(t: DataFrame) -> DataFrame:
     return (
         pairs.join(st, "conv_id")
         .where(F.col("n") * F.col("ne") > F.col("tot"))
-        .select("conv_id", "a", "b")
+        .select("conv_id", "a", "b", "n")
         .localCheckpoint()
     )
 
@@ -3572,4 +3572,68 @@ def kg_components(spark, sf):
         F.col("src").alias("entity"),
         "comp_label",
         F.count(F.lit(1)).over(w).cast("long").alias("comp_size"),
+    )
+
+
+@register("kg_mst", None)  # == Prim twin, pytest-pinned
+def kg_mst(spark, sf):
+    """Maximum-support spanning forest per conversation — the minimal
+    edge set that keeps every knowledge island connected through its
+    STRONGEST co-occurrence links: the backbone-of-the-backbone a KG
+    visualizer draws and the skeleton hierarchical clustering cuts.
+    Kruskal's algorithm under the TOTAL edge order (support DESC, a, b)
+    — with all ties broken, the perturbed weights are distinct, so the
+    maximum spanning forest is UNIQUE and any correct algorithm must
+    produce the identical edge set (the pytest Prim twin exploits
+    exactly this: a different algorithm, same unique answer — plus the
+    forest invariant |edges| = |nodes| - |components| against
+    kg_components). Same class-(b) kernel pattern as
+    kg_bridges/kg_betweenness: union-find is sequential per graph, so
+    one grouped-map ``applyInPandas`` task runs one conversation and
+    Spark distributes across conversations.
+
+    Scale shape: ONE conv_id exchange over the dimension-scale
+    weighted strong edge set; O(E log E) per conversation, bounded by
+    the entity domain. All-integer output (support weights are exact
+    co-occurrence counts)."""
+    strong = _strong_canon_edges(_triples_table(spark, sf)).select(
+        "conv_id", "a", "b", "n"
+    )
+
+    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf["conv_id"].iloc[0]
+        edges = sorted(
+            (
+                (int(n), a, b)
+                for a, b, n in zip(pdf["a"], pdf["b"], pdf["n"])
+                if a != b
+            ),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        keep = []
+        for n, a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+                keep.append((a, b, n))
+        keep.sort()
+        return pd.DataFrame(
+            {
+                "conv_id": [conv] * len(keep),
+                "a": [a for a, _, _ in keep],
+                "b": [b for _, b, _ in keep],
+                "w": [n for _, _, n in keep],
+            }
+        )
+
+    return strong.groupBy("conv_id").applyInPandas(
+        per_conv, "conv_id string, a string, b string, w long"
     )

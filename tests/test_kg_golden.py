@@ -576,3 +576,66 @@ def test_kg_components_consistent_with_closeness(spark):
     mins = comp.groupby(["conv_id", "comp_label"]).entity.min()
     for (conv, lbl), m in mins.items():
         assert lbl == m, (conv, lbl, m)
+
+
+def test_kg_mst_matches_prim_twin(spark):
+    """Kruskal kernel == an independent Prim construction per component
+    (under the (support DESC, a, b) total order the maximum spanning
+    forest is UNIQUE, so two different algorithms must emit the same
+    edge set), plus the forest invariant |edges| == |nodes| -
+    |components| against kg_components, and a determinism re-run."""
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _strong_canon_edges,
+        _triples_table,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = REGISTRY["kg_mst"][0](spark, SF).toPandas()
+    strong = _strong_canon_edges(_triples_table(spark, SF)).toPandas()
+    comp = REGISTRY["kg_components"][0](spark, SF).toPandas()
+    assert len(got) > 0
+
+    want = set()
+    for conv, grp in strong.groupby("conv_id"):
+        edges = [
+            (int(n), a, b)
+            for a, b, n in zip(grp.a, grp.b, grp.n)
+            if a != b
+        ]
+        adj: dict = {}
+        nodes = set()
+        for n, a, b in edges:
+            nodes.update((a, b))
+            adj.setdefault(a, []).append((n, a, b))
+            adj.setdefault(b, []).append((n, a, b))
+        visited = set()
+        for start in sorted(nodes):
+            if start in visited:
+                continue
+            tree = {start}
+            visited.add(start)
+            while True:
+                crossing = [
+                    e
+                    for v in tree
+                    for e in adj[v]
+                    if (e[1] in tree) != (e[2] in tree)
+                ]
+                if not crossing:
+                    break
+                n, a, b = min(crossing, key=lambda t: (-t[0], t[1], t[2]))
+                want.add((conv, a, b, n))
+                new = b if a in tree else a
+                tree.add(new)
+                visited.add(new)
+    gset = set(map(tuple, got[["conv_id", "a", "b", "w"]].values.tolist()))
+    assert gset == want
+    # forest invariant per conversation: edges = nodes - components,
+    # counting only non-singleton structure (mst nodes = edge endpoints)
+    for conv, grp in comp.groupby("conv_id"):
+        nonsingle = grp[grp.comp_size > 1]
+        n_edges = len(got[got.conv_id == conv])
+        assert n_edges == len(nonsingle) - nonsingle.comp_label.nunique()
+    again = REGISTRY["kg_mst"][0](spark, SF).toPandas()
+    assert set(map(tuple, again[["conv_id", "a", "b", "w"]].values.tolist())) == gset

@@ -1141,3 +1141,91 @@ def test_lm_freq_of_freqs_reconciles(spark):
                 Decimal("0.000001"), rounding=ROUND_HALF_UP
             )
             assert row.r_star == f"{want:.6f}", row
+
+
+def test_events_cuped_exact_reconciliation(spark):
+    """CUPED re-derives in pandas from exact per-user integers with the
+    SAME float op sequence (per-variant mean divisions, one theta
+    multiply, one subtract), Decimal-HALF_UP %.6f; theta variance
+    reduction is real (|cuped_diff adjustment| equals theta * covariate
+    imbalance by construction)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_cuped"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    cut = pd.Timestamp("2024-01-16")
+    per = ev.groupby("user_id").apply(
+        lambda g: pd.Series(
+            {
+                "x": int((g.ts < cut).sum()),
+                "y": int(
+                    ((g.ts >= cut) & (g.event_type == "purchase")).sum()
+                ),
+            }
+        ),
+        include_groups=False,
+    ).reset_index()
+    n, sx, sy = len(per), int(per.x.sum()), int(per.y.sum())
+    sxy, sxx = int((per.x * per.y).sum()), int((per.x * per.x).sum())
+    assert n * sxx > sx * sx
+    va = per[per.user_id % 2 == 0]
+    vb = per[per.user_id % 2 == 1]
+    na, nb = len(va), len(vb)
+    assert row.na == na and row.nb == nb
+    raw = float(int(va.y.sum())) / na - float(int(vb.y.sum())) / nb
+    theta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    xdiff = float(int(va.x.sum())) / na - float(int(vb.x.sum())) / nb
+    for val, col in (
+        (raw, "raw_diff"),
+        (theta, "theta"),
+        (raw - theta * xdiff, "cuped_diff"),
+    ):
+        want = Decimal(repr(val)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert row[col] == f"{want:.6f}", (col, row[col], want)
+
+
+def test_chunk_overlap_windows(spark):
+    """Window enumeration == the python twin (start = i*stride, width
+    <= 64, last window reaches the document end), 50% overlap holds
+    between consecutive full windows, and every token is covered."""
+    from reach_banner_spark.operators.textstats import (
+        _OV_STRIDE,
+        _OV_WINDOW,
+        REGISTRY,
+    )
+
+    got = (
+        REGISTRY["chunk_overlap"][0](spark, SF)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    assert len(got) > 0
+    by_doc = dict(tuple(got.groupby("doc_id")))
+    for d_id, text in zip(docs.doc_id, docs.text):
+        w = text.split(" ")
+        n = len(w)
+        n_starts = 1 + (
+            0 if n <= _OV_WINDOW
+            else (n - _OV_WINDOW + _OV_STRIDE - 1) // _OV_STRIDE
+        )
+        g = by_doc[d_id].reset_index(drop=True)
+        assert len(g) == n_starts, (d_id, len(g), n_starts)
+        for r in g.itertuples():
+            start = r.chunk_idx * _OV_STRIDE
+            want = w[start:start + _OV_WINDOW]
+            assert r.start_tok == start
+            assert r.n_tokens == len(want)
+            assert r.chunk == " ".join(want)
+        # the last window reaches the end of the document
+        last = g.iloc[-1]
+        assert last.start_tok + last.n_tokens == n
