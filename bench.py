@@ -257,6 +257,8 @@ HEADLINE = [
     "events_cuped",
     "chunk_overlap",
     "kg_mst",
+    "win_frame_range_time",
+    "source_csv_corrupt",
 ]
 
 

@@ -2285,8 +2285,16 @@ def events_cuped(spark, sf):
     Scale shape: ONE user-keyed fact aggregation to the per-user (x, y)
     grain (map-side combinable), then two one-row rollups over it and a
     1x1 join — facts are touched exactly once."""
+    return cuped_rollup(user_xy(_events(spark, sf)))
+
+
+def user_xy(df: DataFrame) -> DataFrame:
+    """Per-user (x, y) CUPED grain: pre-period activity count and
+    post-period purchase count under the fixed Jan-16 cut. Both are
+    plain SUMs — exactly mergeable across micro-batches, which is what
+    makes ``stream_cuped`` == batch a theorem."""
     cut = F.lit("2024-01-16").cast("timestamp")
-    u = _events(spark, sf).groupBy("user_id").agg(
+    return df.groupBy("user_id").agg(
         F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
         .cast("long")
         .alias("x"),
@@ -2298,7 +2306,14 @@ def events_cuped(spark, sf):
         )
         .cast("long")
         .alias("y"),
-    ).withColumn("variant", F.col("user_id") % 2)
+    )
+
+
+def cuped_rollup(u0: DataFrame) -> DataFrame:
+    """Fold the per-user (x, y) grain into the one-row CUPED readout —
+    the ONE SHARED definition for the batch key and its streaming twin
+    (the theta/diff float contract lives here)."""
+    u = u0.withColumn("variant", F.col("user_id") % 2)
     # one fact pass: both one-row rollups read the checkpointed
     # user-grain table (index_inverted precedent)
     u = u.localCheckpoint()
@@ -2352,4 +2367,44 @@ def events_cuped(spark, sf):
         _FMT6(raw).alias("raw_diff"),
         _FMT6(theta).alias("theta"),
         _FMT6(raw - theta * xdiff).alias("cuped_diff"),
+    )
+
+
+# ---------------------------------------------- time-range window frame ----
+
+@register(
+    "win_frame_range_time",
+    # Interval RANGE frame over a timestamp order: trailing-24h event
+    # count per event, value-based (peers by ts), so the result is
+    # frame-deterministic regardless of row order. Pure integer output.
+    "SELECT event_id, user_id, "
+    "CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+    " RANGE BETWEEN INTERVAL '1 day' PRECEDING AND CURRENT ROW) "
+    " AS BIGINT) AS n_24h "
+    "FROM events",
+)
+def win_frame_range_time(spark, sf):
+    """Interval-bounded RANGE window frame — the time-based sibling of
+    ``win_frame_range``'s numeric frame: each event's trailing-24-hour
+    activity count for its user, the per-event rate-limit / burst
+    signal (``events_rolling_dau`` answers the calendar-day variant at
+    corpus grain; this is the exact sliding-window variant at event
+    grain). RANGE frames bound by VALUE (ts - 24h), not row position,
+    so ties are peer-grouped identically on both engines and the
+    result is deterministic without any row-order tie-break.
+
+    Scale shape: ONE user_id window exchange (the module's
+    co-partitioning); the frame scan is the sliding two-pointer pass
+    inside each ordered partition — no self-join materializes the
+    window (a range self-join would square the per-user cost)."""
+    return (
+        _events(spark, sf)
+        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .selectExpr(
+            "event_id",
+            "user_id",
+            "CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS n_24h",
+        )
     )

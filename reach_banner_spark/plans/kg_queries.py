@@ -3637,3 +3637,76 @@ def kg_mst(spark, sf):
     return strong.groupBy("conv_id").applyInPandas(
         per_conv, "conv_id string, a string, b string, w long"
     )
+
+
+def _stage_corrupt_csv(sf: str) -> tuple[str, int]:
+    """Stage a bounded CSV slice (doc_id < 100) where every
+    doc_id % 7 == 3 row is TYPE-malformed (full arity, unparseable
+    numerics — arity-malformed rows are not flagged corrupt by Spark's
+    CSV reader, type failures are). Returns (path, n_corrupt staged).
+    Content derives from the documents table, so the oracle states the
+    expected surviving rows FROM THE TABLE and never depends on any
+    CSV semantics of the oracle engine (the _stage_binary trick)."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    src = f"{sf}/documents.parquet"
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"rbs_csvbad_{os.path.basename(sf.rstrip('/'))}",
+    )
+    marker = os.path.join(out, "_DONE")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, lang, n_chars FROM read_parquet('{src}') "
+        "WHERE doc_id < 100 ORDER BY doc_id"
+    ).fetchall()
+    n_bad = sum(1 for r in rows if r[0] % 7 == 3)
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "part.csv"), "w") as f:
+            f.write("doc_id,lang,n_chars\n")
+            for doc_id, lang, n_chars in rows:
+                if doc_id % 7 == 3:
+                    f.write(f"notanumber_{doc_id},{lang},alsobad\n")
+                else:
+                    f.write(f"{doc_id},{lang},{n_chars}\n")
+        open(marker, "w").write("ok")
+    return out, n_bad
+
+
+@register(
+    "source_csv_corrupt",
+    # The oracle states the EXPECTED survivors from the parquet table
+    # (doc_id % 7 == 3 rows were staged malformed) — no dependence on
+    # the oracle engine's own CSV error semantics.
+    "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars "
+    "FROM documents WHERE doc_id < 100 AND doc_id % 7 <> 3",
+)
+def source_csv_corrupt(spark, sf):
+    """Malformed-record CSV ingestion — the robustness surface every
+    production ingest needs: PERMISSIVE mode with a
+    ``columnNameOfCorruptRecord`` column, so type-malformed rows are
+    captured (raw line preserved for quarantine) instead of failing
+    the job, and clean rows flow through untouched. This key emits
+    the CLEAN side (oracled against the staged corruption rule);
+    pytest pins the quarantine side — exactly the staged corrupt rows
+    are flagged with their raw lines intact.
+
+    Scale shape: a single-pass schema-on-read scan; the corrupt-record
+    column is populated by the parser itself (no second pass, no
+    driver involvement) — at 100 TB the quarantine split is a free
+    byproduct of the scan."""
+    path, _ = _stage_corrupt_csv(sf)
+    raw = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema("doc_id long, lang string, n_chars long, _corrupt string")
+        .csv(path)
+    )
+    return raw.where(F.col("_corrupt").isNull()).select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -2421,3 +2421,53 @@ def stream_srm(spark, sf):
     q.awaitTermination()
     assert state["path"] is not None, "stream produced no batches"
     return srm_rollup(spark.read.parquet(state["path"])).localCheckpoint()
+
+
+@register("stream_cuped", None)  # pytest: == batch events_cuped
+def stream_cuped(spark, sf):
+    """INGEST-TIME CUPED readout — the streaming twin of
+    ``events_cuped``: the carried state is the per-user (x, y) grain
+    (both plain SUMs — exactly mergeable for any micro-batch split),
+    and the SHARED ``cuped_rollup`` re-derives theta and the adjusted
+    difference from the final state, so streaming == batch is a
+    theorem about SUM. The experimentation platform shape: effect and
+    variance-reduction estimates stay current as exposures arrive,
+    without re-scanning history.
+
+    State is O(users); each batch's merge keys on user_id only."""
+    import shutil
+
+    from ..plans.events_analytics import cuped_rollup, user_xy
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_cuped", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = user_xy(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("user_id")
+            .agg(F.sum("x").alias("x"), F.sum("y").alias("y"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return cuped_rollup(spark.read.parquet(state["path"])).localCheckpoint()

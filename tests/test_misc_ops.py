@@ -1229,3 +1229,63 @@ def test_chunk_overlap_windows(spark):
         # the last window reaches the end of the document
         last = g.iloc[-1]
         assert last.start_tok + last.n_tokens == n
+
+
+def test_source_csv_corrupt_quarantine(spark):
+    """The PERMISSIVE reader flags EXACTLY the staged type-malformed
+    rows, preserves their raw lines in the corrupt column for
+    quarantine, and passes every clean row through with parsed
+    types."""
+    from pyspark.sql import functions as F
+
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _stage_corrupt_csv,
+    )
+
+    path, n_bad = _stage_corrupt_csv(SF)
+    assert n_bad > 0
+    raw = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema("doc_id long, lang string, n_chars long, _corrupt string")
+        .csv(path)
+        .cache()
+    )
+    bad = raw.where(F.col("_corrupt").isNotNull()).toPandas()
+    assert len(bad) == n_bad
+    assert bad._corrupt.str.startswith("notanumber_").all()
+    good = REGISTRY["source_csv_corrupt"][0](spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    want = docs[(docs.doc_id < 100) & (docs.doc_id % 7 != 3)]
+    assert sorted(good.doc_id) == sorted(want.doc_id)
+    raw.unpersist()
+
+
+def test_win_frame_range_time_twin(spark):
+    """The trailing-24h count re-derives from a pandas two-pointer twin
+    per user (value-based frame: strictly ts >= ts_i - 24h and
+    ts <= ts_i, peers included)."""
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = (
+        REGISTRY["win_frame_range_time"][0](spark, SF)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["ts"] = pd.to_datetime(ev.ts)
+    assert len(got) == len(ev) > 0
+    day = pd.Timedelta(days=1)
+    want = {}
+    for _, g in ev.groupby("user_id"):
+        for r in g.itertuples():
+            want[r.event_id] = int(
+                ((g.ts >= r.ts - day) & (g.ts <= r.ts)).sum()
+            )
+    for r in got.itertuples():
+        assert r.n_24h == want[r.event_id], r.event_id

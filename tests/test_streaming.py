@@ -1168,3 +1168,20 @@ def test_stream_srm_equals_batch(spark):
         .reset_index(drop=True)
     )
     assert again.equals(got)
+
+
+def test_stream_cuped_equals_batch(spark):
+    """stream_cuped's final one-row readout == the one-shot events_cuped
+    (carried state is the sum-mergeable per-user (x, y) grain). Re-run
+    identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_cuped"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_cuped"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_cuped"][0](spark, SF).toPandas()
+    assert again.equals(got)
