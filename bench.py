@@ -259,6 +259,8 @@ HEADLINE = [
     "kg_mst",
     "win_frame_range_time",
     "source_csv_corrupt",
+    "scan_agg_pushdown",
+    "udf_scalar_iter",
 ]
 
 

@@ -3710,3 +3710,41 @@ def source_csv_corrupt(spark, sf):
     return raw.where(F.col("_corrupt").isNull()).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@register(
+    "udf_scalar_iter",
+    # Same relation as udf_scalar_pandas — the iterator flavor must be
+    # semantically transparent; the oracle is the regex spelling.
+    "SELECT doc_id, REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE("
+    "source, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '0', 'g') "
+    "AS src_shape FROM documents",
+)
+def udf_scalar_iter(spark, sf):
+    """Iterator-of-Series pandas UDF (SCALAR_ITER) — the last member of
+    the UDF taxonomy (scalar, grouped-agg, grouped-map, map-batches,
+    arrow-optimized, map/grouped Arrow, UDTFs are already on the
+    surface): the UDF receives an ITERATOR over Arrow batches, letting
+    expensive per-task setup (model load, dictionary build) run ONCE
+    per executor task instead of once per batch — the production shape
+    for UDFs with heavy initialization. Here the one-time setup is the
+    word-shape vectorizer import; the per-batch body is identical to
+    udf_scalar_pandas, and the oracle pins that the iterator plumbing
+    is semantically transparent.
+
+    Scale shape: same zero-shuffle Arrow-batched projection as the
+    scalar flavor; the iterator form amortizes setup over every batch
+    a task processes (at 100 TB: thousands of batches per task, one
+    setup)."""
+    from typing import Iterator  # literal hint name drives eval-type inference
+
+    @F.pandas_udf("string")
+    def shape_iter_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-task setup amortized across all batches
+        from ..operators.features import word_shape
+
+        for s in it:
+            yield pd.Series(word_shape(s.to_numpy()), dtype="object")
+
+    d = _docs(spark, sf)
+    return d.select("doc_id", shape_iter_udf("source").alias("src_shape"))

@@ -4478,3 +4478,58 @@ def macro_waiting_suppliers(spark, sf):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "scan_agg_pushdown",
+    # MIN/MAX/COUNT answered from parquet footer statistics — the
+    # oracle computes the same aggregates by scanning; values must be
+    # identical (footer stats are exact for these aggregates).
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "CAST(MIN(o_orderkey) AS BIGINT) AS min_key, "
+    "CAST(MAX(o_orderkey) AS BIGINT) AS max_key, "
+    "ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 2) AS max_price "
+    "FROM orders",
+)
+def scan_agg_pushdown(spark, sf):
+    """Aggregate pushdown to parquet footer statistics: COUNT/MIN/MAX
+    answered from row-group metadata without decoding a single data
+    page — at 100 TB the difference between touching kilobytes of
+    footers and scanning the table. Requires the DSv2 parquet reader
+    (``useV1SourceList=''``) plus ``parquet.aggregatePushdown`` (note the lowercase "down" —
+    the capital-D spelling is silently accepted and ignored); both
+    confs are scoped to THIS plan's materialization and restored (the
+    join_runtime_filtered pattern — the QueryExecution caches the
+    executed plan, so restoring the session confs afterwards is safe).
+    The physical scan carries ``PushedAggregation`` (pytest-gated);
+    the oracle recomputes the same aggregates by scanning, and footer
+    stats are exact for count/min/max so the values must match
+    bit-for-bit.
+
+    Scale shape: zero data pages read, one row returned per file ->
+    one tiny final aggregate; this is the fastest possible spelling of
+    a table-stats probe."""
+    overrides = {
+        "spark.sql.sources.useV1SourceList": "",
+        "spark.sql.parquet.aggregatePushdown": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        df = _t(spark, sf, "orders").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+            F.round(F.max("o_totalprice").cast("double"), 2).alias(
+                "max_price"
+            ),
+        )
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df

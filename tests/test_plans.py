@@ -120,8 +120,8 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 312, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 245, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 314, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 247, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
 
 
@@ -443,3 +443,18 @@ def test_index_inverted_single_fact_pass(spark):
     assert "Scan parquet" not in plan, plan[:600]
     assert plan.count("Exchange") <= 3, plan[:800]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_scan_agg_pushdown_footer_stats(spark):
+    """COUNT/MIN/MAX must be answered from parquet footer metadata: the
+    DSv2 scan carries PushedAggregation, and the scoped reader confs
+    are restored after plan materialization."""
+    from reach_banner_spark.plans.registry import all_queries
+
+    df = all_queries()["scan_agg_pushdown"](spark, SF)
+    plan = _plan(df)
+    assert "PushedAggregation" in plan, plan[:800]
+    assert "COUNT(*)" in plan.split("PushedAggregation")[1][:120]
+    # restored to the session default (typed conf: fetch without a
+    # sentinel default, which would fail boolean validation)
+    assert spark.conf.get("spark.sql.parquet.aggregatePushdown") == "false"
