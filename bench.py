@@ -261,6 +261,8 @@ HEADLINE = [
     "source_csv_corrupt",
     "scan_agg_pushdown",
     "udf_scalar_iter",
+    "dedup_containment",
+    "events_outlier_mad",
 ]
 
 

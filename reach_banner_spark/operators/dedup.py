@@ -600,3 +600,70 @@ def dedup_url(spark, sf):
             F.count(F.lit(1)).alias("n_dups"),
         )
     )
+
+
+@register(
+    "dedup_containment",
+    # Asymmetric word-set containment over the same bounded pairing as
+    # dedup_ngram_jaccard: inter/|A| detects A-quoted-in-B even when
+    # symmetric Jaccard is low (|B| >> |A|). Exact integer set sizes;
+    # each ratio is ONE division under ROUND-then-%.6f.
+    "SELECT a.doc_id AS a, b.doc_id AS b, "
+    "CAST(LEN(list_intersect(a.w, b.w)) AS BIGINT) AS inter, "
+    "CAST(LEN(a.w) AS BIGINT) AS na, CAST(LEN(b.w) AS BIGINT) AS nb, "
+    "printf('%.6f', ROUND(CAST(LEN(list_intersect(a.w, b.w)) AS DOUBLE) "
+    " / LEN(a.w), 6)) AS cont_a, "
+    "printf('%.6f', ROUND(CAST(LEN(list_intersect(a.w, b.w)) AS DOUBLE) "
+    " / LEN(b.w), 6)) AS cont_b FROM "
+    "(SELECT doc_id, source, list_distinct(string_split(text, ' ')) w "
+    " FROM documents) a "
+    "JOIN (SELECT doc_id, source, list_distinct(string_split(text, ' ')) w "
+    " FROM documents) b "
+    "ON a.source = b.source AND b.doc_id = a.doc_id + 20",
+)
+def dedup_containment(spark, sf):
+    """Asymmetric containment scoring — the quote/inclusion detector the
+    symmetric dedup family misses: containment(A in B) = |A∩B|/|A| is
+    near 1 when document A is substantially QUOTED inside a much larger
+    B, a pair symmetric Jaccard scores near |A|/|B| and never flags
+    (the Broder containment-sketch use case; boilerplate and licence
+    blocks surface exactly this way). Same bounded same-source pairing
+    rule as ``dedup_ngram_jaccard`` so the two keys are directly
+    comparable pair-for-pair; both directions emitted.
+
+    Float discipline: set sizes and the intersection are exact
+    integers; each ratio is ONE correctly-rounded IEEE division under
+    the shared ROUND/%.6f contract.
+
+    Scale shape: same as ngram_jaccard — the pairing predicate bounds
+    candidates to one partner per doc (at scale the pair source is the
+    LSH candidate table; the scoring algebra is what this key pins),
+    one broadcast-free equi-join on (source, doc_id+20), pure JVM array
+    algebra."""
+    d = _docs(spark, sf).select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
+    )
+    a = d.select(
+        F.col("doc_id").alias("a"),
+        F.col("source").alias("sa"),
+        F.col("w").alias("wa"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("b"),
+        F.col("source").alias("sb"),
+        F.col("w").alias("wb"),
+    )
+    pairs = a.join(
+        b, (F.col("sa") == F.col("sb")) & (F.col("b") == F.col("a") + 20)
+    )
+    inter = F.size(F.array_intersect("wa", "wb"))
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    return pairs.select(
+        "a",
+        "b",
+        inter.cast("long").alias("inter"),
+        F.size("wa").cast("long").alias("na"),
+        F.size("wb").cast("long").alias("nb"),
+        fmt(inter.cast("double") / F.size("wa")).alias("cont_a"),
+        fmt(inter.cast("double") / F.size("wb")).alias("cont_b"),
+    )

@@ -2408,3 +2408,69 @@ def win_frame_range_time(spark, sf):
             "AS BIGINT) AS n_24h",
         )
     )
+
+
+# ---------------------------------------------------------- MAD outliers ----
+
+@register(
+    "events_outlier_mad",
+    # Median/MAD robust outliers on the daily-count series: integral
+    # counts make the interpolated median dyadic-exact (multiples of
+    # 0.5), absolute deviations dyadic, and the MAD dyadic (multiples
+    # of 0.25) — every comparison including dev > 3*MAD is an EXACT
+    # dyadic-double comparison, identical on both engines (the
+    # agg_median integral-input rule). Zero-MAD types (over half the
+    # days share the median count) flag every deviating day — the
+    # documented degenerate contract.
+    "WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+    " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+    "m AS (SELECT event_type, quantile_cont(cnt, 0.5) AS med FROM d "
+    " GROUP BY event_type), "
+    "v AS (SELECT d.event_type, d.day, d.cnt, m.med, "
+    " ABS(d.cnt - m.med) AS dev FROM d JOIN m "
+    " ON m.event_type = d.event_type), "
+    "s AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM v "
+    " GROUP BY event_type) "
+    "SELECT v.event_type, v.day, v.cnt, "
+    "printf('%.6f', ROUND(v.med, 6)) AS med, "
+    "printf('%.6f', ROUND(s.mad, 6)) AS mad, "
+    "v.dev > 3 * s.mad AS is_outlier "
+    "FROM v JOIN s ON s.event_type = v.event_type",
+)
+def events_outlier_mad(spark, sf):
+    """Median/MAD robust outlier detection on each type's daily-volume
+    series — the breakdown-resistant complement of ``events_anomaly``'s
+    z-score: one colossal day inflates the mean AND the standard
+    deviation (masking itself and flagging normal days), while the
+    median and the median-absolute-deviation ignore up to half the
+    series being corrupted (50% breakdown point — why ops runbooks
+    prefer MAD for burst detection). Flag: deviation > 3×MAD.
+
+    Float discipline (the agg_median rule): integral daily counts make
+    the interpolated median a dyadic-exact double (multiple of 0.5),
+    deviations dyadic, the MAD dyadic (multiple of 0.25), so med/mad
+    print exactly under %.6f and the 3×MAD comparison is an exact
+    dyadic comparison — no rounding ever decides a flag. Zero-MAD
+    types flag every deviating day (documented degenerate contract).
+
+    Scale shape: one map-side-combinable fact collapse to the shared
+    daily grain, then two dimension-sized aggregate+broadcast-join
+    rounds (median, then MAD) over the types×days table."""
+    d = daily_counts(_events(spark, sf))
+    m = d.groupBy("event_type").agg(
+        F.percentile("cnt", F.lit(0.5)).alias("med")
+    )
+    v = d.join(F.broadcast(m), "event_type").withColumn(
+        "dev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    s = v.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    return v.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "day",
+        "cnt",
+        F.format_string("%.6f", F.round(F.col("med"), 6)).alias("med"),
+        F.format_string("%.6f", F.round(F.col("mad"), 6)).alias("mad"),
+        (F.col("dev") > 3 * F.col("mad")).alias("is_outlier"),
+    )

@@ -750,3 +750,42 @@ def test_emb_quantize_int8_twin_and_error_bound(spark):
         assert (codes == twin.astype(np.int64)).all(), row.vec_id
         deq = codes.astype(np.float64) / 127.0 * scale
         assert np.abs(deq - x).max() <= scale / 254.0 * (1 + 1e-12)
+
+
+def test_dedup_containment_properties(spark):
+    """Containment dominates Jaccard on the identical pair set
+    (inter/|A| >= inter/|A∪B|), the intersection is bounded by the
+    smaller set, pairs coincide with dedup_ngram_jaccard's pairing
+    rule, and the %.6f ratios re-derive via Decimal-HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.operators.dedup import REGISTRY
+
+    SF = "/root/testdata/sf0.001"
+    got = (
+        REGISTRY["dedup_containment"][0](spark, SF)
+        .toPandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    jac = (
+        REGISTRY["dedup_ngram_jaccard"][0](spark, SF)
+        .toPandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(jac) > 0
+    assert got[["a", "b"]].equals(jac[["a", "b"]])
+    for r in got.itertuples():
+        assert r.inter <= min(r.na, r.nb)
+        for num, den, col in (
+            (r.inter, r.na, "cont_a"),
+            (r.inter, r.nb, "cont_b"),
+        ):
+            want = Decimal(repr(float(num) / den)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            assert getattr(r, col) == f"{want:.6f}", r
+        # containment >= jaccard (A∪B ⊇ A)
+        j = jac[(jac.a == r.a) & (jac.b == r.b)].jaccard.iloc[0]
+        assert float(r.cont_a) >= j - 1e-9 and float(r.cont_b) >= j - 1e-9

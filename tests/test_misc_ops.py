@@ -1289,3 +1289,36 @@ def test_win_frame_range_time_twin(spark):
             )
     for r in got.itertuples():
         assert r.n_24h == want[r.event_id], r.event_id
+
+
+def test_events_outlier_mad_twin(spark):
+    """Median/MAD re-derive from numpy over the daily counts (integral
+    inputs => dyadic-exact interpolated medians, so the %.6f strings
+    and the 3*MAD flags match EXACTLY, no tolerance)."""
+    import numpy as np
+
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY,
+        daily_counts,
+    )
+
+    got = (
+        REGISTRY["events_outlier_mad"][0](spark, SF)
+        .toPandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    d = daily_counts(spark.read.parquet(f"{SF}/events.parquet")).toPandas()
+    assert len(got) == len(d) > 0
+    for et, grp in d.groupby("event_type"):
+        cnt = grp.cnt.to_numpy(dtype=np.float64)
+        med = float(np.median(cnt))
+        dev = np.abs(cnt - med)
+        mad = float(np.median(dev))
+        sub = got[got.event_type == et].set_index("day")
+        for day, c, dv in zip(grp.day, grp.cnt, dev):
+            row = sub.loc[day]
+            assert row.cnt == c
+            assert row.med == f"{med:.6f}"
+            assert row.mad == f"{mad:.6f}"
+            assert row.is_outlier == (dv > 3 * mad), (et, day)
