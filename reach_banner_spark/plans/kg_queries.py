@@ -2606,13 +2606,32 @@ def _strong_sym_edges(t: DataFrame) -> DataFrame:
     ).distinct()
 
 
+# Process-local memo for the all-pairs table: the 7 fixed frontier
+# rounds cost ~2 s of checkpoint latency at sf0.1 (fixed overhead, not
+# data scaling) and THREE keys consume the identical table
+# (diameter/closeness/components) — the _triples_table amortization
+# discipline, in-session instead of on-disk because checkpointed RDDs
+# live exactly as long as their SparkContext. Keyed by application id
+# so a fresh session can never see another context's RDDs.
+_ALLPAIRS_MEMO: dict = {}
+
+
 def _strong_allpairs_dist(spark, sf) -> DataFrame:
     """All-pairs BFS hop distances (conv_id, src, node, d) over the
-    strong backbone — the shared derivation of ``kg_diameter`` and
-    ``kg_closeness``: every node is simultaneously a BFS source, FIXED
-    ``_REACH_MAX_HOPS`` frontier iterations (zero in-loop driver
-    barriers), ``localCheckpoint`` per round, every join keyed
-    conv_id-first."""
+    strong backbone — the shared derivation of ``kg_diameter``,
+    ``kg_closeness`` and ``kg_components``: every node is simultaneously
+    a BFS source, FIXED ``_REACH_MAX_HOPS`` frontier iterations (zero
+    in-loop driver barriers), ``localCheckpoint`` per round, every join
+    keyed conv_id-first. Memoized per (SparkContext, corpus) — see
+    ``_ALLPAIRS_MEMO``."""
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf,
+        _TRIPLES_TABLE_VERSION,
+    )
+    cached = _ALLPAIRS_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     e = _strong_sym_edges(_triples_table(spark, sf)).localCheckpoint()
     nodes = e.select("conv_id", F.col("s").alias("node")).distinct()
     dist = (
@@ -2646,6 +2665,11 @@ def _strong_allpairs_dist(spark, sf) -> DataFrame:
         )
         dist = dist.unionByName(fresh)
         frontier = fresh
+    # the union-of-checkpoints is cheap to re-traverse but each key's
+    # first action would still walk 8 checkpointed segments; one final
+    # checkpoint collapses it before the memo hands it to 3 consumers
+    dist = dist.localCheckpoint()
+    _ALLPAIRS_MEMO[memo_key] = dist
     return dist
 
 
