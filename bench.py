@@ -263,6 +263,7 @@ HEADLINE = [
     "udf_scalar_iter",
     "dedup_containment",
     "events_outlier_mad",
+    "kg_conv_similarity",
 ]
 
 

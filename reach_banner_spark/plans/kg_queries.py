@@ -3772,3 +3772,80 @@ def udf_scalar_iter(spark, sf):
 
     d = _docs(spark, sf)
     return d.select("doc_id", shape_iter_udf("source").alias("src_shape"))
+
+
+@register(
+    "kg_conv_similarity",
+    # Conversation-pair entity-set Jaccard: exact integer intersection
+    # and set sizes, one ROUND/%.6f division; every pair sharing >= 1
+    # entity (convs are dictionary-bounded, so the pair table is tiny).
+    f"WITH t AS ({_TRIPLES_SQL}), "
+    "ce AS (SELECT DISTINCT conv_id, subj AS e FROM t "
+    " UNION SELECT DISTINCT conv_id, obj FROM t), "
+    "n AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS ne FROM ce "
+    " GROUP BY 1), "
+    "p AS (SELECT a.conv_id AS ca, b.conv_id AS cb, "
+    " CAST(COUNT(*) AS BIGINT) AS inter FROM ce a JOIN ce b "
+    " ON a.e = b.e AND a.conv_id < b.conv_id GROUP BY 1, 2) "
+    "SELECT ca, cb, inter, na.ne AS na, nb.ne AS nb, "
+    "printf('%.6f', ROUND(CAST(inter AS DOUBLE) "
+    " / (na.ne + nb.ne - inter), 6)) AS jaccard "
+    "FROM p JOIN n na ON na.conv_id = p.ca "
+    "JOIN n nb ON nb.conv_id = p.cb",
+)
+def kg_conv_similarity(spark, sf):
+    """Conversation-level topical similarity — which conversations talk
+    about the same things: entity-set Jaccard for every conversation
+    pair sharing at least one entity. The KG consumption query behind
+    cross-conversation retrieval ("find me the other threads about
+    these entities") and corpus-level redundancy audits; the graph
+    dual of ``dedup_ngram_jaccard`` (token sets per document there,
+    entity sets per conversation here).
+
+    Float discipline: intersection and set sizes are exact BIGINTs
+    from distinct-aggregations; |A∪B| = na + nb - inter is exact; the
+    ratio is ONE correctly-rounded IEEE division under ROUND/%.6f.
+
+    Scale shape: the per-conv entity sets are dictionary-bounded, so
+    the entity-keyed self-join is bounded by entity-domain ×
+    convs-per-entity² — at a billion conversations this pairs only
+    conversations SHARING an entity (the join key prunes the cross
+    product exactly the way an inverted index would), and the
+    pair-level rollup is dimension-sized."""
+    t = _triples_table(spark, sf)
+    ce = (
+        t.select("conv_id", F.col("subj").alias("e"))
+        .union(t.select("conv_id", F.col("obj").alias("e")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = ce.groupBy("conv_id").agg(F.count(F.lit(1)).cast("long").alias("ne"))
+    a = ce.select(F.col("conv_id").alias("ca"), "e")
+    b = ce.select(F.col("conv_id").alias("cb"), "e")
+    p = (
+        a.join(b, "e")
+        .where(F.col("ca") < F.col("cb"))
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    na = n.select(F.col("conv_id").alias("ca"), F.col("ne").alias("na"))
+    nb = n.select(F.col("conv_id").alias("cb"), F.col("ne").alias("nb"))
+    return (
+        p.join(F.broadcast(na), "ca")
+        .join(F.broadcast(nb), "cb")
+        .select(
+            "ca",
+            "cb",
+            "inter",
+            "na",
+            "nb",
+            F.format_string(
+                "%.6f",
+                F.round(
+                    F.col("inter").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("inter")),
+                    6,
+                ),
+            ).alias("jaccard"),
+        )
+    )

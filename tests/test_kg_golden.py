@@ -639,3 +639,37 @@ def test_kg_mst_matches_prim_twin(spark):
         assert n_edges == len(nonsingle) - nonsingle.comp_label.nunique()
     again = REGISTRY["kg_mst"][0](spark, SF).toPandas()
     assert set(map(tuple, again[["conv_id", "a", "b", "w"]].values.tolist())) == gset
+
+
+def test_kg_conv_similarity_reconciles(spark):
+    """Pair Jaccards re-derive from per-conversation entity sets built
+    off the raw triples (intersection/size integers exact, ratio via
+    Decimal-HALF_UP), and every pair sharing an entity is present."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _triples_table,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = REGISTRY["kg_conv_similarity"][0](spark, SF).toPandas()
+    t = _triples_table(spark, SF).toPandas()
+    ents: dict = {}
+    for conv, s, o in zip(t.conv_id, t.subj, t.obj):
+        ents.setdefault(conv, set()).update((s, o))
+    convs = sorted(ents)
+    want = {}
+    for i, ca in enumerate(convs):
+        for cb in convs[i + 1:]:
+            inter = len(ents[ca] & ents[cb])
+            if inter:
+                want[(ca, cb)] = (inter, len(ents[ca]), len(ents[cb]))
+    assert len(got) == len(want) > 0
+    for r in got.itertuples():
+        inter, na, nb = want[(r.ca, r.cb)]
+        assert (r.inter, r.na, r.nb) == (inter, na, nb)
+        exp = Decimal(repr(float(inter) / (na + nb - inter))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert r.jaccard == f"{exp:.6f}", r
