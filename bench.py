@@ -264,6 +264,7 @@ HEADLINE = [
     "dedup_containment",
     "events_outlier_mad",
     "kg_conv_similarity",
+    "dedup_lines",
 ]
 
 

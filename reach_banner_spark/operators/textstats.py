@@ -2229,3 +2229,101 @@ def chunk_overlap(spark, sf):
         F.size(chunk_arr).cast("int").alias("n_tokens"),
         F.array_join(chunk_arr, " ").alias("chunk"),
     )
+
+
+@register(
+    "dedup_lines",
+    # Cross-document repeated-line removal (Lee et al. / C4 line dedup)
+    # on the same 12-word pseudo-lines as quality_line_filter: a line
+    # survives only at its FIRST occurrence under the total (doc_id,
+    # line position) order; everything is exact integers and one
+    # ROUND/%.6f ratio.
+    f"WITH d AS (SELECT doc_id, string_split(text, ' ') AS w "
+    " FROM documents), "
+    "c AS (SELECT doc_id, unnest(generate_series(0, "
+    f" CAST(CEIL(LEN(w) / {_LINE_WORDS}.0) AS INT) - 1)) AS ci, w FROM d), "
+    f"lines AS (SELECT doc_id, ci, array_to_string(list_slice(w, "
+    f" ci * {_LINE_WORDS} + 1, (ci + 1) * {_LINE_WORDS}), ' ') AS line "
+    " FROM c), "
+    "f1 AS (SELECT line, MIN(doc_id) AS fdoc FROM lines GROUP BY line), "
+    "f2 AS (SELECT l.line, f1.fdoc, MIN(l.ci) AS fci FROM lines l "
+    " JOIN f1 ON f1.line = l.line AND l.doc_id = f1.fdoc GROUP BY 1, 2), "
+    "m AS (SELECT l.doc_id, CASE WHEN l.doc_id = f2.fdoc "
+    " AND l.ci = f2.fci THEN 0 ELSE 1 END AS is_dup "
+    " FROM lines l JOIN f2 ON f2.line = l.line) "
+    "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+    "CAST(SUM(is_dup) AS BIGINT) AS n_dup, "
+    "printf('%.6f', ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6)) "
+    " AS dup_ratio FROM m GROUP BY doc_id",
+)
+def dedup_lines(spark, sf):
+    """Cross-document line-level exact dedup — the Lee-et-al/C4 dedup
+    granularity BETWEEN doc-level (``dedup_exact``) and passage
+    similarity (``dedup_passage``): boilerplate headers, licence
+    blocks and navigation chrome repeat line-for-line across documents
+    that are globally unique, and line dedup is what removes them from
+    training corpora. A pseudo-line (the ``quality_line_filter``
+    12-word chunking — the corpus has no newlines) survives only at
+    its FIRST occurrence under the total (doc_id, position) order;
+    the key reports each document's duplicated-line count and ratio
+    (exact integers; the ratio is one ROUND/%.6f division).
+
+    Scale shape: lines derive per-row from the word array (zero
+    shuffles — the chunk_tokens slicing), then ONE line-keyed
+    aggregation finds first-owner docs, a second bounded aggregation
+    pins the in-doc position, and the mark join re-keys on line —
+    Zipf makes the distinct-line table sublinear in the corpus. No
+    window over the global line order ever materializes (a global
+    row_number would single-partition; min-of-(doc, pos) in two keyed
+    aggregations is the distributed spelling of 'first')."""
+    d = _docs(spark, sf).select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).withColumn("n", F.size("w"))
+    n_chunks = F.expr(f"CAST(CEIL(n / {_LINE_WORDS}.0) AS INT)")
+    c = d.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
+    )
+    lines = c.select(
+        "doc_id",
+        "ci",
+        F.expr(
+            f"array_join(slice(w, ci * {_LINE_WORDS} + 1, "
+            f"{_LINE_WORDS}), ' ')"
+        ).alias("line"),
+    ).localCheckpoint()
+    # iterative-self-join discipline (kg_reach): RENAME the derived
+    # sides' columns before re-joining against `lines`
+    f1 = lines.groupBy("line").agg(F.min("doc_id").alias("fdoc")).select(
+        F.col("line").alias("f_line"), "fdoc"
+    )
+    f2 = (
+        lines.join(
+            f1,
+            (lines["line"] == F.col("f_line"))
+            & (lines["doc_id"] == F.col("fdoc")),
+        )
+        .groupBy("f_line", "fdoc")
+        .agg(F.min("ci").alias("fci"))
+    )
+    m = lines.join(f2, lines["line"] == F.col("f_line")).select(
+        lines["doc_id"],
+        F.when(
+            (lines["doc_id"] == F.col("fdoc"))
+            & (lines["ci"] == F.col("fci")),
+            0,
+        )
+        .otherwise(1)
+        .alias("is_dup"),
+    )
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("is_dup").cast("long").alias("n_dup"),
+        F.format_string(
+            "%.6f",
+            F.round(
+                F.sum("is_dup").cast("double") / F.count(F.lit(1)), 6
+            ),
+        ).alias("dup_ratio"),
+    )

@@ -789,3 +789,51 @@ def test_dedup_containment_properties(spark):
         # containment >= jaccard (A∪B ⊇ A)
         j = jac[(jac.a == r.a) & (jac.b == r.b)].jaccard.iloc[0]
         assert float(r.cont_a) >= j - 1e-9 and float(r.cont_b) >= j - 1e-9
+
+
+def test_dedup_lines_twin(spark):
+    """Per-doc duplicate-line counts re-derive from a python dict of
+    first-occurrence positions under the total (doc_id, position)
+    order, duplicates exist in the corpus (the signal is non-trivial),
+    and the %.6f ratio follows Decimal-HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.operators.textstats import (
+        _LINE_WORDS,
+        REGISTRY,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = (
+        REGISTRY["dedup_lines"][0](spark, SF)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    first: dict = {}
+    per_doc: dict = {}
+    for d_id, text in zip(docs.doc_id, docs.text):
+        w = text.split(" ")
+        n_lines = (len(w) + _LINE_WORDS - 1) // _LINE_WORDS
+        dups = 0
+        for ci in range(n_lines):
+            line = " ".join(w[ci * _LINE_WORDS:(ci + 1) * _LINE_WORDS])
+            if line in first:
+                dups += 1
+            else:
+                first[line] = (d_id, ci)
+        per_doc[d_id] = (n_lines, dups)
+    assert len(got) == len(per_doc)
+    total_dups = sum(d for _, d in per_doc.values())
+    assert total_dups > 0  # the corpus really repeats lines
+    for d_id, (n_lines, dups) in per_doc.items():
+        row = got.loc[d_id]
+        assert (row.n_lines, row.n_dup) == (n_lines, dups), d_id
+        want = Decimal(repr(float(dups) / n_lines)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert row.dup_ratio == f"{want:.6f}"
