@@ -265,6 +265,7 @@ HEADLINE = [
     "events_outlier_mad",
     "kg_conv_similarity",
     "dedup_lines",
+    "events_ewma",
 ]
 
 

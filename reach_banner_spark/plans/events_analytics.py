@@ -2456,7 +2456,13 @@ def events_outlier_mad(spark, sf):
     Scale shape: one map-side-combinable fact collapse to the shared
     daily grain, then two dimension-sized aggregate+broadcast-join
     rounds (median, then MAD) over the types×days table."""
-    d = daily_counts(_events(spark, sf))
+    return mad_rollup(daily_counts(_events(spark, sf)))
+
+
+def mad_rollup(d: DataFrame) -> DataFrame:
+    """Fold a (event_type, day, cnt) daily table into the median/MAD
+    outlier profile — shared by ``events_outlier_mad`` and its
+    streaming twin (the dyadic-exact float contract lives here)."""
     m = d.groupBy("event_type").agg(
         F.percentile("cnt", F.lit(0.5)).alias("med")
     )
@@ -2473,4 +2479,70 @@ def events_outlier_mad(spark, sf):
         F.format_string("%.6f", F.round(F.col("med"), 6)).alias("med"),
         F.format_string("%.6f", F.round(F.col("mad"), 6)).alias("mad"),
         (F.col("dev") > 3 * F.col("mad")).alias("is_outlier"),
+    )
+
+
+# ---------------------------------------------------------------- ewma ----
+
+@register(
+    "events_ewma",
+    # Exponentially-weighted moving average with alpha = 1/2, computed
+    # EXACTLY: s_1 = x_1, s_t = (x_t + s_{t-1})/2 — the identical
+    # sequential op chain on both engines (Spark: ordered-array left
+    # fold; oracle: a genuinely RECURSIVE CTE stepping the same
+    # recurrence), so every intermediate double is bit-identical; for
+    # this corpus's spans the values are exactly-representable dyadic
+    # rationals, and beyond 53 fractional bits both engines round the
+    # same op the same way.
+    "WITH RECURSIVE d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') "
+    " AS day, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+    "r AS (SELECT event_type, cnt, CAST(ROW_NUMBER() OVER ("
+    " PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn FROM d), "
+    "e(event_type, rn, s) AS ("
+    " SELECT event_type, rn, CAST(cnt AS DOUBLE) FROM r WHERE rn = 1 "
+    " UNION ALL "
+    " SELECT r.event_type, r.rn, (CAST(r.cnt AS DOUBLE) + e.s) / 2 "
+    " FROM e JOIN r ON r.event_type = e.event_type AND r.rn = e.rn + 1), "
+    "f AS (SELECT event_type, MAX(rn) AS mx FROM e GROUP BY 1) "
+    "SELECT e.event_type, e.rn AS n_days, "
+    "printf('%.6f', ROUND(e.s, 6)) AS ewma "
+    "FROM e JOIN f ON f.event_type = e.event_type AND e.rn = f.mx",
+)
+def events_ewma(spark, sf):
+    """Exponentially-weighted moving average of each type's daily
+    volume (alpha = 1/2) — the smoothed 'current level' a monitoring
+    dashboard draws and the operational complement of
+    ``events_trend``'s global OLS slope (EWMA reacts to the recent
+    regime; the slope averages the whole history). The recurrence is
+    inherently sequential per series, and this key pins the
+    DISTRIBUTED spelling of sequential-per-group: the series is
+    dimension-sized (days per type), so each group's ordered values
+    collapse into ONE row via sort_array(collect_list(...)) and the
+    recurrence runs as a pure JVM ``aggregate`` left fold — no Python,
+    no window over the global order, no driver loop. The oracle steps
+    the identical recurrence in a genuinely recursive CTE, so
+    agreement pins the fold order bit-for-bit.
+
+    Float discipline: the fold executes the IDENTICAL op sequence as
+    the oracle's recursion ((x + s)/2 per step), so every intermediate
+    is bit-identical on both engines regardless of representability;
+    on this corpus's 30-day, <=2^17-count series every intermediate is
+    additionally an exactly-representable dyadic rational.
+
+    Scale shape: one map-side-combinable fact collapse to the shared
+    daily grain, one event_type exchange for the collect; the fold is
+    O(days) per type — bounded by the calendar, never by facts."""
+    d = daily_counts(_events(spark, sf))
+    arr = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "cnt"))).alias("a")
+    )
+    fold = F.expr(
+        "aggregate(slice(a, 2, size(a) - 1), "
+        "CAST(element_at(a, 1).cnt AS DOUBLE), "
+        "(s, x) -> (CAST(x.cnt AS DOUBLE) + s) / 2)"
+    )
+    return arr.select(
+        "event_type",
+        F.size("a").cast("long").alias("n_days"),
+        _FMT6(fold).alias("ewma"),
     )

@@ -2471,3 +2471,21 @@ def stream_cuped(spark, sf):
     q.awaitTermination()
     assert state["path"] is not None, "stream produced no batches"
     return cuped_rollup(spark.read.parquet(state["path"])).localCheckpoint()
+
+
+@register("stream_outlier_mad", None)  # pytest: == batch events_outlier_mad
+def stream_outlier_mad(spark, sf):
+    """INGEST-TIME median/MAD outlier tracking — the streaming twin of
+    ``events_outlier_mad`` on the SHARED ``_stream_daily_counts``
+    sum-mergeable state; the SHARED ``mad_rollup`` re-derives the
+    dyadic-exact median/MAD profile from the final merged daily table,
+    so streaming == batch is a theorem about SUM. The robust monitor a
+    pipeline keeps next to the z-score one (``stream_anomaly``): a
+    single corrupt day cannot drag the MAD baseline.
+
+    State is O(event-types x days), same as the other daily twins."""
+    from ..plans.events_analytics import mad_rollup
+
+    return mad_rollup(
+        _stream_daily_counts(spark, sf, "stream_outlier_mad")
+    ).localCheckpoint()

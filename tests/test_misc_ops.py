@@ -1322,3 +1322,36 @@ def test_events_outlier_mad_twin(spark):
             assert row.med == f"{med:.6f}"
             assert row.mad == f"{mad:.6f}"
             assert row.is_outlier == (dv > 3 * mad), (et, day)
+
+
+def test_events_ewma_matches_python_fold(spark):
+    """The distributed sorted-array fold == a python left fold over the
+    day-ordered series, EXACTLY (identical (x+s)/2 op chain; this
+    corpus's values are dyadic-exact), and EWMA stays inside the
+    series' [min, max] envelope."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY,
+        daily_counts,
+    )
+
+    got = (
+        REGISTRY["events_ewma"][0](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    d = daily_counts(spark.read.parquet(f"{SF}/events.parquet")).toPandas()
+    assert len(got) > 0
+    for et, grp in d.groupby("event_type"):
+        g = grp.sort_values("day").reset_index(drop=True)
+        s = float(g.cnt[0])
+        for c in g.cnt[1:]:
+            s = (float(c) + s) / 2
+        row = got.loc[et]
+        assert row.n_days == len(g)
+        want = Decimal(repr(s)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert row.ewma == f"{want:.6f}", (et, row.ewma, want)
+        assert g.cnt.min() <= s <= g.cnt.max()

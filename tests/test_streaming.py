@@ -1185,3 +1185,35 @@ def test_stream_cuped_equals_batch(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_cuped"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_outlier_mad_equals_batch(spark):
+    """stream_outlier_mad's final median/MAD table == the one-shot
+    events_outlier_mad (shared sum-mergeable daily state). Re-run
+    identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = (
+        ops.REGISTRY["stream_outlier_mad"][0](spark, SF)
+        .toPandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["events_outlier_mad"][0](spark, SF)
+        .toPandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+    again = (
+        ops.REGISTRY["stream_outlier_mad"][0](spark, SF)
+        .toPandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)
