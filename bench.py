@@ -266,6 +266,7 @@ HEADLINE = [
     "kg_conv_similarity",
     "dedup_lines",
     "events_ewma",
+    "macro_graph_health",
 ]
 
 

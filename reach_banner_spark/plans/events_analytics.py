@@ -2532,7 +2532,13 @@ def events_ewma(spark, sf):
     Scale shape: one map-side-combinable fact collapse to the shared
     daily grain, one event_type exchange for the collect; the fold is
     O(days) per type — bounded by the calendar, never by facts."""
-    d = daily_counts(_events(spark, sf))
+    return ewma_rollup(daily_counts(_events(spark, sf)))
+
+
+def ewma_rollup(d: DataFrame) -> DataFrame:
+    """Fold a (event_type, day, cnt) daily table into the per-type
+    alpha=1/2 EWMA — shared by ``events_ewma`` and its streaming twin
+    (the sorted-fold float contract lives here)."""
     arr = d.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("day", "cnt"))).alias("a")
     )

@@ -3849,3 +3849,97 @@ def kg_conv_similarity(spark, sf):
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "macro_graph_health",
+    # One row per conversation composing the graph-structure family
+    # off the SHARED definitions: all-pairs stats (n_nodes/diameter),
+    # min-label component count, strong-edge count, and the
+    # per-edge-removal bridge count — all exact integers. The oracle
+    # runs BOTH recursions (all-pairs + bridge removal) in one
+    # WITH RECURSIVE (renamed rb to avoid colliding with r).
+    _ALLPAIRS_SQL +
+    ", rb(conv_id, ea, eb, node) AS ("
+    " SELECT conv_id, a, b, a FROM sp0 "
+    " UNION "
+    " SELECT rb.conv_id, rb.ea, rb.eb, e.o FROM rb JOIN e "
+    "  ON e.conv_id = rb.conv_id AND e.s = rb.node "
+    "  WHERE NOT (LEAST(e.s, e.o) = rb.ea AND GREATEST(e.s, e.o) = rb.eb)), "
+    "br AS (SELECT s.conv_id, CAST(COUNT(*) AS BIGINT) AS n_bridges "
+    " FROM sp0 s LEFT JOIN rb ON rb.conv_id = s.conv_id "
+    "  AND rb.ea = s.a AND rb.eb = s.b AND rb.node = s.b "
+    " WHERE rb.node IS NULL GROUP BY 1), "
+    "lab AS (SELECT conv_id, src, MIN(node) AS lbl FROM sp GROUP BY 1, 2), "
+    "cc AS (SELECT conv_id, CAST(COUNT(DISTINCT lbl) AS BIGINT) "
+    " AS n_comps FROM lab GROUP BY 1), "
+    "ed AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_edges "
+    " FROM sp0 WHERE a <> b GROUP BY 1), "
+    "dia AS (SELECT conv_id, CAST(COUNT(DISTINCT src) AS BIGINT) "
+    " AS n_nodes, CAST(MAX(d) AS INT) AS diameter FROM sp GROUP BY 1) "
+    "SELECT dia.conv_id, n_nodes, COALESCE(ed.n_edges, 0) AS n_edges, "
+    "n_comps, diameter, COALESCE(br.n_bridges, 0) AS n_bridges "
+    "FROM dia JOIN cc ON cc.conv_id = dia.conv_id "
+    "LEFT JOIN ed ON ed.conv_id = dia.conv_id "
+    "LEFT JOIN br ON br.conv_id = dia.conv_id",
+)
+def macro_graph_health(spark, sf):
+    """Per-conversation graph health profile — the one-row-per-graph
+    report a KG operations dashboard publishes (the graph-structure
+    sibling of ``macro_kg_report``): node/edge counts, connected
+    components, diameter, and bridge count over the strong backbone,
+    every column composed from the family's SHARED definitions (the
+    memoized all-pairs BFS feeds the node/diameter/component columns;
+    the ``kg_bridges`` kernel feeds the robustness column; the
+    canonical strong edge set feeds the edge count). High bridge count
+    with low diameter = a hub-and-spoke graph one fact from
+    fragmenting; n_comps > 1 = the conversation's knowledge never
+    connected.
+
+    Scale shape: every input is conversation-keyed and
+    dimension-sized; the macro itself is four conv_id-keyed joins over
+    tables bounded by conversations × entity domain. All-integer
+    output (no floats anywhere).
+
+    The oracle is the family's two recursions composed in one
+    WITH RECURSIVE — a green row pins the COMPOSITION, not just the
+    parts (cross-family consistency the per-key oracles can't see)."""
+    dist = _strong_allpairs_dist(spark, sf)
+    strong = _strong_canon_edges(_triples_table(spark, sf))
+    dia = dist.groupBy("conv_id").agg(
+        F.countDistinct("src").alias("n_nodes"),
+        F.max("d").cast("int").alias("diameter"),
+    )
+    cc = (
+        dist.groupBy("conv_id", "src")
+        .agg(F.min("node").alias("lbl"))
+        .groupBy("conv_id")
+        .agg(F.countDistinct("lbl").alias("n_comps"))
+    )
+    ed = (
+        strong.where(F.col("a") != F.col("b"))
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    br = (
+        kg_bridges(spark, sf)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bridges"))
+    )
+    return (
+        dia.join(cc, "conv_id")
+        .join(ed, "conv_id", "left")
+        .join(br, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_nodes",
+            F.coalesce(F.col("n_edges"), F.lit(0)).cast("long").alias(
+                "n_edges"
+            ),
+            "n_comps",
+            "diameter",
+            F.coalesce(F.col("n_bridges"), F.lit(0)).cast("long").alias(
+                "n_bridges"
+            ),
+        )
+    )

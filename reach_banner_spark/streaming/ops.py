@@ -2489,3 +2489,18 @@ def stream_outlier_mad(spark, sf):
     return mad_rollup(
         _stream_daily_counts(spark, sf, "stream_outlier_mad")
     ).localCheckpoint()
+
+
+@register("stream_ewma", None)  # pytest: == batch events_ewma
+def stream_ewma(spark, sf):
+    """INGEST-TIME EWMA level tracking — the streaming twin of
+    ``events_ewma`` on the SHARED ``_stream_daily_counts`` state: daily
+    counts sum-merge exactly, and the SHARED ``ewma_rollup`` re-runs
+    the identical sorted fold over the final merged table, so streaming
+    == batch is a theorem about SUM composed with a deterministic
+    function of the merged state. State is O(event-types x days)."""
+    from ..plans.events_analytics import ewma_rollup
+
+    return ewma_rollup(
+        _stream_daily_counts(spark, sf, "stream_ewma")
+    ).localCheckpoint()

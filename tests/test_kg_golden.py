@@ -673,3 +673,27 @@ def test_kg_conv_similarity_reconciles(spark):
             Decimal("0.000001"), rounding=ROUND_HALF_UP
         )
         assert r.jaccard == f"{exp:.6f}", r
+
+
+def test_macro_graph_health_cross_key_consistency(spark):
+    """The macro's columns reconcile against the per-key outputs it
+    composes: n_nodes/diameter vs kg_diameter, n_comps vs
+    kg_components' distinct labels, n_bridges vs kg_bridges' rows."""
+    from reach_banner_spark.plans.kg_queries import REGISTRY
+
+    SF = "/root/testdata/sf0.001"
+    mac = (
+        REGISTRY["macro_graph_health"][0](spark, SF)
+        .toPandas()
+        .set_index("conv_id")
+    )
+    dia = REGISTRY["kg_diameter"][0](spark, SF).toPandas().set_index("conv_id")
+    comp = REGISTRY["kg_components"][0](spark, SF).toPandas()
+    br = REGISTRY["kg_bridges"][0](spark, SF).toPandas()
+    assert len(mac) == len(dia) > 0
+    for conv, row in mac.iterrows():
+        assert row.n_nodes == dia.loc[conv].n_nodes
+        assert row.diameter == dia.loc[conv].diameter
+        sub = comp[comp.conv_id == conv]
+        assert row.n_comps == sub.comp_label.nunique()
+        assert row.n_bridges == len(br[br.conv_id == conv])

@@ -1217,3 +1217,34 @@ def test_stream_outlier_mad_equals_batch(spark):
         .reset_index(drop=True)
     )
     assert again.equals(got)
+
+
+def test_stream_ewma_equals_batch(spark):
+    """stream_ewma's final level table == the one-shot events_ewma
+    (shared daily state + shared sorted fold). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = (
+        ops.REGISTRY["stream_ewma"][0](spark, SF)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["events_ewma"][0](spark, SF)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+    again = (
+        ops.REGISTRY["stream_ewma"][0](spark, SF)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)
