@@ -267,6 +267,7 @@ HEADLINE = [
     "dedup_lines",
     "events_ewma",
     "macro_graph_health",
+    "macro_experiment_report",
 ]
 
 

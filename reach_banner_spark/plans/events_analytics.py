@@ -2552,3 +2552,149 @@ def ewma_rollup(d: DataFrame) -> DataFrame:
         F.size("a").cast("long").alias("n_days"),
         _FMT6(fold).alias("ewma"),
     )
+
+
+@register(
+    "macro_experiment_report",
+    # One-row experiment readout composing the family's three shared
+    # stages: exposure SRM guard (overall distinct users by variant),
+    # the z-test estimate, and the CUPED-adjusted estimate — the same
+    # exact-moments / fixed-IEEE-chain contracts as the per-key
+    # oracles, composed.
+    "WITH u AS (SELECT user_id, user_id % 2 AS variant, "
+    " CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) "
+    "  AS BIGINT) AS x, "
+    " CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' "
+    "  AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y, "
+    " CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+    "  * 5 > COUNT(*) THEN 1 ELSE 0 END AS conv "
+    " FROM events GROUP BY user_id), "
+    "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    " CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+    " CAST(SUM(x * y) AS BIGINT) AS sxy, "
+    " CAST(SUM(x * x) AS BIGINT) AS sxx FROM u), "
+    "g AS (SELECT "
+    " CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, "
+    " CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS ca, "
+    " CAST(SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sya, "
+    " CAST(SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa, "
+    " CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb, "
+    " CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS cb, "
+    " CAST(SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS syb, "
+    " CAST(SUM(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb "
+    " FROM u) "
+    "SELECT na, nb, "
+    "(na - nb) * (na - nb) * 1000 > 3841 * (na + nb) AS srm, "
+    "printf('%.6f', ROUND(CAST(ca AS DOUBLE) / na "
+    " - CAST(cb AS DOUBLE) / nb, 6)) AS rate_diff, "
+    "printf('%.6f', ROUND(CAST(sya AS DOUBLE) / na "
+    " - CAST(syb AS DOUBLE) / nb, 6)) AS raw_diff, "
+    "printf('%.6f', ROUND((CAST(sya AS DOUBLE) / na "
+    "  - CAST(syb AS DOUBLE) / nb) "
+    " - (CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) "
+    "    / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)) "
+    "   * (CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb), 6)) "
+    " AS cuped_diff "
+    "FROM g, m WHERE m.n * m.sxx > m.sx * m.sx",
+)
+def macro_experiment_report(spark, sf):
+    """One-row experiment readout — the report an experimentation
+    platform actually publishes, composing the family in one pass:
+    the overall SRM validity flag (is the 50/50 split intact), the
+    conversion-rate difference (``events_ab_test``'s estimate), and
+    the CUPED variance-reduced purchase-count difference
+    (``events_cuped``'s estimate) — all from ONE user-grain
+    aggregation, so facts are scanned once for the whole report
+    (the macro_data_prep composition discipline applied to the
+    experiment family).
+
+    Float discipline: identical to the per-key contracts — exact
+    BIGINT moments, fixed IEEE division/multiply chains, the SRM flag
+    as a pure integer cross-multiply. A green oracle row pins the
+    COMPOSITION of the three analyses over one shared grain.
+
+    Scale shape: one user-keyed fact aggregation (map-side
+    combinable, localCheckpointed so the three rollups share it), two
+    one-row aggregates, a 1x1 join."""
+    cut = F.lit("2024-01-16").cast("timestamp")
+    u = _events(spark, sf).groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                (F.col("ts") >= cut) & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            * 5
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("conv"),
+    ).withColumn("variant", F.col("user_id") % 2).localCheckpoint()
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+
+    def side(v, col):
+        return (
+            F.sum(F.when(F.col("variant") == v, F.col(col)).otherwise(0))
+            .cast("long")
+        )
+
+    g = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        side(0, "conv").alias("ca"),
+        side(0, "y").alias("sya"),
+        side(0, "x").alias("sxa"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        side(1, "conv").alias("cb"),
+        side(1, "y").alias("syb"),
+        side(1, "x").alias("sxb"),
+    )
+    j = g.crossJoin(m).where(
+        F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx")
+    )
+    diff2 = (F.col("na") - F.col("nb")) * (F.col("na") - F.col("nb"))
+    rate = (
+        F.col("ca").cast("double") / F.col("na")
+        - F.col("cb").cast("double") / F.col("nb")
+    )
+    raw = (
+        F.col("sya").cast("double") / F.col("na")
+        - F.col("syb").cast("double") / F.col("nb")
+    )
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    xdiff = (
+        F.col("sxa").cast("double") / F.col("na")
+        - F.col("sxb").cast("double") / F.col("nb")
+    )
+    return j.select(
+        "na",
+        "nb",
+        (diff2 * 1000 > 3841 * (F.col("na") + F.col("nb"))).alias("srm"),
+        _FMT6(rate).alias("rate_diff"),
+        _FMT6(raw).alias("raw_diff"),
+        _FMT6(raw - theta * xdiff).alias("cuped_diff"),
+    )

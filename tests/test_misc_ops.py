@@ -1355,3 +1355,27 @@ def test_events_ewma_matches_python_fold(spark):
         )
         assert row.ewma == f"{want:.6f}", (et, row.ewma, want)
         assert g.cnt.min() <= s <= g.cnt.max()
+
+
+def test_macro_experiment_report_cross_key(spark):
+    """The macro's columns reconcile against the per-key outputs it
+    composes: na/nb and cuped_diff vs events_cuped, srm vs the
+    all-exposure integer rule, rate_diff vs events_ab_test's
+    rate_a - rate_b (same division chain)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    mac = REGISTRY["macro_experiment_report"][0](spark, SF).toPandas()
+    cup = REGISTRY["events_cuped"][0](spark, SF).toPandas()
+    ab = REGISTRY["events_ab_test"][0](spark, SF).toPandas()
+    assert len(mac) == len(cup) == len(ab) == 1
+    m, c, a = mac.iloc[0], cup.iloc[0], ab.iloc[0]
+    assert (m.na, m.nb) == (c.na, c.nb) == (a.na, a.nb)
+    assert m.raw_diff == c.raw_diff and m.cuped_diff == c.cuped_diff
+    assert m.srm == ((m.na - m.nb) ** 2 * 1000 > 3841 * (m.na + m.nb))
+    rate = float(a.ca) / a.na - float(a.cb) / a.nb
+    want = Decimal(repr(rate)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+    assert m.rate_diff == f"{want:.6f}"
