@@ -2606,6 +2606,29 @@ def _strong_sym_edges(t: DataFrame) -> DataFrame:
     ).distinct()
 
 
+# Strong-edge memo, same discipline as _ALLPAIRS_MEMO below: FIVE keys
+# (bridges/articulation/mst/graph-health + the all-pairs build) derive
+# the identical checkpointed edge set — without the memo one
+# macro_graph_health invocation materialized it three times (r5
+# session-12 review finding).
+_STRONG_MEMO: dict = {}
+
+
+def _strong_edges_cached(spark, sf) -> DataFrame:
+    """Memoized ``_strong_canon_edges`` over the materialized triple
+    table, keyed by (SparkContext, corpus, triples version)."""
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf,
+        _TRIPLES_TABLE_VERSION,
+    )
+    cached = _STRONG_MEMO.get(memo_key)
+    if cached is None:
+        cached = _strong_canon_edges(_triples_table(spark, sf))
+        _STRONG_MEMO[memo_key] = cached
+    return cached
+
+
 # Process-local memo for the all-pairs table: the 7 fixed frontier
 # rounds cost ~2 s of checkpoint latency at sf0.1 (fixed overhead, not
 # data scaling) and THREE keys consume the identical table
@@ -2632,7 +2655,12 @@ def _strong_allpairs_dist(spark, sf) -> DataFrame:
     cached = _ALLPAIRS_MEMO.get(memo_key)
     if cached is not None:
         return cached
-    e = _strong_sym_edges(_triples_table(spark, sf)).localCheckpoint()
+    strong = _strong_edges_cached(spark, sf)
+    e = strong.select(
+        "conv_id", F.col("a").alias("s"), F.col("b").alias("o")
+    ).union(
+        strong.select("conv_id", F.col("b").alias("s"), F.col("a").alias("o"))
+    ).distinct().localCheckpoint()
     nodes = e.select("conv_id", F.col("s").alias("node")).distinct()
     dist = (
         nodes.select("conv_id", F.col("node").alias("src"), "node")
@@ -2774,7 +2802,7 @@ def kg_bridges(spark, sf):
     Scale shape: ONE conv_id exchange (the grouped map's) over the
     dimension-scale strong edge set; per-task cost is O(V + E) bounded
     by the per-conv entity domain, never by turns."""
-    strong = _strong_canon_edges(_triples_table(spark, sf)).select(
+    strong = _strong_edges_cached(spark, sf).select(
         "conv_id", "a", "b"
     )
 
@@ -2868,7 +2896,15 @@ def _tarjan_cuts(nodes, adj):
     # domain is dictionary-bounded), with the baseline component count
     # read from the SAME all-pairs table kg_diameter/kg_closeness use.
     _ALLPAIRS_SQL +
-    ", base AS (SELECT conv_id, src, MIN(node) AS lbl FROM sp "
+    # the baseline closure r0 is UNBOUNDED like rx — a hop-bounded c0
+    # against an unbounded c1 could mis-flag if a component's diameter
+    # ever exceeded _REACH_MAX_HOPS (r5 session-12 review finding)
+    ", r0(conv_id, src, node) AS ("
+    " SELECT conv_id, node, node FROM nodes "
+    " UNION "
+    " SELECT r0.conv_id, r0.src, e.o FROM r0 JOIN e "
+    "  ON e.conv_id = r0.conv_id AND e.s = r0.node), "
+    "base AS (SELECT conv_id, src, MIN(node) AS lbl FROM r0 "
     " GROUP BY 1, 2), "
     "bc AS (SELECT conv_id, COUNT(DISTINCT lbl) AS c0 FROM base "
     " GROUP BY 1), "
@@ -2909,7 +2945,7 @@ def kg_articulation(spark, sf):
 
     Scale shape: ONE conv_id exchange over the dimension-scale strong
     edge set; O(V + E) per conversation."""
-    strong = _strong_canon_edges(_triples_table(spark, sf)).select(
+    strong = _strong_edges_cached(spark, sf).select(
         "conv_id", "a", "b"
     )
 
@@ -3620,7 +3656,7 @@ def kg_mst(spark, sf):
     weighted strong edge set; O(E log E) per conversation, bounded by
     the entity domain. All-integer output (support weights are exact
     co-occurrence counts)."""
-    strong = _strong_canon_edges(_triples_table(spark, sf)).select(
+    strong = _strong_edges_cached(spark, sf).select(
         "conv_id", "a", "b", "n"
     )
 
@@ -3670,25 +3706,30 @@ def _stage_corrupt_csv(sf: str) -> tuple[str, int]:
     CSV reader, type failures are). Returns (path, n_corrupt staged).
     Content derives from the documents table, so the oracle states the
     expected surviving rows FROM THE TABLE and never depends on any
-    CSV semantics of the oracle engine (the _stage_binary trick)."""
+    CSV semantics of the oracle engine (the _stage_binary trick).
+    Cache is CONTENT-fingerprinted (the _staged_doc_stream_dir
+    discipline — regenerated parquet must never reuse a stale slice)
+    and the staged n_bad rides a sidecar so the warm path never
+    re-reads the parquet (r5 session-12 review findings)."""
     import os
     import tempfile
 
-    import duckdb
+    from ..tmputil import source_fingerprint
 
     src = f"{sf}/documents.parquet"
     out = os.path.join(
-        tempfile.gettempdir(),
-        f"rbs_csvbad_{os.path.basename(sf.rstrip('/'))}",
+        tempfile.gettempdir(), f"rbs_csvbad_{source_fingerprint(src)}"
     )
     marker = os.path.join(out, "_DONE")
-    con = duckdb.connect()
-    rows = con.execute(
-        f"SELECT doc_id, lang, n_chars FROM read_parquet('{src}') "
-        "WHERE doc_id < 100 ORDER BY doc_id"
-    ).fetchall()
-    n_bad = sum(1 for r in rows if r[0] % 7 == 3)
     if not os.path.exists(marker):
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT doc_id, lang, n_chars FROM read_parquet('{src}') "
+            "WHERE doc_id < 100 ORDER BY doc_id"
+        ).fetchall()
+        n_bad = sum(1 for r in rows if r[0] % 7 == 3)
         os.makedirs(out, exist_ok=True)
         with open(os.path.join(out, "part.csv"), "w") as f:
             f.write("doc_id,lang,n_chars\n")
@@ -3697,8 +3738,8 @@ def _stage_corrupt_csv(sf: str) -> tuple[str, int]:
                     f.write(f"notanumber_{doc_id},{lang},alsobad\n")
                 else:
                     f.write(f"{doc_id},{lang},{n_chars}\n")
-        open(marker, "w").write("ok")
-    return out, n_bad
+        open(marker, "w").write(str(n_bad))
+    return out, int(open(marker).read())
 
 
 @register(
@@ -3905,7 +3946,7 @@ def macro_graph_health(spark, sf):
     WITH RECURSIVE — a green row pins the COMPOSITION, not just the
     parts (cross-family consistency the per-key oracles can't see)."""
     dist = _strong_allpairs_dist(spark, sf)
-    strong = _strong_canon_edges(_triples_table(spark, sf))
+    strong = _strong_edges_cached(spark, sf)
     dia = dist.groupBy("conv_id").agg(
         F.countDistinct("src").alias("n_nodes"),
         F.max("d").cast("int").alias("diameter"),

@@ -744,10 +744,24 @@ def test_emb_quantize_int8_twin_and_error_bound(spark):
         if scale == 0.0:
             assert (codes == 0).all()
             continue
-        # identical op sequence: divide, multiply, round half-away
+        # identical op sequence: divide, multiply, then the ENGINES'
+        # rounding (HALF_UP on the exact double — floor(abs+0.5) would
+        # diverge when q + 0.5 itself rounds up in float64)
+        from decimal import ROUND_HALF_UP, Decimal
+
         q = x / scale * 127.0
-        twin = np.sign(q) * np.floor(np.abs(q) + 0.5)
-        assert (codes == twin.astype(np.int64)).all(), row.vec_id
+        twin = np.array(
+            [
+                int(
+                    Decimal(repr(v)).quantize(
+                        Decimal("1"), rounding=ROUND_HALF_UP
+                    )
+                )
+                for v in q
+            ],
+            dtype=np.int64,
+        )
+        assert (codes == twin).all(), row.vec_id
         deq = codes.astype(np.float64) / 127.0 * scale
         assert np.abs(deq - x).max() <= scale / 254.0 * (1 + 1e-12)
 
