@@ -458,3 +458,19 @@ def test_scan_agg_pushdown_footer_stats(spark):
     # restored to the session default (typed conf: fetch without a
     # sentinel default, which would fail boolean validation)
     assert spark.conf.get("spark.sql.parquet.aggregatePushdown") == "false"
+
+
+def test_graph_kernel_single_exchange(spark):
+    """Every per-conversation graph kernel (Tarjan bridges/articulation,
+    Kruskal MST, Brandes betweenness) must plan as EXACTLY one
+    conv_id exchange feeding one FlatMapGroupsInPandas over the
+    memoized checkpointed edge set — no re-scan, no second shuffle."""
+    from reach_banner_spark.plans.registry import all_queries
+
+    q = all_queries()
+    for key in ("kg_bridges", "kg_articulation", "kg_mst",
+                "kg_betweenness"):
+        plan = _plan(q[key](spark, SF))
+        assert "FlatMapGroupsInPandas" in plan, (key, plan[:400])
+        assert plan.count("Exchange") == 1, (key, plan[:600])
+        assert "Scan parquet" not in plan, (key, plan[:400])
