@@ -2008,6 +2008,141 @@ def retrieval_rrf(spark, sf):
     )
 
 
+# Retrieval evaluation: (ranking term, relevance-label term) per query —
+# rank docs by tf of the first, judge by "contains the second with
+# tf >= _MRR_REL_TF" (a held-out signal the ranker does not see).
+_MRR_QUERIES = (("join", "hash"), ("spark", "stream"), ("vector", "window"))
+_MRR_K = 20
+_MRR_REL_TF = 3
+_MRR_L = 232792560  # lcm(1..20): every reciprocal rank scales to an int
+
+
+def _mrr_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS "
+        f"{c}{i}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+        for c, t in (("r", r), ("l", l))
+    )
+    cands = ", ".join(
+        f"c{i} AS (SELECT doc_id, l{i}, "
+        f"ROW_NUMBER() OVER (ORDER BY r{i} DESC, doc_id) AS rn "
+        f"FROM tf WHERE r{i} >= 1 QUALIFY rn <= {_MRR_K}), "
+        f"f{i} AS (SELECT COALESCE(MIN(rn), 0) AS fr FROM c{i} "
+        f"WHERE l{i} >= {_MRR_REL_TF})"
+        for i in range(len(_MRR_QUERIES))
+    )
+    per_q = " UNION ALL ".join(
+        f"SELECT '{r}->{l}' AS query, CAST(f{i}.fr AS BIGINT) AS first_rank, "
+        f"printf('%.6f', ROUND(CASE WHEN f{i}.fr > 0 "
+        f"THEN CAST(1 AS DOUBLE) / f{i}.fr ELSE CAST(0 AS DOUBLE) END, 6)) "
+        f"AS rr FROM f{i}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    )
+    num = " + ".join(
+        f"(CASE WHEN f{i}.fr > 0 THEN CAST({_MRR_L} AS DOUBLE) / f{i}.fr "
+        f"ELSE CAST(0 AS DOUBLE) END)"
+        for i in range(len(_MRR_QUERIES))
+    )
+    den = len(_MRR_QUERIES) * _MRR_L
+    froms = ", ".join(f"f{i}" for i in range(len(_MRR_QUERIES)))
+    return (
+        f"WITH tf AS (SELECT doc_id, {tf_cols} FROM documents), {cands} "
+        f"SELECT query, first_rank, rr FROM ({per_q} UNION ALL "
+        f"SELECT '__all__', CAST(0 AS BIGINT), "
+        f"printf('%.6f', ROUND(({num}) / CAST({den} AS DOUBLE), 6)) "
+        f"FROM {froms}) q"
+    )
+
+
+@register("retrieval_mrr", _mrr_sql())
+def retrieval_mrr(spark, sf):
+    """Mean reciprocal rank — retrieval EVALUATION as a query: for each
+    (ranking term, label term) pair in ``_MRR_QUERIES``, rank documents
+    containing the ranking term by its term frequency (tie-break
+    doc_id), truncate to the top ``_MRR_K``, and score 1/rank of the
+    first document carrying the held-out relevance signal (label-term
+    tf >= ``_MRR_REL_TF``); the ``__all__`` row is the MRR over the
+    query set — the metric every retrieval stack tracks per release.
+    MRR is chosen over NDCG deliberately: NDCG's log2 discounts drag
+    libm into the contract, while every reciprocal rank here scales to
+    an EXACT integer by lcm(1..20), so the mean is one IEEE division of
+    an exactly-represented sum — bit-identical across engines (the
+    per-query rr is likewise a single division of exact integers).
+
+    Scale shape: ONE corpus pass builds the per-doc term-frequency
+    grain (array filter, no explode shuffle; localCheckpoint'ed so the
+    per-query branches don't re-scan); each query's candidate cut is a
+    TakeOrderedAndProject top-20 — per-partition heads + driver merge,
+    never a global sort — and the rank window runs over 20 rows. At
+    real scale queries() fan out as independent jobs over the same
+    checkpointed grain."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    tf_of = lambda t: F.size(  # noqa: E731
+        F.filter(words, lambda w: w == F.lit(t))
+    )
+    cols = [F.col("doc_id")]
+    for i, (r, l) in enumerate(_MRR_QUERIES):
+        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    tf = d.select(*cols).localCheckpoint()
+
+    firsts = []
+    for i in range(len(_MRR_QUERIES)):
+        cand = (
+            tf.filter(F.col(f"r{i}") >= 1)
+            .orderBy(F.desc(f"r{i}"), F.asc("doc_id"))
+            .limit(_MRR_K)
+        )
+        w = Window.orderBy(F.desc(f"r{i}"), F.asc("doc_id"))
+        ranked = cand.select(
+            F.col(f"l{i}"), F.row_number().over(w).alias("rn")
+        )
+        firsts.append(
+            ranked.filter(F.col(f"l{i}") >= _MRR_REL_TF).agg(
+                F.coalesce(F.min("rn"), F.lit(0)).alias(f"fr{i}")
+            )
+        )
+    one = firsts[0]
+    for f_i in firsts[1:]:
+        one = one.crossJoin(f_i)
+
+    def rr(i: int):
+        fr = F.col(f"fr{i}")
+        return F.when(
+            fr > 0, F.lit(1).cast("double") / fr
+        ).otherwise(F.lit(0).cast("double"))
+
+    num = None
+    for i in range(len(_MRR_QUERIES)):
+        fr = F.col(f"fr{i}")
+        term = F.when(
+            fr > 0, F.lit(_MRR_L).cast("double") / fr
+        ).otherwise(F.lit(0).cast("double"))
+        num = term if num is None else num + term
+    mrr = num / F.lit(len(_MRR_QUERIES) * _MRR_L).cast("double")
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    rows = [
+        F.struct(
+            F.lit(f"{r}->{l}").alias("query"),
+            F.col(f"fr{i}").cast("long").alias("first_rank"),
+            fmt(rr(i)).alias("rr"),
+        )
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    ] + [
+        F.struct(
+            F.lit("__all__").alias("query"),
+            F.lit(0).cast("long").alias("first_rank"),
+            fmt(mrr).alias("rr"),
+        )
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("q")).select(
+        "q.query", "q.first_rank", "q.rr"
+    )
+
+
 # ------------------------------------------------------ inverted index ----
 
 INDEX_HEAD_K = 20    # posting-head length (smallest-doc_id prefix)

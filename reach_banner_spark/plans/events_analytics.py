@@ -2370,6 +2370,222 @@ def cuped_rollup(u0: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "events_did",
+    # Difference-in-differences: variant x period cell means of exact
+    # per-user purchase counts around the fixed Jan-16 cut. Every cell
+    # sum and user count is an exact BIGINT; the four means are single
+    # IEEE divisions and the DiD is a fixed chain of three subtractions
+    # spelled identically on both engines (events_cuped discipline).
+    "WITH u AS (SELECT user_id, user_id % 2 AS variant, "
+    " CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' "
+    "  AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pre, "
+    " CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' "
+    "  AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS post "
+    " FROM events GROUP BY 1, 2), "
+    "g AS (SELECT "
+    " CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, "
+    " CAST(SUM(CASE WHEN variant = 0 THEN pre ELSE 0 END) AS BIGINT) AS spa, "
+    " CAST(SUM(CASE WHEN variant = 0 THEN post ELSE 0 END) AS BIGINT) AS sqa, "
+    " CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb, "
+    " CAST(SUM(CASE WHEN variant = 1 THEN pre ELSE 0 END) AS BIGINT) AS spb, "
+    " CAST(SUM(CASE WHEN variant = 1 THEN post ELSE 0 END) AS BIGINT) AS sqb "
+    " FROM u) "
+    "SELECT na, nb, "
+    "printf('%.6f', ROUND(CAST(spa AS DOUBLE) / na, 6)) AS pre_a, "
+    "printf('%.6f', ROUND(CAST(sqa AS DOUBLE) / na, 6)) AS post_a, "
+    "printf('%.6f', ROUND(CAST(spb AS DOUBLE) / nb, 6)) AS pre_b, "
+    "printf('%.6f', ROUND(CAST(sqb AS DOUBLE) / nb, 6)) AS post_b, "
+    "printf('%.6f', ROUND("
+    " (CAST(sqa AS DOUBLE) / na - CAST(spa AS DOUBLE) / na) "
+    " - (CAST(sqb AS DOUBLE) / nb - CAST(spb AS DOUBLE) / nb), 6)) AS did "
+    "FROM g WHERE na > 0 AND nb > 0",
+)
+def events_did(spark, sf):
+    """Difference-in-differences readout — the fourth member of the
+    experimentation family (``events_ab_test`` tests, ``events_srm``
+    validates the split, ``events_cuped`` tightens, this key removes
+    SHARED time trends): the variant-0 post-minus-pre change in per-user
+    purchase volume minus the variant-1 change around the fixed Jan-16
+    cut. When both arms ride the same seasonality, the second difference
+    cancels it — the standard quasi-experimental estimator for staged
+    rollouts where randomization is imperfect.
+
+    Float discipline: per-user pre/post purchase counts and all six cell
+    sums are exact BIGINTs; the four means are single IEEE divisions and
+    the DiD is a fixed three-subtraction chain spelled identically on
+    both engines under ROUND/%.6f (events_cuped's composed-op rule).
+
+    Scale shape: ONE user-keyed fact aggregation to the per-user
+    (pre, post) grain (map-side combinable), then a one-row rollup —
+    facts are touched exactly once."""
+    u = user_prepost(_events(spark, sf))
+    return did_rollup(u)
+
+
+def user_prepost(df: DataFrame) -> DataFrame:
+    """Per-user (variant, pre, post) purchase-count grain under the
+    fixed Jan-16 cut. Plain SUMs — exactly mergeable across
+    micro-batches (the ``stream_cuped`` state discipline), which is
+    what makes a streaming twin == batch a theorem."""
+    cut = F.lit("2024-01-16").cast("timestamp")
+    is_p = F.col("event_type") == "purchase"
+    return df.groupBy("user_id").agg(
+        F.sum(F.when((F.col("ts") < cut) & is_p, 1).otherwise(0))
+        .cast("long")
+        .alias("pre"),
+        F.sum(F.when((F.col("ts") >= cut) & is_p, 1).otherwise(0))
+        .cast("long")
+        .alias("post"),
+    )
+
+
+def did_rollup(u0: DataFrame) -> DataFrame:
+    """Fold the per-user (pre, post) grain into the one-row DiD readout
+    — the shared definition for the batch key and any streaming twin
+    (the float contract lives here)."""
+    u = u0.withColumn("variant", F.col("user_id") % 2)
+    g = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("variant") == 0, F.col("pre")).otherwise(0))
+        .cast("long")
+        .alias("spa"),
+        F.sum(F.when(F.col("variant") == 0, F.col("post")).otherwise(0))
+        .cast("long")
+        .alias("sqa"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        F.sum(F.when(F.col("variant") == 1, F.col("pre")).otherwise(0))
+        .cast("long")
+        .alias("spb"),
+        F.sum(F.when(F.col("variant") == 1, F.col("post")).otherwise(0))
+        .cast("long")
+        .alias("sqb"),
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n)  # noqa: E731
+    did = (mean("sqa", "na") - mean("spa", "na")) - (
+        mean("sqb", "nb") - mean("spb", "nb")
+    )
+    return g.where((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        "na",
+        "nb",
+        _FMT6(mean("spa", "na")).alias("pre_a"),
+        _FMT6(mean("sqa", "na")).alias("post_a"),
+        _FMT6(mean("spb", "nb")).alias("pre_b"),
+        _FMT6(mean("sqb", "nb")).alias("post_b"),
+        _FMT6(did).alias("did"),
+    )
+
+
+# z_{0.975} + z_{0.80}: the 5%-two-sided / 80%-power normal quantile
+# sum, pinned as ONE double literal parsed identically by both engines
+# (string -> double conversion is correctly rounded in both; a two-term
+# literal sum would also constant-fold identically, but one literal
+# removes the question).
+_POWER_Z = "2.8015852181129683"
+
+
+@register(
+    "events_power",
+    # Minimum detectable effect at 80% power / 5% two-sided for the
+    # hash-split converter rates: counts are exact BIGINTs, and the MDE
+    # is a fixed IEEE chain (divisions, one product, sqrt — all
+    # correctly-rounded ops) spelled identically on both engines; the
+    # z constant enters as one string->double cast. 'powered' compares
+    # the two identically-computed doubles, so it is engine-stable.
+    "WITH u AS (SELECT user_id, user_id % 2 AS variant, "
+    " CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+    "  > 0 THEN 1 ELSE 0 END AS conv "
+    " FROM events GROUP BY 1, 2), "
+    "g AS (SELECT "
+    " CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, "
+    " CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS ca, "
+    " CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb, "
+    " CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS cb "
+    " FROM u) "
+    "SELECT na, ca, nb, cb, "
+    "printf('%.6f', ROUND(CAST(ca AS DOUBLE) / na "
+    " - CAST(cb AS DOUBLE) / nb, 6)) AS diff, "
+    f"printf('%.6f', ROUND(CAST('{_POWER_Z}' AS DOUBLE) * "
+    " SQRT((CAST(ca + cb AS DOUBLE) / (na + nb)) * "
+    "  (CAST(1 AS DOUBLE) - CAST(ca + cb AS DOUBLE) / (na + nb)) * "
+    "  (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 6)) AS mde, "
+    f"ABS(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) > "
+    f"CAST('{_POWER_Z}' AS DOUBLE) * "
+    " SQRT((CAST(ca + cb AS DOUBLE) / (na + nb)) * "
+    "  (CAST(1 AS DOUBLE) - CAST(ca + cb AS DOUBLE) / (na + nb)) * "
+    "  (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)) AS powered "
+    "FROM g WHERE na > 0 AND nb > 0",
+)
+def events_power(spark, sf):
+    """Power analysis for the hash-split experiment — the minimum
+    detectable effect (MDE) on the ever-converted rate at 80% power and
+    5% two-sided significance, next to the observed rate difference and
+    a 'powered' flag (is the observed effect above what this sample
+    size can reliably detect?). The design-time complement of
+    ``events_ab_test``'s z-test: the z-test asks "is this difference
+    real?", this key asks "could we even have seen it?" — the first
+    dashboard every experimentation platform ships.
+
+    Float discipline: all counts exact BIGINTs; MDE =
+    z * sqrt(p_pool * (1 - p_pool) * (1/na + 1/nb)) where every op in
+    the chain (divisions, products, SQRT) is a correctly-rounded IEEE
+    operation spelled in the same order on both engines, and the z
+    constant enters as one string->double cast (string conversion is
+    correctly rounded in both engines; libm log/erf never appear).
+    'powered' compares two identically-computed doubles.
+
+    Scale shape: ONE user-keyed fact aggregation to the converted flag,
+    then a one-row rollup — map-side combinable, facts touched once."""
+    u = _events(spark, sf).groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    u = u.withColumn("variant", F.col("user_id") % 2)
+    g = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    p = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    diff = F.col("ca").cast("double") / F.col("na") - F.col("cb").cast(
+        "double"
+    ) / F.col("nb")
+    z = F.lit(_POWER_Z).cast("double")
+    mde = z * F.sqrt(
+        p
+        * (F.lit(1).cast("double") - p)
+        * (
+            F.lit(1).cast("double") / F.col("na")
+            + F.lit(1).cast("double") / F.col("nb")
+        )
+    )
+    return g.where((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        _FMT6(diff).alias("diff"),
+        _FMT6(mde).alias("mde"),
+        (F.abs(diff) > mde).alias("powered"),
+    )
+
+
 # ---------------------------------------------- time-range window frame ----
 
 @register(

@@ -3635,6 +3635,52 @@ def kg_components(spark, sf):
     )
 
 
+@register(
+    "kg_eccentricity",
+    # Eccentricity / radius / center fall out of the SAME all-pairs
+    # table as the diameter/closeness/components family: ecc = MAX(d)
+    # per source, radius = MIN(ecc) per conversation (a window over the
+    # dimension-sized ecc table), is_center = exact integer equality.
+    # No float anywhere.
+    _ALLPAIRS_SQL +
+    ", ecc AS (SELECT conv_id, src, MAX(d) AS e FROM sp GROUP BY 1, 2) "
+    "SELECT conv_id, src AS entity, CAST(e AS INT) AS eccentricity, "
+    "CAST(MIN(e) OVER (PARTITION BY conv_id) AS INT) AS radius, "
+    "e = MIN(e) OVER (PARTITION BY conv_id) AS is_center "
+    "FROM ecc",
+)
+def kg_eccentricity(spark, sf):
+    """Per-entity eccentricity over the strong-edge backbone — the
+    worst-case hop distance from each entity to anything it can reach —
+    plus the conversation's radius (minimum eccentricity) and the
+    center flag (eccentricity == radius). The fourth rollup of the
+    shared all-pairs BFS family: ``kg_diameter`` reads its MAX,
+    ``kg_closeness`` its SUM, ``kg_components`` its MIN-label, this key
+    its per-source MAX — the center entities are where a KG UI anchors
+    a conversation's layout and where a cache places the hub rows.
+    Everything is exact integers off the memoized distance table; the
+    center flag is an integer equality, so no float ever decides it.
+
+    Scale shape: reuses ``_strong_allpairs_dist`` (memoized per corpus
+    — the BFS runs once for the whole family); the rollup is one
+    (conv_id, src) aggregate and the radius window runs over the
+    entity-domain-sized eccentricity table, conv_id-partitioned."""
+    dist = _strong_allpairs_dist(spark, sf)
+    ecc = dist.groupBy("conv_id", "src").agg(
+        F.max("d").cast("int").alias("eccentricity")
+    )
+    w = Window.partitionBy("conv_id")
+    return ecc.select(
+        "conv_id",
+        F.col("src").alias("entity"),
+        "eccentricity",
+        F.min("eccentricity").over(w).cast("int").alias("radius"),
+        (F.col("eccentricity") == F.min("eccentricity").over(w)).alias(
+            "is_center"
+        ),
+    )
+
+
 @register("kg_mst", None)  # == Prim twin, pytest-pinned
 def kg_mst(spark, sf):
     """Maximum-support spanning forest per conversation — the minimal

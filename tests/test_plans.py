@@ -120,8 +120,8 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 323, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 254, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 327, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 258, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
 
 
@@ -244,6 +244,15 @@ def test_retrieval_keys_plan_shape(spark):
     tplan = tf._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in tplan
     assert "BatchEvalPython" not in tplan
+
+    # retrieval_mrr: every per-query candidate cut is a
+    # TakeOrderedAndProject over the one checkpointed tf grain (never a
+    # global sort), and the metric math is pure JVM.
+    mrr = em.queries()["retrieval_mrr"](spark, sf)
+    mplan = mrr._jdf.queryExecution().executedPlan().toString()
+    assert mplan.count("TakeOrderedAndProject") >= 3
+    assert "BatchEvalPython" not in mplan
+    assert "Exchange rangepartitioning" not in mplan  # no global sort
 
 
 def _shuffle_lines(plan: str) -> list[str]:
