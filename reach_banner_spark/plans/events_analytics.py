@@ -1646,11 +1646,22 @@ def events_pareto(spark, sf):
     The 80% threshold is the exact integer cut cum*5 >= total*4
     (quantities are counts), so the boundary user is engine-exact;
     only the reported user fraction is a float, under ROUND + %.6f."""
-    pu = (
-        _events(spark, sf)
-        .groupBy("event_type", "user_id")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    return pareto_rollup(type_user_counts(_events(spark, sf)))
+
+
+def type_user_counts(df: DataFrame) -> DataFrame:
+    """Per-(event_type, user) volume grain: a plain SUM-mergeable COUNT
+    — the carried state that makes ``stream_pareto`` == batch a theorem
+    about SUM for any micro-batch split."""
+    return df.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
+
+
+def pareto_rollup(pu: DataFrame) -> DataFrame:
+    """Fold the (event_type, user, cnt) grain into the Pareto
+    concentration report — the ONE shared definition for the batch key
+    and its streaming twin (the exact 80% integer cut lives here)."""
     wcum = (
         Window.partitionBy("event_type")
         .orderBy(F.desc("cnt"), F.asc("user_id"))

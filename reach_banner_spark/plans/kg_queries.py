@@ -3681,6 +3681,172 @@ def kg_eccentricity(spark, sf):
     )
 
 
+# Directed-strong-edge memo (kg_scc): same discipline as _STRONG_MEMO —
+# the directed backbone is its own checkpointed edge set because the
+# direction-collapsing LEAST/GREATEST canonicalization of
+# _strong_canon_edges erases exactly the asymmetry SCC needs.
+_DIR_MEMO: dict = {}
+
+
+def _strong_dir_edges_cached(spark, sf) -> DataFrame:
+    """Memoized DIRECTED strong edges (conv_id, s, o): subj->obj pairs
+    whose support is strictly above their conversation's mean directed
+    support (n * n_edges > total — the kg_diameter exact-integer cut,
+    applied to the directed pair table instead of the canonicalized
+    one)."""
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf,
+        _TRIPLES_TABLE_VERSION,
+    )
+    cached = _DIR_MEMO.get(memo_key)
+    if cached is None:
+        t = _triples_table(spark, sf)
+        dp = t.groupBy(
+            "conv_id",
+            F.col("subj").alias("s"),
+            F.col("obj").alias("o"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+        st = dp.groupBy("conv_id").agg(
+            F.sum("n").alias("tot"), F.count(F.lit(1)).alias("ne")
+        )
+        cached = (
+            dp.join(st, "conv_id")
+            .where(F.col("n") * F.col("ne") > F.col("tot"))
+            .select("conv_id", "s", "o")
+            .localCheckpoint()
+        )
+        _DIR_MEMO[memo_key] = cached
+    return cached
+
+
+@register(
+    "kg_scc",
+    # Strongly connected components over the DIRECTED strong backbone.
+    # The oracle is the DEFINITION: an UNBOUNDED recursive reachability
+    # closure (UNION dedups, so it terminates at the fixpoint — the
+    # kg_articulation lesson: never hop-bound a closure an algorithm
+    # depends on), then label = MIN over the mutually-reachable set.
+    # The Spark side is Tarjan — algorithm vs definition cross-check.
+    f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), "
+    "dp AS (SELECT conv_id, subj AS s, obj AS o, COUNT(*) AS n FROM t "
+    " GROUP BY 1, 2, 3), "
+    "dst AS (SELECT conv_id, SUM(n) AS tot, COUNT(*) AS ne FROM dp "
+    " GROUP BY 1), "
+    "de AS (SELECT dp.conv_id, s, o FROM dp JOIN dst USING (conv_id) "
+    " WHERE dp.n * dst.ne > dst.tot), "
+    "nodes AS (SELECT conv_id, s AS node FROM de "
+    " UNION SELECT conv_id, o FROM de), "
+    "r(conv_id, src, node) AS ("
+    " SELECT conv_id, node, node FROM nodes "
+    " UNION "
+    " SELECT de.conv_id, r.src, de.o FROM r JOIN de "
+    "  ON de.conv_id = r.conv_id AND de.s = r.node), "
+    "scc AS (SELECT f.conv_id, f.src AS entity, MIN(f.node) AS lbl "
+    " FROM r f JOIN r b ON b.conv_id = f.conv_id AND b.src = f.node "
+    "  AND b.node = f.src GROUP BY 1, 2) "
+    "SELECT conv_id, entity, lbl AS scc_label, "
+    "CAST(COUNT(*) OVER (PARTITION BY conv_id, lbl) AS BIGINT) "
+    " AS scc_size FROM scc",
+)
+def kg_scc(spark, sf):
+    """Strongly connected components per conversation over the DIRECTED
+    strong backbone — which entity groups refer back to each other
+    (mutual asked_about/answered_with cycles) versus flowing one way.
+    The directed complement of ``kg_components``: an undirected
+    component can be a chain of one-way references, an SCC cannot —
+    cyclic cores are where a KG's facts reinforce each other and where
+    contradiction checks (``kg_pred_conflicts``) matter most. Labels
+    follow the min-label convention (label = smallest entity in the
+    SCC), plus the SCC size.
+
+    Correctness is an algorithm-vs-definition cross-check: the DuckDB
+    oracle computes the UNBOUNDED recursive reachability closure and
+    takes MIN over each node's mutually-reachable set (the definition);
+    this side runs iterative Tarjan per conversation — a one-pass
+    linear-time algorithm that must produce the identical partition.
+
+    Scale shape: the class-(b) grouped-map kernel pattern
+    (kg_mst/kg_betweenness discipline) — SCC is sequential per graph,
+    so ONE conv_id exchange over the memoized checkpointed directed
+    edge set feeds one ``applyInPandas`` task per conversation; O(V+E)
+    per graph, bounded by the entity domain, distributed across
+    conversations. All-string/integer output — no float anywhere."""
+    de = _strong_dir_edges_cached(spark, sf)
+
+    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf["conv_id"].iloc[0]
+        adj: dict = {}
+        nodes = set()
+        for s, o in zip(pdf["s"], pdf["o"]):
+            nodes.add(s)
+            nodes.add(o)
+            adj.setdefault(s, []).append(o)
+        for v in adj:
+            adj[v].sort()
+        index: dict = {}
+        low: dict = {}
+        on: set = set()
+        stack: list = []
+        comp: dict = {}
+        counter = 0
+        for root in sorted(nodes):
+            if root in index:
+                continue
+            index[root] = low[root] = counter
+            counter += 1
+            stack.append(root)
+            on.add(root)
+            work = [(root, iter(adj.get(root, [])))]
+            while work:
+                v, it = work[-1]
+                advanced = False
+                for w in it:
+                    if w not in index:
+                        index[w] = low[w] = counter
+                        counter += 1
+                        stack.append(w)
+                        on.add(w)
+                        work.append((w, iter(adj.get(w, []))))
+                        advanced = True
+                        break
+                    if w in on and index[w] < low[v]:
+                        low[v] = index[w]
+                if advanced:
+                    continue
+                work.pop()
+                if work and low[v] < low[work[-1][0]]:
+                    low[work[-1][0]] = low[v]
+                if low[v] == index[v]:
+                    scc = []
+                    while True:
+                        w = stack.pop()
+                        on.discard(w)
+                        scc.append(w)
+                        if w == v:
+                            break
+                    lbl = min(scc)
+                    for w in scc:
+                        comp[w] = lbl
+        from collections import Counter as _Counter
+
+        sizes = _Counter(comp.values())
+        ents = sorted(comp)
+        return pd.DataFrame(
+            {
+                "conv_id": [conv] * len(ents),
+                "entity": ents,
+                "scc_label": [comp[e] for e in ents],
+                "scc_size": [sizes[comp[e]] for e in ents],
+            }
+        )
+
+    return de.groupBy("conv_id").applyInPandas(
+        per_conv,
+        "conv_id string, entity string, scc_label string, scc_size long",
+    )
+
+
 @register("kg_mst", None)  # == Prim twin, pytest-pinned
 def kg_mst(spark, sf):
     """Maximum-support spanning forest per conversation — the minimal

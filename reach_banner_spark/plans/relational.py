@@ -1763,6 +1763,79 @@ def join_null_safe(spark, sf):
 
 
 @register(
+    "join_fuzzy_name",
+    # Fuzzy self-join: every customer-name pair within Levenshtein
+    # distance 1. The oracle is the DEFINITION (full pairwise
+    # levenshtein over the n^2 cross join — fine at oracle scale);
+    # the Spark side must reach the identical pair set through
+    # SymSpell deletion-neighborhood blocking, which is provably
+    # complete for distance <= 1.
+    "SELECT a.c_custkey AS k1, b.c_custkey AS k2, "
+    "a.c_name AS n1, b.c_name AS n2, "
+    "CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist "
+    "FROM customer a JOIN customer b ON a.c_name < b.c_name "
+    "AND levenshtein(a.c_name, b.c_name) <= 1",
+)
+def join_fuzzy_name(spark, sf):
+    """Fuzzy string self-join (edit distance <= 1) via SymSpell
+    deletion-neighborhood blocking — the join-family member for
+    approximate keys (typo'd names, OCR'd ids): a cartesian
+    levenshtein is O(n^2) and dead at scale, but distance <= 1 implies
+    the two strings SHARE a member of their deletion neighborhoods
+    (delete-at-most-one-char variant sets: a substitution at i meets
+    at both-deleted-i; an insert/delete meets at the shorter string;
+    equality is excluded by the n1 < n2 dedup order) — so an equi-join
+    on variants finds every true pair, and the exact ``levenshtein``
+    verify above the join removes the false candidates (two strings
+    can share a variant at distance 2, e.g. 'ab'/'ba'). The
+    LSH-candidate-verify shape, for edit distance.
+
+    Scale shape: each side explodes to length+1 variants, keyed by
+    ``xxhash64`` of the variant (8 bytes through the shuffle instead
+    of the string — hash collisions only ADD candidates, which the
+    exact verify then drops, so hashing is semantically free); one
+    equi-join shuffle bounded by the variant table, a distinct on the
+    surviving key pairs, and a JVM levenshtein verify. No cartesian
+    product anywhere (plan-gated)."""
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    variants = F.array_distinct(
+        F.concat(
+            F.array(F.col("c_name")),
+            F.expr(
+                "transform(sequence(1, length(c_name)), "
+                "i -> concat(substring(c_name, 1, i - 1), "
+                "substring(c_name, i + 1, length(c_name))))"
+            ),
+        )
+    )
+    v = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(variants).alias("var"),
+    ).select(
+        "c_custkey", "c_name", F.xxhash64("var").alias("vh")
+    )
+    va = v.select(
+        F.col("c_custkey").alias("k1"),
+        F.col("c_name").alias("n1"),
+        "vh",
+    )
+    vb = v.select(
+        F.col("c_custkey").alias("k2"),
+        F.col("c_name").alias("n2"),
+        "vh",
+    )
+    return (
+        va.join(vb, "vh")
+        .where(F.col("n1") < F.col("n2"))
+        .select("k1", "k2", "n1", "n2")
+        .distinct()
+        .withColumn("dist", F.levenshtein("n1", "n2").cast("int"))
+        .where(F.col("dist") <= 1)
+    )
+
+
+@register(
     "fn_higher_order",
     # higher-order array functions (SQL lambdas): filter / transform /
     # aggregate, including the BINARY (element, index) transform — DuckDB

@@ -2473,6 +2473,107 @@ def stream_cuped(spark, sf):
     return cuped_rollup(spark.read.parquet(state["path"])).localCheckpoint()
 
 
+@register("stream_did", None)  # pytest: == batch events_did
+def stream_did(spark, sf):
+    """INGEST-TIME difference-in-differences readout — the streaming
+    twin of ``events_did``: the carried state is the per-user
+    (pre, post) purchase-count grain (both plain SUMs — exactly
+    mergeable for any micro-batch split), and the SHARED ``did_rollup``
+    re-derives the one-row DiD from the final state, so streaming ==
+    batch is a theorem about SUM. The staged-rollout monitor shape: the
+    trend-adjusted effect estimate stays current as events arrive,
+    without re-scanning history.
+
+    State is O(users); each batch's merge keys on user_id only."""
+    import shutil
+
+    from ..plans.events_analytics import did_rollup, user_prepost
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_did", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = user_prepost(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("user_id")
+            .agg(F.sum("pre").alias("pre"), F.sum("post").alias("post"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return did_rollup(spark.read.parquet(state["path"])).localCheckpoint()
+
+
+@register("stream_pareto", None)  # pytest: == batch events_pareto
+def stream_pareto(spark, sf):
+    """INGEST-TIME Pareto concentration tracking — the streaming twin
+    of ``events_pareto``: the carried state is the per-(event_type,
+    user) volume grain (a plain SUM — exactly mergeable), and the
+    SHARED ``pareto_rollup`` re-derives the users-to-80% report with
+    its exact integer cut from the final state, so streaming == batch
+    is a theorem about SUM. This is the live workload-skew monitor
+    that tells an operator when a key has grown a whale and needs
+    salting — current within one micro-batch.
+
+    State is O(event-types × users); each batch's merge is one keyed
+    SUM over (type, user)."""
+    import shutil
+
+    from ..plans.events_analytics import pareto_rollup, type_user_counts
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_pareto", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = type_user_counts(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("event_type", "user_id")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return pareto_rollup(spark.read.parquet(state["path"])).localCheckpoint()
+
+
 @register("stream_outlier_mad", None)  # pytest: == batch events_outlier_mad
 def stream_outlier_mad(spark, sf):
     """INGEST-TIME median/MAD outlier tracking — the streaming twin of

@@ -120,8 +120,8 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 327, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 258, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 331, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 260, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
 
 
@@ -253,6 +253,19 @@ def test_retrieval_keys_plan_shape(spark):
     assert mplan.count("TakeOrderedAndProject") >= 3
     assert "BatchEvalPython" not in mplan
     assert "Exchange rangepartitioning" not in mplan  # no global sort
+
+
+def test_join_fuzzy_name_no_cartesian(spark):
+    """join_fuzzy_name must reach the distance-1 pair set through the
+    deletion-neighborhood equi-join — never a cartesian/nested-loop
+    product — with the verify as a JVM levenshtein above it."""
+    from reach_banner_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["join_fuzzy_name"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def _shuffle_lines(plan: str) -> list[str]:
@@ -478,7 +491,7 @@ def test_graph_kernel_single_exchange(spark):
 
     q = all_queries()
     for key in ("kg_bridges", "kg_articulation", "kg_mst",
-                "kg_betweenness"):
+                "kg_betweenness", "kg_scc"):
         plan = _plan(q[key](spark, SF))
         assert "FlatMapGroupsInPandas" in plan, (key, plan[:400])
         assert plan.count("Exchange") == 1, (key, plan[:600])

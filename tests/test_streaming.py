@@ -1187,6 +1187,55 @@ def test_stream_cuped_equals_batch(spark):
     assert again.equals(got)
 
 
+def test_stream_did_equals_batch(spark):
+    """stream_did's final one-row DiD readout == the one-shot events_did
+    (carried state is the sum-mergeable per-user (pre, post) grain).
+    Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_did"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_did"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_did"][0](spark, SF).toPandas()
+    assert again.equals(got)
+
+
+def test_stream_pareto_equals_batch(spark):
+    """stream_pareto's final concentration report == the one-shot
+    events_pareto (carried state is the sum-mergeable (type, user)
+    volume grain). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = (
+        ops.REGISTRY["stream_pareto"][0](spark, SF)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["events_pareto"][0](spark, SF)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+    again = (
+        ops.REGISTRY["stream_pareto"][0](spark, SF)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)
+
+
 def test_stream_outlier_mad_equals_batch(spark):
     """stream_outlier_mad's final median/MAD table == the one-shot
     events_outlier_mad (shared sum-mergeable daily state). Re-run
