@@ -1125,3 +1125,113 @@ def emb_quantize_int8(spark, sf):
         F.format_string("%.6f", F.round(scale, 6)).alias("scale6"),
         codes.alias("codes"),
     )
+
+
+# MMR diversified re-ranking: candidate pool size, output size, and the
+# dyadic trade-off weight (0.5 = equal relevance/diversity — exact in
+# binary, so the score chain stays bit-stable).
+MMR_CAND = 50
+MMR_K = 10
+MMR_LAMBDA = 0.5
+
+
+@register("retrieval_mmr", None)  # == independent greedy twin, pytest-pinned
+def retrieval_mmr(spark, sf):
+    """Maximal Marginal Relevance re-ranking ([K] Carbonell & Goldstein
+    1998) — the diversity pass every retrieval stack runs between ANN
+    and the prompt window: from the query's top-``MMR_CAND`` cosine
+    candidates, greedily pick ``MMR_K`` maximizing
+    0.5·rel(d) − 0.5·max_{s∈selected} sim(d, s), so near-duplicate
+    passages don't crowd out coverage (the retrieval-side complement of
+    ``dedup_embedding_cosine``: dedup removes copies from the corpus,
+    MMR removes redundancy from a RESULT).
+
+    Determinism: relevance is the rounded-cosine contract of
+    ``ann_cosine_topk``; pairwise sims are float64 dots over the
+    normalized candidate block computed in one process; ties break
+    (score DESC, vec_id) — pytest pins the selection against an
+    independent greedy implementation plus a re-run.
+
+    Scale shape: the distributed part is exactly ``ann_cosine_topk``'s
+    plan for one query — broadcast query row, scan-side cosine, ONE
+    TakeOrderedAndProject top-50 (never a global sort). The greedy
+    itself is sequential by definition, over a candidate block that is
+    CONSTANT-sized (50×64 floats) regardless of corpus scale — the
+    size-gated driver step the pipeline's canonicalize precedent
+    allows; per-query fan-out at 100 TB distributes queries, not the
+    greedy."""
+    import pandas as pd
+
+    pdf = _mmr_candidates(spark, sf)
+    rows = _mmr_greedy(pdf)
+    out = pd.DataFrame(
+        rows, columns=["rank", "vec_id", "relevance", "mmr_score"]
+    )
+    return spark.createDataFrame(
+        out, "rank int, vec_id long, relevance string, mmr_score string"
+    )
+
+
+def _mmr_candidates(spark, sf):
+    """Distributed candidate cut for ``retrieval_mmr``: the query row
+    (vec_id 0) broadcast against the corpus, rounded-cosine scored,
+    TakeOrderedAndProject top-``MMR_CAND`` — one bounded toPandas."""
+    e = _emb(spark, sf)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(_cosine(F.col("qvec"), F.col("embedding")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(MMR_CAND)
+        .toPandas()
+    )
+
+
+def _mmr_greedy(pdf) -> list:
+    """Sequential MMR greedy over the constant-sized candidate block:
+    per step argmax of 0.5·rel − 0.5·max-sim-to-selected, ties broken
+    (score DESC, vec_id). Returns (rank, vec_id, relevance, mmr_score)
+    tuples with %.6f-formatted floats."""
+    import numpy as np
+
+    ids = pdf["vec_id"].to_numpy()
+    rel = pdf["cos"].to_numpy(dtype=np.float64)
+    V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    norms = np.sqrt((V * V).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    Vn = V / norms[:, None]
+    S = Vn @ Vn.T
+    lam = MMR_LAMBDA
+    selected: list[int] = []
+    remaining = list(range(len(ids)))
+    rows = []
+    while remaining and len(selected) < MMR_K:
+        best_i, best_key = None, None
+        for i in remaining:
+            red = max((S[i, j] for j in selected), default=0.0)
+            score = lam * rel[i] - (1.0 - lam) * red
+            key = (-score, int(ids[i]))
+            if best_key is None or key < best_key:
+                best_i, best_key = i, key
+        selected.append(best_i)
+        remaining.remove(best_i)
+        rows.append(
+            (
+                len(selected),
+                int(ids[best_i]),
+                f"{rel[best_i]:.6f}",
+                f"{-best_key[0]:.6f}",
+            )
+        )
+    return rows

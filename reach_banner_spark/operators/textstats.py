@@ -1924,6 +1924,97 @@ def lm_bigram(spark, sf):
     )
 
 
+@register(
+    "lm_kneser_ney",
+    # Interpolated Kneser-Ney bigram probabilities with the DYADIC
+    # discount d = 0.75: every count (pair, left-total, follower and
+    # predecessor type counts, total bigram types) is an exact integer,
+    # d*nf and cnt-d are dyadic-exact doubles, and the whole probability
+    # is ONE fixed IEEE chain — (cnt-d)/cnt1 + ((d*nf)/cnt1)*(np/T) —
+    # spelled identically on both engines under ROUND+%.6f. cnt >= 1 so
+    # max(cnt-d, 0) never binds. Tie-free (cnt DESC, w1, w2) top-100.
+    f"WITH bg AS ({_BIGRAM2_SQL}), "
+    "p AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg "
+    " GROUP BY 1, 2), "
+    "l AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS cnt1, "
+    " CAST(COUNT(*) AS BIGINT) AS nf FROM p GROUP BY 1), "
+    "r AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS np FROM p GROUP BY 1), "
+    "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM p) "
+    "SELECT p.w1, p.w2, p.cnt, l.cnt1, l.nf, r.np, "
+    "printf('%.6f', ROUND("
+    " (CAST(p.cnt AS DOUBLE) - CAST(0.75 AS DOUBLE)) / l.cnt1 "
+    " + ((CAST(0.75 AS DOUBLE) * l.nf) / l.cnt1) "
+    "   * (CAST(r.np AS DOUBLE) / t.tt), 6)) AS p_kn "
+    "FROM p JOIN l ON l.w1 = p.w1 JOIN r ON r.w2 = p.w2, t "
+    "ORDER BY p.cnt DESC, p.w1, p.w2 LIMIT 100",
+)
+def lm_kneser_ney(spark, sf):
+    """Interpolated Kneser-Ney smoothed bigram model head — the top-100
+    bigrams with P_KN(w2|w1) = max(c-d,0)/c(w1·) + λ(w1)·P_cont(w2),
+    where λ(w1) = d·N1+(w1,·)/c(w1·) and P_cont(w2) = N1+(·,w2)/|types|
+    — THE smoothing every serious count-based LM ships (KenLM's
+    default; [K] Kneser & Ney 1995, Chen & Goodman 1998). The
+    continuation probability is the famous part: 'Francisco' is
+    frequent but follows only 'San', so its unigram back-off weight
+    should be tiny — N1+(·,w2) counts distinct PREDECESSORS, not
+    tokens. The companion to ``lm_bigram`` (raw MLE) and
+    ``lm_freq_of_freqs`` (the Good-Turing alternative).
+
+    Float discipline: d = 0.75 is dyadic, so cnt-d and d·nf are EXACT
+    doubles; all five count families are exact integers; the
+    probability is one fixed IEEE chain spelled identically on both
+    engines (no libm log — KN needs none). cnt >= 1 means the max()
+    never binds.
+
+    Scale shape: ONE pair-keyed partial+final aggregation over the
+    exploded bigrams (Zipf-sublinear), localCheckpoint'ed because
+    three derived tables (left totals, predecessor-type counts, the
+    type total) all read it — one fact pass; the two lookup tables
+    come back as BROADCAST joins on the Zipf-bounded vocabulary, and
+    the top-100 is a TakeOrderedAndProject."""
+    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    pairs = F.expr(
+        "transform(slice(w, 1, size(w) - 1), "
+        "(x, i) -> struct(x AS w1, w[i + 1] AS w2))"
+    )
+    bg = (
+        d.filter(F.size("w") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    p = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    lt = p.groupBy("w1").agg(
+        F.sum("cnt").cast("long").alias("cnt1"),
+        F.count(F.lit(1)).cast("long").alias("nf"),
+    )
+    rt = p.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("np"))
+    tt = p.agg(F.count(F.lit(1)).cast("long").alias("tt"))
+    dd = F.lit(0.75)
+    p_kn = (F.col("cnt").cast("double") - dd) / F.col("cnt1") + (
+        (dd * F.col("nf")) / F.col("cnt1")
+    ) * (F.col("np").cast("double") / F.col("tt"))
+    return (
+        p.join(F.broadcast(lt), "w1")
+        .join(F.broadcast(rt), "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            "cnt1",
+            "nf",
+            "np",
+            F.format_string("%.6f", F.round(p_kn, 6)).alias("p_kn"),
+        )
+        .orderBy(F.desc("cnt"), "w1", "w2")
+        .limit(100)
+    )
+
+
 _RRF_TERMS = ("join", "scan")
 _RRF_C = 60  # the standard RRF damping constant (Cormack et al. 2009)
 _RRF_K = 20

@@ -4025,21 +4025,38 @@ def events_benford(spark, sf):
     Scale shape: one scan, one 9-value hash aggregate, plus a one-row
     total broadcast back — at 100 TB this is a pure map-side profile
     exactly like corpus_stats."""
-    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 0)
-    d = o.select(
-        F.substring(
-            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
-            1,
-            1,
-        )
-        .cast("long")
-        .alias("digit")
-    )
-    t = d.agg(F.count(F.lit(1)).alias("n"))
+    return benford_rollup(digit_counts(_t(spark, sf, "orders")))
+
+
+def digit_counts(orders: DataFrame) -> DataFrame:
+    """Per-leading-digit count grain over order totals: a plain
+    SUM-mergeable COUNT (at most 9 rows), which is what makes
+    ``stream_benford`` == batch a theorem about SUM."""
     return (
-        d.groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(t))
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def benford_rollup(dc: DataFrame) -> DataFrame:
+    """Fold the 9-row digit-count grain into the Benford share table —
+    the ONE shared definition for the batch key and its streaming
+    twin (the %.6f share contract lives here)."""
+    t = dc.agg(F.sum("cnt").alias("n"))
+    return (
+        dc.crossJoin(F.broadcast(t))
         .select(
             "digit",
             "cnt",

@@ -2574,6 +2574,60 @@ def stream_pareto(spark, sf):
     return pareto_rollup(spark.read.parquet(state["path"])).localCheckpoint()
 
 
+@register("stream_benford", None)  # pytest: == batch events_benford
+def stream_benford(spark, sf):
+    """INGEST-TIME Benford first-digit forensics — the streaming twin
+    of ``events_benford``: the carried state is the at-most-9-row
+    leading-digit count grain (a plain SUM — exactly mergeable), and
+    the SHARED ``benford_rollup`` re-derives the share table from the
+    final state, so streaming == batch is a theorem about SUM for any
+    micro-batch split. This is the fraud/corruption tripwire a
+    financial ingest keeps hot: a batch of fabricated amounts bends
+    the digit profile within one micro-batch.
+
+    State is O(9) rows — the cheapest carried state on the surface."""
+    import shutil
+
+    from ..plans.relational import benford_rollup, digit_counts
+
+    d = _staged_orders_stream_dir(sf)
+    work = _op_work_dir("stream_benford", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = digit_counts(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("digit")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(ORDERS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return benford_rollup(spark.read.parquet(state["path"])).localCheckpoint()
+
+
 @register("stream_outlier_mad", None)  # pytest: == batch events_outlier_mad
 def stream_outlier_mad(spark, sf):
     """INGEST-TIME median/MAD outlier tracking — the streaming twin of

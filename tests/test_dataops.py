@@ -851,3 +851,60 @@ def test_dedup_lines_twin(spark):
             Decimal("0.000001"), rounding=ROUND_HALF_UP
         )
         assert row.dup_ratio == f"{want:.6f}"
+
+
+def test_retrieval_mmr_matches_independent_greedy(spark):
+    """retrieval_mmr's selection == an INDEPENDENT vectorized greedy
+    (incremental max-redundancy update + masked argmax) over the same
+    candidate block, plus invariants: the first pick is the highest-
+    relevance candidate, ranks are 1..K, and a re-run is identical."""
+    import numpy as np
+
+    from reach_banner_spark.operators import similarity as sim
+
+    got = sim.REGISTRY["retrieval_mmr"][0](spark, SF).toPandas()
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+    assert len(got) == min(
+        sim.MMR_K, len(sim._mmr_candidates(spark, SF))
+    )
+
+    pdf = sim._mmr_candidates(spark, SF)
+    ids = pdf["vec_id"].to_numpy()
+    rel = pdf["cos"].to_numpy(dtype=np.float64)
+    V = np.array(
+        [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+    )
+    n = np.sqrt((V * V).sum(axis=1))
+    Vn = V / np.where(n == 0.0, 1.0, n)[:, None]
+    S = Vn @ Vn.T
+    alive = np.ones(len(ids), dtype=bool)
+    # empty-selected-set redundancy is 0.0; after the first pick the
+    # true max-sim takes over UNCLAMPED (cosines can be negative — MMR
+    # rewards anti-similar picks, matching the operator's plain max)
+    maxred = np.zeros(len(ids))
+    picks = []
+    for r in range(min(sim.MMR_K, len(ids))):
+        score = 0.5 * rel - 0.5 * maxred
+        masked = np.where(alive, score, -np.inf)
+        best_score = masked.max()
+        tie = np.where(alive & (masked == best_score))[0]
+        best = int(tie[np.argmin(ids[tie])])
+        picks.append(
+            (
+                r + 1,
+                int(ids[best]),
+                f"{rel[best]:.6f}",
+                f"{score[best]:.6f}",
+            )
+        )
+        alive[best] = False
+        maxred = S[:, best].copy() if r == 0 else np.maximum(
+            maxred, S[:, best]
+        )
+    want = list(map(tuple, picks))
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    # first pick is the relevance argmax (tie-break vec_id)
+    top = pdf.sort_values(["cos", "vec_id"], ascending=[False, True]).iloc[0]
+    assert got.iloc[0]["vec_id"] == top["vec_id"]
+    again = sim.REGISTRY["retrieval_mmr"][0](spark, SF).toPandas()
+    assert again.equals(got)

@@ -1236,6 +1236,38 @@ def test_stream_pareto_equals_batch(spark):
     assert again.equals(got)
 
 
+def test_stream_benford_equals_batch(spark):
+    """stream_benford's final digit-share table == the one-shot
+    events_benford (carried state is the sum-mergeable 9-row digit
+    grain). Re-run identical."""
+    from reach_banner_spark.plans.relational import (
+        REGISTRY as REL_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = (
+        ops.REGISTRY["stream_benford"][0](spark, SF)
+        .toPandas()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    want = (
+        REL_REGISTRY["events_benford"][0](spark, SF)
+        .toPandas()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+    again = (
+        ops.REGISTRY["stream_benford"][0](spark, SF)
+        .toPandas()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)
+
+
 def test_stream_outlier_mad_equals_batch(spark):
     """stream_outlier_mad's final median/MAD table == the one-shot
     events_outlier_mad (shared sum-mergeable daily state). Re-run
