@@ -268,6 +268,21 @@ HEADLINE = [
     "events_ewma",
     "macro_graph_health",
     "macro_experiment_report",
+    # r5l additions (thirteenth r5 session) — eccentricity/SCC kernels,
+    # DiD/power/KS/MWU/concentration stats, KN smoothing, MRR/MMR
+    # retrieval, SymSpell fuzzy join (subtract this group too for
+    # earlier-round-comparable subtotals)
+    "kg_eccentricity",
+    "kg_scc",
+    "events_did",
+    "events_power",
+    "events_concentration",
+    "events_ks_test",
+    "events_mann_whitney",
+    "retrieval_mrr",
+    "retrieval_mmr",
+    "lm_kneser_ney",
+    "join_fuzzy_name",
 ]
 
 

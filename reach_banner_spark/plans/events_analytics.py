@@ -2925,3 +2925,326 @@ def macro_experiment_report(spark, sf):
         _FMT6(raw).alias("raw_diff"),
         _FMT6(raw - theta * xdiff).alias("cuped_diff"),
     )
+
+
+# ------------------------------------------------- concentration (gini) ----
+
+@register(
+    "events_concentration",
+    # Inequality/concentration profile per event type over per-user
+    # volumes: Gini via the exact rank-weighted identity
+    # G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with x ascending
+    # (the sum is invariant under permutations within tied x, so any
+    # total order gives the same integer), and HHI = sum(x^2)/sum(x)^2.
+    # Every moment is an exact BIGINT; each reported float is ONE
+    # correctly-rounded IEEE division under ROUND + %.6f.
+    "WITH pu AS (SELECT event_type, user_id, "
+    "  CAST(COUNT(*) AS BIGINT) AS cnt "
+    " FROM events GROUP BY event_type, user_id), "
+    "r AS (SELECT event_type, cnt, "
+    "  ROW_NUMBER() OVER (PARTITION BY event_type "
+    "   ORDER BY cnt, user_id) AS i FROM pu), "
+    "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users, "
+    "  CAST(SUM(cnt) AS BIGINT) AS total_events, "
+    "  CAST(SUM(i * cnt) AS BIGINT) AS s_rank, "
+    "  CAST(SUM(cnt * cnt) AS BIGINT) AS s_sq "
+    " FROM r GROUP BY event_type) "
+    "SELECT event_type, n_users, total_events, "
+    "printf('%.6f', ROUND(CAST(2 * s_rank - (n_users + 1) * total_events "
+    " AS DOUBLE) / CAST(n_users * total_events AS DOUBLE), 6)) AS gini, "
+    "printf('%.6f', ROUND(CAST(s_sq AS DOUBLE) "
+    " / CAST(total_events * total_events AS DOUBLE), 6)) AS hhi "
+    "FROM g",
+)
+def events_concentration(spark, sf):
+    """Volume-concentration profile per event type: the Gini
+    coefficient and Herfindahl-Hirschman index of per-user event
+    volumes — the two standard inequality readouts a platform tracks
+    next to ``events_pareto``'s whale cut (Gini summarizes the whole
+    Lorenz curve the Pareto key samples at 80%; HHI is the
+    market-concentration view). Reuses the SAME sum-mergeable
+    (type, user, cnt) grain as the Pareto/stream keys.
+
+    Float discipline: Gini uses the rank-weighted identity
+    (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending x — the
+    rank sum is PERMUTATION-INVARIANT within tied volumes, so the
+    (cnt, user_id) tie-break pins determinism without affecting the
+    value; all four moments are exact BIGINTs and each output float is
+    one IEEE division under ROUND + %.6f. (At 100 TB the squared and
+    rank-weighted sums move to DECIMAL(38,0) — i*x_i here is bounded
+    by users x max-volume, far inside BIGINT.)
+
+    Scale shape: ONE fact-scale exchange to the (type, user) grain,
+    a rank window and rollup over the user-grained table keyed
+    event_type — same co-partitioning as the rest of the module."""
+    pu = type_user_counts(_events(spark, sf))
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.asc("cnt"), F.asc("user_id")
+    )
+    r = pu.select(
+        "event_type",
+        "cnt",
+        F.row_number().over(wrank).cast("long").alias("i"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cnt").cast("long").alias("total_events"),
+        F.sum(F.col("i") * F.col("cnt")).cast("long").alias("s_rank"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s_sq"),
+    )
+    gini = (
+        (2 * F.col("s_rank") - (F.col("n_users") + 1) * F.col("total_events"))
+        .cast("double")
+        / (F.col("n_users") * F.col("total_events")).cast("double")
+    )
+    hhi = F.col("s_sq").cast("double") / (
+        F.col("total_events") * F.col("total_events")
+    ).cast("double")
+    return g.select(
+        "event_type",
+        "n_users",
+        "total_events",
+        _FMT6(gini).alias("gini"),
+        _FMT6(hhi).alias("hhi"),
+    )
+
+
+# ------------------------------------------- two-sample tests (KS, MWU) ----
+
+def value_counts_by_variant(df: DataFrame) -> DataFrame:
+    """Per-(cents, variant) purchase-amount counts — the shared grain
+    for the two-sample distribution tests (``events_ks_test``,
+    ``events_mann_whitney``). Amounts bin to exact integer cents via
+    floor(value*100) — one IEEE multiply + exact floor on the same
+    parquet doubles, so both engines bin identically. Counts are plain
+    SUMs: exactly mergeable across micro-batches, which is what makes
+    streaming twins of these tests theorems about SUM."""
+    p = df.filter(F.col("event_type") == "purchase")
+    return (
+        p.select(
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            (F.col("user_id") % 2).alias("variant"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c0"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+        )
+    )
+
+
+_VC_SQL = (
+    "SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents, "
+    " CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0, "
+    " CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1 "
+    "FROM events WHERE event_type = 'purchase' GROUP BY 1"
+)
+
+
+@register(
+    "events_ks_test",
+    # Two-sample Kolmogorov-Smirnov on purchase amounts between the
+    # hash variants: D = max |F0 - F1| computed ENTIRELY in integers
+    # (|cum0*n1 - cum1*n0| over the binned-value grain), one final
+    # division; the 95% flag cross-multiplies against the squared
+    # Smirnov critical value 1.358 in HUGEINT/DECIMAL(38,0) so the
+    # non-dyadic constant never decides through a float.
+    f"WITH vc AS ({_VC_SQL}), "
+    "t AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0, "
+    " CAST(SUM(c1) AS BIGINT) AS n1 FROM vc), "
+    "c AS (SELECT cents, "
+    "  SUM(c0) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING "
+    "   AND CURRENT ROW) AS cum0, "
+    "  SUM(c1) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING "
+    "   AND CURRENT ROW) AS cum1 FROM vc), "
+    "d AS (SELECT c.cents, ABS(cum0 * n1 - cum1 * n0) AS dnum "
+    " FROM c, t), "
+    "m AS (SELECT CAST(MIN(cents) AS BIGINT) AS at_cents, "
+    "  CAST(MAX(dm) AS BIGINT) AS d_num FROM "
+    "  (SELECT cents, dnum, MAX(dnum) OVER () AS dm FROM d) "
+    "  WHERE dnum = dm) "
+    "SELECT n0, n1, d_num, at_cents, "
+    "printf('%.6f', ROUND(CAST(d_num AS DOUBLE) "
+    " / CAST(n0 * n1 AS DOUBLE), 6)) AS ks_d, "
+    "CAST(d_num AS HUGEINT) * d_num * 1000000 > "
+    " CAST(1844164 AS HUGEINT) * (n0 + n1) * n0 * n1 AS significant_95 "
+    "FROM m, t",
+)
+def events_ks_test(spark, sf):
+    """Two-sample Kolmogorov-Smirnov test: does the purchase-amount
+    DISTRIBUTION differ between the 50/50 hash variants? Complements
+    the mean-difference keys (``events_ab_test`` tests the mean,
+    ``events_cuped`` tightens it): KS detects variance/shape shifts a
+    t-test misses. D = max over binned amounts of |ECDF0 - ECDF1|,
+    with the argmax bin reported (smallest bin on ties).
+
+    Float discipline: the ECDF difference is the exact integer
+    |cum0*n1 - cum1*n0| (cross-multiplied to the common n0*n1
+    denominator), its max and argmax are integer comparisons, the
+    reported D is ONE IEEE division under ROUND + %.6f, and the
+    alpha=0.05 flag squares the Smirnov critical value
+    c(0.05)=1.358 into the integer inequality
+    d_num^2 * 10^6 > 1358^2 * (n0+n1) * n0 * n1 evaluated in
+    DECIMAL(38,0)/HUGEINT — the non-dyadic constant never meets a
+    float.
+
+    Scale shape: one fact-scale aggregation to the bounded
+    cents-grain (price-domain sized, the events_concurrency
+    discipline), one ordered cumsum window over that dimension table,
+    a one-row max and a 1x1 join."""
+    vc = value_counts_by_variant(_events(spark, sf)).localCheckpoint()
+    t = vc.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = vc.select(
+        "cents",
+        F.sum("c0").over(wcum).alias("cum0"),
+        F.sum("c1").over(wcum).alias("cum1"),
+    )
+    d = c.crossJoin(t.select("n0", "n1")).select(
+        "cents",
+        F.abs(
+            F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0")
+        ).alias("dnum"),
+    )
+    m = (
+        d.withColumn("dm", F.max("dnum").over(Window.partitionBy()))
+        .filter(F.col("dnum") == F.col("dm"))
+        .agg(
+            F.min("cents").cast("long").alias("at_cents"),
+            F.max("dm").cast("long").alias("d_num"),
+        )
+    )
+    big = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    out = m.crossJoin(t)
+    return out.select(
+        "n0",
+        "n1",
+        "d_num",
+        "at_cents",
+        _FMT6(
+            F.col("d_num").cast("double")
+            / (F.col("n0") * F.col("n1")).cast("double")
+        ).alias("ks_d"),
+        (
+            big(F.col("d_num")) * F.col("d_num") * F.lit(1000000)
+            > big(F.lit(1844164))
+            * (F.col("n0") + F.col("n1"))
+            * F.col("n0")
+            * F.col("n1")
+        ).alias("significant_95"),
+    )
+
+
+@register(
+    "events_mann_whitney",
+    # Mann-Whitney U (rank-sum) on purchase amounts between the hash
+    # variants, with midrank tie handling: 2*R0 = sum over bins of
+    # c0*(2*B + c + 1) is an exact BIGINT (B = bins-before cumsum,
+    # c = bin total), so U0 = (2R0 - n0(n0+1))/2 is exact dyadic; the
+    # AUC effect size is one division of exact integers, and the
+    # tie-corrected normal z is a FIXED IEEE chain spelled identically
+    # on both engines.
+    f"WITH vc AS ({_VC_SQL}), "
+    "t AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0, "
+    " CAST(SUM(c1) AS BIGINT) AS n1, "
+    " CAST(SUM((c0 + c1) * (c0 + c1) * (c0 + c1) - (c0 + c1)) AS BIGINT) "
+    "  AS tie3 FROM vc), "
+    "c AS (SELECT cents, c0, c0 + c1 AS c, "
+    "  COALESCE(SUM(c0 + c1) OVER (ORDER BY cents "
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b "
+    "  FROM vc), "
+    "r AS (SELECT CAST(SUM(c0 * (2 * b + c + 1)) AS BIGINT) AS r0x2 FROM c) "
+    "SELECT n0, n1, "
+    "CAST(r0x2 - n0 * (n0 + 1) AS BIGINT) AS u0_x2, "
+    "CAST(2 * n0 * n1 - (r0x2 - n0 * (n0 + 1)) AS BIGINT) AS u1_x2, "
+    "printf('%.6f', ROUND(CAST(r0x2 - n0 * (n0 + 1) AS DOUBLE) "
+    " / CAST(2 * n0 * n1 AS DOUBLE), 6)) AS auc, "
+    "printf('%.6f', ROUND("
+    " (CAST(r0x2 - n0 * (n0 + 1) AS DOUBLE) / 2.0 "
+    "  - CAST(n0 * n1 AS DOUBLE) / 2.0) "
+    " / sqrt(CAST(n0 * n1 AS DOUBLE) / 12.0 "
+    "   * (CAST(n0 + n1 + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) "
+    "      / CAST((n0 + n1) * (n0 + n1 - 1) AS DOUBLE))), 6)) AS z "
+    "FROM r, t",
+)
+def events_mann_whitney(spark, sf):
+    """Mann-Whitney U rank-sum test on purchase amounts between the
+    hash variants — the NONPARAMETRIC counterpart of
+    ``events_ab_test``'s z-test (robust to the heavy-tailed amounts a
+    mean-based test is hostage to), with midrank tie handling over the
+    binned-cents grain and the AUC / common-language effect size
+    (P(amount_A > amount_B) + 0.5*P(=)).
+
+    Float discipline: with B = count of values in earlier bins and
+    c = bin size, the midrank of a bin is B + (c+1)/2, so
+    2*R0 = sum(c0*(2B+c+1)) is an exact BIGINT; u0_x2/u1_x2 are exact
+    integers (doubled to stay integral), AUC = u0_x2/(2*n0*n1) is one
+    IEEE division, and the tie-corrected z spells ONE fixed
+    chain — (U0 - n0*n1/2) / sqrt(n0*n1/12 * ((n+1) - tie3/(n(n-1))))
+    — identically on both engines (divisions and sqrt are all
+    correctly-rounded, so identical op trees give identical bits).
+    (At 100 TB the rank-weighted sums move to DECIMAL(38,0).)
+
+    Scale shape: same bounded cents-grain as ``events_ks_test`` (one
+    fact-scale aggregation, sum-mergeable), one ordered window over
+    the dimension-sized grain, two one-row rollups."""
+    vc = value_counts_by_variant(_events(spark, sf)).localCheckpoint()
+    t = vc.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(
+            (F.col("c0") + F.col("c1"))
+            * (F.col("c0") + F.col("c1"))
+            * (F.col("c0") + F.col("c1"))
+            - (F.col("c0") + F.col("c1"))
+        )
+        .cast("long")
+        .alias("tie3"),
+    )
+    wprev = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = vc.select(
+        "c0",
+        (F.col("c0") + F.col("c1")).alias("c"),
+        F.coalesce(
+            F.sum(F.col("c0") + F.col("c1")).over(wprev), F.lit(0)
+        ).alias("b"),
+    )
+    r = c.agg(
+        F.sum(F.col("c0") * (2 * F.col("b") + F.col("c") + 1))
+        .cast("long")
+        .alias("r0x2")
+    )
+    j = r.crossJoin(t)
+    u0x2 = F.col("r0x2") - F.col("n0") * (F.col("n0") + 1)
+    half = lambda col: col.cast("double") / F.lit(2.0)  # noqa: E731
+    var = (F.col("n0") * F.col("n1")).cast("double") / F.lit(12.0) * (
+        (F.col("n0") + F.col("n1") + 1).cast("double")
+        - F.col("tie3").cast("double")
+        / (
+            (F.col("n0") + F.col("n1"))
+            * (F.col("n0") + F.col("n1") - 1)
+        ).cast("double")
+    )
+    z = (half(u0x2) - half(F.col("n0") * F.col("n1"))) / F.sqrt(var)
+    return j.select(
+        "n0",
+        "n1",
+        u0x2.cast("long").alias("u0_x2"),
+        (2 * F.col("n0") * F.col("n1") - u0x2).cast("long").alias("u1_x2"),
+        _FMT6(
+            u0x2.cast("double")
+            / (2 * F.col("n0") * F.col("n1")).cast("double")
+        ).alias("auc"),
+        _FMT6(z).alias("z"),
+    )
