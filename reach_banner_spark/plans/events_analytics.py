@@ -3248,3 +3248,374 @@ def events_mann_whitney(spark, sf):
         ).alias("auc"),
         _FMT6(z).alias("z"),
     )
+
+
+# ------------------------------------------------ Kaplan-Meier survival ----
+
+def conversion_spans(df: DataFrame) -> DataFrame:
+    """Per-user (first_event_ts, first_purchase_ts) — the shared grain
+    for ``events_survival``. Both are plain MINs, so the state is
+    exactly mergeable across micro-batches (the stream_funnel
+    first-touch discipline applied to time-to-convert)."""
+    return df.groupBy("user_id").agg(
+        F.min("ts").alias("fe"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "pt"
+        ),
+    )
+
+
+def km_rollup(u: DataFrame, horizon_hours: int = 48) -> DataFrame:
+    """Fold a per-user (fe, pt) conversion-span table into the
+    Kaplan-Meier time-to-first-purchase curve under an administrative
+    cutoff ``horizon_hours`` after the corpus start — the censoring
+    rule, the at-risk reverse cumsum, and the exact sequential product
+    fold all live here (shared with any streaming twin)."""
+    mn = u.agg(F.min("fe").alias("t0")).select(
+        (F.col("t0") + F.expr(f"INTERVAL {horizon_hours} HOURS")).alias("cut")
+    )
+    death = F.col("pt").isNotNull() & (F.col("pt") <= F.col("cut"))
+    dur = F.when(
+        death,
+        F.expr("(unix_micros(CAST(pt AS TIMESTAMP)) - unix_micros(CAST(fe AS TIMESTAMP))) div 3600000000"),
+    ).otherwise(
+        F.expr("(unix_micros(CAST(cut AS TIMESTAMP)) - unix_micros(CAST(fe AS TIMESTAMP))) div 3600000000")
+    )
+    spans = (
+        u.crossJoin(F.broadcast(mn))
+        .filter(F.col("fe") <= F.col("cut"))
+        .select(dur.cast("long").alias("dur"), death.alias("death"))
+    )
+    g = spans.groupBy("dur").agg(
+        F.sum(F.when(F.col("death"), 1).otherwise(0)).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("dc"),
+    )
+    wrev = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    steps = g.select(
+        "dur", "d", F.sum("dc").over(wrev).cast("long").alias("n")
+    ).filter(F.col("d") > 0)
+    arr = steps.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dur"), F.col("n"), F.col("d")))
+        ).alias("a")
+    )
+    folded = arr.select(
+        F.expr(
+            "slice(aggregate(a, "
+            "array(named_struct('dur', CAST(-1 AS BIGINT), "
+            " 'n', CAST(0 AS BIGINT), 'd', CAST(0 AS BIGINT), "
+            " 's', CAST(1.0 AS DOUBLE))), "
+            "(acc, x) -> acc || array(named_struct("
+            " 'dur', x.dur, 'n', x.n, 'd', x.d, "
+            " 's', element_at(acc, -1).s "
+            "      * (CAST(x.n - x.d AS DOUBLE) / CAST(x.n AS DOUBLE))"
+            "))), 2, size(a))"
+        ).alias("k")
+    )
+    r = folded.select(F.explode("k").alias("r"))
+    return r.select(
+        F.col("r.dur").alias("dur_hours"),
+        F.col("r.n").alias("at_risk"),
+        F.col("r.d").alias("deaths"),
+        _FMT6(F.col("r.s")).alias("survival"),
+    )
+
+
+@register(
+    "events_survival",
+    # Kaplan-Meier time-to-first-purchase with administrative right
+    # censoring at 48 hours after corpus start (users not yet
+    # converted by the cutoff are censored at it — real censoring at
+    # BOTH test SFs). Durations are exact integer hour buckets from
+    # microsecond integers (floor-div on non-negative diffs, never a
+    # float epoch); deaths and at-risk counts exact (at-risk = a
+    # REVERSE cumsum, no total-row join); the survival product
+    # S_i = S_{i-1} * ((n_i - d_i)/n_i) runs as the events_ewma
+    # sorted-array JVM fold, oracled by a recursive CTE stepping the
+    # IDENTICAL op chain (1.0 * x == x exactly, so the base case
+    # elides the seed multiply on both engines).
+    "WITH RECURSIVE u AS (SELECT user_id, MIN(ts) AS fe, "
+    "  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS pt "
+    " FROM events GROUP BY user_id), "
+    "c AS (SELECT MIN(fe) + INTERVAL 48 HOUR AS cut FROM u), "
+    "sp AS (SELECT CASE WHEN pt IS NOT NULL AND pt <= cut "
+    "   THEN (epoch_us(pt) - epoch_us(fe)) // 3600000000 "
+    "   ELSE (epoch_us(cut) - epoch_us(fe)) // 3600000000 END AS dur, "
+    "  (pt IS NOT NULL AND pt <= cut) AS death "
+    " FROM u, c WHERE fe <= cut), "
+    "g AS (SELECT CAST(dur AS BIGINT) AS dur, "
+    "  CAST(SUM(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT) AS d, "
+    "  CAST(COUNT(*) AS BIGINT) AS dc FROM sp GROUP BY 1), "
+    "r0 AS (SELECT dur, d, CAST(SUM(dc) OVER (ORDER BY dur DESC "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n "
+    " FROM g), "
+    "r AS (SELECT dur, n, d, CAST(ROW_NUMBER() OVER (ORDER BY dur) "
+    "  AS BIGINT) AS rn FROM r0 WHERE d > 0), "
+    "k(rn, dur, n, d, s) AS ("
+    " SELECT rn, dur, n, d, "
+    "  (CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)) FROM r WHERE rn = 1 "
+    " UNION ALL "
+    " SELECT r.rn, r.dur, r.n, r.d, "
+    "  k.s * (CAST(r.n - r.d AS DOUBLE) / CAST(r.n AS DOUBLE)) "
+    " FROM k JOIN r ON r.rn = k.rn + 1) "
+    "SELECT dur AS dur_hours, n AS at_risk, d AS deaths, "
+    "printf('%.6f', ROUND(s, 6)) AS survival FROM k",
+)
+def events_survival(spark, sf):
+    """Kaplan-Meier survival curve for time-to-first-purchase: hours
+    from a user's first event to their first purchase, right-censored
+    for users not yet converted at the administrative cutoff (48 hours
+    after the corpus's first event). THE standard way to read
+    conversion latency without the 'drop the non-converters' bias a
+    naive latency histogram bakes in — censored users keep
+    contributing to the at-risk denominators up to their observed
+    span. Complements ``events_funnel_window``'s fixed-window rates
+    with the full time-resolved curve.
+
+    Float discipline: durations are exact integer hour buckets
+    computed by floor-dividing microsecond-integer differences
+    (non-negative, so floor == truncate on both engines — never a
+    float epoch); deaths / at-risk are exact integers (at-risk is a
+    REVERSE cumulative sum ordered by duration descending); each
+    survival step multiplies the previous value by one exact-cast
+    integer ratio — the identical (cast, cast, divide, multiply) op
+    chain on both engines via the events_ewma fold-vs-recursive-CTE
+    pattern, so every intermediate double is bit-identical (the seed
+    1.0 multiply is elided on both sides since 1.0*x == x in
+    IEEE-754).
+
+    Scale shape: one map-side-combinable fact collapse to the user
+    grain (two MINs — exactly mergeable), a broadcast one-row cutoff,
+    a duration-grain rollup (horizon-bounded: <= 48 rows), one window
+    and one single-row fold over that dimension table — facts are
+    touched once."""
+    return km_rollup(conversion_spans(_events(spark, sf)))
+
+
+# ---------------------------------------------- Spearman rank correlation --
+
+@register(
+    "events_spearman",
+    # Spearman rank correlation between per-user view and purchase
+    # volumes, with midrank tie handling computed EXACTLY: the doubled
+    # midrank of every user sharing value v is 2*cum(v) - cnt(v) + 1
+    # (an integer), so all five moments are exact BIGINTs and rho is
+    # the fixed IEEE chain cast/sqrt/sqrt/multiply/divide — sqrt is
+    # correctly rounded by IEEE-754, so both engines agree bit-for-bit.
+    "WITH pu AS (SELECT user_id, "
+    "  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+    "   AS BIGINT) AS a, "
+    "  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+    "   AS BIGINT) AS b FROM events GROUP BY user_id), "
+    "ga AS (SELECT a, 2 * SUM(COUNT(*)) OVER (ORDER BY a "
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "  - COUNT(*) + 1 AS ra FROM pu GROUP BY a), "
+    "gb AS (SELECT b, 2 * SUM(COUNT(*)) OVER (ORDER BY b "
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "  - COUNT(*) + 1 AS rb FROM pu GROUP BY b), "
+    "j AS (SELECT CAST(ra AS BIGINT) AS ra, CAST(rb AS BIGINT) AS rb "
+    " FROM pu JOIN ga USING (a) JOIN gb USING (b)), "
+    "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "  CAST(SUM(ra) AS BIGINT) AS sra, CAST(SUM(rb) AS BIGINT) AS srb, "
+    "  CAST(SUM(ra * ra) AS BIGINT) AS sraa, "
+    "  CAST(SUM(rb * rb) AS BIGINT) AS srbb, "
+    "  CAST(SUM(ra * rb) AS BIGINT) AS srab FROM j) "
+    "SELECT n AS n_users, "
+    "printf('%.6f', ROUND(CAST(n * srab - sra * srb AS DOUBLE) "
+    " / (SQRT(CAST(n * sraa - sra * sra AS DOUBLE)) "
+    "    * SQRT(CAST(n * srbb - srb * srb AS DOUBLE))), 6)) AS spearman_rho "
+    "FROM m WHERE n * sraa > sra * sra AND n * srbb > srb * srb",
+)
+def events_spearman(spark, sf):
+    """Spearman rank correlation between per-user view volume and
+    per-user purchase volume — the monotone-association complement of
+    ``agg_stats_corr``'s Pearson (Spearman is outlier-robust and
+    detects any monotone relation, which is what a growth team
+    actually asks: 'do heavier browsers buy more, in rank terms?').
+    Midrank tie handling is exact: Spearman == Pearson on midranks,
+    and over a counts grain the DOUBLED midrank of every user sharing
+    value v is the integer 2*cum(v) - cnt(v) + 1, so no float ranks
+    ever exist.
+
+    Float discipline: all five doubled-midrank moments are exact
+    BIGINTs (at 100 TB the squared sums move to DECIMAL(38,0) — the
+    events_concentration note); rho is ONE fixed IEEE chain — two
+    exact int->double casts, two CORRECTLY-ROUNDED square roots (the
+    one transcendental IEEE-754 pins bit-exactly, unlike ln/exp), a
+    multiply and a divide — identical on both engines. Scaling by 2
+    cancels between numerator and denominator, so doubled midranks
+    give the same rho as midranks. Degenerate zero-variance sides are
+    filtered on both engines (rho undefined).
+
+    Scale shape: one map-side-combinable fact collapse to the user
+    grain, two dimension-sized rank tables (distinct volumes)
+    broadcast back, one five-moment rollup to a single row."""
+    pu = _events(spark, sf).groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    def ranks(col: str, out: str) -> DataFrame:
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        g = pu.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        return g.select(
+            col,
+            (2 * F.sum("cnt").over(w) - F.col("cnt") + 1)
+            .cast("long")
+            .alias(out),
+        )
+
+    j = pu.join(F.broadcast(ranks("a", "ra")), "a").join(
+        F.broadcast(ranks("b", "rb")), "b"
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ra").cast("long").alias("sra"),
+        F.sum("rb").cast("long").alias("srb"),
+        F.sum(F.col("ra") * F.col("ra")).cast("long").alias("sraa"),
+        F.sum(F.col("rb") * F.col("rb")).cast("long").alias("srbb"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("srab"),
+    )
+    num = (F.col("n") * F.col("srab") - F.col("sra") * F.col("srb")).cast(
+        "double"
+    )
+    vx = F.col("n") * F.col("sraa") - F.col("sra") * F.col("sra")
+    vy = F.col("n") * F.col("srbb") - F.col("srb") * F.col("srb")
+    return (
+        m.filter((vx > 0) & (vy > 0))
+        .select(
+            F.col("n").alias("n_users"),
+            _FMT6(
+                num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+            ).alias("spearman_rho"),
+        )
+    )
+
+
+# ------------------------------------------- chi-square independence test --
+
+_CHI2_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _chi2_sql() -> str:
+    """Build the events_chi2 oracle: one conditional-aggregation scan
+    producing the 2x5 contingency table, then the chi-square statistic
+    as an EXPLICIT left-associated sum of ten per-cell terms — the
+    identical fixed-order float chain the Spark side evaluates (the
+    retrieval_ndcg-style 'fixed expression beats an unordered SUM'
+    discipline), each term one HUGEINT-exact numerator/denominator
+    pair and one IEEE division."""
+    cells = [
+        f"CAST(SUM(CASE WHEN user_id % 2 = {v} AND event_type = '{t}' "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS o{v}_{t}"
+        for v in (0, 1)
+        for t in _CHI2_TYPES
+    ]
+    rows = " + ".join(f"o0_{t}" for t in _CHI2_TYPES)
+    rows1 = " + ".join(f"o1_{t}" for t in _CHI2_TYPES)
+    cols = ", ".join(
+        f"(o0_{t} + o1_{t}) AS c_{t}" for t in _CHI2_TYPES
+    )
+    terms = " + ".join(
+        f"(CASE WHEN r{v} * c_{t} = 0 THEN CAST(0 AS DOUBLE) ELSE "
+        f"CAST(CAST(o{v}_{t} * t - r{v} * c_{t} AS HUGEINT) "
+        f" * (o{v}_{t} * t - r{v} * c_{t}) AS DOUBLE) "
+        f"/ CAST(CAST(t AS HUGEINT) * r{v} * c_{t} AS DOUBLE) END)"
+        for v in (0, 1)
+        for t in _CHI2_TYPES
+    )
+    in_list = ", ".join(f"'{t}'" for t in _CHI2_TYPES)
+    return (
+        f"WITH o AS (SELECT {', '.join(cells)}, "
+        f"CAST(COUNT(*) AS BIGINT) AS t FROM events "
+        f"WHERE event_type IN ({in_list})), "
+        f"r AS (SELECT *, ({rows}) AS r0, ({rows1}) AS r1, {cols} FROM o) "
+        f"SELECT t AS n_events, "
+        f"printf('%.6f', ROUND({terms}, 6)) AS chi2, "
+        f"({terms}) > 9.488 AS significant_95 FROM r"
+    )
+
+
+@register("events_chi2", _chi2_sql())
+def events_chi2(spark, sf):
+    """Chi-square test of independence between the 50/50 hash variant
+    and the event-type mix — the categorical-outcome guardrail an
+    experimentation platform runs next to ``events_srm`` (SRM checks
+    exposure balance; this checks whether the BEHAVIOR mix shifted:
+    did variant 1 error more, buy less?). 2x5 contingency over the
+    five known event types; the alpha=0.05 flag compares against the
+    conventional df=4 critical value 9.488.
+
+    Float discipline: all observed counts, row/column totals, and the
+    per-cell (O*T - R*C) deltas are exact integers; each cell's term
+    squares its delta in HUGEINT/DECIMAL(38,0) (exact), casts the
+    exact numerator and the exact T*R*C denominator to double (two
+    correctly-rounded casts), and performs ONE IEEE division; the ten
+    terms then sum in an EXPLICIT left-associated expression written
+    identically on both engines — never an unordered SUM over rows —
+    so the statistic is bit-identical and the 9.488 comparison (both
+    engines parse the literal to the same double) decides identically.
+    Empty rows/columns contribute an exact 0 term (documented
+    degenerate contract; df is not adjusted).
+
+    Scale shape: ONE map-side-combinable conditional-aggregation scan
+    collapses the fact table straight to a single row — no shuffle
+    wider than the 10-cell aggregate state, the cheapest possible
+    shape for a 100 TB fact table."""
+    df = _events(spark, sf).filter(F.col("event_type").isin(*_CHI2_TYPES))
+    aggs = [
+        F.sum(
+            F.when(
+                (F.col("user_id") % 2 == v) & (F.col("event_type") == t), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"o{v}_{t}")
+        for v in (0, 1)
+        for t in _CHI2_TYPES
+    ]
+    o = df.agg(*aggs, F.count(F.lit(1)).cast("long").alias("t"))
+    import functools
+    import operator
+
+    r = o.select(
+        "*",
+        functools.reduce(
+            operator.add, [F.col(f"o0_{t}") for t in _CHI2_TYPES]
+        ).alias("r0"),
+        functools.reduce(
+            operator.add, [F.col(f"o1_{t}") for t in _CHI2_TYPES]
+        ).alias("r1"),
+        *[
+            (F.col(f"o0_{t}") + F.col(f"o1_{t}")).alias(f"c_{t}")
+            for t in _CHI2_TYPES
+        ],
+    )
+
+    def term(v: int, t: str):
+        delta = F.col(f"o{v}_{t}") * F.col("t") - F.col(f"r{v}") * F.col(
+            f"c_{t}"
+        )
+        num = (delta.cast("decimal(38,0)") * delta).cast("double")
+        den = (
+            F.col("t").cast("decimal(38,0)") * F.col(f"r{v}") * F.col(f"c_{t}")
+        ).cast("double")
+        return F.when(
+            F.col(f"r{v}") * F.col(f"c_{t}") == 0, F.lit(0.0)
+        ).otherwise(num / den)
+
+    chi2 = functools.reduce(
+        operator.add, [term(v, t) for v in (0, 1) for t in _CHI2_TYPES]
+    )
+    return r.select(
+        F.col("t").alias("n_events"),
+        _FMT6(chi2).alias("chi2"),
+        (chi2 > 9.488).alias("significant_95"),
+    )

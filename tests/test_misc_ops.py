@@ -1379,3 +1379,160 @@ def test_macro_experiment_report_cross_key(spark):
         Decimal("0.000001"), rounding=ROUND_HALF_UP
     )
     assert m.rate_diff == f"{want:.6f}"
+
+
+def test_events_survival_matches_python(spark):
+    """KM curve re-derives in pure Python with the IDENTICAL float
+    chain (s *= float(n - d) / float(n)) from microsecond-exact
+    hour durations under the 48h administrative cutoff; survival is
+    monotone non-increasing in (0, 1] and censoring is REAL (some
+    users are censored, some convert) at this SF."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = (
+        REGISTRY["events_survival"][0](spark, SF)
+        .toPandas()
+        .sort_values("dur_hours")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    us = ev.ts.astype("datetime64[us]").astype("int64")  # microseconds
+    fe = us.groupby(ev.user_id).min()
+    pt = us[ev.event_type == "purchase"].groupby(
+        ev.user_id[ev.event_type == "purchase"]
+    ).min()
+    cut = int(fe.min()) + 48 * 3600 * 1000000
+    d_cnt, all_cnt = Counter(), Counter()
+    n_death = n_cens = 0
+    for uid, f in fe.items():
+        if f > cut:
+            continue
+        p = pt.get(uid)
+        if p is not None and p <= cut:
+            dur = (int(p) - int(f)) // 3600000000
+            d_cnt[dur] += 1
+            n_death += 1
+        else:
+            dur = (cut - int(f)) // 3600000000
+            n_cens += 1
+        all_cnt[dur] += 1
+    assert n_death > 0 and n_cens > 0  # censoring is real at this SF
+    total = sum(all_cnt.values())
+    s = 1.0
+    rows = []
+    seen = 0
+    for t in sorted(all_cnt):
+        n = total - seen
+        seen += all_cnt[t]
+        d = d_cnt.get(t, 0)
+        if d == 0:
+            continue
+        s = s * (float(n - d) / float(n))
+        rows.append((t, n, d, s))
+    assert len(rows) == len(got)
+    prev = 1.0
+    for (t, n, d, s), r in zip(rows, got.itertuples()):
+        assert (r.dur_hours, r.at_risk, r.deaths) == (t, n, d)
+        want = Decimal(repr(s)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert r.survival == f"{want:.6f}", (t, r.survival, want)
+        assert 0.0 < s <= prev
+        prev = s
+
+
+def test_events_spearman_matches_python(spark):
+    """rho re-derives from exact Python-int doubled-midrank moments
+    with the same cast/sqrt/multiply/divide chain; |rho| <= 1."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_spearman"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    pu = (
+        ev.assign(
+            a=(ev.event_type == "view").astype(int),
+            b=(ev.event_type == "purchase").astype(int),
+        )
+        .groupby("user_id")[["a", "b"]]
+        .sum()
+    )
+
+    def doubled_midranks(vals):
+        cnt = Counter(vals)
+        out, cum = {}, 0
+        for v in sorted(cnt):
+            cum += cnt[v]
+            out[v] = 2 * cum - cnt[v] + 1
+        return [out[v] for v in vals]
+
+    ra = doubled_midranks(list(pu.a))
+    rb = doubled_midranks(list(pu.b))
+    n = len(ra)
+    sra, srb = sum(ra), sum(rb)
+    sraa = sum(x * x for x in ra)
+    srbb = sum(x * x for x in rb)
+    srab = sum(x * y for x, y in zip(ra, rb))
+    assert int(got.n_users[0]) == n
+    rho = float(n * srab - sra * srb) / (
+        math.sqrt(float(n * sraa - sra * sra))
+        * math.sqrt(float(n * srbb - srb * srb))
+    )
+    assert abs(rho) <= 1.0
+    want = Decimal(repr(rho)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+    assert got.spearman_rho[0] == f"{want:.6f}"
+
+
+def test_events_chi2_exact_reconciliation(spark):
+    """The statistic re-derives from exact Python-int contingency
+    moments with the SAME left-associated ten-term float sum, and the
+    9.488 flag agrees."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import (
+        _CHI2_TYPES,
+        REGISTRY,
+    )
+
+    got = REGISTRY["events_chi2"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev.event_type.isin(_CHI2_TYPES)]
+    o = {
+        (v, t): int(((ev.user_id % 2 == v) & (ev.event_type == t)).sum())
+        for v in (0, 1)
+        for t in _CHI2_TYPES
+    }
+    tot = sum(o.values())
+    r = {v: sum(o[(v, t)] for t in _CHI2_TYPES) for v in (0, 1)}
+    c = {t: o[(0, t)] + o[(1, t)] for t in _CHI2_TYPES}
+    chi2 = 0.0
+    for v in (0, 1):
+        for t in _CHI2_TYPES:
+            if r[v] * c[t] == 0:
+                chi2 = chi2 + 0.0
+                continue
+            delta = o[(v, t)] * tot - r[v] * c[t]
+            chi2 = chi2 + float(delta * delta) / float(tot * r[v] * c[t])
+    assert int(got.n_events[0]) == tot
+    want = Decimal(repr(chi2)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+    assert got.chi2[0] == f"{want:.6f}"
+    assert bool(got.significant_95[0]) == (chi2 > 9.488)
