@@ -2553,3 +2553,272 @@ def dedup_lines(spark, sf):
             ),
         ).alias("dup_ratio"),
     )
+
+
+# --- NDCG retrieval evaluation ----------------------------------------------
+
+_NDCG_K = 10
+_NDCG_RELCAP = 4
+# 1/log2(r+1) discounts, precomputed ONCE in Python and inlined as
+# shortest-round-trip literals into BOTH engines — repr() round-trips
+# exactly and both engines' literal parsers are correctly-rounded, so
+# the discount doubles are bit-identical by construction and libm's
+# (non-IEEE-pinned) log2 never enters the contract — the limitation the
+# retrieval_mrr docstring calls out, solved by constant folding.
+import math as _math
+
+_NDCG_DISC = tuple(
+    repr(1.0 / _math.log2(r + 1)) for r in range(1, _NDCG_K + 1)
+)
+
+
+def _ndcg_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS "
+        f"{c}{i}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+        for c, t in (("r", r), ("l", l))
+    )
+
+    def gain(i: int, rankcol: str) -> str:
+        return " + ".join(
+            f"CAST(COALESCE(MAX(CASE WHEN {rankcol} = {r} THEN rel END), 0) "
+            f"AS DOUBLE) * {_NDCG_DISC[r - 1]}"
+            for r in range(1, _NDCG_K + 1)
+        )
+
+    cands = ", ".join(
+        f"c{i} AS (SELECT doc_id, LEAST(l{i}, {_NDCG_RELCAP}) AS rel, "
+        f"ROW_NUMBER() OVER (ORDER BY r{i} DESC, doc_id) AS rn "
+        f"FROM tf WHERE r{i} >= 1 QUALIFY rn <= {_NDCG_K}), "
+        f"ci{i} AS (SELECT rel, rn, ROW_NUMBER() OVER "
+        f"(ORDER BY rel DESC, rn) AS irn FROM c{i}), "
+        f"a{i} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand, "
+        f"({gain(i, 'rn')}) AS dcg, ({gain(i, 'irn')}) AS idcg FROM ci{i})"
+        for i in range(len(_MRR_QUERIES))
+    )
+    ndcg = (
+        lambda i: f"(CASE WHEN a{i}.idcg > 0 "
+        f"THEN a{i}.dcg / a{i}.idcg ELSE CAST(0 AS DOUBLE) END)"
+    )
+    per_q = " UNION ALL ".join(
+        f"SELECT '{r}->{l}' AS query, a{i}.n_cand, "
+        f"printf('%.6f', ROUND(a{i}.dcg, 6)) AS dcg, "
+        f"printf('%.6f', ROUND({ndcg(i)}, 6)) AS ndcg FROM {froms}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+        for froms in (", ".join(f"a{j}" for j in range(len(_MRR_QUERIES))),)
+    )
+    mean = " + ".join(ndcg(i) for i in range(len(_MRR_QUERIES)))
+    froms = ", ".join(f"a{i}" for i in range(len(_MRR_QUERIES)))
+    return (
+        f"WITH tf AS (SELECT doc_id, {tf_cols} FROM documents), {cands} "
+        f"SELECT query, n_cand, dcg, ndcg FROM ({per_q} UNION ALL "
+        f"SELECT '__all__', CAST(0 AS BIGINT), "
+        f"printf('%.6f', ROUND(CAST(0 AS DOUBLE), 6)), "
+        f"printf('%.6f', ROUND(({mean}) / CAST(3 AS DOUBLE), 6)) "
+        f"FROM {froms}) q"
+    )
+
+
+@register("retrieval_ndcg", _ndcg_sql())
+def retrieval_ndcg(spark, sf):
+    """NDCG@10 retrieval evaluation over the ``retrieval_mrr`` query
+    set, with GRADED relevance (label-term tf capped at 4 — MRR's
+    binary signal can't distinguish a weakly from a strongly relevant
+    hit; NDCG is the metric that can, and is what ranking teams
+    actually report). Per query: rank docs containing the ranking term
+    by its tf (tie-break doc_id), truncate to top-10, gain = capped
+    label tf, discount = 1/log2(rank+1); IDCG re-sorts the retrieved
+    list's gains descending (the 'local ideal' NDCG variant — both
+    engines spell the identical definition). The ``__all__`` row is
+    the mean NDCG over the query set.
+
+    Float discipline: the log2 discounts are precomputed ONCE in
+    Python and inlined as shortest-round-trip (repr) literals into
+    both engines — correctly-rounded literal parsing makes the
+    constants bit-identical by construction, so libm's unpinned log2
+    never enters the contract (the limitation the retrieval_mrr
+    docstring documents, closed by constant folding). Gains are exact
+    integers cast to double; each DCG is a FIXED left-associated
+    ten-term chain of (exact-cast * literal) products — never an
+    unordered SUM — and NDCG is one further IEEE division; the mean is
+    a fixed three-term chain plus one division.
+
+    Scale shape: identical to retrieval_mrr — ONE corpus pass builds
+    the checkpointed per-doc tf grain, each query's cut is a
+    TakeOrderedAndProject top-10, the rank windows run over 10 rows,
+    and queries fan out as independent jobs over the shared grain."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    tf_of = lambda t: F.size(  # noqa: E731
+        F.filter(words, lambda w: w == F.lit(t))
+    )
+    cols = [F.col("doc_id")]
+    for i, (r, l) in enumerate(_MRR_QUERIES):
+        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    tf = d.select(*cols).localCheckpoint()
+
+    def gain(rankcol: str):
+        out = None
+        for r in range(1, _NDCG_K + 1):
+            term = F.coalesce(
+                F.max(F.when(F.col(rankcol) == r, F.col("rel"))), F.lit(0)
+            ).cast("double") * F.lit(float(_NDCG_DISC[r - 1]))
+            out = term if out is None else out + term
+        return out
+
+    aggs = []
+    for i in range(len(_MRR_QUERIES)):
+        cand = (
+            tf.filter(F.col(f"r{i}") >= 1)
+            .orderBy(F.desc(f"r{i}"), F.asc("doc_id"))
+            .limit(_NDCG_K)
+        )
+        w = Window.orderBy(F.desc(f"r{i}"), F.asc("doc_id"))
+        ranked = cand.select(
+            F.least(F.col(f"l{i}"), F.lit(_NDCG_RELCAP))
+            .cast("long")
+            .alias("rel"),
+            F.row_number().over(w).alias("rn"),
+        )
+        wi = Window.orderBy(F.desc("rel"), F.asc("rn"))
+        ci = ranked.select(
+            "rel", "rn", F.row_number().over(wi).alias("irn")
+        )
+        aggs.append(
+            ci.agg(
+                F.count(F.lit(1)).cast("long").alias(f"n{i}"),
+                gain("rn").alias(f"dcg{i}"),
+                gain("irn").alias(f"idcg{i}"),
+            )
+        )
+    one = aggs[0]
+    for a_i in aggs[1:]:
+        one = one.crossJoin(a_i)
+
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+
+    def ndcg(i: int):
+        return F.when(
+            F.col(f"idcg{i}") > 0, F.col(f"dcg{i}") / F.col(f"idcg{i}")
+        ).otherwise(F.lit(0).cast("double"))
+
+    mean = None
+    for i in range(len(_MRR_QUERIES)):
+        mean = ndcg(i) if mean is None else mean + ndcg(i)
+    mean = mean / F.lit(3).cast("double")
+    rows = [
+        F.struct(
+            F.lit(f"{r}->{l}").alias("query"),
+            F.col(f"n{i}").alias("n_cand"),
+            fmt(F.col(f"dcg{i}")).alias("dcg"),
+            fmt(ndcg(i)).alias("ndcg"),
+        )
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    ] + [
+        F.struct(
+            F.lit("__all__").alias("query"),
+            F.lit(0).cast("long").alias("n_cand"),
+            fmt(F.lit(0).cast("double")).alias("dcg"),
+            fmt(mean).alias("ndcg"),
+        )
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("q")).select(
+        "q.query", "q.n_cand", "q.dcg", "q.ndcg"
+    )
+
+
+# --- Held-out n-gram coverage ------------------------------------------------
+
+@register(
+    "lm_coverage",
+    # Held-out n-gram coverage: split the corpus 80/20 by doc_id % 5,
+    # count what fraction of test unigram/bigram TOKENS were seen in
+    # the train split — every count is an exact integer (distinct
+    # train vocabulary left-joined to test tokens), each rate ONE IEEE
+    # division under ROUND + %.6f.
+    f"WITH bg AS ({_BIGRAM2_SQL}), "
+    "tu AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+    " FROM documents), "
+    "trb AS (SELECT DISTINCT w1, w2 FROM bg WHERE doc_id % 5 <> 0), "
+    "teb AS (SELECT w1, w2 FROM bg WHERE doc_id % 5 = 0), "
+    "tru AS (SELECT DISTINCT w FROM tu WHERE doc_id % 5 <> 0), "
+    "teu AS (SELECT w FROM tu WHERE doc_id % 5 = 0), "
+    "b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bg, "
+    " CAST(SUM(CASE WHEN trb.w1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS cov_bg FROM teb LEFT JOIN trb "
+    "  ON trb.w1 = teb.w1 AND trb.w2 = teb.w2), "
+    "u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_u, "
+    " CAST(SUM(CASE WHEN tru.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS cov_u FROM teu LEFT JOIN tru ON tru.w = teu.w) "
+    "SELECT n_u AS n_test_tokens, cov_u AS covered_tokens, "
+    "printf('%.6f', ROUND(CAST(cov_u AS DOUBLE) / n_u, 6)) "
+    " AS unigram_coverage, "
+    "n_bg AS n_test_bigrams, cov_bg AS covered_bigrams, "
+    "printf('%.6f', ROUND(CAST(cov_bg AS DOUBLE) / n_bg, 6)) "
+    " AS bigram_coverage FROM b, u",
+)
+def lm_coverage(spark, sf):
+    """Held-out n-gram coverage — the vocabulary/transition
+    generalization check run before trusting any count-based LM
+    (``lm_bigram`` / ``lm_kneser_ney`` estimate on the train split;
+    this key measures how much of unseen text those tables can even
+    score): split docs 80/20 by doc_id % 5, report the fraction of
+    held-out unigram and bigram TOKENS whose type was observed in
+    training. Token-weighted (not type-weighted) because that is the
+    mass a model actually scores; the unigram rate upper-bounds the
+    bigram rate on any corpus where bigram types are sparser —
+    a cheap sanity invariant the pytest twin pins.
+
+    Float discipline: all four counts are exact integers (distinct
+    train type tables LEFT-joined to test tokens); each coverage rate
+    is ONE correctly-rounded IEEE division under ROUND + %.6f.
+
+    Scale shape: one corpus pass per grain (tokens, bigram pairs),
+    each split by a pushed-down doc_id predicate; the DISTINCT train
+    types are vocabulary-bounded (Zipf-sublinear in tokens) and
+    broadcast to the test side, so the join never shuffles the token
+    stream; two single-row aggregates and a 1x1 join finish it."""
+    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    pairs = F.expr(
+        "transform(slice(w, 1, size(w) - 1), "
+        "(x, i) -> struct(x AS w1, w[i + 1] AS w2))"
+    )
+    bg = (
+        d.filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    tu = d.select("doc_id", F.explode("w").alias("w"))
+    is_test = F.col("doc_id") % 5 == 0
+    trb = bg.filter(~is_test).select("w1", "w2").distinct()
+    teb = bg.filter(is_test).select("w1", "w2")
+    tru = tu.filter(~is_test).select("w").distinct()
+    teu = tu.filter(is_test).select("w")
+    b = teb.join(
+        F.broadcast(trb.withColumn("hit", F.lit(1))), ["w1", "w2"], "left"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bg"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("cov_bg"),
+    )
+    u = teu.join(
+        F.broadcast(tru.withColumn("hit", F.lit(1))), ["w"], "left"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_u"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("cov_u"),
+    )
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    return b.crossJoin(u).select(
+        F.col("n_u").alias("n_test_tokens"),
+        F.col("cov_u").alias("covered_tokens"),
+        fmt(F.col("cov_u").cast("double") / F.col("n_u")).alias(
+            "unigram_coverage"
+        ),
+        F.col("n_bg").alias("n_test_bigrams"),
+        F.col("cov_bg").alias("covered_bigrams"),
+        fmt(F.col("cov_bg").cast("double") / F.col("n_bg")).alias(
+            "bigram_coverage"
+        ),
+    )

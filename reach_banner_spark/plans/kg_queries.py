@@ -4196,3 +4196,73 @@ def macro_graph_health(spark, sf):
             ),
         )
     )
+
+
+@register(
+    "kg_path_length_dist",
+    # Hop-plot over the SAME all-pairs BFS table as kg_diameter
+    # (shared _ALLPAIRS_SQL recursion), pooled across conversations:
+    # per hop distance the reachable-pair count, its cumulative count,
+    # and the 90%-effective-diameter flag — the cut is the exact
+    # integer cross-multiply cum*10 >= total*9 (first d where it
+    # holds), so the non-dyadic 0.9 never decides; cum_share is ONE
+    # IEEE division under ROUND + %.6f.
+    _ALLPAIRS_SQL + ", pg AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_pairs "
+    " FROM sp WHERE src <> node GROUP BY d), "
+    "ptot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total FROM pg), "
+    "pc AS (SELECT d, n_pairs, CAST(SUM(n_pairs) OVER (ORDER BY d "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum "
+    " FROM pg) "
+    "SELECT CAST(d AS INT) AS d, n_pairs, cum AS cum_pairs, "
+    "printf('%.6f', ROUND(CAST(cum AS DOUBLE) / total, 6)) AS cum_share, "
+    "(cum * 10 >= total * 9 AND (cum - n_pairs) * 10 < total * 9) "
+    " AS eff_diameter_90 FROM pc, ptot",
+)
+def kg_path_length_dist(spark, sf):
+    """Hop plot of the knowledge graph: the distribution of shortest-
+    path lengths over all reachable entity pairs (pooled across
+    conversations, strong-edge backbone), with the 90% effective
+    diameter flagged — the standard small-world readout next to
+    ``kg_diameter``'s per-conversation max (the max is an outlier
+    statistic; the hop distribution is what navigation latency
+    actually depends on, cf. the ANF/hop-plot literature).
+
+    Float discipline: pair counts and cumulative counts are exact
+    integers off the shared all-pairs BFS table; the effective-
+    diameter-90 flag is an exact integer cross-multiplication
+    (cum*10 >= total*9, with the previous row strictly below), so the
+    non-dyadic 0.9 threshold never touches a float; cum_share is ONE
+    correctly-rounded IEEE division under ROUND + %.6f.
+
+    Scale shape: reuses the memoized ``_strong_allpairs_dist`` table
+    (zero extra BFS cost after any sibling key ran); the rollup is a
+    hop-bounded dimension table (<= _REACH_MAX_HOPS rows), one ordered
+    window and a 1x1 total join finish it."""
+    dist = _strong_allpairs_dist(spark, sf).filter(
+        F.col("src") != F.col("node")
+    )
+    g = dist.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    t = g.agg(F.sum("n_pairs").cast("long").alias("total"))
+    wcum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        "d",
+        "n_pairs",
+        F.sum("n_pairs").over(wcum).cast("long").alias("cum"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        F.col("d").cast("int").alias("d"),
+        "n_pairs",
+        F.col("cum").alias("cum_pairs"),
+        F.format_string(
+            "%.6f",
+            F.round(F.col("cum").cast("double") / F.col("total"), 6),
+        ).alias("cum_share"),
+        (
+            (F.col("cum") * 10 >= F.col("total") * 9)
+            & ((F.col("cum") - F.col("n_pairs")) * 10 < F.col("total") * 9)
+        ).alias("eff_diameter_90"),
+    )

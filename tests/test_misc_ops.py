@@ -1536,3 +1536,118 @@ def test_events_chi2_exact_reconciliation(spark):
     )
     assert got.chi2[0] == f"{want:.6f}"
     assert bool(got.significant_95[0]) == (chi2 > 9.488)
+
+
+def test_retrieval_ndcg_matches_python(spark):
+    """NDCG@10 re-derives in pure Python from the raw docs with the
+    SAME inlined discount constants and fixed-order chains; every
+    ndcg is in [0, 1] and the __all__ row is the mean."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.operators.textstats import (
+        _MRR_QUERIES,
+        _NDCG_DISC,
+        _NDCG_K,
+        _NDCG_RELCAP,
+        REGISTRY,
+    )
+
+    got = (
+        REGISTRY["retrieval_ndcg"][0](spark, SF)
+        .toPandas()
+        .set_index("query")
+    )
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    disc = [float(x) for x in _NDCG_DISC]
+    ndcgs = []
+    for r_t, l_t in _MRR_QUERIES:
+        rows = []
+        for doc_id, text in zip(d.doc_id, d.text):
+            ws = text.split(" ")
+            rtf = sum(1 for w in ws if w == r_t)
+            ltf = sum(1 for w in ws if w == l_t)
+            if rtf >= 1:
+                rows.append((-rtf, doc_id, min(ltf, _NDCG_RELCAP)))
+        rows.sort()
+        top = [rel for _, _, rel in rows[:_NDCG_K]]
+        dcg = 0.0
+        for i, rel in enumerate(top):
+            dcg = dcg + float(rel) * disc[i]
+        idcg = 0.0
+        for i, rel in enumerate(sorted(top, reverse=True)):
+            idcg = idcg + float(rel) * disc[i]
+        nd = dcg / idcg if idcg > 0 else 0.0
+        ndcgs.append(nd)
+        row = got.loc[f"{r_t}->{l_t}"]
+        assert int(row.n_cand) == len(top)
+        for val, col in ((dcg, "dcg"), (nd, "ndcg")):
+            want = Decimal(repr(val)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            assert row[col] == f"{want:.6f}", (r_t, col, row[col], want)
+        assert 0.0 <= nd <= 1.0
+    mean = (ndcgs[0] + ndcgs[1] + ndcgs[2]) / 3.0
+    want = Decimal(repr(mean)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+    assert got.loc["__all__"].ndcg == f"{want:.6f}"
+
+
+def test_lm_coverage_exact_reconciliation(spark):
+    """Coverage counts re-derive from exact Python sets/counters, and
+    unigram coverage upper-bounds bigram coverage."""
+    import pandas as pd
+
+    from reach_banner_spark.operators.textstats import REGISTRY
+
+    got = REGISTRY["lm_coverage"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    tr_u, tr_b = set(), set()
+    te_u, te_b = [], []
+    for doc_id, text in zip(d.doc_id, d.text):
+        ws = text.split(" ")
+        bs = list(zip(ws, ws[1:]))
+        if doc_id % 5 == 0:
+            te_u += ws
+            te_b += bs
+        else:
+            tr_u.update(ws)
+            tr_b.update(bs)
+    cov_u = sum(1 for w in te_u if w in tr_u)
+    cov_b = sum(1 for b in te_b if b in tr_b)
+    r = got.iloc[0]
+    assert (int(r.n_test_tokens), int(r.covered_tokens)) == (
+        len(te_u),
+        cov_u,
+    )
+    assert (int(r.n_test_bigrams), int(r.covered_bigrams)) == (
+        len(te_b),
+        cov_b,
+    )
+    assert cov_u * len(te_b) >= cov_b * len(te_u)  # unigram >= bigram rate
+
+
+def test_kg_path_length_dist_invariants(spark):
+    """Hop plot: cumulative counts are monotone and close at the total,
+    exactly ONE row carries the 90%-effective-diameter flag, and the
+    flagged row is the first to cross 90%."""
+    from reach_banner_spark.plans.kg_queries import REGISTRY
+
+    got = (
+        REGISTRY["kg_path_length_dist"][0](spark, SF)
+        .toPandas()
+        .sort_values("d")
+        .reset_index(drop=True)
+    )
+    assert len(got) >= 2
+    assert (got.cum_pairs == got.n_pairs.cumsum()).all()
+    total = int(got.n_pairs.sum())
+    assert int(got.cum_pairs.iloc[-1]) == total
+    assert got.cum_share.iloc[-1] == "1.000000"
+    flags = got[got.eff_diameter_90]
+    assert len(flags) == 1
+    first_cross = got[got.cum_pairs * 10 >= total * 9].iloc[0]
+    assert int(flags.iloc[0].d) == int(first_cross.d)
