@@ -3452,7 +3452,14 @@ def events_spearman(spark, sf):
     Scale shape: one map-side-combinable fact collapse to the user
     grain, two dimension-sized rank tables (distinct volumes)
     broadcast back, one five-moment rollup to a single row."""
-    pu = _events(spark, sf).groupBy("user_id").agg(
+    return spearman_rollup(user_ab(_events(spark, sf)))
+
+
+def user_ab(df: DataFrame) -> DataFrame:
+    """Per-user (view count, purchase count) — the shared grain for
+    ``events_spearman`` and its streaming twin. Both are plain SUMs,
+    exactly mergeable across micro-batches."""
+    return df.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
         .cast("long")
         .alias("a"),
@@ -3460,6 +3467,12 @@ def events_spearman(spark, sf):
         .cast("long")
         .alias("b"),
     )
+
+
+def spearman_rollup(pu: DataFrame) -> DataFrame:
+    """Fold a per-user (a, b) volume table into the one-row Spearman
+    readout — shared by ``events_spearman`` and its streaming twin
+    (the doubled-midrank integer contract lives here)."""
     def ranks(col: str, out: str) -> DataFrame:
         w = Window.orderBy(col).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
@@ -3569,11 +3582,31 @@ def events_chi2(spark, sf):
     collapses the fact table straight to a single row — no shuffle
     wider than the 10-cell aggregate state, the cheapest possible
     shape for a 100 TB fact table."""
-    df = _events(spark, sf).filter(F.col("event_type").isin(*_CHI2_TYPES))
+    return chi2_rollup(variant_type_counts(_events(spark, sf)))
+
+
+def variant_type_counts(df: DataFrame) -> DataFrame:
+    """Per-(variant, event_type) cell counts — the shared contingency
+    grain for ``events_chi2`` and its streaming twin. Plain SUM-able
+    counts: exactly mergeable across micro-batches."""
+    return (
+        df.filter(F.col("event_type").isin(*_CHI2_TYPES))
+        .select((F.col("user_id") % 2).alias("variant"), "event_type")
+        .groupBy("variant", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def chi2_rollup(cells: DataFrame) -> DataFrame:
+    """Fold a (variant, event_type, cnt) contingency grain into the
+    one-row chi-square readout — shared by ``events_chi2`` and its
+    streaming twin (the fixed left-associated ten-term float chain
+    lives here)."""
     aggs = [
         F.sum(
             F.when(
-                (F.col("user_id") % 2 == v) & (F.col("event_type") == t), 1
+                (F.col("variant") == v) & (F.col("event_type") == t),
+                F.col("cnt"),
             ).otherwise(0)
         )
         .cast("long")
@@ -3581,7 +3614,7 @@ def events_chi2(spark, sf):
         for v in (0, 1)
         for t in _CHI2_TYPES
     ]
-    o = df.agg(*aggs, F.count(F.lit(1)).cast("long").alias("t"))
+    o = cells.agg(*aggs, F.sum("cnt").cast("long").alias("t"))
     import functools
     import operator
 

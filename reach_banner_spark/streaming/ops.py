@@ -2659,3 +2659,156 @@ def stream_ewma(spark, sf):
     return ewma_rollup(
         _stream_daily_counts(spark, sf, "stream_ewma")
     ).localCheckpoint()
+
+
+@register("stream_survival", None)  # pytest: == batch events_survival
+def stream_survival(spark, sf):
+    """INGEST-TIME Kaplan-Meier readout — the streaming twin of
+    ``events_survival``: the carried state is the per-user
+    (first-event ts, first-purchase ts) grain (both plain MINs —
+    exactly mergeable for any micro-batch split: min(merge) ==
+    min(all)), and the SHARED ``km_rollup`` re-derives the censoring
+    cut, the at-risk reverse cumsum, and the exact sequential product
+    fold from the final state, so streaming == batch is a theorem
+    about MIN. The live-conversion-curve shape: the survival curve
+    stays current as events arrive, without re-scanning history.
+
+    State is O(users); each batch's merge keys on user_id only."""
+    import shutil
+
+    from ..plans.events_analytics import conversion_spans, km_rollup
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_survival", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = conversion_spans(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("user_id")
+            .agg(F.min("fe").alias("fe"), F.min("pt").alias("pt"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return km_rollup(spark.read.parquet(state["path"])).localCheckpoint()
+
+
+@register("stream_spearman", None)  # pytest: == batch events_spearman
+def stream_spearman(spark, sf):
+    """INGEST-TIME Spearman readout — the streaming twin of
+    ``events_spearman``: the carried state is the per-user (view
+    count, purchase count) grain (both plain SUMs — exactly mergeable
+    for any micro-batch split), and the SHARED ``spearman_rollup``
+    re-derives the doubled-midrank moments and rho from the final
+    state, so streaming == batch is a theorem about SUM. The live
+    rank-correlation monitor shape: the browse-to-buy association
+    stays current as events arrive, without re-scanning history.
+
+    State is O(users); each batch's merge keys on user_id only."""
+    import shutil
+
+    from ..plans.events_analytics import spearman_rollup, user_ab
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_spearman", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = user_ab(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("user_id")
+            .agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return spearman_rollup(
+        spark.read.parquet(state["path"])
+    ).localCheckpoint()
+
+
+@register("stream_chi2", None)  # pytest: == batch events_chi2
+def stream_chi2(spark, sf):
+    """INGEST-TIME chi-square independence readout — the streaming
+    twin of ``events_chi2``: the carried state is the (variant,
+    event_type, cnt) contingency grain (plain SUM-able counts —
+    exactly mergeable for any micro-batch split), and the SHARED
+    ``chi2_rollup`` re-derives the fixed ten-term statistic from the
+    final state, so streaming == batch is a theorem about SUM. The
+    experiment-guardrail shape: the behavior-mix test stays current
+    as exposures arrive, without re-scanning history.
+
+    State is O(1) — ten cells; each batch's merge keys on the cell."""
+    import shutil
+
+    from ..plans.events_analytics import chi2_rollup, variant_type_counts
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_chi2", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = variant_type_counts(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("variant", "event_type")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return chi2_rollup(spark.read.parquet(state["path"])).localCheckpoint()

@@ -1329,3 +1329,59 @@ def test_stream_ewma_equals_batch(spark):
         .reset_index(drop=True)
     )
     assert again.equals(got)
+
+
+def test_stream_survival_equals_batch(spark):
+    """stream_survival's final KM curve == the one-shot events_survival
+    (carried state is the min-mergeable per-user (fe, pt) grain).
+    Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_survival"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_survival"][0](spark, SF).toPandas()
+    assert len(got) == len(want) > 0
+    key = ["dur_hours"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        want.sort_values(key).reset_index(drop=True)
+    )
+    again = ops.REGISTRY["stream_survival"][0](spark, SF).toPandas()
+    assert again.sort_values(key).reset_index(drop=True).equals(
+        got.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_stream_spearman_equals_batch(spark):
+    """stream_spearman's final one-row rho == the one-shot
+    events_spearman (carried state is the sum-mergeable per-user
+    (a, b) grain). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_spearman"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_spearman"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_spearman"][0](spark, SF).toPandas()
+    assert again.equals(got)
+
+
+def test_stream_chi2_equals_batch(spark):
+    """stream_chi2's final one-row statistic == the one-shot
+    events_chi2 (carried state is the sum-mergeable contingency-cell
+    grain). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_chi2"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_chi2"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_chi2"][0](spark, SF).toPandas()
+    assert again.equals(got)
