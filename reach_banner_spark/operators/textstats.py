@@ -2822,3 +2822,155 @@ def lm_coverage(spark, sf):
             "bigram_coverage"
         ),
     )
+
+
+# --- precision/recall@k retrieval evaluation ---------------------------------
+
+def _pr_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS "
+        f"{c}{i}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+        for c, t in (("r", r), ("l", l))
+    )
+    per = ", ".join(
+        f"c{i} AS (SELECT doc_id, l{i}, ROW_NUMBER() OVER "
+        f"(ORDER BY r{i} DESC, doc_id) AS rn FROM tf WHERE r{i} >= 1 "
+        f"QUALIFY rn <= {_MRR_K}), "
+        f"a{i} AS (SELECT CAST(COUNT(*) AS BIGINT) AS k{i}, "
+        f" CAST(SUM(CASE WHEN l{i} >= {_MRR_REL_TF} THEN 1 ELSE 0 END) "
+        f"  AS BIGINT) AS hit{i} FROM c{i}), "
+        f"g{i} AS (SELECT CAST(SUM(CASE WHEN l{i} >= {_MRR_REL_TF} "
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS rel{i} FROM tf)"
+        for i in range(len(_MRR_QUERIES))
+    )
+    froms = ", ".join(
+        f"a{i}, g{i}" for i in range(len(_MRR_QUERIES))
+    )
+
+    def row(i: int, name: str, k: str, hit: str, rel: str) -> str:
+        return (
+            f"SELECT '{name}' AS query, {k} AS n_retrieved, "
+            f"{hit} AS n_hits, {rel} AS n_relevant, "
+            f"printf('%.6f', ROUND(CAST({hit} AS DOUBLE) / {k}, 6)) "
+            f" AS precision_k, "
+            f"printf('%.6f', ROUND(CASE WHEN {rel} > 0 THEN "
+            f" CAST({hit} AS DOUBLE) / {rel} ELSE CAST(0 AS DOUBLE) END, 6)) "
+            f" AS recall_k, "
+            f"printf('%.6f', ROUND(CAST(2 * {hit} AS DOUBLE) "
+            f" / ({k} + {rel}), 6)) AS f1_k FROM {froms}"
+        )
+
+    rows = " UNION ALL ".join(
+        row(i, f"{r}->{l}", f"k{i}", f"hit{i}", f"rel{i}")
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    )
+    n = len(_MRR_QUERIES)
+    tot_k = " + ".join(f"k{i}" for i in range(n))
+    tot_h = " + ".join(f"hit{i}" for i in range(n))
+    tot_r = " + ".join(f"rel{i}" for i in range(n))
+    allrow = row(0, "__all__", f"({tot_k})", f"({tot_h})", f"({tot_r})")
+    return (
+        f"WITH tf AS (SELECT doc_id, {tf_cols} FROM documents), {per} "
+        f"SELECT * FROM ({rows} UNION ALL {allrow}) q"
+    )
+
+
+@register("retrieval_pr_at_k", _pr_sql())
+def retrieval_pr_at_k(spark, sf):
+    """Precision/recall/F1 at k=20 over the ``retrieval_mrr`` query
+    set — the set-overlap retrieval metrics next to the rank-sensitive
+    pair (MRR scores the FIRST hit, NDCG the whole gain profile; P/R@k
+    answer the coverage question an eval harness reports first:
+    how many of the relevant docs did the cut even contain?). Per
+    query: retrieved = top-k docs by ranking-term tf (tie doc_id),
+    relevant = docs with label-term tf >= the MRR relevance cut; the
+    ``__all__`` row is the micro-average (pooled counts).
+
+    Float discipline: retrieved/hit/relevant counts are exact
+    integers; precision and recall are ONE IEEE division each, and F1
+    uses the identity 2PR/(P+R) == 2*hits/(k + n_rel) so it is also
+    ONE division of exact integers — no composed float chain at all.
+    Zero-relevant queries report recall 0 by contract.
+
+    Scale shape: identical to retrieval_mrr — one corpus pass to the
+    checkpointed tf grain; per query a TakeOrderedAndProject top-k cut
+    plus one corpus-grain conditional aggregate for the relevant
+    count; single-row joins finish it."""
+    d = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    tf_of = lambda t: F.size(  # noqa: E731
+        F.filter(words, lambda w: w == F.lit(t))
+    )
+    cols = [F.col("doc_id")]
+    for i, (r, l) in enumerate(_MRR_QUERIES):
+        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    tf = d.select(*cols).localCheckpoint()
+
+    parts = []
+    for i in range(len(_MRR_QUERIES)):
+        cand = (
+            tf.filter(F.col(f"r{i}") >= 1)
+            .orderBy(F.desc(f"r{i}"), F.asc("doc_id"))
+            .limit(_MRR_K)
+        )
+        a = cand.agg(
+            F.count(F.lit(1)).cast("long").alias(f"k{i}"),
+            F.sum(
+                F.when(F.col(f"l{i}") >= _MRR_REL_TF, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"hit{i}"),
+        )
+        g = tf.agg(
+            F.sum(
+                F.when(F.col(f"l{i}") >= _MRR_REL_TF, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"rel{i}")
+        )
+        parts.append(a.crossJoin(g))
+    one = parts[0]
+    for p_i in parts[1:]:
+        one = one.crossJoin(p_i)
+
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+
+    def row(name, k, hit, rel):
+        return F.struct(
+            F.lit(name).alias("query"),
+            k.alias("n_retrieved"),
+            hit.alias("n_hits"),
+            rel.alias("n_relevant"),
+            fmt(hit.cast("double") / k).alias("precision_k"),
+            fmt(
+                F.when(rel > 0, hit.cast("double") / rel).otherwise(
+                    F.lit(0).cast("double")
+                )
+            ).alias("recall_k"),
+            fmt((2 * hit).cast("double") / (k + rel)).alias("f1_k"),
+        )
+
+    n = len(_MRR_QUERIES)
+    rows = [
+        row(
+            f"{r}->{l}",
+            F.col(f"k{i}"),
+            F.col(f"hit{i}"),
+            F.col(f"rel{i}"),
+        )
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    ]
+    sum_of = lambda pre: sum(  # noqa: E731
+        (F.col(f"{pre}{i}") for i in range(1, n)), F.col(f"{pre}0")
+    )
+    rows.append(row("__all__", sum_of("k"), sum_of("hit"), sum_of("rel")))
+    return one.select(F.explode(F.array(*rows)).alias("q")).select(
+        "q.query",
+        "q.n_retrieved",
+        "q.n_hits",
+        "q.n_relevant",
+        "q.precision_k",
+        "q.recall_k",
+        "q.f1_k",
+    )

@@ -3652,3 +3652,91 @@ def chi2_rollup(cells: DataFrame) -> DataFrame:
         _FMT6(chi2).alias("chi2"),
         (chi2 > 9.488).alias("significant_95"),
     )
+
+
+# ---------------------------------------------------- Theil-Sen trend ----
+
+@register(
+    "events_theil_sen",
+    # Theil-Sen robust trend per event type: the LOWER MEDIAN of all
+    # pairwise daily-volume slopes. Each slope is ONE IEEE division of
+    # exact integers (bit-identical both engines), the median is a
+    # RANK SELECTION (rn = (n+1) div 2 under the total (slope, day1,
+    # day2) order) — never an interpolated midpoint, so no engine-
+    # specific interpolation formula can ever differ by an ulp (the
+    # agg_median dyadic rule generalized to non-dyadic values by
+    # replacing interpolation with selection).
+    "WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+    " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+    "p AS (SELECT a.event_type, "
+    "  CAST(b.cnt - a.cnt AS DOUBLE) "
+    "   / CAST(DATEDIFF('day', CAST(a.day AS DATE), CAST(b.day AS DATE)) "
+    "     AS DOUBLE) AS slope, a.day AS d1, b.day AS d2 "
+    " FROM d a JOIN d b ON b.event_type = a.event_type AND b.day > a.day), "
+    "r AS (SELECT event_type, slope, "
+    "  CAST(ROW_NUMBER() OVER (PARTITION BY event_type "
+    "   ORDER BY slope, d1, d2) AS BIGINT) AS rn, "
+    "  CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n "
+    " FROM p) "
+    "SELECT event_type, n AS n_pairs, "
+    "printf('%.6f', ROUND(slope, 6)) AS ts_slope "
+    "FROM r WHERE rn = (n + 1) // 2",
+)
+def events_theil_sen(spark, sf):
+    """Theil-Sen robust trend estimate per event type: the median of
+    all pairwise slopes between daily-volume points — the
+    breakdown-resistant complement of ``events_trend``'s OLS slope
+    (one colossal day drags OLS arbitrarily; Theil-Sen tolerates ~29%
+    corrupted days) and the trend-side sibling of
+    ``events_outlier_mad``'s robust dispersion.
+
+    Float discipline: each pairwise slope is ONE correctly-rounded
+    IEEE division of exact integers (count delta over day delta), so
+    all slopes are bit-identical across engines; the median is the
+    LOWER median by RANK SELECTION — row (n+1) div 2 under the total
+    (slope, day1, day2) order — never an interpolated midpoint,
+    because midpoint interpolation formulas (a+b)/2 vs a+(b-a)*0.5
+    differ by an ulp between engines on non-dyadic inputs; selection
+    sidesteps the whole class (the agg_median dyadic-input rule
+    generalized to arbitrary values).
+
+    Scale shape: one map-side-combinable fact collapse to the shared
+    daily grain; the pair self-join is calendar-bounded (days²/2 per
+    type — dimension-sized, never fact-sized) and keys event_type
+    first; one rank window per type finishes it."""
+    d = daily_counts(_events(spark, sf))
+    a = d.select(
+        "event_type", F.col("day").alias("d1"), F.col("cnt").alias("c1")
+    )
+    b = d.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("d2"),
+        F.col("cnt").alias("c2"),
+    )
+    p = a.join(
+        b,
+        (F.col("et2") == F.col("event_type")) & (F.col("d2") > F.col("d1")),
+    ).select(
+        "event_type",
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / F.datediff(
+                F.to_date("d2"), F.to_date("d1")
+            ).cast("double")
+        ).alias("slope"),
+        "d1",
+        "d2",
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    wn = Window.partitionBy("event_type")
+    r = p.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    return r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        _FMT6(F.col("slope")).alias("ts_slope"),
+    )

@@ -1651,3 +1651,74 @@ def test_kg_path_length_dist_invariants(spark):
     assert len(flags) == 1
     first_cross = got[got.cum_pairs * 10 >= total * 9].iloc[0]
     assert int(flags.iloc[0].d) == int(first_cross.d)
+
+
+def test_events_theil_sen_matches_python(spark):
+    """The lower-median pairwise slope re-derives in pure Python with
+    identical float divisions and the same (slope, d1, d2) selection
+    order; the slope is finite and n_pairs = days*(days-1)/2."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY,
+        daily_counts,
+    )
+
+    got = (
+        REGISTRY["events_theil_sen"][0](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    d = daily_counts(spark.read.parquet(f"{SF}/events.parquet")).toPandas()
+    import datetime as dt
+
+    for et, grp in d.groupby("event_type"):
+        g = grp.sort_values("day").reset_index(drop=True)
+        days = [dt.date.fromisoformat(x) for x in g.day]
+        cnts = [int(x) for x in g.cnt]
+        slopes = []
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                s = float(cnts[j] - cnts[i]) / float((days[j] - days[i]).days)
+                slopes.append((s, g.day[i], g.day[j]))
+        if not slopes:
+            assert et not in got.index
+            continue
+        slopes.sort()
+        n = len(slopes)
+        pick = slopes[(n + 1) // 2 - 1][0]
+        row = got.loc[et]
+        assert int(row.n_pairs) == n == len(days) * (len(days) - 1) // 2
+        want = Decimal(repr(pick)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert row.ts_slope == f"{want:.6f}", (et, row.ts_slope, want)
+
+
+def test_retrieval_pr_at_k_identities(spark):
+    """P/R/F1 satisfy their exact-integer identities and the __all__
+    row pools the per-query counts; every metric is in [0, 1] and at
+    least one query scores a hit on this corpus."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.operators.textstats import REGISTRY
+
+    got = REGISTRY["retrieval_pr_at_k"][0](spark, SF).toPandas()
+    per = got[got["query"] != "__all__"]
+    alle = got[got["query"] == "__all__"].iloc[0]
+    assert int(alle.n_retrieved) == int(per.n_retrieved.sum())
+    assert int(alle.n_hits) == int(per.n_hits.sum())
+    assert int(alle.n_relevant) == int(per.n_relevant.sum())
+    assert per.n_hits.sum() > 0
+    for r in got.itertuples():
+        k, h, rel = int(r.n_retrieved), int(r.n_hits), int(r.n_relevant)
+        assert 0 <= h <= min(k, rel)
+        for val, col in (
+            (float(h) / k, "precision_k"),
+            (float(h) / rel if rel > 0 else 0.0, "recall_k"),
+            (float(2 * h) / (k + rel), "f1_k"),
+        ):
+            want = Decimal(repr(val)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            assert getattr(r, col) == f"{want:.6f}", (r.query, col)
