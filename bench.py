@@ -283,6 +283,20 @@ HEADLINE = [
     "retrieval_mmr",
     "lm_kneser_ney",
     "join_fuzzy_name",
+    # r5m additions (thirteenth-session continuation) — KM survival,
+    # Spearman/chi-square/Theil-Sen exact stats, NDCG + P/R@k retrieval
+    # eval, held-out coverage, the hop plot, and the one-pass retrieval
+    # report (subtract this group too for earlier-round-comparable
+    # subtotals)
+    "events_survival",
+    "events_spearman",
+    "events_chi2",
+    "events_theil_sen",
+    "retrieval_ndcg",
+    "retrieval_pr_at_k",
+    "lm_coverage",
+    "kg_path_length_dist",
+    "macro_retrieval_report",
 ]
 
 

@@ -2974,3 +2974,235 @@ def retrieval_pr_at_k(spark, sf):
         "q.recall_k",
         "q.f1_k",
     )
+
+
+# --- one-pass retrieval evaluation report ------------------------------------
+
+def _retrieval_report_sql() -> str:
+    """Compose the retrieval-eval family's oracles over ONE shared tf
+    scan: per query the MRR first-rank/rr, the NDCG@10 of the same
+    ranking's head, and P/R@20 — a green row pins the COMPOSITION of
+    the three per-key contracts (the macro_graph_health discipline
+    applied to the eval family)."""
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS "
+        f"{c}{i}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+        for c, t in (("r", r), ("l", l))
+    )
+
+    def gain(i: int, rankcol: str) -> str:
+        return " + ".join(
+            f"CAST(COALESCE(MAX(CASE WHEN {rankcol} = {r} THEN rel END), 0) "
+            f"AS DOUBLE) * {_NDCG_DISC[r - 1]}"
+            for r in range(1, _NDCG_K + 1)
+        )
+
+    per = ", ".join(
+        f"c{i} AS (SELECT doc_id, l{i}, ROW_NUMBER() OVER "
+        f"(ORDER BY r{i} DESC, doc_id) AS rn FROM tf WHERE r{i} >= 1 "
+        f"QUALIFY rn <= {_MRR_K}), "
+        f"f{i} AS (SELECT COALESCE(MIN(rn), 0) AS fr FROM c{i} "
+        f" WHERE l{i} >= {_MRR_REL_TF}), "
+        f"a{i} AS (SELECT CAST(COUNT(*) AS BIGINT) AS k{i}, "
+        f" CAST(SUM(CASE WHEN l{i} >= {_MRR_REL_TF} THEN 1 ELSE 0 END) "
+        f"  AS BIGINT) AS hit{i} FROM c{i}), "
+        f"ci{i} AS (SELECT LEAST(l{i}, {_NDCG_RELCAP}) AS rel, rn, "
+        f" ROW_NUMBER() OVER (ORDER BY LEAST(l{i}, {_NDCG_RELCAP}) DESC, rn) "
+        f"  AS irn FROM c{i} WHERE rn <= {_NDCG_K}), "
+        f"n{i} AS (SELECT ({gain(i, 'rn')}) AS dcg, "
+        f" ({gain(i, 'irn')}) AS idcg FROM ci{i}), "
+        f"g{i} AS (SELECT CAST(SUM(CASE WHEN l{i} >= {_MRR_REL_TF} "
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS rel{i} FROM tf)"
+        for i in range(len(_MRR_QUERIES))
+    )
+    froms = ", ".join(
+        f"f{i}, a{i}, n{i}, g{i}" for i in range(len(_MRR_QUERIES))
+    )
+    ndcg = (
+        lambda i: f"(CASE WHEN n{i}.idcg > 0 "
+        f"THEN n{i}.dcg / n{i}.idcg ELSE CAST(0 AS DOUBLE) END)"
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{r}->{l}' AS query, CAST(f{i}.fr AS BIGINT) AS first_rank, "
+        f"printf('%.6f', ROUND(CASE WHEN f{i}.fr > 0 THEN "
+        f" CAST(1 AS DOUBLE) / f{i}.fr ELSE CAST(0 AS DOUBLE) END, 6)) "
+        f" AS rr, "
+        f"printf('%.6f', ROUND({ndcg(i)}, 6)) AS ndcg, "
+        f"printf('%.6f', ROUND(CAST(hit{i} AS DOUBLE) / k{i}, 6)) "
+        f" AS precision_k, "
+        f"printf('%.6f', ROUND(CASE WHEN rel{i} > 0 THEN "
+        f" CAST(hit{i} AS DOUBLE) / rel{i} ELSE CAST(0 AS DOUBLE) END, 6)) "
+        f" AS recall_k FROM {froms}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    )
+    n = len(_MRR_QUERIES)
+    mrr_num = " + ".join(
+        f"(CASE WHEN f{i}.fr > 0 THEN CAST({_MRR_L} AS DOUBLE) / f{i}.fr "
+        f"ELSE CAST(0 AS DOUBLE) END)"
+        for i in range(n)
+    )
+    mean_ndcg = " + ".join(ndcg(i) for i in range(n))
+    tot_k = " + ".join(f"k{i}" for i in range(n))
+    tot_h = " + ".join(f"hit{i}" for i in range(n))
+    tot_r = " + ".join(f"rel{i}" for i in range(n))
+    allrow = (
+        f"SELECT '__all__', CAST(0 AS BIGINT), "
+        f"printf('%.6f', ROUND(({mrr_num}) / CAST({n * _MRR_L} AS DOUBLE), "
+        f" 6)), "
+        f"printf('%.6f', ROUND(({mean_ndcg}) / CAST({n} AS DOUBLE), 6)), "
+        f"printf('%.6f', ROUND(CAST(({tot_h}) AS DOUBLE) / ({tot_k}), 6)), "
+        f"printf('%.6f', ROUND(CAST(({tot_h}) AS DOUBLE) / ({tot_r}), 6)) "
+        f"FROM {froms}"
+    )
+    return (
+        f"WITH tf AS (SELECT doc_id, {tf_cols} FROM documents), {per} "
+        f"SELECT * FROM ({rows} UNION ALL {allrow}) q"
+    )
+
+
+@register("macro_retrieval_report", _retrieval_report_sql())
+def macro_retrieval_report(spark, sf):
+    """One-pass retrieval evaluation report — the per-release table a
+    ranking team publishes, composing the eval family over ONE shared
+    term-frequency scan: per query the MRR first-rank and reciprocal
+    rank (``retrieval_mrr``'s contract), NDCG@10 of the same ranking's
+    head (``retrieval_ndcg``'s inlined-discount contract), and
+    precision/recall@20 (``retrieval_pr_at_k``'s exact-integer
+    contract); the ``__all__`` row pools MRR, mean NDCG, and the
+    micro-averaged P/R. A green oracle row pins the COMPOSITION of the
+    three per-key float disciplines (the macro_graph_health rule
+    applied to the eval family) — facts are scanned once for the whole
+    report.
+
+    Scale shape: ONE corpus pass to the checkpointed tf grain; per
+    query a single TakeOrderedAndProject top-20 cut feeds the MRR,
+    NDCG (its rn<=10 head), and P/R arms, plus one corpus-grain
+    conditional aggregate for the relevant totals; single-row joins
+    assemble the report."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    tf_of = lambda t: F.size(  # noqa: E731
+        F.filter(words, lambda w: w == F.lit(t))
+    )
+    cols = [F.col("doc_id")]
+    for i, (r, l) in enumerate(_MRR_QUERIES):
+        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    tf = d.select(*cols).localCheckpoint()
+
+    def gain(rankcol: str):
+        out = None
+        for r in range(1, _NDCG_K + 1):
+            term = F.coalesce(
+                F.max(F.when(F.col(rankcol) == r, F.col("rel"))), F.lit(0)
+            ).cast("double") * F.lit(float(_NDCG_DISC[r - 1]))
+            out = term if out is None else out + term
+        return out
+
+    parts = []
+    for i in range(len(_MRR_QUERIES)):
+        w = Window.orderBy(F.desc(f"r{i}"), F.asc("doc_id"))
+        cand = (
+            tf.filter(F.col(f"r{i}") >= 1)
+            .orderBy(F.desc(f"r{i}"), F.asc("doc_id"))
+            .limit(_MRR_K)
+            .select(f"l{i}", F.row_number().over(w).alias("rn"))
+            .localCheckpoint()
+        )
+        fr = cand.filter(F.col(f"l{i}") >= _MRR_REL_TF).agg(
+            F.coalesce(F.min("rn"), F.lit(0)).cast("long").alias(f"fr{i}")
+        )
+        a = cand.agg(
+            F.count(F.lit(1)).cast("long").alias(f"k{i}"),
+            F.sum(F.when(F.col(f"l{i}") >= _MRR_REL_TF, 1).otherwise(0))
+            .cast("long")
+            .alias(f"hit{i}"),
+        )
+        ci = cand.filter(F.col("rn") <= _NDCG_K).select(
+            F.least(F.col(f"l{i}"), F.lit(_NDCG_RELCAP))
+            .cast("long")
+            .alias("rel"),
+            "rn",
+        )
+        wi = Window.orderBy(F.desc("rel"), F.asc("rn"))
+        ci = ci.select("rel", "rn", F.row_number().over(wi).alias("irn"))
+        nd = ci.agg(
+            gain("rn").alias(f"dcg{i}"), gain("irn").alias(f"idcg{i}")
+        )
+        g = tf.agg(
+            F.sum(F.when(F.col(f"l{i}") >= _MRR_REL_TF, 1).otherwise(0))
+            .cast("long")
+            .alias(f"rel{i}")
+        )
+        parts.append(fr.crossJoin(a).crossJoin(nd).crossJoin(g))
+    one = parts[0]
+    for p_i in parts[1:]:
+        one = one.crossJoin(p_i)
+
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    zero = F.lit(0).cast("double")
+
+    def rr(i: int):
+        frc = F.col(f"fr{i}")
+        return F.when(frc > 0, F.lit(1).cast("double") / frc).otherwise(zero)
+
+    def ndcg(i: int):
+        return F.when(
+            F.col(f"idcg{i}") > 0, F.col(f"dcg{i}") / F.col(f"idcg{i}")
+        ).otherwise(zero)
+
+    n = len(_MRR_QUERIES)
+    mrr_num = None
+    for i in range(n):
+        frc = F.col(f"fr{i}")
+        t = F.when(
+            frc > 0, F.lit(_MRR_L).cast("double") / frc
+        ).otherwise(zero)
+        mrr_num = t if mrr_num is None else mrr_num + t
+    mean_ndcg = None
+    for i in range(n):
+        mean_ndcg = ndcg(i) if mean_ndcg is None else mean_ndcg + ndcg(i)
+    sum_of = lambda pre: sum(  # noqa: E731
+        (F.col(f"{pre}{i}") for i in range(1, n)), F.col(f"{pre}0")
+    )
+    rows = [
+        F.struct(
+            F.lit(f"{r}->{l}").alias("query"),
+            F.col(f"fr{i}").alias("first_rank"),
+            fmt(rr(i)).alias("rr"),
+            fmt(ndcg(i)).alias("ndcg"),
+            fmt(F.col(f"hit{i}").cast("double") / F.col(f"k{i}")).alias(
+                "precision_k"
+            ),
+            fmt(
+                F.when(
+                    F.col(f"rel{i}") > 0,
+                    F.col(f"hit{i}").cast("double") / F.col(f"rel{i}"),
+                ).otherwise(zero)
+            ).alias("recall_k"),
+        )
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    ] + [
+        F.struct(
+            F.lit("__all__").alias("query"),
+            F.lit(0).cast("long").alias("first_rank"),
+            fmt(mrr_num / F.lit(n * _MRR_L).cast("double")).alias("rr"),
+            fmt(mean_ndcg / F.lit(n).cast("double")).alias("ndcg"),
+            fmt(
+                sum_of("hit").cast("double") / sum_of("k")
+            ).alias("precision_k"),
+            fmt(
+                sum_of("hit").cast("double") / sum_of("rel")
+            ).alias("recall_k"),
+        )
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("q")).select(
+        "q.query",
+        "q.first_rank",
+        "q.rr",
+        "q.ndcg",
+        "q.precision_k",
+        "q.recall_k",
+    )

@@ -1722,3 +1722,34 @@ def test_retrieval_pr_at_k_identities(spark):
                 Decimal("0.000001"), rounding=ROUND_HALF_UP
             )
             assert getattr(r, col) == f"{want:.6f}", (r.query, col)
+
+
+def test_macro_retrieval_report_composes_per_keys(spark):
+    """The one-pass report's columns agree EXACTLY with the three
+    per-key outputs (first_rank/rr with retrieval_mrr, ndcg with
+    retrieval_ndcg, precision/recall with retrieval_pr_at_k) — the
+    composition never drifts from its parts."""
+    from reach_banner_spark.operators.textstats import REGISTRY
+
+    rep = (
+        REGISTRY["macro_retrieval_report"][0](spark, SF)
+        .toPandas()
+        .set_index("query")
+    )
+    mrr = REGISTRY["retrieval_mrr"][0](spark, SF).toPandas().set_index("query")
+    ndcg = (
+        REGISTRY["retrieval_ndcg"][0](spark, SF).toPandas().set_index("query")
+    )
+    pr = (
+        REGISTRY["retrieval_pr_at_k"][0](spark, SF)
+        .toPandas()
+        .set_index("query")
+    )
+    assert set(rep.index) == set(mrr.index) == set(ndcg.index) == set(pr.index)
+    for qk in rep.index:
+        r = rep.loc[qk]
+        assert int(r.first_rank) == int(mrr.loc[qk].first_rank)
+        assert r.rr == mrr.loc[qk].rr, qk
+        assert r.ndcg == ndcg.loc[qk].ndcg, qk
+        assert r.precision_k == pr.loc[qk].precision_k, qk
+        assert r.recall_k == pr.loc[qk].recall_k, qk
