@@ -297,6 +297,8 @@ HEADLINE = [
     "lm_coverage",
     "kg_path_length_dist",
     "macro_retrieval_report",
+    "events_winsorized_mean",
+    "kg_k_truss",
 ]
 
 

@@ -3704,7 +3704,14 @@ def events_theil_sen(spark, sf):
     daily grain; the pair self-join is calendar-bounded (days²/2 per
     type — dimension-sized, never fact-sized) and keys event_type
     first; one rank window per type finishes it."""
-    d = daily_counts(_events(spark, sf))
+    return theil_sen_rollup(daily_counts(_events(spark, sf)))
+
+
+def theil_sen_rollup(d: DataFrame) -> DataFrame:
+    """Fold a (event_type, day, cnt) daily table into the per-type
+    lower-median pairwise slope — shared by ``events_theil_sen`` and
+    its streaming twin (the rank-selection float contract lives
+    here)."""
     a = d.select(
         "event_type", F.col("day").alias("d1"), F.col("cnt").alias("c1")
     )
@@ -3739,4 +3746,106 @@ def events_theil_sen(spark, sf):
         "event_type",
         F.col("n").alias("n_pairs"),
         _FMT6(F.col("slope")).alias("ts_slope"),
+    )
+
+
+# -------------------------------------------------- winsorized mean ----
+
+@register(
+    "events_winsorized_mean",
+    # Winsorized mean of purchase amounts: clamp to the exact
+    # rank-selected p5/p95 cents (rank ceil(q*n) under the total cents
+    # order — SELECTION, never interpolation, the events_theil_sen
+    # rule), then ONE IEEE division of the exact clamped-cents sum by
+    # 100*n. The thresholds come from an ordered cumsum over the
+    # bounded cents grain, so no per-row rank window ever runs.
+    "WITH c AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents "
+    " FROM events WHERE event_type = 'purchase'), "
+    "g AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM c "
+    " GROUP BY cents), "
+    "cu AS (SELECT cents, cnt, CAST(SUM(cnt) OVER (ORDER BY cents "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum "
+    " FROM g), "
+    "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g), "
+    "lo AS (SELECT MIN(cents) AS lo_cents FROM cu, t "
+    " WHERE cum * 100 >= n * 5), "
+    "hi AS (SELECT MIN(cents) AS hi_cents FROM cu, t "
+    " WHERE cum * 100 >= n * 95), "
+    "s AS (SELECT CAST(SUM(LEAST(GREATEST(g.cents, lo_cents), hi_cents) "
+    "  * cnt) AS BIGINT) AS wsum, CAST(SUM(g.cents * cnt) AS BIGINT) "
+    "  AS rsum FROM g, lo, hi) "
+    "SELECT n, lo_cents, hi_cents, "
+    "printf('%.6f', ROUND(CAST(wsum AS DOUBLE) / (100 * n), 6)) "
+    " AS winsorized_mean, "
+    "printf('%.6f', ROUND(CAST(rsum AS DOUBLE) / (100 * n), 6)) "
+    " AS raw_mean FROM s, t, lo, hi",
+)
+def events_winsorized_mean(spark, sf):
+    """Winsorized mean of purchase amounts (5%/95%) — the robust
+    location estimate a revenue dashboard shows next to the raw mean
+    (one whale purchase drags the mean; clamping to the p5/p95 values
+    bounds any single observation's influence), completing the robust
+    trio with ``events_outlier_mad`` (dispersion) and
+    ``events_theil_sen`` (trend).
+
+    Float discipline: amounts bin to exact integer cents
+    (floor(value*100) — one IEEE multiply + exact floor, identical
+    both engines); the p5/p95 thresholds are RANK-SELECTED via exact
+    integer cross-multiplies over the cents-grain cumsum
+    (cum*100 >= n*q — never an interpolated quantile, never a float
+    threshold); the clamped and raw sums are exact BIGINTs (at 100 TB:
+    DECIMAL(38,0)); each reported mean is ONE correctly-rounded IEEE
+    division under ROUND + %.6f.
+
+    Scale shape: one map-side-combinable fact collapse to the bounded
+    cents grain (price-domain sized — the events_ks_test discipline),
+    one ordered cumsum window over that dimension table, two one-row
+    threshold selections, one dimension-grain clamp-and-sum."""
+    c = (
+        _events(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    )
+    g = c.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cu = g.select(
+        "cents", "cnt", F.sum("cnt").over(wcum).cast("long").alias("cum")
+    )
+    t = g.agg(F.sum("cnt").cast("long").alias("n"))
+    cut = lambda q, name: (  # noqa: E731
+        cu.crossJoin(F.broadcast(t))
+        .filter(F.col("cum") * 100 >= F.col("n") * q)
+        .agg(F.min("cents").alias(name))
+    )
+    lo, hi = cut(5, "lo_cents"), cut(95, "hi_cents")
+    s = (
+        g.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .agg(
+            F.sum(
+                F.least(
+                    F.greatest(F.col("cents"), F.col("lo_cents")),
+                    F.col("hi_cents"),
+                )
+                * F.col("cnt")
+            )
+            .cast("long")
+            .alias("wsum"),
+            F.sum(F.col("cents") * F.col("cnt")).cast("long").alias("rsum"),
+            F.min("lo_cents").alias("lo_cents"),
+            F.min("hi_cents").alias("hi_cents"),
+        )
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "n",
+        "lo_cents",
+        "hi_cents",
+        _FMT6(F.col("wsum").cast("double") / (100 * F.col("n"))).alias(
+            "winsorized_mean"
+        ),
+        _FMT6(F.col("rsum").cast("double") / (100 * F.col("n"))).alias(
+            "raw_mean"
+        ),
     )

@@ -2812,3 +2812,21 @@ def stream_chi2(spark, sf):
     q.awaitTermination()
     assert state["path"] is not None, "stream produced no batches"
     return chi2_rollup(spark.read.parquet(state["path"])).localCheckpoint()
+
+
+@register("stream_theil_sen", None)  # pytest: == batch events_theil_sen
+def stream_theil_sen(spark, sf):
+    """INGEST-TIME Theil-Sen trend readout — the streaming twin of
+    ``events_theil_sen``: daily counts are exactly sum-mergeable, so
+    the twin reuses the SHARED ``_stream_daily_counts`` state and the
+    SHARED ``theil_sen_rollup`` re-derives the lower-median pairwise
+    slope from the final daily table — streaming == batch is a theorem
+    about SUM. The robust-trend monitor shape: the slope estimate
+    stays current as events arrive, without re-scanning history.
+
+    State is O(types x days); each batch's merge keys on the day."""
+    from ..plans.events_analytics import theil_sen_rollup
+
+    return theil_sen_rollup(
+        _stream_daily_counts(spark, sf, "stream_theil_sen")
+    ).localCheckpoint()

@@ -1753,3 +1753,90 @@ def test_macro_retrieval_report_composes_per_keys(spark):
         assert r.ndcg == ndcg.loc[qk].ndcg, qk
         assert r.precision_k == pr.loc[qk].precision_k, qk
         assert r.recall_k == pr.loc[qk].recall_k, qk
+
+
+def test_kg_k_truss_matches_definition(spark):
+    """The peeling kernel's trussness == the per-k fixed-point
+    DEFINITION (iteratively delete edges with in-subgraph support
+    < k-2; trussness = max surviving k) re-derived per conversation,
+    plus a handcrafted K4-plus-tail case."""
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _truss_decompose,
+    )
+
+    # handcrafted: K4 (every edge in 2 triangles -> trussness 4) plus
+    # a pendant tail edge (no triangles -> trussness 2)
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"),
+          ("b", "c"), ("b", "d"), ("c", "d")]
+    tr = _truss_decompose(sorted(k4 + [("d", "e")]))
+    assert all(tr[e] == 4 for e in k4)
+    assert tr[("d", "e")] == 2
+
+    def fixed_point(edges, k):
+        live = set(edges)
+        while True:
+            adj = {}
+            for a, b in live:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            drop = [
+                (a, b)
+                for a, b in live
+                if len(adj[a] & adj[b]) < k - 2
+            ]
+            if not drop:
+                return live
+            live -= set(drop)
+
+    got = REGISTRY["kg_k_truss"][0](spark, SF).toPandas()
+    assert len(got) > 0
+    assert (got.trussness >= 2).all()
+    for conv, grp in got.groupby("conv_id"):
+        edges = sorted(zip(grp.a, grp.b))
+        kmax = int(grp.trussness.max())
+        want = {}
+        for k in range(2, kmax + 2):
+            for e in fixed_point(edges, k):
+                want[e] = k
+        assert want == {
+            (a, b): int(t) for a, b, t in zip(grp.a, grp.b, grp.trussness)
+        }, conv
+
+
+def test_events_winsorized_mean_exact_reconciliation(spark):
+    """Thresholds and means re-derive from exact Python-int cents with
+    the same rank-selection rule; winsorized mean is between the
+    clamp bounds and differs from the raw mean only via clamping."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_winsorized_mean"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    import math
+
+    cents = sorted(
+        int(math.floor(v * 100))
+        for v, t in zip(ev.value, ev.event_type)
+        if t == "purchase"
+    )
+    n = len(cents)
+    lo = cents[(n * 5 + 99) // 100 - 1]
+    hi = cents[(n * 95 + 99) // 100 - 1]
+    r = got.iloc[0]
+    assert (int(r.n), int(r.lo_cents), int(r.hi_cents)) == (n, lo, hi)
+    wsum = sum(min(max(c, lo), hi) for c in cents)
+    rsum = sum(cents)
+    for val, col in (
+        (float(wsum) / (100 * n), "winsorized_mean"),
+        (float(rsum) / (100 * n), "raw_mean"),
+    ):
+        want = Decimal(repr(val)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert getattr(r, col) == f"{want:.6f}", col
+    assert lo / 100 <= float(r.winsorized_mean) <= hi / 100

@@ -120,8 +120,8 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 349, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 273, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 352, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 274, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
 
 
@@ -491,7 +491,7 @@ def test_graph_kernel_single_exchange(spark):
 
     q = all_queries()
     for key in ("kg_bridges", "kg_articulation", "kg_mst",
-                "kg_betweenness", "kg_scc"):
+                "kg_betweenness", "kg_scc", "kg_k_truss"):
         plan = _plan(q[key](spark, SF))
         assert "FlatMapGroupsInPandas" in plan, (key, plan[:400])
         assert plan.count("Exchange") == 1, (key, plan[:600])

@@ -1385,3 +1385,36 @@ def test_stream_chi2_equals_batch(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_chi2"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_theil_sen_equals_batch(spark):
+    """stream_theil_sen's per-type slope == the one-shot
+    events_theil_sen (shared sum-mergeable daily-count state). Re-run
+    identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    key = ["event_type"]
+    got = (
+        ops.REGISTRY["stream_theil_sen"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["events_theil_sen"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+    again = (
+        ops.REGISTRY["stream_theil_sen"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)
