@@ -299,6 +299,7 @@ HEADLINE = [
     "macro_retrieval_report",
     "events_winsorized_mean",
     "kg_k_truss",
+    "emb_knn_graph",
 ]
 
 

@@ -1235,3 +1235,111 @@ def _mmr_greedy(pdf) -> list:
             )
         )
     return rows
+
+
+KNN_K = 5  # neighbors per node in the k-NN graph
+
+
+@register(
+    "emb_knn_graph",
+    # Mutual k-NN graph over ALL embeddings: per-node exact top-KNN_K
+    # cosine neighbors (the ann_cosine_topk chain — identical
+    # fold/sqrt/divide spelling both engines, ROUND(cos, 6) rank with
+    # vec_id tie-break), kept only where BOTH endpoints choose each
+    # other, emitted canonically a < b. cos(a,b) == cos(b,a)
+    # bit-exactly (commutative multiplies inside the same fold order),
+    # so the mutual join can never disagree with itself.
+    f"""WITH s AS (
+      SELECT q.vec_id AS src, e.vec_id AS dst,
+        ROUND({_COS_SQL}, 6) AS cos,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY ROUND({_COS_SQL}, 6) DESC, e.vec_id) AS rn
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id),
+    k AS (SELECT src, dst, cos FROM s WHERE rn <= {KNN_K})
+    SELECT a.src AS a, a.dst AS b, a.cos
+    FROM k a JOIN k b ON b.src = a.dst AND b.dst = a.src
+    WHERE a.src < a.dst""",
+)
+def emb_knn_graph(spark, sf):
+    """Mutual k-NN graph construction over the embedding table — the
+    similarity-graph primitive under semi-supervised label
+    propagation, graph-based dedup clustering, and manifold
+    visualization (every 'embedding atlas' starts here): each vector's
+    exact top-``KNN_K`` cosine neighbors, kept only when the choice is
+    MUTUAL (the standard noise filter — asymmetric hub edges are what
+    make raw k-NN graphs unusable), emitted canonically a < b.
+    Complements ``dedup_embedding_cosine`` (global threshold pairs —
+    density-blind) and the ``ann_*`` family (query-set search): the
+    k-NN graph adapts to local density.
+
+    Float discipline: the cosine is the ann_cosine_topk chain —
+    identical zip-with fold, sqrt, multiply, divide spelling on both
+    engines; cos(a,b) == cos(b,a) bit-exactly because the fold order
+    is positional and each step's multiply is commutative, so
+    mutuality never self-contradicts; ranking uses ROUND(cos, 6) with
+    the vec_id tie-break (the established contract).
+
+    Scale shape: one broadcast of the (vec_id, embedding) table
+    against itself (this corpus's table broadcasts whole; at 100 TB
+    the cross becomes the blocked matrix-multiply mapInPandas of
+    dedup_embedding_cosine's scale path), per-node top-k via a rank
+    window partitioned on the source (never a global sort), and the
+    mutual filter is a self-join of the k-sized edge list on the
+    reversed key — dimension-scale, k*N rows."""
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            c,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    # norms fold ONCE per vector (the per-pair chain then multiplies the
+    # two precomputed sqrts — the identical op sequence _cosine runs,
+    # just not recomputed 2N times); repartition spreads the probe side
+    # (one small parquet file = one input split, which would otherwise
+    # single-thread the whole cross product)
+    e = (
+        _emb(spark, sf)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .select("vec_id", "embedding", nrm(F.col("embedding")).alias("nv"))
+        .localCheckpoint()
+    )
+    q = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("nv").alias("nq"),
+    )
+    pairs = F.broadcast(q).crossJoin(e).filter(F.col("vec_id") != F.col("qid"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = pairs.select(
+        F.col("qid").alias("src"),
+        F.col("vec_id").alias("dst"),
+        F.round(dot / (F.col("nq") * F.col("nv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    k = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("src", "dst", "cos")
+        .localCheckpoint()
+    )
+    rev = k.select(
+        F.col("src").alias("r_src"), F.col("dst").alias("r_dst")
+    )
+    return (
+        k.join(
+            rev,
+            (F.col("r_src") == F.col("dst"))
+            & (F.col("r_dst") == F.col("src")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"), "cos")
+    )

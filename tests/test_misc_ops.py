@@ -1840,3 +1840,41 @@ def test_events_winsorized_mean_exact_reconciliation(spark):
         )
         assert getattr(r, col) == f"{want:.6f}", col
     assert lo / 100 <= float(r.winsorized_mean) <= hi / 100
+
+
+def test_emb_knn_graph_matches_numpy(spark):
+    """The mutual k-NN edge set re-derives from a numpy float64
+    brute-force (same rank rule: round-6 cosine desc, vec_id
+    tie-break); every edge is canonical a < b and mutual by
+    construction."""
+    import numpy as np
+    import pandas as pd
+
+    from reach_banner_spark.operators.similarity import KNN_K, REGISTRY
+
+    got = REGISTRY["emb_knn_graph"][0](spark, SF).toPandas()
+    assert len(got) > 0
+    assert (got.a < got.b).all()
+    e = pd.read_parquet(f"{SF}/embeddings.parquet")
+    m = np.array([np.array(v, dtype=np.float64) for v in e.embedding])
+    ids = e.vec_id.to_numpy()
+    nrm = np.sqrt((m * m).sum(axis=1))
+    cos = (m @ m.T) / np.outer(nrm, nrm)
+    knn = {}
+    for i in range(len(ids)):
+        scored = [
+            (-round(cos[i, j], 6), ids[j]) for j in range(len(ids)) if j != i
+        ]
+        scored.sort()
+        knn[ids[i]] = {v for _, v in scored[:KNN_K]}
+    want = {
+        (a, b)
+        for a in knn
+        for b in knn[a]
+        if a < b and a in knn[b]
+    }
+    # numpy's einsum/dot accumulation order differs from the engines'
+    # sequential fold, so compare the EDGE SET only where the round-6
+    # cosine is not within an ulp-sensitive band of a rank boundary —
+    # in practice this corpus has no such boundary: sets match exactly.
+    assert set(zip(got.a, got.b)) == want
