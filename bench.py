@@ -300,6 +300,7 @@ HEADLINE = [
     "events_winsorized_mean",
     "kg_k_truss",
     "emb_knn_graph",
+    "emb_cluster_knn",
 ]
 
 

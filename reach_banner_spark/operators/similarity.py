@@ -1343,3 +1343,68 @@ def emb_knn_graph(spark, sf):
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("a"), F.col("dst").alias("b"), "cos")
     )
+
+
+@register(
+    "emb_cluster_knn",
+    # Embedding clusters = connected components of the mutual k-NN
+    # graph: the edge CTE is emb_knn_graph's oracle verbatim; the
+    # component labels come from a recursive min-label closure (every
+    # node's id floods its component; MIN per node is the canonical
+    # cluster id — the kg_reach recursion pattern). All integers — the
+    # only floats (the cosines) never leave the edge derivation.
+    f"""WITH RECURSIVE s AS (
+      SELECT q.vec_id AS src, e.vec_id AS dst,
+        ROUND({_COS_SQL}, 6) AS cos,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY ROUND({_COS_SQL}, 6) DESC, e.vec_id) AS rn
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id),
+    k AS (SELECT src, dst FROM s WHERE rn <= {KNN_K}),
+    m AS (SELECT a.src AS a, a.dst AS b
+      FROM k a JOIN k b ON b.src = a.dst AND b.dst = a.src
+      WHERE a.src < a.dst),
+    e2 AS (SELECT a AS s, b AS o FROM m UNION SELECT b, a FROM m),
+    r(node, lab) AS (
+      SELECT s, s FROM e2
+      UNION
+      SELECT e2.o, r.lab FROM r JOIN e2 ON e2.s = r.node),
+    c AS (SELECT node, MIN(lab) AS cluster FROM r GROUP BY node),
+    z AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM c GROUP BY cluster)
+    SELECT c.node AS vec_id, c.cluster, z.cluster_size
+    FROM c JOIN z ON z.cluster = c.cluster""",
+)
+def emb_cluster_knn(spark, sf):
+    """Embedding clustering via mutual-kNN connected components — the
+    composition a dedup/curation pipeline actually ships (the
+    SemDeDup/near-dup-cluster shape): build ``emb_knn_graph``'s mutual
+    edge set, then label each vector with its component (canonical id
+    = the component's smallest vec_id) and the component size. The
+    unsupervised complement of ``emb_kmeans`` (no k to pick; clusters
+    follow the graph's density structure) and the embedding-space twin
+    of ``dedup_cluster`` (which clusters MinHash pairs the same way).
+
+    Oracle: the mutual-edge CTE verbatim from emb_knn_graph plus a
+    recursive min-label closure — a genuinely different component
+    algorithm (label flooding to fixpoint) than the engine's
+    pointer-jumping ``connected_components``, so a green row is an
+    algorithmic cross-check of the component structure itself (the
+    kg_bridges definition-vs-algorithm discipline). Vectors with no
+    mutual edge are not clustered (excluded on both engines).
+
+    Scale shape: the edge derivation is emb_knn_graph's (broadcast
+    cross + per-source top-k window); components run the operator's
+    O(log n)-round pointer-jumping min-label iteration over the
+    k*N-bounded edge list; the size rollup is dimension-scale."""
+    from .components import connected_components
+
+    edges = emb_knn_graph(spark, sf).select("a", "b")
+    comp = connected_components(edges, src="a", dst="b")
+    sizes = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return comp.join(F.broadcast(sizes), "comp").select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").alias("cluster"),
+        "cluster_size",
+    )

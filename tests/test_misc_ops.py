@@ -1878,3 +1878,37 @@ def test_emb_knn_graph_matches_numpy(spark):
     # cosine is not within an ulp-sensitive band of a rank boundary —
     # in practice this corpus has no such boundary: sets match exactly.
     assert set(zip(got.a, got.b)) == want
+
+
+def test_emb_cluster_knn_union_find_property(spark):
+    """Cluster labels == a union-find over the emb_knn_graph edge set
+    (third algorithm after the engine's pointer jumping and the
+    oracle's label flooding); sizes reconcile and labels are the
+    component minima."""
+    from reach_banner_spark.operators.similarity import REGISTRY
+
+    got = REGISTRY["emb_cluster_knn"][0](spark, SF).toPandas()
+    edges = REGISTRY["emb_knn_graph"][0](spark, SF).toPandas()
+    assert len(got) > 0
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges.a, edges.b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for x in parent:
+        want.setdefault(find(x), set()).add(x)
+    got_clusters = {
+        int(c): set(g.vec_id.astype(int)) for c, g in got.groupby("cluster")
+    }
+    assert got_clusters == {min(v): v for v in want.values()}
+    for c, g in got.groupby("cluster"):
+        assert int(c) == int(g.vec_id.min())
+        assert (g.cluster_size == len(g)).all()
