@@ -301,6 +301,7 @@ HEADLINE = [
     "kg_k_truss",
     "emb_knn_graph",
     "emb_cluster_knn",
+    "scan_bucket_pruned",
 ]
 
 

@@ -3801,12 +3801,27 @@ def events_winsorized_mean(spark, sf):
     cents grain (price-domain sized — the events_ks_test discipline),
     one ordered cumsum window over that dimension table, two one-row
     threshold selections, one dimension-grain clamp-and-sum."""
+    return winsor_rollup(purchase_cents_counts(_events(spark, sf)))
+
+
+def purchase_cents_counts(df: DataFrame) -> DataFrame:
+    """Per-cents purchase counts — the shared grain for
+    ``events_winsorized_mean`` and its streaming twin (plain SUM-able
+    counts, exactly mergeable across micro-batches — the
+    value_counts_by_variant discipline without the variant split)."""
     c = (
-        _events(spark, sf)
-        .filter(F.col("event_type") == "purchase")
+        df.filter(F.col("event_type") == "purchase")
         .select(F.floor(F.col("value") * 100).cast("long").alias("cents"))
     )
-    g = c.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return c.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def winsor_rollup(g: DataFrame) -> DataFrame:
+    """Fold a (cents, cnt) grain into the one-row winsorized-mean
+    readout — shared by ``events_winsorized_mean`` and its streaming
+    twin (the rank-selection clamp contract lives here)."""
     wcum = Window.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

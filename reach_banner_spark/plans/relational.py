@@ -706,6 +706,24 @@ def join_bucketed(spark, sf):
     shuffle-free — the core trick for repeated 100 TB fact-fact joins;
     plan-asserted in tests/test_plans.py). The groupBy on the same key
     also reuses the bucketing."""
+    names = _ensure_bucketed_tables(spark, sf)
+    o = spark.table(names["orders"]).select("o_orderkey")
+    li = spark.table(names["lineitem"]).select("l_orderkey", "l_extendedprice")
+    # merge hint: at test scale Catalyst would broadcast the small side,
+    # which never exercises the bucketing; SMJ over bucket-sorted tables is
+    # the layout's payoff — zero Exchange AND zero Sort (plan-asserted)
+    j = o.hint("merge").join(li, o["o_orderkey"] == li["l_orderkey"])
+    return j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum("l_extendedprice", "revenue"),
+    )
+
+
+def _ensure_bucketed_tables(spark, sf) -> dict:
+    """Create (once per source-parquet fingerprint) the bucketed
+    orders/lineitem tables — the shared physical layout behind
+    ``join_bucketed`` (shuffle-free SMJ) and ``scan_bucket_pruned``
+    (bucket-pruned point scan). Returns the table names."""
     import hashlib
     import os
 
@@ -782,16 +800,51 @@ def join_bucketed(spark, sf):
                 .mode("overwrite")
                 .saveAsTable(names[tbl])
             )
-    o = spark.table(names["orders"]).select("o_orderkey")
-    li = spark.table(names["lineitem"]).select("l_orderkey", "l_extendedprice")
-    # merge hint: at test scale Catalyst would broadcast the small side,
-    # which never exercises the bucketing; SMJ over bucket-sorted tables is
-    # the layout's payoff — zero Exchange AND zero Sort (plan-asserted)
-    j = o.hint("merge").join(li, o["o_orderkey"] == li["l_orderkey"])
-    return j.groupBy("o_orderkey").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        dec_sum("l_extendedprice", "revenue"),
-    )
+    return names
+
+
+@register(
+    "scan_bucket_pruned",
+    # oracle over the ORIGINAL parquet — bucketing is a physical layout
+    # choice; an equality/IN predicate on the bucket key must prune to
+    # the matching buckets (SelectedBucketsCount in the plan, gated in
+    # tests/test_plans.py) without changing results
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "WHERE o_orderkey IN (7, 42) ORDER BY o_orderkey",
+)
+def scan_bucket_pruned(spark, sf):
+    """Bucket-pruned point lookup over the bucketed fact table: an IN
+    predicate on the bucket key lets Spark read ONLY the buckets the
+    keys hash to (SelectedBucketsCount: <=2 out of 8 in the scan node —
+    plan-gated), the scan-side payoff of the layout ``join_bucketed``
+    already exercises join-side. At 100 TB this is the difference
+    between touching ~2/8 of the files and touching all of them for a
+    key probe — the same reason kimball-style fact tables bucket on
+    their degenerate dimension. Results are layout-independent: the
+    oracle runs the same predicate over the original parquet."""
+    names = _ensure_bucketed_tables(spark, sf)
+    # the auto-bucketed-scan optimizer DISABLES bucketed reads when no
+    # downstream operator wants the hash partitioning — which also turns
+    # off bucket PRUNING; scope it off for this plan's materialization
+    # (the scan_agg_pushdown conf-scoping pattern: QueryExecution caches
+    # the executed plan, so restoring afterwards is safe)
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "false")
+        o = spark.table(names["orders"])
+        df = (
+            o.filter(F.col("o_orderkey").isin(7, 42))
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey")
+        )
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    return df
 
 
 # -------------------------------------------------------- sort/limit/topk ----

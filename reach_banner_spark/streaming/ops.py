@@ -2830,3 +2830,53 @@ def stream_theil_sen(spark, sf):
     return theil_sen_rollup(
         _stream_daily_counts(spark, sf, "stream_theil_sen")
     ).localCheckpoint()
+
+
+@register("stream_winsorized", None)  # pytest: == batch events_winsorized_mean
+def stream_winsorized(spark, sf):
+    """INGEST-TIME winsorized-mean readout — the streaming twin of
+    ``events_winsorized_mean``: the carried state is the bounded
+    (cents, cnt) purchase-amount grain (plain SUM-able counts —
+    exactly mergeable for any micro-batch split), and the SHARED
+    ``winsor_rollup`` re-derives the rank-selected clamps and means
+    from the final state, so streaming == batch is a theorem about
+    SUM. The live robust-revenue monitor shape: the clamp thresholds
+    and the winsorized mean stay current as purchases arrive.
+
+    State is O(price domain) — cents-bounded, never fact-bounded."""
+    import shutil
+
+    from ..plans.events_analytics import purchase_cents_counts, winsor_rollup
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_winsorized", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = purchase_cents_counts(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("cents")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return winsor_rollup(spark.read.parquet(state["path"])).localCheckpoint()

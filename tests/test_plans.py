@@ -120,8 +120,8 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 354, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 276, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 356, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 277, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
 
 
@@ -480,6 +480,21 @@ def test_scan_agg_pushdown_footer_stats(spark):
     # restored to the session default (typed conf: fetch without a
     # sentinel default, which would fail boolean validation)
     assert spark.conf.get("spark.sql.parquet.aggregatePushdown") == "false"
+
+
+def test_scan_bucket_pruned_plan(spark):
+    """scan_bucket_pruned must actually prune: the bucketed scan is ON
+    (not planner-disabled) and SelectedBucketsCount reads 2 out of 8;
+    the scoped autoBucketedScan conf is restored afterwards."""
+    from reach_banner_spark.plans.registry import all_queries
+
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    before = spark.conf.get(key, None)
+    df = all_queries()["scan_bucket_pruned"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount: 2 out of 8" in plan, plan[:600]
+    assert "Bucketed: true" in plan, plan[:600]
+    assert spark.conf.get(key, None) == before
 
 
 def test_graph_kernel_single_exchange(spark):

@@ -1418,3 +1418,20 @@ def test_stream_theil_sen_equals_batch(spark):
         .reset_index(drop=True)
     )
     assert again.equals(got)
+
+
+def test_stream_winsorized_equals_batch(spark):
+    """stream_winsorized's final one-row readout == the one-shot
+    events_winsorized_mean (carried state is the sum-mergeable cents
+    grain). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_winsorized"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_winsorized_mean"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_winsorized"][0](spark, SF).toPandas()
+    assert again.equals(got)
