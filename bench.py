@@ -302,6 +302,7 @@ HEADLINE = [
     "emb_knn_graph",
     "emb_cluster_knn",
     "scan_bucket_pruned",
+    "macro_series_profile",
 ]
 
 

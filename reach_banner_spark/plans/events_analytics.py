@@ -3864,3 +3864,145 @@ def winsor_rollup(g: DataFrame) -> DataFrame:
             "raw_mean"
         ),
     )
+
+
+# ------------------------------------------------- series profile macro ----
+
+@register(
+    "macro_series_profile",
+    # One-row-per-type daily-series health profile composing the
+    # family's four shared contracts over ONE daily grain: median/MAD
+    # (dyadic-exact interpolation on integral counts), the alpha=1/2
+    # EWMA (recursive fold — bit-identical sequential chain), the
+    # Theil-Sen lower-median slope (rank selection, never
+    # interpolation), and the CUSUM break (exact-integer argmax).
+    # A green row pins the COMPOSITION of all four float disciplines
+    # (the macro_graph_health rule applied to the series family).
+    "WITH RECURSIVE d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') "
+    " AS day, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+    "m AS (SELECT event_type, quantile_cont(cnt, 0.5) AS med FROM d "
+    " GROUP BY event_type), "
+    "v AS (SELECT d.event_type, ABS(d.cnt - m.med) AS dev FROM d JOIN m "
+    " ON m.event_type = d.event_type), "
+    "s2 AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM v "
+    " GROUP BY event_type), "
+    "r0 AS (SELECT event_type, cnt, CAST(ROW_NUMBER() OVER ("
+    " PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn FROM d), "
+    "e(event_type, rn, s) AS ("
+    " SELECT event_type, rn, CAST(cnt AS DOUBLE) FROM r0 WHERE rn = 1 "
+    " UNION ALL "
+    " SELECT r0.event_type, r0.rn, (CAST(r0.cnt AS DOUBLE) + e.s) / 2 "
+    " FROM e JOIN r0 ON r0.event_type = e.event_type AND r0.rn = e.rn + 1), "
+    "f AS (SELECT event_type, MAX(rn) AS mx FROM e GROUP BY 1), "
+    "ew AS (SELECT e.event_type, e.rn AS n_days, e.s AS ewma FROM e "
+    " JOIN f ON f.event_type = e.event_type AND e.rn = f.mx), "
+    "p AS (SELECT a.event_type, CAST(b.cnt - a.cnt AS DOUBLE) "
+    "  / CAST(DATEDIFF('day', CAST(a.day AS DATE), CAST(b.day AS DATE)) "
+    "    AS DOUBLE) AS slope, a.day AS d1, b.day AS d2 "
+    " FROM d a JOIN d b ON b.event_type = a.event_type AND b.day > a.day), "
+    "rr AS (SELECT event_type, slope, CAST(ROW_NUMBER() OVER ("
+    " PARTITION BY event_type ORDER BY slope, d1, d2) AS BIGINT) AS rn, "
+    " CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM p), "
+    "ts AS (SELECT event_type, slope FROM rr WHERE rn = (n + 1) // 2), "
+    "s3 AS (SELECT event_type, day, "
+    " CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY day "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre, "
+    " CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) "
+    "  AS BIGINT) AS k, "
+    " CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot, "
+    " CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n "
+    " FROM d), "
+    "c AS (SELECT event_type, day, n * pre - k * tot AS s_k FROM s3 "
+    " WHERE k < n), "
+    "r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type "
+    " ORDER BY ABS(s_k) DESC, day) AS rn FROM c), "
+    "cp AS (SELECT event_type, day AS cp_day, s_k FROM r2 WHERE rn = 1), "
+    "t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total_events "
+    " FROM d GROUP BY 1) "
+    "SELECT ew.event_type, ew.n_days, t.total_events, "
+    "printf('%.6f', ROUND(m.med, 6)) AS med, "
+    "printf('%.6f', ROUND(s2.mad, 6)) AS mad, "
+    "printf('%.6f', ROUND(ew.ewma, 6)) AS ewma, "
+    "printf('%.6f', ROUND(ts.slope, 6)) AS ts_slope, "
+    "cp.cp_day, CAST(cp.s_k AS BIGINT) AS cusum_scaled "
+    "FROM ew JOIN m ON m.event_type = ew.event_type "
+    "JOIN s2 ON s2.event_type = ew.event_type "
+    "JOIN ts ON ts.event_type = ew.event_type "
+    "JOIN cp ON cp.event_type = ew.event_type "
+    "JOIN t ON t.event_type = ew.event_type",
+)
+def macro_series_profile(spark, sf):
+    """Per-event-type time-series health profile — the one-row-per-
+    series summary an observability dashboard renders, composing the
+    daily-series family over ONE shared grain: current level (EWMA),
+    robust center/dispersion (median/MAD), robust trend (Theil-Sen
+    lower-median slope), and the structural break (CUSUM argmax day +
+    scaled statistic). Facts are scanned ONCE into the daily grain
+    (localCheckpoint'ed), and each column is produced by the SAME
+    shared rollup its per-key sibling uses (``mad_rollup``,
+    ``ewma_rollup``, ``theil_sen_rollup``) — so a green oracle row
+    pins the COMPOSITION of all four float disciplines at once (the
+    macro_graph_health rule applied to the series family). Types with
+    a single active day have no pair slopes or interior break and are
+    excluded by the inner joins on both engines.
+
+    Scale shape: one map-side-combinable fact collapse, then four
+    dimension-sized rollups over the SAME checkpointed daily table
+    (types x days), joined on event_type — no second fact pass
+    anywhere."""
+    d = daily_counts(_events(spark, sf)).localCheckpoint()
+    mm = mad_rollup(d).groupBy("event_type").agg(
+        F.min("med").alias("med"), F.min("mad").alias("mad")
+    )
+    ew = ewma_rollup(d)
+    ts = theil_sen_rollup(d).select("event_type", "ts_slope")
+    wpre = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    s3 = d.select(
+        "event_type",
+        "day",
+        F.sum("cnt")
+        .over(wpre.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("pre"),
+        F.row_number().over(wpre).cast("long").alias("k"),
+        F.sum("cnt").over(wall).cast("long").alias("tot"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    c = s3.filter(F.col("k") < F.col("n")).select(
+        "event_type",
+        "day",
+        (F.col("n") * F.col("pre") - F.col("k") * F.col("tot")).alias("s_k"),
+    )
+    wcp = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_k")).desc(), F.asc("day")
+    )
+    cp = (
+        c.withColumn("rn", F.row_number().over(wcp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            F.col("s_k").cast("long").alias("cusum_scaled"),
+        )
+    )
+    t = d.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("total_events")
+    )
+    return (
+        ew.join(t, "event_type")
+        .join(mm, "event_type")
+        .join(ts, "event_type")
+        .join(cp, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "total_events",
+            "med",
+            "mad",
+            "ewma",
+            "ts_slope",
+            "cp_day",
+            "cusum_scaled",
+        )
+    )

@@ -1912,3 +1912,43 @@ def test_emb_cluster_knn_union_find_property(spark):
     for c, g in got.groupby("cluster"):
         assert int(c) == int(g.vec_id.min())
         assert (g.cluster_size == len(g)).all()
+
+
+def test_macro_series_profile_composes_per_keys(spark):
+    """The one-pass series profile's columns agree EXACTLY with the
+    per-key outputs (med/mad with events_outlier_mad, ewma with
+    events_ewma, ts_slope with events_theil_sen, cp_day/cusum with
+    events_changepoint) — composition never drifts from its parts."""
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    rep = (
+        REGISTRY["macro_series_profile"][0](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert len(rep) > 0
+    mad = (
+        REGISTRY["events_outlier_mad"][0](spark, SF)
+        .toPandas()
+        .groupby("event_type")
+        .agg({"med": "min", "mad": "min"})
+    )
+    ew = REGISTRY["events_ewma"][0](spark, SF).toPandas().set_index("event_type")
+    ts = (
+        REGISTRY["events_theil_sen"][0](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    cp = (
+        REGISTRY["events_changepoint"][0](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et in rep.index:
+        r = rep.loc[et]
+        assert r.med == mad.loc[et].med and r.mad == mad.loc[et].mad, et
+        assert r.ewma == ew.loc[et].ewma, et
+        assert int(r.n_days) == int(ew.loc[et].n_days), et
+        assert r.ts_slope == ts.loc[et].ts_slope, et
+        assert r.cp_day == cp.loc[et].cp_day, et
+        assert int(r.cusum_scaled) == int(cp.loc[et].cusum_scaled), et
