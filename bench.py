@@ -303,6 +303,9 @@ HEADLINE = [
     "emb_cluster_knn",
     "scan_bucket_pruned",
     "macro_series_profile",
+    "sql_group_by_all",
+    "fn_luhn",
+    "agg_grouping_id",
 ]
 
 

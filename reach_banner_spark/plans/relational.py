@@ -4676,3 +4676,106 @@ def scan_agg_pushdown(spark, sf):
             else:
                 spark.conf.set(k, v)
     return df
+
+
+@register(
+    "sql_group_by_all",
+    # GROUP BY ALL (Spark 3.4+ / DuckDB native): every non-aggregate
+    # select item becomes a grouping key — the ergonomic SQL-surface
+    # twin of agg_hash, exercised through spark.sql so the PARSER
+    # feature itself is what's under test.
+    "SELECT o_orderstatus, o_orderpriority, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents "
+    "FROM orders GROUP BY ALL",
+)
+def sql_group_by_all(spark, sf):
+    """GROUP BY ALL — the modern-SQL ergonomic surface (every
+    non-aggregate select item is inferred as a grouping key), run
+    through ``spark.sql`` so the parser feature itself is exercised,
+    not a DataFrame translation. Semantically identical to the
+    explicit grouping (both engines document the same inference rule),
+    so the oracle is the same statement. Exact-cents sum keeps the
+    aggregate integer.
+
+    Scale shape: one map-side-combinable hash aggregate over a
+    status x priority domain — the agg_hash shape."""
+    orders = _t(spark, sf, "orders")
+    orders.createOrReplaceTempView("rbs_gba_orders")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS cents FROM rbs_gba_orders GROUP BY ALL"
+    )
+
+
+@register(
+    "fn_luhn",
+    # Spark's builtin luhn_check vs the HANDWRITTEN Luhn definition in
+    # SQL (reversed digits, double every second, subtract 9 above 9,
+    # checksum mod 10) — builtin-vs-definition is itself the
+    # cross-check; all-integer arithmetic on both engines.
+    "SELECT s AS card, "
+    "list_sum(list_transform(generate_series(1, LEN(s)), i -> "
+    " CASE WHEN i % 2 = 0 THEN "
+    "  CASE WHEN 2 * CAST(substr(reverse(s), i, 1) AS BIGINT) > 9 "
+    "   THEN 2 * CAST(substr(reverse(s), i, 1) AS BIGINT) - 9 "
+    "   ELSE 2 * CAST(substr(reverse(s), i, 1) AS BIGINT) END "
+    "  ELSE CAST(substr(reverse(s), i, 1) AS BIGINT) END)) % 10 = 0 "
+    " AS luhn_ok "
+    "FROM (SELECT CAST(o_orderkey * 7 + 1 AS VARCHAR) AS s FROM orders) t",
+)
+def fn_luhn(spark, sf):
+    """Luhn checksum validation (``luhn_check``, Spark 4) over
+    synthetic numeric strings — the credit-card/IMEI checksum a PII
+    scrubber runs to decide whether a digit run is a REAL card number
+    (``pii_scrub``'s regex finds candidates; Luhn separates live
+    numbers from random digits). The oracle does not call a builtin:
+    it implements the DEFINITION (reverse, double every second digit,
+    subtract 9 above 9, sum mod 10) in portable SQL — so a green row
+    cross-checks Spark's builtin against the spec itself, the
+    strongest oracle shape available for a scalar function.
+
+    All-integer arithmetic; zero shuffles — pure whole-stage-codegen
+    scalar work over the fact scan."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        (F.col("o_orderkey") * 7 + 1).cast("string").alias("card")
+    ).select(
+        "card", F.expr("luhn_check(card)").alias("luhn_ok")
+    )
+
+
+@register(
+    "agg_grouping_id",
+    # grouping_id() over GROUPING SETS: the bitmask that tells report
+    # consumers WHICH level produced each row — Spark's grouping_id()
+    # and DuckDB's GROUPING() both emit (bit i set = column i is
+    # aggregated away), same bit order as the column list.
+    "SELECT o_orderstatus, o_orderpriority, "
+    "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+    "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), "
+    "(o_orderstatus), ())",
+)
+def agg_grouping_id(spark, sf):
+    """``grouping_id()`` over GROUPING SETS — the level-disambiguation
+    bitmask every rollup-consuming report needs (a NULL status cell is
+    ambiguous: real NULL or subtotal? the bitmask answers), completing
+    the multi-level aggregate family next to ``agg_rollup`` /
+    ``agg_cube`` / ``agg_grouping_sets``. Both engines define the same
+    bit order (bit i set = i-th listed column aggregated away), so the
+    values match exactly.
+
+    Scale shape: one Expand + hash aggregate — the agg_grouping_sets
+    plan with one extra integer column."""
+    orders = _t(spark, sf, "orders")
+    orders.createOrReplaceTempView("rbs_gid_orders")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM rbs_gid_orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), "
+        "(o_orderstatus), ())"
+    )

@@ -1952,3 +1952,28 @@ def test_macro_series_profile_composes_per_keys(spark):
         assert r.ts_slope == ts.loc[et].ts_slope, et
         assert r.cp_day == cp.loc[et].cp_day, et
         assert int(r.cusum_scaled) == int(cp.loc[et].cusum_scaled), et
+
+
+def test_fn_luhn_matches_python(spark):
+    """Spark's builtin luhn_check == a pure-Python Luhn implementation
+    (third formulation after the builtin and the oracle's SQL
+    definition); both valid and invalid checksums occur."""
+    from reach_banner_spark.plans.relational import REGISTRY
+
+    got = REGISTRY["fn_luhn"][0](spark, SF).toPandas()
+
+    def luhn(s: str) -> bool:
+        tot = 0
+        for i, ch in enumerate(reversed(s), start=1):
+            d = int(ch)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            tot += d
+        return tot % 10 == 0
+
+    assert len(got) > 0
+    assert got.luhn_ok.any() and (~got.luhn_ok).any()
+    for card, ok in zip(got.card, got.luhn_ok):
+        assert bool(ok) == luhn(card), card
