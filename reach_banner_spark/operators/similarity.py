@@ -1239,6 +1239,11 @@ def _mmr_greedy(pdf) -> list:
 
 KNN_K = 5  # neighbors per node in the k-NN graph
 
+# (applicationId, sf) -> localCheckpointed per-node top-K edge table —
+# emb_knn_graph and emb_cluster_knn share the expensive all-pairs scoring
+# (the _ALLPAIRS_MEMO discipline from kg_queries)
+_KNN_MEMO: dict = {}
+
 
 @register(
     "emb_knn_graph",
@@ -1286,6 +1291,10 @@ def emb_knn_graph(spark, sf):
     window partitioned on the source (never a global sort), and the
     mutual filter is a self-join of the k-sized edge list on the
     reversed key — dimension-scale, k*N rows."""
+    memo_key = (spark.sparkContext.applicationId, sf)
+    cached = _KNN_MEMO.get(memo_key)
+    if cached is not None:
+        return _mutual_edges(cached)
     nrm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(
             c,
@@ -1331,6 +1340,13 @@ def emb_knn_graph(spark, sf):
         .select("src", "dst", "cos")
         .localCheckpoint()
     )
+    _KNN_MEMO[memo_key] = k
+    return _mutual_edges(k)
+
+
+def _mutual_edges(k):
+    """Mutual filter over a per-node top-K edge table: keep (src, dst)
+    only when dst also picked src, emit canonically a < b."""
     rev = k.select(
         F.col("src").alias("r_src"), F.col("dst").alias("r_dst")
     )
@@ -1374,7 +1390,7 @@ def emb_knn_graph(spark, sf):
     SELECT c.node AS vec_id, c.cluster, z.cluster_size
     FROM c JOIN z ON z.cluster = c.cluster""",
 )
-def emb_cluster_knn(spark, sf):
+def emb_cluster_knn(spark, sf, small_pair_cutoff: int = 100_000):
     """Embedding clustering via mutual-kNN connected components — the
     composition a dedup/curation pipeline actually ships (the
     SemDeDup/near-dup-cluster shape): build ``emb_knn_graph``'s mutual
@@ -1396,10 +1412,23 @@ def emb_cluster_knn(spark, sf):
     cross + per-source top-k window); components run the operator's
     O(log n)-round pointer-jumping min-label iteration over the
     k*N-bounded edge list; the size rollup is dimension-scale."""
-    from .components import connected_components
+    from .components import connected_components, connected_components_pandas
 
-    edges = emb_knn_graph(spark, sf).select("a", "b")
-    comp = connected_components(edges, src="a", dst="b")
+    edges = emb_knn_graph(spark, sf).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    # Size-adaptive closure (the dedup_cluster planner decision): the
+    # mutual edge set is K*N/2-bounded — dimension-scale, not
+    # fact-scale — so below the gate union-find runs on the driver in
+    # one collect (identical output, zero iterative shuffle rounds);
+    # the distributed min-label loop is kept for genuinely huge graphs
+    # and the pytest union-find property pins both paths.
+    pdf = edges.limit(small_pair_cutoff + 1).toPandas()
+    if len(pdf) <= small_pair_cutoff:
+        comp_pdf = connected_components_pandas(pdf)
+        comp = spark.createDataFrame(comp_pdf, "node long, comp long")
+    else:
+        comp = connected_components(edges)
     sizes = comp.groupBy("comp").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )

@@ -1888,6 +1888,17 @@ def test_emb_cluster_knn_union_find_property(spark):
     from reach_banner_spark.operators.similarity import REGISTRY
 
     got = REGISTRY["emb_cluster_knn"][0](spark, SF).toPandas()
+    # force the DISTRIBUTED min-label branch too and pin it identical
+    # (the size gate's two paths must agree — dedup_cluster discipline)
+    from reach_banner_spark.operators import similarity as sim
+
+    dist = sim.emb_cluster_knn(spark, SF, small_pair_cutoff=0).toPandas()
+    key = ["vec_id"]
+    assert (
+        got.sort_values(key).reset_index(drop=True).equals(
+            dist.sort_values(key).reset_index(drop=True)
+        )
+    )
     edges = REGISTRY["emb_knn_graph"][0](spark, SF).toPandas()
     assert len(got) > 0
     parent = {}
