@@ -3080,9 +3080,17 @@ def macro_retrieval_report(spark, sf):
     NDCG (its rn<=10 head), and P/R arms, plus one corpus-grain
     conditional aggregate for the relevant totals; single-row joins
     assemble the report."""
-    from pyspark.sql.window import Window
+    return retrieval_report_rollup(
+        query_tf_grain(_docs(spark, sf)).localCheckpoint()
+    )
 
-    d = _docs(spark, sf)
+
+def query_tf_grain(d: DataFrame) -> DataFrame:
+    """Per-doc (ranking-term tf, label-term tf) columns for the
+    ``_MRR_QUERIES`` set — the shared grain of the retrieval-eval
+    family and its streaming twin. Each doc's row is a pure function
+    of its text (each document lands in exactly one micro-batch, so
+    the streaming merge is a disjoint union)."""
     words = F.split(F.col("text"), " ")
     tf_of = lambda t: F.size(  # noqa: E731
         F.filter(words, lambda w: w == F.lit(t))
@@ -3090,7 +3098,15 @@ def macro_retrieval_report(spark, sf):
     cols = [F.col("doc_id")]
     for i, (r, l) in enumerate(_MRR_QUERIES):
         cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
-    tf = d.select(*cols).localCheckpoint()
+    return d.select(*cols)
+
+
+def retrieval_report_rollup(tf: DataFrame) -> DataFrame:
+    """Fold the query-tf grain into the per-query + __all__ eval
+    report — shared by ``macro_retrieval_report`` and its streaming
+    twin (the MRR/NDCG/P-R float contracts live here; caller
+    checkpoints the grain)."""
+    from pyspark.sql.window import Window
 
     def gain(rankcol: str):
         out = None

@@ -2880,3 +2880,66 @@ def stream_winsorized(spark, sf):
     q.awaitTermination()
     assert state["path"] is not None, "stream produced no batches"
     return winsor_rollup(spark.read.parquet(state["path"])).localCheckpoint()
+
+
+@register("stream_retrieval_report", None)  # pytest: == macro_retrieval_report
+def stream_retrieval_report(spark, sf):
+    """INGEST-TIME retrieval-eval report — the streaming twin of
+    ``macro_retrieval_report``: each arriving document batch reduces to
+    the SHARED ``query_tf_grain`` (a pure per-doc function, so the
+    merge is a disjoint union keyed doc_id — min-merged for
+    idempotence under any redelivery), and the SHARED
+    ``retrieval_report_rollup`` re-derives MRR/NDCG/P-R from the final
+    grain, so streaming == batch is a theorem about per-doc purity.
+    The release-monitor shape: the eval table stays current as the
+    corpus grows, without re-tokenizing history.
+
+    State is O(docs) x 7 small ints; parquet-swapped per batch (the
+    stream_index discipline)."""
+    import shutil
+
+    from ..operators.textstats import (
+        _MRR_QUERIES,
+        query_tf_grain,
+        retrieval_report_rollup,
+    )
+
+    d = _staged_doc_stream_dir(sf)
+    work = _op_work_dir("stream_retrieval_report", d)
+    state: dict[str, str | None] = {"path": None}
+    tf_cols = [
+        f"{c}{i}" for i in range(len(_MRR_QUERIES)) for c in ("r", "l")
+    ]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = query_tf_grain(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("doc_id")
+            .agg(*[F.min(c).alias(c) for c in tf_cols])
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    doc_stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return retrieval_report_rollup(
+        spark.read.parquet(state["path"]).localCheckpoint()
+    )

@@ -1435,3 +1435,40 @@ def test_stream_winsorized_equals_batch(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_winsorized"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_retrieval_report_equals_batch(spark):
+    """stream_retrieval_report's final table == the one-shot
+    the shared rollup over the SAME staged doc slice (carried state is
+    the per-doc pure tf grain). Re-run identical."""
+    from reach_banner_spark.operators.textstats import (
+        query_tf_grain,
+        retrieval_report_rollup,
+    )
+    from reach_banner_spark.streaming import ops
+
+    key = ["query"]
+    got = (
+        ops.REGISTRY["stream_retrieval_report"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    staged = ops._staged_doc_stream_dir(SF)
+    want = (
+        retrieval_report_rollup(
+            query_tf_grain(spark.read.parquet(staged)).localCheckpoint()
+        )
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 4
+    assert got.equals(want)
+    again = (
+        ops.REGISTRY["stream_retrieval_report"][0](spark, SF)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)
