@@ -306,6 +306,7 @@ HEADLINE = [
     "sql_group_by_all",
     "fn_luhn",
     "agg_grouping_id",
+    "kg_shortest_path",
 ]
 
 

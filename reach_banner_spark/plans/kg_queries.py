@@ -4364,3 +4364,172 @@ def kg_k_truss(spark, sf):
     return strong.groupBy("conv_id").applyInPandas(
         per_conv, "conv_id string, a string, b string, trussness int"
     )
+
+
+@register(
+    "kg_shortest_path",
+    # Point-to-point shortest path WITH path reconstruction between
+    # each conversation's two highest-degree entities (degree DESC,
+    # name tie-break) over the strong backbone: single-source BFS from
+    # src (the kg_reach recursion), deterministic predecessor =
+    # MIN(neighbor at d-1), and a backtracking recursion that builds
+    # the comma-joined node chain — every choice an integer/lexical
+    # MIN, no float anywhere. Unreachable pairs are excluded on both
+    # engines (inner joins).
+    f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), "
+    f"{_STRONG_SQL}, "
+    "deg AS (SELECT conv_id, s AS node, COUNT(*) AS dg FROM e "
+    " GROUP BY 1, 2), "
+    "pick AS (SELECT conv_id, node, ROW_NUMBER() OVER ("
+    " PARTITION BY conv_id ORDER BY dg DESC, node) AS rn FROM deg), "
+    "se AS (SELECT conv_id, MAX(CASE WHEN rn = 1 THEN node END) AS src, "
+    " MAX(CASE WHEN rn = 2 THEN node END) AS dst FROM pick WHERE rn <= 2 "
+    " GROUP BY conv_id HAVING COUNT(*) = 2), "
+    "r(conv_id, node, d) AS ("
+    " SELECT conv_id, src, 0 FROM se "
+    " UNION "
+    " SELECT e.conv_id, e.o, r.d + 1 FROM r JOIN e "
+    f"  ON e.conv_id = r.conv_id AND e.s = r.node WHERE r.d < {_REACH_MAX_HOPS}), "
+    "spd AS (SELECT conv_id, node, MIN(d) AS d FROM r GROUP BY 1, 2), "
+    "par AS (SELECT c.conv_id, c.node, MIN(e.s) AS parent FROM spd c "
+    " JOIN e ON e.conv_id = c.conv_id AND e.o = c.node "
+    " JOIN spd p ON p.conv_id = c.conv_id AND p.node = e.s "
+    "  AND p.d = c.d - 1 GROUP BY c.conv_id, c.node), "
+    "bt(conv_id, node, path) AS ("
+    " SELECT se.conv_id, se.dst, se.dst FROM se JOIN spd "
+    "  ON spd.conv_id = se.conv_id AND spd.node = se.dst "
+    " UNION ALL "
+    " SELECT bt.conv_id, par.parent, par.parent || ',' || bt.path "
+    " FROM bt JOIN par ON par.conv_id = bt.conv_id "
+    "  AND par.node = bt.node) "
+    "SELECT se.conv_id, se.src, se.dst, CAST(spd.d AS INT) AS dist, "
+    "bt.path FROM se "
+    "JOIN spd ON spd.conv_id = se.conv_id AND spd.node = se.dst "
+    "JOIN bt ON bt.conv_id = se.conv_id AND bt.node = se.src",
+)
+def kg_shortest_path(spark, sf):
+    """Point-to-point shortest path WITH the actual path — between
+    each conversation's two highest-degree entities (the pair a KG
+    browser most often asks to connect), over the strong backbone.
+    Every distance key so far emits hop COUNTS; this one reconstructs
+    the node chain itself — the 'how are these two related' answer a
+    KG UI renders — via deterministic predecessors: parent(v) = the
+    lexicographically smallest neighbor of v at distance d(v)-1, so
+    among all shortest paths both engines pick the same one without
+    any float or random tie-break.
+
+    Scale shape: degree pick and BFS run per conversation over the
+    cached strong edge set (entity-domain bounded); the BFS is the
+    kg_reach fixed-iteration frontier loop (zero in-loop driver
+    barriers, localCheckpoint per round); parent derivation is one
+    self-join of the distance table with the edge set; backtracking
+    iterates at most ``_REACH_MAX_HOPS`` single-row-per-conv joins.
+    Unreachable or degenerate (<2 node) conversations are excluded by
+    inner joins on both engines."""
+    strong = _strong_edges_cached(spark, sf)
+    e = (
+        strong.select("conv_id", F.col("a").alias("s"), F.col("b").alias("o"))
+        .union(
+            strong.select(
+                "conv_id", F.col("b").alias("s"), F.col("a").alias("o")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("conv_id", F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("dg")
+    )
+    wpick = Window.partitionBy("conv_id").orderBy(
+        F.desc("dg"), F.asc("node")
+    )
+    pick = deg.select(
+        "conv_id", "node", F.row_number().over(wpick).alias("rn")
+    ).filter(F.col("rn") <= 2)
+    se = (
+        pick.groupBy("conv_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("node"))).alias("src"),
+            F.max(F.when(F.col("rn") == 2, F.col("node"))).alias("dst"),
+            F.count(F.lit(1)).alias("npick"),
+        )
+        .filter(F.col("npick") == 2)
+        .drop("npick")
+        .localCheckpoint()
+    )
+    dist = se.select(
+        "conv_id", F.col("src").alias("node")
+    ).withColumn("d", F.lit(0)).localCheckpoint()
+    frontier = dist
+    for d in range(1, _REACH_MAX_HOPS + 1):
+        fr = frontier.select(
+            F.col("conv_id").alias("f_conv"), F.col("node").alias("f_node")
+        )
+        reached = fr.join(
+            e,
+            (F.col("f_conv") == F.col("conv_id"))
+            & (F.col("f_node") == F.col("s")),
+        ).select("conv_id", F.col("o").alias("node"))
+        fresh = (
+            reached.distinct()
+            .join(dist.select("conv_id", "node"), ["conv_id", "node"], "left_anti")
+            .withColumn("d", F.lit(d))
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(fresh)
+        frontier = fresh
+    dist = dist.localCheckpoint()
+    dm1 = dist.select(
+        F.col("conv_id").alias("p_conv"),
+        F.col("node").alias("p_node"),
+        F.col("d").alias("p_d"),
+    )
+    par = (
+        dist.join(
+            e.select(
+                F.col("conv_id").alias("e_conv"), "s", F.col("o").alias("e_o")
+            ),
+            (F.col("e_conv") == F.col("conv_id"))
+            & (F.col("e_o") == F.col("node")),
+        )
+        .join(
+            dm1,
+            (F.col("p_conv") == F.col("conv_id"))
+            & (F.col("p_node") == F.col("s"))
+            & (F.col("p_d") == F.col("d") - 1),
+        )
+        .groupBy("conv_id", "node")
+        .agg(F.min("s").alias("parent"))
+        .localCheckpoint()
+    )
+    # backtrack: walk parents from dst; a row is DONE when it reaches src
+    walk = (
+        se.join(
+            dist.select("conv_id", F.col("node").alias("dst"), "d"),
+            ["conv_id", "dst"],
+        )
+        .select("conv_id", "src", "dst", F.col("d").alias("dist"),
+                F.col("dst").alias("cur"), F.col("dst").alias("path"))
+        .localCheckpoint()
+    )
+    for _ in range(_REACH_MAX_HOPS):
+        done = walk.filter(F.col("cur") == F.col("src"))
+        todo = walk.filter(F.col("cur") != F.col("src"))
+        stepped = todo.join(
+            par.select(
+                F.col("conv_id").alias("w_conv"),
+                F.col("node").alias("w_node"),
+                "parent",
+            ),
+            (F.col("w_conv") == F.col("conv_id"))
+            & (F.col("w_node") == F.col("cur")),
+        ).select(
+            "conv_id", "src", "dst", "dist",
+            F.col("parent").alias("cur"),
+            F.concat_ws(",", F.col("parent"), F.col("path")).alias("path"),
+        )
+        walk = done.unionByName(stepped).localCheckpoint()
+    return walk.filter(F.col("cur") == F.col("src")).select(
+        "conv_id", "src", "dst", F.col("dist").cast("int").alias("dist"),
+        "path",
+    )

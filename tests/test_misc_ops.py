@@ -1988,3 +1988,40 @@ def test_fn_luhn_matches_python(spark):
     assert got.luhn_ok.any() and (~got.luhn_ok).any()
     for card, ok in zip(got.card, got.luhn_ok):
         assert bool(ok) == luhn(card), card
+
+
+def test_kg_shortest_path_invariants(spark):
+    """The reconstructed path starts at src, ends at dst, has exactly
+    dist+1 nodes, every consecutive pair is a strong edge, and no
+    shorter chain exists (dist == BFS distance re-derived in Python)."""
+    from collections import deque
+
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _strong_edges_cached,
+    )
+
+    got = REGISTRY["kg_shortest_path"][0](spark, SF).toPandas()
+    assert len(got) > 0
+    strong = _strong_edges_cached(spark, SF).toPandas()
+    adj = {}
+    for conv, a, b in zip(strong.conv_id, strong.a, strong.b):
+        adj.setdefault(conv, {}).setdefault(a, set()).add(b)
+        adj[conv].setdefault(b, set()).add(a)
+    for r in got.itertuples():
+        nodes = r.path.split(",")
+        assert nodes[0] == r.src and nodes[-1] == r.dst
+        assert len(nodes) == int(r.dist) + 1
+        g = adj[r.conv_id]
+        for u, v in zip(nodes, nodes[1:]):
+            assert v in g[u], (r.conv_id, u, v)
+        # BFS re-derivation: dist is minimal
+        seen = {r.src: 0}
+        q = deque([r.src])
+        while q:
+            u = q.popleft()
+            for v in g.get(u, ()):
+                if v not in seen:
+                    seen[v] = seen[u] + 1
+                    q.append(v)
+        assert seen.get(r.dst) == int(r.dist), r.conv_id
