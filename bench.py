@@ -307,6 +307,10 @@ HEADLINE = [
     "fn_luhn",
     "agg_grouping_id",
     "kg_shortest_path",
+    # r5n additions (fourteenth session) — Kendall tau-b, MAP@10
+    # (subtract this group too for earlier-round-comparable subtotals)
+    "events_kendall",
+    "retrieval_map",
 ]
 
 

@@ -2730,6 +2730,196 @@ def retrieval_ndcg(spark, sf):
     )
 
 
+# --- MAP retrieval evaluation -------------------------------------------------
+
+_MAP_K = 10
+# LCM(1..10) — every precision-at-rank denominator divides it, so the
+# AP numerator sum(hits_at_i * (2520/i)) over hit ranks is an exact
+# integer and AP itself is ONE IEEE division num / (2520 * min(R, k)).
+_MAP_LCM = 2520
+_MAP_W = tuple(_MAP_LCM // r for r in range(1, _MAP_K + 1))
+
+
+def _map_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS "
+        f"{c}{i}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+        for c, t in (("r", r), ("l", l))
+    )
+    wcase = (
+        "CASE rn "
+        + " ".join(
+            f"WHEN {r} THEN {_MAP_W[r - 1]}" for r in range(1, _MAP_K + 1)
+        )
+        + " END"
+    )
+    per = ", ".join(
+        f"c{i} AS (SELECT doc_id, "
+        f" CASE WHEN l{i} >= {_MRR_REL_TF} THEN 1 ELSE 0 END AS hit, "
+        f" ROW_NUMBER() OVER (ORDER BY r{i} DESC, doc_id) AS rn "
+        f" FROM tf WHERE r{i} >= 1 QUALIFY rn <= {_MAP_K}), "
+        f"h{i} AS (SELECT hit, rn, CAST(SUM(hit) OVER (ORDER BY rn "
+        f"  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        f"  AS hcum FROM c{i}), "
+        f"a{i} AS (SELECT CAST(COUNT(*) AS BIGINT) AS k{i}, "
+        f" CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS hit{i}, "
+        f" CAST(COALESCE(SUM(CASE WHEN hit = 1 "
+        f"  THEN hcum * ({wcase}) END), 0) AS BIGINT) AS num{i} FROM h{i}), "
+        f"g{i} AS (SELECT CAST(SUM(CASE WHEN l{i} >= {_MRR_REL_TF} "
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS rel{i} FROM tf)"
+        for i in range(len(_MRR_QUERIES))
+    )
+    froms = ", ".join(
+        f"a{i}, g{i}" for i in range(len(_MRR_QUERIES))
+    )
+    ap = (
+        lambda i: f"(CASE WHEN rel{i} > 0 THEN CAST(num{i} AS DOUBLE) "
+        f"/ CAST({_MAP_LCM} * LEAST(rel{i}, {_MAP_K}) AS BIGINT) "
+        f"ELSE CAST(0 AS DOUBLE) END)"
+    )
+    per_q = " UNION ALL ".join(
+        f"SELECT '{r}->{l}' AS query, k{i} AS n_retrieved, "
+        f"hit{i} AS n_hits, rel{i} AS n_relevant, "
+        f"printf('%.6f', ROUND({ap(i)}, 6)) AS ap FROM {froms}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    )
+    mean = " + ".join(ap(i) for i in range(len(_MRR_QUERIES)))
+    return (
+        f"WITH tf AS (SELECT doc_id, {tf_cols} FROM documents), {per} "
+        f"SELECT query, n_retrieved, n_hits, n_relevant, ap FROM ("
+        f"{per_q} UNION ALL SELECT '__all__', CAST(0 AS BIGINT), "
+        f"CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
+        f"printf('%.6f', ROUND(({mean}) / CAST(3 AS DOUBLE), 6)) "
+        f"FROM {froms}) q"
+    )
+
+
+@register("retrieval_map", _map_sql())
+def retrieval_map(spark, sf):
+    """Mean average precision at k=10 over the ``retrieval_mrr`` query
+    set — the order-sensitive set metric completing the eval family
+    (MRR scores only the FIRST hit, NDCG needs graded labels, P/R@k
+    ignores order entirely; AP is the binary-label metric that rewards
+    putting every relevant doc early, and MAP is what IR leaderboards
+    actually rank by). Per query: retrieved = top-10 docs by
+    ranking-term tf (tie doc_id), hit = label-term tf >= the MRR
+    relevance cut, AP = mean over hit ranks of precision-at-that-rank,
+    normalized by min(n_relevant, k); the ``__all__`` row is the
+    macro-average over the query set.
+
+    Float discipline: precision-at-rank denominators all divide
+    LCM(1..10) = 2520, so the AP numerator sum(hits_at_i * (2520/i))
+    over hit ranks is an EXACT BIGINT (an unordered integer sum — no
+    float accumulation exists) and AP is ONE IEEE division by the
+    exact integer 2520 * min(R, k); the MAP row is the retrieval_ndcg
+    discipline — a fixed left-associated three-term chain plus one
+    division, identical on both engines. Zero-relevant queries report
+    AP 0 by contract.
+
+    Scale shape: identical to retrieval_mrr — ONE corpus pass builds
+    the checkpointed per-doc tf grain, each query's cut is a
+    TakeOrderedAndProject top-10, the cumulative-hit window runs over
+    10 rows, and the corpus-grain relevant counts are one conditional
+    aggregate per query over the shared grain."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    tf_of = lambda t: F.size(  # noqa: E731
+        F.filter(words, lambda w: w == F.lit(t))
+    )
+    cols = [F.col("doc_id")]
+    for i, (r, l) in enumerate(_MRR_QUERIES):
+        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    tf = d.select(*cols).localCheckpoint()
+
+    wexpr = None
+    for r in range(1, _MAP_K + 1):
+        br = F.when(F.col("rn") == r, F.lit(_MAP_W[r - 1]))
+        wexpr = br if wexpr is None else wexpr.when(
+            F.col("rn") == r, F.lit(_MAP_W[r - 1])
+        )
+
+    parts = []
+    for i in range(len(_MRR_QUERIES)):
+        cand = (
+            tf.filter(F.col(f"r{i}") >= 1)
+            .orderBy(F.desc(f"r{i}"), F.asc("doc_id"))
+            .limit(_MAP_K)
+        )
+        w = Window.orderBy(F.desc(f"r{i}"), F.asc("doc_id"))
+        ranked = cand.select(
+            F.when(F.col(f"l{i}") >= _MRR_REL_TF, 1)
+            .otherwise(0)
+            .alias("hit"),
+            F.row_number().over(w).alias("rn"),
+        )
+        wc = Window.orderBy("rn").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        h = ranked.select(
+            "hit", "rn", F.sum("hit").over(wc).cast("long").alias("hcum")
+        )
+        a = h.agg(
+            F.count(F.lit(1)).cast("long").alias(f"k{i}"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias(f"hit{i}"),
+            F.coalesce(
+                F.sum(F.when(F.col("hit") == 1, F.col("hcum") * wexpr)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"num{i}"),
+        )
+        g = tf.agg(
+            F.sum(F.when(F.col(f"l{i}") >= _MRR_REL_TF, 1).otherwise(0))
+            .cast("long")
+            .alias(f"rel{i}")
+        )
+        parts.append(a.crossJoin(g))
+    one = parts[0]
+    for p_i in parts[1:]:
+        one = one.crossJoin(p_i)
+
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+
+    def ap(i: int):
+        return F.when(
+            F.col(f"rel{i}") > 0,
+            F.col(f"num{i}").cast("double")
+            / (
+                F.lit(_MAP_LCM)
+                * F.least(F.col(f"rel{i}"), F.lit(_MAP_K))
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("double"))
+
+    mean = None
+    for i in range(len(_MRR_QUERIES)):
+        mean = ap(i) if mean is None else mean + ap(i)
+    mean = mean / F.lit(3).cast("double")
+    rows = [
+        F.struct(
+            F.lit(f"{r}->{l}").alias("query"),
+            F.col(f"k{i}").alias("n_retrieved"),
+            F.col(f"hit{i}").alias("n_hits"),
+            F.col(f"rel{i}").alias("n_relevant"),
+            fmt(ap(i)).alias("ap"),
+        )
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    ] + [
+        F.struct(
+            F.lit("__all__").alias("query"),
+            F.lit(0).cast("long").alias("n_retrieved"),
+            F.lit(0).cast("long").alias("n_hits"),
+            F.lit(0).cast("long").alias("n_relevant"),
+            fmt(mean).alias("ap"),
+        )
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("q")).select(
+        "q.query", "q.n_retrieved", "q.n_hits", "q.n_relevant", "q.ap"
+    )
+
+
 # --- Held-out n-gram coverage ------------------------------------------------
 
 @register(

@@ -3512,6 +3512,141 @@ def spearman_rollup(pu: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------- Kendall rank correlation --
+
+@register(
+    "events_kendall",
+    # Kendall tau-b between per-user view and purchase volumes: the
+    # concordant/discordant pair counts are computed EXACTLY over the
+    # dimension-sized distinct-(a,b) cell table (pairs of CELLS, never
+    # pairs of users — n1*n2 per cell pair), the tie corrections from
+    # the two marginals, and tau-b is the fixed spearman-shape IEEE
+    # chain cast / sqrt / sqrt / multiply / divide over exact BIGINTs
+    # (doubled pair counts n(n-1) avoid the /2 halving entirely —
+    # the factor 2 cancels through the sqrt product against the
+    # doubled numerator).
+    "WITH pu AS (SELECT user_id, "
+    "  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+    "   AS BIGINT) AS a, "
+    "  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+    "   AS BIGINT) AS b FROM events GROUP BY user_id), "
+    "cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n "
+    " FROM pu GROUP BY a, b), "
+    "cd AS (SELECT "
+    "  CAST(COALESCE(SUM(CASE WHEN c1.b < c2.b THEN c1.n * c2.n END), 0) "
+    "   AS BIGINT) AS c, "
+    "  CAST(COALESCE(SUM(CASE WHEN c1.b > c2.b THEN c1.n * c2.n END), 0) "
+    "   AS BIGINT) AS d "
+    " FROM cells c1 JOIN cells c2 ON c1.a < c2.a), "
+    "ta AS (SELECT CAST(SUM(t * (t - 1)) AS BIGINT) AS ta "
+    " FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY a)), "
+    "tb AS (SELECT CAST(SUM(t * (t - 1)) AS BIGINT) AS tb "
+    " FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY b)), "
+    "m AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM cells) "
+    "SELECT n AS n_users, c AS concordant, d AS discordant, "
+    "printf('%.6f', ROUND(CAST(2 * (c - d) AS DOUBLE) "
+    " / (SQRT(CAST(n * (n - 1) - ta AS DOUBLE)) "
+    "    * SQRT(CAST(n * (n - 1) - tb AS DOUBLE))), 6)) AS tau_b "
+    "FROM m, cd, ta, tb "
+    "WHERE n * (n - 1) > ta AND n * (n - 1) > tb",
+)
+def events_kendall(spark, sf):
+    """Kendall tau-b rank correlation between per-user view volume and
+    per-user purchase volume — the pair-concordance complement of
+    ``events_spearman`` (same monotone-association question, but tau's
+    pair-counting semantics are what A/B analysts reach for when the
+    counts grain is heavily tied: tau-b's tie correction is exact
+    where Spearman's midranks merely average). Reuses the SAME
+    sum-mergeable ``user_ab`` grain.
+
+    The quadratic pair count never materializes user pairs: users
+    collapse to the distinct-(view count, purchase count) CELL table
+    first (dimension-sized — bounded by the volume domain, not the
+    user count), and every cell pair with a1 < a2 contributes n1*n2
+    concordant or discordant pairs in one shot. Tie corrections come
+    from the two marginals: with doubled pair counts P = n(n-1),
+    TA = sum ta(ta-1), TB = sum tb(tb-1),
+    tau_b = 2(C-D) / (sqrt(P-TA) * sqrt(P-TB)) — the doubling cancels
+    through the sqrt product, so no /2 halving ever happens.
+
+    Float discipline: C, D, P, TA, TB are exact BIGINTs (at 100 TB the
+    pair products move to DECIMAL(38,0) — the events_spearman note);
+    tau-b is ONE fixed IEEE chain — an exact int->double cast, two
+    correctly-rounded square roots, a multiply and a divide —
+    identical on both engines. Degenerate all-tied sides are filtered
+    on both engines (tau undefined).
+
+    Scale shape: one map-side-combinable fact collapse to the user
+    grain, one further collapse to the distinct-cell grain, a
+    broadcast cell self-join (dimension² pairs, not user² pairs), two
+    marginal rollups, one single-row readout."""
+    return kendall_rollup(user_ab(_events(spark, sf)))
+
+
+def kendall_rollup(pu: DataFrame) -> DataFrame:
+    """Fold a per-user (a, b) volume table into the one-row Kendall
+    tau-b readout — shared by ``events_kendall`` and its streaming
+    twin (the cell-pair / doubled-pair-count contract lives here)."""
+    cells = pu.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    c1 = cells.select(
+        F.col("a").alias("a1"), F.col("b").alias("b1"),
+        F.col("n").alias("n1"),
+    )
+    c2 = cells.select(
+        F.col("a").alias("a2"), F.col("b").alias("b2"),
+        F.col("n").alias("n2"),
+    )
+    cd = c1.join(F.broadcast(c2), F.col("a1") < F.col("a2")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("b1") < F.col("b2"), F.col("n1") * F.col("n2"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("c"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("b1") > F.col("b2"), F.col("n1") * F.col("n2"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    ta = (
+        cells.groupBy("a")
+        .agg(F.sum("n").cast("long").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("ta"))
+    )
+    tb = (
+        cells.groupBy("b")
+        .agg(F.sum("n").cast("long").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("tb"))
+    )
+    m = cells.agg(F.sum("n").cast("long").alias("n"))
+    j = m.crossJoin(cd).crossJoin(ta).crossJoin(tb)
+    p = F.col("n") * (F.col("n") - 1)
+    num = (2 * (F.col("c") - F.col("d"))).cast("double")
+    return (
+        j.filter((p > F.col("ta")) & (p > F.col("tb")))
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("c").alias("concordant"),
+            F.col("d").alias("discordant"),
+            _FMT6(
+                num
+                / (
+                    F.sqrt((p - F.col("ta")).cast("double"))
+                    * F.sqrt((p - F.col("tb")).cast("double"))
+                )
+            ).alias("tau_b"),
+        )
+    )
+
+
 # ------------------------------------------- chi-square independence test --
 
 _CHI2_TYPES = ("click", "error", "purchase", "signup", "view")

@@ -2764,6 +2764,58 @@ def stream_spearman(spark, sf):
     ).localCheckpoint()
 
 
+@register("stream_kendall", None)  # pytest: == batch events_kendall
+def stream_kendall(spark, sf):
+    """INGEST-TIME Kendall tau-b readout — the streaming twin of
+    ``events_kendall``: the carried state is the SAME per-user (view
+    count, purchase count) grain ``stream_spearman`` carries (both
+    plain SUMs — exactly mergeable for any micro-batch split), and the
+    SHARED ``kendall_rollup`` re-derives the cell-pair concordance
+    counts and tau-b from the final state, so streaming == batch is a
+    theorem about SUM. The live pair-concordance monitor shape next to
+    the rank-correlation one.
+
+    State is O(users); each batch's merge keys on user_id only."""
+    import shutil
+
+    from ..plans.events_analytics import kendall_rollup, user_ab
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_kendall", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = user_ab(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("user_id")
+            .agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return kendall_rollup(
+        spark.read.parquet(state["path"])
+    ).localCheckpoint()
+
+
 @register("stream_chi2", None)  # pytest: == batch events_chi2
 def stream_chi2(spark, sf):
     """INGEST-TIME chi-square independence readout — the streaming

@@ -2025,3 +2025,117 @@ def test_kg_shortest_path_invariants(spark):
                     seen[v] = seen[u] + 1
                     q.append(v)
         assert seen.get(r.dst) == int(r.dist), r.conv_id
+
+
+def test_events_kendall_matches_python(spark):
+    """tau-b re-derives from an exact Python O(n^2) user-pair count
+    with the same cast/sqrt/multiply/divide chain; |tau| <= 1 and the
+    concordant/discordant counts reconcile exactly."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_kendall"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    pu = (
+        ev.assign(
+            a=(ev.event_type == "view").astype(int),
+            b=(ev.event_type == "purchase").astype(int),
+        )
+        .groupby("user_id")[["a", "b"]]
+        .sum()
+    )
+    xs = list(zip(pu.a.tolist(), pu.b.tolist()))
+    n = len(xs)
+    c = d = ta = tb = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            a1, b1 = xs[i]
+            a2, b2 = xs[j]
+            if a1 == a2:
+                ta += 2  # doubled pair counts (both orderings)
+            if b1 == b2:
+                tb += 2
+            if a1 != a2 and b1 != b2:
+                if (a1 < a2) == (b1 < b2):
+                    c += 1
+                else:
+                    d += 1
+    assert int(got.n_users[0]) == n
+    assert int(got.concordant[0]) == c
+    assert int(got.discordant[0]) == d
+    p = n * (n - 1)
+    tau = float(2 * (c - d)) / (
+        math.sqrt(float(p - ta)) * math.sqrt(float(p - tb))
+    )
+    assert abs(tau) <= 1.0
+    want = Decimal(repr(tau)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+    assert got.tau_b[0] == f"{want:.6f}"
+
+
+def test_retrieval_map_matches_python(spark):
+    """Per-query AP re-derives from a Python re-ranking of the same
+    tf rule (exact 2520-LCM integer numerator, one division), and the
+    __all__ row is the fixed-order macro mean of the three APs."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.operators.textstats import (
+        _MAP_K,
+        _MAP_LCM,
+        _MRR_QUERIES,
+        _MRR_REL_TF,
+        REGISTRY,
+    )
+
+    got = (
+        REGISTRY["retrieval_map"][0](spark, SF)
+        .toPandas()
+        .set_index("query")
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    aps = []
+    for r, l in _MRR_QUERIES:
+        tf = [
+            (
+                doc.text.split(" ").count(r),
+                doc.text.split(" ").count(l),
+                doc.doc_id,
+            )
+            for doc in docs.itertuples()
+        ]
+        cand = sorted(
+            [t for t in tf if t[0] >= 1], key=lambda t: (-t[0], t[2])
+        )[:_MAP_K]
+        rel = sum(1 for t in tf if t[1] >= _MRR_REL_TF)
+        num = hits = 0
+        for rn, t in enumerate(cand, 1):
+            if t[1] >= _MRR_REL_TF:
+                hits += 1
+                num += hits * (_MAP_LCM // rn)
+        ap = (
+            float(num) / float(_MAP_LCM * min(rel, _MAP_K))
+            if rel > 0
+            else 0.0
+        )
+        aps.append(ap)
+        row = got.loc[f"{r}->{l}"]
+        assert int(row.n_retrieved) == len(cand)
+        assert int(row.n_hits) == hits
+        assert int(row.n_relevant) == rel
+        want = Decimal(repr(ap)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert row.ap == f"{want:.6f}"
+    mean = ((aps[0] + aps[1]) + aps[2]) / 3.0
+    want = Decimal(repr(mean)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+    assert got.loc["__all__"].ap == f"{want:.6f}"

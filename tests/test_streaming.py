@@ -1370,6 +1370,23 @@ def test_stream_spearman_equals_batch(spark):
     assert again.equals(got)
 
 
+def test_stream_kendall_equals_batch(spark):
+    """stream_kendall's final one-row tau-b == the one-shot
+    events_kendall (carried state is the same sum-mergeable per-user
+    (a, b) grain stream_spearman carries). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_kendall"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_kendall"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_kendall"][0](spark, SF).toPandas()
+    assert again.equals(got)
+
+
 def test_stream_chi2_equals_batch(spark):
     """stream_chi2's final one-row statistic == the one-shot
     events_chi2 (carried state is the sum-mergeable contingency-cell
