@@ -311,6 +311,12 @@ HEADLINE = [
     # (subtract this group too for earlier-round-comparable subtotals)
     "events_kendall",
     "retrieval_map",
+    # r5o additions (fifteenth session) — Holt smoothing, Cramér's V,
+    # runs test (subtract this group too for earlier-round-comparable
+    # subtotals)
+    "events_holt",
+    "events_cramers_v",
+    "events_runs_test",
 ]
 
 

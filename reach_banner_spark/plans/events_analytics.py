@@ -4141,3 +4141,379 @@ def macro_series_profile(spark, sf):
             "cusum_scaled",
         )
     )
+
+
+# ------------------------------------------ Holt double exponential -------
+
+@register(
+    "events_holt",
+    # Holt linear (double-exponential) smoothing with alpha = beta = 1/2
+    # per event type: l_1 = y_1, b_1 = 0; l_t = (y_t + (l + b)) / 2,
+    # b_t = ((l_t - l) + b) / 2 — the identical sequential op chain on
+    # both engines (Spark: ordered-array left fold over a struct
+    # accumulator; oracle: a genuinely RECURSIVE CTE stepping the same
+    # recurrence, the l_t subexpression textually repeated inside b_t so
+    # the op sequence matches token-for-token), so every intermediate
+    # double is bit-identical regardless of representability.
+    "WITH RECURSIVE d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') "
+    " AS day, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+    "r AS (SELECT event_type, cnt, CAST(ROW_NUMBER() OVER ("
+    " PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn FROM d), "
+    "e(event_type, rn, l, b) AS ("
+    " SELECT event_type, rn, CAST(cnt AS DOUBLE), CAST(0 AS DOUBLE) "
+    " FROM r WHERE rn = 1 "
+    " UNION ALL "
+    " SELECT r.event_type, r.rn, "
+    " (CAST(r.cnt AS DOUBLE) + (e.l + e.b)) / 2, "
+    " (((CAST(r.cnt AS DOUBLE) + (e.l + e.b)) / 2 - e.l) + e.b) / 2 "
+    " FROM e JOIN r ON r.event_type = e.event_type AND r.rn = e.rn + 1), "
+    "f AS (SELECT event_type, MAX(rn) AS mx FROM e GROUP BY 1) "
+    "SELECT e.event_type, e.rn AS n_days, "
+    "printf('%.6f', ROUND(e.l, 6)) AS level, "
+    "printf('%.6f', ROUND(e.b, 6)) AS trend, "
+    "printf('%.6f', ROUND(e.l + e.b, 6)) AS forecast_1 "
+    "FROM e JOIN f ON f.event_type = e.event_type AND e.rn = f.mx",
+)
+def events_holt(spark, sf):
+    """Holt linear trend smoothing (alpha = beta = 1/2) of each type's
+    daily volume — the level-plus-trend upgrade of ``events_ewma``
+    (EWMA tracks only the level and lags any sustained ramp; Holt's
+    second recurrence tracks the ramp itself, and level + trend is the
+    one-step forecast an alerting threshold actually wants). Emits the
+    final smoothed level, trend, and one-step forecast per type.
+
+    Float discipline: the coupled recurrence runs as the events_ewma
+    fold-vs-recursive-CTE contract — the identical op sequence spelled
+    on both engines, including a textual REPEAT of the l_t expression
+    inside b_t (IEEE ops are pure, so recomputing beats introducing an
+    engine-specific lateral alias); with dyadic alpha = beta = 1/2
+    every step is two exact halvings over sums, bit-identical by
+    construction.
+
+    Scale shape: one map-side-combinable fact collapse to the shared
+    ``daily_counts`` grain, one event_type exchange for the collect;
+    the fold is O(days) per type — calendar-bounded, never
+    fact-bounded."""
+    return holt_rollup(daily_counts(_events(spark, sf)))
+
+
+def holt_rollup(d: DataFrame) -> DataFrame:
+    """Fold a (event_type, day, cnt) daily table into the per-type Holt
+    (level, trend, one-step forecast) readout — shared by
+    ``events_holt`` and its streaming twin (the struct-accumulator
+    sorted-fold float contract lives here)."""
+    arr = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "cnt"))).alias("a")
+    )
+    fold = F.expr(
+        "aggregate(slice(a, 2, size(a) - 1), "
+        "named_struct('l', CAST(element_at(a, 1).cnt AS DOUBLE), "
+        " 'b', CAST(0 AS DOUBLE)), "
+        "(s, x) -> named_struct("
+        "'l', (CAST(x.cnt AS DOUBLE) + (s.l + s.b)) / 2, "
+        "'b', (((CAST(x.cnt AS DOUBLE) + (s.l + s.b)) / 2 - s.l) + s.b) / 2))"
+    )
+    return arr.select(
+        "event_type",
+        F.size("a").cast("long").alias("n_days"),
+        fold.alias("s"),
+    ).select(
+        "event_type",
+        "n_days",
+        _FMT6(F.col("s.l")).alias("level"),
+        _FMT6(F.col("s.b")).alias("trend"),
+        _FMT6(F.col("s.l") + F.col("s.b")).alias("forecast_1"),
+    )
+
+
+# ---------------------------------------------- Cramér's V effect size ----
+
+def _cram_dows() -> tuple[int, ...]:
+    return tuple(range(7))
+
+
+def _cramers_sql() -> str:
+    """Build the events_cramers_v oracle: the events_chi2 explicit-chain
+    discipline over a 7x5 (weekday x event type) contingency — 35 exact
+    per-cell terms summed in a fixed left-associated chain, then
+    Cramér's V as ONE division by the exact 4*T (min(r-1, c-1) = 4) and
+    ONE correctly-rounded sqrt. Weekday is epoch-anchored calendar
+    arithmetic ((date - 2024-01-01) % 7), identical on both engines —
+    never the engines' dayofweek builtins, whose week origins differ."""
+    cells = [
+        f"CAST(SUM(CASE WHEN dow = {d} AND event_type = '{t}' "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS o{d}_{t}"
+        for d in _cram_dows()
+        for t in _CHI2_TYPES
+    ]
+    rows = {
+        d: " + ".join(f"o{d}_{t}" for t in _CHI2_TYPES) for d in _cram_dows()
+    }
+    cols = ", ".join(
+        "(" + " + ".join(f"o{d}_{t}" for d in _cram_dows()) + f") AS c_{t}"
+        for t in _CHI2_TYPES
+    )
+    terms = " + ".join(
+        f"(CASE WHEN r{d} * c_{t} = 0 THEN CAST(0 AS DOUBLE) ELSE "
+        f"CAST(CAST(o{d}_{t} * t - r{d} * c_{t} AS HUGEINT) "
+        f" * (o{d}_{t} * t - r{d} * c_{t}) AS DOUBLE) "
+        f"/ CAST(CAST(t AS HUGEINT) * r{d} * c_{t} AS DOUBLE) END)"
+        for d in _cram_dows()
+        for t in _CHI2_TYPES
+    )
+    in_list = ", ".join(f"'{t}'" for t in _CHI2_TYPES)
+    row_aliases = ", ".join(f"({rows[d]}) AS r{d}" for d in _cram_dows())
+    return (
+        f"WITH e AS (SELECT (CAST(ts AS DATE) - DATE '2024-01-01') % 7 "
+        f" AS dow, event_type FROM events "
+        f" WHERE event_type IN ({in_list})), "
+        f"o AS (SELECT {', '.join(cells)}, "
+        f"CAST(COUNT(*) AS BIGINT) AS t FROM e), "
+        f"r AS (SELECT *, {row_aliases}, {cols} FROM o), "
+        f"x AS (SELECT t, ({terms}) AS chi2raw FROM r) "
+        f"SELECT t AS n_events, "
+        f"printf('%.6f', ROUND(chi2raw, 6)) AS chi2, "
+        f"printf('%.6f', ROUND(SQRT(chi2raw / CAST(4 * t AS DOUBLE)), 6)) "
+        f" AS cramers_v FROM x"
+    )
+
+
+@register("events_cramers_v", _cramers_sql())
+def events_cramers_v(spark, sf):
+    """Cramér's V effect size for weekday x event-type association —
+    the magnitude readout a chi-square test needs next to it (at fact
+    scale EVERYTHING is 'significant'; V in [0, 1] says whether the
+    weekly behavioral mix shift is worth acting on). 7x5 contingency
+    of epoch-anchored weekday against the five known event types.
+
+    Float discipline: the events_chi2 contract extended — 35 exact
+    per-cell terms (delta squared in DECIMAL(38,0)/HUGEINT, one IEEE
+    division each) summed in an EXPLICIT left-associated chain, then
+    V = sqrt(chi2 / (4T)) is one exact-int cast, one IEEE division and
+    one CORRECTLY-ROUNDED sqrt — bit-identical on both engines.
+    Weekday is (days since 2024-01-01) % 7 spelled as calendar
+    arithmetic on both sides — the engines' dayofweek() builtins
+    disagree on week origin and are never used.
+
+    Scale shape: ONE map-side-combinable conditional-aggregation scan
+    collapses facts straight to a single 36-column row — no shuffle
+    wider than the aggregate state."""
+    return cramers_rollup(dow_type_counts(_events(spark, sf)))
+
+
+def dow_type_counts(df: DataFrame) -> DataFrame:
+    """Per-(weekday, event_type) cell counts — the shared contingency
+    grain for ``events_cramers_v`` and its streaming twin (plain
+    SUM-able counts, exactly mergeable across micro-batches)."""
+    return (
+        df.filter(F.col("event_type").isin(*_CHI2_TYPES))
+        .select(
+            F.pmod(
+                F.datediff(
+                    F.to_date("ts"), F.lit("2024-01-01").cast("date")
+                ),
+                F.lit(7),
+            )
+            .cast("long")
+            .alias("dow"),
+            "event_type",
+        )
+        .groupBy("dow", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cramers_rollup(cells: DataFrame) -> DataFrame:
+    """Fold a (dow, event_type, cnt) contingency grain into the one-row
+    chi2 + Cramér's V readout — shared by ``events_cramers_v`` and its
+    streaming twin (the fixed 35-term left-associated chain lives
+    here)."""
+    import functools
+    import operator
+
+    aggs = [
+        F.sum(
+            F.when(
+                (F.col("dow") == d) & (F.col("event_type") == t),
+                F.col("cnt"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"o{d}_{t}")
+        for d in _cram_dows()
+        for t in _CHI2_TYPES
+    ]
+    o = cells.agg(*aggs, F.sum("cnt").cast("long").alias("t"))
+    r = o.select(
+        "*",
+        *[
+            functools.reduce(
+                operator.add, [F.col(f"o{d}_{t}") for t in _CHI2_TYPES]
+            ).alias(f"r{d}")
+            for d in _cram_dows()
+        ],
+        *[
+            functools.reduce(
+                operator.add, [F.col(f"o{d}_{t}") for d in _cram_dows()]
+            ).alias(f"c_{t}")
+            for t in _CHI2_TYPES
+        ],
+    )
+
+    def term(d: int, t: str):
+        delta = F.col(f"o{d}_{t}") * F.col("t") - F.col(f"r{d}") * F.col(
+            f"c_{t}"
+        )
+        num = (delta.cast("decimal(38,0)") * delta).cast("double")
+        den = (
+            F.col("t").cast("decimal(38,0)")
+            * F.col(f"r{d}")
+            * F.col(f"c_{t}")
+        ).cast("double")
+        return F.when(
+            F.col(f"r{d}") * F.col(f"c_{t}") == 0, F.lit(0.0)
+        ).otherwise(num / den)
+
+    chi2 = functools.reduce(
+        operator.add,
+        [term(d, t) for d in _cram_dows() for t in _CHI2_TYPES],
+    )
+    x = r.select(F.col("t").alias("n_events"), chi2.alias("chi2raw"))
+    return x.select(
+        "n_events",
+        _FMT6(F.col("chi2raw")).alias("chi2"),
+        _FMT6(
+            F.sqrt(
+                F.col("chi2raw") / (4 * F.col("n_events")).cast("double")
+            )
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------- Wald–Wolfowitz runs test --
+
+@register(
+    "events_runs_test",
+    # Runs test for randomness of the daily total-volume series: days
+    # classify as above/below the RANK-SELECTED lower median (equal days
+    # excluded — the standard treatment), runs count as 1 + sign
+    # changes under the total day order, and z is one fixed IEEE chain
+    # over exact BIGINT pair counts.
+    "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+    " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+    "g AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS k FROM dt GROUP BY cnt), "
+    "cu AS (SELECT cnt, CAST(SUM(k) OVER (ORDER BY cnt "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum "
+    " FROM g), "
+    "t AS (SELECT CAST(SUM(k) AS BIGINT) AS n FROM g), "
+    "med AS (SELECT MIN(cnt) AS med FROM cu, t WHERE cum >= (n + 1) // 2), "
+    "s AS (SELECT day, CASE WHEN cnt > med THEN 1 ELSE -1 END AS sgn "
+    " FROM dt, med WHERE cnt <> med), "
+    "r AS (SELECT sgn, LAG(sgn) OVER (ORDER BY day) AS prev FROM s), "
+    "m AS (SELECT "
+    " CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+    " CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2, "
+    " CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND sgn <> prev "
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS runs FROM r) "
+    "SELECT n1 AS n_above, n2 AS n_below, runs AS n_runs, "
+    "printf('%.6f', ROUND((CAST(runs AS DOUBLE) "
+    " - (1.0 + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))) "
+    " / SQRT(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE) "
+    "   / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)), 6)) AS z "
+    "FROM m WHERE n1 > 0 AND n2 > 0 AND 2 * n1 * n2 > n1 + n2",
+)
+def events_runs_test(spark, sf):
+    """Wald–Wolfowitz runs test on the daily total-volume series — the
+    randomness guardrail behind every daily-series readout in this
+    family (trend/changepoint/autocorr all PRESUPPOSE the series isn't
+    i.i.d. noise; the runs test is the nonparametric check that it
+    actually isn't: too few runs means clustering/regime behavior, too
+    many means oscillation). Days at the median are excluded per the
+    standard treatment.
+
+    Float discipline: the median is RANK-SELECTED (lower median at
+    position (n+1) div 2 — integer division per the events_theil_sen
+    rule, never interpolation); n_above/n_below/n_runs are exact
+    BIGINTs; z is ONE fixed IEEE chain — exact-int casts, one division
+    for the mean, one for the variance, one correctly-rounded sqrt,
+    one subtract, one divide — spelled identically on both engines.
+    Degenerate cases (one-sided series, zero variance) are filtered by
+    exact integer guards on both sides.
+
+    Scale shape: one map-side-combinable fact collapse to the calendar
+    day grain; everything after is dimension-sized (a cumsum over
+    distinct volumes, a lag window over <= days rows) — the
+    events_concurrency single-ordered-pass discipline."""
+    return runs_rollup(day_totals(_events(spark, sf)))
+
+
+def day_totals(df: DataFrame) -> DataFrame:
+    """Per-day total event counts — the shared grain for
+    ``events_runs_test`` and its streaming twin (plain SUM-able counts,
+    exactly mergeable across micro-batches)."""
+    return df.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def runs_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals table into the one-row runs-test
+    readout — shared by ``events_runs_test`` and its streaming twin
+    (the rank-selected median + fixed z chain live here)."""
+    g = dt.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    wcum = Window.orderBy("cnt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cu = g.select("cnt", F.sum("k").over(wcum).cast("long").alias("cum"))
+    t = g.agg(F.sum("k").cast("long").alias("n"))
+    med = (
+        cu.crossJoin(F.broadcast(t))
+        .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .agg(F.min("cnt").alias("med"))
+    )
+    s = (
+        dt.crossJoin(F.broadcast(med))
+        .filter(F.col("cnt") != F.col("med"))
+        .select(
+            "day",
+            F.when(F.col("cnt") > F.col("med"), 1).otherwise(-1).alias("sgn"),
+        )
+    )
+    w = Window.orderBy("day")
+    r = s.select("sgn", F.lag("sgn").over(w).alias("prev"))
+    m = r.agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("sgn") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    tot = n1 + n2
+    mu = F.lit(1.0) + (2 * n1 * n2).cast("double") / tot.cast("double")
+    var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)).cast("double") / (
+        tot * tot * (tot - 1)
+    ).cast("double")
+    z = (runs.cast("double") - mu) / F.sqrt(var)
+    return (
+        m.filter((n1 > 0) & (n2 > 0) & (2 * n1 * n2 > tot))
+        .select(
+            n1.alias("n_above"),
+            n2.alias("n_below"),
+            runs.alias("n_runs"),
+            _FMT6(z).alias("z"),
+        )
+    )

@@ -2139,3 +2139,126 @@ def test_retrieval_map_matches_python(spark):
         Decimal("0.000001"), rounding=ROUND_HALF_UP
     )
     assert got.loc["__all__"].ap == f"{want:.6f}"
+
+
+def test_events_holt_matches_python(spark):
+    """Holt (level, trend, forecast) re-derives from a pure-Python
+    recurrence stepping the IDENTICAL op sequence over the sorted daily
+    counts — bit-exact through the %.6f format."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_holt"][0](spark, SF).toPandas()
+    assert len(got) > 0
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    d = ev.groupby(["event_type", "day"]).size().reset_index(name="cnt")
+
+    def fmt(x: float) -> str:
+        q = Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        return f"{q:.6f}"
+
+    for et, grp in d.groupby("event_type"):
+        ys = grp.sort_values("day").cnt.tolist()
+        l, b = float(ys[0]), 0.0
+        for y in ys[1:]:
+            nl = (float(y) + (l + b)) / 2
+            nb = (((float(y) + (l + b)) / 2 - l) + b) / 2
+            l, b = nl, nb
+        row = got[got.event_type == et]
+        assert len(row) == 1, et
+        assert int(row.n_days.iloc[0]) == len(ys)
+        assert row.level.iloc[0] == fmt(l), et
+        assert row.trend.iloc[0] == fmt(b), et
+        assert row.forecast_1.iloc[0] == fmt(l + b), et
+
+
+def test_events_cramers_v_matches_python(spark):
+    """chi2 and V re-derive from an exact-integer Python contingency
+    with the same left-associated 35-term chain; V stays in [0, 1]."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import (
+        _CHI2_TYPES,
+        REGISTRY,
+    )
+
+    got = REGISTRY["events_cramers_v"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev.event_type.isin(_CHI2_TYPES)]
+    anchor = pd.Timestamp("2024-01-01")
+    dow = ((ev.ts.dt.normalize() - anchor).dt.days % 7).astype(int)
+    o = {
+        (d, t): int(((dow == d) & (ev.event_type == t)).sum())
+        for d in range(7)
+        for t in _CHI2_TYPES
+    }
+    tot = sum(o.values())
+    r = {d: sum(o[(d, t)] for t in _CHI2_TYPES) for d in range(7)}
+    c = {t: sum(o[(d, t)] for d in range(7)) for t in _CHI2_TYPES}
+    chi2 = 0.0
+    for d in range(7):
+        for t in _CHI2_TYPES:
+            if r[d] * c[t] == 0:
+                chi2 = chi2 + 0.0
+                continue
+            delta = o[(d, t)] * tot - r[d] * c[t]
+            chi2 = chi2 + float(delta * delta) / float(tot * r[d] * c[t])
+    v = math.sqrt(chi2 / float(4 * tot))
+    assert 0.0 <= v <= 1.0
+
+    def fmt(x: float) -> str:
+        q = Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        return f"{q:.6f}"
+
+    assert int(got.n_events[0]) == tot
+    assert got.chi2[0] == fmt(chi2)
+    assert got.cramers_v[0] == fmt(v)
+
+
+def test_events_runs_test_matches_python(spark):
+    """Runs count, above/below split, and z re-derive from a direct
+    Python walk of the daily series (lower-median selection, equal days
+    excluded) — bit-exact through the %.6f format."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_runs_test"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    dt = ev.groupby("day").size().sort_index()
+    vals = sorted(dt.tolist())
+    med = vals[(len(vals) + 1) // 2 - 1]
+    sgn = [1 if v > med else -1 for v in dt.tolist() if v != med]
+    n1 = sum(1 for s in sgn if s == 1)
+    n2 = len(sgn) - n1
+    runs = 1 + sum(1 for a, b in zip(sgn, sgn[1:]) if a != b)
+    assert int(got.n_above[0]) == n1
+    assert int(got.n_below[0]) == n2
+    assert int(got.n_runs[0]) == runs
+    tot = n1 + n2
+    mu = 1.0 + float(2 * n1 * n2) / float(tot)
+    var = float(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)) / float(
+        tot * tot * (tot - 1)
+    )
+    z = (float(runs) - mu) / math.sqrt(var)
+    want = Decimal(repr(z)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+    assert got.z[0] == f"{want:.6f}"
