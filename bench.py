@@ -317,6 +317,9 @@ HEADLINE = [
     "events_holt",
     "events_cramers_v",
     "events_runs_test",
+    "retrieval_err",
+    "eval_cohen_kappa",
+    "text_readability",
 ]
 
 

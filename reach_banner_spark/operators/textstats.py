@@ -3412,3 +3412,365 @@ def retrieval_report_rollup(tf: DataFrame) -> DataFrame:
         "q.precision_k",
         "q.recall_k",
     )
+
+
+# --- ERR retrieval evaluation ------------------------------------------------
+
+_ERR_K = 10
+# graded relevance -> stopping probability (2^g - 1) / 2^gmax for
+# g = LEAST(label tf, 4), gmax = 4: every value is an exactly-
+# representable dyadic literal, so no pow()/log() ever enters the
+# contract (the retrieval_ndcg constant-folding discipline, here with
+# the constants exact by construction rather than merely bit-pinned).
+_ERR_PROBS = ("0", "0.0625", "0.1875", "0.4375", "0.9375")
+
+
+def _err_prob_case(relexpr: str) -> str:
+    """CASE mapping a 0..4 graded relevance to its dyadic stopping
+    probability — identical grammar in Spark SQL and DuckDB, so BOTH
+    engines evaluate the same textual expression."""
+    whens = " ".join(
+        f"WHEN {g} THEN CAST({p} AS DOUBLE)"
+        for g, p in enumerate(_ERR_PROBS)
+    )
+    return f"(CASE {relexpr} {whens} ELSE CAST(0.9375 AS DOUBLE) END)"
+
+
+def _err_chain(pcol) -> str:
+    """The ERR@k cascade as ONE fixed textual expression over rank
+    columns p1..pk (stopping probabilities): term_r = (p_r * prod_{i<r}
+    (1 - p_i)) / r, summed left-associated. The survival product is
+    textually re-expanded per term (IEEE ops are pure — recomputation
+    beats introducing engine-specific intermediates), and each 1/r is
+    ONE division by an exact integer cast. Valid Spark SQL AND DuckDB."""
+    terms = []
+    prod = "CAST(1 AS DOUBLE)"
+    for r in range(1, _ERR_K + 1):
+        terms.append(f"(({pcol(r)} * {prod}) / CAST({r} AS DOUBLE))")
+        prod = f"({prod} * (CAST(1 AS DOUBLE) - {pcol(r)}))"
+    return " + ".join(terms)
+
+
+def _err_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS "
+        f"{c}{i}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+        for c, t in (("r", r), ("l", l))
+    )
+    pcols = ", ".join(
+        _err_prob_case(
+            f"COALESCE(MAX(CASE WHEN rn = {r} THEN rel END), 0)"
+        )
+        + f" AS p{r}"
+        for r in range(1, _ERR_K + 1)
+    )
+    cands = ", ".join(
+        f"c{i} AS (SELECT doc_id, LEAST(l{i}, 4) AS rel, "
+        f"ROW_NUMBER() OVER (ORDER BY r{i} DESC, doc_id) AS rn "
+        f"FROM tf WHERE r{i} >= 1 QUALIFY rn <= {_ERR_K}), "
+        f"g{i} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n{i}, {pcols} "
+        f"FROM c{i}), "
+        f"a{i} AS (SELECT n{i}, ({_err_chain(lambda r: f'p{r}')}) "
+        f"AS err{i} FROM g{i})"
+        for i in range(len(_MRR_QUERIES))
+    )
+    per_q = " UNION ALL ".join(
+        f"SELECT '{r}->{l}' AS query, a{i}.n{i} AS n_cand, "
+        f"printf('%.6f', ROUND(a{i}.err{i}, 6)) AS err FROM {froms}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+        for froms in (", ".join(f"a{j}" for j in range(len(_MRR_QUERIES))),)
+    )
+    mean = " + ".join(f"a{i}.err{i}" for i in range(len(_MRR_QUERIES)))
+    froms = ", ".join(f"a{i}" for i in range(len(_MRR_QUERIES)))
+    return (
+        f"WITH tf AS (SELECT doc_id, {tf_cols} FROM documents), {cands} "
+        f"SELECT query, n_cand, err FROM ({per_q} UNION ALL "
+        f"SELECT '__all__', CAST(0 AS BIGINT), "
+        f"printf('%.6f', ROUND(({mean}) / CAST(3 AS DOUBLE), 6)) "
+        f"FROM {froms}) q"
+    )
+
+
+@register("retrieval_err", _err_sql())
+def retrieval_err(spark, sf):
+    """Expected Reciprocal Rank (ERR@10) over the ``retrieval_mrr``
+    query set — the cascade-model metric (Chapelle et al., CIKM 2009)
+    ranking teams report next to NDCG: a user scans down the list and
+    stops at rank r with probability p_r = (2^g - 1)/2^gmax; ERR is the
+    expected reciprocal of the stopping rank, so (unlike NDCG's
+    independent-gain sum) a strong early hit SHADOWS everything below
+    it. Gains are the NDCG key's capped label-term tf (0..4).
+
+    Float discipline: every stopping probability is an exactly-
+    representable DYADIC literal ((2^g-1)/16 for g <= 4 — no pow, no
+    log); the cascade is ONE fixed textual expression (built by
+    ``_err_chain``) evaluated by BOTH engines — Spark runs the same
+    string through F.expr that DuckDB runs inline, so the op sequence
+    is identical token-for-token; each term is one IEEE division by an
+    exact integer cast, summed left-associated; the mean is a fixed
+    three-term chain plus one division.
+
+    Scale shape: identical to retrieval_ndcg — ONE corpus pass builds
+    the checkpointed per-doc tf grain, each query's cut is a
+    TakeOrderedAndProject top-10, the probability mapping and cascade
+    run over a 1-row aggregate."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    tf_of = lambda t: F.size(  # noqa: E731
+        F.filter(words, lambda w: w == F.lit(t))
+    )
+    cols = [F.col("doc_id")]
+    for i, (r, l) in enumerate(_MRR_QUERIES):
+        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    tf = d.select(*cols).localCheckpoint()
+
+    aggs = []
+    for i in range(len(_MRR_QUERIES)):
+        cand = (
+            tf.filter(F.col(f"r{i}") >= 1)
+            .orderBy(F.desc(f"r{i}"), F.asc("doc_id"))
+            .limit(_ERR_K)
+        )
+        w = Window.orderBy(F.desc(f"r{i}"), F.asc("doc_id"))
+        ranked = cand.select(
+            F.least(F.col(f"l{i}"), F.lit(4)).cast("long").alias("rel"),
+            F.row_number().over(w).alias("rn"),
+        )
+        g = ranked.agg(
+            F.count(F.lit(1)).cast("long").alias(f"n{i}"),
+            *[
+                F.expr(
+                    _err_prob_case(
+                        f"COALESCE(MAX(CASE WHEN rn = {r} THEN rel END), 0)"
+                    )
+                ).alias(f"p{r}")
+                for r in range(1, _ERR_K + 1)
+            ],
+        )
+        aggs.append(
+            g.select(
+                f"n{i}",
+                F.expr(_err_chain(lambda r: f"p{r}")).alias(f"err{i}"),
+            )
+        )
+    one = aggs[0]
+    for a_i in aggs[1:]:
+        one = one.crossJoin(a_i)
+    fmt6 = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    per_q = [
+        one.select(
+            F.lit(f"{r}->{l}").alias("query"),
+            F.col(f"n{i}").alias("n_cand"),
+            fmt6(F.col(f"err{i}")).alias("err"),
+        )
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    ]
+    mean = None
+    for i in range(len(_MRR_QUERIES)):
+        mean = (
+            F.col(f"err{i}")
+            if mean is None
+            else mean + F.col(f"err{i}")
+        )
+    allrow = one.select(
+        F.lit("__all__").alias("query"),
+        F.lit(0).cast("long").alias("n_cand"),
+        fmt6(mean / F.lit(3).cast("double")).alias("err"),
+    )
+    out = per_q[0]
+    for p in per_q[1:] + [allrow]:
+        out = out.unionAll(p)
+    return out
+
+
+# --- Cohen's kappa inter-rater agreement ------------------------------------
+
+@register(
+    "eval_cohen_kappa",
+    # Cohen's kappa between two deterministic binary quality raters
+    # (char-length gate vs token-count gate): kappa = (po - pe)/(1 - pe)
+    # multiplied through by n^2 so it collapses to ONE IEEE division of
+    # exact BIGINTs — (n*agree - E) / (n^2 - E) with
+    # E = a1*b1 + a0*b0 the chance-agreement cross product.
+    "WITH f AS (SELECT "
+    " CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra, "
+    " CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0 END AS rb "
+    " FROM documents), "
+    "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    " CAST(SUM(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n11, "
+    " CAST(SUM(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n00, "
+    " CAST(SUM(ra) AS BIGINT) AS a1, CAST(SUM(rb) AS BIGINT) AS b1 FROM f) "
+    "SELECT n AS n_docs, n11 + n00 AS n_agree, a1 AS pos_a, b1 AS pos_b, "
+    "printf('%.6f', ROUND("
+    " CAST(n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE) "
+    " / CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE), 6)) "
+    " AS kappa "
+    "FROM m WHERE n * n > a1 * b1 + (n - a1) * (n - b1)",
+)
+def eval_cohen_kappa(spark, sf):
+    """Cohen's kappa agreement between two deterministic binary quality
+    raters — rater A gates on raw character length (n_chars >= 300),
+    rater B on whitespace token count (>= 55 words). This is the
+    chance-corrected agreement readout every labeling pipeline computes
+    before trusting a cheap heuristic as a stand-in for an expensive
+    one (raw agreement is inflated whenever both raters mostly say
+    'yes'; kappa subtracts the agreement their marginals would produce
+    by chance).
+
+    Float discipline: kappa = (po - pe)/(1 - pe) is multiplied through
+    by n^2, collapsing to (n*agree - E)/(n^2 - E) with E = a1*b1 +
+    (n-a1)*(n-b1) — every term an exact BIGINT (at 100 TB the cross
+    products move to DECIMAL(38,0)), so kappa is ONE correctly-rounded
+    IEEE division under ROUND + %.6f. The degenerate pe = 1 corpus
+    (both raters constant) is filtered by an exact integer guard on
+    both engines.
+
+    Scale shape: ONE map-side-combinable conditional-aggregation scan
+    collapses the corpus straight to a 5-integer row — no shuffle wider
+    than the aggregate state, the events_chi2 shape over documents."""
+    f = _docs(spark, sf).select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("ra"),
+        F.when(F.size(F.split("text", " ")) >= 55, 1)
+        .otherwise(0)
+        .alias("rb"),
+    )
+    m = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("ra") == 1) & (F.col("rb") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n11"),
+        F.sum(
+            F.when((F.col("ra") == 0) & (F.col("rb") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n00"),
+        F.sum("ra").cast("long").alias("a1"),
+        F.sum("rb").cast("long").alias("b1"),
+    )
+    n, n11, n00 = F.col("n"), F.col("n11"), F.col("n00")
+    a1, b1 = F.col("a1"), F.col("b1")
+    e = a1 * b1 + (n - a1) * (n - b1)
+    fmt6 = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    return m.filter(n * n > e).select(
+        n.alias("n_docs"),
+        (n11 + n00).alias("n_agree"),
+        a1.alias("pos_a"),
+        b1.alias("pos_b"),
+        fmt6(
+            (n * (n11 + n00) - e).cast("double")
+            / (n * n - e).cast("double")
+        ).alias("kappa"),
+    )
+
+
+# --- readability profile ------------------------------------------------
+
+
+@register(
+    "text_readability",
+    # Per-source readability profile: Flesch reading ease and Gunning
+    # fog over POOLED exact counts (words, pseudo-sentences of 12 words,
+    # vowel-run syllables, >=3-run complex words) — never a per-doc
+    # float averaged (an unordered double SUM); the non-dyadic formula
+    # constants parse to bit-identical doubles on both engines
+    # (correctly-rounded literal conversion, probed: 206.835 / 1.015 /
+    # 84.6 / 0.4 / 100.0 all round-trip).
+    "WITH d AS (SELECT source, "
+    " CAST(len(string_split(text, ' ')) AS BIGINT) AS w, "
+    " CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS sy, "
+    " CAST(len(list_filter(string_split(text, ' '), "
+    "  x -> len(regexp_extract_all(x, '[aeiou]+')) >= 3)) AS BIGINT) AS cw "
+    " FROM documents), "
+    "g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    " CAST(SUM(w) AS BIGINT) AS words, "
+    " CAST(SUM((w + 11) // 12) AS BIGINT) AS sentences, "
+    " CAST(SUM(sy) AS BIGINT) AS syllables, "
+    " CAST(SUM(cw) AS BIGINT) AS complex_words FROM d GROUP BY source) "
+    "SELECT source, n_docs, words, sentences, syllables, complex_words, "
+    "printf('%.6f', ROUND(CAST(206.835 AS DOUBLE) "
+    " - CAST(1.015 AS DOUBLE) "
+    "  * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)) "
+    " - CAST(84.6 AS DOUBLE) "
+    "  * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)), 6)) "
+    " AS flesch, "
+    "printf('%.6f', ROUND(CAST(0.4 AS DOUBLE) "
+    " * ((CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)) "
+    "  + CAST(100.0 AS DOUBLE) "
+    "   * (CAST(complex_words AS DOUBLE) / CAST(words AS DOUBLE))), 6)) "
+    " AS fog "
+    "FROM g WHERE words > 0 AND sentences > 0",
+)
+def text_readability(spark, sf):
+    """Per-source readability profile — Flesch reading ease and Gunning
+    fog index, the two classic complexity scores a corpus-curation
+    pipeline uses to bucket sources by audience level (and a quality
+    gate next to ``text_quality``'s ratio score: readability shifts
+    catch machine-generated or boilerplate sources whose length ratios
+    look normal). The corpus has no sentence punctuation, so sentences
+    are the quality_line_filter pseudo-unit (12-word chunks — ceil via
+    (w + 11) div 12, exact); syllables are maximal vowel runs; complex
+    words have >= 3 vowel runs (the classic >= 3-syllable rule). All
+    heuristic contracts are documented, deterministic, and spelled
+    identically on both engines.
+
+    Float discipline: per-source counts pool as exact BIGINTs FIRST
+    (never averaging per-doc floats — that would be an unordered
+    double SUM); each score is then a FIXED IEEE chain over two exact
+    divisions and literal constants that parse to bit-identical doubles
+    on both engines (probed: all five constants round-trip through
+    DuckDB's decimal-literal -> double conversion).
+
+    Scale shape: ONE corpus pass computes the three per-doc integer
+    counts JVM-side (split + regexp_count — no Python), then one
+    map-side-combinable aggregation onto the tiny source dimension."""
+    words = F.split(F.col("text"), " ")
+    d = _docs(spark, sf).select(
+        "source",
+        F.size(words).cast("long").alias("w"),
+        F.regexp_count(F.col("text"), F.lit("[aeiou]+"))
+        .cast("long")
+        .alias("sy"),
+        F.size(
+            F.filter(
+                words,
+                lambda x: F.regexp_count(x, F.lit("[aeiou]+")) >= F.lit(3),
+            )
+        )
+        .cast("long")
+        .alias("cw"),
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("words"),
+        F.sum(F.expr("(w + 11) div 12")).cast("long").alias("sentences"),
+        F.sum("sy").cast("long").alias("syllables"),
+        F.sum("cw").cast("long").alias("complex_words"),
+    )
+    wd = F.col("words").cast("double")
+    sd = F.col("sentences").cast("double")
+    syd = F.col("syllables").cast("double")
+    cwd = F.col("complex_words").cast("double")
+    fmt6 = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    return g.filter((F.col("words") > 0) & (F.col("sentences") > 0)).select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        "complex_words",
+        fmt6(
+            F.lit(206.835)
+            - F.lit(1.015) * (wd / sd)
+            - F.lit(84.6) * (syd / wd)
+        ).alias("flesch"),
+        fmt6(F.lit(0.4) * ((wd / sd) + F.lit(100.0) * (cwd / wd))).alias(
+            "fog"
+        ),
+    )

@@ -2262,3 +2262,129 @@ def test_events_runs_test_matches_python(spark):
         Decimal("0.000001"), rounding=ROUND_HALF_UP
     )
     assert got.z[0] == f"{want:.6f}"
+
+
+def test_retrieval_err_matches_python(spark):
+    """ERR@10 re-derives from a pure-Python re-ranking + cascade walk
+    stepping the identical op sequence — bit-exact through %.6f."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.operators.textstats import (
+        _ERR_K,
+        _MRR_QUERIES,
+        REGISTRY,
+    )
+
+    got = REGISTRY["retrieval_err"][0](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    probs = (0.0, 0.0625, 0.1875, 0.4375, 0.9375)
+
+    def fmt(x: float) -> str:
+        q = Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        return f"{q:.6f}"
+
+    errs = []
+    for i, (rt, lt) in enumerate(_MRR_QUERIES):
+        rows = []
+        for did, text in zip(docs.doc_id, docs.text):
+            ws = text.split(" ")
+            rtf = sum(1 for w in ws if w == rt)
+            if rtf >= 1:
+                rows.append((-rtf, did, min(sum(1 for w in ws if w == lt), 4)))
+        rows.sort()
+        rows = rows[:_ERR_K]
+        ps = [probs[rel] for _, _, rel in rows] + [0.0] * (
+            _ERR_K - len(rows)
+        )
+        err, prod = 0.0, 1.0
+        for r in range(1, _ERR_K + 1):
+            err = err + (ps[r - 1] * prod) / float(r)
+            prod = prod * (1.0 - ps[r - 1])
+        errs.append(err)
+        row = got[got["query"] == f"{rt}->{lt}"]
+        assert len(row) == 1
+        assert int(row.n_cand.iloc[0]) == len(rows)
+        assert row.err.iloc[0] == fmt(err), (rt, lt)
+    mean = (errs[0] + errs[1] + errs[2]) / 3.0
+    assert got[got["query"] == "__all__"].err.iloc[0] == fmt(mean)
+
+
+def test_eval_cohen_kappa_matches_python(spark):
+    """kappa re-derives from direct Python marginal counting with the
+    same single-division collapse; kappa stays in [-1, 1]."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.operators.textstats import REGISTRY
+
+    got = REGISTRY["eval_cohen_kappa"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ra = (docs.n_chars >= 300).astype(int)
+    rb = (docs.text.str.split(" ").str.len() >= 55).astype(int)
+    n = len(docs)
+    n11 = int(((ra == 1) & (rb == 1)).sum())
+    n00 = int(((ra == 0) & (rb == 0)).sum())
+    a1, b1 = int(ra.sum()), int(rb.sum())
+    e = a1 * b1 + (n - a1) * (n - b1)
+    kappa = float(n * (n11 + n00) - e) / float(n * n - e)
+    assert -1.0 <= kappa <= 1.0
+    assert int(got.n_docs[0]) == n
+    assert int(got.n_agree[0]) == n11 + n00
+    want = Decimal(repr(kappa)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+    assert got.kappa[0] == f"{want:.6f}"
+    # the two raters genuinely disagree somewhere (non-vacuous fixture)
+    assert n11 + n00 < n
+
+
+def test_text_readability_matches_python(spark):
+    """Flesch/fog re-derive from direct Python counting with the same
+    pooled-counts-then-one-chain discipline — bit-exact through %.6f."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.operators.textstats import REGISTRY
+
+    got = REGISTRY["text_readability"][0](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    vowel = re.compile(r"[aeiou]+")
+
+    def fmt(x: float) -> str:
+        q = Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        return f"{q:.6f}"
+
+    assert len(got) == docs.source.nunique()
+    for src, grp in docs.groupby("source"):
+        words = sents = syl = cw = 0
+        for text in grp.text:
+            ws = text.split(" ")
+            words += len(ws)
+            sents += (len(ws) + 11) // 12
+            syl += len(vowel.findall(text))
+            cw += sum(1 for w in ws if len(vowel.findall(w)) >= 3)
+        row = got[got.source == src]
+        assert len(row) == 1, src
+        assert int(row.words.iloc[0]) == words
+        assert int(row.syllables.iloc[0]) == syl
+        assert int(row.complex_words.iloc[0]) == cw
+        flesch = (
+            206.835
+            - 1.015 * (float(words) / float(sents))
+            - 84.6 * (float(syl) / float(words))
+        )
+        fog = 0.4 * (
+            (float(words) / float(sents)) + 100.0 * (float(cw) / float(words))
+        )
+        assert row.flesch.iloc[0] == fmt(flesch), src
+        assert row.fog.iloc[0] == fmt(fog), src
