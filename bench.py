@@ -320,6 +320,8 @@ HEADLINE = [
     "retrieval_err",
     "eval_cohen_kappa",
     "text_readability",
+    "kg_motif_census",
+    "kg_resource_allocation",
 ]
 
 

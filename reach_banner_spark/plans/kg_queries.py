@@ -4533,3 +4533,178 @@ def kg_shortest_path(spark, sf):
         "conv_id", "src", "dst", F.col("dist").cast("int").alias("dist"),
         "path",
     )
+
+
+# --------------------------------------------------- directed motif census --
+
+@register(
+    "kg_motif_census",
+    # Directed triad census over the DISTINCT conv-scoped directed edge
+    # set (predicates collapsed): open two-paths a->b->c, transitive
+    # triangles (a->b, b->c, a->c — the feed-forward motif), and directed
+    # 3-cycles counted once via the min-node rotation anchor. All exact
+    # integer counts.
+    f"WITH t AS ({_TRIPLES_SQL}), "
+    "e AS (SELECT DISTINCT conv_id, subj AS s, obj AS o FROM t "
+    " WHERE subj <> obj), "
+    "tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM e ab "
+    " JOIN e bc ON bc.conv_id = ab.conv_id AND bc.s = ab.o "
+    " WHERE bc.o <> ab.s), "
+    "tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM e ab "
+    " JOIN e bc ON bc.conv_id = ab.conv_id AND bc.s = ab.o "
+    " JOIN e ac ON ac.conv_id = ab.conv_id AND ac.s = ab.s "
+    "  AND ac.o = bc.o "
+    " WHERE bc.o <> ab.s), "
+    "cy AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM e ab "
+    " JOIN e bc ON bc.conv_id = ab.conv_id AND bc.s = ab.o "
+    " JOIN e ca ON ca.conv_id = ab.conv_id AND ca.s = bc.o "
+    "  AND ca.o = ab.s "
+    " WHERE bc.o <> ab.s AND ab.s < ab.o AND ab.s < bc.o) "
+    "SELECT 'two_path' AS motif, c AS n FROM tp "
+    "UNION ALL SELECT 'transitive', c FROM tr "
+    "UNION ALL SELECT 'cycle', c FROM cy",
+)
+def kg_motif_census(spark, sf):
+    """Directed triad census of the extracted graph — the three
+    building-block motifs network analysis counts first (Milo et al.'s
+    motif-census method): open two-paths a->b->c, TRANSITIVE triangles
+    (a->b, b->c, a->c — the feed-forward motif whose excess over chance
+    is the signature of hierarchical/causal structure), and directed
+    3-cycles (feedback loops — in a KG built from Q->A turn order these
+    should be rare, so a spike flags extraction noise). The undirected
+    complement of ``kg_triangles``/``kg_clustering``, which cannot
+    separate feed-forward from feedback.
+
+    Count contracts: edges are the DISTINCT conv-scoped DIRECTED pairs
+    with predicates collapsed and self-loops dropped; two-paths and
+    transitive triangles are counted per ordered instance (each role
+    assignment is distinct by construction); each directed 3-cycle is
+    counted ONCE via its min-node rotation anchor (of the three
+    rotations only the one starting at the lexicographically smallest
+    node survives a < comparisons over ASCII entity names — identical
+    collation both engines). All counts exact BIGINTs — no floats
+    anywhere.
+
+    Scale shape: the kg_two_hop discipline — every join is bounded by
+    convs x entity-domain^2 on the pre-aggregated distinct edge set,
+    never by raw triples, and every shuffle keys conv_id-first so the
+    materialized triple table's conversation co-partitioning is
+    reused; the census rows are three 1-row aggregates."""
+    t = _triples_table(spark, sf)
+    e = (
+        t.filter(F.col("subj") != F.col("obj"))
+        .select("conv_id", F.col("subj").alias("s"), F.col("obj").alias("o"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ab = e.select("conv_id", F.col("s").alias("a"), F.col("o").alias("b"))
+    bc = e.select("conv_id", F.col("s").alias("b"), F.col("o").alias("c"))
+    two = ab.join(bc, ["conv_id", "b"]).filter(F.col("c") != F.col("a"))
+    tp = two.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit("two_path").alias("motif"), "n"
+    )
+    ac = e.select(
+        "conv_id", F.col("s").alias("a"), F.col("o").alias("c")
+    )
+    tr = (
+        two.join(ac, ["conv_id", "a", "c"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("transitive").alias("motif"), "n")
+    )
+    ca = e.select(
+        "conv_id", F.col("s").alias("c"), F.col("o").alias("a")
+    )
+    cy = (
+        two.filter((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        .join(ca, ["conv_id", "c", "a"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("cycle").alias("motif"), "n")
+    )
+    return tp.unionByName(tr).unionByName(cy)
+
+
+# --------------------------------------------- resource-allocation index --
+
+@register(
+    "kg_resource_allocation",
+    # Resource-allocation link-prediction index (Zhou/Lü/Zhang 2009):
+    # for every same-conv entity pair sharing >= 1 neighbour,
+    # RA = sum over common neighbours z of 1/deg(z), folded in a FIXED
+    # order (degrees sorted ascending, left-associated, init 0) so the
+    # float sum is bit-identical on both engines — equal degrees
+    # contribute identical terms, so tie order cannot matter.
+    f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_SYM_SQL}), "
+    "deg AS (SELECT conv_id, s AS node, CAST(COUNT(*) AS BIGINT) AS d "
+    " FROM e GROUP BY conv_id, s), "
+    "cm AS (SELECT a.conv_id, a.s AS ea, b.s AS eb, "
+    " CAST(COUNT(*) AS BIGINT) AS c, list_sort(list(dz.d)) AS ds "
+    " FROM e a "
+    " JOIN e b ON b.conv_id = a.conv_id AND b.o = a.o AND a.s < b.s "
+    " JOIN deg dz ON dz.conv_id = a.conv_id AND dz.node = a.o "
+    " GROUP BY a.conv_id, a.s, b.s) "
+    "SELECT conv_id, ea AS ent_a, eb AS ent_b, c AS n_common, "
+    "printf('%.6f', ROUND(list_reduce("
+    " list_prepend(CAST(0 AS DOUBLE), ds), "
+    " (s, x) -> s + CAST(1 AS DOUBLE) / CAST(x AS DOUBLE)), 6)) AS ra "
+    "FROM cm",
+)
+def kg_resource_allocation(spark, sf):
+    """Resource-allocation link prediction over the KG — for every
+    same-conversation entity pair sharing at least one neighbour,
+    RA(a, b) = sum over common neighbours z of 1/deg(z). The
+    degree-weighted upgrade of ``kg_neighbor_jaccard``: a common
+    neighbour that connects to everything carries almost no evidence,
+    one that connects to little carries a lot — on real graphs RA is
+    the strongest of the classic local predictors (Zhou, Lü & Zhang,
+    Eur. Phys. J. B 2009; it outperforms Adamic-Adar's log damping
+    while needing no log at all — which also keeps libm out of the
+    contract).
+
+    Float discipline: the reciprocal-degree sum is order-sensitive, so
+    both engines fold it in the SAME fixed order — common-neighbour
+    degrees sorted ascending, left-associated, init exact 0.0 (Spark:
+    ``aggregate(sort_array(...))``; oracle: ``list_reduce`` over the
+    0-prepended sorted list — probed equivalent): each step is one
+    exact cast + one IEEE division + one add, bit-identical. Equal
+    degrees produce identical terms, so tie order is immaterial by
+    construction.
+
+    Scale shape: the kg_neighbor_jaccard discipline — the shared
+    neighbour's degree joins onto the edge set BEFORE pairing (one
+    (conv_id, node)-keyed broadcast-sized join), pairs generate via the
+    (conv_id, shared-neighbour) self-join bounded by convs x
+    entity-domain^2, and the fold runs over each pair's collected
+    degree list (bounded by the entity domain), all conv_id-first."""
+    e = _sym_edges(_triples_table(spark, sf))
+    deg = e.groupBy("conv_id", F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ez = e.select("conv_id", F.col("s").alias("ea"), "o").join(
+        deg.select(
+            "conv_id", F.col("node").alias("o"), F.col("d").alias("dz")
+        ),
+        ["conv_id", "o"],
+    )
+    pairs = (
+        ez.join(
+            e.select("conv_id", F.col("s").alias("eb"), "o"),
+            ["conv_id", "o"],
+        )
+        .filter(F.col("ea") < F.col("eb"))
+        .groupBy("conv_id", "ea", "eb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sort_array(F.collect_list("dz")).alias("ds"),
+        )
+    )
+    ra = F.expr(
+        "aggregate(ds, CAST(0 AS DOUBLE), "
+        "(s, x) -> s + CAST(1 AS DOUBLE) / CAST(x AS DOUBLE))"
+    )
+    return pairs.select(
+        "conv_id",
+        F.col("ea").alias("ent_a"),
+        F.col("eb").alias("ent_b"),
+        F.col("c").alias("n_common"),
+        F.format_string("%.6f", F.round(ra, 6)).alias("ra"),
+    )

@@ -2388,3 +2388,77 @@ def test_text_readability_matches_python(spark):
         )
         assert row.flesch.iloc[0] == fmt(flesch), src
         assert row.fog.iloc[0] == fmt(fog), src
+
+
+def test_kg_motif_census_matches_python(spark):
+    """Motif counts re-derive from a brute-force Python triad walk over
+    the distinct directed edge set (exact integers)."""
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _triples_table,
+    )
+
+    got = {
+        r.motif: int(r.n)
+        for r in REGISTRY["kg_motif_census"][0](spark, SF).collect()
+    }
+    t = _triples_table(spark, SF).toPandas()
+    edges = set()
+    for conv, s, o in zip(t.conv_id, t.subj, t.obj):
+        if s != o:
+            edges.add((conv, s, o))
+    out_adj = {}
+    for conv, s, o in edges:
+        out_adj.setdefault((conv, s), set()).add(o)
+    tp = tr = cy = 0
+    for conv, a, b in edges:
+        for c in out_adj.get((conv, b), ()):
+            if c == a:
+                continue
+            tp += 1
+            if c in out_adj.get((conv, a), ()):
+                tr += 1
+            if a in out_adj.get((conv, c), ()) and a < b and a < c:
+                cy += 1
+    assert got == {"two_path": tp, "transitive": tr, "cycle": cy}
+    assert tp > 0  # non-vacuous fixture
+
+
+def test_kg_resource_allocation_matches_python(spark):
+    """RA indices re-derive from Python neighbour sets with the same
+    sorted-ascending left fold — bit-exact through %.6f — and every
+    qualifying pair is present exactly once."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _sym_edges,
+        _triples_table,
+    )
+
+    got = REGISTRY["kg_resource_allocation"][0](spark, SF).toPandas()
+    e = _sym_edges(_triples_table(spark, SF)).toPandas()
+    nbrs = {}
+    for conv, s, o in zip(e.conv_id, e.s, e.o):
+        nbrs.setdefault((conv, s), set()).add(o)
+    want = {}
+    for (conv, a), na in nbrs.items():
+        for (conv2, b), nb in nbrs.items():
+            if conv2 != conv or not a < b:
+                continue
+            common = na & nb
+            if not common:
+                continue
+            ds = sorted(len(nbrs[(conv, z)]) for z in common)
+            ra = 0.0
+            for d in ds:
+                ra = ra + 1.0 / float(d)
+            want[(conv, a, b)] = (len(common), ra)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        c, ra = want[(r.conv_id, r.ent_a, r.ent_b)]
+        assert int(r.n_common) == c
+        q = Decimal(repr(ra)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert r.ra == f"{q:.6f}", (r.conv_id, r.ent_a, r.ent_b)
