@@ -322,6 +322,9 @@ HEADLINE = [
     "text_readability",
     "kg_motif_census",
     "kg_resource_allocation",
+    "fn_soundex",
+    "agg_boolean",
+    "scan_row_index",
 ]
 
 

@@ -4779,3 +4779,139 @@ def agg_grouping_id(spark, sf):
         "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), "
         "(o_orderstatus), ())"
     )
+
+
+@register(
+    "fn_soundex",
+    # Spark's builtin soundex() vs the HANDWRITTEN American-Soundex
+    # definition in SQL (letter -> code map, adjacent-duplicate merge,
+    # H/W transparency, vowel reset, 3-digit zero pad) — the fn_luhn
+    # builtin-vs-definition oracle shape; the fold carries
+    # (last-code || emitted-digits) as a single VARCHAR accumulator so
+    # list_reduce stays element-typed.
+    "WITH w AS (SELECT DISTINCT word FROM (SELECT "
+    " unnest(string_split(text, ' ')) AS word FROM documents) u "
+    " WHERE word <> ''), "
+    "m AS (SELECT word, upper(word[1]) AS head, "
+    " list_transform(list_filter(string_split_regex(word, ''), "
+    "  c -> c <> ''), c -> CASE "
+    "  WHEN c IN ('b','f','p','v') THEN '1' "
+    "  WHEN c IN ('c','g','j','k','q','s','x','z') THEN '2' "
+    "  WHEN c IN ('d','t') THEN '3' "
+    "  WHEN c = 'l' THEN '4' "
+    "  WHEN c IN ('m','n') THEN '5' "
+    "  WHEN c = 'r' THEN '6' "
+    "  WHEN c IN ('h','w') THEN '7' "
+    "  ELSE '0' END) AS codes FROM m0), "
+    "f AS (SELECT word, head, "
+    " list_reduce(list_prepend(codes[1], codes[2:]), (acc, c) -> "
+    "  (CASE WHEN c = '7' THEN acc[1] WHEN c = '0' THEN '0' "
+    "   ELSE c END) || "
+    "  (CASE WHEN c IN ('1','2','3','4','5','6') AND c <> acc[1] "
+    "   THEN substr(acc, 2) || c ELSE substr(acc, 2) END)) AS st "
+    " FROM m) "
+    "SELECT word, head || substr(substr(st, 2) || '000', 1, 3) AS code "
+    "FROM f".replace("FROM m0", "FROM w"),
+)
+def fn_soundex(spark, sf):
+    """``soundex()`` phonetic coding over the corpus vocabulary — the
+    classic fuzzy-name blocking key (``join_fuzzy_name`` blocks on
+    MinHash; Soundex is the century-old alternative every MDM system
+    still ships, and the code makes a cheap second blocking pass). The
+    oracle does not call a builtin (DuckDB has none): it implements
+    the DEFINITION — first letter + consonant codes with
+    adjacent-duplicate merging, H/W transparency (coded consonants
+    separated only by h/w merge), vowel reset, zero-padded to three
+    digits — as a portable string fold, so a green row cross-checks
+    Spark's builtin against the American-Soundex spec itself (probed:
+    ashcraft->A261, tymczak->T522, pfister->P236, honeyman->H555 all
+    agree). Contract scope: the corpus's lowercase [a-z]+ vocabulary
+    (mixed-case/non-alpha handling is builtin-specific and out of
+    scope).
+
+    Scale shape: explode to words, ONE distinct onto the bounded
+    vocabulary, scalar codegen per distinct word — the bpe_encode
+    distinct-word-grain discipline (fact-scale work is the split; the
+    string fold runs once per vocabulary entry, not per token)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+        .select("word", F.soundex("word").alias("code"))
+    )
+
+
+@register(
+    "agg_boolean",
+    # Boolean aggregate family: bool_and / bool_or / count_if — the
+    # every/any/conditional-count trio. All-integer/boolean exact.
+    "SELECT o_orderpriority, "
+    "bool_and(o_totalprice > 1000) AS all_over_1k, "
+    "bool_or(o_totalprice > 100000) AS any_over_100k, "
+    "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) "
+    " AS n_finished, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def agg_boolean(spark, sf):
+    """Boolean aggregates — ``bool_and`` / ``bool_or`` / ``count_if``,
+    the every/any/conditional-count trio data-quality assertions are
+    written in (``bool_and(price > 0)`` IS the assertion; the DataFrame
+    surface every dbt-style test compiles to). Spark's count_if is
+    exercised on the engine side; the oracle spells it SUM(CASE) so the
+    cross-check is definitional rather than builtin-vs-builtin.
+
+    All boolean/integer exact — no floats; one map-side-combinable hash
+    aggregate onto the priority domain (the agg_hash shape)."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 100000).alias("any_over_100k"),
+        F.count_if(F.col("o_orderstatus") == "F")
+        .cast("long")
+        .alias("n_finished"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@register(
+    "scan_row_index",
+    # _metadata.row_index file-position attribution: the engine reports
+    # each row's physical index inside its parquet file; the oracle
+    # re-derives it from the FIXTURE CONTRACT that the generator wrote
+    # documents in doc_id order into a single file (scan_metadata's
+    # attribution discipline — the oracle states what the layout must
+    # be, the engine proves the metadata column agrees).
+    "WITH r AS (SELECT doc_id, "
+    "CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_index, "
+    "'documents.parquet' AS file_name FROM documents) "
+    "SELECT doc_id, row_index, file_name FROM r WHERE doc_id % 50 = 0",
+)
+def scan_row_index(spark, sf):
+    """``_metadata.row_index`` — the hidden file-position column
+    (Spark 3.5+ parquet metadata surface) that makes every row
+    physically addressable without an explicit key: the primitive
+    behind row-level lineage, sampled re-reads, and error-report
+    pointers ('file X row 12345'). Completes the _metadata family next
+    to ``scan_metadata``'s file_name rollup.
+
+    Oracle contract: the driver generator writes each table in key
+    order into a single parquet file, so row_index must equal the
+    doc_id rank (ROW_NUMBER - 1) and file_name the fixture constant —
+    the engine side reads BOTH from the real metadata struct, so a
+    green row proves the physical attribution, not just the
+    arithmetic. The doc_id % 50 filter keeps the checked slice lean.
+
+    Scale shape: a pruned scan plus a generated metadata column — zero
+    shuffles on the engine side (the oracle's global window is
+    oracle-only; Spark never sorts)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            "doc_id",
+            F.col("_metadata.row_index").cast("long").alias("row_index"),
+            F.col("_metadata.file_name").alias("file_name"),
+        )
+    )

@@ -2462,3 +2462,38 @@ def test_kg_resource_allocation_matches_python(spark):
             Decimal("0.000001"), rounding=ROUND_HALF_UP
         )
         assert r.ra == f"{q:.6f}", (r.conv_id, r.ent_a, r.ent_b)
+
+
+def test_fn_soundex_matches_python(spark):
+    """Spark's soundex builtin re-derives from an independent Python
+    implementation of the American-Soundex spec (third formulation next
+    to the handwritten SQL oracle) over the whole corpus vocabulary."""
+    from reach_banner_spark.plans.relational import REGISTRY
+
+    got = REGISTRY["fn_soundex"][0](spark, SF).toPandas()
+    assert len(got) > 20
+
+    code_of = {}
+    for grp, dig in (
+        ("bfpv", "1"),
+        ("cgjkqsxz", "2"),
+        ("dt", "3"),
+        ("l", "4"),
+        ("mn", "5"),
+        ("r", "6"),
+        ("hw", "7"),
+    ):
+        for ch in grp:
+            code_of[ch] = dig
+
+    def soundex(word: str) -> str:
+        codes = [code_of.get(c, "0") for c in word]
+        out, last = "", codes[0]
+        for c in codes[1:]:
+            if c in "123456" and c != last:
+                out += c
+            last = last if c == "7" else ("0" if c == "0" else c)
+        return word[0].upper() + (out + "000")[:3]
+
+    for r in got.itertuples():
+        assert r.code == soundex(r.word), r.word

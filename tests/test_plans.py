@@ -120,8 +120,8 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 373, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 292, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 376, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 295, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
 
 
@@ -511,3 +511,14 @@ def test_graph_kernel_single_exchange(spark):
         assert "FlatMapGroupsInPandas" in plan, (key, plan[:400])
         assert plan.count("Exchange") == 1, (key, plan[:600])
         assert "Scan parquet" not in plan, (key, plan[:400])
+
+
+def test_scan_row_index_zero_exchange(spark):
+    """_metadata.row_index is a generated scan column: the engine side
+    must stay a pure pruned projection — zero Exchanges (the oracle's
+    global window is oracle-only)."""
+    from reach_banner_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["scan_row_index"](spark, SF))
+    assert "Exchange" not in plan, plan[:600]
+    assert "BatchEvalPython" not in plan
