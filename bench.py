@@ -325,6 +325,9 @@ HEADLINE = [
     "fn_soundex",
     "agg_boolean",
     "scan_row_index",
+    "mix_temperature",
+    "macro_dedup_report",
+    "emb_hard_negatives",
 ]
 
 

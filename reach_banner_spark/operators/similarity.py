@@ -1437,3 +1437,93 @@ def emb_cluster_knn(spark, sf, small_pair_cutoff: int = 100_000):
         F.col("comp").alias("cluster"),
         "cluster_size",
     )
+
+
+@register(
+    "emb_hard_negatives",
+    # Triplet mining for contrastive training: per query vector, the
+    # hardest POSITIVE (highest-cosine same-label, excluding self) and
+    # hardest NEGATIVE (highest-cosine different-label), plus the
+    # margin between them — the ann_cosine_topk scoring contract with a
+    # label split.
+    f"""WITH s AS (
+      SELECT q.vec_id AS qid, e.vec_id AS vid,
+        e.label = q.label AS same,
+        ROUND({_COS_SQL}, 6) AS cos
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}),
+    p AS (SELECT qid, vid AS pos_id, cos AS pos_cos,
+      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+      FROM s WHERE same QUALIFY rn = 1),
+    n AS (SELECT qid, vid AS neg_id, cos AS neg_cos,
+      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+      FROM s WHERE NOT same QUALIFY rn = 1)
+    SELECT p.qid, pos_id, pos_cos, neg_id, neg_cos,
+      ROUND(pos_cos - neg_cos, 6) AS margin
+    FROM p JOIN n ON n.qid = p.qid""",
+)
+def emb_hard_negatives(spark, sf):
+    """Hard-negative / hard-positive triplet mining over the embedding
+    table — the batch that contrastive fine-tuning actually trains on:
+    for each query (anchor) vector, the highest-cosine SAME-label
+    vector (hardest positive, self excluded) and the highest-cosine
+    DIFFERENT-label vector (hardest negative — the pair InfoNCE/triplet
+    losses need most), plus the anchor's margin. A negative margin
+    flags anchors whose nearest neighbour crosses the label boundary —
+    exactly the items worth mining.
+
+    Float discipline: the ann_cosine_topk contract — cosine as the
+    fixed zip_with/fold chain rounded to 6 decimals on both engines,
+    ranking on the rounded value with a vec_id tie-break; the margin
+    subtracts two identical rounded doubles (one IEEE op) and
+    re-rounds, so it is bit-identical by construction.
+
+    Scale shape: the documented brute-force baseline — {N_QUERIES}
+    broadcast anchors against the full table, one pass, two
+    rank-1 windows per anchor partition (the IVF/LSH keys are the
+    scale path for the candidate generation; this key pins the scoring
+    and mining semantics those paths re-rank with)."""
+    e = _emb(spark, sf)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = F.broadcast(q).crossJoin(
+        e.select("vec_id", "embedding", "label")
+    ).filter(F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("vid"),
+        (F.col("label") == F.col("qlabel")).alias("same"),
+        F.round(_cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
+    p = (
+        scored.filter(F.col("same"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("vid").alias("pos_id"),
+            F.col("cos").alias("pos_cos"),
+        )
+    )
+    n = (
+        scored.filter(~F.col("same"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("qid").alias("n_qid"),
+            F.col("vid").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+        )
+    )
+    return p.join(n, p["qid"] == n["n_qid"]).select(
+        "qid",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+    )

@@ -2457,6 +2457,64 @@ def chunk_overlap(spark, sf):
     )
 
 
+def doc_lines(d):
+    """(doc_id, ci, line) pseudo-line grain (12-word chunks) — the
+    shared C4-style line table for ``dedup_lines`` and
+    ``macro_dedup_report`` (localCheckpoint'ed: both consumers re-join
+    against it)."""
+    d = d.select("doc_id", F.split("text", " ").alias("w")).withColumn(
+        "n", F.size("w")
+    )
+    n_chunks = F.expr(f"CAST(CEIL(n / {_LINE_WORDS}.0) AS INT)")
+    c = d.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
+    )
+    return c.select(
+        "doc_id",
+        "ci",
+        F.expr(
+            f"array_join(slice(w, ci * {_LINE_WORDS} + 1, "
+            f"{_LINE_WORDS}), ' ')"
+        ).alias("line"),
+    ).localCheckpoint()
+
+
+def line_dup_marks(lines):
+    """Per-line duplicate marks (doc_id, is_dup) over a pseudo-line
+    grain: a line is a duplicate unless it sits at its FIRST global
+    occurrence under the total (doc_id, position) order — spelled as
+    two keyed min-aggregations, never a global row_number (the
+    distributed 'first' discipline shared by ``dedup_lines`` and
+    ``macro_dedup_report``)."""
+    # iterative-self-join discipline (kg_reach): RENAME the derived
+    # sides' columns before re-joining against `lines`
+    f1 = lines.groupBy("line").agg(F.min("doc_id").alias("fdoc")).select(
+        F.col("line").alias("f_line"), "fdoc"
+    )
+    f2 = (
+        lines.join(
+            f1,
+            (lines["line"] == F.col("f_line"))
+            & (lines["doc_id"] == F.col("fdoc")),
+        )
+        .groupBy("f_line", "fdoc")
+        .agg(F.min("ci").alias("fci"))
+    )
+    return lines.join(f2, lines["line"] == F.col("f_line")).select(
+        lines["doc_id"],
+        F.when(
+            (lines["doc_id"] == F.col("fdoc"))
+            & (lines["ci"] == F.col("fci")),
+            0,
+        )
+        .otherwise(1)
+        .alias("is_dup"),
+    )
+
+
+
 @register(
     "dedup_lines",
     # Cross-document repeated-line removal (Lee et al. / C4 line dedup)
@@ -2502,47 +2560,7 @@ def dedup_lines(spark, sf):
     window over the global line order ever materializes (a global
     row_number would single-partition; min-of-(doc, pos) in two keyed
     aggregations is the distributed spelling of 'first')."""
-    d = _docs(spark, sf).select(
-        "doc_id", F.split("text", " ").alias("w")
-    ).withColumn("n", F.size("w"))
-    n_chunks = F.expr(f"CAST(CEIL(n / {_LINE_WORDS}.0) AS INT)")
-    c = d.select(
-        "doc_id",
-        "w",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
-    )
-    lines = c.select(
-        "doc_id",
-        "ci",
-        F.expr(
-            f"array_join(slice(w, ci * {_LINE_WORDS} + 1, "
-            f"{_LINE_WORDS}), ' ')"
-        ).alias("line"),
-    ).localCheckpoint()
-    # iterative-self-join discipline (kg_reach): RENAME the derived
-    # sides' columns before re-joining against `lines`
-    f1 = lines.groupBy("line").agg(F.min("doc_id").alias("fdoc")).select(
-        F.col("line").alias("f_line"), "fdoc"
-    )
-    f2 = (
-        lines.join(
-            f1,
-            (lines["line"] == F.col("f_line"))
-            & (lines["doc_id"] == F.col("fdoc")),
-        )
-        .groupBy("f_line", "fdoc")
-        .agg(F.min("ci").alias("fci"))
-    )
-    m = lines.join(f2, lines["line"] == F.col("f_line")).select(
-        lines["doc_id"],
-        F.when(
-            (lines["doc_id"] == F.col("fdoc"))
-            & (lines["ci"] == F.col("fci")),
-            0,
-        )
-        .otherwise(1)
-        .alias("is_dup"),
-    )
+    m = line_dup_marks(doc_lines(_docs(spark, sf)))
     return m.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum("is_dup").cast("long").alias("n_dup"),
@@ -3773,4 +3791,184 @@ def text_readability(spark, sf):
         fmt6(F.lit(0.4) * ((wd / sd) + F.lit(100.0) * (cwd / wd))).alias(
             "fog"
         ),
+    )
+
+
+# --- temperature-scaled domain mixture ----------------------------------
+
+@register(
+    "mix_temperature",
+    # Temperature-scaled domain-mixture weights (alpha = 1/2 — the
+    # multilingual-sampling temperature rule w_i ∝ n_i^alpha): each
+    # source's sqrt(token count) over the fixed-order sum of all
+    # sources' sqrts. sqrt is the IEEE-pinned transcendental; the
+    # denominator folds in SOURCE-NAME order on both engines so the
+    # float sum is bit-identical.
+    "WITH s AS (SELECT source, "
+    " CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n "
+    " FROM documents GROUP BY source), "
+    "d AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    " list(SQRT(CAST(n AS DOUBLE)) ORDER BY source)), "
+    " (a, x) -> a + x) AS den FROM s) "
+    "SELECT source, n AS n_words, "
+    "printf('%.6f', ROUND(SQRT(CAST(n AS DOUBLE)) / den, 6)) AS weight "
+    "FROM s, d",
+)
+def mix_temperature(spark, sf):
+    """Temperature-scaled domain-mixture weights (alpha = 1/2) — the
+    sampling rule multilingual/multi-domain training actually uses
+    (raw proportional sampling lets the biggest source drown the tail;
+    w_i ∝ n_i^alpha with alpha < 1 upsamples small domains — the
+    XLM-R/mT5 recipe). The static complement of ``mix_weights``' raw
+    shares: same grain, the exponent applied.
+
+    Float discipline: alpha = 1/2 makes every numerator ONE
+    correctly-rounded sqrt of an exact BIGINT (the one transcendental
+    IEEE-754 pins — the events_spearman rule; no pow/exp/log ever
+    runs); the denominator is an order-sensitive float sum, so both
+    engines fold it in the SAME fixed order — source-name ascending,
+    left-associated, init exact 0.0 (Spark: ``aggregate(sort_array)``;
+    oracle: ``list_reduce`` over the 0-prepended ordered list — the
+    kg_resource_allocation contract); each weight is one further IEEE
+    division under ROUND + %.6f.
+
+    Scale shape: one map-side-combinable fact collapse onto the tiny
+    source dimension; the fold and broadcast are dimension-sized."""
+    s = _docs(spark, sf).groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n")
+    )
+    den_df = s.agg(
+        F.sort_array(F.collect_list(F.struct("source", "n"))).alias("a")
+    ).select(
+        F.expr(
+            "aggregate(a, CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + SQRT(CAST(x.n AS DOUBLE)))"
+        ).alias("den")
+    )
+    fmt6 = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    return s.crossJoin(F.broadcast(den_df)).select(
+        "source",
+        F.col("n").alias("n_words"),
+        fmt6(F.sqrt(F.col("n").cast("double")) / F.col("den")).alias(
+            "weight"
+        ),
+    )
+
+
+# --- one-row dedup health report -----------------------------------------
+
+@register(
+    "macro_dedup_report",
+    # One-row corpus dedup profile composing three family contracts
+    # over their SHARED grains: exact-dup redundancy (md5 groups), the
+    # pooled C4 line-dedup ratio (the dedup_lines marks summed), and
+    # high-containment quote pairs (cont_a >= 0.8 decided by the exact
+    # cross-multiply inter*5 >= na*4 — no float threshold).
+    f"WITH d AS (SELECT doc_id, string_split(text, ' ') AS w "
+    " FROM documents), "
+    "ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    " CAST(COUNT(DISTINCT MD5(array_to_string(w, ' '))) AS BIGINT) "
+    "  AS n_distinct FROM d), "
+    "c AS (SELECT doc_id, unnest(generate_series(0, "
+    f" CAST(CEIL(LEN(w) / {_LINE_WORDS}.0) AS INT) - 1)) AS ci, w FROM d), "
+    f"lines AS (SELECT doc_id, ci, array_to_string(list_slice(w, "
+    f" ci * {_LINE_WORDS} + 1, (ci + 1) * {_LINE_WORDS}), ' ') AS line "
+    " FROM c), "
+    "f1 AS (SELECT line, MIN(doc_id) AS fdoc FROM lines GROUP BY line), "
+    "f2 AS (SELECT l.line, f1.fdoc, MIN(l.ci) AS fci FROM lines l "
+    " JOIN f1 ON f1.line = l.line AND l.doc_id = f1.fdoc GROUP BY 1, 2), "
+    "lm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lines, "
+    " CAST(SUM(CASE WHEN l.doc_id = f2.fdoc AND l.ci = f2.fci "
+    "  THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_lines "
+    " FROM lines l JOIN f2 ON f2.line = l.line), "
+    "q AS (SELECT CAST(COALESCE(SUM(CASE WHEN "
+    "  LEN(list_intersect(a.wd, b.wd)) * 5 >= LEN(a.wd) * 4 "
+    "  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_quote_pairs FROM "
+    " (SELECT doc_id, source, list_distinct(w) AS wd FROM d "
+    "  JOIN documents USING (doc_id)) a "
+    " JOIN (SELECT doc_id, source, list_distinct(w) AS wd FROM d "
+    "  JOIN documents USING (doc_id)) b "
+    " ON a.source = b.source AND b.doc_id = a.doc_id + 20) "
+    "SELECT ex.n_docs, ex.n_docs - ex.n_distinct AS n_exact_redundant, "
+    "lm.n_lines, lm.n_dup_lines, "
+    "printf('%.6f', ROUND(CAST(lm.n_dup_lines AS DOUBLE) / lm.n_lines, "
+    " 6)) AS dup_line_ratio, "
+    "q.n_quote_pairs "
+    "FROM ex, lm, q",
+)
+def macro_dedup_report(spark, sf):
+    """One-row corpus dedup health report — the profile a data-curation
+    run publishes before choosing its dedup budget, composing three
+    family contracts over their SHARED stage definitions in one pass:
+    exact-document redundancy (``dedup_exact``'s md5 groups), the
+    pooled C4 line-dedup ratio (``dedup_lines``' marks summed corpus-
+    wide via the shared ``doc_lines``/``line_dup_marks`` helpers), and
+    high-containment quote pairs (``dedup_containment``'s bounded
+    pairing at cont_a >= 0.8). Green here pins the COMPOSITION — the
+    same reason macro_series_profile and macro_retrieval_report exist.
+
+    Float discipline: everything is exact integers except the one
+    pooled line ratio (ONE division under ROUND + %.6f); the 0.8
+    containment threshold is decided by the exact cross-multiply
+    inter*5 >= na*4, so no float ever gates a count.
+
+    Scale shape: three independent map-side-combinable collapses over
+    one corpus scan family (exact: hash agg onto md5 groups; lines:
+    the dedup_lines shape pooled to one row; quotes: the bounded
+    one-partner-per-doc pairing), crossJoined as 1-row aggregates."""
+    d = _docs(spark, sf)
+    ex = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct(F.md5("text")).cast("long").alias("n_distinct"),
+    ).select(
+        "n_docs",
+        (F.col("n_docs") - F.col("n_distinct")).alias("n_exact_redundant"),
+    )
+    lm = line_dup_marks(doc_lines(d)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("is_dup").cast("long").alias("n_dup_lines"),
+    )
+    wd = d.select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("wd")
+    )
+    b = wd.select(
+        F.col("source").alias("b_source"),
+        (F.col("doc_id") - 20).alias("a_id"),
+        F.col("wd").alias("b_wd"),
+    )
+    q = (
+        wd.join(
+            b,
+            (F.col("source") == F.col("b_source"))
+            & (F.col("doc_id") == F.col("a_id")),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.size(F.array_intersect("wd", "b_wd")) * 5
+                        >= F.size("wd") * 4,
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_quote_pairs")
+        )
+    )
+    fmt6 = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    return (
+        ex.crossJoin(lm)
+        .crossJoin(q)
+        .select(
+            "n_docs",
+            "n_exact_redundant",
+            "n_lines",
+            "n_dup_lines",
+            fmt6(
+                F.col("n_dup_lines").cast("double") / F.col("n_lines")
+            ).alias("dup_line_ratio"),
+            "n_quote_pairs",
+        )
     )

@@ -2497,3 +2497,122 @@ def test_fn_soundex_matches_python(spark):
 
     for r in got.itertuples():
         assert r.code == soundex(r.word), r.word
+
+
+def test_mix_temperature_matches_python(spark):
+    """Temperature weights re-derive from a Python sqrt fold in source
+    order — bit-exact through %.6f — and sum to ~1."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.operators.textstats import REGISTRY
+
+    got = REGISTRY["mix_temperature"][0](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n_by_src = (
+        docs.assign(nw=docs.text.str.split(" ").str.len())
+        .groupby("source")
+        .nw.sum()
+        .to_dict()
+    )
+    den = 0.0
+    for src in sorted(n_by_src):
+        den = den + math.sqrt(float(n_by_src[src]))
+    assert len(got) == len(n_by_src)
+    tot = 0.0
+    for r in got.itertuples():
+        w = math.sqrt(float(n_by_src[r.source])) / den
+        tot += w
+        q = Decimal(repr(w)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert r.weight == f"{q:.6f}", r.source
+    assert abs(tot - 1.0) < 1e-9
+
+
+def test_macro_dedup_report_composes_per_keys(spark):
+    """The one-row dedup report reconciles exactly against the three
+    per-key family outputs it composes."""
+    from reach_banner_spark.operators.dedup import (
+        REGISTRY as DEDUP_REG,
+    )
+    from reach_banner_spark.operators.textstats import (
+        REGISTRY as TS_REG,
+    )
+
+    rep = TS_REG["macro_dedup_report"][0](spark, SF).toPandas()
+    assert len(rep) == 1
+    ex = DEDUP_REG["dedup_exact"][0](spark, SF).toPandas()
+    assert int(rep.n_docs[0]) == int(ex.n_dups.sum())
+    assert int(rep.n_exact_redundant[0]) == int(ex.n_dups.sum()) - len(ex)
+    dl = TS_REG["dedup_lines"][0](spark, SF).toPandas()
+    assert int(rep.n_lines[0]) == int(dl.n_lines.sum())
+    assert int(rep.n_dup_lines[0]) == int(dl.n_dup.sum())
+    ct = DEDUP_REG["dedup_containment"][0](spark, SF).toPandas()
+    n_quotes = int((ct.inter * 5 >= ct.na * 4).sum())
+    assert int(rep.n_quote_pairs[0]) == n_quotes
+    assert int(rep.n_dup_lines[0]) > 0  # non-vacuous fixture
+
+
+def test_emb_hard_negatives_matches_python(spark):
+    """Triplets re-derive from a pure-Python left-fold cosine (the
+    identical op sequence as the JVM aggregate) with the same
+    HALF_UP 6-decimal rounding and tie-break — exact match."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.operators.similarity import (
+        N_QUERIES,
+        REGISTRY,
+    )
+
+    got = REGISTRY["emb_hard_negatives"][0](spark, SF).toPandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): ([float(x) for x in r.embedding], int(r.label))
+        for r in emb.itertuples()
+    }
+
+    def fold_cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot = dot + float(x) * float(y)
+        na = 0.0
+        for x in a:
+            na = na + float(x) * float(x)
+        nb = 0.0
+        for y in b:
+            nb = nb + float(y) * float(y)
+        import math
+
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    def r6(x):
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    assert len(got) == N_QUERIES
+    for qid in range(N_QUERIES):
+        qv, ql = vecs[qid]
+        best = {True: None, False: None}
+        for vid, (v, lb) in vecs.items():
+            if vid == qid:
+                continue
+            c = r6(fold_cos(qv, v))
+            k = lb == ql
+            if best[k] is None or (-c, vid) < (-best[k][1], best[k][0]):
+                best[k] = (vid, c)
+        row = got[got.qid == qid]
+        assert int(row.pos_id.iloc[0]) == best[True][0]
+        assert int(row.neg_id.iloc[0]) == best[False][0]
+        assert float(row.pos_cos.iloc[0]) == best[True][1]
+        assert float(row.neg_cos.iloc[0]) == best[False][1]
+        assert float(row.margin.iloc[0]) == r6(
+            best[True][1] - best[False][1]
+        )
