@@ -2995,3 +2995,119 @@ def stream_retrieval_report(spark, sf):
     return retrieval_report_rollup(
         spark.read.parquet(state["path"]).localCheckpoint()
     )
+
+
+@register("stream_holt", None)  # pytest: == batch events_holt
+def stream_holt(spark, sf):
+    """INGEST-TIME Holt level+trend tracking — the streaming twin of
+    ``events_holt`` on the SHARED ``_stream_daily_counts`` state: daily
+    counts sum-merge exactly, and the SHARED ``holt_rollup`` re-runs
+    the identical coupled sorted fold over the final merged table, so
+    streaming == batch is a theorem about SUM composed with a
+    deterministic function of the merged state. State is
+    O(event-types x days)."""
+    from ..plans.events_analytics import holt_rollup
+
+    return holt_rollup(
+        _stream_daily_counts(spark, sf, "stream_holt")
+    ).localCheckpoint()
+
+
+@register("stream_cramers", None)  # pytest: == batch events_cramers_v
+def stream_cramers(spark, sf):
+    """INGEST-TIME Cramér's V effect-size readout — the streaming twin
+    of ``events_cramers_v``: the carried state is the (weekday,
+    event_type, cnt) contingency grain (plain SUM-able counts —
+    exactly mergeable for any micro-batch split), and the SHARED
+    ``cramers_rollup`` re-derives the fixed 35-term chi2 chain and V
+    from the final state, so streaming == batch is a theorem about
+    SUM. State is O(1) — 35 cells; each batch's merge keys on the
+    cell (the stream_chi2 discipline over the weekday split)."""
+    import shutil
+
+    from ..plans.events_analytics import cramers_rollup, dow_type_counts
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_cramers", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = dow_type_counts(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("dow", "event_type")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return cramers_rollup(
+        spark.read.parquet(state["path"])
+    ).localCheckpoint()
+
+
+@register("stream_runs", None)  # pytest: == batch events_runs_test
+def stream_runs(spark, sf):
+    """INGEST-TIME runs-test randomness monitor — the streaming twin
+    of ``events_runs_test``: the carried state is the (day, cnt)
+    daily-totals grain (plain SUM-able counts — exactly mergeable for
+    any micro-batch split), and the SHARED ``runs_rollup`` re-derives
+    the rank-selected median, the sign sequence, and the fixed z chain
+    from the final state, so streaming == batch is a theorem about
+    SUM. State is O(days) — calendar-bounded; each batch's merge keys
+    on the day."""
+    import shutil
+
+    from ..plans.events_analytics import day_totals, runs_rollup
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_runs", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = day_totals(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("day")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return runs_rollup(
+        spark.read.parquet(state["path"])
+    ).localCheckpoint()

@@ -1489,3 +1489,68 @@ def test_stream_retrieval_report_equals_batch(spark):
         .reset_index(drop=True)
     )
     assert again.equals(got)
+
+
+def test_stream_holt_equals_batch(spark):
+    """stream_holt's per-type (level, trend, forecast) == the one-shot
+    events_holt (carried state is the shared sum-mergeable daily-counts
+    grain). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = (
+        ops.REGISTRY["stream_holt"][0](spark, SF)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        EV_REGISTRY["events_holt"][0](spark, SF)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    again = (
+        ops.REGISTRY["stream_holt"][0](spark, SF)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)
+
+
+def test_stream_cramers_equals_batch(spark):
+    """stream_cramers' one-row chi2 + V == the one-shot
+    events_cramers_v (carried state is the sum-mergeable weekday x
+    type contingency grain). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_cramers"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_cramers_v"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_cramers"][0](spark, SF).toPandas()
+    assert again.equals(got)
+
+
+def test_stream_runs_equals_batch(spark):
+    """stream_runs' one-row z readout == the one-shot events_runs_test
+    (carried state is the sum-mergeable daily-totals grain). Re-run
+    identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_runs"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_runs_test"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_runs"][0](spark, SF).toPandas()
+    assert again.equals(got)
