@@ -328,6 +328,9 @@ HEADLINE = [
     "mix_temperature",
     "macro_dedup_report",
     "emb_hard_negatives",
+    "events_jackknife",
+    "events_deciles",
+    "kg_ppr",
 ]
 
 

@@ -4517,3 +4517,146 @@ def runs_rollup(dt: DataFrame) -> DataFrame:
             _FMT6(z).alias("z"),
         )
     )
+
+
+# ---------------------------------------------- jackknife standard error --
+
+@register(
+    "events_jackknife",
+    # Leave-one-day-out jackknife SE of the mean daily volume, collapsed
+    # to exact integers: m_i - mean = (S - n*x_i)/(n(n-1)), so
+    # SE^2 = sum(S - n*x_i)^2 / (n^3 (n-1)) — one exact HUGEINT sum of
+    # squares, one exact denominator, one IEEE division and one
+    # correctly-rounded sqrt.
+    "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+    " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+    "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    " CAST(SUM(cnt) AS BIGINT) AS s FROM dt), "
+    "t AS (SELECT CAST(SUM(CAST(s - n * cnt AS HUGEINT) "
+    " * (s - n * cnt)) AS HUGEINT) AS q FROM dt, m) "
+    "SELECT n AS n_days, s AS total_events, "
+    "printf('%.6f', ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)) "
+    " AS mean_daily, "
+    "printf('%.6f', ROUND(SQRT(CAST(q AS DOUBLE) "
+    " / CAST(CAST(n AS HUGEINT) * n * n * (n - 1) AS DOUBLE)), 6)) "
+    " AS jackknife_se "
+    "FROM m, t WHERE n > 1",
+)
+def events_jackknife(spark, sf):
+    """Leave-one-out jackknife standard error of the mean daily volume
+    — the resampling-school uncertainty readout next to the
+    events_anomaly z-scores (same question — 'how far can this mean
+    drift?' — answered by the Quenouille/Tukey estimator every metrics
+    platform quotes as its error bar; for the mean it provably equals
+    the classical s/sqrt(n), which makes it the perfect exact-integer
+    pin of the whole jackknife recipe).
+
+    Float discipline: m_i - mean collapses to (S - n*x_i)/(n(n-1)), so
+    SE^2 = sum over days of (S - n*x_i)^2 / (n^3(n-1)) — the sum of
+    squares is an exact DECIMAL(38,0)/HUGEINT, the denominator an
+    exact integer product, and SE is ONE IEEE division + ONE
+    correctly-rounded sqrt under ROUND + %.6f (the events_spearman
+    chain); the mean is one further exact-int division. Degenerate
+    n <= 1 filtered by integer guards on both sides.
+
+    Scale shape: one map-side-combinable fact collapse to the calendar
+    day grain, one 2-integer rollup, one dimension-sized sum of
+    squares — the events_anomaly shape with a different tail."""
+    dt = day_totals(_events(spark, sf))
+    m = dt.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+    )
+    t = (
+        dt.crossJoin(F.broadcast(m))
+        .select(
+            (
+                (F.col("s") - F.col("n") * F.col("cnt")).cast("decimal(38,0)")
+                * (F.col("s") - F.col("n") * F.col("cnt"))
+            ).alias("sq")
+        )
+        .agg(F.sum("sq").cast("decimal(38,0)").alias("q"))
+    )
+    den = (
+        F.col("n").cast("decimal(38,0)")
+        * F.col("n")
+        * F.col("n")
+        * (F.col("n") - 1)
+    ).cast("double")
+    return (
+        m.crossJoin(F.broadcast(t))
+        .filter(F.col("n") > 1)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("s").alias("total_events"),
+            _FMT6(F.col("s").cast("double") / F.col("n").cast("double")).alias(
+                "mean_daily"
+            ),
+            _FMT6(F.sqrt(F.col("q").cast("double") / den)).alias(
+                "jackknife_se"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------ purchase-amount deciles --
+
+@register(
+    "events_deciles",
+    # Exact rank-selected deciles of purchase amounts over the bounded
+    # cents grain: decile q = MIN cents with cum*10 >= n*q (integer
+    # cross-multiply — the events_winsorized_mean selection rule, never
+    # interpolation). No floats anywhere but the display division
+    # by 100.
+    "WITH c AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents "
+    " FROM events WHERE event_type = 'purchase'), "
+    "g AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM c "
+    " GROUP BY cents), "
+    "cu AS (SELECT cents, CAST(SUM(cnt) OVER (ORDER BY cents "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum "
+    " FROM g), "
+    "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g), "
+    "d AS (SELECT unnest(generate_series(1, 9)) AS decile) "
+    "SELECT decile, MIN(cents) AS cents, "
+    "printf('%.6f', ROUND(CAST(MIN(cents) AS DOUBLE) / 100, 6)) AS amount "
+    "FROM cu, t, d WHERE cum * 10 >= n * decile "
+    "GROUP BY decile",
+)
+def events_deciles(spark, sf):
+    """Exact purchase-amount deciles — the distribution readout a
+    revenue dashboard draws as its box/violin summary, completing the
+    robust family's selection rule (``agg_median`` interpolates the
+    exact middle; ``events_winsorized_mean`` selects p5/p95; this key
+    selects all nine interior deciles in one pass).
+
+    Float discipline: amounts bin to exact integer cents; each decile
+    is RANK-SELECTED via the exact integer cross-multiply
+    cum*10 >= n*q over the cents-grain cumsum (never an interpolated
+    quantile); the display amount is one exact-int division by 100
+    under ROUND + %.6f.
+
+    Scale shape: one map-side-combinable fact collapse to the bounded
+    cents grain, one ordered cumsum window over that dimension table,
+    one 9-row selection join — the events_winsorized_mean shape with a
+    decile dimension instead of two cuts."""
+    g = purchase_cents_counts(_events(spark, sf))
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cu = g.select(
+        "cents", F.sum("cnt").over(wcum).cast("long").alias("cum")
+    )
+    t = g.agg(F.sum("cnt").cast("long").alias("n"))
+    d = spark.range(1, 10).select(F.col("id").cast("long").alias("decile"))
+    return (
+        cu.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(d))
+        .filter(F.col("cum") * 10 >= F.col("n") * F.col("decile"))
+        .groupBy("decile")
+        .agg(F.min("cents").alias("cents"))
+        .select(
+            "decile",
+            "cents",
+            _FMT6(F.col("cents").cast("double") / 100).alias("amount"),
+        )
+    )

@@ -4708,3 +4708,112 @@ def kg_resource_allocation(spark, sf):
         F.col("c").alias("n_common"),
         F.format_string("%.6f", F.round(ra, 6)).alias("ra"),
     )
+
+
+# ------------------------------------------------ personalized PageRank ----
+
+@register("kg_ppr", None)  # pytest == kg_ppr_py twin EXACTLY (sorted folds)
+def kg_ppr(spark, sf, iters: int = 10, damping: float = 0.85):
+    """Personalized PageRank from a deterministic seed entity — the
+    'related entities' ranking a KG serves per-query (global PageRank
+    answers 'important overall'; PPR answers 'important RELATIVE TO
+    this entity', the primitive behind entity recommendation and
+    query expansion). Teleport mass returns to the single seed — the
+    most-frequent subject entity, ties broken lexicographically, so
+    the seed is a pure function of the graph.
+
+    Same iterative discipline as ``kg_pagerank``: distinct-edge join +
+    groupBy per iteration over the bounded entity domain, fixed
+    ``iters`` (zero in-loop driver barriers), ``localCheckpoint`` per
+    round, dangling mass dropped (documented simplification, matching
+    kg_pagerank). Determinism: per-node in-rank reduction is a SORTED
+    left fold, and the python twin folds in the same order, so the two
+    agree bit-for-bit (the kg_hits exactness contract, not the
+    pagerank twin's atol)."""
+    t = _triples_table(spark, sf)
+    edges = t.select("subj", "obj").distinct()
+    seed_row = (
+        t.groupBy("subj")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("subj"))
+        .limit(1)
+        .collect()
+    )
+    if not seed_row:
+        return spark.createDataFrame([], "node string, rank double")
+    seed = seed_row[0]["subj"]
+    nodes = (
+        edges.select(F.col("subj").alias("node"))
+        .unionByName(edges.select(F.col("obj").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("subj").agg(F.count(F.lit(1)).alias("deg"))
+    edges = edges.join(outdeg, "subj").localCheckpoint()
+    rank = nodes.withColumn(
+        "rank",
+        F.when(F.col("node") == seed, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    for _ in range(iters):
+        contrib = edges.join(
+            rank.withColumnRenamed("node", "subj"), "subj"
+        ).select(
+            F.col("obj").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+        )
+        agg = contrib.groupBy("node").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("c")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("in_rank")
+        )
+        rank = (
+            nodes.join(agg, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("node") == seed, F.lit(1.0 - damping)
+                    ).otherwise(F.lit(0.0))
+                    + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return rank.select(
+        F.lit(seed).alias("seed"), "node", F.round("rank", 6).alias("rank")
+    )
+
+
+def kg_ppr_py(
+    edges: pd.DataFrame, seed: str, iters: int = 10, damping: float = 0.85
+) -> pd.DataFrame:
+    """Single-process twin of ``kg_ppr`` replaying the IDENTICAL
+    sorted-left-fold accumulation, so the comparison is exact."""
+    e = edges.drop_duplicates()
+    nodes = sorted(set(e["subj"]) | set(e["obj"]))
+    if not nodes:
+        return pd.DataFrame({"node": [], "rank": []})
+    deg = e.groupby("subj").size().to_dict()
+    out_edges: dict = {}
+    for s, o in zip(e["subj"], e["obj"]):
+        out_edges.setdefault(s, []).append(o)
+    rank = {v: (1.0 if v == seed else 0.0) for v in nodes}
+    for _ in range(iters):
+        contribs: dict = {v: [] for v in nodes}
+        for s, outs in out_edges.items():
+            c = rank[s] / float(deg[s])
+            for o in outs:
+                contribs[o].append(c)
+        nxt = {}
+        for v in nodes:
+            acc = 0.0
+            for c in sorted(contribs[v]):
+                acc = acc + c
+            base = (1.0 - damping) if v == seed else 0.0
+            nxt[v] = base + damping * acc
+        rank = nxt
+    return pd.DataFrame(
+        {"node": nodes, "rank": [rank[v] for v in nodes]}
+    )

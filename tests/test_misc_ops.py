@@ -2616,3 +2616,103 @@ def test_emb_hard_negatives_matches_python(spark):
         assert float(row.margin.iloc[0]) == r6(
             best[True][1] - best[False][1]
         )
+
+
+def test_events_jackknife_matches_python(spark):
+    """Jackknife SE re-derives from the exact-integer collapse AND from
+    the definitional leave-one-out resampling (two independent
+    formulations); for the mean it equals classical s/sqrt(n)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_jackknife"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    xs = ev.groupby(ev.ts.dt.strftime("%Y-%m-%d")).size().tolist()
+    n, s = len(xs), sum(xs)
+    q = sum((s - n * x) ** 2 for x in xs)
+    se = math.sqrt(float(q) / float(n * n * n * (n - 1)))
+    # definitional jackknife (independent formulation)
+    loo = [(s - x) / (n - 1) for x in xs]
+    mbar = sum(loo) / n
+    se_def = math.sqrt((n - 1) / n * sum((m - mbar) ** 2 for m in loo))
+    assert abs(se - se_def) < 1e-9
+
+    def fmt(x: float) -> str:
+        d = Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        return f"{d:.6f}"
+
+    assert int(got.n_days[0]) == n
+    assert int(got.total_events[0]) == s
+    assert got.mean_daily[0] == fmt(float(s) / float(n))
+    assert got.jackknife_se[0] == fmt(se)
+
+
+def test_events_deciles_matches_python(spark):
+    """Deciles re-derive from direct Python rank selection over sorted
+    cents; the selected values are monotone nondecreasing."""
+    import math
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = (
+        REGISTRY["events_deciles"][0](spark, SF)
+        .toPandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    assert got.decile.tolist() == list(range(1, 10))
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    cents = sorted(
+        int(math.floor(v * 100))
+        for v in ev[ev.event_type == "purchase"].value
+    )
+    n = len(cents)
+    for q in range(1, 10):
+        # first rank r with 10*r >= n*q  (1-based)
+        r = (n * q + 9) // 10
+        assert int(got.cents[q - 1]) == cents[r - 1], q
+    assert got.cents.is_monotonic_increasing
+
+
+def test_kg_ppr_matches_python_exactly(spark):
+    """kg_ppr == the python twin replaying the identical sorted fold —
+    EXACT doubles before rounding is unobservable here, so compare the
+    rounded emission; seed mass dominates; total mass <= 1."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _triples_table,
+        kg_ppr_py,
+    )
+
+    got = REGISTRY["kg_ppr"][0](spark, SF).toPandas()
+    t = _triples_table(spark, SF).toPandas()
+    seed = (
+        t.groupby("subj")
+        .size()
+        .reset_index(name="c")
+        .sort_values(["c", "subj"], ascending=[False, True])
+        .subj.iloc[0]
+    )
+    assert (got.seed == seed).all()
+    want = kg_ppr_py(t[["subj", "obj"]], seed)
+    wmap = dict(zip(want.node, want["rank"]))
+    assert set(got.node) == set(wmap)
+    for r in got.itertuples():
+        q = Decimal(repr(float(wmap[r.node]))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert float(r.rank) == float(q), r.node
+    assert got["rank"].sum() <= 1.0 + 1e-6
+    assert (
+        got.set_index("node").loc[seed, "rank"] == got["rank"].max()
+    )
