@@ -331,6 +331,9 @@ HEADLINE = [
     "events_jackknife",
     "events_deciles",
     "kg_ppr",
+    "retrieval_recall_at_k",
+    "lm_zipf_profile",
+    "macro_text_report",
 ]
 
 

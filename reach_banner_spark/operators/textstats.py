@@ -3972,3 +3972,311 @@ def macro_dedup_report(spark, sf):
             "n_quote_pairs",
         )
     )
+
+
+# --- recall curve -------------------------------------------------------
+
+_RECALL_KS = (1, 5, 10, 20)
+
+
+def _recall_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS "
+        f"{c}{i}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+        for c, t in (("r", r), ("l", l))
+    )
+    cands = " UNION ALL ".join(
+        f"SELECT '{r}->{l}' AS query, rn, "
+        f"CASE WHEN l{i} >= {_MRR_REL_TF} THEN 1 ELSE 0 END AS rel "
+        f"FROM (SELECT l{i}, ROW_NUMBER() OVER (ORDER BY r{i} DESC, "
+        f"doc_id) AS rn FROM tf WHERE r{i} >= 1) s WHERE rn <= {_MRR_K}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    )
+    rels = " UNION ALL ".join(
+        f"SELECT '{r}->{l}' AS query, CAST(SUM(CASE WHEN l{i} >= "
+        f"{_MRR_REL_TF} THEN 1 ELSE 0 END) AS BIGINT) AS n_rel FROM tf"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    )
+    ks = ", ".join(str(k) for k in _RECALL_KS)
+    return (
+        f"WITH tf AS (SELECT doc_id, {tf_cols} FROM documents), "
+        f"c AS ({cands}), r AS ({rels}), "
+        f"ks AS (SELECT unnest([{ks}]) AS k), "
+        f"h AS (SELECT query, k, CAST(SUM(CASE WHEN rn <= k AND rel = 1 "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM c, ks "
+        f"GROUP BY query, k), "
+        f"j AS (SELECT h.query, h.k, h.n_hits, r.n_rel FROM h "
+        f"JOIN r USING (query)) "
+        f"SELECT query, CAST(k AS BIGINT) AS k, n_hits, "
+        f"n_rel AS n_relevant, "
+        f"printf('%.6f', ROUND(CASE WHEN n_rel > 0 THEN "
+        f"CAST(n_hits AS DOUBLE) / n_rel ELSE CAST(0 AS DOUBLE) END, 6)) "
+        f"AS recall FROM j "
+        f"UNION ALL "
+        f"SELECT '__all__', CAST(k AS BIGINT), "
+        f"CAST(SUM(n_hits) AS BIGINT), CAST(SUM(n_rel) AS BIGINT), "
+        f"printf('%.6f', ROUND(CAST(SUM(n_hits) AS DOUBLE) / SUM(n_rel), "
+        f"6)) FROM j GROUP BY k"
+    )
+
+
+@register("retrieval_recall_at_k", _recall_sql())
+def retrieval_recall_at_k(spark, sf):
+    """Recall curve — recall@k for k in (1, 5, 10, 20) per query plus
+    the pooled micro-average per k (the '__all__' rows): the candidate-
+    generation sizing chart every retrieval stack plots when choosing
+    its re-ranker depth (``retrieval_pr_at_k`` reports ONE operating
+    point; the curve shows where recall saturates, which is what
+    decides k). Same query set, ranking, and relevance cut as the rest
+    of the eval family.
+
+    Float discipline: hit and relevant counts are exact integers; each
+    recall is ONE IEEE division under ROUND + %.6f (the micro-average
+    divides pooled exact sums — never a mean of floats); zero-relevant
+    queries report 0 by the pr_at_k contract.
+
+    Scale shape: one corpus pass to the checkpointed tf grain, one
+    top-20 cut per query (TakeOrderedAndProject), then every (query, k)
+    cell aggregates over the <= 20-row candidate slice crossed with the
+    4-row k dimension — dimension-sized end to end."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    tf_of = lambda t: F.size(  # noqa: E731
+        F.filter(words, lambda w: w == F.lit(t))
+    )
+    cols = [F.col("doc_id")]
+    for i, (r, l) in enumerate(_MRR_QUERIES):
+        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    tf = d.select(*cols).localCheckpoint()
+
+    cands, rels = [], []
+    for i, (r, l) in enumerate(_MRR_QUERIES):
+        w = Window.orderBy(F.desc(f"r{i}"), F.asc("doc_id"))
+        cands.append(
+            tf.filter(F.col(f"r{i}") >= 1)
+            .select(
+                F.lit(f"{r}->{l}").alias("query"),
+                F.row_number().over(w).alias("rn"),
+                F.when(F.col(f"l{i}") >= _MRR_REL_TF, 1)
+                .otherwise(0)
+                .alias("rel"),
+            )
+            .filter(F.col("rn") <= _MRR_K)
+        )
+        rels.append(
+            tf.agg(
+                F.sum(
+                    F.when(F.col(f"l{i}") >= _MRR_REL_TF, 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_rel")
+            ).select(F.lit(f"{r}->{l}").alias("query"), "n_rel")
+        )
+    c = cands[0]
+    for x in cands[1:]:
+        c = c.unionAll(x)
+    rl = rels[0]
+    for x in rels[1:]:
+        rl = rl.unionAll(x)
+    ks = spark.createDataFrame(
+        [(k,) for k in _RECALL_KS], "k long"
+    )
+    h = (
+        c.crossJoin(F.broadcast(ks))
+        .groupBy("query", "k")
+        .agg(
+            F.sum(
+                F.when((F.col("rn") <= F.col("k")) & (F.col("rel") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hits")
+        )
+    )
+    j = h.join(rl, "query").localCheckpoint()
+    fmt6 = lambda x: F.format_string("%.6f", F.round(x, 6))  # noqa: E731
+    per_q = j.select(
+        "query",
+        "k",
+        "n_hits",
+        F.col("n_rel").alias("n_relevant"),
+        fmt6(
+            F.when(
+                F.col("n_rel") > 0,
+                F.col("n_hits").cast("double") / F.col("n_rel"),
+            ).otherwise(F.lit(0.0))
+        ).alias("recall"),
+    )
+    pooled = j.groupBy("k").agg(
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.sum("n_rel").cast("long").alias("n_relevant"),
+    ).select(
+        F.lit("__all__").alias("query"),
+        "k",
+        "n_hits",
+        "n_relevant",
+        fmt6(
+            F.col("n_hits").cast("double") / F.col("n_relevant")
+        ).alias("recall"),
+    )
+    return per_q.unionAll(pooled)
+
+
+# --- Zipf profile ---------------------------------------------------------
+
+@register(
+    "lm_zipf_profile",
+    # Zipf's-law head profile: the top-20 corpus words with rank,
+    # frequency, and the rank*frequency product (constant under an
+    # ideal Zipf fit) — all exact integers, no log-log regression, so
+    # libm never enters.
+    "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+    " FROM documents), "
+    "f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM w "
+    " WHERE word <> '' GROUP BY word), "
+    "r AS (SELECT word, freq, CAST(ROW_NUMBER() OVER (ORDER BY freq "
+    " DESC, word) AS BIGINT) AS rank FROM f QUALIFY rank <= 20) "
+    "SELECT rank, word, freq, rank * freq AS rf FROM r",
+)
+def lm_zipf_profile(spark, sf):
+    """Zipf's-law head profile — the top-20 vocabulary with each word's
+    rank, frequency, and rank*frequency product. Under Zipf's law
+    r*f is roughly constant, so this 20-row table IS the corpus's
+    lexical-naturalness fingerprint (machine-generated or templated
+    corpora show a flat head; the check every corpus intake runs next
+    to ``corpus_length_dist``), and it reads without fitting a log-log
+    slope — keeping libm out entirely (the retrieval_mrr rationale).
+
+    All exact integers; tie-break word-ascending so the ranking is
+    total on both engines.
+
+    Scale shape: one fact-scale explode + map-side-combinable word
+    count (Zipf makes the distinct-word table sublinear), one
+    TakeOrderedAndProject top-20, one 20-row rank window."""
+    from pyspark.sql.window import Window
+
+    f = (
+        _docs(spark, sf)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    top = f.orderBy(F.desc("freq"), F.asc("word")).limit(20)
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "word", "freq", (F.col("rank") * F.col("freq")).alias("rf"))
+    )
+
+
+# --- one-row corpus text report -------------------------------------------
+
+@register(
+    "macro_text_report",
+    # One-row corpus text profile composing the text family's shared
+    # contracts: exact doc/word/vocab counts, the language mix, the
+    # pooled stopword ratio, and the corpus-level Flesch score (the
+    # text_readability pooled-ints-then-one-chain discipline applied
+    # corpus-wide).
+    f"WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    " CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words, "
+    " CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_en, "
+    f" CAST(SUM((len(string_split(text, ' ')) + 11) // 12) AS BIGINT) "
+    "  AS n_sentences, "
+    " CAST(SUM(len(regexp_extract_all(text, '[aeiou]+'))) AS BIGINT) "
+    "  AS n_syllables, "
+    f" CAST(SUM(len(list_filter(string_split(text, ' '), "
+    f"  x -> x IN ({_SW_SQL})))) AS BIGINT) AS n_stop "
+    " FROM documents), "
+    "v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS vocab_size "
+    " FROM (SELECT unnest(string_split(text, ' ')) AS word "
+    "  FROM documents) u WHERE word <> '') "
+    "SELECT n_docs, n_words, vocab_size, "
+    "printf('%.6f', ROUND(CAST(n_en AS DOUBLE) / n_docs, 6)) AS pct_en, "
+    "printf('%.6f', ROUND(CAST(n_stop AS DOUBLE) / n_words, 6)) "
+    " AS stopword_ratio, "
+    "printf('%.6f', ROUND(CAST(206.835 AS DOUBLE) "
+    " - CAST(1.015 AS DOUBLE) "
+    "  * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) "
+    " - CAST(84.6 AS DOUBLE) "
+    "  * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)) "
+    " AS flesch "
+    "FROM base, v WHERE n_words > 0 AND n_sentences > 0",
+)
+def macro_text_report(spark, sf):
+    """One-row corpus text health report — the intake profile a
+    curation run publishes before any gating decision, composing the
+    text family's shared contracts in one pass: exact document/word/
+    vocabulary counts, the language mix share, the pooled stopword
+    ratio (``text_quality``'s signal corpus-wide), and the corpus-level
+    Flesch score (``text_readability``'s pooled-exact-counts-then-one-
+    fixed-chain discipline applied to the whole corpus). Green here
+    pins the text-family COMPOSITION, the macro_dedup_report rationale.
+
+    Float discipline: every count pools as an exact BIGINT; each ratio
+    is ONE IEEE division and the Flesch score one fixed literal chain
+    (constants probed bit-identical across engines) — never a mean of
+    per-doc floats.
+
+    Scale shape: ONE corpus scan collapses to a 6-integer row
+    (map-side combinable) plus one explode + distinct for the
+    vocabulary (Zipf-sublinear) — two jobs, both aggregate-state
+    narrow."""
+    d = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    base = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(words)).cast("long").alias("n_words"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_en"),
+        F.sum(F.expr("(size(split(text, ' ')) + 11) div 12"))
+        .cast("long")
+        .alias("n_sentences"),
+        F.sum(F.regexp_count(F.col("text"), F.lit("[aeiou]+")))
+        .cast("long")
+        .alias("n_syllables"),
+        F.sum(
+            F.size(
+                F.filter(
+                    words, lambda x: x.isin(*_STOPWORDS)
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_stop"),
+    )
+    v = (
+        d.select(F.explode(words).alias("word"))
+        .filter(F.col("word") != "")
+        .agg(F.count_distinct("word").cast("long").alias("vocab_size"))
+    )
+    fmt6 = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    wd = F.col("n_words").cast("double")
+    return (
+        base.crossJoin(F.broadcast(v))
+        .filter((F.col("n_words") > 0) & (F.col("n_sentences") > 0))
+        .select(
+            "n_docs",
+            "n_words",
+            "vocab_size",
+            fmt6(F.col("n_en").cast("double") / F.col("n_docs")).alias(
+                "pct_en"
+            ),
+            fmt6(F.col("n_stop").cast("double") / F.col("n_words")).alias(
+                "stopword_ratio"
+            ),
+            fmt6(
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (wd / F.col("n_sentences").cast("double"))
+                - F.lit(84.6)
+                * (F.col("n_syllables").cast("double") / wd)
+            ).alias("flesch"),
+        )
+    )

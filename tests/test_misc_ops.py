@@ -2716,3 +2716,104 @@ def test_kg_ppr_matches_python_exactly(spark):
     assert (
         got.set_index("node").loc[seed, "rank"] == got["rank"].max()
     )
+
+
+def test_retrieval_recall_at_k_matches_python(spark):
+    """The recall curve re-derives from a pure-Python re-ranking; the
+    curve is nondecreasing in k and the pooled rows reconcile."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.operators.textstats import (
+        _MRR_QUERIES,
+        _MRR_REL_TF,
+        _RECALL_KS,
+        REGISTRY,
+    )
+
+    got = REGISTRY["retrieval_recall_at_k"][0](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def fmt(x: float) -> str:
+        q = Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        return f"{q:.6f}"
+
+    pooled_h = {k: 0 for k in _RECALL_KS}
+    pooled_r = {k: 0 for k in _RECALL_KS}
+    for rt, lt in _MRR_QUERIES:
+        rows, n_rel = [], 0
+        for did, text in zip(docs.doc_id, docs.text):
+            ws = text.split(" ")
+            ltf = sum(1 for w in ws if w == lt)
+            if ltf >= _MRR_REL_TF:
+                n_rel += 1
+            rtf = sum(1 for w in ws if w == rt)
+            if rtf >= 1:
+                rows.append((-rtf, did, ltf >= _MRR_REL_TF))
+        rows.sort()
+        prev = -1.0
+        for k in _RECALL_KS:
+            hits = sum(1 for _, _, rel in rows[:k] if rel)
+            pooled_h[k] += hits
+            pooled_r[k] += n_rel
+            row = got[(got["query"] == f"{rt}->{lt}") & (got.k == k)]
+            assert len(row) == 1
+            assert int(row.n_hits.iloc[0]) == hits
+            assert int(row.n_relevant.iloc[0]) == n_rel
+            rec = float(hits) / n_rel if n_rel else 0.0
+            assert row.recall.iloc[0] == fmt(rec)
+            assert rec >= prev - 1e-12  # nondecreasing in k
+            prev = rec
+    for k in _RECALL_KS:
+        row = got[(got["query"] == "__all__") & (got.k == k)]
+        assert int(row.n_hits.iloc[0]) == pooled_h[k]
+        assert row.recall.iloc[0] == fmt(
+            float(pooled_h[k]) / pooled_r[k]
+        )
+
+
+def test_lm_zipf_profile_matches_python(spark):
+    """The Zipf head re-derives from a direct Python count; frequencies
+    are nonincreasing and rf = rank * freq."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from reach_banner_spark.operators.textstats import REGISTRY
+
+    got = (
+        REGISTRY["lm_zipf_profile"][0](spark, SF)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 20
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    cnt = Counter(w for t in docs.text for w in t.split(" ") if w)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    for i, (w, f) in enumerate(want, 1):
+        row = got[got["rank"] == i]
+        assert row.word.iloc[0] == w and int(row.freq.iloc[0]) == f
+        assert int(row.rf.iloc[0]) == i * f
+    assert (got.freq.diff().dropna() <= 0).all()
+
+
+def test_macro_text_report_composes_per_keys(spark):
+    """The one-row text report reconciles against the per-key family
+    outputs it composes (readability pooled counts, vocab from the
+    distinct-word grain)."""
+    import pandas as pd
+
+    from reach_banner_spark.operators.textstats import REGISTRY
+
+    rep = REGISTRY["macro_text_report"][0](spark, SF).toPandas()
+    assert len(rep) == 1
+    rd = REGISTRY["text_readability"][0](spark, SF).toPandas()
+    assert int(rep.n_words[0]) == int(rd.words.sum())
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert int(rep.n_docs[0]) == len(docs)
+    vocab = set(w for t in docs.text for w in t.split(" ") if w)
+    assert int(rep.vocab_size[0]) == len(vocab)
