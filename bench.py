@@ -334,6 +334,8 @@ HEADLINE = [
     "retrieval_recall_at_k",
     "lm_zipf_profile",
     "macro_text_report",
+    "events_anova",
+    "sql_order_by_all",
 ]
 
 

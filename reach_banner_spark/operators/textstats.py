@@ -3748,9 +3748,19 @@ def text_readability(spark, sf):
     Scale shape: ONE corpus pass computes the three per-doc integer
     counts JVM-side (split + regexp_count — no Python), then one
     map-side-combinable aggregation onto the tiny source dimension."""
+    g = readability_counts(_docs(spark, sf), keys=["source"])
+    return readability_rollup(g, keys=["source"])
+
+
+def readability_counts(d, keys: list) -> "DataFrame":
+    """Pooled exact readability counts (n_docs, words, sentences,
+    syllables, complex_words) grouped by ``keys`` (possibly empty for a
+    corpus-wide row) — the shared grain for ``text_readability`` and
+    its streaming twin (all plain SUMs: exactly mergeable across
+    micro-batches)."""
     words = F.split(F.col("text"), " ")
-    d = _docs(spark, sf).select(
-        "source",
+    per_doc = d.select(
+        *keys,
         F.size(words).cast("long").alias("w"),
         F.regexp_count(F.col("text"), F.lit("[aeiou]+"))
         .cast("long")
@@ -3764,20 +3774,27 @@ def text_readability(spark, sf):
         .cast("long")
         .alias("cw"),
     )
-    g = d.groupBy("source").agg(
+    grouped = per_doc.groupBy(*keys) if keys else per_doc.groupBy()
+    return grouped.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("w").cast("long").alias("words"),
         F.sum(F.expr("(w + 11) div 12")).cast("long").alias("sentences"),
         F.sum("sy").cast("long").alias("syllables"),
         F.sum("cw").cast("long").alias("complex_words"),
     )
+
+
+def readability_rollup(g, keys: list) -> "DataFrame":
+    """Apply the fixed Flesch/fog chains to a pooled-counts table —
+    shared by ``text_readability`` and its streaming twin (the
+    pooled-ints-then-one-chain float contract lives here)."""
     wd = F.col("words").cast("double")
     sd = F.col("sentences").cast("double")
     syd = F.col("syllables").cast("double")
     cwd = F.col("complex_words").cast("double")
     fmt6 = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
     return g.filter((F.col("words") > 0) & (F.col("sentences") > 0)).select(
-        "source",
+        *keys,
         "n_docs",
         "words",
         "sentences",

@@ -4660,3 +4660,140 @@ def events_deciles(spark, sf):
             _FMT6(F.col("cents").cast("double") / 100).alias("amount"),
         )
     )
+
+
+# ------------------------------------------------ one-way ANOVA (weekday) --
+
+def _anova_sql() -> str:
+    """Build the events_anova oracle: daily totals bucketed by the
+    epoch-anchored weekday, per-group exact moments (n, S, Q), then SSW
+    and SSB as EXPLICIT left-associated 7-term chains of single exact
+    divisions (the events_chi2 discipline) and F as two more fixed
+    divisions."""
+    gs = range(7)
+    cells = ", ".join(
+        f"CAST(SUM(CASE WHEN dow = {g} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n{g}, "
+        f"CAST(SUM(CASE WHEN dow = {g} THEN cnt ELSE 0 END) AS BIGINT) "
+        f"AS s{g}, "
+        f"CAST(SUM(CASE WHEN dow = {g} THEN cnt * cnt ELSE 0 END) "
+        f"AS BIGINT) AS q{g}"
+        for g in gs
+    )
+    ssw = " + ".join(
+        f"(CAST(n{g} * q{g} - s{g} * s{g} AS DOUBLE) / CAST(n{g} AS DOUBLE))"
+        for g in gs
+    )
+    ssb_terms = " + ".join(
+        f"(CAST(s{g} * s{g} AS DOUBLE) / CAST(n{g} AS DOUBLE))" for g in gs
+    )
+    ssb = f"({ssb_terms}) - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)"
+    guards = " AND ".join(f"n{g} > 0" for g in gs)
+    return (
+        "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+        "dd AS (SELECT cnt, (CAST(day AS DATE) - DATE '2024-01-01') % 7 "
+        " AS dow FROM dt), "
+        f"o AS (SELECT {cells}, CAST(COUNT(*) AS BIGINT) AS n, "
+        " CAST(SUM(cnt) AS BIGINT) AS s FROM dd), "
+        f"x AS (SELECT n, ({ssw}) AS ssw, ({ssb}) AS ssb FROM o "
+        f" WHERE {guards} AND n > 7) "
+        "SELECT n AS n_days, "
+        "printf('%.6f', ROUND(ssb, 6)) AS ss_between, "
+        "printf('%.6f', ROUND(ssw, 6)) AS ss_within, "
+        "printf('%.6f', ROUND((ssb / CAST(6 AS DOUBLE)) "
+        " / (ssw / CAST(n - 7 AS DOUBLE)), 6)) AS f_stat "
+        "FROM x WHERE ssw > 0"
+    )
+
+
+@register("events_anova", _anova_sql())
+def events_anova(spark, sf):
+    """One-way ANOVA of daily volume across the seven weekdays — the
+    continuous-outcome complement of ``events_cramers_v`` (Cramér tests
+    whether the TYPE MIX shifts by weekday; ANOVA tests whether the
+    VOLUME LEVEL does — 'is there a weekday effect?' is the first
+    seasonality question, and F is its classical answer next to
+    ``events_seasonality``'s descriptive profile).
+
+    Float discipline: per-weekday moments (n, S, Q = sum of squares)
+    are exact BIGINTs from one conditional-aggregation pass; SSW and
+    SSB are EXPLICIT left-associated 7-term chains — each term ONE
+    exact-integer division ((nQ - S^2)/n and S^2/n respectively, the
+    events_chi2 per-cell shape) — and F is two further fixed divisions;
+    everything spelled identically on both engines. Contract: all
+    seven weekday groups nonempty and n > 7 (integer guards both
+    sides; df fixed at 6 / n-7).
+
+    Scale shape: one map-side-combinable fact collapse to the calendar
+    day grain, one conditional-aggregation collapse to a single
+    22-integer row — the events_chi2 shape over the weekday split."""
+    dt = day_totals(_events(spark, sf))
+    dd = dt.select(
+        "cnt",
+        F.pmod(
+            F.datediff(F.to_date("day"), F.lit("2024-01-01").cast("date")),
+            F.lit(7),
+        )
+        .cast("long")
+        .alias("dow"),
+    )
+    import functools
+    import operator
+
+    gs = range(7)
+    aggs = []
+    for g in gs:
+        aggs += [
+            F.sum(F.when(F.col("dow") == g, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{g}"),
+            F.sum(F.when(F.col("dow") == g, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias(f"s{g}"),
+            F.sum(
+                F.when(F.col("dow") == g, F.col("cnt") * F.col("cnt"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias(f"q{g}"),
+        ]
+    o = dd.agg(
+        *aggs,
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+    )
+    ssw = functools.reduce(
+        operator.add,
+        [
+            (
+                F.col(f"n{g}") * F.col(f"q{g}")
+                - F.col(f"s{g}") * F.col(f"s{g}")
+            ).cast("double")
+            / F.col(f"n{g}").cast("double")
+            for g in gs
+        ],
+    )
+    ssb = functools.reduce(
+        operator.add,
+        [
+            (F.col(f"s{g}") * F.col(f"s{g}")).cast("double")
+            / F.col(f"n{g}").cast("double")
+            for g in gs
+        ],
+    ) - (F.col("s") * F.col("s")).cast("double") / F.col("n").cast("double")
+    guard = functools.reduce(
+        operator.and_, [F.col(f"n{g}") > 0 for g in gs]
+    ) & (F.col("n") > 7)
+    x = o.filter(guard).select(
+        "n", ssw.alias("ssw"), ssb.alias("ssb")
+    )
+    return x.filter(F.col("ssw") > 0).select(
+        F.col("n").alias("n_days"),
+        _FMT6(F.col("ssb")).alias("ss_between"),
+        _FMT6(F.col("ssw")).alias("ss_within"),
+        _FMT6(
+            (F.col("ssb") / F.lit(6).cast("double"))
+            / (F.col("ssw") / (F.col("n") - 7).cast("double"))
+        ).alias("f_stat"),
+    )

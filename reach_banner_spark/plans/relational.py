@@ -4915,3 +4915,31 @@ def scan_row_index(spark, sf):
             F.col("_metadata.file_name").alias("file_name"),
         )
     )
+
+
+@register(
+    "sql_order_by_all",
+    # ORDER BY ALL — the modern-SQL companion of GROUP BY ALL (sort by
+    # every select item left-to-right); with a LIMIT on top, the two
+    # engines must agree on the TOTAL order, not just the set, so a
+    # green row pins the ordering semantics themselves.
+    "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM orders GROUP BY ALL ORDER BY ALL LIMIT 5",
+)
+def sql_order_by_all(spark, sf):
+    """ORDER BY ALL through ``spark.sql`` — the parser feature itself
+    is under test (the sql_group_by_all discipline): every select item
+    becomes a sort key left-to-right, and the LIMIT 5 on top makes the
+    check ORDER-SENSITIVE — the surviving rows only match if both
+    engines implement the same total order over (status, priority, n),
+    which is the strongest cheap pin of an ordering surface.
+
+    All-integer/string exact; one hash aggregate over the tiny
+    status x priority domain plus a TakeOrderedAndProject."""
+    orders = _t(spark, sf, "orders")
+    orders.createOrReplaceTempView("rbs_oba_orders")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM rbs_oba_orders GROUP BY ALL ORDER BY ALL LIMIT 5"
+    )

@@ -3111,3 +3111,62 @@ def stream_runs(spark, sf):
     return runs_rollup(
         spark.read.parquet(state["path"])
     ).localCheckpoint()
+
+
+@register("stream_readability", None)  # pytest: == batch pooled rollup
+def stream_readability(spark, sf):
+    """INGEST-TIME corpus readability monitor — the streaming twin of
+    ``text_readability`` pooled corpus-wide (the staged doc stream
+    carries no source column, so the twin pins the one-row corpus
+    profile — the macro_text_report grain): the carried state is the
+    pooled exact count row (n_docs, words, sentences, syllables,
+    complex_words — all plain SUMs, exactly mergeable for any
+    micro-batch split), and the SHARED ``readability_rollup`` applies
+    the fixed Flesch/fog chains to the final state, so streaming ==
+    batch is a theorem about SUM. State is O(1) — five integers."""
+    import shutil
+
+    from ..operators.textstats import readability_counts, readability_rollup
+
+    d = _staged_doc_stream_dir(sf)
+    work = _op_work_dir("stream_readability", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = readability_counts(batch_df, keys=[])
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy()
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("words").alias("words"),
+                F.sum("sentences").alias("sentences"),
+                F.sum("syllables").alias("syllables"),
+                F.sum("complex_words").alias("complex_words"),
+            )
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    doc_stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return readability_rollup(
+        spark.read.parquet(state["path"]), keys=[]
+    ).localCheckpoint()

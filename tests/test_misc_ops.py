@@ -2817,3 +2817,60 @@ def test_macro_text_report_composes_per_keys(spark):
     assert int(rep.n_docs[0]) == len(docs)
     vocab = set(w for t in docs.text for w in t.split(" ") if w)
     assert int(rep.vocab_size[0]) == len(vocab)
+
+
+def test_events_anova_matches_python(spark):
+    """F re-derives from a pure-Python replay of the identical 7-term
+    chains AND from the definitional group-mean formulation (scipy-free
+    one-way ANOVA) within fp tolerance."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_anova"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    dt = ev.groupby(ev.ts.dt.strftime("%Y-%m-%d")).size()
+    anchor = pd.Timestamp("2024-01-01")
+    dows = [
+        (pd.Timestamp(day) - anchor).days % 7 for day in dt.index
+    ]
+    groups = {g: [] for g in range(7)}
+    for g, x in zip(dows, dt.tolist()):
+        groups[g].append(x)
+    n = len(dt)
+    s = sum(dt.tolist())
+    ssw = 0.0
+    for g in range(7):
+        ng = len(groups[g])
+        sg = sum(groups[g])
+        qg = sum(x * x for x in groups[g])
+        ssw = ssw + float(ng * qg - sg * sg) / float(ng)
+    ssb = 0.0
+    for g in range(7):
+        ng, sg = len(groups[g]), sum(groups[g])
+        ssb = ssb + float(sg * sg) / float(ng)
+    ssb = ssb - float(s * s) / float(n)
+    f = (ssb / 6.0) / (ssw / float(n - 7))
+
+    def fmt(x: float) -> str:
+        q = Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        return f"{q:.6f}"
+
+    assert int(got.n_days[0]) == n
+    assert got.ss_between[0] == fmt(ssb)
+    assert got.ss_within[0] == fmt(ssw)
+    assert got.f_stat[0] == fmt(f)
+    # definitional cross-check: sums of squared deviations
+    grand = s / n
+    ssb_def = sum(
+        len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values()
+    )
+    ssw_def = sum(
+        (x - sum(v) / len(v)) ** 2 for v in groups.values() for x in v
+    )
+    assert abs(ssb - ssb_def) < 1e-6 and abs(ssw - ssw_def) < 1e-6

@@ -1554,3 +1554,24 @@ def test_stream_runs_equals_batch(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_runs"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_readability_equals_batch(spark):
+    """stream_readability's one-row pooled profile == the shared
+    rollup applied one-shot to the same staged documents (carried
+    state is the sum-mergeable pooled count row). Re-run identical."""
+    from reach_banner_spark.operators.textstats import (
+        readability_counts,
+        readability_rollup,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_readability"][0](spark, SF).toPandas()
+    staged = spark.read.parquet(ops._staged_doc_stream_dir(SF))
+    want = readability_rollup(
+        readability_counts(staged, keys=[]), keys=[]
+    ).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_readability"][0](spark, SF).toPandas()
+    assert again.equals(got)
