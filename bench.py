@@ -336,6 +336,9 @@ HEADLINE = [
     "macro_text_report",
     "events_anova",
     "sql_order_by_all",
+    "events_tukey_fences",
+    "lm_heaps_profile",
+    "emb_norm_profile",
 ]
 
 

@@ -1527,3 +1527,77 @@ def emb_hard_negatives(spark, sf):
         "neg_cos",
         F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
     )
+
+
+@register(
+    "emb_norm_profile",
+    # Embedding L2-norm profile: per-vector norms via the shared
+    # fold-once chain, then min / rank-selected median / max — the
+    # median picks the row at position (n+1) div 2 under the total
+    # (norm, vec_id) order, so no float interpolation and no
+    # unordered mean ever runs.
+    "WITH nm AS (SELECT vec_id, "
+    " SQRT(list_dot_product("
+    "  list_transform(embedding, x -> CAST(x AS DOUBLE)), "
+    "  list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm "
+    " FROM embeddings), "
+    "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nm), "
+    "r AS (SELECT nrm, ROW_NUMBER() OVER (ORDER BY nrm, vec_id) AS rn "
+    " FROM nm), "
+    "med AS (SELECT nrm AS med FROM r, t WHERE rn = (n + 1) // 2) "
+    "SELECT n AS n_vecs, "
+    "printf('%.6f', ROUND((SELECT MIN(nrm) FROM nm), 6)) AS min_norm, "
+    "printf('%.6f', ROUND(med, 6)) AS median_norm, "
+    "printf('%.6f', ROUND((SELECT MAX(nrm) FROM nm), 6)) AS max_norm "
+    "FROM t, med",
+)
+def emb_norm_profile(spark, sf):
+    """Embedding L2-norm profile — min / median / max vector norms,
+    the first QA readout on any embedding table (a normalized encoder
+    should read ~1.0 across the board; drift, dead vectors, or a
+    mixed-encoder ingest show up here before any similarity search
+    does — the check next to ``emb_prototypicality``'s semantic one).
+
+    Float discipline: each norm is the shared fold-once dot-product
+    chain + one correctly-rounded sqrt (the ann_cosine_topk contract,
+    bit-identical on both engines); the median is RANK-SELECTED at
+    position (n+1) div 2 under the total (norm, vec_id) order —
+    identical doubles order identically, so selection is exact and no
+    interpolation or unordered mean ever runs; min/max are
+    order-insensitive over the same doubles.
+
+    Scale shape: one projection pass computes norms JVM-side; min/max
+    are map-side-combinable; only the median pays a rank (at 100 TB:
+    replace with the cents-grain-style binned selection — the
+    documented trade for an exact quantile of a continuous column)."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf)
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    nm = e.select("vec_id", F.sqrt(sq).alias("nrm")).localCheckpoint()
+    t = nm.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("nrm", "vec_id")
+    r = nm.select("nrm", F.row_number().over(w).cast("long").alias("rn"))
+    med = (
+        r.crossJoin(F.broadcast(t))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("nrm").alias("med"))
+    )
+    mm = nm.agg(
+        F.min("nrm").alias("mn"), F.max("nrm").alias("mx")
+    )
+    fmt6 = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    return (
+        t.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.col("n").alias("n_vecs"),
+            fmt6(F.col("mn")).alias("min_norm"),
+            fmt6(F.col("med")).alias("median_norm"),
+            fmt6(F.col("mx")).alias("max_norm"),
+        )
+    )

@@ -4297,3 +4297,95 @@ def macro_text_report(spark, sf):
             ).alias("flesch"),
         )
     )
+
+
+# --- Heaps' law vocabulary-growth profile ---------------------------------
+
+@register(
+    "lm_heaps_profile",
+    # Heaps'-law vocabulary growth at ten doc-count milestones: tokens
+    # and cumulative vocabulary when the first m*N/10 documents (by the
+    # fixture's dense doc_id order — the scan_row_index contract) have
+    # been ingested. Vocabulary at a cutoff counts the words whose
+    # FIRST carrier doc precedes it — two keyed aggregations, never a
+    # running-distinct window. All exact integers.
+    "WITH ms AS (SELECT unnest(generate_series(1, 10)) AS m), "
+    "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents), "
+    "cut AS (SELECT m, (m * nd) // 10 AS cutoff FROM ms, t), "
+    "dtok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+    " AS ntok FROM documents), "
+    "toks AS (SELECT m, "
+    " CAST(SUM(CASE WHEN doc_id < cutoff THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_docs, "
+    " CAST(SUM(CASE WHEN doc_id < cutoff THEN ntok ELSE 0 END) AS BIGINT) "
+    "  AS n_tokens FROM dtok, cut GROUP BY m), "
+    "wf AS (SELECT word, MIN(doc_id) AS fd FROM (SELECT doc_id, "
+    " unnest(string_split(text, ' ')) AS word FROM documents) u "
+    " WHERE word <> '' GROUP BY word), "
+    "voc AS (SELECT m, CAST(SUM(CASE WHEN fd < cutoff THEN 1 ELSE 0 END) "
+    " AS BIGINT) AS vocab_size FROM wf, cut GROUP BY m) "
+    "SELECT CAST(m AS BIGINT) AS milestone, n_docs, n_tokens, vocab_size "
+    "FROM toks JOIN voc USING (m)",
+)
+def lm_heaps_profile(spark, sf):
+    """Heaps'-law vocabulary-growth profile — cumulative vocabulary
+    size against tokens ingested at ten document milestones, the
+    companion curve to ``lm_zipf_profile`` (Zipf describes the
+    frequency head; Heaps describes how the TYPE COUNT grows, the
+    curve that sizes a tokenizer's vocab budget and flags templated
+    corpora by premature saturation).
+
+    Count contracts: milestones cut at m*N/10 by the fixture's dense
+    doc_id order (the scan_row_index layout contract); vocabulary at a
+    cutoff = words whose FIRST carrier doc precedes it — min-per-word
+    then a conditional count, the dedup_lines 'first occurrence as two
+    keyed aggregations' discipline, never a running-distinct window.
+    All exact integers, no floats anywhere.
+
+    Scale shape: one fact-scale explode + map-side-combinable
+    min-per-word (Zipf-sublinear distinct table), one per-doc token
+    count, then both cross the 10-row milestone dimension — the heavy
+    work is two corpus passes, everything after is dimension-sized."""
+    d = _docs(spark, sf)
+    ms = spark.range(1, 11).select(F.col("id").cast("long").alias("m"))
+    t = d.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    cut = ms.crossJoin(F.broadcast(t)).select(
+        "m", F.expr("(m * nd) div 10").alias("cutoff")
+    )
+    dtok = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("ntok")
+    )
+    toks = (
+        dtok.crossJoin(F.broadcast(cut))
+        .groupBy("m")
+        .agg(
+            F.sum(F.when(F.col("doc_id") < F.col("cutoff"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") < F.col("cutoff"), F.col("ntok")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    wf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    voc = (
+        wf.crossJoin(F.broadcast(cut))
+        .groupBy("m")
+        .agg(
+            F.sum(F.when(F.col("fd") < F.col("cutoff"), 1).otherwise(0))
+            .cast("long")
+            .alias("vocab_size")
+        )
+    )
+    return toks.join(voc, "m").select(
+        F.col("m").alias("milestone"), "n_docs", "n_tokens", "vocab_size"
+    )

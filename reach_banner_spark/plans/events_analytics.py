@@ -4797,3 +4797,111 @@ def events_anova(spark, sf):
             / (F.col("ssw") / (F.col("n") - 7).cast("double"))
         ).alias("f_stat"),
     )
+
+
+# ------------------------------------------------------- Tukey fences ----
+
+@register(
+    "events_tukey_fences",
+    # Tukey boxplot outlier fences on purchase cents: Q1/Q3 are
+    # RANK-SELECTED (cum*4 >= n / cum*4 >= 3n over the cents-grain
+    # cumsum); the 1.5*IQR fences are decided by exact integer
+    # cross-multiplies (2*cents vs 2*Q1 - 3*IQR) so no float ever
+    # gates a count; the only division is the display ratio.
+    "WITH c AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents "
+    " FROM events WHERE event_type = 'purchase'), "
+    "g AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM c "
+    " GROUP BY cents), "
+    "cu AS (SELECT cents, cnt, CAST(SUM(cnt) OVER (ORDER BY cents "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum "
+    " FROM g), "
+    "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g), "
+    "q1 AS (SELECT MIN(cents) AS q1 FROM cu, t WHERE cum * 4 >= n), "
+    "q3 AS (SELECT MIN(cents) AS q3 FROM cu, t WHERE cum * 4 >= 3 * n), "
+    "s AS (SELECT "
+    " CAST(SUM(CASE WHEN 2 * g.cents < 2 * q1 - 3 * (q3 - q1) "
+    "  THEN cnt ELSE 0 END) AS BIGINT) AS n_low, "
+    " CAST(SUM(CASE WHEN 2 * g.cents > 2 * q3 + 3 * (q3 - q1) "
+    "  THEN cnt ELSE 0 END) AS BIGINT) AS n_high "
+    " FROM g, q1, q3) "
+    "SELECT n, q1 AS q1_cents, q3 AS q3_cents, n_low, n_high, "
+    "printf('%.6f', ROUND(CAST(n_low + n_high AS DOUBLE) / n, 6)) "
+    " AS outlier_ratio "
+    "FROM s, t, q1, q3 WHERE n > 0",
+)
+def events_tukey_fences(spark, sf):
+    """Tukey boxplot outlier fences over purchase amounts — the IQR
+    outlier rule every BI boxplot draws, completing the robust outlier
+    family (``events_outlier_mad`` flags by median absolute deviation;
+    Tukey's 1.5*IQR fences are the quartile-school counterpart and the
+    one analysts eyeball first).
+
+    Float discipline: amounts bin to exact integer cents; Q1/Q3 are
+    RANK-SELECTED via integer cross-multiplies over the cents-grain
+    cumsum (the events_winsorized_mean rule); the fences are decided
+    entirely by the exact comparisons 2*cents < 2*Q1 - 3*IQR and
+    2*cents > 2*Q3 + 3*IQR — the halves scale away, so no float ever
+    gates a count; the outlier ratio is ONE division under
+    ROUND + %.6f.
+
+    Scale shape: one map-side-combinable fact collapse to the bounded
+    cents grain, one ordered cumsum window over that dimension table,
+    two one-row selections, one dimension-grain conditional sum."""
+    g = purchase_cents_counts(_events(spark, sf))
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cu = g.select(
+        "cents", "cnt", F.sum("cnt").over(wcum).cast("long").alias("cum")
+    )
+    t = g.agg(F.sum("cnt").cast("long").alias("n"))
+    q1 = (
+        cu.crossJoin(F.broadcast(t))
+        .filter(F.col("cum") * 4 >= F.col("n"))
+        .agg(F.min("cents").alias("q1"))
+    )
+    q3 = (
+        cu.crossJoin(F.broadcast(t))
+        .filter(F.col("cum") * 4 >= 3 * F.col("n"))
+        .agg(F.min("cents").alias("q3"))
+    )
+    iqr = F.col("q3") - F.col("q1")
+    s = (
+        g.crossJoin(F.broadcast(q1))
+        .crossJoin(F.broadcast(q3))
+        .agg(
+            F.sum(
+                F.when(
+                    2 * F.col("cents") < 2 * F.col("q1") - 3 * iqr,
+                    F.col("cnt"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low"),
+            F.sum(
+                F.when(
+                    2 * F.col("cents") > 2 * F.col("q3") + 3 * iqr,
+                    F.col("cnt"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high"),
+            F.min("q1").alias("q1_cents"),
+            F.min("q3").alias("q3_cents"),
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .filter(F.col("n") > 0)
+        .select(
+            "n",
+            "q1_cents",
+            "q3_cents",
+            "n_low",
+            "n_high",
+            _FMT6(
+                (F.col("n_low") + F.col("n_high")).cast("double")
+                / F.col("n")
+            ).alias("outlier_ratio"),
+        )
+    )

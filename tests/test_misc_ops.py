@@ -2874,3 +2874,97 @@ def test_events_anova_matches_python(spark):
         (x - sum(v) / len(v)) ** 2 for v in groups.values() for x in v
     )
     assert abs(ssb - ssb_def) < 1e-6 and abs(ssw - ssw_def) < 1e-6
+
+
+def test_events_tukey_fences_matches_python(spark):
+    """Fence counts re-derive from direct Python quartile selection and
+    integer fence comparisons; quartiles bracket the median."""
+    import math
+
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_tukey_fences"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    cents = sorted(
+        int(math.floor(v * 100))
+        for v in ev[ev.event_type == "purchase"].value
+    )
+    n = len(cents)
+    q1 = cents[(n + 3) // 4 - 1]  # first rank r with 4r >= n
+    q3 = cents[(3 * n + 3) // 4 - 1]  # first rank r with 4r >= 3n
+    iqr = q3 - q1
+    n_low = sum(1 for c in cents if 2 * c < 2 * q1 - 3 * iqr)
+    n_high = sum(1 for c in cents if 2 * c > 2 * q3 + 3 * iqr)
+    assert int(got.q1_cents[0]) == q1
+    assert int(got.q3_cents[0]) == q3
+    assert int(got.n_low[0]) == n_low
+    assert int(got.n_high[0]) == n_high
+    assert q1 <= q3
+
+
+def test_lm_heaps_profile_matches_python(spark):
+    """The growth curve re-derives from a direct Python sweep; both
+    tokens and vocabulary are nondecreasing in the milestone."""
+    import pandas as pd
+
+    from reach_banner_spark.operators.textstats import REGISTRY
+
+    got = (
+        REGISTRY["lm_heaps_profile"][0](spark, SF)
+        .toPandas()
+        .sort_values("milestone")
+        .reset_index(drop=True)
+    )
+    assert got.milestone.tolist() == list(range(1, 11))
+    docs = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")
+    nd = len(docs)
+    for m in range(1, 11):
+        cutoff = (m * nd) // 10
+        sel = docs[docs.doc_id < cutoff]
+        toks = int(sel.text.str.split(" ").str.len().sum())
+        vocab = len(
+            set(w for t in sel.text for w in t.split(" ") if w)
+        )
+        row = got[got.milestone == m]
+        assert int(row.n_docs.iloc[0]) == len(sel)
+        assert int(row.n_tokens.iloc[0]) == toks
+        assert int(row.vocab_size.iloc[0]) == vocab, m
+    assert got.n_tokens.is_monotonic_increasing
+    assert got.vocab_size.is_monotonic_increasing
+
+
+def test_emb_norm_profile_matches_python(spark):
+    """min/median/max norms re-derive from a pure-Python left-fold
+    (the identical op sequence) — bit-exact through %.6f."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.operators.similarity import REGISTRY
+
+    got = REGISTRY["emb_norm_profile"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    norms = []
+    for r in emb.itertuples():
+        acc = 0.0
+        for x in r.embedding:
+            acc = acc + float(x) * float(x)
+        norms.append((math.sqrt(acc), int(r.vec_id)))
+    norms.sort()
+    n = len(norms)
+
+    def fmt(x: float) -> str:
+        q = Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        return f"{q:.6f}"
+
+    assert int(got.n_vecs[0]) == n
+    assert got.min_norm[0] == fmt(min(x for x, _ in norms))
+    assert got.max_norm[0] == fmt(max(x for x, _ in norms))
+    assert got.median_norm[0] == fmt(norms[(n + 1) // 2 - 1][0])
