@@ -339,6 +339,9 @@ HEADLINE = [
     "events_tukey_fences",
     "lm_heaps_profile",
     "emb_norm_profile",
+    "events_dispersion",
+    "events_bowley_skew",
+    "events_lorenz",
 ]
 
 

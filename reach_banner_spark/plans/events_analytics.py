@@ -4905,3 +4905,206 @@ def events_tukey_fences(spark, sf):
             ).alias("outlier_ratio"),
         )
     )
+
+
+# ------------------------------------------------ Fisher dispersion index --
+
+@register(
+    "events_dispersion",
+    # Fisher dispersion index of daily volume (variance-to-mean ratio —
+    # the Poisson test): D = s^2/mean collapses to ONE division of
+    # exact BIGINTs, (n*Q - S^2) / ((n-1)*S); the overdispersed flag is
+    # the equivalent integer cross-multiply, so no float ever decides.
+    "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+    " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+    "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    " CAST(SUM(cnt) AS BIGINT) AS s, "
+    " CAST(SUM(cnt * cnt) AS BIGINT) AS q FROM dt) "
+    "SELECT n AS n_days, s AS total_events, "
+    "printf('%.6f', ROUND(CAST(n * q - s * s AS DOUBLE) "
+    " / CAST((n - 1) * s AS DOUBLE), 6)) AS dispersion, "
+    "n * q - s * s > (n - 1) * s AS overdispersed "
+    "FROM m WHERE n > 1 AND s > 0",
+)
+def events_dispersion(spark, sf):
+    """Fisher dispersion index of daily volume — the variance-to-mean
+    ratio that tests the Poisson null (D ~ 1 for independent arrivals;
+    D >> 1 means bursty/clustered traffic — the regime question
+    ``events_runs_test`` asks about signs, answered here about
+    magnitudes; under the null (n-1)*D is chi-square, so D is also the
+    textbook overdispersion gate before fitting any count model).
+
+    Float discipline: s^2/mean over the daily grain collapses to
+    (n*Q - S^2)/((n-1)*S) — ONE correctly-rounded IEEE division of
+    exact BIGINTs (at 100 TB: DECIMAL(38,0), the agg_weighted_stats
+    note) under ROUND + %.6f; the overdispersed flag is the EXACT
+    integer cross-multiply n*Q - S^2 > (n-1)*S, so the boundary never
+    touches a float.
+
+    Scale shape: one map-side-combinable fact collapse to the calendar
+    day grain, one 3-integer rollup — the cheapest possible test."""
+    dt = day_totals(_events(spark, sf))
+    m = dt.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("q"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    return m.filter((n > 1) & (s > 0)).select(
+        n.alias("n_days"),
+        s.alias("total_events"),
+        _FMT6(
+            (n * q - s * s).cast("double") / ((n - 1) * s).cast("double")
+        ).alias("dispersion"),
+        (n * q - s * s > (n - 1) * s).alias("overdispersed"),
+    )
+
+
+# ------------------------------------------------ Bowley quartile skew ----
+
+@register(
+    "events_bowley_skew",
+    # Bowley's quartile skewness of purchase cents: (Q3 + Q1 - 2*Q2)
+    # / (Q3 - Q1) with all three quartiles RANK-SELECTED — ONE division
+    # of exact integers.
+    "WITH c AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents "
+    " FROM events WHERE event_type = 'purchase'), "
+    "g AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM c "
+    " GROUP BY cents), "
+    "cu AS (SELECT cents, CAST(SUM(cnt) OVER (ORDER BY cents "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum "
+    " FROM g), "
+    "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g), "
+    "q1 AS (SELECT MIN(cents) AS q1 FROM cu, t WHERE cum * 4 >= n), "
+    "q2 AS (SELECT MIN(cents) AS q2 FROM cu, t WHERE cum * 4 >= 2 * n), "
+    "q3 AS (SELECT MIN(cents) AS q3 FROM cu, t WHERE cum * 4 >= 3 * n) "
+    "SELECT n AS n_purchases, q1 AS q1_cents, q2 AS q2_cents, "
+    "q3 AS q3_cents, "
+    "printf('%.6f', ROUND(CAST(q3 + q1 - 2 * q2 AS DOUBLE) "
+    " / CAST(q3 - q1 AS DOUBLE), 6)) AS bowley_skew "
+    "FROM t, q1, q2, q3 WHERE q3 > q1",
+)
+def events_bowley_skew(spark, sf):
+    """Bowley's quartile skewness of purchase amounts — the robust,
+    bounded [-1, 1] skewness a revenue dashboard shows next to the
+    boxplot (``agg_moments``' third moment is whale-dominated; Bowley's
+    coefficient reads asymmetry from the quartiles alone and pairs
+    naturally with ``events_tukey_fences``, whose Q1/Q3 it shares).
+
+    Float discipline: all three quartiles are RANK-SELECTED exact
+    integer cents (the events_winsorized_mean cross-multiply rule);
+    the coefficient is ONE correctly-rounded IEEE division of exact
+    integers under ROUND + %.6f; the degenerate zero-IQR corpus is
+    filtered by the exact guard q3 > q1 on both engines.
+
+    Scale shape: the events_tukey_fences shape — one fact collapse to
+    the bounded cents grain, one cumsum window, three one-row
+    selections."""
+    g = purchase_cents_counts(_events(spark, sf))
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cu = g.select(
+        "cents", F.sum("cnt").over(wcum).cast("long").alias("cum")
+    )
+    t = g.agg(F.sum("cnt").cast("long").alias("n"))
+    sel = lambda k, name: (  # noqa: E731
+        cu.crossJoin(F.broadcast(t))
+        .filter(F.col("cum") * 4 >= k * F.col("n"))
+        .agg(F.min("cents").alias(name))
+    )
+    q1, q2, q3 = sel(1, "q1"), sel(2, "q2"), sel(3, "q3")
+    return (
+        t.crossJoin(F.broadcast(q1))
+        .crossJoin(F.broadcast(q2))
+        .crossJoin(F.broadcast(q3))
+        .filter(F.col("q3") > F.col("q1"))
+        .select(
+            F.col("n").alias("n_purchases"),
+            F.col("q1").alias("q1_cents"),
+            F.col("q2").alias("q2_cents"),
+            F.col("q3").alias("q3_cents"),
+            _FMT6(
+                (F.col("q3") + F.col("q1") - 2 * F.col("q2")).cast("double")
+                / (F.col("q3") - F.col("q1")).cast("double")
+            ).alias("bowley_skew"),
+        )
+    )
+
+
+# ------------------------------------------------------- Lorenz curve ----
+
+@register(
+    "events_lorenz",
+    # Lorenz curve of user activity at nine user-count deciles: order
+    # users by (volume, user_id), cut at rank ceil(k*n/10) via the
+    # exact cross-multiply, and report the bottom share — ONE division
+    # of exact BIGINTs per point.
+    "WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt "
+    " FROM events GROUP BY user_id), "
+    "r AS (SELECT cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt, user_id) "
+    " AS BIGINT) AS rn, CAST(SUM(cnt) OVER (ORDER BY cnt, user_id "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    " AS cum FROM u), "
+    "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    " CAST(SUM(cnt) AS BIGINT) AS s FROM u), "
+    "ks AS (SELECT unnest(generate_series(1, 9)) AS decile), "
+    "p AS (SELECT decile, MIN(rn) AS rk FROM r, t, ks "
+    " WHERE rn * 10 >= n * decile GROUP BY decile) "
+    "SELECT CAST(p.decile AS BIGINT) AS decile, p.rk AS n_users, "
+    "r.cum AS cum_events, "
+    "printf('%.6f', ROUND(CAST(r.cum AS DOUBLE) / t.s, 6)) AS share "
+    "FROM p JOIN r ON r.rn = p.rk, t",
+)
+def events_lorenz(spark, sf):
+    """Lorenz curve of user activity — the cumulative share of events
+    held by the bottom k/10 of users, the curve ``events_concentration``
+    integrates into its Gini (the Gini is one number; the curve shows
+    WHERE the inequality lives, which is what a capacity planner or
+    abuse team actually reads) and the head-count complement of
+    ``events_pareto``'s tail question.
+
+    Float discipline: users order totally by (volume, user_id); each
+    decile cut is RANK-SELECTED via the exact cross-multiply
+    rn*10 >= n*k; the cumulative volume at the cut is an exact BIGINT
+    from the ordered cumsum, and each share is ONE division under
+    ROUND + %.6f.
+
+    Scale shape: one map-side-combinable fact collapse to the user
+    grain; the rank/cumsum window runs over users (at 100 TB: swap for
+    the volume-binned cumsum — the events_winsorized_mean discipline —
+    since volumes are small integers); the decile join is 9 rows."""
+    u = _events(spark, sf).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.orderBy("cnt", "user_id")
+    r = u.select(
+        "cnt",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+    ).localCheckpoint()
+    t = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+    )
+    ks = spark.range(1, 10).select(F.col("id").cast("long").alias("decile"))
+    p = (
+        r.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("rn") * 10 >= F.col("n") * F.col("decile"))
+        .groupBy("decile")
+        .agg(F.min("rn").alias("rk"))
+    )
+    return (
+        p.join(r, p["rk"] == r["rn"])
+        .crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            F.col("rk").alias("n_users"),
+            F.col("cum").alias("cum_events"),
+            _FMT6(F.col("cum").cast("double") / F.col("s")).alias("share"),
+        )
+    )

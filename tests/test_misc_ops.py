@@ -2968,3 +2968,101 @@ def test_emb_norm_profile_matches_python(spark):
     assert got.min_norm[0] == fmt(min(x for x, _ in norms))
     assert got.max_norm[0] == fmt(max(x for x, _ in norms))
     assert got.median_norm[0] == fmt(norms[(n + 1) // 2 - 1][0])
+
+
+def test_events_dispersion_matches_python(spark):
+    """Dispersion re-derives from exact moments AND the definitional
+    variance/mean; the flag agrees with the float comparison."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_dispersion"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    xs = ev.groupby(ev.ts.dt.strftime("%Y-%m-%d")).size().tolist()
+    n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+    d = float(n * q - s * s) / float((n - 1) * s)
+    mean = s / n
+    var = sum((x - mean) ** 2 for x in xs) / (n - 1)
+    assert abs(d - var / mean) < 1e-9
+    want = Decimal(repr(d)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+    assert got.dispersion[0] == f"{want:.6f}"
+    assert bool(got.overdispersed[0]) == (n * q - s * s > (n - 1) * s)
+
+
+def test_events_bowley_skew_matches_python(spark):
+    """Bowley's coefficient re-derives from Python rank selection and
+    stays in [-1, 1]."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_bowley_skew"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    cents = sorted(
+        int(math.floor(v * 100))
+        for v in ev[ev.event_type == "purchase"].value
+    )
+    n = len(cents)
+    q1 = cents[(n + 3) // 4 - 1]
+    q2 = cents[(2 * n + 3) // 4 - 1]
+    q3 = cents[(3 * n + 3) // 4 - 1]
+    b = float(q3 + q1 - 2 * q2) / float(q3 - q1)
+    assert -1.0 <= b <= 1.0
+    assert int(got.q2_cents[0]) == q2
+    want = Decimal(repr(b)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+    assert got.bowley_skew[0] == f"{want:.6f}"
+
+
+def test_events_lorenz_matches_python(spark):
+    """Lorenz points re-derive from a direct Python sweep; shares are
+    nondecreasing and below the diagonal (inequality present)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = (
+        REGISTRY["events_lorenz"][0](spark, SF)
+        .toPandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    assert got.decile.tolist() == list(range(1, 10))
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    u = sorted(
+        ev.groupby("user_id").size().reset_index(name="c")
+        .sort_values(["c", "user_id"]).c.tolist()
+    )
+    n, s = len(u), sum(u)
+    cums = []
+    acc = 0
+    for x in u:
+        acc += x
+        cums.append(acc)
+    for k in range(1, 10):
+        rk = (n * k + 9) // 10  # first rank with 10*rk >= n*k
+        row = got[got.decile == k]
+        assert int(row.n_users.iloc[0]) == rk
+        assert int(row.cum_events.iloc[0]) == cums[rk - 1]
+        share = float(cums[rk - 1]) / s
+        want = Decimal(repr(share)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert row.share.iloc[0] == f"{want:.6f}"
+        # bottom rk users hold at most their head-count share (they
+        # are the LEAST active, so each holds <= the average)
+        assert share <= rk / n + 1e-9
+    assert got.cum_events.is_monotonic_increasing
