@@ -342,6 +342,8 @@ HEADLINE = [
     "events_dispersion",
     "events_bowley_skew",
     "events_lorenz",
+    "fn_width_bucket",
+    "macro_daily_health",
 ]
 
 

@@ -5108,3 +5108,128 @@ def events_lorenz(spark, sf):
             _FMT6(F.col("cum").cast("double") / F.col("s")).alias("share"),
         )
     )
+
+
+# ------------------------------------------------ daily-health macro ----
+
+@register(
+    "macro_daily_health",
+    # One-row daily-series health report composing the family's newest
+    # contracts over ONE day-totals grain: exact mean + jackknife SE,
+    # the Fisher dispersion index, the runs-test z, and the Holt
+    # one-step forecast of the total series (the recursion composed in
+    # the same WITH RECURSIVE — the macro_series_profile discipline).
+    "WITH RECURSIVE dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+    " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+    "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    " CAST(SUM(cnt) AS BIGINT) AS s, "
+    " CAST(SUM(cnt * cnt) AS BIGINT) AS q FROM dt), "
+    "jk AS (SELECT CAST(SUM(CAST(s - n * cnt AS HUGEINT) "
+    " * (s - n * cnt)) AS HUGEINT) AS jq FROM dt, m), "
+    "g AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS k FROM dt GROUP BY cnt), "
+    "cu AS (SELECT cnt, CAST(SUM(k) OVER (ORDER BY cnt "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum "
+    " FROM g), "
+    "med AS (SELECT MIN(cnt) AS med FROM cu, m WHERE cum >= (n + 1) // 2), "
+    "sg AS (SELECT day, CASE WHEN cnt > med THEN 1 ELSE -1 END AS sgn "
+    " FROM dt, med WHERE cnt <> med), "
+    "rr AS (SELECT sgn, LAG(sgn) OVER (ORDER BY day) AS prev FROM sg), "
+    "rm AS (SELECT "
+    " CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+    " CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2, "
+    " CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND sgn <> prev "
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS runs FROM rr), "
+    "r AS (SELECT cnt, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) "
+    " AS rn FROM dt), "
+    "e(rn, l, b) AS ("
+    " SELECT rn, CAST(cnt AS DOUBLE), CAST(0 AS DOUBLE) FROM r "
+    " WHERE rn = 1 "
+    " UNION ALL "
+    " SELECT r.rn, (CAST(r.cnt AS DOUBLE) + (e.l + e.b)) / 2, "
+    " (((CAST(r.cnt AS DOUBLE) + (e.l + e.b)) / 2 - e.l) + e.b) / 2 "
+    " FROM e JOIN r ON r.rn = e.rn + 1), "
+    "hf AS (SELECT l, b FROM e, m WHERE e.rn = m.n) "
+    "SELECT n AS n_days, s AS total_events, "
+    "printf('%.6f', ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)) "
+    " AS mean_daily, "
+    "printf('%.6f', ROUND(SQRT(CAST(jq AS DOUBLE) "
+    " / CAST(CAST(n AS HUGEINT) * n * n * (n - 1) AS DOUBLE)), 6)) "
+    " AS jackknife_se, "
+    "printf('%.6f', ROUND(CAST(n * q - s * s AS DOUBLE) "
+    " / CAST((n - 1) * s AS DOUBLE), 6)) AS dispersion, "
+    "printf('%.6f', ROUND((CAST(runs AS DOUBLE) "
+    " - (1.0 + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))) "
+    " / SQRT(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE) "
+    "   / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)), 6)) "
+    " AS runs_z, "
+    "printf('%.6f', ROUND(l + b, 6)) AS holt_forecast "
+    "FROM m, jk, rm, hf WHERE n > 1 AND s > 0 "
+    "AND n1 > 0 AND n2 > 0 AND 2 * n1 * n2 > n1 + n2",
+)
+def macro_daily_health(spark, sf):
+    """One-row daily-series health report — the monitoring summary an
+    ops dashboard publishes each morning, composing the newest
+    daily-grain contracts over ONE shared ``day_totals`` grain: the
+    exact mean with its jackknife error bar, the Fisher dispersion
+    index (burstiness), the runs-test z (regime behavior), and the
+    Holt one-step forecast of total volume. Green here pins the
+    COMPOSITION (the macro_series_profile rationale — the oracle
+    composes the Holt recursion inside the same WITH RECURSIVE).
+
+    Float discipline: each readout keeps its per-key contract exactly
+    (single divisions of exact integers, the fixed runs z chain, the
+    fold-vs-recursion Holt); nothing new is introduced by composition.
+
+    Scale shape: one map-side-combinable fact collapse to the calendar
+    day grain; every downstream stage is dimension-sized and shares
+    that one grain — facts are touched once."""
+    return daily_health_rollup(day_totals(_events(spark, sf)))
+
+
+def daily_health_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals grain into the one-row health
+    report — shared by ``macro_daily_health`` and its streaming twin
+    (composes the shared ``runs_rollup`` and ``holt_rollup``)."""
+    dt = dt.localCheckpoint()
+    m = dt.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("q"),
+    )
+    jk = (
+        dt.crossJoin(F.broadcast(m))
+        .select(
+            (
+                (F.col("s") - F.col("n") * F.col("cnt")).cast("decimal(38,0)")
+                * (F.col("s") - F.col("n") * F.col("cnt"))
+            ).alias("sq")
+        )
+        .agg(F.sum("sq").cast("decimal(38,0)").alias("jq"))
+    )
+    runs = runs_rollup(dt).select(F.col("z").alias("runs_z"))
+    holt = holt_rollup(
+        dt.withColumn("event_type", F.lit("__all__"))
+    ).select(F.col("forecast_1").alias("holt_forecast"))
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    den = (
+        n.cast("decimal(38,0)") * n * n * (n - 1)
+    ).cast("double")
+    return (
+        m.crossJoin(F.broadcast(jk))
+        .crossJoin(F.broadcast(runs))
+        .crossJoin(F.broadcast(holt))
+        .filter((n > 1) & (s > 0))
+        .select(
+            n.alias("n_days"),
+            s.alias("total_events"),
+            _FMT6(s.cast("double") / n.cast("double")).alias("mean_daily"),
+            _FMT6(F.sqrt(F.col("jq").cast("double") / den)).alias(
+                "jackknife_se"
+            ),
+            _FMT6(
+                (n * q - s * s).cast("double") / ((n - 1) * s).cast("double")
+            ).alias("dispersion"),
+            "runs_z",
+            "holt_forecast",
+        )
+    )

@@ -4943,3 +4943,56 @@ def sql_order_by_all(spark, sf):
         "CAST(COUNT(*) AS BIGINT) AS n "
         "FROM rbs_oba_orders GROUP BY ALL ORDER BY ALL LIMIT 5"
     )
+
+
+@register(
+    "fn_width_bucket",
+    # Spark's builtin width_bucket vs the HANDWRITTEN definition (the
+    # fn_luhn builtin-vs-definition oracle shape — DuckDB has no such
+    # builtin): equal-width histogram over DYADIC bounds [0, 2^26) in
+    # 8 buckets of width 2^23, so v/width is an exact dyadic division
+    # and the floor decides identically no matter how either engine
+    # associates the arithmetic; v >= hi lands in the overflow
+    # bucket n+1 (probed).
+    "SELECT CASE WHEN cents >= 67108864 THEN 9 "
+    " ELSE CAST(FLOOR(cents / 8388608.0) AS BIGINT) + 1 END AS bucket, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents "
+    " FROM orders) t GROUP BY 1",
+)
+def fn_width_bucket(spark, sf):
+    """``width_bucket`` equal-width histogramming — the SQL-standard
+    binning primitive behind every price-band report (``agg_histogram``
+    pins Spark's own histogram aggregate; this pins the SCALAR binning
+    function users compose into GROUP BYs). The oracle does not call a
+    builtin (DuckDB has none): it implements the DEFINITION —
+    floor((v - lo)/width) + 1 with overflow to n+1 — so a green row
+    cross-checks Spark's builtin against the spec itself.
+
+    Float discipline: amounts bin to exact integer cents; the bounds
+    are DYADIC ([0, 2^26), 8 buckets of 2^23), so v/width is an EXACT
+    dyadic division for every integer v and the floor decides
+    identically regardless of each engine's internal op order — the
+    whole class of width_bucket boundary disagreements is sidestepped
+    by bound choice (probed: hi lands in bucket 9 on both).
+
+    Scale shape: pure scalar codegen over the fact scan + one
+    map-side-combinable hash aggregate onto the 9-bucket domain."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        )
+        .select(
+            F.width_bucket(
+                F.col("cents").cast("double"),
+                F.lit(0.0),
+                F.lit(67108864.0),
+                F.lit(8),
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

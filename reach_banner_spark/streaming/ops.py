@@ -3170,3 +3170,54 @@ def stream_readability(spark, sf):
     return readability_rollup(
         spark.read.parquet(state["path"]), keys=[]
     ).localCheckpoint()
+
+
+@register("stream_daily_health", None)  # pytest: == batch macro
+def stream_daily_health(spark, sf):
+    """INGEST-TIME daily-series health report — the streaming twin of
+    ``macro_daily_health``: the carried state is the (day, cnt)
+    daily-totals grain (plain SUM-able counts — exactly mergeable for
+    any micro-batch split), and the SHARED ``daily_health_rollup``
+    re-derives mean/jackknife/dispersion/runs-z/Holt-forecast from the
+    final state, so streaming == batch is a theorem about SUM composed
+    with a deterministic function of the merged state. State is
+    O(days) — calendar-bounded (the stream_runs state, reused by a
+    composed rollup)."""
+    import shutil
+
+    from ..plans.events_analytics import daily_health_rollup, day_totals
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_daily_health", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = day_totals(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("day")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return daily_health_rollup(
+        spark.read.parquet(state["path"])
+    ).localCheckpoint()

@@ -3066,3 +3066,19 @@ def test_events_lorenz_matches_python(spark):
         # are the LEAST active, so each holds <= the average)
         assert share <= rk / n + 1e-9
     assert got.cum_events.is_monotonic_increasing
+
+
+def test_macro_daily_health_composes_per_keys(spark):
+    """The one-row health report reconciles exactly against the four
+    per-key readouts it composes (jackknife, dispersion, runs, Holt)."""
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    rep = REGISTRY["macro_daily_health"][0](spark, SF).toPandas()
+    assert len(rep) == 1
+    jk = REGISTRY["events_jackknife"][0](spark, SF).toPandas()
+    assert rep.mean_daily[0] == jk.mean_daily[0]
+    assert rep.jackknife_se[0] == jk.jackknife_se[0]
+    dp = REGISTRY["events_dispersion"][0](spark, SF).toPandas()
+    assert rep.dispersion[0] == dp.dispersion[0]
+    rt = REGISTRY["events_runs_test"][0](spark, SF).toPandas()
+    assert rep.runs_z[0] == rt.z[0]

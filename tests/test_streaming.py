@@ -1575,3 +1575,20 @@ def test_stream_readability_equals_batch(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_readability"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_daily_health_equals_batch(spark):
+    """stream_daily_health's one-row report == the one-shot
+    macro_daily_health (carried state is the sum-mergeable
+    daily-totals grain). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_daily_health"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["macro_daily_health"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_daily_health"][0](spark, SF).toPandas()
+    assert again.equals(got)
