@@ -344,6 +344,9 @@ HEADLINE = [
     "events_lorenz",
     "fn_width_bucket",
     "macro_daily_health",
+    "events_wilcoxon",
+    "events_sign_test",
+    "kg_transitivity",
 ]
 
 

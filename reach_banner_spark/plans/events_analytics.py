@@ -5233,3 +5233,171 @@ def daily_health_rollup(dt: DataFrame) -> DataFrame:
             "holt_forecast",
         )
     )
+
+
+# ----------------------------------------- Wilcoxon signed-rank / sign ----
+
+def user_prepost(df: DataFrame) -> DataFrame:
+    """Per-user (pre, post) total activity counts under the fixed
+    Jan-16 cut — the shared PAIRED-sample grain for
+    ``events_wilcoxon`` and ``events_sign_test`` (plain SUMs, exactly
+    mergeable across micro-batches; the symmetric-activity sibling of
+    ``user_xy``'s CUPED grain)."""
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return df.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+
+
+@register(
+    "events_wilcoxon",
+    # Wilcoxon signed-rank test on per-user pre/post activity: doubled
+    # midranks of |diff| over the diff-magnitude grain are exact
+    # integers (the events_spearman trick), the tie correction comes
+    # from the same grain, and z is one fixed chain — the factor-4
+    # scaling of numerator and variance cancels exactly.
+    "WITH u AS (SELECT user_id, "
+    " CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) "
+    "  AS BIGINT) AS x, "
+    " CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) "
+    "  AS BIGINT) AS y FROM events GROUP BY user_id), "
+    "d AS (SELECT y - x AS d, ABS(y - x) AS a FROM u WHERE y <> x), "
+    "g AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY a), "
+    "r AS (SELECT a, CAST(2 * SUM(t) OVER (ORDER BY a "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1 "
+    " AS BIGINT) AS dr FROM g), "
+    "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    " CAST(SUM(CASE WHEN d.d > 0 THEN r.dr ELSE 0 END) AS BIGINT) AS dw "
+    " FROM d JOIN r ON r.a = d.a), "
+    "tt AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tcorr FROM g) "
+    "SELECT n AS n_pairs, dw AS w_plus_doubled, "
+    "printf('%.6f', ROUND(CAST(2 * dw - n * (n + 1) AS DOUBLE) "
+    " / SQRT(CAST(2 * n * (n + 1) * (2 * n + 1) - tcorr AS DOUBLE) "
+    "  / CAST(3 AS DOUBLE)), 6)) AS z "
+    "FROM m, tt WHERE 2 * n * (n + 1) * (2 * n + 1) > tcorr",
+)
+def events_wilcoxon(spark, sf):
+    """Wilcoxon signed-rank test on per-user pre/post activity — the
+    nonparametric PAIRED test (did the same users move?) completing
+    the test family: ``events_mann_whitney`` compares two independent
+    groups, ``events_ab_test`` assumes normality; the signed-rank test
+    is what an analyst runs when the pairing is real and the counts
+    are skewed. Zero diffs are excluded per the standard treatment;
+    normal approximation with exact tie correction.
+
+    Float discipline: doubled midranks of |diff| over the bounded
+    diff-magnitude grain are exact INTEGERS (2*cum - t + 1 — the
+    events_spearman trick), so W+ doubles to an exact BIGINT; the tie
+    correction sum(t^3 - t) is exact; and z is ONE fixed chain —
+    z = (2*DW - n(n+1)) / sqrt((2n(n+1)(2n+1) - T)/3), the factor-4
+    numerator/variance scaling cancelling exactly — spelled identically
+    on both engines. Degenerate all-tied corpora are filtered by the
+    exact integer variance guard.
+
+    Scale shape: one map-side-combinable fact collapse to the user
+    grain, one bounded magnitude-grain rank table broadcast back, one
+    three-integer rollup — the events_spearman shape for paired data."""
+    return wilcoxon_rollup(user_prepost(_events(spark, sf)))
+
+
+def wilcoxon_rollup(u: DataFrame) -> DataFrame:
+    """Fold a per-user (x, y) paired grain into the one-row signed-rank
+    readout — shared by ``events_wilcoxon`` and any streaming twin
+    (the doubled-midrank integer contract lives here)."""
+    d = u.filter(F.col("y") != F.col("x")).select(
+        (F.col("y") - F.col("x")).alias("d"),
+        F.abs(F.col("y") - F.col("x")).alias("a"),
+    )
+    g = d.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    wcum = Window.orderBy("a").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.select(
+        "a",
+        (2 * F.sum("t").over(wcum) - F.col("t") + 1)
+        .cast("long")
+        .alias("dr"),
+    )
+    m = d.join(F.broadcast(r), "a").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("dr")).otherwise(0))
+        .cast("long")
+        .alias("dw"),
+    )
+    tt = g.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tcorr")
+    )
+    n, dw, tc = F.col("n"), F.col("dw"), F.col("tcorr")
+    var16x3 = 2 * n * (n + 1) * (2 * n + 1) - tc
+    return (
+        m.crossJoin(F.broadcast(tt))
+        .filter(var16x3 > 0)
+        .select(
+            n.alias("n_pairs"),
+            dw.alias("w_plus_doubled"),
+            _FMT6(
+                (2 * dw - n * (n + 1)).cast("double")
+                / F.sqrt(var16x3.cast("double") / F.lit(3).cast("double"))
+            ).alias("z"),
+        )
+    )
+
+
+@register(
+    "events_sign_test",
+    # Sign test on the same paired grain: direction counts only, z =
+    # (n_pos - n_neg)/sqrt(n) — exact integers, one cast, one sqrt,
+    # one division.
+    "WITH u AS (SELECT user_id, "
+    " CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) "
+    "  AS BIGINT) AS x, "
+    " CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) "
+    "  AS BIGINT) AS y FROM events GROUP BY user_id), "
+    "m AS (SELECT "
+    " CAST(SUM(CASE WHEN y > x THEN 1 ELSE 0 END) AS BIGINT) AS np, "
+    " CAST(SUM(CASE WHEN y < x THEN 1 ELSE 0 END) AS BIGINT) AS nn "
+    " FROM u) "
+    "SELECT np AS n_pos, nn AS n_neg, "
+    "printf('%.6f', ROUND(CAST(np - nn AS DOUBLE) "
+    " / SQRT(CAST(np + nn AS DOUBLE)), 6)) AS z "
+    "FROM m WHERE np + nn > 0",
+)
+def events_sign_test(spark, sf):
+    """Sign test on per-user pre/post activity — the
+    assumption-free floor of the paired-test family (``events_wilcoxon``
+    uses rank magnitudes; the sign test uses direction only, so it
+    survives ANY distributional pathology and is the sanity row next
+    to the signed-rank z on a test report). Ties excluded per the
+    standard treatment; normal approximation of the binomial null.
+
+    Float discipline: direction counts are exact BIGINTs; z =
+    (n_pos - n_neg)/sqrt(n_pos + n_neg) is one exact cast, one
+    correctly-rounded sqrt, one IEEE division under ROUND + %.6f.
+
+    Scale shape: one map-side-combinable fact collapse to the shared
+    ``user_prepost`` grain, one two-integer rollup — the cheapest
+    paired test that exists."""
+    u = user_prepost(_events(spark, sf))
+    m = u.agg(
+        F.sum(F.when(F.col("y") > F.col("x"), 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+        F.sum(F.when(F.col("y") < F.col("x"), 1).otherwise(0))
+        .cast("long")
+        .alias("nn"),
+    )
+    np_, nn_ = F.col("np"), F.col("nn")
+    return m.filter(np_ + nn_ > 0).select(
+        np_.alias("n_pos"),
+        nn_.alias("n_neg"),
+        _FMT6(
+            (np_ - nn_).cast("double") / F.sqrt((np_ + nn_).cast("double"))
+        ).alias("z"),
+    )

@@ -4817,3 +4817,83 @@ def kg_ppr_py(
     return pd.DataFrame(
         {"node": nodes, "rank": [rank[v] for v in nodes]}
     )
+
+
+# ------------------------------------------------ global transitivity ----
+
+@register(
+    "kg_transitivity",
+    # Global transitivity (Newman's clustering): 3 x triangles over
+    # connected triples, computed as 6*T / sum(deg*(deg-1)) over the
+    # symmetrized distinct edge set — exact integers, ONE division.
+    f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_SYM_SQL}), "
+    "deg AS (SELECT conv_id, s AS node, CAST(COUNT(*) AS BIGINT) AS d "
+    " FROM e GROUP BY conv_id, s), "
+    "tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t3 FROM e e1 "
+    " JOIN e e2 ON e2.conv_id = e1.conv_id AND e2.s = e1.s "
+    "  AND e2.o > e1.o "
+    " JOIN e e3 ON e3.conv_id = e1.conv_id AND e3.s = e1.o "
+    "  AND e3.o = e2.o "
+    " WHERE e1.s < e1.o), "
+    "p AS (SELECT CAST(SUM(d * (d - 1)) AS BIGINT) AS paths2 FROM deg) "
+    "SELECT tri.t3 AS n_triangles, p.paths2 AS n_two_paths_doubled, "
+    "printf('%.6f', ROUND(CAST(6 * tri.t3 AS DOUBLE) "
+    " / CAST(p.paths2 AS DOUBLE), 6)) AS transitivity "
+    "FROM tri, p WHERE p.paths2 > 0",
+)
+def kg_transitivity(spark, sf):
+    """Global transitivity (Newman's global clustering coefficient) —
+    3 x triangles / connected triples over the whole extracted graph:
+    the ONE-NUMBER closure readout next to ``kg_clustering``'s
+    per-node coefficients (the two famously disagree on skewed graphs
+    — the global ratio weights hubs by their triple count, the
+    per-node mean doesn't — so a KG consumer wants both).
+
+    Count contracts: triangles count once per unordered {x<y<z} via
+    the oriented kg_triangles join over the symmetrized distinct edge
+    set; connected triples (open two-paths) = sum over nodes of
+    deg*(deg-1)/2, kept DOUBLED so everything stays integer — the
+    ratio 3T/P becomes exactly 6T/paths2. ONE correctly-rounded IEEE
+    division under ROUND + %.6f.
+
+    Scale shape: the kg_triangles discipline — one oriented edge
+    self-join bounded by convs x entity-domain^2, one degree rollup,
+    two 1-row aggregates."""
+    e = _sym_edges(_triples_table(spark, sf))
+    deg = e.groupBy("conv_id", F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    e1 = e.filter(F.col("s") < F.col("o")).select(
+        "conv_id", F.col("s").alias("x"), F.col("o").alias("y")
+    )
+    e2 = e.select(
+        "conv_id", F.col("s").alias("x"), F.col("o").alias("z")
+    )
+    e3 = e.select(
+        "conv_id", F.col("s").alias("y"), F.col("o").alias("z")
+    )
+    tri = (
+        e1.join(e2, ["conv_id", "x"])
+        .filter(F.col("z") > F.col("y"))
+        .join(e3, ["conv_id", "y", "z"])
+        .agg(F.count(F.lit(1)).cast("long").alias("t3"))
+    )
+    p = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1)).cast("long").alias("paths2")
+    )
+    return (
+        tri.crossJoin(F.broadcast(p))
+        .filter(F.col("paths2") > 0)
+        .select(
+            F.col("t3").alias("n_triangles"),
+            F.col("paths2").alias("n_two_paths_doubled"),
+            F.format_string(
+                "%.6f",
+                F.round(
+                    (6 * F.col("t3")).cast("double")
+                    / F.col("paths2").cast("double"),
+                    6,
+                ),
+            ).alias("transitivity"),
+        )
+    )

@@ -3082,3 +3082,127 @@ def test_macro_daily_health_composes_per_keys(spark):
     assert rep.dispersion[0] == dp.dispersion[0]
     rt = REGISTRY["events_runs_test"][0](spark, SF).toPandas()
     assert rep.runs_z[0] == rt.z[0]
+
+
+def test_events_wilcoxon_matches_python(spark):
+    """The signed-rank z re-derives from a direct Python midrank walk
+    (independent formulation using float midranks) — bit-exact through
+    %.6f after the doubled-integer collapse."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_wilcoxon"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    cut = pd.Timestamp("2024-01-16")
+    u = ev.groupby("user_id").apply(
+        lambda g: pd.Series(
+            {
+                "x": int((g.ts < cut).sum()),
+                "y": int((g.ts >= cut).sum()),
+            }
+        ),
+        include_groups=False,
+    )
+    diffs = [(r.y - r.x) for r in u.itertuples() if r.y != r.x]
+    mags = sorted(abs(d) for d in diffs)
+    # classical midranks (floats) per magnitude
+    midrank = {}
+    i = 0
+    while i < len(mags):
+        j = i
+        while j < len(mags) and mags[j] == mags[i]:
+            j += 1
+        midrank[mags[i]] = (i + 1 + j) / 2.0
+        i = j
+    n = len(diffs)
+    w_plus = sum(midrank[abs(d)] for d in diffs if d > 0)
+    # tie correction
+    from collections import Counter
+
+    tc = sum(t**3 - t for t in Counter(mags).values())
+    assert int(got.n_pairs[0]) == n
+    assert int(got.w_plus_doubled[0]) == int(round(2 * w_plus))
+    z = (2 * (2 * w_plus) - n * (n + 1)) / math.sqrt(
+        (2 * n * (n + 1) * (2 * n + 1) - tc) / 3.0
+    )
+    want = Decimal(repr(z)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+    assert got.z[0] == f"{want:.6f}"
+
+
+def test_events_sign_test_matches_python(spark):
+    """Sign-test counts and z re-derive directly; the z direction
+    agrees with Wilcoxon's on this corpus (same paired sample)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_sign_test"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    cut = pd.Timestamp("2024-01-16")
+    pre = ev[ev.ts < cut].groupby("user_id").size()
+    post = ev[ev.ts >= cut].groupby("user_id").size()
+    users = set(ev.user_id)
+    np_ = sum(
+        1
+        for uid in users
+        if post.get(uid, 0) > pre.get(uid, 0)
+    )
+    nn_ = sum(
+        1
+        for uid in users
+        if post.get(uid, 0) < pre.get(uid, 0)
+    )
+    assert int(got.n_pos[0]) == np_
+    assert int(got.n_neg[0]) == nn_
+    z = float(np_ - nn_) / math.sqrt(float(np_ + nn_))
+    want = Decimal(repr(z)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+    assert got.z[0] == f"{want:.6f}"
+
+
+def test_kg_transitivity_reconciles_with_triangles(spark):
+    """The global ratio re-derives from a brute-force Python triangle
+    and two-path count over the symmetrized edge set."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _sym_edges,
+        _triples_table,
+    )
+
+    got = REGISTRY["kg_transitivity"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    e = _sym_edges(_triples_table(spark, SF)).toPandas()
+    nbrs = {}
+    for conv, s, o in zip(e.conv_id, e.s, e.o):
+        nbrs.setdefault((conv, s), set()).add(o)
+    tri = 0
+    for (conv, x), nx in nbrs.items():
+        for y in nx:
+            if not x < y:
+                continue
+            for z in nbrs[(conv, y)]:
+                if y < z and z in nx:
+                    tri += 1
+    paths2 = sum(len(v) * (len(v) - 1) for v in nbrs.values())
+    assert int(got.n_triangles[0]) == tri
+    assert int(got.n_two_paths_doubled[0]) == paths2
+    t = float(6 * tri) / float(paths2)
+    want = Decimal(repr(t)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+    assert got.transitivity[0] == f"{want:.6f}"
+    assert 0.0 <= t <= 1.0
