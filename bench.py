@@ -347,6 +347,8 @@ HEADLINE = [
     "events_wilcoxon",
     "events_sign_test",
     "kg_transitivity",
+    "quality_gopher_rules",
+    "pack_ffd",
 ]
 
 

@@ -4389,3 +4389,154 @@ def lm_heaps_profile(spark, sf):
     return toks.join(voc, "m").select(
         F.col("m").alias("milestone"), "n_docs", "n_tokens", "vocab_size"
     )
+
+
+# --- Gopher quality rules ---------------------------------------------------
+
+@register(
+    "quality_gopher_rules",
+    # Gopher-style document quality gates (Rae et al. 2021, §A1.1
+    # adapted to this corpus's clean-token fixture): word-count bounds,
+    # mean-word-length bounds via integer cross-multiplies (3 <= mean
+    # <= 10 tested as 3*n_words <= n_letter_chars <= 10*n_words — no
+    # float mean), minimum stopword evidence, and the alpha-word
+    # ratio >= 0.8 as 5*n_alpha >= 4*n_words. Every gate is an exact
+    # integer comparison.
+    f"WITH d AS (SELECT doc_id, string_split(text, ' ') AS w, "
+    " LEN(REPLACE(text, ' ', '')) AS letters FROM documents), "
+    "m AS (SELECT doc_id, CAST(LEN(w) AS BIGINT) AS n_words, "
+    " CAST(letters AS BIGINT) AS n_letters, "
+    f" CAST(LEN(list_filter(w, x -> x IN ({_SW_SQL}))) AS BIGINT) "
+    "  AS n_stop, "
+    " CAST(LEN(list_filter(w, x -> regexp_matches(x, '^[a-z]+$'))) "
+    "  AS BIGINT) AS n_alpha FROM d) "
+    "SELECT doc_id, n_words, "
+    "n_words >= 50 AND n_words <= 100000 AS pass_length, "
+    "3 * n_words <= n_letters AND n_letters <= 10 * n_words "
+    " AS pass_word_len, "
+    "n_stop >= 2 AS pass_stopwords, "
+    "5 * n_alpha >= 4 * n_words AS pass_alpha, "
+    "(n_words >= 50 AND n_words <= 100000) "
+    " AND (3 * n_words <= n_letters AND n_letters <= 10 * n_words) "
+    " AND n_stop >= 2 AND 5 * n_alpha >= 4 * n_words AS pass_all "
+    "FROM m",
+)
+def quality_gopher_rules(spark, sf):
+    """Gopher-rules document quality gating (Rae et al. 2021) — the
+    named filter set large-scale corpus curation actually cites,
+    complementing ``quality_line_filter``'s C4 line rules and
+    ``corpus_filter``'s composite score with the doc-level repetition-
+    free subset expressible on this fixture: word-count window
+    [50, 100k], mean word length in [3, 10], >= 2 stopwords, and >= 80%
+    alphabetic words. Per-doc boolean verdicts with the per-rule
+    breakdown a curation report needs.
+
+    Float discipline: every gate is an EXACT integer comparison — the
+    mean-word-length window multiplies through (3n <= letters <= 10n),
+    the alpha ratio cross-multiplies (5*n_alpha >= 4*n_words) — so no
+    float ever gates a document (the corpus_filter formatted-score
+    lesson, made unnecessary by construction).
+
+    Scale shape: pure scalar codegen over one corpus scan — zero
+    shuffles; at 100 TB this runs at parquet-scan speed and its
+    pass_all column IS the curation predicate pushed into every
+    downstream read."""
+    words = F.split(F.col("text"), " ")
+    m = _docs(spark, sf).select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("long")
+        .alias("n_letters"),
+        F.size(F.filter(words, lambda x: x.isin(*_STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+        F.size(
+            F.filter(words, lambda x: x.rlike("^[a-z]+$"))
+        )
+        .cast("long")
+        .alias("n_alpha"),
+    )
+    nw, nl = F.col("n_words"), F.col("n_letters")
+    p_len = (nw >= 50) & (nw <= 100000)
+    p_wl = (3 * nw <= nl) & (nl <= 10 * nw)
+    p_sw = F.col("n_stop") >= 2
+    p_al = 5 * F.col("n_alpha") >= 4 * nw
+    return m.select(
+        "doc_id",
+        "n_words",
+        p_len.alias("pass_length"),
+        p_wl.alias("pass_word_len"),
+        p_sw.alias("pass_stopwords"),
+        p_al.alias("pass_alpha"),
+        (p_len & p_wl & p_sw & p_al).alias("pass_all"),
+    )
+
+
+# --- first-fit-decreasing context packing ----------------------------------
+
+PACK_FFD_CAPACITY = 512  # tokens per context window (fixture-scaled)
+
+
+@register("pack_ffd", None)  # pytest == python twin + capacity property
+def pack_ffd(spark, sf):
+    """First-fit-decreasing context packing — the OTHER packing style
+    next to ``pack_sequences`` (concat-and-split slices documents
+    across window boundaries; SFT-style packing must keep each document
+    WHOLE, so it bin-packs: sort by length descending, place each doc
+    in the first window with room — the classic FFD 11/9-optimal
+    greedy). Bins are per source (the unit a curriculum shards by);
+    emits (source, doc_id, bin_id, n_tokens).
+
+    Class-(b) custom operator: FFD is inherently sequential per group,
+    so it runs as a grouped-map ``applyInPandas`` kernel — sequential
+    per source, distributed across sources (the kg_betweenness
+    pattern). Deterministic: the placement order (n_tokens DESC,
+    doc_id ASC) is total, so the packing is a pure function of the
+    corpus; pytest pins it against an independent pure-Python FFD and
+    the per-bin capacity invariant. Docs longer than the capacity get
+    singleton bins (standard FFD degeneracy, pytest-pinned).
+
+    Scale shape: ONE source-keyed exchange; kernel cost is
+    O(docs x bins) per source with bins bounded by corpus/capacity —
+    at 100 TB the source key is replaced by (source, shard-hash) to
+    bound group size, the documented trade every per-group kernel in
+    this repo carries."""
+    import pandas as pd
+
+    d = _docs(spark, sf).select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        loads: list[int] = []
+        bins: list[int] = []
+        for t in pdf.n_tokens:
+            placed = -1
+            for i, ld in enumerate(loads):
+                if ld + t <= PACK_FFD_CAPACITY:
+                    placed = i
+                    break
+            if placed < 0:
+                loads.append(int(t))
+                placed = len(loads) - 1
+            else:
+                loads[placed] += int(t)
+            bins.append(placed)
+        return pd.DataFrame(
+            {
+                "source": pdf.source,
+                "doc_id": pdf.doc_id,
+                "bin_id": pd.array(bins, dtype="int64"),
+                "n_tokens": pdf.n_tokens,
+            }
+        )
+
+    return d.groupBy("source").applyInPandas(
+        ffd, "source string, doc_id long, bin_id long, n_tokens long"
+    )

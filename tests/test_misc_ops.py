@@ -3206,3 +3206,101 @@ def test_kg_transitivity_reconciles_with_triangles(spark):
     )
     assert got.transitivity[0] == f"{want:.6f}"
     assert 0.0 <= t <= 1.0
+
+
+def test_quality_gopher_rules_matches_python(spark):
+    """Per-doc gate verdicts re-derive from direct Python counting;
+    the fixture actually exercises both sides of the length gate."""
+    import re
+
+    import pandas as pd
+
+    from reach_banner_spark.operators.textstats import (
+        _STOPWORDS,
+        REGISTRY,
+    )
+
+    got = (
+        REGISTRY["quality_gopher_rules"][0](spark, SF)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    alpha = re.compile(r"^[a-z]+$")
+    sw = set(_STOPWORDS)
+    n_pass = n_fail = 0
+    for r in docs.itertuples():
+        ws = r.text.split(" ")
+        nw = len(ws)
+        nl = len(r.text.replace(" ", ""))
+        nstop = sum(1 for w in ws if w in sw)
+        nalpha = sum(1 for w in ws if alpha.match(w))
+        row = got.loc[r.doc_id]
+        assert bool(row.pass_length) == (50 <= nw <= 100000)
+        assert bool(row.pass_word_len) == (3 * nw <= nl <= 10 * nw)
+        assert bool(row.pass_stopwords) == (nstop >= 2)
+        assert bool(row.pass_alpha) == (5 * nalpha >= 4 * nw)
+        assert bool(row.pass_all) == (
+            row.pass_length
+            and row.pass_word_len
+            and row.pass_stopwords
+            and row.pass_alpha
+        )
+        n_pass += bool(row.pass_all)
+        n_fail += not bool(row.pass_all)
+    assert n_pass > 0 and n_fail > 0  # non-vacuous fixture
+
+
+def test_pack_ffd_matches_python_twin(spark):
+    """FFD packing == an independent pure-Python FFD; every bin
+    respects the capacity (unless a singleton overlong doc), every doc
+    appears exactly once, and a re-run is identical."""
+    import pandas as pd
+
+    from reach_banner_spark.operators.textstats import (
+        PACK_FFD_CAPACITY,
+        REGISTRY,
+    )
+
+    got = (
+        REGISTRY["pack_ffd"][0](spark, SF)
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs["n_tokens"] = docs.text.str.split(" ").str.len()
+    assert len(got) == len(docs)
+    for src, grp in docs.groupby("source"):
+        ordered = grp.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        loads, assign = [], {}
+        for r in ordered.itertuples():
+            placed = -1
+            for i, ld in enumerate(loads):
+                if ld + r.n_tokens <= PACK_FFD_CAPACITY:
+                    placed = i
+                    break
+            if placed < 0:
+                loads.append(int(r.n_tokens))
+                placed = len(loads) - 1
+            else:
+                loads[placed] += int(r.n_tokens)
+            assign[r.doc_id] = placed
+        sub = got[got.source == src]
+        for r in sub.itertuples():
+            assert int(r.bin_id) == assign[r.doc_id], (src, r.doc_id)
+        # capacity invariant
+        bins = sub.groupby("bin_id").n_tokens.agg(["sum", "count"])
+        for b in bins.itertuples():
+            assert b.sum <= PACK_FFD_CAPACITY or b.count == 1
+        # multi-doc bins exist (packing actually packs)
+        assert (bins["count"] > 1).any(), src
+    again = (
+        REGISTRY["pack_ffd"][0](spark, SF)
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)
