@@ -3221,3 +3221,99 @@ def stream_daily_health(spark, sf):
     return daily_health_rollup(
         spark.read.parquet(state["path"])
     ).localCheckpoint()
+
+
+def _stream_user_prepost(spark, sf, op_key: str) -> DataFrame:
+    """Consume the staged event stream accumulating the per-user
+    (pre, post) paired grain — the shared fact-scale half of
+    ``stream_wilcoxon`` and ``stream_sign`` (both columns are plain
+    SUMs under the fixed Jan-16 cut, exactly sum-mergeable across any
+    micro-batch split)."""
+    import shutil
+
+    from ..plans.events_analytics import user_prepost
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir(op_key, d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = user_prepost(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("user_id")
+            .agg(F.sum("x").alias("x"), F.sum("y").alias("y"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return spark.read.parquet(state["path"])
+
+
+@register("stream_wilcoxon", None)  # pytest: == batch events_wilcoxon
+def stream_wilcoxon(spark, sf):
+    """INGEST-TIME Wilcoxon signed-rank readout — the streaming twin of
+    ``events_wilcoxon``: the carried state is the per-user (pre, post)
+    paired grain (plain SUMs under the fixed cut — exactly mergeable),
+    and the SHARED ``wilcoxon_rollup`` re-derives the doubled midranks,
+    tie correction, and fixed z chain from the final state, so
+    streaming == batch is a theorem about SUM. State is O(users)."""
+    from ..plans.events_analytics import wilcoxon_rollup
+
+    return wilcoxon_rollup(
+        _stream_user_prepost(spark, sf, "stream_wilcoxon")
+    ).localCheckpoint()
+
+
+@register("stream_sign", None)  # pytest: == batch events_sign_test
+def stream_sign(spark, sf):
+    """INGEST-TIME sign-test readout — the streaming twin of
+    ``events_sign_test`` on the SAME shared paired grain as
+    ``stream_wilcoxon`` (one state definition, two readouts — the
+    direction counts re-derive from the final merged state, so
+    streaming == batch is a theorem about SUM). State is O(users)."""
+    from ..plans.events_analytics import REGISTRY as _EV
+
+    u = _stream_user_prepost(spark, sf, "stream_sign")
+    np_, nn_ = F.col("np"), F.col("nn")
+    m = u.agg(
+        F.sum(F.when(F.col("y") > F.col("x"), 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+        F.sum(F.when(F.col("y") < F.col("x"), 1).otherwise(0))
+        .cast("long")
+        .alias("nn"),
+    )
+    return (
+        m.filter(np_ + nn_ > 0)
+        .select(
+            np_.alias("n_pos"),
+            nn_.alias("n_neg"),
+            F.format_string(
+                "%.6f",
+                F.round(
+                    (np_ - nn_).cast("double")
+                    / F.sqrt((np_ + nn_).cast("double")),
+                    6,
+                ),
+            ).alias("z"),
+        )
+        .localCheckpoint()
+    )

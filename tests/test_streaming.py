@@ -1592,3 +1592,36 @@ def test_stream_daily_health_equals_batch(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_daily_health"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_wilcoxon_equals_batch(spark):
+    """stream_wilcoxon's one-row z == the one-shot events_wilcoxon
+    (carried state is the sum-mergeable paired grain). Re-run
+    identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_wilcoxon"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_wilcoxon"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_wilcoxon"][0](spark, SF).toPandas()
+    assert again.equals(got)
+
+
+def test_stream_sign_equals_batch(spark):
+    """stream_sign's one-row readout == the one-shot events_sign_test
+    (same shared paired grain as stream_wilcoxon). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_sign"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_sign_test"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_sign"][0](spark, SF).toPandas()
+    assert again.equals(got)
