@@ -3289,8 +3289,6 @@ def stream_sign(spark, sf):
     ``stream_wilcoxon`` (one state definition, two readouts — the
     direction counts re-derive from the final merged state, so
     streaming == batch is a theorem about SUM). State is O(users)."""
-    from ..plans.events_analytics import REGISTRY as _EV
-
     u = _stream_user_prepost(spark, sf, "stream_sign")
     np_, nn_ = F.col("np"), F.col("nn")
     m = u.agg(
