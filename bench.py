@@ -349,6 +349,8 @@ HEADLINE = [
     "kg_transitivity",
     "quality_gopher_rules",
     "pack_ffd",
+    "kg_rich_club",
+    "fn_sentences",
 ]
 
 

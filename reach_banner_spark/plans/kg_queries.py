@@ -4897,3 +4897,102 @@ def kg_transitivity(spark, sf):
             ).alias("transitivity"),
         )
     )
+
+
+# ------------------------------------------------ rich-club coefficient ----
+
+@register(
+    "kg_rich_club",
+    # Rich-club coefficient at degree thresholds k = 1..4: among nodes
+    # with conv-scoped degree > k, the realized fraction of possible
+    # undirected links — phi(k) = 2E_k / (N_k (N_k - 1)) pooled across
+    # conversations, kept integer until ONE division (edge count is the
+    # symmetrized directed count, so the 2x cancels: phi = E_sym/(N(N-1))
+    # per conv summed — both sides exact).
+    f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_SYM_SQL}), "
+    "deg AS (SELECT conv_id, s AS node, CAST(COUNT(*) AS BIGINT) AS d "
+    " FROM e GROUP BY conv_id, s), "
+    "ks AS (SELECT unnest(generate_series(1, 4)) AS k), "
+    "rich AS (SELECT k, conv_id, node FROM deg, ks WHERE d > k), "
+    "nn AS (SELECT k, CAST(SUM(cnt * (cnt - 1)) AS BIGINT) AS pairs2, "
+    " CAST(SUM(cnt) AS BIGINT) AS n_nodes FROM "
+    " (SELECT k, conv_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM rich "
+    "  GROUP BY k, conv_id) g GROUP BY k), "
+    "ee AS (SELECT r1.k, CAST(COUNT(*) AS BIGINT) AS edges2 FROM e "
+    " JOIN rich r1 ON r1.conv_id = e.conv_id AND r1.node = e.s "
+    " JOIN rich r2 ON r2.conv_id = e.conv_id AND r2.node = e.o "
+    "  AND r2.k = r1.k "
+    " GROUP BY r1.k) "
+    "SELECT CAST(nn.k AS BIGINT) AS k, nn.n_nodes, "
+    "COALESCE(ee.edges2, 0) // 2 AS n_edges, "
+    "printf('%.6f', ROUND(CAST(COALESCE(ee.edges2, 0) AS DOUBLE) "
+    " / CAST(nn.pairs2 AS DOUBLE), 6)) AS phi "
+    "FROM nn LEFT JOIN ee ON ee.k = nn.k WHERE nn.pairs2 > 0",
+)
+def kg_rich_club(spark, sf):
+    """Rich-club coefficient phi(k) for degree thresholds 1..4 — do the
+    well-connected entities preferentially link to EACH OTHER? The
+    hub-interconnection readout next to ``kg_assortativity`` (the
+    mixing coefficient is one number; the rich-club curve localizes
+    WHERE hub clustering lives — the Colizza et al. 2006 analysis,
+    computed exactly and pooled per conversation).
+
+    Count contracts: degree and membership are conv-scoped over the
+    symmetrized distinct edge set; possible pairs are pooled per conv
+    as sum cnt*(cnt-1) DOUBLED, and realized links count symmetrized
+    directed rows (also the doubled undirected count), so the 2x
+    cancels and phi is ONE division of exact BIGINTs under
+    ROUND + %.6f; the reported n_edges halves the symmetric count
+    exactly.
+
+    Scale shape: the kg_triangles discipline — one degree rollup, one
+    4-row threshold dimension crossed with the bounded membership
+    table, one edge join keyed conv_id-first; everything after the
+    distinct edge set is dimension-sized."""
+    e = _sym_edges(_triples_table(spark, sf))
+    deg = e.groupBy("conv_id", F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ks = spark.range(1, 5).select(F.col("id").cast("long").alias("k"))
+    rich = (
+        deg.crossJoin(F.broadcast(ks))
+        .filter(F.col("d") > F.col("k"))
+        .select("k", "conv_id", "node")
+        .localCheckpoint()
+    )
+    nn = (
+        rich.groupBy("k", "conv_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("cnt") * (F.col("cnt") - 1))
+            .cast("long")
+            .alias("pairs2"),
+            F.sum("cnt").cast("long").alias("n_nodes"),
+        )
+    )
+    r1 = rich.select("k", "conv_id", F.col("node").alias("s"))
+    r2 = rich.select("k", "conv_id", F.col("node").alias("o"))
+    ee = (
+        e.join(r1, ["conv_id", "s"])
+        .join(r2, ["k", "conv_id", "o"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("edges2"))
+    )
+    return (
+        nn.join(ee, "k", "left")
+        .filter(F.col("pairs2") > 0)
+        .select(
+            "k",
+            "n_nodes",
+            F.expr("coalesce(edges2, 0) div 2").alias("n_edges"),
+            F.format_string(
+                "%.6f",
+                F.round(
+                    F.coalesce(F.col("edges2"), F.lit(0)).cast("double")
+                    / F.col("pairs2").cast("double"),
+                    6,
+                ),
+            ).alias("phi"),
+        )
+    )

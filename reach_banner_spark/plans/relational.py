@@ -4996,3 +4996,39 @@ def fn_width_bucket(spark, sf):
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@register(
+    "fn_sentences",
+    # Spark's sentences() locale tokenizer vs the DEFINITION on this
+    # corpus (single punctuation-free lowercase-ASCII sentences): the
+    # result must be exactly [string_split(text, ' ')] — a
+    # builtin-vs-definition check scoped to the fixture contract.
+    "SELECT doc_id, CAST(1 AS BIGINT) AS n_sentences, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words_first, "
+    "string_split(text, ' ')[1] AS first_word, "
+    "string_split(text, ' ')[-1] AS last_word "
+    "FROM documents WHERE doc_id % 25 = 0",
+)
+def fn_sentences(spark, sf):
+    """``sentences()`` — Spark's locale-aware sentence/word tokenizer
+    (the BreakIterator surface used before handing text to an NLP
+    pipeline; this engine's own ``sentence_break`` is span-preserving,
+    while sentences() is the lossy builtin users reach for first). On
+    this corpus's punctuation-free lowercase-ASCII documents the spec
+    collapses to exactly one sentence of whitespace words, so the
+    oracle states the DEFINITION ([string_split]) and a green row
+    proves the builtin agrees — scoped, documented contract (locale
+    pathologies are out of fixture scope).
+
+    Zero shuffles — pure scalar codegen over a pruned sampled scan."""
+    d = _t(spark, sf, "documents")
+    sents = F.sentences(F.col("text"))
+    first = F.element_at(sents, 1)
+    return d.filter(F.col("doc_id") % 25 == 0).select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sentences"),
+        F.size(first).cast("long").alias("n_words_first"),
+        F.element_at(first, 1).alias("first_word"),
+        F.element_at(first, -1).alias("last_word"),
+    )

@@ -3304,3 +3304,68 @@ def test_pack_ffd_matches_python_twin(spark):
         .reset_index(drop=True)
     )
     assert again.equals(got)
+
+
+def test_kg_rich_club_matches_python(spark):
+    """phi(k) re-derives from Python neighbour sets; phi stays in
+    [0, 1] and edge counts reconcile with membership."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _sym_edges,
+        _triples_table,
+    )
+
+    got = (
+        REGISTRY["kg_rich_club"][0](spark, SF)
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    e = _sym_edges(_triples_table(spark, SF)).toPandas()
+    nbrs = {}
+    for conv, s, o in zip(e.conv_id, e.s, e.o):
+        nbrs.setdefault((conv, s), set()).add(o)
+    for r in got.itertuples():
+        k = int(r.k)
+        members = {
+            (conv, n) for (conv, n), v in nbrs.items() if len(v) > k
+        }
+        by_conv = {}
+        for conv, n in members:
+            by_conv.setdefault(conv, set()).add(n)
+        pairs2 = sum(len(v) * (len(v) - 1) for v in by_conv.values())
+        edges2 = sum(
+            1
+            for (conv, s), v in nbrs.items()
+            if (conv, s) in members
+            for o in v
+            if (conv, o) in members
+        )
+        assert int(r.n_nodes) == len(members)
+        assert int(r.n_edges) == edges2 // 2
+        phi = float(edges2) / float(pairs2)
+        assert 0.0 <= phi <= 1.0
+        want = Decimal(repr(phi)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert r.phi == f"{want:.6f}", k
+
+
+def test_fn_sentences_matches_definition(spark):
+    """sentences() on punctuation-free ASCII == one sentence of
+    whitespace words, cross-checked in Python."""
+    import pandas as pd
+
+    from reach_banner_spark.plans.relational import REGISTRY
+
+    got = REGISTRY["fn_sentences"][0](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs = docs[docs.doc_id % 25 == 0].set_index("doc_id")
+    assert len(got) == len(docs)
+    for r in got.itertuples():
+        ws = docs.loc[r.doc_id].text.split(" ")
+        assert int(r.n_sentences) == 1
+        assert int(r.n_words_first) == len(ws)
+        assert r.first_word == ws[0] and r.last_word == ws[-1]
