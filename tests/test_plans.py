@@ -522,3 +522,25 @@ def test_scan_row_index_zero_exchange(spark):
     plan = _plan(all_queries()["scan_row_index"](spark, SF))
     assert "Exchange" not in plan, plan[:600]
     assert "BatchEvalPython" not in plan
+
+
+def test_pack_ffd_plan_shape(spark):
+    """FFD packing pays exactly ONE source-keyed exchange into one
+    grouped-map kernel — no per-row Python, no re-scan."""
+    from reach_banner_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["pack_ffd"](spark, SF))
+    assert plan.count("Exchange") == 1, plan[:800]
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_quality_gopher_rules_zero_exchange(spark):
+    """The Gopher gates are pure scalar codegen over one scan: zero
+    Exchanges, no Python — at 100 TB this is the pushed-down curation
+    predicate."""
+    from reach_banner_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["quality_gopher_rules"](spark, SF))
+    assert "Exchange" not in plan, plan[:800]
+    assert "BatchEvalPython" not in plan
