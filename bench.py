@@ -351,6 +351,9 @@ HEADLINE = [
     "pack_ffd",
     "kg_rich_club",
     "fn_sentences",
+    "curriculum_order",
+    "kg_degree_centralization",
+    "events_hourly_profile",
 ]
 
 

@@ -4540,3 +4540,81 @@ def pack_ffd(spark, sf):
     return d.groupBy("source").applyInPandas(
         ffd, "source string, doc_id long, bin_id long, n_tokens long"
     )
+
+
+# --- curriculum ordering ---------------------------------------------------
+
+@register(
+    "curriculum_order",
+    # Curriculum ordering: band = number of Gopher gates passed (0-4,
+    # all exact integer comparisons), rank = position under the total
+    # (band DESC, doc_id ASC) order — easy/clean documents first, the
+    # ordering a curriculum-learning data loader consumes.
+    f"WITH d AS (SELECT doc_id, string_split(text, ' ') AS w, "
+    " LEN(REPLACE(text, ' ', '')) AS letters FROM documents), "
+    "m AS (SELECT doc_id, CAST(LEN(w) AS BIGINT) AS n_words, "
+    " CAST(letters AS BIGINT) AS n_letters, "
+    f" CAST(LEN(list_filter(w, x -> x IN ({_SW_SQL}))) AS BIGINT) "
+    "  AS n_stop, "
+    " CAST(LEN(list_filter(w, x -> regexp_matches(x, '^[a-z]+$'))) "
+    "  AS BIGINT) AS n_alpha FROM d), "
+    "b AS (SELECT doc_id, n_words, "
+    " CAST((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 "
+    "  ELSE 0 END) "
+    " + (CASE WHEN 3 * n_words <= n_letters AND n_letters <= 10 * n_words "
+    "  THEN 1 ELSE 0 END) "
+    " + (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) "
+    " + (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END) "
+    " AS BIGINT) AS band FROM m) "
+    "SELECT doc_id, n_words, band, "
+    "CAST(ROW_NUMBER() OVER (ORDER BY band DESC, doc_id) AS BIGINT) "
+    " AS curriculum_rank FROM b",
+)
+def curriculum_order(spark, sf):
+    """Curriculum ordering of the training corpus — cleanest documents
+    first: band = how many ``quality_gopher_rules`` gates a document
+    passes (0-4), rank = position under the total (band DESC, doc_id)
+    order. This is the ordering a curriculum-learning loader feeds to
+    ``pack_ffd``/``pack_sequences`` (start training on high-quality
+    text, anneal in the tail — the data-mixing counterpart of
+    ``mix_temperature``'s source weighting).
+
+    Float discipline: none needed — bands are exact integer gate sums
+    and the rank is a total integer/string-free order.
+
+    Scale shape: the Gopher scalar pass (zero shuffles) plus ONE
+    global rank; at 100 TB the global row_number is replaced by the
+    shuffle_shard two-level rank (band-partitioned windows + offset
+    join — the pack_sequences prefix-sum discipline), the documented
+    trade every global-order key carries."""
+    from pyspark.sql.window import Window
+
+    words = F.split(F.col("text"), " ")
+    m = _docs(spark, sf).select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("long")
+        .alias("n_letters"),
+        F.size(F.filter(words, lambda x: x.isin(*_STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+        F.size(F.filter(words, lambda x: x.rlike("^[a-z]+$")))
+        .cast("long")
+        .alias("n_alpha"),
+    )
+    nw, nl = F.col("n_words"), F.col("n_letters")
+    band = (
+        F.when((nw >= 50) & (nw <= 100000), 1).otherwise(0)
+        + F.when((3 * nw <= nl) & (nl <= 10 * nw), 1).otherwise(0)
+        + F.when(F.col("n_stop") >= 2, 1).otherwise(0)
+        + F.when(5 * F.col("n_alpha") >= 4 * nw, 1).otherwise(0)
+    ).cast("long")
+    b = m.select("doc_id", "n_words", band.alias("band"))
+    w = Window.orderBy(F.desc("band"), F.asc("doc_id"))
+    return b.select(
+        "doc_id",
+        "n_words",
+        "band",
+        F.row_number().over(w).cast("long").alias("curriculum_rank"),
+    )

@@ -5401,3 +5401,49 @@ def events_sign_test(spark, sf):
             (np_ - nn_).cast("double") / F.sqrt((np_ + nn_).cast("double"))
         ).alias("z"),
     )
+
+
+# ------------------------------------------------ hour-of-day profile ----
+
+@register(
+    "events_hourly_profile",
+    # Hour-of-day volume histogram with the exact-integer peak flag:
+    # hour extraction is identical on both engines under the UTC
+    # session; the share is one division per row.
+    "WITH h AS (SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, "
+    " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+    "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, "
+    " CAST(MAX(cnt) AS BIGINT) AS mx FROM h) "
+    "SELECT hour_of_day, cnt, "
+    "printf('%.6f', ROUND(CAST(cnt AS DOUBLE) / total, 6)) AS share, "
+    "cnt = mx AS is_peak FROM h, t",
+)
+def events_hourly_profile(spark, sf):
+    """Hour-of-day volume profile — the intraday seasonality histogram
+    every ops dashboard draws (the weekday family — cramers/anova —
+    reads the WEEKLY cycle; this reads the DAILY one, which is what
+    capacity autoscaling is actually keyed to). 24 rows with each
+    hour's share and an exact peak flag.
+
+    Float discipline: counts are exact BIGINTs; hour extraction is
+    identical on both engines under the pinned UTC session (the
+    TIMESTAMP_NTZ events.ts carries no zone — the events_attribution
+    precedent); each share is ONE division under ROUND + %.6f and the
+    peak flag is an exact integer comparison.
+
+    Scale shape: one map-side-combinable fact collapse onto the 24-row
+    hour domain plus a broadcast 1-row total — the cheapest profile
+    shape."""
+    h = _events(spark, sf).groupBy(
+        F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    t = h.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.max("cnt").cast("long").alias("mx"),
+    )
+    return h.crossJoin(F.broadcast(t)).select(
+        "hour_of_day",
+        "cnt",
+        _FMT6(F.col("cnt").cast("double") / F.col("total")).alias("share"),
+        (F.col("cnt") == F.col("mx")).alias("is_peak"),
+    )

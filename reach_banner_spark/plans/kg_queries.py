@@ -4996,3 +4996,64 @@ def kg_rich_club(spark, sf):
             ).alias("phi"),
         )
     )
+
+
+# ------------------------------------------- degree centralization ----
+
+@register(
+    "kg_degree_centralization",
+    # Freeman degree centralization per conversation: sum(dmax - d_i)
+    # over the star-graph maximum (n-1)(n-2) — exact integers, ONE
+    # division per conversation.
+    f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_SYM_SQL}), "
+    "deg AS (SELECT conv_id, s AS node, CAST(COUNT(*) AS BIGINT) AS d "
+    " FROM e GROUP BY conv_id, s), "
+    "m AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n, "
+    " CAST(MAX(d) AS BIGINT) AS dmax, CAST(SUM(d) AS BIGINT) AS sd "
+    " FROM deg GROUP BY conv_id) "
+    "SELECT conv_id, n AS n_nodes, dmax, "
+    "printf('%.6f', ROUND(CAST(n * dmax - sd AS DOUBLE) "
+    " / CAST((n - 1) * (n - 2) AS DOUBLE), 6)) AS centralization "
+    "FROM m WHERE n > 2",
+)
+def kg_degree_centralization(spark, sf):
+    """Freeman degree centralization per conversation — how
+    star-shaped is each conversation's entity graph? (1.0 = a perfect
+    hub-and-spoke around one entity; 0 = perfectly even degrees.) The
+    per-conversation topology fingerprint next to ``kg_assortativity``
+    (global mixing) and ``macro_graph_health`` — in a Q->A transcript
+    KG a high value means the conversation orbits one entity, which is
+    exactly what a dialogue summarizer wants to know first.
+
+    Float discipline: sum(dmax - d_i) collapses to n*dmax - sum(d) —
+    exact BIGINTs — and the star-graph maximum (n-1)(n-2) is exact, so
+    centralization is ONE correctly-rounded IEEE division under
+    ROUND + %.6f; degenerate n <= 2 conversations are filtered by the
+    integer guard on both engines.
+
+    Scale shape: one degree rollup over the symmetrized distinct edge
+    set, one conv-keyed three-integer aggregate — both reuse the
+    materialized triple table's conversation co-partitioning."""
+    e = _sym_edges(_triples_table(spark, sf))
+    deg = e.groupBy("conv_id", F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    m = deg.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("d").cast("long").alias("dmax"),
+        F.sum("d").cast("long").alias("sd"),
+    )
+    n = F.col("n")
+    return m.filter(n > 2).select(
+        "conv_id",
+        n.alias("n_nodes"),
+        "dmax",
+        F.format_string(
+            "%.6f",
+            F.round(
+                (n * F.col("dmax") - F.col("sd")).cast("double")
+                / ((n - 1) * (n - 2)).cast("double"),
+                6,
+            ),
+        ).alias("centralization"),
+    )

@@ -3369,3 +3369,89 @@ def test_fn_sentences_matches_definition(spark):
         assert int(r.n_sentences) == 1
         assert int(r.n_words_first) == len(ws)
         assert r.first_word == ws[0] and r.last_word == ws[-1]
+
+
+def test_curriculum_order_matches_gopher_bands(spark):
+    """Curriculum ranks are a permutation ordered by (band DESC,
+    doc_id); the bands reconcile with quality_gopher_rules."""
+    from reach_banner_spark.operators.textstats import REGISTRY
+
+    got = (
+        REGISTRY["curriculum_order"][0](spark, SF)
+        .toPandas()
+        .sort_values("curriculum_rank")
+        .reset_index(drop=True)
+    )
+    gop = REGISTRY["quality_gopher_rules"][0](spark, SF).toPandas()
+    bands = {
+        r.doc_id: int(r.pass_length)
+        + int(r.pass_word_len)
+        + int(r.pass_stopwords)
+        + int(r.pass_alpha)
+        for r in gop.itertuples()
+    }
+    assert got.curriculum_rank.tolist() == list(range(1, len(got) + 1))
+    for r in got.itertuples():
+        assert int(r.band) == bands[r.doc_id]
+    keys = [(-int(r.band), int(r.doc_id)) for r in got.itertuples()]
+    assert keys == sorted(keys)
+
+
+def test_kg_degree_centralization_matches_python(spark):
+    """Centralization re-derives from Python degree maps; values stay
+    in [0, 1]."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _sym_edges,
+        _triples_table,
+    )
+
+    got = REGISTRY["kg_degree_centralization"][0](spark, SF).toPandas()
+    e = _sym_edges(_triples_table(spark, SF)).toPandas()
+    degs = {}
+    for conv, s in zip(e.conv_id, e.s):
+        degs.setdefault(conv, {}).setdefault(s, 0)
+        degs[conv][s] += 1
+    expected = 0
+    for conv, dd in degs.items():
+        n = len(dd)
+        if n <= 2:
+            continue
+        expected += 1
+        dmax, sd = max(dd.values()), sum(dd.values())
+        c = float(n * dmax - sd) / float((n - 1) * (n - 2))
+        assert 0.0 <= c <= 1.0 + 1e-9
+        row = got[got.conv_id == conv]
+        assert len(row) == 1, conv
+        want = Decimal(repr(c)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert row.centralization.iloc[0] == f"{want:.6f}", conv
+    assert len(got) == expected
+
+
+def test_events_hourly_profile_matches_python(spark):
+    """The 24-row profile re-derives from direct Python counting;
+    shares sum to ~1 and exactly one peak count value exists."""
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = (
+        REGISTRY["events_hourly_profile"][0](spark, SF)
+        .toPandas()
+        .sort_values("hour_of_day")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    cnt = ev.groupby(ev.ts.dt.hour).size()
+    assert len(got) == len(cnt)
+    for r in got.itertuples():
+        assert int(r.cnt) == int(cnt[r.hour_of_day])
+    mx = int(cnt.max())
+    for r in got.itertuples():
+        assert bool(r.is_peak) == (int(r.cnt) == mx)
+    shares = got.share.astype(float)
+    assert abs(shares.sum() - 1.0) < 1e-4
