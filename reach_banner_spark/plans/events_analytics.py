@@ -4639,7 +4639,13 @@ def events_deciles(spark, sf):
     cents grain, one ordered cumsum window over that dimension table,
     one 9-row selection join — the events_winsorized_mean shape with a
     decile dimension instead of two cuts."""
-    g = purchase_cents_counts(_events(spark, sf))
+    return deciles_rollup(purchase_cents_counts(_events(spark, sf)))
+
+
+def deciles_rollup(g: DataFrame) -> DataFrame:
+    """Fold a (cents, cnt) grain into the nine rank-selected deciles —
+    shared by ``events_deciles`` and its streaming twin."""
+    spark = g.sparkSession
     wcum = Window.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -4847,7 +4853,12 @@ def events_tukey_fences(spark, sf):
     Scale shape: one map-side-combinable fact collapse to the bounded
     cents grain, one ordered cumsum window over that dimension table,
     two one-row selections, one dimension-grain conditional sum."""
-    g = purchase_cents_counts(_events(spark, sf))
+    return tukey_rollup(purchase_cents_counts(_events(spark, sf)))
+
+
+def tukey_rollup(g: DataFrame) -> DataFrame:
+    """Fold a (cents, cnt) grain into the one-row Tukey-fence readout —
+    shared by ``events_tukey_fences`` and its streaming twin."""
     wcum = Window.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -5000,7 +5011,12 @@ def events_bowley_skew(spark, sf):
     Scale shape: the events_tukey_fences shape — one fact collapse to
     the bounded cents grain, one cumsum window, three one-row
     selections."""
-    g = purchase_cents_counts(_events(spark, sf))
+    return bowley_rollup(purchase_cents_counts(_events(spark, sf)))
+
+
+def bowley_rollup(g: DataFrame) -> DataFrame:
+    """Fold a (cents, cnt) grain into the one-row Bowley-skew readout —
+    shared by ``events_bowley_skew`` and its streaming twin."""
     wcum = Window.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

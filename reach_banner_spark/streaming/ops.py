@@ -3315,3 +3315,85 @@ def stream_sign(spark, sf):
         )
         .localCheckpoint()
     )
+
+
+def _stream_cents_counts(spark, sf, op_key: str) -> DataFrame:
+    """Consume the staged event stream accumulating the bounded
+    (cents, cnt) purchase-amount grain — the shared fact-scale half of
+    the robust-distribution twins (stream_deciles / stream_tukey /
+    stream_bowley; the stream_winsorized state generalized)."""
+    import shutil
+
+    from ..plans.events_analytics import purchase_cents_counts
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir(op_key, d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = purchase_cents_counts(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("cents")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return spark.read.parquet(state["path"])
+
+
+@register("stream_deciles", None)  # pytest: == batch events_deciles
+def stream_deciles(spark, sf):
+    """INGEST-TIME decile readout — the streaming twin of
+    ``events_deciles`` on the shared cents-grain state (SUM-mergeable;
+    the shared ``deciles_rollup`` re-selects the nine ranks from the
+    final state, so streaming == batch is a theorem about SUM)."""
+    from ..plans.events_analytics import deciles_rollup
+
+    return deciles_rollup(
+        _stream_cents_counts(spark, sf, "stream_deciles")
+    ).localCheckpoint()
+
+
+@register("stream_tukey", None)  # pytest: == batch events_tukey_fences
+def stream_tukey(spark, sf):
+    """INGEST-TIME Tukey-fence monitor — the streaming twin of
+    ``events_tukey_fences`` on the same shared cents-grain state
+    (the shared ``tukey_rollup`` re-derives quartiles, fences, and
+    outlier counts from the final state)."""
+    from ..plans.events_analytics import tukey_rollup
+
+    return tukey_rollup(
+        _stream_cents_counts(spark, sf, "stream_tukey")
+    ).localCheckpoint()
+
+
+@register("stream_bowley", None)  # pytest: == batch events_bowley_skew
+def stream_bowley(spark, sf):
+    """INGEST-TIME Bowley-skew monitor — the streaming twin of
+    ``events_bowley_skew`` on the same shared cents-grain state
+    (the shared ``bowley_rollup`` re-selects the three quartiles from
+    the final state)."""
+    from ..plans.events_analytics import bowley_rollup
+
+    return bowley_rollup(
+        _stream_cents_counts(spark, sf, "stream_bowley")
+    ).localCheckpoint()

@@ -1625,3 +1625,29 @@ def test_stream_sign_equals_batch(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_sign"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_cents_twins_equal_batch(spark):
+    """stream_deciles / stream_tukey / stream_bowley == their batch
+    keys (one shared sum-mergeable cents-grain state, three rollups).
+    Re-runs identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    for skey, bkey, sort in (
+        ("stream_deciles", "events_deciles", "decile"),
+        ("stream_tukey", "events_tukey_fences", None),
+        ("stream_bowley", "events_bowley_skew", None),
+    ):
+        got = ops.REGISTRY[skey][0](spark, SF).toPandas()
+        want = EV_REGISTRY[bkey][0](spark, SF).toPandas()
+        if sort:
+            got = got.sort_values(sort).reset_index(drop=True)
+            want = want.sort_values(sort).reset_index(drop=True)
+        assert got.equals(want), skey
+        again = ops.REGISTRY[skey][0](spark, SF).toPandas()
+        if sort:
+            again = again.sort_values(sort).reset_index(drop=True)
+        assert again.equals(got), skey
