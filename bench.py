@@ -354,6 +354,8 @@ HEADLINE = [
     "curriculum_order",
     "kg_degree_centralization",
     "events_hourly_profile",
+    "eval_lang_confusion",
+    "kg_pred_cooccur",
 ]
 
 

@@ -4618,3 +4618,72 @@ def curriculum_order(spark, sf):
         "band",
         F.row_number().over(w).cast("long").alias("curriculum_rank"),
     )
+
+
+# --- language-ID confusion matrix ------------------------------------------
+
+@register(
+    "eval_lang_confusion",
+    # Confusion matrix of the lang_id heuristic against the table's own
+    # language labels — the evaluation every classifier gets before
+    # gating on it; composes the lang_id decision rule verbatim. Exact
+    # counts plus one recall division per true-language row.
+    "WITH p AS (SELECT lang AS true_lang, CASE "
+    f"WHEN {_marker_hits_sql('de')} > {_marker_hits_sql('en')} "
+    f" AND {_marker_hits_sql('de')} >= {_marker_hits_sql('fr')} THEN 'de' "
+    f"WHEN {_marker_hits_sql('fr')} > {_marker_hits_sql('en')} THEN 'fr' "
+    f"WHEN {_marker_hits_sql('en')} > 0 THEN 'en' ELSE 'unknown' END "
+    " AS pred_lang FROM documents), "
+    "c AS (SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n "
+    " FROM p GROUP BY 1, 2), "
+    "t AS (SELECT true_lang, CAST(SUM(n) AS BIGINT) AS tot FROM c "
+    " GROUP BY 1) "
+    "SELECT c.true_lang, c.pred_lang, c.n, "
+    "printf('%.6f', ROUND(CAST(c.n AS DOUBLE) / t.tot, 6)) AS row_share "
+    "FROM c JOIN t ON t.true_lang = c.true_lang",
+)
+def eval_lang_confusion(spark, sf):
+    """Confusion matrix of the ``lang_id`` heuristic against the
+    corpus's own language labels — the evaluation a curation pipeline
+    runs BEFORE trusting a cheap classifier as a gate (the
+    ``eval_cohen_kappa`` question asked of a multiclass rater, with
+    the full per-cell breakdown an error analysis needs: which
+    languages leak into which predictions). Composes the lang_id
+    decision rule VERBATIM on both engines, so green here also pins
+    the composition.
+
+    Float discipline: cell and row counts are exact BIGINTs; each
+    row-share is ONE division under ROUND + %.6f.
+
+    Scale shape: the lang_id scalar pass (zero extra shuffles beyond
+    one hash aggregate onto the languages^2-sized cell domain) plus a
+    broadcast row-total join."""
+    d = _docs(spark, sf)
+    lower_words = F.split(F.lower("text"), " ")
+
+    def hits(lang: str):
+        arr = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(
+            F.filter(lower_words, lambda w: F.array_contains(arr, w))
+        )
+
+    en, de, fr = hits("en"), hits("de"), hits("fr")
+    p = d.select(
+        F.col("lang").alias("true_lang"),
+        F.when((de > en) & (de >= fr), "de")
+        .when(fr > en, "fr")
+        .when(en > 0, "en")
+        .otherwise("unknown")
+        .alias("pred_lang"),
+    )
+    c = p.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("true_lang").agg(F.sum("n").cast("long").alias("tot"))
+    fmt6 = lambda x: F.format_string("%.6f", F.round(x, 6))  # noqa: E731
+    return c.join(F.broadcast(t), "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        fmt6(F.col("n").cast("double") / F.col("tot")).alias("row_share"),
+    )

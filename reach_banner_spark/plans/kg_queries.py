@@ -5057,3 +5057,75 @@ def kg_degree_centralization(spark, sf):
             ),
         ).alias("centralization"),
     )
+
+
+# ------------------------------------------- predicate co-occurrence ----
+
+@register(
+    "kg_pred_cooccur",
+    # Predicate co-occurrence: for each predicate pair, the Jaccard of
+    # their conversation sets — exact integer set sizes via two keyed
+    # distinct aggregations and ONE division per pair.
+    f"WITH t AS ({_TRIPLES_SQL}), "
+    "pc AS (SELECT DISTINCT pred, conv_id FROM t), "
+    "n AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n FROM pc GROUP BY 1), "
+    "b AS (SELECT a.pred AS pred_a, c.pred AS pred_b, "
+    " CAST(COUNT(*) AS BIGINT) AS inter FROM pc a "
+    " JOIN pc c ON c.conv_id = a.conv_id AND a.pred < c.pred "
+    " GROUP BY 1, 2) "
+    "SELECT pred_a, pred_b, inter, na.n AS n_a, nb.n AS n_b, "
+    "printf('%.6f', ROUND(CAST(inter AS DOUBLE) "
+    " / (na.n + nb.n - inter), 6)) AS jaccard "
+    "FROM b JOIN n na ON na.pred = b.pred_a "
+    "JOIN n nb ON nb.pred = b.pred_b",
+)
+def kg_pred_cooccur(spark, sf):
+    """Predicate co-occurrence — for every predicate pair, the Jaccard
+    similarity of the conversation sets they appear in: the
+    SCHEMA-level companion of ``kg_cooccur_lift`` (that key asks which
+    ENTITIES co-occur; this asks which RELATION TYPES travel together —
+    the signal an ontology designer uses to merge or split predicates,
+    and a drift monitor tracks release-over-release).
+
+    Float discipline: set sizes and intersections are exact BIGINTs
+    from distinct-grain aggregations; each Jaccard is ONE
+    correctly-rounded IEEE division under ROUND + %.6f.
+
+    Scale shape: everything is bounded by predicates x conversations —
+    one distinct collapse of the triple table, one conv-keyed
+    self-join over the predicate-domain-sized table, one broadcast of
+    the per-predicate counts."""
+    t = _triples_table(spark, sf)
+    pc = t.select("pred", "conv_id").distinct().localCheckpoint()
+    n = pc.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    b = (
+        pc.select(F.col("pred").alias("pred_a"), "conv_id")
+        .join(
+            pc.select(F.col("pred").alias("pred_b"), "conv_id"),
+            "conv_id",
+        )
+        .filter(F.col("pred_a") < F.col("pred_b"))
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    na = n.select(F.col("pred").alias("pred_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("pred").alias("pred_b"), F.col("n").alias("n_b"))
+    return (
+        b.join(F.broadcast(na), "pred_a")
+        .join(F.broadcast(nb), "pred_b")
+        .select(
+            "pred_a",
+            "pred_b",
+            "inter",
+            "n_a",
+            "n_b",
+            F.format_string(
+                "%.6f",
+                F.round(
+                    F.col("inter").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                    6,
+                ),
+            ).alias("jaccard"),
+        )
+    )

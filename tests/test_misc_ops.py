@@ -3455,3 +3455,63 @@ def test_events_hourly_profile_matches_python(spark):
         assert bool(r.is_peak) == (int(r.cnt) == mx)
     shares = got.share.astype(float)
     assert abs(shares.sum() - 1.0) < 1e-4
+
+
+def test_eval_lang_confusion_matches_python(spark):
+    """The confusion matrix reconciles against lang_id's own output
+    joined to the labels; row shares sum to 1 per true language."""
+    import pandas as pd
+
+    from reach_banner_spark.operators.textstats import REGISTRY
+
+    got = REGISTRY["eval_lang_confusion"][0](spark, SF).toPandas()
+    pred = (
+        REGISTRY["lang_id"][0](spark, SF).toPandas().set_index("doc_id")
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    cells = {}
+    for r in docs.itertuples():
+        key = (r.lang, pred.loc[r.doc_id].lang_guess)
+        cells[key] = cells.get(key, 0) + 1
+    assert len(got) == len(cells)
+    for r in got.itertuples():
+        assert int(r.n) == cells[(r.true_lang, r.pred_lang)]
+    shares = got.groupby("true_lang").row_share.apply(
+        lambda s: s.astype(float).sum()
+    )
+    assert (abs(shares - 1.0) < 1e-4).all()
+
+
+def test_kg_pred_cooccur_matches_python(spark):
+    """Pair Jaccards re-derive from Python conversation sets; every
+    co-occurring pair appears exactly once (a < b)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _triples_table,
+    )
+
+    got = REGISTRY["kg_pred_cooccur"][0](spark, SF).toPandas()
+    t = _triples_table(spark, SF).toPandas()
+    convs = {}
+    for pred, conv in zip(t.pred, t.conv_id):
+        convs.setdefault(pred, set()).add(conv)
+    want = {}
+    preds = sorted(convs)
+    for i, a in enumerate(preds):
+        for b in preds[i + 1 :]:
+            inter = len(convs[a] & convs[b])
+            if inter:
+                want[(a, b)] = inter
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        inter = want[(r.pred_a, r.pred_b)]
+        assert int(r.inter) == inter
+        j = float(inter) / (
+            len(convs[r.pred_a]) + len(convs[r.pred_b]) - inter
+        )
+        q = Decimal(repr(j)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        assert r.jaccard == f"{q:.6f}"
