@@ -5090,9 +5090,21 @@ def events_lorenz(spark, sf):
     grain; the rank/cumsum window runs over users (at 100 TB: swap for
     the volume-binned cumsum — the events_winsorized_mean discipline —
     since volumes are small integers); the decile join is 9 rows."""
-    u = _events(spark, sf).groupBy("user_id").agg(
+    return lorenz_rollup(user_counts(_events(spark, sf)))
+
+
+def user_counts(df: DataFrame) -> DataFrame:
+    """(user_id, cnt) activity grain — shared by ``events_lorenz`` and
+    its streaming twin (plain SUM-able counts)."""
+    return df.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
+
+
+def lorenz_rollup(u: DataFrame) -> DataFrame:
+    """Nine-decile Lorenz rollup over a (user_id, cnt) grain — shared
+    by the batch key and its streaming twin."""
+    spark = u.sparkSession
     w = Window.orderBy("cnt", "user_id")
     r = u.select(
         "cnt",
@@ -5450,9 +5462,20 @@ def events_hourly_profile(spark, sf):
     Scale shape: one map-side-combinable fact collapse onto the 24-row
     hour domain plus a broadcast 1-row total — the cheapest profile
     shape."""
-    h = _events(spark, sf).groupBy(
+    return hourly_rollup(hour_counts(_events(spark, sf)))
+
+
+def hour_counts(df: DataFrame) -> DataFrame:
+    """(hour_of_day, cnt) grain — shared by ``events_hourly_profile``
+    and its streaming twin (plain SUM-able counts)."""
+    return df.groupBy(
         F.hour("ts").cast("long").alias("hour_of_day")
     ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def hourly_rollup(h: DataFrame) -> DataFrame:
+    """Share/peak rollup over an (hour_of_day, cnt) grain — shared by
+    the batch key and its streaming twin."""
     t = h.agg(
         F.sum("cnt").cast("long").alias("total"),
         F.max("cnt").cast("long").alias("mx"),

@@ -3397,3 +3397,97 @@ def stream_bowley(spark, sf):
     return bowley_rollup(
         _stream_cents_counts(spark, sf, "stream_bowley")
     ).localCheckpoint()
+
+
+@register("stream_hourly", None)  # pytest: == batch events_hourly_profile
+def stream_hourly(spark, sf):
+    """INGEST-TIME hour-of-day profile — the streaming twin of
+    ``events_hourly_profile``: the carried state is the 24-row
+    (hour, cnt) grain (plain SUMs — exactly mergeable), and the SHARED
+    ``hourly_rollup`` re-derives shares and the peak flag from the
+    final state. State is O(1) — at most 24 rows."""
+    import shutil
+
+    from ..plans.events_analytics import hour_counts, hourly_rollup
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_hourly", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = hour_counts(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("hour_of_day")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return hourly_rollup(
+        spark.read.parquet(state["path"])
+    ).localCheckpoint()
+
+
+@register("stream_lorenz", None)  # pytest: == batch events_lorenz
+def stream_lorenz(spark, sf):
+    """INGEST-TIME Lorenz-curve monitor — the streaming twin of
+    ``events_lorenz``: the carried state is the per-user activity
+    grain (plain SUMs — exactly mergeable), and the SHARED
+    ``lorenz_rollup`` re-derives the nine decile points from the final
+    state. State is O(users)."""
+    import shutil
+
+    from ..plans.events_analytics import lorenz_rollup, user_counts
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir("stream_lorenz", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = user_counts(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("user_id")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return lorenz_rollup(
+        spark.read.parquet(state["path"])
+    ).localCheckpoint()

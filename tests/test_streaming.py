@@ -1651,3 +1651,37 @@ def test_stream_cents_twins_equal_batch(spark):
         if sort:
             again = again.sort_values(sort).reset_index(drop=True)
         assert again.equals(got), skey
+
+
+def test_stream_hourly_and_lorenz_equal_batch(spark):
+    """stream_hourly / stream_lorenz == their batch keys (sum-mergeable
+    hour and user grains). Re-runs identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    for skey, bkey, sort in (
+        ("stream_hourly", "events_hourly_profile", "hour_of_day"),
+        ("stream_lorenz", "events_lorenz", "decile"),
+    ):
+        got = (
+            ops.REGISTRY[skey][0](spark, SF)
+            .toPandas()
+            .sort_values(sort)
+            .reset_index(drop=True)
+        )
+        want = (
+            EV_REGISTRY[bkey][0](spark, SF)
+            .toPandas()
+            .sort_values(sort)
+            .reset_index(drop=True)
+        )
+        assert got.equals(want), skey
+        again = (
+            ops.REGISTRY[skey][0](spark, SF)
+            .toPandas()
+            .sort_values(sort)
+            .reset_index(drop=True)
+        )
+        assert again.equals(got), skey
