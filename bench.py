@@ -356,6 +356,7 @@ HEADLINE = [
     "events_hourly_profile",
     "eval_lang_confusion",
     "kg_pred_cooccur",
+    "macro_amount_profile",
 ]
 
 

@@ -5486,3 +5486,150 @@ def hourly_rollup(h: DataFrame) -> DataFrame:
         _FMT6(F.col("cnt").cast("double") / F.col("total")).alias("share"),
         (F.col("cnt") == F.col("mx")).alias("is_peak"),
     )
+
+
+# ------------------------------------------------ amount-profile macro ----
+
+@register(
+    "macro_amount_profile",
+    # One-row purchase-amount distribution report composing the cents
+    # family over ONE grain: rank-selected quartiles, Tukey outlier
+    # counts, winsorized/raw means, and Bowley skew — every contract
+    # exactly as its per-key oracle spells it.
+    "WITH c AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents "
+    " FROM events WHERE event_type = 'purchase'), "
+    "g AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM c "
+    " GROUP BY cents), "
+    "cu AS (SELECT cents, cnt, CAST(SUM(cnt) OVER (ORDER BY cents "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum "
+    " FROM g), "
+    "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g), "
+    "q1 AS (SELECT MIN(cents) AS q1 FROM cu, t WHERE cum * 4 >= n), "
+    "q2 AS (SELECT MIN(cents) AS q2 FROM cu, t WHERE cum * 4 >= 2 * n), "
+    "q3 AS (SELECT MIN(cents) AS q3 FROM cu, t WHERE cum * 4 >= 3 * n), "
+    "lo AS (SELECT MIN(cents) AS lo_cents FROM cu, t "
+    " WHERE cum * 100 >= n * 5), "
+    "hi AS (SELECT MIN(cents) AS hi_cents FROM cu, t "
+    " WHERE cum * 100 >= n * 95), "
+    "s AS (SELECT CAST(SUM(LEAST(GREATEST(g.cents, lo_cents), hi_cents) "
+    "  * cnt) AS BIGINT) AS wsum, CAST(SUM(g.cents * cnt) AS BIGINT) "
+    "  AS rsum FROM g, lo, hi), "
+    "f AS (SELECT "
+    " CAST(SUM(CASE WHEN 2 * g.cents < 2 * q1 - 3 * (q3 - q1) "
+    "  THEN cnt ELSE 0 END) AS BIGINT) AS n_low, "
+    " CAST(SUM(CASE WHEN 2 * g.cents > 2 * q3 + 3 * (q3 - q1) "
+    "  THEN cnt ELSE 0 END) AS BIGINT) AS n_high FROM g, q1, q3) "
+    "SELECT n AS n_purchases, q1 AS q1_cents, q2 AS q2_cents, "
+    "q3 AS q3_cents, f.n_low + f.n_high AS n_outliers, "
+    "printf('%.6f', ROUND(CAST(wsum AS DOUBLE) / (100 * n), 6)) "
+    " AS winsorized_mean, "
+    "printf('%.6f', ROUND(CAST(rsum AS DOUBLE) / (100 * n), 6)) "
+    " AS raw_mean, "
+    "printf('%.6f', ROUND(CAST(q3 + q1 - 2 * q2 AS DOUBLE) "
+    " / CAST(q3 - q1 AS DOUBLE), 6)) AS bowley_skew "
+    "FROM t, q1, q2, q3, s, f WHERE n > 0 AND q3 > q1",
+)
+def macro_amount_profile(spark, sf):
+    """One-row purchase-amount distribution report — the revenue-
+    distribution summary a finance dashboard publishes, composing the
+    cents family's contracts over ONE grain: rank-selected quartiles,
+    Tukey outlier counts, winsorized vs raw mean, and Bowley skew.
+    Green here pins the COMPOSITION (the macro_daily_health rationale
+    for the amount axis); pytest additionally reconciles every column
+    against its per-key output.
+
+    Float discipline: unchanged from the per-keys — rank selection by
+    exact cross-multiplies, fences decided by exact integers, each
+    reported float ONE division under ROUND + %.6f.
+
+    Scale shape: one map-side-combinable fact collapse to the bounded
+    cents grain; one cumsum window over that dimension table feeds
+    every selection; five 1-row selections and two dimension-grain
+    conditional sums finish it — facts touched once."""
+    return amount_profile_rollup(purchase_cents_counts(_events(spark, sf)))
+
+
+def amount_profile_rollup(g: DataFrame) -> DataFrame:
+    """Fold a (cents, cnt) grain into the one-row amount profile —
+    shared by ``macro_amount_profile`` and its streaming twin
+    (composes the family's selection contracts over one cumsum)."""
+    g = g.localCheckpoint()
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cu = g.select(
+        "cents", F.sum("cnt").over(wcum).cast("long").alias("cum")
+    )
+    t = g.agg(F.sum("cnt").cast("long").alias("n"))
+    sel = lambda mul, k, name: (  # noqa: E731
+        cu.crossJoin(F.broadcast(t))
+        .filter(F.col("cum") * mul >= k * F.col("n"))
+        .agg(F.min("cents").alias(name))
+    )
+    q1, q2, q3 = sel(4, 1, "q1"), sel(4, 2, "q2"), sel(4, 3, "q3")
+    lo, hi = sel(100, 5, "lo_cents"), sel(100, 95, "hi_cents")
+    s = (
+        g.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .agg(
+            F.sum(
+                F.least(
+                    F.greatest(F.col("cents"), F.col("lo_cents")),
+                    F.col("hi_cents"),
+                )
+                * F.col("cnt")
+            )
+            .cast("long")
+            .alias("wsum"),
+            F.sum(F.col("cents") * F.col("cnt")).cast("long").alias("rsum"),
+        )
+    )
+    iqr = F.col("q3") - F.col("q1")
+    f = (
+        g.crossJoin(F.broadcast(q1))
+        .crossJoin(F.broadcast(q3))
+        .agg(
+            F.sum(
+                F.when(
+                    2 * F.col("cents") < 2 * F.col("q1") - 3 * iqr,
+                    F.col("cnt"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_low"),
+            F.sum(
+                F.when(
+                    2 * F.col("cents") > 2 * F.col("q3") + 3 * iqr,
+                    F.col("cnt"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_high"),
+        )
+    )
+    n = F.col("n")
+    return (
+        t.crossJoin(F.broadcast(q1))
+        .crossJoin(F.broadcast(q2))
+        .crossJoin(F.broadcast(q3))
+        .crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(f))
+        .filter((n > 0) & (F.col("q3") > F.col("q1")))
+        .select(
+            n.alias("n_purchases"),
+            F.col("q1").alias("q1_cents"),
+            F.col("q2").alias("q2_cents"),
+            F.col("q3").alias("q3_cents"),
+            (F.col("n_low") + F.col("n_high")).alias("n_outliers"),
+            _FMT6(F.col("wsum").cast("double") / (100 * n)).alias(
+                "winsorized_mean"
+            ),
+            _FMT6(F.col("rsum").cast("double") / (100 * n)).alias(
+                "raw_mean"
+            ),
+            _FMT6(
+                (F.col("q3") + F.col("q1") - 2 * F.col("q2")).cast("double")
+                / (F.col("q3") - F.col("q1")).cast("double")
+            ).alias("bowley_skew"),
+        )
+    )

@@ -3491,3 +3491,17 @@ def stream_lorenz(spark, sf):
     return lorenz_rollup(
         spark.read.parquet(state["path"])
     ).localCheckpoint()
+
+
+@register("stream_amount_profile", None)  # pytest: == batch macro
+def stream_amount_profile(spark, sf):
+    """INGEST-TIME purchase-amount distribution report — the streaming
+    twin of ``macro_amount_profile`` on the shared cents-grain state
+    (SUM-mergeable; the shared ``amount_profile_rollup`` re-derives
+    quartiles, fences, winsorized mean, and Bowley skew from the final
+    state). State is O(price domain)."""
+    from ..plans.events_analytics import amount_profile_rollup
+
+    return amount_profile_rollup(
+        _stream_cents_counts(spark, sf, "stream_amount_profile")
+    ).localCheckpoint()

@@ -3515,3 +3515,22 @@ def test_kg_pred_cooccur_matches_python(spark):
             Decimal("0.000001"), rounding=ROUND_HALF_UP
         )
         assert r.jaccard == f"{q:.6f}"
+
+
+def test_macro_amount_profile_composes_per_keys(spark):
+    """The one-row amount report reconciles exactly against the three
+    per-key readouts it composes (Tukey, winsorized, Bowley)."""
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    rep = REGISTRY["macro_amount_profile"][0](spark, SF).toPandas()
+    assert len(rep) == 1
+    tk = REGISTRY["events_tukey_fences"][0](spark, SF).toPandas()
+    assert int(rep.q1_cents[0]) == int(tk.q1_cents[0])
+    assert int(rep.q3_cents[0]) == int(tk.q3_cents[0])
+    assert int(rep.n_outliers[0]) == int(tk.n_low[0]) + int(tk.n_high[0])
+    ws = REGISTRY["events_winsorized_mean"][0](spark, SF).toPandas()
+    assert rep.winsorized_mean[0] == ws.winsorized_mean[0]
+    assert rep.raw_mean[0] == ws.raw_mean[0]
+    bw = REGISTRY["events_bowley_skew"][0](spark, SF).toPandas()
+    assert int(rep.q2_cents[0]) == int(bw.q2_cents[0])
+    assert rep.bowley_skew[0] == bw.bowley_skew[0]

@@ -1685,3 +1685,19 @@ def test_stream_hourly_and_lorenz_equal_batch(spark):
             .reset_index(drop=True)
         )
         assert again.equals(got), skey
+
+
+def test_stream_amount_profile_equals_batch(spark):
+    """stream_amount_profile's one-row report == the one-shot
+    macro_amount_profile. Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_amount_profile"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["macro_amount_profile"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_amount_profile"][0](spark, SF).toPandas()
+    assert again.equals(got)
