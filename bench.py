@@ -357,6 +357,12 @@ HEADLINE = [
     "eval_lang_confusion",
     "kg_pred_cooccur",
     "macro_amount_profile",
+    # r5p additions (sixteenth session) — Mann-Kendall trend,
+    # Kruskal-Wallis, Brown-Forsythe (subtract this group too for
+    # earlier-round-comparable subtotals)
+    "events_mann_kendall",
+    "events_kruskal",
+    "events_levene",
 ]
 
 

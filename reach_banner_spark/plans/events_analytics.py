@@ -5265,12 +5265,15 @@ def daily_health_rollup(dt: DataFrame) -> DataFrame:
 
 # ----------------------------------------- Wilcoxon signed-rank / sign ----
 
-def user_prepost(df: DataFrame) -> DataFrame:
-    """Per-user (pre, post) total activity counts under the fixed
-    Jan-16 cut — the shared PAIRED-sample grain for
-    ``events_wilcoxon`` and ``events_sign_test`` (plain SUMs, exactly
-    mergeable across micro-batches; the symmetric-activity sibling of
-    ``user_xy``'s CUPED grain)."""
+def paired_prepost(df: DataFrame) -> DataFrame:
+    """Per-user (x, y) total activity counts under the fixed Jan-16
+    cut — the shared PAIRED-sample grain for ``events_wilcoxon`` and
+    ``events_sign_test`` (plain SUMs, exactly mergeable across
+    micro-batches; the symmetric-activity sibling of ``user_xy``'s
+    CUPED grain). NOT named user_prepost: that is the DiD family's
+    purchase-restricted (pre, post) grain earlier in this module, and
+    a same-name redefinition silently shadows it module-wide (the
+    events_did regression this rename fixed)."""
     cut = F.lit("2024-01-16").cast("timestamp")
     return df.groupBy("user_id").agg(
         F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
@@ -5330,7 +5333,7 @@ def events_wilcoxon(spark, sf):
     Scale shape: one map-side-combinable fact collapse to the user
     grain, one bounded magnitude-grain rank table broadcast back, one
     three-integer rollup — the events_spearman shape for paired data."""
-    return wilcoxon_rollup(user_prepost(_events(spark, sf)))
+    return wilcoxon_rollup(paired_prepost(_events(spark, sf)))
 
 
 def wilcoxon_rollup(u: DataFrame) -> DataFrame:
@@ -5410,9 +5413,9 @@ def events_sign_test(spark, sf):
     correctly-rounded sqrt, one IEEE division under ROUND + %.6f.
 
     Scale shape: one map-side-combinable fact collapse to the shared
-    ``user_prepost`` grain, one two-integer rollup — the cheapest
+    ``paired_prepost`` grain, one two-integer rollup — the cheapest
     paired test that exists."""
-    u = user_prepost(_events(spark, sf))
+    u = paired_prepost(_events(spark, sf))
     m = u.agg(
         F.sum(F.when(F.col("y") > F.col("x"), 1).otherwise(0))
         .cast("long")
@@ -5632,4 +5635,441 @@ def amount_profile_rollup(g: DataFrame) -> DataFrame:
                 / (F.col("q3") - F.col("q1")).cast("double")
             ).alias("bowley_skew"),
         )
+    )
+
+
+# ------------------------------------------- Mann-Kendall trend test ----
+
+def _mann_kendall_sql() -> str:
+    """Build the events_mann_kendall oracle: per-type day pairs give the
+    exact-integer S statistic, per-value tie counts give the exact
+    tie-corrected variance numerator, and z is ONE fixed IEEE chain
+    ((S -+ 1) / sqrt(var_num / 18.0) — a division, a correctly-rounded
+    sqrt, a division) spelled identically on both engines."""
+    return (
+        "WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+        "p AS (SELECT a.event_type, CAST(SUM(CASE "
+        "  WHEN b.cnt > a.cnt THEN 1 WHEN b.cnt < a.cnt THEN -1 "
+        "  ELSE 0 END) AS BIGINT) AS s "
+        " FROM d a JOIN d b ON a.event_type = b.event_type "
+        "  AND a.day < b.day GROUP BY 1), "
+        "t AS (SELECT event_type, CAST(SUM(t * (t - 1) * (2 * t + 5)) "
+        "  AS BIGINT) AS tie_term FROM (SELECT event_type, cnt, "
+        "  CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY 1, 2) "
+        " GROUP BY 1), "
+        "n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n "
+        " FROM d GROUP BY 1), "
+        "x AS (SELECT p.event_type, n.n, p.s, "
+        "  n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS var_num "
+        " FROM p JOIN t ON p.event_type = t.event_type "
+        " JOIN n ON p.event_type = n.event_type) "
+        "SELECT event_type, n AS n_days, s AS s_stat, var_num, "
+        "printf('%.6f', ROUND(CASE "
+        " WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / "
+        "  sqrt(CAST(var_num AS DOUBLE) / 18.0) "
+        " WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / "
+        "  sqrt(CAST(var_num AS DOUBLE) / 18.0) "
+        " ELSE 0.0 END, 6)) AS z "
+        "FROM x WHERE n >= 10 AND var_num > 0 ORDER BY event_type"
+    )
+
+
+@register("events_mann_kendall", _mann_kendall_sql())
+def events_mann_kendall(spark, sf):
+    """Mann-Kendall monotone-trend test per event type — the
+    NONPARAMETRIC complement of ``events_trend``'s OLS slope (rank
+    concordance over day pairs is robust to the heavy-tailed daily
+    volumes OLS is not) and of ``events_theil_sen``'s robust slope
+    (Theil-Sen estimates the magnitude; Mann-Kendall tests whether a
+    trend exists at all — the pairing every trend-analysis text
+    prescribes).
+
+    Float discipline: S = sum of sign(cnt_j - cnt_i) over chronologically
+    ordered day pairs is an exact BIGINT (sign is an integer comparison);
+    the tie-corrected variance numerator n(n-1)(2n+5) - sum t(t-1)(2t+5)
+    is exact BIGINT arithmetic (n = days per type, so n^3 is tiny); z is
+    the continuity-corrected (S -+ 1) / sqrt(var_num / 18.0) — one
+    correctly-rounded int->double division, one correctly-rounded sqrt,
+    one final division — the identical fixed chain on both engines
+    under ROUND + %.6f.
+
+    Scale shape: facts collapse once to the (type, day) grain
+    (map-side combinable); the pair self-join is bounded by
+    types x days^2 — days are CALENDAR-bounded, independent of corpus
+    size, so the quadratic term never touches fact scale. All shuffles
+    key event_type."""
+    d = daily_counts(_events(spark, sf))
+    a = d.select(
+        F.col("event_type"), F.col("day").alias("day_a"),
+        F.col("cnt").alias("cnt_a"),
+    )
+    b = d.select(
+        F.col("event_type"), F.col("day").alias("day_b"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    p = (
+        a.join(b, ["event_type"])
+        .filter(F.col("day_a") < F.col("day_b"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("cnt_b") > F.col("cnt_a"), 1)
+                .when(F.col("cnt_b") < F.col("cnt_a"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    t = (
+        d.groupBy("event_type", "cnt")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    x = p.join(t, ["event_type"]).join(n, ["event_type"]).select(
+        "event_type",
+        "n",
+        "s",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_term")
+        ).alias("var_num"),
+    )
+    sd = F.sqrt(F.col("var_num").cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / sd)
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        x.filter((F.col("n") >= 10) & (F.col("var_num") > 0))
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_stat"),
+            "var_num",
+            _FMT6(z).alias("z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------- Kruskal-Wallis H (weekday) ----
+
+def _kruskal_sql() -> str:
+    """Build the events_kruskal oracle: doubled midranks of pooled daily
+    totals are exact integers (the events_spearman discipline), per-
+    weekday doubled-rank sums Dj give R_j^2/n_j as the ONE exact-integer
+    division Dj^2 / (4*nj) per term, H is an explicit left-associated
+    7-term chain (the events_anova discipline), and the tie correction
+    is one further exact-int division."""
+    gs = range(7)
+    cells = ", ".join(
+        f"CAST(SUM(CASE WHEN dow = {g} THEN dr ELSE 0 END) AS BIGINT) "
+        f"AS d{g}, "
+        f"CAST(SUM(CASE WHEN dow = {g} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n{g}"
+        for g in gs
+    )
+    chain = " + ".join(
+        f"(CAST(d{g} * d{g} AS DOUBLE) / CAST(4 * n{g} AS DOUBLE))"
+        for g in gs
+    )
+    guards = " AND ".join(f"n{g} > 0" for g in gs)
+    return (
+        "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+        "dd AS (SELECT day, cnt, (CAST(day AS DATE) - DATE '2024-01-01') "
+        " % 7 AS dow FROM dt), "
+        "g AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS t FROM dt "
+        " GROUP BY 1), "
+        "r AS (SELECT cnt, 2 * CAST(SUM(t) OVER (ORDER BY cnt "
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        " - t + 1 AS dr, t FROM g), "
+        "j AS (SELECT dd.dow, r.dr FROM dd JOIN r ON dd.cnt = r.cnt), "
+        f"o AS (SELECT {cells} FROM j), "
+        "m2 AS (SELECT CAST(SUM(t) AS BIGINT) AS n, "
+        " CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum FROM g), "
+        f"x AS (SELECT m2.n, m2.tie_sum, ({chain}) AS chain "
+        f" FROM o, m2 WHERE {guards} AND m2.n > 7) "
+        "SELECT n AS n_days, "
+        "printf('%.6f', ROUND(12.0 * chain / CAST(n * (n + 1) AS DOUBLE) "
+        " - CAST(3 * (n + 1) AS DOUBLE), 6)) AS h_stat, "
+        "printf('%.6f', ROUND((12.0 * chain / CAST(n * (n + 1) AS DOUBLE) "
+        " - CAST(3 * (n + 1) AS DOUBLE)) / "
+        " (CAST(n * n * n - n - tie_sum AS DOUBLE) / "
+        "  CAST(n * n * n - n AS DOUBLE)), 6)) AS h_adj "
+        "FROM x WHERE n * n * n - n > tie_sum"
+    )
+
+
+@register("events_kruskal", _kruskal_sql())
+def events_kruskal(spark, sf):
+    """Kruskal-Wallis H across the seven weekdays — the RANK-based
+    complement of ``events_anova`` (same 'is there a weekday effect?'
+    question, robust to the non-normal daily-volume distribution ANOVA
+    assumes away; the nonparametric k-group extension of
+    ``events_mann_whitney``'s two-group U).
+
+    Float discipline: doubled midranks of the pooled daily totals are
+    exact integers (2*cum - t + 1, the events_spearman discipline);
+    per-weekday doubled-rank sums D_j are exact BIGINTs; each
+    R_j^2/n_j term is the ONE exact-integer division D_j^2/(4*n_j)
+    (doubling squares to the 4); the 7-term sum is an EXPLICIT
+    left-associated chain (events_anova discipline); H and the
+    tie-corrected H_adj are fixed chains of correctly-rounded ops
+    spelled identically on both engines; the tie-correction guard
+    n^3 - n > tie_sum is an integer comparison.
+
+    Scale shape: one fact collapse to the calendar-day grain, one
+    value-grain rank table (days-sized), one broadcast-scale join, one
+    conditional aggregation to a single 14-integer row."""
+    dt = day_totals(_events(spark, sf))
+    dd = dt.select(
+        "cnt",
+        F.pmod(
+            F.datediff(F.to_date("day"), F.lit("2024-01-01").cast("date")),
+            F.lit(7),
+        )
+        .cast("long")
+        .alias("dow"),
+    )
+    g = dt.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    wcum = Window.orderBy("cnt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.select(
+        "cnt",
+        (
+            2 * F.sum("t").over(wcum).cast("long") - F.col("t") + 1
+        ).alias("dr"),
+    )
+    j = dd.join(F.broadcast(r), ["cnt"])
+    import functools
+    import operator
+
+    gs = range(7)
+    aggs = []
+    for k in gs:
+        aggs += [
+            F.sum(F.when(F.col("dow") == k, F.col("dr")).otherwise(0))
+            .cast("long")
+            .alias(f"d{k}"),
+            F.sum(F.when(F.col("dow") == k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{k}"),
+        ]
+    o = j.agg(*aggs)
+    m2 = g.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    chain = functools.reduce(
+        operator.add,
+        [
+            (F.col(f"d{k}") * F.col(f"d{k}")).cast("double")
+            / (4 * F.col(f"n{k}")).cast("double")
+            for k in gs
+        ],
+    )
+    guard = functools.reduce(
+        operator.and_, [F.col(f"n{k}") > 0 for k in gs]
+    )
+    n = F.col("n")
+    h = F.lit(12.0) * F.col("chain") / (n * (n + 1)).cast("double") - (
+        3 * (n + 1)
+    ).cast("double")
+    c = (n * n * n - n - F.col("tie_sum")).cast("double") / (
+        n * n * n - n
+    ).cast("double")
+    x = (
+        o.crossJoin(F.broadcast(m2))
+        .filter(guard & (n > 7))
+        .select("n", "tie_sum", chain.alias("chain"))
+    )
+    return x.filter(n * n * n - n > F.col("tie_sum")).select(
+        n.alias("n_days"),
+        _FMT6(h).alias("h_stat"),
+        _FMT6(h / c).alias("h_adj"),
+    )
+
+
+# --------------------------------- Brown-Forsythe / Levene (weekday) ----
+
+def _levene_sql() -> str:
+    """Build the events_levene oracle: per-weekday LOWER medians by rank
+    selection (the events_theil_sen discipline — interpolation never
+    enters), absolute deviations are exact integers, and the one-way
+    ANOVA on deviations reuses the events_anova 7-term chain shape."""
+    gs = range(7)
+    cells = ", ".join(
+        f"CAST(SUM(CASE WHEN dow = {g} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n{g}, "
+        f"CAST(SUM(CASE WHEN dow = {g} THEN z ELSE 0 END) AS BIGINT) "
+        f"AS s{g}, "
+        f"CAST(SUM(CASE WHEN dow = {g} THEN z * z ELSE 0 END) "
+        f"AS BIGINT) AS q{g}"
+        for g in gs
+    )
+    ssw = " + ".join(
+        f"(CAST(n{g} * q{g} - s{g} * s{g} AS DOUBLE) / CAST(n{g} AS DOUBLE))"
+        for g in gs
+    )
+    ssb_terms = " + ".join(
+        f"(CAST(s{g} * s{g} AS DOUBLE) / CAST(n{g} AS DOUBLE))" for g in gs
+    )
+    ssb = f"({ssb_terms}) - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)"
+    guards = " AND ".join(f"n{g} > 0" for g in gs)
+    return (
+        "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+        "dd AS (SELECT day, cnt, (CAST(day AS DATE) - DATE '2024-01-01') "
+        " % 7 AS dow FROM dt), "
+        "g AS (SELECT dow, cnt, CAST(COUNT(*) AS BIGINT) AS k FROM dd "
+        " GROUP BY 1, 2), "
+        "cu AS (SELECT dow, cnt, CAST(SUM(k) OVER (PARTITION BY dow "
+        " ORDER BY cnt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        " AS BIGINT) AS cum FROM g), "
+        "gn AS (SELECT dow, CAST(SUM(k) AS BIGINT) AS gn FROM g "
+        " GROUP BY 1), "
+        "med AS (SELECT cu.dow, MIN(cu.cnt) AS med FROM cu "
+        " JOIN gn ON cu.dow = gn.dow WHERE cu.cum * 2 >= gn.gn "
+        " GROUP BY 1), "
+        "zz AS (SELECT dd.dow, CAST(ABS(dd.cnt - med.med) AS BIGINT) AS z "
+        " FROM dd JOIN med ON dd.dow = med.dow), "
+        f"o AS (SELECT {cells}, CAST(COUNT(*) AS BIGINT) AS n, "
+        " CAST(SUM(z) AS BIGINT) AS s FROM zz), "
+        f"x AS (SELECT n, ({ssw}) AS ssw, ({ssb}) AS ssb FROM o "
+        f" WHERE {guards} AND n > 7) "
+        "SELECT n AS n_days, "
+        "printf('%.6f', ROUND(ssb, 6)) AS ss_between_z, "
+        "printf('%.6f', ROUND(ssw, 6)) AS ss_within_z, "
+        "printf('%.6f', ROUND((ssb / CAST(6 AS DOUBLE)) "
+        " / (ssw / CAST(n - 7 AS DOUBLE)), 6)) AS w_stat "
+        "FROM x WHERE ssw > 0"
+    )
+
+
+@register("events_levene", _levene_sql())
+def events_levene(spark, sf):
+    """Brown-Forsythe (median-based Levene) test of equal daily-volume
+    VARIANCE across the seven weekdays — the dispersion complement of
+    ``events_anova`` (ANOVA asks whether weekday LEVELS differ; this
+    asks whether weekday VOLATILITY does — the check that must pass
+    before pooling variances, and a seasonality readout in its own
+    right: weekend traffic is often not just lower but burstier).
+
+    Float discipline: per-weekday centers are LOWER medians by rank
+    selection over the per-weekday cumulative counts (cum*2 >= n_j; the
+    events_theil_sen discipline — interpolation formulas differ by an
+    ulp between engines, selection sidesteps the class; the lower-median
+    variant of Brown-Forsythe is pinned by BOTH engines spelling the
+    same selection), so each deviation |cnt - med_j| is an exact BIGINT;
+    the deviation ANOVA reuses the events_anova shape — per-group exact
+    moments, explicit left-associated 7-term SSW/SSB chains of single
+    exact-integer divisions, W as two further fixed divisions.
+
+    Scale shape: one fact collapse to the calendar-day grain; the
+    weekday-value grain, medians, deviations, and the final
+    23-integer row all live at dimension scale."""
+    dt = day_totals(_events(spark, sf))
+    dd = dt.select(
+        "cnt",
+        F.pmod(
+            F.datediff(F.to_date("day"), F.lit("2024-01-01").cast("date")),
+            F.lit(7),
+        )
+        .cast("long")
+        .alias("dow"),
+    )
+    g = dd.groupBy("dow", "cnt").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    wcum = (
+        Window.partitionBy("dow")
+        .orderBy("cnt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cu = g.select(
+        "dow", "cnt", F.sum("k").over(wcum).cast("long").alias("cum")
+    )
+    gn = g.groupBy("dow").agg(F.sum("k").cast("long").alias("gn"))
+    med = (
+        cu.join(gn, ["dow"])
+        .filter(F.col("cum") * 2 >= F.col("gn"))
+        .groupBy("dow")
+        .agg(F.min("cnt").alias("med"))
+    )
+    zz = dd.join(F.broadcast(med), ["dow"]).select(
+        "dow", F.abs(F.col("cnt") - F.col("med")).cast("long").alias("z")
+    )
+    import functools
+    import operator
+
+    gs = range(7)
+    aggs = []
+    for k in gs:
+        aggs += [
+            F.sum(F.when(F.col("dow") == k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{k}"),
+            F.sum(F.when(F.col("dow") == k, F.col("z")).otherwise(0))
+            .cast("long")
+            .alias(f"s{k}"),
+            F.sum(
+                F.when(F.col("dow") == k, F.col("z") * F.col("z"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias(f"q{k}"),
+        ]
+    o = zz.agg(
+        *aggs,
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("s"),
+    )
+    ssw = functools.reduce(
+        operator.add,
+        [
+            (
+                F.col(f"n{k}") * F.col(f"q{k}")
+                - F.col(f"s{k}") * F.col(f"s{k}")
+            ).cast("double")
+            / F.col(f"n{k}").cast("double")
+            for k in gs
+        ],
+    )
+    ssb = functools.reduce(
+        operator.add,
+        [
+            (F.col(f"s{k}") * F.col(f"s{k}")).cast("double")
+            / F.col(f"n{k}").cast("double")
+            for k in gs
+        ],
+    ) - (F.col("s") * F.col("s")).cast("double") / F.col("n").cast("double")
+    guard = functools.reduce(
+        operator.and_, [F.col(f"n{k}") > 0 for k in gs]
+    ) & (F.col("n") > 7)
+    x = o.filter(guard).select("n", ssw.alias("ssw"), ssb.alias("ssb"))
+    return x.filter(F.col("ssw") > 0).select(
+        F.col("n").alias("n_days"),
+        _FMT6(F.col("ssb")).alias("ss_between_z"),
+        _FMT6(F.col("ssw")).alias("ss_within_z"),
+        _FMT6(
+            (F.col("ssb") / F.lit(6).cast("double"))
+            / (F.col("ssw") / (F.col("n") - 7).cast("double"))
+        ).alias("w_stat"),
     )

@@ -3231,7 +3231,7 @@ def _stream_user_prepost(spark, sf, op_key: str) -> DataFrame:
     micro-batch split)."""
     import shutil
 
-    from ..plans.events_analytics import user_prepost
+    from ..plans.events_analytics import paired_prepost
 
     d = _stage_stream_dir(sf)
     work = _op_work_dir(op_key, d)
@@ -3239,7 +3239,7 @@ def _stream_user_prepost(spark, sf, op_key: str) -> DataFrame:
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        cur = user_prepost(batch_df)
+        cur = paired_prepost(batch_df)
         allg = (
             cur
             if state["path"] is None
