@@ -363,6 +363,9 @@ HEADLINE = [
     "events_mann_kendall",
     "events_kruskal",
     "events_levene",
+    "kg_four_cliques",
+    "kg_preferential_attachment",
+    "lm_collocations",
 ]
 
 

@@ -4687,3 +4687,97 @@ def eval_lang_confusion(spark, sf):
         "n",
         fmt6(F.col("n").cast("double") / F.col("tot")).alias("row_share"),
     )
+
+
+# ------------------------------------------------- collocation lift ----
+
+@register(
+    "lm_collocations",
+    # Bigram collocation mining by LIFT = T·c(ab) / (c(a·)·c(·b)) with
+    # min support c(ab) >= 5: every factor (pair count, left/right
+    # marginals from the PAIR table, total bigram tokens T) is an exact
+    # BIGINT, the score is ONE correctly-rounded IEEE division of exact
+    # integer products (the tfidf_topk rule — ranking bit-identical
+    # across engines), and (lift DESC, w1, w2) is a tie-free total
+    # order because (w1, w2) is unique.
+    f"WITH bg AS ({_BIGRAM2_SQL}), "
+    "p AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg "
+    " GROUP BY 1, 2), "
+    "l AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c1 FROM p GROUP BY 1), "
+    "r AS (SELECT w2, CAST(SUM(cnt) AS BIGINT) AS c2 FROM p GROUP BY 1), "
+    "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM p) "
+    "SELECT p.w1, p.w2, p.cnt, l.c1, r.c2, "
+    "printf('%.6f', ROUND(CAST(p.cnt * t.tt AS DOUBLE) "
+    " / CAST(l.c1 * r.c2 AS DOUBLE), 6)) AS lift "
+    "FROM p JOIN l ON l.w1 = p.w1 JOIN r ON r.w2 = p.w2, t "
+    "WHERE p.cnt >= 5 "
+    "ORDER BY CAST(p.cnt * t.tt AS DOUBLE) / CAST(l.c1 * r.c2 AS DOUBLE) "
+    " DESC, p.w1, p.w2 LIMIT 50",
+)
+def lm_collocations(spark, sf):
+    """Collocation mining — the top-50 word bigrams by LIFT (observed
+    pair frequency over the independence expectation), the association
+    readout every phrase-extraction pipeline runs before building a
+    tokenizer vocabulary or phrase table ('new york' scores high on
+    lift even when raw count is middling). The RATIO is emitted instead
+    of PMI's log of it (the kg_cooccur_lift rule: IEEE ·/÷ are exactly
+    rounded everywhere, libm log is not), so ranking and values are
+    bit-identical across engines; min support c(ab) >= 5 is the
+    standard guard against one-off pairs with tiny marginals.
+
+    Float discipline: lift = (c(ab)·T) / (c(a·)·c(·b)) — both products
+    are exact BIGINTs (pair count ≤ T, marginal ≤ T, T² < 2^63 at any
+    conceivable corpus shard), so the score is ONE correctly-rounded
+    division; the (lift DESC, w1, w2) order is total because (w1, w2)
+    is unique.
+
+    Scale shape: the lm_bigram discipline — explode once to pairs, ONE
+    pair-keyed partial+final aggregation, both marginals and the total
+    derived from the PAIR table (never a second fact pass), marginal
+    joins keyed w1/w2, the corpus total rides as a broadcast 1-row
+    crossJoin, and the global top-50 is TakeOrderedAndProject."""
+    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    pairs = F.expr(
+        "transform(slice(w, 1, size(w) - 1), "
+        "(x, i) -> struct(x AS w1, w[i + 1] AS w2))"
+    )
+    bg = (
+        d.filter(F.size("w") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    p = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    lft = p.groupBy("w1").agg(F.sum("cnt").cast("long").alias("c1"))
+    rgt = p.groupBy("w2").agg(F.sum("cnt").cast("long").alias("c2"))
+    t = p.agg(F.sum("cnt").cast("long").alias("tt"))
+    lift = (F.col("cnt") * F.col("tt")).cast("double") / (
+        F.col("c1") * F.col("c2")
+    ).cast("double")
+    return (
+        p.filter(F.col("cnt") >= 5)
+        .join(lft, "w1")
+        .join(rgt, "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            "c1",
+            "c2",
+            lift.alias("_lift"),
+        )
+        .orderBy(F.desc("_lift"), "w1", "w2")
+        .limit(50)
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            "c1",
+            "c2",
+            F.format_string("%.6f", F.round(F.col("_lift"), 6)).alias(
+                "lift"
+            ),
+        )
+    )

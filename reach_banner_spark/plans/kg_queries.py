@@ -1066,13 +1066,18 @@ _EDGES_SYM_SQL = (
     "UNION SELECT DISTINCT conv_id, obj, subj FROM t WHERE subj <> obj"
 )
 
-# per-conv triangle counts over oriented edges e: each triangle x<y<z is
-# counted once as e1=(x,y), e2=(x,z) with z>y, e3=(y,z)
-_TRIANGLES_SQL = (
-    "SELECT e1.conv_id, COUNT(*) AS n FROM e e1 "
+# node-level triangles over oriented edges e: each triangle x<y<z is
+# emitted once as e1=(x,y), e2=(x,z) with z>y, e3=(y,z)
+_TRIANGLE_NODES_SQL = (
+    "SELECT e1.conv_id, e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 "
     "JOIN e e2 ON e2.conv_id = e1.conv_id AND e2.a = e1.a AND e2.b > e1.b "
-    "JOIN e e3 ON e3.conv_id = e1.conv_id AND e3.a = e1.b AND e3.b = e2.b "
-    "GROUP BY e1.conv_id"
+    "JOIN e e3 ON e3.conv_id = e1.conv_id AND e3.a = e1.b AND e3.b = e2.b"
+)
+
+# per-conv triangle counts (the rollup of the node-level census)
+_TRIANGLES_SQL = (
+    f"SELECT conv_id, COUNT(*) AS n FROM ({_TRIANGLE_NODES_SQL}) tnode "
+    "GROUP BY conv_id"
 )
 
 
@@ -1104,10 +1109,12 @@ def _sym_edges(t: DataFrame) -> DataFrame:
     )
 
 
-def _conv_triangles(e: DataFrame) -> DataFrame:
-    """(conv_id, n) triangle counts over oriented edges ``e`` — the
-    DataFrame twin of ``_TRIANGLES_SQL``; conv_id-first equi-joins with
-    the inequality as residual (plan-audited)."""
+def _conv_triangle_nodes(e: DataFrame) -> DataFrame:
+    """(conv_id, x, y, z) node-level triangles over oriented edges ``e``
+    — the DataFrame twin of ``_TRIANGLE_NODES_SQL``; conv_id-first
+    equi-joins with the equality/inequality residuals folded into the
+    join keys by Catalyst (plan-audited). Shared by the triangle count
+    and the K4 census (which extends each triangle by a fourth node)."""
     e2 = e.select("conv_id", F.col("a").alias("a2"), F.col("b").alias("b2"))
     e3 = e.select("conv_id", F.col("a").alias("a3"), F.col("b").alias("b3"))
     return (
@@ -1115,6 +1122,21 @@ def _conv_triangles(e: DataFrame) -> DataFrame:
         .filter((F.col("a2") == F.col("a")) & (F.col("b2") > F.col("b")))
         .join(e3, ["conv_id"])
         .filter((F.col("a3") == F.col("b")) & (F.col("b3") == F.col("b2")))
+        .select(
+            "conv_id",
+            F.col("a").alias("x"),
+            F.col("b").alias("y"),
+            F.col("b2").alias("z"),
+        )
+    )
+
+
+def _conv_triangles(e: DataFrame) -> DataFrame:
+    """(conv_id, n) triangle counts over oriented edges ``e`` — the
+    DataFrame twin of ``_TRIANGLES_SQL`` (the rollup of
+    ``_conv_triangle_nodes``)."""
+    return (
+        _conv_triangle_nodes(e)
         .groupBy("conv_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -5128,4 +5150,115 @@ def kg_pred_cooccur(spark, sf):
                 ),
             ).alias("jaccard"),
         )
+    )
+
+
+# ------------------------------------------------------ K4 census ----
+
+@register(
+    "kg_four_cliques",
+    f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_ORIENTED_SQL}), "
+    f"tn AS ({_TRIANGLE_NODES_SQL}) "
+    "SELECT tn.conv_id, CAST(COUNT(*) AS BIGINT) AS n_k4 FROM tn "
+    "JOIN e e4 ON e4.conv_id = tn.conv_id AND e4.a = tn.x AND e4.b > tn.z "
+    "JOIN e e5 ON e5.conv_id = tn.conv_id AND e5.a = tn.y AND e5.b = e4.b "
+    "JOIN e e6 ON e6.conv_id = tn.conv_id AND e6.a = tn.z AND e6.b = e4.b "
+    "GROUP BY tn.conv_id",
+)
+def kg_four_cliques(spark, sf):
+    """Per-conversation K4 (4-clique) count over the undirected entity
+    graph — the next clique statistic after ``kg_triangles`` (dense
+    4-node cores signal tightly coupled entity groups the triangle
+    count alone cannot see; the clique ladder is how graph-density
+    profiles distinguish one hub-with-spokes from an actual community).
+    Each K4 x<y<z<w is counted exactly once: the canonical triangle
+    (x, y, z) from the SHARED node-level census extended by the fourth
+    node w > z through its three remaining edges (x,w), (y,w), (z,w).
+
+    All counts are exact integers — no float contract at all.
+
+    Scale shape: the same pre-aggregation discipline as kg_triangles —
+    the join input is the DISTINCT oriented edge set, bounded per
+    conversation by |dict|²; all six self-join shuffles key
+    conv_id-first (co-partitioned with the triple table's bucketing),
+    and the equality residuals fold into the join keys. Nothing ever
+    crosses conversations, so the worst case is convs × domain⁴ with a
+    dictionary-bounded domain — never fact-scale."""
+    e = _oriented_edges(_triples_table(spark, sf))
+    tn = _conv_triangle_nodes(e)
+    e4 = e.select("conv_id", F.col("a").alias("a4"), F.col("b").alias("w4"))
+    e5 = e.select("conv_id", F.col("a").alias("a5"), F.col("b").alias("w5"))
+    e6 = e.select("conv_id", F.col("a").alias("a6"), F.col("b").alias("w6"))
+    return (
+        tn.join(e4, ["conv_id"])
+        .filter((F.col("a4") == F.col("x")) & (F.col("w4") > F.col("z")))
+        .join(e5, ["conv_id"])
+        .filter((F.col("a5") == F.col("y")) & (F.col("w5") == F.col("w4")))
+        .join(e6, ["conv_id"])
+        .filter((F.col("a6") == F.col("z")) & (F.col("w6") == F.col("w4")))
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_k4"))
+    )
+
+
+# ------------------------------------- preferential attachment ----
+
+@register(
+    "kg_preferential_attachment",
+    f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_ORIENTED_SQL}), "
+    "d AS (SELECT conv_id, ent, CAST(COUNT(*) AS BIGINT) AS deg FROM "
+    " (SELECT conv_id, a AS ent FROM e UNION ALL "
+    "  SELECT conv_id, b FROM e) u GROUP BY 1, 2), "
+    "p AS (SELECT x.conv_id, x.ent AS a, y.ent AS b, "
+    "  x.deg AS deg_a, y.deg AS deg_b "
+    " FROM d x JOIN d y ON x.conv_id = y.conv_id AND x.ent < y.ent "
+    " WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.conv_id = x.conv_id "
+    "  AND e.a = x.ent AND e.b = y.ent)) "
+    "SELECT conv_id, a, b, deg_a, deg_b, deg_a * deg_b AS pa_score "
+    "FROM p ORDER BY pa_score DESC, conv_id, a, b LIMIT 100",
+)
+def kg_preferential_attachment(spark, sf):
+    """Preferential-attachment link prediction: for same-conversation
+    entity pairs NOT yet connected, the classic PA score deg(a)·deg(b)
+    — the degree-product baseline every link-prediction benchmark
+    reports next to common-neighbour scores (``kg_neighbor_jaccard``
+    needs a shared neighbour to fire; PA ranks the well-connected
+    still-unlinked pairs those keys are blind to — 'these two hubs will
+    meet'). Top-100 under the tie-free total order
+    (pa_score DESC, conv_id, a, b).
+
+    All degrees and scores are exact integers — no float contract.
+
+    Scale shape: degrees come from the DISTINCT oriented edge set (one
+    conv_id-keyed aggregation); the candidate self-join and the
+    anti-join against existing edges are bounded per conversation by
+    the dictionary-bounded entity domain and key conv_id-first; the
+    global top-100 is TakeOrderedAndProject — no global sort ever
+    materializes."""
+    e = _oriented_edges(_triples_table(spark, sf)).localCheckpoint()
+    d = (
+        e.select("conv_id", F.col("a").alias("ent"))
+        .unionByName(e.select("conv_id", F.col("b").alias("ent")))
+        .groupBy("conv_id", "ent")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    x = d.select(
+        "conv_id", F.col("ent").alias("a"), F.col("deg").alias("deg_a")
+    )
+    y = d.select(
+        "conv_id", F.col("ent").alias("b"), F.col("deg").alias("deg_b")
+    )
+    pairs = x.join(y, ["conv_id"]).filter(F.col("a") < F.col("b"))
+    np_ = pairs.join(e, ["conv_id", "a", "b"], "left_anti")
+    return (
+        np_.select(
+            "conv_id",
+            "a",
+            "b",
+            "deg_a",
+            "deg_b",
+            (F.col("deg_a") * F.col("deg_b")).alias("pa_score"),
+        )
+        .orderBy(F.desc("pa_score"), "conv_id", "a", "b")
+        .limit(100)
     )
