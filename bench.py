@@ -366,6 +366,8 @@ HEADLINE = [
     "kg_four_cliques",
     "kg_preferential_attachment",
     "lm_collocations",
+    "fn_aes_roundtrip",
+    "emb_dim_stats",
 ]
 
 

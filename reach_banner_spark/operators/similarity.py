@@ -1601,3 +1601,75 @@ def emb_norm_profile(spark, sf):
             fmt6(F.col("mx")).alias("max_norm"),
         )
     )
+
+
+@register(
+    "emb_dim_stats",
+    # Per-dimension embedding profile: min/max are order-insensitive
+    # selections over identical doubles (float32 widens to double
+    # EXACTLY on both engines), and the mean's sum is folded in
+    # vec_id order on both sides — Spark aggregate(sort_array(...)),
+    # DuckDB list_reduce over the ORDER BY vec_id list with a 0.0
+    # prepended (acc type == element type) — so the double sum is
+    # bit-identical by construction (the kg_resource_allocation
+    # sorted-fold discipline applied to a fact-scale column).
+    "WITH x AS (SELECT vec_id, e, "
+    " unnest(generate_series(1, len(e))) AS i FROM "
+    " (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) "
+    "  AS e FROM embeddings) t0), "
+    "d AS (SELECT CAST(i - 1 AS BIGINT) AS dim, e[i] AS v, vec_id FROM x), "
+    "g AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, MIN(v) AS mn, "
+    " MAX(v) AS mx, list(v ORDER BY vec_id) AS vs FROM d GROUP BY dim) "
+    "SELECT dim, n, "
+    "printf('%.6f', ROUND(mn, 6)) AS min_v, "
+    "printf('%.6f', ROUND(mx, 6)) AS max_v, "
+    "printf('%.6f', ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), vs), "
+    " (s, x) -> s + x) / CAST(n AS DOUBLE), 6)) AS mean_v "
+    "FROM g ORDER BY dim",
+)
+def emb_dim_stats(spark, sf):
+    """Per-dimension embedding statistics — min / mean / max of every
+    coordinate across the table, the encoder-health profile run before
+    any quantization or indexing decision (``emb_quantize_int8``'s
+    scale factor, ``emb_pq``'s subspace split, and whitening choices
+    all start from exactly this table; a dead or saturated dimension
+    shows up here first).
+
+    Float discipline: float32 coordinates widen to double exactly on
+    both engines; min/max are order-insensitive selections; the mean's
+    sum is a SORTED LEFT FOLD in vec_id order on both engines (Spark
+    ``aggregate(sort_array(collect_list(struct(vec_id, v))))``, DuckDB
+    ``list_reduce`` over the ORDER BY vec_id list) so the accumulation
+    order — the one thing IEEE addition is sensitive to — is pinned
+    bit-for-bit; the mean is one further correctly-rounded division.
+
+    Scale shape: one posexplode pass, ONE dim-keyed aggregation (64
+    groups; map-side partials carry (n, min, max) cheaply — the
+    collect_list is the price of the deterministic fold and is bounded
+    per group by the row count; at 100 TB swap it for a two-pass
+    exact-scaled integer sum, the documented trade)."""
+    d = _emb(spark, sf).select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v0")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    g = d.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("vec_id", "v"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        ).alias("ssum"),
+    )
+    fmt6 = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    return g.select(
+        "dim",
+        "n",
+        fmt6(F.col("mn")).alias("min_v"),
+        fmt6(F.col("mx")).alias("max_v"),
+        fmt6(F.col("ssum") / F.col("n").cast("double")).alias("mean_v"),
+    ).orderBy("dim")

@@ -5699,7 +5699,14 @@ def events_mann_kendall(spark, sf):
     types x days^2 — days are CALENDAR-bounded, independent of corpus
     size, so the quadratic term never touches fact scale. All shuffles
     key event_type."""
-    d = daily_counts(_events(spark, sf))
+    return mk_rollup(daily_counts(_events(spark, sf)))
+
+
+def mk_rollup(d: DataFrame) -> DataFrame:
+    """Fold a (event_type, day, cnt) daily-count table into the
+    Mann-Kendall readout — shared by ``events_mann_kendall`` and its
+    streaming twin (the exact-S / tie-corrected-variance / fixed z
+    chain lives here)."""
     a = d.select(
         F.col("event_type"), F.col("day").alias("day_a"),
         F.col("cnt").alias("cnt_a"),
@@ -5835,7 +5842,14 @@ def events_kruskal(spark, sf):
     Scale shape: one fact collapse to the calendar-day grain, one
     value-grain rank table (days-sized), one broadcast-scale join, one
     conditional aggregation to a single 14-integer row."""
-    dt = day_totals(_events(spark, sf))
+    return kruskal_rollup(day_totals(_events(spark, sf)))
+
+
+def kruskal_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals table into the one-row
+    Kruskal-Wallis readout — shared by ``events_kruskal`` and its
+    streaming twin (the doubled-midrank / 7-term-chain / tie-correction
+    float contract lives here)."""
     dd = dt.select(
         "cnt",
         F.pmod(
@@ -5985,7 +5999,14 @@ def events_levene(spark, sf):
     Scale shape: one fact collapse to the calendar-day grain; the
     weekday-value grain, medians, deviations, and the final
     23-integer row all live at dimension scale."""
-    dt = day_totals(_events(spark, sf))
+    return levene_rollup(day_totals(_events(spark, sf)))
+
+
+def levene_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals table into the one-row
+    Brown-Forsythe readout — shared by ``events_levene`` and its
+    streaming twin (the lower-median selection + deviation-ANOVA float
+    contract lives here)."""
     dd = dt.select(
         "cnt",
         F.pmod(

@@ -5032,3 +5032,45 @@ def fn_sentences(spark, sf):
         F.element_at(first, 1).alias("first_word"),
         F.element_at(first, -1).alias("last_word"),
     )
+
+
+@register(
+    "fn_aes_roundtrip",
+    # AES round-trip identity + PKCS7 ciphertext-length law: DuckDB has
+    # no AES builtins, so the oracle pins the two things it CAN state —
+    # decrypt(encrypt(x)) == x and |cipher| == 16*(|plain|/16 + 1)
+    # (PKCS7 always pads, so a full block is appended on block-aligned
+    # input). The definitional-oracle shape of fn_luhn: Spark computes
+    # the primitive, SQL states the law it must satisfy.
+    "SELECT p_partkey, p_name AS roundtrip, "
+    "CAST(16 * (octet_length(encode(p_name)) // 16 + 1) AS BIGINT) "
+    " AS cipher_len FROM part",
+)
+def fn_aes_roundtrip(spark, sf):
+    """AES-128 encrypt/decrypt round trip (ECB + PKCS padding) — the
+    column-encryption primitive a privacy-preserving pipeline applies
+    to PII columns at rest (the crypto sibling of ``fn_mask``'s
+    redaction and ``pii_scrub``'s detection). ECB with a fixed data key
+    is the DETERMINISTIC mode — the only one whose ciphertext is
+    reproducible run-to-run (GCM salts a random IV per call), which is
+    what makes the key testable and what deterministic-tokenization
+    schemes use; the trade (equal plaintexts leak equality) is exactly
+    what a join-preserving encrypted column wants.
+
+    The oracle pins the round-trip identity and the PKCS7 length law
+    (cipher bytes = 16·(⌊plain/16⌋ + 1)); no float contract.
+
+    Scale shape: pure projection inside whole-stage codegen — two JVM
+    crypto calls per row, linear in scanned bytes, no shuffle."""
+    p = _t(spark, sf, "part")
+    key = F.lit("0123456789abcdef").cast("binary")
+    enc = F.aes_encrypt(
+        F.col("p_name").cast("binary"), key, F.lit("ECB"), F.lit("PKCS")
+    )
+    return p.select(
+        "p_partkey",
+        F.aes_decrypt(enc, key, F.lit("ECB"), F.lit("PKCS"))
+        .cast("string")
+        .alias("roundtrip"),
+        F.octet_length(enc).cast("long").alias("cipher_len"),
+    )

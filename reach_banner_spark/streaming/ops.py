@@ -3505,3 +3505,49 @@ def stream_amount_profile(spark, sf):
     return amount_profile_rollup(
         _stream_cents_counts(spark, sf, "stream_amount_profile")
     ).localCheckpoint()
+
+
+@register("stream_mann_kendall", None)  # pytest: == batch key
+def stream_mann_kendall(spark, sf):
+    """INGEST-TIME Mann-Kendall trend monitor — the streaming twin of
+    ``events_mann_kendall`` on the shared per-type daily-count state
+    (COUNTs are exactly sum-mergeable for any micro-batch split, so
+    the merged state == the batch ``daily_counts`` and the SHARED
+    ``mk_rollup`` makes streaming == batch a theorem about SUM). State
+    is O(types × days) — calendar-bounded."""
+    from ..plans.events_analytics import mk_rollup
+
+    return mk_rollup(
+        _stream_daily_counts(spark, sf, "stream_mann_kendall")
+    ).localCheckpoint()
+
+
+@register("stream_kruskal", None)  # pytest: == batch events_kruskal
+def stream_kruskal(spark, sf):
+    """INGEST-TIME Kruskal-Wallis weekday monitor — the streaming twin
+    of ``events_kruskal``: the carried state is the same per-type
+    daily-count grain (sum-mergeable), regrouped to day totals at
+    readout (sum of per-type counts per day == the batch
+    ``day_totals`` exactly — both are integer COUNT partitions of the
+    same events), so the SHARED ``kruskal_rollup`` pins streaming ==
+    batch. State is O(types × days) — calendar-bounded."""
+    from ..plans.events_analytics import kruskal_rollup
+
+    st = _stream_daily_counts(spark, sf, "stream_kruskal")
+    dt = st.groupBy("day").agg(F.sum("cnt").cast("long").alias("cnt"))
+    return kruskal_rollup(dt).localCheckpoint()
+
+
+@register("stream_levene", None)  # pytest: == batch events_levene
+def stream_levene(spark, sf):
+    """INGEST-TIME Brown-Forsythe volatility monitor — the streaming
+    twin of ``events_levene`` on the same regrouped day-totals state as
+    ``stream_kruskal`` (sum-mergeable per-type daily counts collapse to
+    exact day totals; the SHARED ``levene_rollup`` re-derives the
+    lower medians and the deviation ANOVA from the final state). State
+    is O(types × days) — calendar-bounded."""
+    from ..plans.events_analytics import levene_rollup
+
+    st = _stream_daily_counts(spark, sf, "stream_levene")
+    dt = st.groupBy("day").agg(F.sum("cnt").cast("long").alias("cnt"))
+    return levene_rollup(dt).localCheckpoint()

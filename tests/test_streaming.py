@@ -1701,3 +1701,53 @@ def test_stream_amount_profile_equals_batch(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_amount_profile"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_mann_kendall_equals_batch(spark):
+    """stream_mann_kendall's per-type readout == the one-shot
+    events_mann_kendall (carried state is the sum-mergeable per-type
+    daily-count grain). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_mann_kendall"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_mann_kendall"][0](spark, SF).toPandas()
+    assert len(got) == len(want) >= 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_mann_kendall"][0](spark, SF).toPandas()
+    assert again.equals(got)
+
+
+def test_stream_kruskal_equals_batch(spark):
+    """stream_kruskal's one-row H readout == the one-shot
+    events_kruskal (per-type daily counts regrouped to exact day
+    totals). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_kruskal"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_kruskal"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_kruskal"][0](spark, SF).toPandas()
+    assert again.equals(got)
+
+
+def test_stream_levene_equals_batch(spark):
+    """stream_levene's one-row W readout == the one-shot events_levene
+    on the same regrouped day-totals state. Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_levene"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_levene"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_levene"][0](spark, SF).toPandas()
+    assert again.equals(got)
