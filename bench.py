@@ -368,6 +368,8 @@ HEADLINE = [
     "lm_collocations",
     "fn_aes_roundtrip",
     "emb_dim_stats",
+    "events_friedman",
+    "mix_epochs",
 ]
 
 

@@ -4736,7 +4736,16 @@ def lm_collocations(spark, sf):
     derived from the PAIR table (never a second fact pass), marginal
     joins keyed w1/w2, the corpus total rides as a broadcast 1-row
     crossJoin, and the global top-50 is TakeOrderedAndProject."""
-    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    p = colloc_pair_counts(_docs(spark, sf))
+    return colloc_rollup(p)
+
+
+def colloc_pair_counts(d0: DataFrame) -> DataFrame:
+    """(w1, w2, cnt) bigram-pair counts over a documents table — the
+    fact-scale half of ``lm_collocations``, shared with the streaming
+    twin (pair COUNTs are exactly sum-mergeable across micro-batches,
+    so merged per-batch counts == the one-shot counts)."""
+    d = d0.select("doc_id", F.split("text", " ").alias("w"))
     pairs = F.expr(
         "transform(slice(w, 1, size(w) - 1), "
         "(x, i) -> struct(x AS w1, w[i + 1] AS w2))"
@@ -4746,9 +4755,16 @@ def lm_collocations(spark, sf):
         .select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
     )
-    p = bg.groupBy("w1", "w2").agg(
+    return bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
+
+
+def colloc_rollup(p: DataFrame) -> DataFrame:
+    """Fold a (w1, w2, cnt) pair-count table into the top-50 lift
+    readout — the dimension-scale half of ``lm_collocations`` (the
+    exact-integer lift contract lives here), shared with the streaming
+    twin."""
     lft = p.groupBy("w1").agg(F.sum("cnt").cast("long").alias("c1"))
     rgt = p.groupBy("w2").agg(F.sum("cnt").cast("long").alias("c2"))
     t = p.agg(F.sum("cnt").cast("long").alias("tt"))
@@ -4779,5 +4795,74 @@ def lm_collocations(spark, sf):
             F.format_string("%.6f", F.round(F.col("_lift"), 6)).alias(
                 "lift"
             ),
+        )
+    )
+
+
+# ------------------------------------------------ epoch upsampling ----
+
+@register(
+    "mix_epochs",
+    # Upsample-to-balance repetition plan: per-source token masses are
+    # exact integers, epochs = ceil(max_mass / mass_s) spelled as the
+    # integer identity (max + m - 1) // m, capped at 4 (the standard
+    # repeated-epochs guard), and the doc-level expansion enumerates
+    # copy_idx 1..epochs — integers end-to-end, no float contract.
+    "WITH m AS (SELECT source, "
+    " CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks "
+    " FROM documents GROUP BY 1), "
+    "mx AS (SELECT CAST(MAX(toks) AS BIGINT) AS mxt FROM m), "
+    "e AS (SELECT source, toks, "
+    " LEAST(CAST(4 AS BIGINT), (mxt + toks - 1) // toks) AS epochs "
+    " FROM m, mx) "
+    "SELECT d.doc_id, d.source, e.epochs, "
+    "CAST(unnest(generate_series(1, e.epochs)) AS BIGINT) AS copy_idx "
+    "FROM documents d JOIN e ON e.source = d.source",
+)
+def mix_epochs(spark, sf):
+    """Upsample-to-balance epoch plan — the repetition schedule a
+    multi-source training mix runs when it balances by REPEATING small
+    sources instead of reweighting the sampler (``mix_weights`` /
+    ``mix_temperature`` compute sampling probabilities; this key
+    materializes the deterministic copy list): every source is repeated
+    ceil(max_tokens / tokens_s) times, capped at 4 epochs (past a few
+    repeats, repetition hurts more than balance helps — the standard
+    guard), and each document row expands to (doc_id, copy_idx 1..E).
+
+    All masses, epoch counts, and indices are exact integers — the
+    ceil is the integer identity (max + m − 1) div m, never a float.
+
+    Scale shape: one fact pass for the per-source token masses
+    (map-side combinable), a broadcast 1-row max, a broadcast
+    source-level epochs dim joined back to documents (broadcast — the
+    source domain is tiny), and a posexplode whose output is at most
+    4× the corpus — the expansion IS the product, not overhead."""
+    d = _docs(spark, sf)
+    m = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks")
+    )
+    mx = m.agg(F.max("toks").cast("long").alias("mxt"))
+    e = (
+        m.crossJoin(F.broadcast(mx))
+        .select(
+            "source",
+            "toks",
+            F.least(
+                F.lit(4).cast("long"),
+                F.floor(
+                    (F.col("mxt") + F.col("toks") - 1) / F.col("toks")
+                ).cast("long"),
+            ).alias("epochs"),
+        )
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(e.select("source", "epochs")), "source")
+        .select(
+            "doc_id",
+            "source",
+            "epochs",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("epochs")))
+            .alias("copy_idx"),
         )
     )

@@ -6094,3 +6094,146 @@ def levene_rollup(dt: DataFrame) -> DataFrame:
             / (F.col("ssw") / (F.col("n") - 7).cast("double"))
         ).alias("w_stat"),
     )
+
+
+# --------------------------------------- Friedman test (week blocks) ----
+
+def _friedman_sql() -> str:
+    """Build the events_friedman oracle: within-week doubled midranks
+    (the spearman trick PARTITIONED by week), per-weekday doubled rank
+    sums, and the tie-corrected statistic — in doubled-rank terms the
+    /4 cancels, so chi2_F = (k-1)·Σ(D_j - n(k+1))² / (ΣD² - nk(k+1)²)
+    is EXACT integers until one division."""
+    gs = range(7)
+    cells = ", ".join(
+        f"CAST(SUM(CASE WHEN dow = {g} THEN dr ELSE 0 END) AS BIGINT) "
+        f"AS d{g}"
+        for g in gs
+    )
+    num = " + ".join(
+        f"(d{g} - 8 * n) * (d{g} - 8 * n)" for g in gs
+    )
+    return (
+        "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+        "dd AS (SELECT cnt, "
+        " (CAST(day AS DATE) - DATE '2024-01-01') // 7 AS week, "
+        " (CAST(day AS DATE) - DATE '2024-01-01') % 7 AS dow FROM dt), "
+        "cw AS (SELECT week FROM dd GROUP BY week HAVING COUNT(*) = 7), "
+        "db AS (SELECT dd.* FROM dd JOIN cw ON dd.week = cw.week), "
+        "g AS (SELECT week, cnt, CAST(COUNT(*) AS BIGINT) AS t FROM db "
+        " GROUP BY 1, 2), "
+        "r AS (SELECT week, cnt, 2 * CAST(SUM(t) OVER (PARTITION BY week "
+        " ORDER BY cnt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        " AS BIGINT) - t + 1 AS dr FROM g), "
+        "j AS (SELECT db.dow, r.dr FROM db "
+        " JOIN r ON db.week = r.week AND db.cnt = r.cnt), "
+        "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cw), "
+        f"o AS (SELECT {cells}, "
+        " CAST(SUM(dr * dr) AS BIGINT) AS sq FROM j) "
+        f"SELECT n AS n_weeks, ({num}) AS chi2_num, "
+        " sq - n * 7 * 64 AS chi2_den, "
+        f"printf('%.6f', ROUND(CAST(6 * ({num}) AS DOUBLE) "
+        " / CAST(sq - n * 7 * 64 AS DOUBLE), 6)) AS chi2_f "
+        "FROM o, nb WHERE n >= 2 AND sq - n * 7 * 64 > 0"
+    )
+
+
+@register("events_friedman", _friedman_sql())
+def events_friedman(spark, sf):
+    """Friedman test of a weekday effect with calendar WEEKS as blocks
+    — the repeated-measures member of the rank-test family
+    (``events_kruskal`` pools all days as independent samples; Friedman
+    ranks the seven weekdays WITHIN each week, so a strong week-level
+    volume trend — exactly what ``events_trend`` measures — cannot
+    masquerade as a weekday effect; it is the nonparametric
+    two-way-blocked complement of ``events_anova``).
+
+    Float discipline: within-week doubled midranks are exact integers
+    (2·cum − t + 1 partitioned by week; the events_spearman trick);
+    in doubled-rank terms the tie-corrected statistic's /4 factors
+    cancel, so chi2_F = (k−1)·Σ_j(D_j − n(k+1))² / (ΣD²_ij − nk(k+1)²)
+    with k=7 is EXACT BIGINT arithmetic end-to-end — numerator and
+    denominator are both emitted as integers and the statistic is ONE
+    correctly-rounded IEEE division. Only complete 7-day weeks enter
+    (blocks need all treatments); all-tied corpora are excluded by the
+    integer denominator guard.
+
+    Scale shape: one fact collapse to the calendar-day grain; the
+    per-week value grain, ranks, and the final 9-integer row all live
+    at dimension scale (weeks × 7)."""
+    return friedman_rollup(day_totals(_events(spark, sf)))
+
+
+def friedman_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals table into the one-row Friedman
+    readout — shared by ``events_friedman`` and its streaming twin
+    (the within-week doubled-midrank / exact-integer chi2 contract
+    lives here)."""
+    import functools
+    import operator
+
+    anchor = F.lit("2024-01-01").cast("date")
+    dd = dt.select(
+        "cnt",
+        # FLOOR, not a truncating cast: DuckDB's // floors, and a
+        # pre-anchor day (negative datediff) would otherwise split a
+        # week between two buckets (days are < 2^26 so the double
+        # division is exact and floor is the integer quotient).
+        F.floor(F.datediff(F.to_date("day"), anchor) / 7)
+        .cast("long")
+        .alias("week"),
+        F.pmod(F.datediff(F.to_date("day"), anchor), F.lit(7))
+        .cast("long")
+        .alias("dow"),
+    )
+    cw = dd.groupBy("week").agg(F.count(F.lit(1)).alias("ndays")).filter(
+        F.col("ndays") == 7
+    ).select("week")
+    db = dd.join(F.broadcast(cw), ["week"])
+    g = db.groupBy("week", "cnt").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    wcum = (
+        Window.partitionBy("week")
+        .orderBy("cnt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = g.select(
+        "week",
+        "cnt",
+        (2 * F.sum("t").over(wcum).cast("long") - F.col("t") + 1).alias(
+            "dr"
+        ),
+    )
+    j = db.join(r, ["week", "cnt"])
+    gs = range(7)
+    aggs = [
+        F.sum(F.when(F.col("dow") == k, F.col("dr")).otherwise(0))
+        .cast("long")
+        .alias(f"d{k}")
+        for k in gs
+    ] + [F.sum(F.col("dr") * F.col("dr")).cast("long").alias("sq")]
+    o = j.agg(*aggs)
+    nb = cw.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    num = functools.reduce(
+        operator.add,
+        [
+            (F.col(f"d{k}") - 8 * F.col("n"))
+            * (F.col(f"d{k}") - 8 * F.col("n"))
+            for k in gs
+        ],
+    )
+    den = F.col("sq") - F.col("n") * 7 * 64
+    return (
+        o.crossJoin(F.broadcast(nb))
+        .filter((F.col("n") >= 2) & (den > 0))
+        .select(
+            F.col("n").alias("n_weeks"),
+            num.alias("chi2_num"),
+            den.alias("chi2_den"),
+            _FMT6(
+                (6 * num).cast("double") / den.cast("double")
+            ).alias("chi2_f"),
+        )
+    )

@@ -3551,3 +3551,71 @@ def stream_levene(spark, sf):
     st = _stream_daily_counts(spark, sf, "stream_levene")
     dt = st.groupBy("day").agg(F.sum("cnt").cast("long").alias("cnt"))
     return levene_rollup(dt).localCheckpoint()
+
+
+@register("stream_friedman", None)  # pytest: == batch events_friedman
+def stream_friedman(spark, sf):
+    """INGEST-TIME Friedman weekday monitor — the streaming twin of
+    ``events_friedman`` on the same regrouped day-totals state as
+    ``stream_kruskal`` (sum-mergeable per-type daily counts collapse
+    to exact day totals; the SHARED ``friedman_rollup`` re-derives the
+    within-week ranks and the exact-integer chi2 from the final
+    state). State is O(types × days) — calendar-bounded."""
+    from ..plans.events_analytics import friedman_rollup
+
+    st = _stream_daily_counts(spark, sf, "stream_friedman")
+    dt = st.groupBy("day").agg(F.sum("cnt").cast("long").alias("cnt"))
+    return friedman_rollup(dt).localCheckpoint()
+
+
+@register("stream_collocations", None)  # pytest: == batch key
+def stream_collocations(spark, sf):
+    """INGEST-TIME collocation miner — the streaming twin of
+    ``lm_collocations``: the carried state is the (w1, w2, cnt)
+    bigram-pair grain (COUNTs are exactly sum-mergeable, and bigrams
+    never span documents, so any doc-level micro-batch split merges to
+    the one-shot counts), and the SHARED ``colloc_rollup`` re-derives
+    marginals, total, and the top-50 lift board from the final state —
+    streaming == batch is a theorem about SUM. State is O(distinct
+    pairs) — Zipf-sublinear in tokens, the same table a batch phrase
+    miner materializes anyway."""
+    import shutil
+
+    from ..operators.textstats import colloc_pair_counts, colloc_rollup
+
+    d = _staged_doc_stream_dir(sf)
+    work = _op_work_dir("stream_collocations", d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = colloc_pair_counts(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("w1", "w2")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    doc_stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return colloc_rollup(
+        spark.read.parquet(state["path"])
+    ).localCheckpoint()

@@ -1751,3 +1751,40 @@ def test_stream_levene_equals_batch(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_levene"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_friedman_equals_batch(spark):
+    """stream_friedman's one-row chi2 readout == the one-shot
+    events_friedman on the same regrouped day-totals state. Re-run
+    identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_friedman"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_friedman"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_friedman"][0](spark, SF).toPandas()
+    assert again.equals(got)
+
+
+def test_stream_collocations_equals_batch(spark):
+    """stream_collocations' top-50 lift board == the shared rollup
+    applied one-shot to the same staged documents (carried state is
+    the sum-mergeable bigram-pair grain; bigrams never span docs, so
+    any doc split merges exactly). Re-run identical."""
+    from reach_banner_spark.operators.textstats import (
+        colloc_pair_counts,
+        colloc_rollup,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_collocations"][0](spark, SF).toPandas()
+    staged = spark.read.parquet(ops._staged_doc_stream_dir(SF))
+    want = colloc_rollup(colloc_pair_counts(staged)).toPandas()
+    assert len(got) == len(want) >= 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_collocations"][0](spark, SF).toPandas()
+    assert again.equals(got)
