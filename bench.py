@@ -370,6 +370,19 @@ HEADLINE = [
     "emb_dim_stats",
     "events_friedman",
     "mix_epochs",
+    # r5q additions (seventeenth session) — McNemar, Cochran's Q,
+    # Simpson diversity, RBP/bpref/interpolated-PR retrieval, harmonic
+    # centrality, Salton/Sorensen link indices, global efficiency
+    # (subtract this group too for earlier-round-comparable subtotals)
+    "events_mcnemar",
+    "events_cochran_q",
+    "events_simpson",
+    "retrieval_rbp",
+    "retrieval_bpref",
+    "retrieval_interp_pr",
+    "kg_salton_sorensen",
+    "kg_harmonic",
+    "kg_efficiency",
 ]
 
 

@@ -4866,3 +4866,392 @@ def mix_epochs(spark, sf):
             .alias("copy_idx"),
         )
     )
+
+
+# --- RBP retrieval evaluation ---------------------------------------------
+
+_RBP_K = 10
+# Persistence p = 1/2 — DYADIC on purpose: with binary relevance every
+# RBP term (1-p)*p^(r-1) = 2^-r is an exact double, the per-query sum
+# scaled by 2^K is an exact integer, and no geometric-series float ever
+# decides anything (the retrieval_mrr lcm discipline, here with powers
+# of two instead of lcm(1..20)).
+_RBP_SCALE = 1 << _RBP_K  # 1024
+
+
+def _rbp_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS "
+        f"{c}{i}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+        for c, t in (("r", r), ("l", l))
+    )
+    cands = ", ".join(
+        f"c{i} AS (SELECT doc_id, l{i}, "
+        f"ROW_NUMBER() OVER (ORDER BY r{i} DESC, doc_id) AS rn "
+        f"FROM tf WHERE r{i} >= 1 QUALIFY rn <= {_RBP_K}), "
+        f"a{i} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand, "
+        f"CAST(COALESCE(SUM(CASE WHEN l{i} >= {_MRR_REL_TF} "
+        f"THEN CAST({_RBP_SCALE} AS BIGINT) >> rn ELSE 0 END), 0) "
+        f"AS BIGINT) AS num FROM c{i})"
+        for i in range(len(_MRR_QUERIES))
+    )
+    froms = ", ".join(f"a{i}" for i in range(len(_MRR_QUERIES)))
+    per_q = " UNION ALL ".join(
+        f"SELECT '{r}->{l}' AS query, a{i}.n_cand, a{i}.num AS rbp_num, "
+        f"printf('%.6f', ROUND(CAST(a{i}.num AS DOUBLE) "
+        f"/ CAST({_RBP_SCALE} AS DOUBLE), 6)) AS rbp FROM {froms}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    )
+    total = " + ".join(f"a{i}.num" for i in range(len(_MRR_QUERIES)))
+    return (
+        f"WITH tf AS (SELECT doc_id, {tf_cols} FROM documents), {cands} "
+        f"SELECT query, n_cand, rbp_num, rbp FROM ({per_q} UNION ALL "
+        f"SELECT '__all__', CAST(0 AS BIGINT), CAST({total} AS BIGINT), "
+        f"printf('%.6f', ROUND(CAST({total} AS DOUBLE) "
+        f"/ CAST({3 * _RBP_SCALE} AS DOUBLE), 6)) FROM {froms}) q"
+    )
+
+
+@register("retrieval_rbp", _rbp_sql())
+def retrieval_rbp(spark, sf):
+    """Rank-biased precision (Moffat & Zobel) over the
+    ``retrieval_mrr`` query set — the user-model metric of the
+    evaluation family (MRR scores the first hit, MAP/NDCG integrate
+    the whole head; RBP models a user who inspects rank r with
+    geometric probability p^(r-1) and reports expected utility per
+    inspected document). Binary relevance (label tf >=
+    ``_MRR_REL_TF``), top-``_RBP_K`` ranking by ranking-term tf with
+    the doc_id tie-break; the ``__all__`` row is the mean over the
+    query set.
+
+    Float discipline: persistence p = 1/2 is chosen DYADIC so every
+    term (1-p)p^(r-1) = 2^-r is an exact double; the per-query sum
+    scaled by 2^K is an exact BIGINT built with an integer SHIFT
+    (1024 >> rn — no float power ever runs), and the reported RBP is
+    ONE exact-integer IEEE division under ROUND + %.6f; the mean
+    divides the exact summed numerator by 3*1024 in one operation.
+
+    Scale shape: identical to retrieval_mrr — ONE corpus pass builds
+    the checkpointed per-doc tf grain, each query's cut is a
+    TakeOrderedAndProject top-10, the rank window runs over 10 rows,
+    and the per-query branches fan out over the shared grain."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    tf_of = lambda t: F.size(  # noqa: E731
+        F.filter(words, lambda w: w == F.lit(t))
+    )
+    cols = [F.col("doc_id")]
+    for i, (r, l) in enumerate(_MRR_QUERIES):
+        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    tf = d.select(*cols).localCheckpoint()
+
+    aggs = []
+    for i in range(len(_MRR_QUERIES)):
+        cand = (
+            tf.filter(F.col(f"r{i}") >= 1)
+            .orderBy(F.desc(f"r{i}"), F.asc("doc_id"))
+            .limit(_RBP_K)
+        )
+        w = Window.orderBy(F.desc(f"r{i}"), F.asc("doc_id"))
+        ranked = cand.select(
+            F.col(f"l{i}").alias("ltf"),
+            F.row_number().over(w).alias("rn"),
+        )
+        aggs.append(
+            ranked.agg(
+                F.count(F.lit(1)).cast("long").alias(f"n{i}"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("ltf") >= _MRR_REL_TF,
+                            F.expr(
+                                f"shiftright(CAST({_RBP_SCALE} AS BIGINT),"
+                                " CAST(rn AS INT))"
+                            ),
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"num{i}"),
+            )
+        )
+    one = aggs[0]
+    for a_i in aggs[1:]:
+        one = one.crossJoin(a_i)
+
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    total = None
+    for i in range(len(_MRR_QUERIES)):
+        total = (
+            F.col(f"num{i}") if total is None else total + F.col(f"num{i}")
+        )
+    rows = [
+        F.struct(
+            F.lit(f"{r}->{l}").alias("query"),
+            F.col(f"n{i}").alias("n_cand"),
+            F.col(f"num{i}").alias("rbp_num"),
+            fmt(
+                F.col(f"num{i}").cast("double")
+                / F.lit(float(_RBP_SCALE))
+            ).alias("rbp"),
+        )
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    ] + [
+        F.struct(
+            F.lit("__all__").alias("query"),
+            F.lit(0).cast("long").alias("n_cand"),
+            total.cast("long").alias("rbp_num"),
+            fmt(
+                total.cast("double") / F.lit(float(3 * _RBP_SCALE))
+            ).alias("rbp"),
+        )
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("q")).select(
+        "q.query", "q.n_cand", "q.rbp_num", "q.rbp"
+    )
+
+
+# --- bpref retrieval evaluation --------------------------------------------
+
+def _bpref_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS "
+        f"{c}{i}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+        for c, t in (("r", r), ("l", l))
+    )
+    cands = ", ".join(
+        f"c{i} AS (SELECT "
+        f"CASE WHEN l{i} >= {_MRR_REL_TF} THEN 1 ELSE 0 END AS rel, "
+        f"ROW_NUMBER() OVER (ORDER BY r{i} DESC, doc_id) AS rn "
+        f"FROM tf WHERE r{i} >= 1), "
+        f"n{i} AS (SELECT SUM(CASE WHEN rel = 0 THEN 1 ELSE 0 END) "
+        f"OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        f"CURRENT ROW) - (1 - rel) AS nr, rel FROM c{i}), "
+        f"a{i} AS (SELECT "
+        f"CAST(SUM(rel) AS BIGINT) AS r, "
+        f"CAST(SUM(1 - rel) AS BIGINT) AS nn, "
+        f"CAST(COALESCE(SUM(CASE WHEN rel = 1 THEN "
+        f"LEAST((SELECT SUM(rel) FROM c{i}), "
+        f"(SELECT SUM(1 - rel) FROM c{i})) "
+        f"- LEAST(nr, LEAST((SELECT SUM(rel) FROM c{i}), "
+        f"(SELECT SUM(1 - rel) FROM c{i}))) ELSE 0 END), 0) AS BIGINT) "
+        f"AS num FROM n{i})"
+        for i in range(len(_MRR_QUERIES))
+    )
+    froms = ", ".join(f"a{i}" for i in range(len(_MRR_QUERIES)))
+    per_q = " UNION ALL ".join(
+        f"SELECT '{r}->{l}' AS query, a{i}.r AS n_rel, "
+        f"a{i}.nn AS n_nonrel, "
+        f"printf('%.6f', ROUND(CAST(a{i}.num AS DOUBLE) "
+        f"/ CAST(a{i}.r * LEAST(a{i}.r, a{i}.nn) AS DOUBLE), 6)) "
+        f"AS bpref FROM {froms} WHERE a{i}.r * LEAST(a{i}.r, a{i}.nn) > 0"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    )
+    return (
+        f"WITH tf AS (SELECT doc_id, {tf_cols} FROM documents), {cands} "
+        f"SELECT query, n_rel, n_nonrel, bpref FROM ({per_q}) q"
+    )
+
+
+@register("retrieval_bpref", _bpref_sql())
+def retrieval_bpref(spark, sf):
+    """bpref (Buckley & Voorhees) over the ``retrieval_mrr`` query set
+    — the judgment-robust member of the evaluation family: it scores a
+    ranking ONLY by how often judged-nonrelevant documents are ranked
+    above judged-relevant ones, which is the metric of record when
+    relevance judgments are incomplete (the exact situation of a
+    synthetic label signal). Judged pool = all candidates containing
+    the ranking term; relevant = label tf >= ``_MRR_REL_TF``. bpref =
+    (1/R) * sum over relevant r of (1 - min(n_r, D)/D) with n_r = the
+    number of nonrelevant ranked above r and D = min(R, N).
+
+    Float discipline: the running nonrelevant-above counts n_r come
+    off ONE cumulative window of exact integers; the sum is scaled by
+    R*D so the numerator sum(D - min(n_r, D)) is an exact BIGINT and
+    bpref is ONE correctly-rounded IEEE division under ROUND + %.6f.
+
+    Scale shape: one corpus pass to the checkpointed tf grain; each
+    query's cumulative window runs over its candidate slice (bounded
+    by term selectivity — the slice IS the judged pool, there is no
+    full-corpus window), and the rollup is three integers per query."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    tf_of = lambda t: F.size(  # noqa: E731
+        F.filter(words, lambda w: w == F.lit(t))
+    )
+    cols = [F.col("doc_id")]
+    for i, (r, l) in enumerate(_MRR_QUERIES):
+        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    tf = d.select(*cols).localCheckpoint()
+
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    outs = []
+    for i, (rq, lq) in enumerate(_MRR_QUERIES):
+        cand = tf.filter(F.col(f"r{i}") >= 1).select(
+            F.when(F.col(f"l{i}") >= _MRR_REL_TF, 1)
+            .otherwise(0)
+            .alias("rel"),
+            F.col(f"r{i}").alias("rtf"),
+            "doc_id",
+        )
+        w = Window.orderBy(F.desc("rtf"), F.asc("doc_id")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        n = cand.select(
+            "rel",
+            (
+                F.sum(1 - F.col("rel")).over(w) - (1 - F.col("rel"))
+            ).alias("nr"),
+        )
+        a = n.agg(
+            F.sum("rel").cast("long").alias("r"),
+            F.sum(1 - F.col("rel")).cast("long").alias("nn"),
+            F.collect_list(
+                F.when(F.col("rel") == 1, F.col("nr"))
+            ).alias("nrs"),
+        )
+        dd = F.least(F.col("r"), F.col("nn"))
+        num = F.aggregate(
+            F.col("nrs"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + dd - F.least(x, dd),
+        )
+        outs.append(
+            a.filter(F.col("r") * dd > 0).select(
+                F.lit(f"{rq}->{lq}").alias("query"),
+                F.col("r").alias("n_rel"),
+                F.col("nn").alias("n_nonrel"),
+                fmt(
+                    num.cast("double") / (F.col("r") * dd).cast("double")
+                ).alias("bpref"),
+            )
+        )
+    out = outs[0]
+    for o_i in outs[1:]:
+        out = out.unionAll(o_i)
+    return out
+
+
+# --- 11-point interpolated precision-recall --------------------------------
+
+def _interp_pr_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS "
+        f"{c}{i}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+        for c, t in (("r", r), ("l", l))
+    )
+    cands = ", ".join(
+        f"c{i} AS (SELECT "
+        f"CASE WHEN l{i} >= {_MRR_REL_TF} THEN 1 ELSE 0 END AS rel, "
+        f"ROW_NUMBER() OVER (ORDER BY r{i} DESC, doc_id) AS rn "
+        f"FROM tf WHERE r{i} >= 1), "
+        f"h{i} AS (SELECT rn, SUM(rel) OVER (ORDER BY rn "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hits, "
+        f"(SELECT SUM(rel) FROM c{i}) AS rr FROM c{i})"
+        for i in range(len(_MRR_QUERIES))
+    )
+    levels = "(SELECT UNNEST(generate_series(0, 10)) AS lev)"
+    per_q = " UNION ALL ".join(
+        f"SELECT '{r}->{l}' AS query, CAST(lev AS BIGINT) AS recall_pct10, "
+        f"printf('%.6f', ROUND(MAX(CAST(hits AS DOUBLE) "
+        f"/ CAST(rn AS DOUBLE)), 6)) AS interp_p "
+        f"FROM h{i}, {levels} WHERE 10 * hits >= lev * rr AND rr > 0 "
+        f"GROUP BY lev"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    )
+    return (
+        f"WITH tf AS (SELECT doc_id, {tf_cols} FROM documents), {cands} "
+        f"SELECT query, recall_pct10, interp_p FROM ({per_q}) q"
+    )
+
+
+@register("retrieval_interp_pr", _interp_pr_sql())
+def retrieval_interp_pr(spark, sf):
+    """Eleven-point interpolated precision-recall curve over the
+    ``retrieval_mrr`` query set — the TREC-classic curve behind every
+    PR plot: P_interp(j/10) = max precision at any rank whose recall
+    reaches j/10, for j = 0..10 (``retrieval_pr_at_k`` reports one
+    operating point; this key reports the whole envelope, 33 rows).
+
+    Float discipline: the recall gate is the exact integer
+    cross-multiplication 10*hits >= j*R (no recall float exists);
+    precision at each rank is ONE correctly-rounded IEEE division of
+    exact integers, and the interpolation is MAX over those doubles —
+    max is order-independent and accumulation-free, so unlike a SUM it
+    is safe over engine-unordered rows (the one aggregate this module
+    trusts on raw doubles); reported under ROUND + %.6f.
+
+    Scale shape: one corpus pass to the checkpointed tf grain; each
+    query's cumulative-hits window runs over its bounded candidate
+    slice, the 11 levels explode from a literal array (no join), and
+    the rollup is 11 rows per query."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    tf_of = lambda t: F.size(  # noqa: E731
+        F.filter(words, lambda w: w == F.lit(t))
+    )
+    cols = [F.col("doc_id")]
+    for i, (r, l) in enumerate(_MRR_QUERIES):
+        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    tf = d.select(*cols).localCheckpoint()
+
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    outs = []
+    for i, (rq, lq) in enumerate(_MRR_QUERIES):
+        cand = tf.filter(F.col(f"r{i}") >= 1).select(
+            F.when(F.col(f"l{i}") >= _MRR_REL_TF, 1)
+            .otherwise(0)
+            .alias("rel"),
+            F.col(f"r{i}").alias("rtf"),
+            "doc_id",
+        )
+        w = Window.orderBy(F.desc("rtf"), F.asc("doc_id"))
+        h = cand.select(
+            F.row_number().over(w).alias("rn"),
+            F.sum("rel")
+            .over(
+                Window.orderBy(F.desc("rtf"), F.asc("doc_id")).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("hits"),
+        )
+        tot = cand.agg(F.sum("rel").cast("long").alias("rr"))
+        lev = F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(10).cast("long"))
+        ).alias("lev")
+        hh = h.crossJoin(F.broadcast(tot)).select(
+            "rn", "hits", "rr", lev
+        )
+        outs.append(
+            hh.filter(
+                (10 * F.col("hits") >= F.col("lev") * F.col("rr"))
+                & (F.col("rr") > 0)
+            )
+            .groupBy("lev")
+            .agg(
+                F.max(
+                    F.col("hits").cast("double")
+                    / F.col("rn").cast("double")
+                ).alias("mp")
+            )
+            .select(
+                F.lit(f"{rq}->{lq}").alias("query"),
+                F.col("lev").cast("long").alias("recall_pct10"),
+                fmt(F.col("mp")).alias("interp_p"),
+            )
+        )
+    out = outs[0]
+    for o_i in outs[1:]:
+        out = out.unionAll(o_i)
+    return out

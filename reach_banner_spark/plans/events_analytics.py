@@ -6237,3 +6237,244 @@ def friedman_rollup(dt: DataFrame) -> DataFrame:
             ).alias("chi2_f"),
         )
     )
+
+
+# ------------------------------------------- paired/matched binary ----
+
+@register(
+    "events_mcnemar",
+    # McNemar's test on matched user-day pairs: subject = (user, d) for
+    # d in 0..14, outcome = any purchase on day d (pre) vs day d+15
+    # (post). Discordant counts b/c are exact BIGINTs from ONE keyed
+    # aggregation (pre tagged +1, post tagged +2, sum -> 1/2/3); the
+    # continuity-corrected statistic (|b-c|-1)^2/(b+c) is all-integer
+    # until one IEEE division under ROUND + %.6f.
+    "WITH e AS (SELECT user_id,"
+    "  CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)"
+    "  AS d FROM events WHERE event_type = 'purchase'), "
+    "tag AS ("
+    " SELECT DISTINCT user_id, d, 1 AS t FROM e WHERE d >= 0 AND d < 15"
+    " UNION ALL"
+    " SELECT DISTINCT user_id, d - 15 AS d, 2 AS t FROM e"
+    "  WHERE d >= 15 AND d < 30), "
+    "s AS (SELECT user_id, d, CAST(SUM(t) AS BIGINT) AS t"
+    " FROM tag GROUP BY user_id, d), "
+    "m AS (SELECT"
+    " CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b,"
+    " CAST(SUM(CASE WHEN t = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c,"
+    " CAST(SUM(CASE WHEN t = 3 THEN 1 ELSE 0 END) AS BIGINT) AS bh"
+    " FROM s), "
+    "n AS (SELECT CAST(15 * COUNT(DISTINCT user_id) AS BIGINT) AS np"
+    " FROM events) "
+    "SELECT np AS n_pairs, b AS pre_only, c AS post_only,"
+    " bh AS both_days, "
+    "printf('%.6f', ROUND(CAST((ABS(b - c) - 1) * (ABS(b - c) - 1)"
+    " AS DOUBLE) / CAST(b + c AS DOUBLE), 6)) AS chi2_cc "
+    "FROM m, n WHERE b + c > 0",
+)
+def events_mcnemar(spark, sf):
+    """McNemar's test on matched user-day purchase outcomes — the
+    PAIRED-BINARY member of the test family (``events_wilcoxon`` pairs
+    magnitudes, ``events_sign_test`` pairs directions; McNemar pairs
+    yes/no outcomes): subject = (user, day-offset d in 0..14), outcome
+    = purchased on day d vs day d+15. Only the discordant pairs carry
+    information; the continuity-corrected chi-square
+    (|b-c|-1)^2/(b+c) is the standard Edwards form.
+
+    Float discipline: b/c/both are exact BIGINTs (distinct-set tags
+    summed per subject: 1 = pre only, 2 = post only, 3 = both), and
+    the statistic is all-integer until ONE correctly-rounded IEEE
+    division under ROUND + %.6f spelled identically on both engines.
+
+    Scale shape: the tag union is two pruned scans of the purchase
+    slice collapsed by ONE (user, d)-keyed hash aggregation (no join,
+    no window); the rollup is a single 3-integer row. n_pairs is the
+    subject-universe size 15 x |users| — concordant-absent pairs never
+    need materializing because they carry zero information."""
+    e = _events(spark, sf).filter(F.col("event_type") == "purchase")
+    d = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("long")
+    ed = e.select("user_id", d.alias("d"))
+    pre = (
+        ed.filter((F.col("d") >= 0) & (F.col("d") < 15))
+        .distinct()
+        .select("user_id", "d", F.lit(1).alias("t"))
+    )
+    post = (
+        ed.filter((F.col("d") >= 15) & (F.col("d") < 30))
+        .select("user_id", (F.col("d") - 15).alias("d"))
+        .distinct()
+        .select("user_id", "d", F.lit(2).alias("t"))
+    )
+    s = pre.unionAll(post).groupBy("user_id", "d").agg(
+        F.sum("t").cast("long").alias("t")
+    )
+    m = s.agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(F.col("t") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(F.col("t") == 3, 1).otherwise(0))
+        .cast("long")
+        .alias("bh"),
+    )
+    n = _events(spark, sf).agg(
+        (15 * F.countDistinct("user_id")).cast("long").alias("np")
+    )
+    b, c = F.col("b"), F.col("c")
+    diff = F.abs(b - c) - 1
+    return (
+        m.crossJoin(F.broadcast(n))
+        .filter(b + c > 0)
+        .select(
+            F.col("np").alias("n_pairs"),
+            b.alias("pre_only"),
+            c.alias("post_only"),
+            F.col("bh").alias("both_days"),
+            _FMT6(
+                (diff * diff).cast("double") / (b + c).cast("double")
+            ).alias("chi2_cc"),
+        )
+    )
+
+
+@register(
+    "events_cochran_q",
+    # Cochran's Q on (user, day) subjects x {view, click, purchase}
+    # treatments: Q = (k-1)(k*sum G_j^2 - T^2)/(k*T - sum L_i^2) with
+    # k=3 — every moment an exact BIGINT, one IEEE division. The
+    # statistic is INVARIANT to all-zero and all-k subject rows (each
+    # contributes 0 to both numerator and denominator), so the
+    # events-visible grain computes the same Q as the full universe.
+    "WITH u AS (SELECT user_id, CAST(ts AS DATE) AS day,"
+    " MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS g1,"
+    " MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS g2,"
+    " MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS g3"
+    " FROM events GROUP BY user_id, CAST(ts AS DATE)), "
+    "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+    " CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2,"
+    " CAST(SUM(g3) AS BIGINT) AS c3,"
+    " CAST(SUM(g1 + g2 + g3) AS BIGINT) AS tt,"
+    " CAST(SUM((g1 + g2 + g3) * (g1 + g2 + g3)) AS BIGINT) AS l2"
+    " FROM u) "
+    "SELECT n AS n_subjects, c1 AS g_view, c2 AS g_click,"
+    " c3 AS g_purchase, "
+    "printf('%.6f', ROUND(CAST(2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3)"
+    " - tt * tt) AS DOUBLE) / CAST(3 * tt - l2 AS DOUBLE), 6)) AS q "
+    "FROM m WHERE 3 * tt - l2 > 0",
+)
+def events_cochran_q(spark, sf):
+    """Cochran's Q test across the view/click/purchase treatments on
+    (user, day) subjects — the k-TREATMENT generalization of McNemar
+    (do the three funnel actions have equal per-day incidence?).
+    Subjects the events table cannot see (all-zero days) and saturated
+    subjects (all three actions) both contribute exactly zero to the
+    numerator k*sum(G_j^2) - T^2 and the denominator k*T - sum(L_i^2)
+    for k=3, so the statistic over the visible grain EQUALS the
+    full-universe statistic — the saturation pitfall that forced the
+    day grain in the first place cancels analytically here.
+
+    Float discipline: column totals G_j, T and the row-moment sum
+    L_i^2 are exact BIGINTs off one hash aggregation; Q =
+    2*(3*sum G_j^2 - T^2)/(3T - sum L^2) is all-integer until ONE
+    correctly-rounded IEEE division under ROUND + %.6f.
+
+    Scale shape: one map-side-combinable (user, day) collapse, one
+    five-integer rollup — no join, no window, nothing driver-side."""
+    u = (
+        _events(spark, sf)
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("g1"),
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("g2"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("g3"),
+        )
+    )
+    ls = F.col("g1") + F.col("g2") + F.col("g3")
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum("g2").cast("long").alias("c2"),
+        F.sum("g3").cast("long").alias("c3"),
+        F.sum(ls).cast("long").alias("tt"),
+        F.sum(ls * ls).cast("long").alias("l2"),
+    )
+    c1, c2, c3 = F.col("c1"), F.col("c2"), F.col("c3")
+    tt, l2 = F.col("tt"), F.col("l2")
+    num = 2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - tt * tt)
+    den = 3 * tt - l2
+    return m.filter(den > 0).select(
+        F.col("n").alias("n_subjects"),
+        c1.alias("g_view"),
+        c2.alias("g_click"),
+        c3.alias("g_purchase"),
+        _FMT6(num.cast("double") / den.cast("double")).alias("q"),
+    )
+
+
+@register(
+    "events_simpson",
+    # Simpson's diversity of event-type mix per epoch-anchored weekday:
+    # D = sum n_i(n_i - 1) / (N(N - 1)) — every moment an exact BIGINT,
+    # one IEEE division per weekday. Weekday is DATEDIFF % 7 from the
+    # fixed anchor, NEVER dayofweek (engines disagree on week origin).
+    "WITH c AS (SELECT"
+    " CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7"
+    "  AS BIGINT) AS weekday, event_type,"
+    " CAST(COUNT(*) AS BIGINT) AS n"
+    " FROM events GROUP BY 1, 2), "
+    "w AS (SELECT weekday, CAST(SUM(n) AS BIGINT) AS nn,"
+    " CAST(SUM(n * (n - 1)) AS BIGINT) AS p FROM c GROUP BY weekday) "
+    "SELECT weekday, nn AS n_events, "
+    "printf('%.6f', ROUND(CAST(p AS DOUBLE)"
+    " / CAST(nn * (nn - 1) AS DOUBLE), 6)) AS simpson_d "
+    "FROM w WHERE nn >= 2",
+)
+def events_simpson(spark, sf):
+    """Simpson's diversity index of the event-type mix per weekday —
+    the concentration-of-categories readout next to
+    ``events_concentration``'s per-user volume view: D is the
+    probability two events drawn without replacement from the same
+    weekday share a type (low D = diverse mix). The unbiased
+    finite-sample form sum n_i(n_i-1)/(N(N-1)) keeps every term an
+    exact integer — no squared-share floats ever appear.
+
+    Float discipline: weekday is the epoch-anchored DATEDIFF % 7 (the
+    events_cramers_v rule — never dayofweek), the type counts and
+    pair counts are exact BIGINTs, and D is ONE correctly-rounded IEEE
+    division per weekday under ROUND + %.6f.
+
+    Scale shape: one map-side-combinable (weekday, type) count, one
+    7-row rollup — the bounded-grain discipline throughout."""
+    wd = (
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        % 7
+    ).cast("long")
+    c = (
+        _events(spark, sf)
+        .groupBy(wd.alias("weekday"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = c.groupBy("weekday").agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("p"),
+    )
+    nn = F.col("nn")
+    return w.filter(nn >= 2).select(
+        "weekday",
+        nn.alias("n_events"),
+        _FMT6(
+            F.col("p").cast("double") / (nn * (nn - 1)).cast("double")
+        ).alias("simpson_d"),
+    )

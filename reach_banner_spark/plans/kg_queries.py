@@ -5262,3 +5262,226 @@ def kg_preferential_attachment(spark, sf):
         .orderBy(F.desc("pa_score"), "conv_id", "a", "b")
         .limit(100)
     )
+
+
+@register(
+    "kg_salton_sorensen",
+    # Salton (cosine) and Sorensen-Dice link-prediction indices over
+    # the SAME common-neighbour pair table as kg_neighbor_jaccard:
+    # counts are exact integers, salton = c / sqrt(da*db) is one exact
+    # integer product, one correctly-rounded sqrt and one division;
+    # sorensen = 2c / (da + db) is one division — each a fixed chain
+    # spelled identically on both engines under ROUND + %.6f.
+    f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_SYM_SQL}), "
+    "deg AS (SELECT conv_id, s AS node, COUNT(*) AS d FROM e "
+    " GROUP BY conv_id, s), "
+    "cm AS (SELECT a.conv_id, a.s AS ea, b.s AS eb, COUNT(*) AS c FROM e a "
+    " JOIN e b ON b.conv_id = a.conv_id AND b.o = a.o AND a.s < b.s "
+    " GROUP BY a.conv_id, a.s, b.s) "
+    "SELECT cm.conv_id, cm.ea AS ent_a, cm.eb AS ent_b, "
+    "CAST(c AS BIGINT) AS n_common, "
+    "printf('%.6f', ROUND(CAST(c AS DOUBLE) "
+    " / SQRT(CAST(da.d * db.d AS DOUBLE)), 6)) AS salton, "
+    "printf('%.6f', ROUND(CAST(2 * c AS DOUBLE) "
+    " / CAST(da.d + db.d AS DOUBLE), 6)) AS sorensen "
+    "FROM cm JOIN deg da ON da.conv_id = cm.conv_id AND da.node = cm.ea "
+    "JOIN deg db ON db.conv_id = cm.conv_id AND db.node = cm.eb",
+)
+def kg_salton_sorensen(spark, sf):
+    """Salton (cosine) and Sorensen-Dice link-prediction indices for
+    every same-conversation entity pair sharing a neighbour — the two
+    degree-normalized companions of ``kg_neighbor_jaccard`` (Jaccard
+    punishes union size, Salton normalizes by the geometric mean of
+    the degrees, Sorensen by the arithmetic mean; a KG consumer ranks
+    candidate edges under all three because they disagree exactly on
+    hub-attached pairs) and of ``kg_preferential_attachment`` (which
+    ignores the common neighbourhood entirely).
+
+    Float discipline: common-neighbour and degree counts are exact
+    integers off the shared pair table; salton is one exact integer
+    product, one correctly-rounded sqrt and ONE IEEE division;
+    sorensen is one doubling and ONE division — both spelled
+    identically on the two engines under ROUND + %.6f.
+
+    Scale shape: identical to kg_neighbor_jaccard — pairs come from
+    the distinct symmetrized edge set self-joined on (conv_id,
+    shared-neighbour), bounded by convs x entity-domain^2; degrees
+    join back on (conv_id, node); every shuffle keys conv_id-first on
+    the materialized triple table's co-partitioning."""
+    e = _sym_edges(_triples_table(spark, sf))
+    deg = e.groupBy("conv_id", F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    b_side = e.select("conv_id", F.col("s").alias("eb"), "o")
+    cm = (
+        e.select("conv_id", F.col("s").alias("ea"), "o")
+        .join(b_side, ["conv_id", "o"])
+        .filter(F.col("ea") < F.col("eb"))
+        .groupBy("conv_id", "ea", "eb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    da = deg.select(
+        "conv_id", F.col("node").alias("ea"), F.col("d").alias("da_d")
+    )
+    db = deg.select(
+        "conv_id", F.col("node").alias("eb"), F.col("d").alias("db_d")
+    )
+    c = F.col("c")
+    fmt = lambda x: F.format_string("%.6f", F.round(x, 6))  # noqa: E731
+    return (
+        cm.join(da, ["conv_id", "ea"])
+        .join(db, ["conv_id", "eb"])
+        .select(
+            "conv_id",
+            F.col("ea").alias("ent_a"),
+            F.col("eb").alias("ent_b"),
+            c.cast("long").alias("n_common"),
+            fmt(
+                c.cast("double")
+                / F.sqrt((F.col("da_d") * F.col("db_d")).cast("double"))
+            ).alias("salton"),
+            fmt(
+                (2 * c).cast("double")
+                / (F.col("da_d") + F.col("db_d")).cast("double")
+            ).alias("sorensen"),
+        )
+    )
+
+
+def _hop_count_cases_sql() -> str:
+    return ", ".join(
+        f"CAST(SUM(CASE WHEN d = {h} THEN 1 ELSE 0 END) AS BIGINT) AS c{h}"
+        for h in range(1, _REACH_MAX_HOPS + 1)
+    )
+
+
+def _hop_reciprocal_chain_sql() -> str:
+    # Fixed left-associated chain c1/1 + c2/2 + ... — each term is one
+    # correctly-rounded division of an exact integer by a small integer
+    # literal, and the addition order is pinned by the expression text,
+    # so the double is bit-identical across engines.
+    return " + ".join(
+        f"CAST(c{h} AS DOUBLE) / CAST({h} AS DOUBLE)"
+        for h in range(1, _REACH_MAX_HOPS + 1)
+    )
+
+
+@register(
+    "kg_harmonic",
+    # Harmonic centrality off the shared all-pairs BFS: distances are
+    # small integers <= _REACH_MAX_HOPS, so sum(1/d) collapses to a
+    # FIXED 7-term chain over per-distance counts — no unordered float
+    # sum ever runs (the bounded-domain alternative to sorted folds).
+    _ALLPAIRS_SQL
+    + f"SELECT conv_id, src AS entity, n_reach, "
+    f"printf('%.6f', ROUND({_hop_reciprocal_chain_sql()}, 6)) AS harmonic "
+    f"FROM (SELECT conv_id, src, "
+    f" CAST(SUM(CASE WHEN src <> node THEN 1 ELSE 0 END) AS BIGINT) "
+    f"  AS n_reach, {_hop_count_cases_sql()} "
+    f" FROM sp GROUP BY conv_id, src) g WHERE n_reach > 0",
+)
+def kg_harmonic(spark, sf):
+    """Per-entity harmonic centrality over the strong-edge backbone —
+    the disconnected-graph-safe variant of ``kg_closeness`` (closeness
+    averages distances and collapses on unreachable nodes; harmonic
+    sums reciprocal distances, giving unreachable pairs exactly zero
+    weight, which is why it is the centrality of record for KGs whose
+    conversations fragment into components).
+
+    Float discipline: hop distances are bounded by ``_REACH_MAX_HOPS``,
+    so sum(1/d) collapses to a FIXED 7-term left-associated chain over
+    exact per-distance counts — c1/1 + c2/2 + ... — each term one
+    correctly-rounded division by a small literal, the addition order
+    pinned by the shared expression text; no unordered float SUM and
+    no sorted fold is needed (the bounded-domain trick next to
+    kg_resource_allocation's sorted-fold discipline). Reported under
+    ROUND + %.6f.
+
+    Scale shape: reuses the memoized ``_strong_allpairs_dist`` table —
+    one (conv_id, src) rollup, zero extra joins."""
+    dist = _strong_allpairs_dist(spark, sf)
+    aggs = [
+        F.sum(
+            F.when(F.col("src") != F.col("node"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_reach")
+    ] + [
+        F.sum(F.when(F.col("d") == h, 1).otherwise(0))
+        .cast("long")
+        .alias(f"c{h}")
+        for h in range(1, _REACH_MAX_HOPS + 1)
+    ]
+    g = dist.groupBy("conv_id", "src").agg(*aggs)
+    chain = None
+    for h in range(1, _REACH_MAX_HOPS + 1):
+        term = F.col(f"c{h}").cast("double") / F.lit(h).cast("double")
+        chain = term if chain is None else chain + term
+    return g.filter(F.col("n_reach") > 0).select(
+        "conv_id",
+        F.col("src").alias("entity"),
+        "n_reach",
+        F.format_string("%.6f", F.round(chain, 6)).alias("harmonic"),
+    )
+
+
+@register(
+    "kg_efficiency",
+    # Global efficiency per conversation: mean over ORDERED node pairs
+    # of 1/d (0 for unreachable) — the same bounded-domain 7-term chain
+    # as kg_harmonic at the conversation grain, then ONE further
+    # division by the exact pair count n*(n-1).
+    _ALLPAIRS_SQL
+    + f"SELECT conv_id, n_nodes, n_reach_pairs, "
+    f"printf('%.6f', ROUND(({_hop_reciprocal_chain_sql()})"
+    f" / CAST(n_nodes * (n_nodes - 1) AS DOUBLE), 6)) AS efficiency "
+    f"FROM (SELECT conv_id, "
+    f" CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes, "
+    f" CAST(SUM(CASE WHEN src <> node THEN 1 ELSE 0 END) AS BIGINT) "
+    f"  AS n_reach_pairs, {_hop_count_cases_sql()} "
+    f" FROM sp GROUP BY conv_id) g WHERE n_nodes >= 2",
+)
+def kg_efficiency(spark, sf):
+    """Global efficiency per conversation graph — Latora & Marchiori's
+    small-world readout: the mean over ordered node pairs of 1/d, with
+    unreachable pairs contributing exactly zero (the conversation-level
+    integral of ``kg_harmonic``; a conversation whose backbone is one
+    tight clique scores near 1, a fragmented or chain-like one near 0).
+    The health number a KG pipeline tracks per corpus drop next to
+    ``kg_diameter``'s worst case.
+
+    Float discipline: per-distance pair counts are exact integers off
+    the shared all-pairs BFS; sum(1/d) is the fixed 7-term chain of
+    single divisions (addition order pinned by the shared text), and
+    efficiency adds ONE further division by the exact integer
+    n*(n-1) — all under ROUND + %.6f.
+
+    Scale shape: one conv_id rollup of the memoized
+    ``_strong_allpairs_dist`` table; no joins, no windows."""
+    dist = _strong_allpairs_dist(spark, sf)
+    aggs = [
+        F.countDistinct("src").cast("long").alias("n_nodes"),
+        F.sum(F.when(F.col("src") != F.col("node"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reach_pairs"),
+    ] + [
+        F.sum(F.when(F.col("d") == h, 1).otherwise(0))
+        .cast("long")
+        .alias(f"c{h}")
+        for h in range(1, _REACH_MAX_HOPS + 1)
+    ]
+    g = dist.groupBy("conv_id").agg(*aggs)
+    chain = None
+    for h in range(1, _REACH_MAX_HOPS + 1):
+        term = F.col(f"c{h}").cast("double") / F.lit(h).cast("double")
+        chain = term if chain is None else chain + term
+    n = F.col("n_nodes")
+    return g.filter(n >= 2).select(
+        "conv_id",
+        "n_nodes",
+        "n_reach_pairs",
+        F.format_string(
+            "%.6f",
+            F.round(chain / (n * (n - 1)).cast("double"), 6),
+        ).alias("efficiency"),
+    )
