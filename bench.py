@@ -383,6 +383,9 @@ HEADLINE = [
     "kg_salton_sorensen",
     "kg_harmonic",
     "kg_efficiency",
+    "events_drawdown",
+    "sketch_kmv",
+    "fn_interval",
 ]
 
 

@@ -6291,7 +6291,18 @@ def events_mcnemar(spark, sf):
     no window); the rollup is a single 3-integer row. n_pairs is the
     subject-universe size 15 x |users| — concordant-absent pairs never
     need materializing because they carry zero information."""
-    e = _events(spark, sf).filter(F.col("event_type") == "purchase")
+    return mcnemar_rollup(mcnemar_marks(_events(spark, sf)))
+
+
+def mcnemar_marks(df: DataFrame) -> DataFrame:
+    """Distinct (user_id, d, side) marks — the shared McNemar grain:
+    side 1 = purchased on pre day d, side 2 = purchased on the matched
+    post day d+15, side 0 = user-seen witness (d = -1, for the subject
+    universe 15 x |users|). Each side is a DISTINCT set, so the grain
+    is exactly SET-UNION mergeable across micro-batches (the
+    stream_srm discipline) — the property ``stream_mcnemar`` relies
+    on."""
+    e = df.filter(F.col("event_type") == "purchase")
     d = F.datediff(
         F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
     ).cast("long")
@@ -6299,16 +6310,31 @@ def events_mcnemar(spark, sf):
     pre = (
         ed.filter((F.col("d") >= 0) & (F.col("d") < 15))
         .distinct()
-        .select("user_id", "d", F.lit(1).alias("t"))
+        .select("user_id", "d", F.lit(1).alias("side"))
     )
     post = (
         ed.filter((F.col("d") >= 15) & (F.col("d") < 30))
         .select("user_id", (F.col("d") - 15).alias("d"))
         .distinct()
-        .select("user_id", "d", F.lit(2).alias("t"))
+        .select("user_id", "d", F.lit(2).alias("side"))
     )
-    s = pre.unionAll(post).groupBy("user_id", "d").agg(
-        F.sum("t").cast("long").alias("t")
+    users = df.select(
+        "user_id",
+        F.lit(-1).cast("long").alias("d"),
+        F.lit(0).alias("side"),
+    ).distinct()
+    return pre.unionAll(post).unionAll(users)
+
+
+def mcnemar_rollup(marks: DataFrame) -> DataFrame:
+    """Fold the distinct-marks grain into the one-row McNemar readout
+    — shared by ``events_mcnemar`` and its streaming twin (the
+    discordant-count and continuity-corrected-chi2 contract lives
+    here)."""
+    s = (
+        marks.filter(F.col("side") > 0)
+        .groupBy("user_id", "d")
+        .agg(F.sum("side").cast("long").alias("t"))
     )
     m = s.agg(
         F.sum(F.when(F.col("t") == 1, 1).otherwise(0))
@@ -6321,8 +6347,8 @@ def events_mcnemar(spark, sf):
         .cast("long")
         .alias("bh"),
     )
-    n = _events(spark, sf).agg(
-        (15 * F.countDistinct("user_id")).cast("long").alias("np")
+    n = marks.filter(F.col("side") == 0).agg(
+        (15 * F.count(F.lit(1))).cast("long").alias("np")
     )
     b, c = F.col("b"), F.col("c")
     diff = F.abs(b - c) - 1
@@ -6455,17 +6481,29 @@ def events_simpson(spark, sf):
 
     Scale shape: one map-side-combinable (weekday, type) count, one
     7-row rollup — the bounded-grain discipline throughout."""
+    return simpson_rollup(weekday_type_counts(_events(spark, sf)))
+
+
+def weekday_type_counts(df: DataFrame) -> DataFrame:
+    """(weekday, event_type, n) counts under the epoch-anchored weekday
+    — the shared Simpson grain (plain COUNTs, exactly sum-mergeable
+    across micro-batches; the property ``stream_simpson`` relies
+    on)."""
     wd = (
         F.datediff(
             F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
         )
         % 7
     ).cast("long")
-    c = (
-        _events(spark, sf)
-        .groupBy(wd.alias("weekday"), "event_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return df.groupBy(wd.alias("weekday"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+def simpson_rollup(c: DataFrame) -> DataFrame:
+    """Fold the (weekday, type, n) grain into the 7-row Simpson
+    readout — shared by ``events_simpson`` and its streaming twin (the
+    unbiased n(n-1)/(N(N-1)) contract lives here)."""
     w = c.groupBy("weekday").agg(
         F.sum("n").cast("long").alias("nn"),
         F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("p"),
@@ -6477,4 +6515,106 @@ def events_simpson(spark, sf):
         _FMT6(
             F.col("p").cast("double") / (nn * (nn - 1)).cast("double")
         ).alias("simpson_d"),
+    )
+
+
+# ------------------------------------------------------- max drawdown ----
+
+@register(
+    "events_drawdown",
+    # Max drawdown of the DAILY-REVENUE level series: per day,
+    # dd = (running-peak - today) / running-peak over exact integer
+    # cents; each dd is ONE IEEE division, the interpolation-free MAX
+    # over those doubles is order-independent (the
+    # retrieval_interp_pr rule), and the drawdown day is the earliest
+    # day attaining the max (double equality is sound because both
+    # engines computed the identical division).
+    "WITH d AS (SELECT CAST(ts AS DATE) AS day, "
+    " CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) "
+    "  AS BIGINT) AS cents "
+    " FROM events WHERE event_type = 'purchase' GROUP BY 1), "
+    "r AS (SELECT day, cents, MAX(cents) OVER (ORDER BY day "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk FROM d), "
+    "x AS (SELECT day, "
+    " CAST(pk - cents AS DOUBLE) / CAST(pk AS DOUBLE) AS dd FROM r), "
+    "m AS (SELECT MAX(dd) AS mx FROM x) "
+    "SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days, "
+    "CAST((SELECT MAX(pk) FROM r) AS BIGINT) AS peak_cents, "
+    "STRFTIME(MIN(day), '%Y-%m-%d') AS dd_day, "
+    "printf('%.6f', ROUND(mx, 6)) AS max_dd "
+    "FROM x, m WHERE x.dd = m.mx GROUP BY mx",
+)
+def events_drawdown(spark, sf):
+    """Maximum drawdown of the daily purchase-revenue series — the
+    worst slump relative to the best day so far (the risk readout a
+    revenue dashboard shows next to ``events_changepoint``'s CUSUM
+    break and ``events_trend``'s slope): dd(t) = (peak(<=t) -
+    revenue(t)) / peak(<=t), reported at its max with the earliest day
+    attaining it.
+
+    Float discipline: daily revenue is the exact integer-cents grain
+    (value -> DECIMAL(12,2) -> cents), the running peak is an integer
+    MAX window, each dd is ONE correctly-rounded IEEE division, and
+    the aggregation over days is MAX — order-independent and
+    accumulation-free (the retrieval_interp_pr rule), so the double is
+    engine-identical and the earliest-argmax equality join is sound.
+    Reported under ROUND + %.6f.
+
+    Scale shape: one map-side-combinable day collapse; the running
+    peak is a single window over the bounded day grain (30 rows per
+    month of corpus — never corpus-scale); the argmax is an equality
+    filter against a one-row broadcast."""
+    return drawdown_rollup(purchase_daily_cents(_events(spark, sf)))
+
+
+def purchase_daily_cents(df: DataFrame) -> DataFrame:
+    """(day, cents) daily purchase-revenue grain — exact integer cents
+    under the events_rfm DECIMAL(12,2) idiom, plain SUMs so the grain
+    is exactly sum-mergeable across micro-batches (the property
+    ``stream_drawdown`` relies on)."""
+    return (
+        df.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(12,2)") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+
+
+def drawdown_rollup(d: DataFrame) -> DataFrame:
+    """Fold the (day, cents) grain into the one-row max-drawdown
+    readout — shared by ``events_drawdown`` and its streaming twin
+    (the running-peak / earliest-argmax contract lives here)."""
+    wp = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = d.select(
+        "day", "cents", F.max("cents").over(wp).alias("pk")
+    )
+    x = r.select(
+        "day",
+        (
+            (F.col("pk") - F.col("cents")).cast("double")
+            / F.col("pk").cast("double")
+        ).alias("dd"),
+    )
+    m = x.agg(F.max("dd").alias("mx"))
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    pc = r.agg(F.max("pk").cast("long").alias("peak_cents"))
+    return (
+        x.join(F.broadcast(m), F.col("dd") == F.col("mx"))
+        .groupBy("mx")
+        .agg(F.min("day").alias("dd_day0"))
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(pc))
+        .select(
+            "n_days",
+            "peak_cents",
+            F.date_format("dd_day0", "yyyy-MM-dd").alias("dd_day"),
+            _FMT6(F.col("mx")).alias("max_dd"),
+        )
     )

@@ -5074,3 +5074,191 @@ def fn_aes_roundtrip(spark, sf):
         .alias("roundtrip"),
         F.octet_length(enc).cast("long").alias("cipher_len"),
     )
+
+
+# --- KMV distinct sketch -----------------------------------------------
+
+_KMV_K = 64
+_KMV_SCALE = 1 << 60  # md5 15-hex-char prefix domain: 16^15 = 2^60
+
+
+def _hex15_to_int_sql(expr: str) -> str:
+    """Exact integer value of the first 15 hex chars of an md5 column —
+    the engine-portable instr-fold (the _cms_bucket_sql idiom widened
+    to 60 bits; the total stays < 2^60 so every term is an exact
+    BIGINT)."""
+    terms = " + ".join(
+        f"(instr('{_CMS_HEX}', substr({expr}, {i + 1}, 1)) - 1) * "
+        f"{16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"({terms})"
+
+
+def _hex15_to_int_col(col):
+    out = None
+    for i in range(15):
+        d = (F.instr(F.lit(_CMS_HEX), F.substring(col, i + 1, 1)) - 1) * (
+            16 ** (14 - i)
+        )
+        out = d if out is None else out + d
+    return out.cast("long")
+
+
+@register(
+    "sketch_kmv",
+    # Same-value oracle (the sketch_cms discipline): the KMV sketch is
+    # deterministic given the hash, so DuckDB rebuilds the exact k
+    # smallest hashes per group and the exact estimate — fixed-length
+    # md5 hex sorts lexicographically == numerically, so the rank
+    # selection runs on strings and only the single k-th value per
+    # group is folded to an integer.
+    "WITH du AS (SELECT DISTINCT event_type, user_id FROM events), "
+    "h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM du), "
+    f"sk AS (SELECT event_type, h, ROW_NUMBER() OVER "
+    f"(PARTITION BY event_type ORDER BY h) AS rn FROM h QUALIFY rn <= {_KMV_K}), "
+    "a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_in_sketch, "
+    " MAX(h) AS hk FROM sk GROUP BY event_type), "
+    "x AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact "
+    " FROM du GROUP BY event_type) "
+    "SELECT a.event_type, n_exact, n_in_sketch, "
+    f"printf('%.6f', ROUND(CASE WHEN n_in_sketch < {_KMV_K} "
+    f"THEN CAST(n_in_sketch AS DOUBLE) "
+    f"ELSE CAST({_KMV_K - 1} AS DOUBLE) * CAST({_KMV_SCALE} AS DOUBLE) "
+    f" / CAST({_hex15_to_int_sql('hk')} AS DOUBLE) END, 6)) AS kmv_estimate "
+    "FROM a JOIN x ON x.event_type = a.event_type",
+)
+def sketch_kmv(spark, sf):
+    """K-minimum-values distinct sketch per event type — the fourth
+    mergeable sketch beside CMS (frequency), HLL (distinct, opaque
+    binary) and Bloom (membership): keep the k smallest hash values
+    per group; if the sketch is full, estimate distinct = (k-1) /
+    h_(k) with h_(k) the k-th smallest hash as a fraction of the hash
+    domain. KMV's merge IS min-k of the union (min-k of min-ks), so
+    per-partition / per-day sketches re-aggregate exactly — the
+    re-aggregatable-rollup property the sketch family exists for, here
+    with the estimate itself queryable in SQL (unlike hll_sketch_agg's
+    binary). The underfull branch (sketch holds every member) and the
+    estimating branch are BOTH exercised: sf0.001 has 15 users < k,
+    sf0.01 has 150 >= k.
+
+    Float discipline: md5 hex is compared as fixed-length strings
+    (lexicographic == numeric), only the single k-th hash per group is
+    folded to an exact BIGINT via the instr chain (< 2^60), and the
+    estimate is one exact product and ONE IEEE division under
+    ROUND + %.6f — identical text both engines.
+
+    Scale shape: the corpus-scale work is the distinct (type, user)
+    aggregation; the rank <= k filter compiles to WindowGroupLimit, so
+    every partition pre-truncates to its local k smallest before the
+    single bounded shuffle — the distributed min-k merge for free."""
+    h = kmv_hashes(_t(spark, sf, "events"))
+    return kmv_rollup(kmv_sketch(h), h)
+
+
+def kmv_hashes(df: DataFrame) -> DataFrame:
+    """Distinct (event_type, h) member hashes — the shared KMV input
+    grain (a DISTINCT set, so it is exactly set-union mergeable across
+    micro-batches; ``stream_kmv`` carries it only as the witness that
+    reproduces the batch key's n_exact column)."""
+    return (
+        df.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            F.md5(F.col("user_id").cast("string")).alias("h"),
+        )
+    )
+
+
+def kmv_sketch(h: DataFrame) -> DataFrame:
+    """The k smallest hashes per group — the KMV sketch state proper
+    (O(groups x k) rows). min-k is ASSOCIATIVE: min-k of a union ==
+    min-k of per-part min-ks, so re-applying this to (carried state
+    UNION batch sketch) is the exact streaming merge."""
+    w = Window.partitionBy("event_type").orderBy("h")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+
+
+def kmv_rollup(sk: DataFrame, h: DataFrame) -> DataFrame:
+    """Fold the sketch state (+ the exact-count witness) into the
+    per-type readout — shared by ``sketch_kmv`` and its streaming twin
+    (the estimate derives from the SKETCH alone; the witness only
+    reproduces n_exact)."""
+    a = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
+        F.max("h").alias("hk"),
+    )
+    x = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_in_sketch") < _KMV_K,
+        F.col("n_in_sketch").cast("double"),
+    ).otherwise(
+        F.lit(float(_KMV_K - 1))
+        * F.lit(float(_KMV_SCALE))
+        / _hex15_to_int_col(F.col("hk")).cast("double")
+    )
+    return a.join(x, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_in_sketch",
+        F.format_string("%.6f", F.round(est, 6)).alias("kmv_estimate"),
+    )
+
+
+@register(
+    "fn_interval",
+    # Calendar-interval family: month addition with end-of-month
+    # clamping, last_day, day-of-year/quarter extraction, and a
+    # day-time interval shift — all calendar-exact integer arithmetic
+    # (parity probed: 1996-11-30 + 3mo = 1997-02-28 and Jan-31 + 1mo =
+    # Feb-29 clamp identically on both engines); timestamps emitted as
+    # formatted strings per the repo float/timestamp rule.
+    "SELECT o_orderkey, "
+    "STRFTIME(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo, "
+    "STRFTIME(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS mo_last, "
+    "CAST(dayofyear(o_orderdate) AS BIGINT) AS doy, "
+    "CAST(quarter(o_orderdate) AS BIGINT) AS qtr, "
+    "STRFTIME(o_orderdate + INTERVAL 36 HOUR, '%Y-%m-%d %H:%M:%S') "
+    " AS plus36h "
+    "FROM orders",
+)
+def fn_interval(spark, sf):
+    """Calendar INTERVAL arithmetic family — the year-month and
+    day-time interval surface ``fn_date`` leaves open (fn_date covers
+    extraction, trunc and day addition; this key pins month addition
+    with its end-of-month CLAMP, last_day, day-of-year/quarter, and a
+    sub-day interval shift). Month clamping is the classic
+    cross-engine divergence trap; the probe pinned both engines to the
+    same rule (Nov-30 + 3mo = Feb-28, Jan-31 + 1mo = Feb-29).
+
+    All calendar-exact integer arithmetic — no floats anywhere;
+    timestamps emitted as formatted strings per the repo rule (DuckDB
+    returns datetime64 otherwise).
+
+    Scale shape: a zero-shuffle projection — pruned scan in, one
+    codegen stage out."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.add_months(F.col("o_orderdate").cast("date"), 3),
+            "yyyy-MM-dd",
+        ).alias("plus3mo"),
+        F.date_format(
+            F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd"
+        ).alias("mo_last"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_format(
+            F.col("o_orderdate").cast("timestamp")
+            + F.expr("INTERVAL 36 HOURS"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("plus36h"),
+    )

@@ -3619,3 +3619,158 @@ def stream_collocations(spark, sf):
     return colloc_rollup(
         spark.read.parquet(state["path"])
     ).localCheckpoint()
+
+
+def _stream_merged_state(
+    spark,
+    sf,
+    op_key: str,
+    grain_fn,
+    merge_fn,
+) -> DataFrame:
+    """Generic foreachBatch state accumulator: per batch, derive the
+    grain with ``grain_fn`` and fold it into the carried parquet state
+    with ``merge_fn(prev_df | None, cur_df) -> merged_df`` — the shape
+    every sum-/set-union-mergeable twin in this module hand-rolls
+    (_stream_daily_counts et al.), factored once for the r5q twins."""
+    import shutil
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir(op_key, d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = grain_fn(batch_df)
+        prev = (
+            None if state["path"] is None else sp.read.parquet(state["path"])
+        )
+        allg = merge_fn(prev, cur)
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        old = state["path"]
+        state["path"] = new_state
+        if old is not None:  # superseded snapshot
+            shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return spark.read.parquet(state["path"])
+
+
+def _sum_merge(keys: list[str], sums: list[str]):
+    def merge(prev, cur):
+        if prev is None:
+            return cur
+        return (
+            prev.unionByName(cur)
+            .groupBy(*keys)
+            .agg(*[F.sum(c).cast("long").alias(c) for c in sums])
+        )
+
+    return merge
+
+
+def _distinct_merge(prev, cur):
+    return cur if prev is None else prev.unionByName(cur).distinct()
+
+
+@register("stream_simpson", None)  # pytest: == batch events_simpson
+def stream_simpson(spark, sf):
+    """INGEST-TIME Simpson-diversity monitor — the streaming twin of
+    ``events_simpson``: the carried state is the (weekday, type, n)
+    count grain (plain COUNTs, exactly sum-mergeable), and the SHARED
+    ``simpson_rollup`` re-derives the 7-row readout from the final
+    state, so streaming == batch is a theorem about SUM. State is
+    O(7 x event-types)."""
+    from ..plans.events_analytics import simpson_rollup, weekday_type_counts
+
+    merged = _stream_merged_state(
+        spark,
+        sf,
+        "stream_simpson",
+        weekday_type_counts,
+        _sum_merge(["weekday", "event_type"], ["n"]),
+    )
+    return simpson_rollup(merged).localCheckpoint()
+
+
+@register("stream_drawdown", None)  # pytest: == batch events_drawdown
+def stream_drawdown(spark, sf):
+    """INGEST-TIME max-drawdown monitor — the streaming twin of
+    ``events_drawdown``: the carried state is the (day, cents) daily
+    purchase-revenue grain (exact integer cents, sum-mergeable), and
+    the SHARED ``drawdown_rollup`` re-derives the running peak and
+    earliest argmax from the final state. State is O(days)."""
+    from ..plans.events_analytics import drawdown_rollup, purchase_daily_cents
+
+    merged = _stream_merged_state(
+        spark,
+        sf,
+        "stream_drawdown",
+        purchase_daily_cents,
+        _sum_merge(["day"], ["cents"]),
+    )
+    return drawdown_rollup(merged).localCheckpoint()
+
+
+@register("stream_mcnemar", None)  # pytest: == batch events_mcnemar
+def stream_mcnemar(spark, sf):
+    """INGEST-TIME McNemar monitor — the streaming twin of
+    ``events_mcnemar``: the carried state is the distinct (user, d,
+    side) marks grain (three DISTINCT sets, exactly set-union
+    mergeable — the stream_srm discipline), and the SHARED
+    ``mcnemar_rollup`` re-derives the discordant counts and the
+    continuity-corrected chi2 from the final state. State is bounded
+    by the marked subject universe, never by events."""
+    from ..plans.events_analytics import mcnemar_marks, mcnemar_rollup
+
+    merged = _stream_merged_state(
+        spark, sf, "stream_mcnemar", mcnemar_marks, _distinct_merge
+    )
+    return mcnemar_rollup(merged).localCheckpoint()
+
+
+@register("stream_kmv", None)  # pytest: == batch sketch_kmv
+def stream_kmv(spark, sf):
+    """INGEST-TIME KMV distinct sketch — the streaming twin of
+    ``sketch_kmv`` and the reason a KMV exists at all: min-k is
+    associative (min-k of a union == min-k of per-part min-ks), so the
+    carried SKETCH state is O(types x k) FOREVER — each batch is
+    pre-sketched and re-sketched against the carried state, never
+    against history. A second set-union witness state carries the
+    distinct member hashes ONLY because the batch key reports n_exact
+    next to the estimate (the estimate itself derives from the capped
+    sketch alone — pytest pins that the capped state reproduces the
+    batch readout exactly)."""
+    from ..plans.relational import kmv_hashes, kmv_rollup, kmv_sketch
+
+    def sketch_merge(prev, cur):
+        # distinct BEFORE re-sketching: a hash present in both the
+        # carried state and the new batch would otherwise occupy two
+        # ranks and displace a legitimate k-th value
+        merged = cur if prev is None else prev.unionByName(cur).distinct()
+        return kmv_sketch(merged)
+
+    sk = _stream_merged_state(
+        spark,
+        sf,
+        "stream_kmv",
+        lambda b: kmv_sketch(kmv_hashes(b)),
+        sketch_merge,
+    )
+    witness = _stream_merged_state(
+        spark,
+        sf,
+        "stream_kmv_w",
+        kmv_hashes,
+        _distinct_merge,
+    )
+    return kmv_rollup(sk, witness).localCheckpoint()

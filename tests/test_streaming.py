@@ -1788,3 +1788,77 @@ def test_stream_collocations_equals_batch(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_collocations"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_simpson_equals_batch(spark):
+    """stream_simpson's 7-row readout == the one-shot events_simpson
+    (carried state is the sum-mergeable (weekday, type) count grain).
+    Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_simpson"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_simpson"][0](spark, SF).toPandas()
+    key = lambda df: df.sort_values("weekday").reset_index(drop=True)  # noqa: E731
+    assert len(got) == len(want) == 7
+    assert key(got).equals(key(want))
+    again = ops.REGISTRY["stream_simpson"][0](spark, SF).toPandas()
+    assert key(again).equals(key(got))
+
+
+def test_stream_drawdown_equals_batch(spark):
+    """stream_drawdown's one-row readout == the one-shot
+    events_drawdown (carried state is the sum-mergeable daily-cents
+    grain). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_drawdown"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_drawdown"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_drawdown"][0](spark, SF).toPandas()
+    assert again.equals(got)
+
+
+def test_stream_mcnemar_equals_batch(spark):
+    """stream_mcnemar's one-row readout == the one-shot events_mcnemar
+    (carried state is the set-union-mergeable distinct-marks grain).
+    Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_mcnemar"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_mcnemar"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_mcnemar"][0](spark, SF).toPandas()
+    assert again.equals(got)
+
+
+def test_stream_kmv_equals_batch(spark):
+    """stream_kmv's per-type readout == the one-shot sketch_kmv: the
+    kmv_estimate column derives from the CAPPED carried sketch alone,
+    so equality here proves min-k-of-union == min-k-of-min-ks across
+    the staged micro-batch split (the mergeability the sketch exists
+    for). Re-run identical."""
+    from reach_banner_spark.plans.relational import (
+        REGISTRY as REL_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    key = lambda df: df.sort_values("event_type").reset_index(  # noqa: E731
+        drop=True
+    )
+    got = ops.REGISTRY["stream_kmv"][0](spark, SF).toPandas()
+    want = REL_REGISTRY["sketch_kmv"][0](spark, SF).toPandas()
+    assert len(got) == len(want) >= 1
+    assert key(got).equals(key(want))
+    again = ops.REGISTRY["stream_kmv"][0](spark, SF).toPandas()
+    assert key(again).equals(key(got))
