@@ -386,6 +386,9 @@ HEADLINE = [
     "events_drawdown",
     "sketch_kmv",
     "fn_interval",
+    "sql_hints",
+    "sql_unpivot",
+    "scan_nested_prune",
 ]
 
 

@@ -5262,3 +5262,168 @@ def fn_interval(spark, sf):
             "yyyy-MM-dd HH:mm:ss",
         ).alias("plus36h"),
     )
+
+
+# --- join-hint binding ---------------------------------------------------
+
+_HINT_STRATEGIES = (
+    ("broadcast", "BROADCAST(c)"),
+    ("merge", "MERGE(c)"),
+    ("shuffle_hash", "SHUFFLE_HASH(c)"),
+)
+
+
+def _hint_branch(spark, sf, tag: str, hint: str) -> DataFrame:
+    """One hinted spelling of the orders-customer join rollup — shared
+    by the key and the per-strategy plan gate (which asserts each hint
+    BOUND to its physical operator)."""
+    _t(spark, sf, "orders").createOrReplaceTempView("rbs_hint_orders")
+    _t(spark, sf, "customer").createOrReplaceTempView("rbs_hint_cust")
+    return spark.sql(
+        f"SELECT /*+ {hint} */ '{tag}' AS strategy, "
+        "o.o_orderstatus AS status, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders "
+        "FROM rbs_hint_orders o JOIN rbs_hint_cust c "
+        "ON o.o_custkey = c.c_custkey "
+        "GROUP BY o.o_orderstatus"
+    )
+
+
+@register(
+    "sql_hints",
+    # The three hinted spellings MUST agree with the unhinted relation
+    # — the oracle states the same rollup once per strategy tag. Hint
+    # BINDING (BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin in
+    # the respective physical plans) is pytest-gated.
+    "WITH j AS (SELECT o.o_orderstatus AS status, "
+    " CAST(COUNT(*) AS BIGINT) AS n_orders "
+    " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    " GROUP BY o.o_orderstatus) "
+    "SELECT 'broadcast' AS strategy, status, n_orders FROM j "
+    "UNION ALL SELECT 'merge', status, n_orders FROM j "
+    "UNION ALL SELECT 'shuffle_hash', status, n_orders FROM j",
+)
+def sql_hints(spark, sf):
+    """Join-strategy hint surface: the SAME orders-customer rollup
+    spelled under ``/*+ BROADCAST */``, ``/*+ MERGE */`` and
+    ``/*+ SHUFFLE_HASH */`` — the escape hatch a user reaches for when
+    statistics mislead the optimizer at 100 TB (a fact-fact join
+    mis-planned as broadcast, or a skew-safe SMJ forced over a hash
+    join). Results must be strategy-invariant (the oracle pins all
+    three to the unhinted relation); pytest asserts each hint actually
+    BOUND — BroadcastHashJoin, SortMergeJoin, and ShuffledHashJoin
+    respectively appear in the three physical plans, which is the
+    point of the key: hints that silently fall back are worse than no
+    hints.
+
+    Scale shape: three independent one-shuffle rollups; the hint only
+    moves WHERE the join's exchange happens (broadcast: none on the
+    probe side; merge: sort both; shuffle_hash: partition both, no
+    sort)."""
+    branches = [
+        _hint_branch(spark, sf, tag, hint)
+        for tag, hint in _HINT_STRATEGIES
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+@register(
+    "sql_unpivot",
+    # The UNPIVOT parser surface; the oracle states the expected long
+    # form directly (semantics, not syntax, is what DuckDB pins).
+    "WITH w AS (SELECT "
+    " CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_open, "
+    " CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_filled, "
+    " CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_partial FROM orders) "
+    "SELECT 'open' AS status, n_open AS n FROM w "
+    "UNION ALL SELECT 'filled', n_filled FROM w "
+    "UNION ALL SELECT 'partial', n_partial FROM w",
+)
+def sql_unpivot(spark, sf):
+    """SQL ``UNPIVOT`` clause — the parser-level wide-to-long surface
+    next to the DataFrame ``unpivot`` key (same relational algebra,
+    different entry point: this one must survive the SQL parser, name
+    mapping via ``IN (... AS 'label')`` included). The wide row is a
+    per-status count profile of orders; the oracle states the expected
+    long form with plain conditional aggregation, so a green row pins
+    the clause's semantics rather than echoing its syntax.
+
+    Scale shape: one partial+final aggregation to a single wide row,
+    then a 3-row generator expansion — the unpivot itself is
+    dimension-sized regardless of corpus scale."""
+    _t(spark, sf, "orders").createOrReplaceTempView("rbs_unpivot_orders")
+    return spark.sql(
+        "SELECT status, n FROM ("
+        " SELECT"
+        "  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)"
+        "   AS BIGINT) AS n_open,"
+        "  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)"
+        "   AS BIGINT) AS n_filled,"
+        "  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)"
+        "   AS BIGINT) AS n_partial"
+        " FROM rbs_unpivot_orders) w "
+        "UNPIVOT (n FOR status IN ("
+        " n_open AS `open`, n_filled AS `filled`, n_partial AS `partial`))"
+    )
+
+
+def _stage_nested(sf: str) -> str:
+    """Documents re-staged with a STRUCT column meta = {lang, source,
+    n_chars} beside the text — the nested-schema shape multimodal /
+    provenance tables actually have. Staged with pyarrow directly;
+    deterministic."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = _layout_dir(sf, "nested")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        t = pq.read_table(f"{sf}/documents.parquet")
+        meta = pa.StructArray.from_arrays(
+            [t["lang"].combine_chunks(), t["source"].combine_chunks(),
+             t["n_chars"].combine_chunks()],
+            names=["lang", "source", "n_chars"],
+        )
+        nested = pa.Table.from_arrays(
+            [t["doc_id"].combine_chunks(), meta, t["text"].combine_chunks()],
+            names=["doc_id", "meta", "text"],
+        )
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(nested, os.path.join(out, "docs_nested.parquet"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return out
+
+
+@register(
+    "scan_nested_prune",
+    # Stated from the flat documents view — the staged struct file is
+    # a deterministic re-shape of the same rows.
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY lang",
+)
+def scan_nested_prune(spark, sf):
+    """Nested-schema projection pruning: read a table whose metadata
+    lives in a STRUCT column and aggregate on ONE nested field — the
+    scan must prune to ``meta.lang`` alone (pytest-gated on
+    ReadSchema: neither the sibling struct fields nor the wide text
+    column may be read). This is the column-pruning guarantee extended
+    INTO nested types — the difference between reading bytes
+    proportional to one subfield vs deserializing every struct, which
+    at 100 TB of provenance-annotated documents is the whole game.
+
+    Scale shape: a pruned columnar scan + one partial+final
+    aggregation on the bounded lang domain."""
+    path = _stage_nested(sf)
+    d = spark.read.parquet(path)
+    return d.groupBy(F.col("meta.lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

@@ -120,8 +120,8 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 452, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 347, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 455, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 350, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
 
 
@@ -544,3 +544,40 @@ def test_quality_gopher_rules_zero_exchange(spark):
     plan = _plan(all_queries()["quality_gopher_rules"](spark, SF))
     assert "Exchange" not in plan, plan[:800]
     assert "BatchEvalPython" not in plan
+
+
+def test_sql_hints_bind_physical_strategies(spark):
+    """Each join hint in sql_hints actually BINDS: the broadcast branch
+    plans a BroadcastHashJoin, the merge branch a SortMergeJoin, the
+    shuffle_hash branch a ShuffledHashJoin — a hint that silently falls
+    back is worse than no hint (the key's whole claim)."""
+    from reach_banner_spark.plans.relational import (
+        _HINT_STRATEGIES,
+        _hint_branch,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    want = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    for tag, hint in _HINT_STRATEGIES:
+        plan = _plan(_hint_branch(spark, sf, tag, hint))
+        assert want[tag] in plan, f"{tag} hint did not bind:\n{plan}"
+        assert "BatchEvalPython" not in plan
+
+
+def test_scan_nested_prune_reads_one_subfield(spark):
+    """scan_nested_prune's parquet scan prunes INTO the struct: the
+    ReadSchema carries meta.lang alone — neither the sibling struct
+    fields (source, n_chars) nor the wide text column are read."""
+    import __spark_entry__ as em
+
+    df = em.queries()["scan_nested_prune"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    rs = scan[0].split("ReadSchema:")[1]
+    assert "lang" in rs
+    assert "text" not in rs and "source" not in rs and "n_chars" not in rs
