@@ -389,6 +389,8 @@ HEADLINE = [
     "sql_hints",
     "sql_unpivot",
     "scan_nested_prune",
+    "join_interval_overlap",
+    "events_bollinger",
 ]
 
 

@@ -6410,21 +6410,33 @@ def events_cochran_q(spark, sf):
 
     Scale shape: one map-side-combinable (user, day) collapse, one
     five-integer rollup — no join, no window, nothing driver-side."""
-    u = (
-        _events(spark, sf)
-        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
-        .agg(
-            F.max(
-                F.when(F.col("event_type") == "view", 1).otherwise(0)
-            ).alias("g1"),
-            F.max(
-                F.when(F.col("event_type") == "click", 1).otherwise(0)
-            ).alias("g2"),
-            F.max(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ).alias("g3"),
-        )
+    return cochran_rollup(user_day_flags(_events(spark, sf)))
+
+
+def user_day_flags(df: DataFrame) -> DataFrame:
+    """(user, day, g1, g2, g3) treatment flags — the shared Cochran
+    grain: each flag is a MAX over events, and MAX is exactly
+    mergeable across micro-batches (max of maxes), the property
+    ``stream_cochran`` relies on."""
+    return df.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("g1"),
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("g2"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("g3"),
     )
+
+
+def cochran_rollup(u: DataFrame) -> DataFrame:
+    """Fold the flags grain into the one-row Cochran-Q readout —
+    shared by ``events_cochran_q`` and its streaming twin (the
+    exact-moment Q contract lives here)."""
     ls = F.col("g1") + F.col("g2") + F.col("g3")
     m = u.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -6617,4 +6629,97 @@ def drawdown_rollup(d: DataFrame) -> DataFrame:
             F.date_format("dd_day0", "yyyy-MM-dd").alias("dd_day"),
             _FMT6(F.col("mx")).alias("max_dd"),
         )
+    )
+
+
+# -------------------------------------------------- Bollinger bands ----
+
+@register(
+    "events_bollinger",
+    # 7-day Bollinger bands over daily volume per type: the breakout
+    # flag is the ALL-INTEGER cross-multiplication
+    # (7n - s1)^2 > 4*(7*s2 - s1^2) — no float ever decides a flag;
+    # the reported band edges are fixed sqrt/division chains under
+    # ROUND + %.6f. ROWS window = last 7 observed days per type.
+    "WITH d AS (SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS day, "
+    " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+    "r AS (SELECT event_type, day, cnt, "
+    " CAST(SUM(cnt) OVER w AS BIGINT) AS s1, "
+    " CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS s2, "
+    " ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn "
+    " FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day "
+    "  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) "
+    "SELECT event_type, day, cnt, "
+    "printf('%.6f', ROUND(CAST(s1 AS DOUBLE) / CAST(7 AS DOUBLE), 6)) "
+    " AS ma7, "
+    "printf('%.6f', ROUND(CAST(s1 AS DOUBLE) / CAST(7 AS DOUBLE) "
+    " + CAST(2 AS DOUBLE) * SQRT(CAST(7 * s2 - s1 * s1 AS DOUBLE)) "
+    "  / CAST(7 AS DOUBLE), 6)) AS upper_band, "
+    "printf('%.6f', ROUND(CAST(s1 AS DOUBLE) / CAST(7 AS DOUBLE) "
+    " - CAST(2 AS DOUBLE) * SQRT(CAST(7 * s2 - s1 * s1 AS DOUBLE)) "
+    "  / CAST(7 AS DOUBLE), 6)) AS lower_band, "
+    "(7 * cnt - s1) * (7 * cnt - s1) > 4 * (7 * s2 - s1 * s1) AS is_break "
+    "FROM r WHERE rn >= 7",
+)
+def events_bollinger(spark, sf):
+    """Bollinger-band breakout monitor over daily volume per event
+    type — the volatility-scaled sibling of ``events_anomaly``'s
+    global z-scores (the band adapts to the LOCAL 7-day level and
+    spread, so a regime shift stops polluting the threshold after a
+    week): ma7 +/- 2 sigma over a ROWS window of the last 7 observed
+    days, with the breakout flag raised when today leaves the band.
+
+    Float discipline: with m = s1/7 and sigma^2 = (7*s2 - s1^2)/49
+    over exact integer rolling sums, |n - m| > 2*sigma is EXACTLY the
+    integer cross-multiplication (7n - s1)^2 > 4*(7*s2 - s1^2) — the
+    flag never touches a float; the reported band edges are a fixed
+    division + sqrt + multiply chain spelled identically on both
+    engines under ROUND + %.6f.
+
+    Scale shape: one map-side-combinable daily collapse, one
+    type-keyed window over the bounded day grain (30 rows per type per
+    month) — never corpus-scale."""
+    return bollinger_rollup(daily_counts(_events(spark, sf)))
+
+
+def bollinger_rollup(dc: DataFrame) -> DataFrame:
+    """Fold a (event_type, day, cnt) daily table into the banded
+    readout — shared by ``events_bollinger`` and its streaming twin
+    (which rides the SAME ``_stream_daily_counts`` state as
+    stream_anomaly/stream_forecast)."""
+    d = dc.select(
+        "event_type", "day", F.col("cnt").cast("long").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    wr = Window.partitionBy("event_type").orderBy("day")
+    r = d.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("long").alias("s2"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    s1, s2, n = F.col("s1"), F.col("s2"), F.col("cnt")
+    seven = F.lit(7).cast("double")
+    two = F.lit(2).cast("double")
+    sig_num = F.sqrt((7 * s2 - s1 * s1).cast("double"))
+    return r.filter(F.col("rn") >= 7).select(
+        "event_type",
+        "day",
+        "cnt",
+        _FMT6(s1.cast("double") / seven).alias("ma7"),
+        _FMT6(
+            s1.cast("double") / seven + two * sig_num / seven
+        ).alias("upper_band"),
+        _FMT6(
+            s1.cast("double") / seven - two * sig_num / seven
+        ).alias("lower_band"),
+        (
+            (7 * n - s1) * (7 * n - s1) > 4 * (7 * s2 - s1 * s1)
+        ).alias("is_break"),
     )

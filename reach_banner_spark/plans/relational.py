@@ -5427,3 +5427,143 @@ def scan_nested_prune(spark, sf):
     return d.groupBy(F.col("meta.lang").alias("lang")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+# --- interval-overlap join ------------------------------------------------
+
+_SESSIONS_SQL = (
+    "SELECT user_id, session_id, "
+    " CAST(epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS BIGINT) AS st, "
+    " CAST(epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS BIGINT) AS en FROM ("
+    " SELECT user_id, ts, SUM(is_new) OVER ("
+    "  PARTITION BY user_id ORDER BY ts, event_id"
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM ("
+    "  SELECT user_id, ts, event_id, CASE WHEN ts - LAG(ts) OVER ("
+    "   PARTITION BY user_id ORDER BY ts, event_id) <= INTERVAL 30 MINUTE"
+    "   THEN 0 ELSE 1 END AS is_new FROM events)) "
+    "GROUP BY user_id, session_id"
+)
+
+
+def _session_spans(spark, sf) -> DataFrame:
+    """Per-(user, session) activity spans as exact epoch-microsecond
+    integers — the win_session_batch gaps-and-islands sessions reduced
+    to [st, en] intervals (the shared input of
+    ``join_interval_overlap``). ts is cast to TIMESTAMP first
+    (TIMESTAMP_NTZ has no unix_micros — the events_attribution
+    pitfall)."""
+    e = _t(spark, sf, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_new = F.when(
+        F.col("ts").cast("timestamp").cast("long")
+        - F.lag(F.col("ts").cast("timestamp").cast("long")).over(wl)
+        <= 1800,
+        0,
+    ).otherwise(1)
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        gap_new.alias("is_new"),
+    ).select(
+        "user_id",
+        "ts",
+        F.sum("is_new").over(wc).alias("session_id"),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.unix_micros(F.min(F.col("ts").cast("timestamp")))
+        .cast("long")
+        .alias("st"),
+        F.unix_micros(F.max(F.col("ts").cast("timestamp")))
+        .cast("long")
+        .alias("en"),
+    )
+
+
+@register(
+    "join_interval_overlap",
+    # The oracle takes the definition literally: a direct non-equi
+    # self-join on interval intersection (DuckDB plans it as an
+    # IEJoin). The Spark side buckets by hour first — content must be
+    # identical.
+    f"WITH s AS ({_SESSIONS_SQL}) "
+    "SELECT a.user_id AS user_a, CAST(a.session_id AS BIGINT) AS session_a, "
+    "b.user_id AS user_b, CAST(b.session_id AS BIGINT) AS session_b, "
+    "CAST(LEAST(a.en, b.en) - GREATEST(a.st, b.st) AS BIGINT) AS overlap_us "
+    "FROM s a JOIN s b ON a.st <= b.en AND b.st <= a.en "
+    "AND a.user_id < b.user_id",
+)
+def join_interval_overlap(spark, sf):
+    """Interval-overlap join: every pair of concurrent sessions across
+    different users — the join class behind co-presence, contention
+    and concurrency analyses that neither equi- nor range-join keys
+    cover (``join_range`` is point-in-interval; this is
+    interval-x-interval). A naive spelling is the user-pair cross
+    product; the scale spelling BUCKETS each interval to the hour
+    grid, equi-joins on the bucket, and applies the exact overlap
+    predicate as a residual — pairs are only ever generated inside the
+    same hour, so the join is bounded by per-hour concurrency, never
+    by total sessions (the MinHash-band discipline applied to time).
+    A session spanning two buckets pair-matches twice; the final
+    DISTINCT collapses it (the pair's overlap is bucket-invariant).
+
+    Float discipline: spans and overlaps are exact epoch-microsecond
+    BIGINTs end-to-end (ts cast to TIMESTAMP first — the
+    TIMESTAMP_NTZ/unix_micros pitfall); no floats exist anywhere.
+
+    Scale shape: the session derivation is two user-keyed windows on
+    one exchange; the bucket explode emits ~1 row per session-hour;
+    the equi-join shuffles on the bucket key; the residual + DISTINCT
+    run on the bounded candidate set."""
+    s = _session_spans(spark, sf)
+    hour = 3_600_000_000
+    b = s.select(
+        "user_id",
+        "session_id",
+        "st",
+        "en",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("st") / hour).cast("long"),
+                F.floor(F.col("en") / hour).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    left = b.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_id").cast("long").alias("session_a"),
+        F.col("st").alias("st_a"),
+        F.col("en").alias("en_a"),
+        "bucket",
+    )
+    right = b.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").cast("long").alias("session_b"),
+        F.col("st").alias("st_b"),
+        F.col("en").alias("en_b"),
+        "bucket",
+    )
+    pairs = (
+        left.join(right, "bucket")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("st_a") <= F.col("en_b"))
+            & (F.col("st_b") <= F.col("en_a"))
+        )
+        .select(
+            "user_a",
+            "session_a",
+            "user_b",
+            "session_b",
+            (
+                F.least("en_a", "en_b") - F.greatest("st_a", "st_b")
+            )
+            .cast("long")
+            .alias("overlap_us"),
+        )
+        .distinct()
+    )
+    return pairs

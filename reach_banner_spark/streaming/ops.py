@@ -3774,3 +3774,48 @@ def stream_kmv(spark, sf):
         _distinct_merge,
     )
     return kmv_rollup(sk, witness).localCheckpoint()
+
+
+@register("stream_cochran", None)  # pytest: == batch events_cochran_q
+def stream_cochran(spark, sf):
+    """INGEST-TIME Cochran-Q monitor — the streaming twin of
+    ``events_cochran_q``: the carried state is the (user, day) x
+    {view, click, purchase} flag grain — each flag a MAX, and max of
+    maxes == max over all events, so the merged state equals the batch
+    grain under any micro-batch split; the SHARED ``cochran_rollup``
+    re-derives the exact-moment Q from the final state. State is
+    O(users x active days)."""
+    from ..plans.events_analytics import cochran_rollup, user_day_flags
+
+    def max_merge(prev, cur):
+        if prev is None:
+            return cur
+        return (
+            prev.unionByName(cur)
+            .groupBy("user_id", "day")
+            .agg(
+                F.max("g1").alias("g1"),
+                F.max("g2").alias("g2"),
+                F.max("g3").alias("g3"),
+            )
+        )
+
+    merged = _stream_merged_state(
+        spark, sf, "stream_cochran", user_day_flags, max_merge
+    )
+    return cochran_rollup(merged).localCheckpoint()
+
+
+@register("stream_bollinger", None)  # pytest: == batch events_bollinger
+def stream_bollinger(spark, sf):
+    """INGEST-TIME Bollinger-band monitor — the streaming twin of
+    ``events_bollinger`` on the SAME shared ``_stream_daily_counts``
+    state as stream_anomaly/stream_forecast (per-(type, day) COUNTs
+    are sum-mergeable; the SHARED ``bollinger_rollup`` re-derives the
+    rolling bands and the all-integer breakout flags from the final
+    state). State is O(event-types x days)."""
+    from ..plans.events_analytics import bollinger_rollup
+
+    return bollinger_rollup(
+        _stream_daily_counts(spark, sf, "stream_bollinger")
+    ).localCheckpoint()

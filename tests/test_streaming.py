@@ -1862,3 +1862,39 @@ def test_stream_kmv_equals_batch(spark):
     assert key(got).equals(key(want))
     again = ops.REGISTRY["stream_kmv"][0](spark, SF).toPandas()
     assert key(again).equals(key(got))
+
+
+def test_stream_cochran_equals_batch(spark):
+    """stream_cochran's one-row Q == the one-shot events_cochran_q
+    (carried state is the max-mergeable flags grain). Re-run
+    identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_cochran"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_cochran_q"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_cochran"][0](spark, SF).toPandas()
+    assert again.equals(got)
+
+
+def test_stream_bollinger_equals_batch(spark):
+    """stream_bollinger's banded table == the one-shot
+    events_bollinger (shared daily-counts state). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    key = lambda df: df.sort_values(  # noqa: E731
+        ["event_type", "day"]
+    ).reset_index(drop=True)
+    got = ops.REGISTRY["stream_bollinger"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_bollinger"][0](spark, SF).toPandas()
+    assert len(got) == len(want) >= 7
+    assert key(got).equals(key(want))
+    again = ops.REGISTRY["stream_bollinger"][0](spark, SF).toPandas()
+    assert key(again).equals(key(got))
