@@ -391,6 +391,10 @@ HEADLINE = [
     "scan_nested_prune",
     "join_interval_overlap",
     "events_bollinger",
+    "kg_condensation",
+    "events_rsi",
+    "dataset_fingerprint",
+    "macro_session_report",
 ]
 
 

@@ -6723,3 +6723,184 @@ def bollinger_rollup(dc: DataFrame) -> DataFrame:
             (7 * n - s1) * (7 * n - s1) > 4 * (7 * s2 - s1 * s1)
         ).alias("is_break"),
     )
+
+
+# ------------------------------------------------------------- RSI ----
+
+@register(
+    "events_rsi",
+    # 7-day RSI over daily purchase revenue: day-over-day diffs of
+    # exact cents, rolling gain/loss sums over the last 7 diffs, and
+    # RSI = 100*g/(g+l) — all-integer until ONE division per day.
+    "WITH d AS (SELECT CAST(ts AS DATE) AS day, "
+    " CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) "
+    "  AS BIGINT) AS cents "
+    " FROM events WHERE event_type = 'purchase' GROUP BY 1), "
+    "df AS (SELECT day, cents - LAG(cents) OVER (ORDER BY day) AS diff "
+    " FROM d), "
+    "dd AS (SELECT day, diff, ROW_NUMBER() OVER (ORDER BY day) AS rn "
+    " FROM df WHERE diff IS NOT NULL), "
+    "r AS (SELECT day, rn, "
+    " CAST(SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER w AS BIGINT)"
+    "  AS g, "
+    " CAST(SUM(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER w AS BIGINT)"
+    "  AS l "
+    " FROM dd WINDOW w AS (ORDER BY day "
+    "  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) "
+    "SELECT STRFTIME(day, '%Y-%m-%d') AS day, g AS gains_cents, "
+    "l AS losses_cents, "
+    "printf('%.6f', ROUND(CAST(100 * g AS DOUBLE) "
+    " / CAST(g + l AS DOUBLE), 6)) AS rsi "
+    "FROM r WHERE rn >= 7 AND g + l > 0",
+)
+def events_rsi(spark, sf):
+    """Relative Strength Index (7-day, simple-average form) over daily
+    purchase revenue — the momentum readout next to
+    ``events_drawdown``'s worst-slump and ``events_bollinger``'s
+    volatility bands: RSI near 100 means the last week's moves were
+    almost all gains, near 0 almost all losses. The simple (Cutler)
+    form is chosen over Wilder's 1/14 smoothing DELIBERATELY: Wilder's
+    recurrence multiplies by the non-dyadic 13/14 every step, while
+    rolling gain/loss SUMS of exact cents stay integers and RSI
+    collapses to 100*g/(g+l) — ONE correctly-rounded IEEE division per
+    day under ROUND + %.6f (the 100*g numerator stays an exact
+    BIGINT, no percent float ever multiplies).
+
+    Scale shape: one map-side-combinable day collapse, one LAG and one
+    rolling window over the bounded day grain — never corpus-scale."""
+    d = purchase_daily_cents(_events(spark, sf))
+    wl = Window.orderBy("day")
+    df = d.select(
+        "day",
+        (F.col("cents") - F.lag("cents").over(wl)).alias("diff"),
+    ).filter(F.col("diff").isNotNull())
+    dd = df.select("day", "diff", F.row_number().over(wl).alias("rn"))
+    w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    r = dd.select(
+        "day",
+        "rn",
+        F.sum(F.when(F.col("diff") > 0, F.col("diff")).otherwise(0))
+        .over(w7)
+        .cast("long")
+        .alias("g"),
+        F.sum(F.when(F.col("diff") < 0, -F.col("diff")).otherwise(0))
+        .over(w7)
+        .cast("long")
+        .alias("l"),
+    )
+    g, l = F.col("g"), F.col("l")
+    return r.filter((F.col("rn") >= 7) & (g + l > 0)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        g.alias("gains_cents"),
+        l.alias("losses_cents"),
+        _FMT6((100 * g).cast("double") / (g + l).cast("double")).alias(
+            "rsi"
+        ),
+    )
+
+
+# ------------------------------------------------ session macro report ----
+
+@register(
+    "macro_session_report",
+    # Composes the session-span grain ONCE: counts, the avg duration
+    # (one division of exact microsecond integers), and the
+    # interval-overlap pair count (the join_interval_overlap relation
+    # re-stated as the direct non-equi definition).
+    "WITH s AS (SELECT user_id, session_id, "
+    " CAST(epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS BIGINT) AS st, "
+    " CAST(epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS BIGINT) AS en FROM ("
+    " SELECT user_id, ts, SUM(is_new) OVER ("
+    "  PARTITION BY user_id ORDER BY ts, event_id"
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM ("
+    "  SELECT user_id, ts, event_id, CASE WHEN ts - LAG(ts) OVER ("
+    "   PARTITION BY user_id ORDER BY ts, event_id) <= INTERVAL 30 MINUTE"
+    "   THEN 0 ELSE 1 END AS is_new FROM events)) "
+    " GROUP BY user_id, session_id), "
+    "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+    " CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+    " CAST(SUM(en - st) AS BIGINT) AS total_dur_us FROM s), "
+    "p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs "
+    " FROM s a JOIN s b ON a.st <= b.en AND b.st <= a.en "
+    " AND a.user_id < b.user_id) "
+    "SELECT n_sessions, n_users, "
+    "printf('%.6f', ROUND(CAST(total_dur_us AS DOUBLE) "
+    " / CAST(n_sessions AS DOUBLE), 6)) AS avg_dur_us, "
+    "n_overlap_pairs FROM m, p WHERE n_sessions > 0",
+)
+def macro_session_report(spark, sf):
+    """One-row session health profile — the composition macro over the
+    session-span grain (the macro_series_profile discipline): session
+    and user counts, mean session duration, and the cross-user
+    concurrency pair count, all from ONE derivation of the
+    ``_session_spans`` intervals that ``win_session_batch`` and
+    ``join_interval_overlap`` expose individually.
+
+    Float discipline: durations are exact epoch-microsecond BIGINTs;
+    the mean is ONE IEEE division under ROUND + %.6f; the pair count
+    re-derives the bucketed overlap join's relation.
+
+    Scale shape: the span grain is derived once and localCheckpoint'ed
+    so the three readouts don't re-run the session windows; the
+    overlap count reuses the hour-bucket equi-join discipline."""
+    from .relational import _session_spans
+
+    s = _session_spans(spark, sf).localCheckpoint()
+    m = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.col("en") - F.col("st"))
+        .cast("long")
+        .alias("total_dur_us"),
+    )
+    hour = 3_600_000_000
+    b = s.select(
+        "user_id",
+        "session_id",
+        "st",
+        "en",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("st") / hour).cast("long"),
+                F.floor(F.col("en") / hour).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    left = b.select(
+        F.col("user_id").alias("ua"),
+        F.col("session_id").alias("sa"),
+        F.col("st").alias("st_a"),
+        F.col("en").alias("en_a"),
+        "bucket",
+    )
+    right = b.select(
+        F.col("user_id").alias("ub"),
+        F.col("session_id").alias("sb"),
+        F.col("st").alias("st_b"),
+        F.col("en").alias("en_b"),
+        "bucket",
+    )
+    p = (
+        left.join(right, "bucket")
+        .filter(
+            (F.col("ua") < F.col("ub"))
+            & (F.col("st_a") <= F.col("en_b"))
+            & (F.col("st_b") <= F.col("en_a"))
+        )
+        .select("ua", "sa", "ub", "sb")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap_pairs"))
+    )
+    return (
+        m.crossJoin(F.broadcast(p))
+        .filter(F.col("n_sessions") > 0)
+        .select(
+            "n_sessions",
+            "n_users",
+            _FMT6(
+                F.col("total_dur_us").cast("double")
+                / F.col("n_sessions").cast("double")
+            ).alias("avg_dur_us"),
+            "n_overlap_pairs",
+        )
+    )

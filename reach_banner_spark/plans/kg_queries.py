@@ -5485,3 +5485,173 @@ def kg_efficiency(spark, sf):
             F.round(chain / (n * (n - 1)).cast("double"), 6),
         ).alias("efficiency"),
     )
+
+
+@register(
+    "kg_condensation",
+    # Condensation DAG of the directed strong backbone: contract each
+    # SCC (the kg_scc CTE) to one node, keep the distinct cross-SCC
+    # edges, and assign each component its LONGEST-PATH level — the
+    # recursion seeds every component at depth 0 and steps along
+    # cross-edges (the DAG is acyclic by construction, so the
+    # level-(conv, comp, d) closure is finite and UNION terminates it).
+    f"WITH RECURSIVE t AS ({_TRIPLES_SQL}), "
+    "dp AS (SELECT conv_id, subj AS s, obj AS o, COUNT(*) AS n FROM t "
+    " GROUP BY 1, 2, 3), "
+    "dst AS (SELECT conv_id, SUM(n) AS tot, COUNT(*) AS ne FROM dp "
+    " GROUP BY 1), "
+    "de AS (SELECT dp.conv_id, s, o FROM dp JOIN dst USING (conv_id) "
+    " WHERE dp.n * dst.ne > dst.tot), "
+    "nodes AS (SELECT conv_id, s AS node FROM de "
+    " UNION SELECT conv_id, o FROM de), "
+    "r(conv_id, src, node) AS ("
+    " SELECT conv_id, node, node FROM nodes "
+    " UNION "
+    " SELECT de.conv_id, r.src, de.o FROM r JOIN de "
+    "  ON de.conv_id = r.conv_id AND de.s = r.node), "
+    "scc AS (SELECT f.conv_id, f.src AS entity, MIN(f.node) AS lbl "
+    " FROM r f JOIN r b ON b.conv_id = f.conv_id AND b.src = f.node "
+    "  AND b.node = f.src GROUP BY 1, 2), "
+    "ce AS (SELECT DISTINCT de.conv_id, sa.lbl AS ca, sb.lbl AS cb "
+    " FROM de JOIN scc sa ON sa.conv_id = de.conv_id AND sa.entity = de.s "
+    " JOIN scc sb ON sb.conv_id = de.conv_id AND sb.entity = de.o "
+    " WHERE sa.lbl <> sb.lbl), "
+    "comps AS (SELECT conv_id, lbl, CAST(COUNT(*) AS BIGINT) AS n_members "
+    " FROM scc GROUP BY 1, 2), "
+    "lv(conv_id, comp, d) AS ("
+    " SELECT conv_id, lbl, 0 FROM comps "
+    " UNION "
+    " SELECT ce.conv_id, ce.cb, lv.d + 1 FROM lv JOIN ce "
+    "  ON ce.conv_id = lv.conv_id AND ce.ca = lv.comp), "
+    "lev AS (SELECT conv_id, comp, CAST(MAX(d) AS BIGINT) AS level "
+    " FROM lv GROUP BY 1, 2) "
+    "SELECT c.conv_id, c.lbl AS scc_label, c.n_members, lev.level, "
+    "c.lbl NOT IN (SELECT cb FROM ce WHERE ce.conv_id = c.conv_id) "
+    " AS is_source, "
+    "c.lbl NOT IN (SELECT ca FROM ce WHERE ce.conv_id = c.conv_id) "
+    " AS is_sink "
+    "FROM comps c JOIN lev ON lev.conv_id = c.conv_id AND lev.comp = c.lbl",
+)
+def kg_condensation(spark, sf):
+    """Condensation DAG of each conversation's directed strong
+    backbone — contract every SCC (``kg_scc``'s partition) to one
+    node and read off the acyclic skeleton: per component, its size,
+    its LONGEST-PATH level (how deep into the reference flow it
+    sits), and whether it is a source (nothing refers into it) or a
+    sink (it refers to nothing outside itself). This is the
+    information-flow summary a KG consumer reads after the cycle
+    analysis: sources are where facts originate, sinks are where they
+    accumulate, levels order everything in between — and on a DAG the
+    longest-path level is well-defined, which is exactly what the
+    contraction buys.
+
+    Correctness is algorithm-vs-definition: the oracle extends the
+    kg_scc reachability CTE with the distinct cross-component edges
+    and a longest-path recursion seeded at every component (finite
+    because the condensation is acyclic); this side runs Tarjan + a
+    topological DP per conversation — the class-(b) grouped-map kernel
+    (sequential per graph, distributed across conversations, ONE
+    conv_id exchange). All-integer output — no float anywhere."""
+    de = _strong_dir_edges_cached(spark, sf)
+
+    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf["conv_id"].iloc[0]
+        adj: dict = {}
+        nodes = set()
+        for s, o in zip(pdf["s"], pdf["o"]):
+            nodes.add(s)
+            nodes.add(o)
+            adj.setdefault(s, []).append(o)
+        for v in adj:
+            adj[v].sort()
+        index: dict = {}
+        low: dict = {}
+        on: set = set()
+        stack: list = []
+        comp: dict = {}
+        counter = 0
+        for root in sorted(nodes):
+            if root in index:
+                continue
+            index[root] = low[root] = counter
+            counter += 1
+            stack.append(root)
+            on.add(root)
+            work = [(root, iter(adj.get(root, [])))]
+            while work:
+                v, it = work[-1]
+                advanced = False
+                for w in it:
+                    if w not in index:
+                        index[w] = low[w] = counter
+                        counter += 1
+                        stack.append(w)
+                        on.add(w)
+                        work.append((w, iter(adj.get(w, []))))
+                        advanced = True
+                        break
+                    if w in on and index[w] < low[v]:
+                        low[v] = index[w]
+                if advanced:
+                    continue
+                work.pop()
+                if work and low[v] < low[work[-1][0]]:
+                    low[work[-1][0]] = low[v]
+                if low[v] == index[v]:
+                    scc = []
+                    while True:
+                        w = stack.pop()
+                        on.discard(w)
+                        scc.append(w)
+                        if w == v:
+                            break
+                    lbl = min(scc)
+                    for w in scc:
+                        comp[w] = lbl
+        from collections import Counter as _Counter
+
+        sizes = _Counter(comp.values())
+        # condensation edges + longest-path levels (topological DP over
+        # the acyclic contraction; Kahn order by in-degree)
+        cedges: set = set()
+        for s, outs in adj.items():
+            for o in outs:
+                if comp[s] != comp[o]:
+                    cedges.add((comp[s], comp[o]))
+        csucc: dict = {}
+        indeg: dict = {c: 0 for c in sizes}
+        for a, b in sorted(cedges):
+            csucc.setdefault(a, []).append(b)
+            indeg[b] += 1
+        level = {c: 0 for c in sizes}
+        ready = sorted(c for c, d in indeg.items() if d == 0)
+        order = []
+        while ready:
+            v = ready.pop(0)
+            order.append(v)
+            for w in csucc.get(v, []):
+                if level[v] + 1 > level[w]:
+                    level[w] = level[v] + 1
+                indeg[w] -= 1
+                if indeg[w] == 0:
+                    ready.append(w)
+            ready.sort()
+        has_in = {b for _, b in cedges}
+        has_out = {a for a, _ in cedges}
+        comps = sorted(sizes)
+        return pd.DataFrame(
+            {
+                "conv_id": [conv] * len(comps),
+                "scc_label": comps,
+                "n_members": [sizes[c] for c in comps],
+                "level": [level[c] for c in comps],
+                "is_source": [c not in has_in for c in comps],
+                "is_sink": [c not in has_out for c in comps],
+            }
+        )
+
+    return de.groupBy("conv_id").applyInPandas(
+        per_conv,
+        "conv_id string, scc_label string, n_members long, level long,"
+        " is_source boolean, is_sink boolean",
+    )

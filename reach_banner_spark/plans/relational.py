@@ -5088,18 +5088,25 @@ def _hex15_to_int_sql(expr: str) -> str:
     to 60 bits; the total stays < 2^60 so every term is an exact
     BIGINT)."""
     terms = " + ".join(
-        f"(instr('{_CMS_HEX}', substr({expr}, {i + 1}, 1)) - 1) * "
-        f"{16 ** (14 - i)}"
+        f"CAST(instr('{_CMS_HEX}', substr({expr}, {i + 1}, 1)) - 1 "
+        f"AS BIGINT) * CAST({16 ** (14 - i)} AS BIGINT)"
         for i in range(15)
     )
     return f"({terms})"
 
 
 def _hex15_to_int_col(col):
+    # the digit MUST be cast to long before the multiply: for positions
+    # where 16^(14-i) fits int32 the literal types as INT and an
+    # INT*INT product digit*16^7 >= 2^31 overflows at runtime (ANSI
+    # arithmetic error — caught by dataset_fingerprint, latent in the
+    # original sketch_kmv spelling which only saw small digits there)
     out = None
     for i in range(15):
-        d = (F.instr(F.lit(_CMS_HEX), F.substring(col, i + 1, 1)) - 1) * (
-            16 ** (14 - i)
+        d = (
+            (F.instr(F.lit(_CMS_HEX), F.substring(col, i + 1, 1)) - 1)
+            .cast("long")
+            * F.lit(16 ** (14 - i)).cast("long")
         )
         out = d if out is None else out + d
     return out.cast("long")
@@ -5567,3 +5574,114 @@ def join_interval_overlap(spark, sf):
         .distinct()
     )
     return pairs
+
+
+# --- dataset content fingerprint -------------------------------------------
+
+def _fp_rowhash_sql(expr: str) -> str:
+    return _hex15_to_int_sql(f"md5({expr})")
+
+
+def _fp_rowhash_col(col):
+    return _hex15_to_int_col(F.md5(col))
+
+
+_FP_DOC_ROW = "CONCAT_WS('|', CAST(doc_id AS VARCHAR), lang, source, " \
+    "CAST(n_chars AS VARCHAR), md5(text))"
+_FP_EVT_ROW = (
+    "CONCAT_WS('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR), "
+    "event_type, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), "
+    "CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR))"
+)
+_FP_ORD_ROW = (
+    "CONCAT_WS('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+    "o_orderstatus, "
+    "CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) "
+    " AS VARCHAR), "
+    "CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR))"
+)
+
+
+@register(
+    "dataset_fingerprint",
+    # Order-insensitive content hash per table: XOR over per-row
+    # 60-bit md5 prefixes of a canonical row string (exact fields
+    # only — doubles enter via the DECIMAL cents idiom, timestamps via
+    # epoch micros). XOR is commutative/associative/self-inverse, so
+    # the fingerprint is independent of row order AND partitioning.
+    f"SELECT 'documents' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    f"CAST(bit_xor({_fp_rowhash_sql(_FP_DOC_ROW)}) AS BIGINT) AS fingerprint "
+    f"FROM documents "
+    f"UNION ALL SELECT 'events', CAST(COUNT(*) AS BIGINT), "
+    f"CAST(bit_xor({_fp_rowhash_sql(_FP_EVT_ROW)}) AS BIGINT) FROM events "
+    f"UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT), "
+    f"CAST(bit_xor({_fp_rowhash_sql(_FP_ORD_ROW)}) AS BIGINT) FROM orders",
+)
+def dataset_fingerprint(spark, sf):
+    """Order-insensitive dataset content fingerprint — the
+    reproducibility primitive a training-data pipeline stamps on every
+    corpus drop (did THIS copy of the table change?): per table, the
+    row count plus the XOR of per-row 60-bit md5 prefixes over a
+    canonical row string. XOR is commutative, associative and
+    self-inverse, so the fingerprint is invariant to row order,
+    partitioning and shuffle plan — two copies match iff their row
+    multisets match up to XOR collisions — and it re-aggregates: XOR
+    of per-partition fingerprints == the table fingerprint (the sketch
+    mergeability property, here for integrity rather than estimation;
+    a self-inverse pair of identical rows cancels, which exact-dup
+    corpora should note — documents here are doc_id-keyed so rows are
+    unique).
+
+    Float discipline: doubles enter the row string only through the
+    exact DECIMAL(12,2)-cents idiom and timestamps only as epoch
+    micros (TIMESTAMP_NTZ cast first); the md5-prefix fold is the
+    shared ``_hex15_to_int`` chain; XOR never touches a float.
+
+    Scale shape: three independent single-pass map-side-combinable
+    aggregations — no joins, no windows, nothing driver-side."""
+    d = _t(spark, sf, "documents")
+    e = _t(spark, sf, "events")
+    o = _t(spark, sf, "orders")
+    doc_row = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("string"),
+        F.md5("text"),
+    )
+    evt_row = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .cast("string"),
+    )
+    ord_row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .cast("string"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast(
+            "string"
+        ),
+    )
+
+    def fp(df, row, name):
+        return df.select(_fp_rowhash_col(row).alias("h")).agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("long").alias("fingerprint"),
+        ).select("table_name", "n_rows", "fingerprint")
+
+    return (
+        fp(d, doc_row, "documents")
+        .unionAll(fp(e, evt_row, "events"))
+        .unionAll(fp(o, ord_row, "orders"))
+    )
