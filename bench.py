@@ -395,6 +395,8 @@ HEADLINE = [
     "events_rsi",
     "dataset_fingerprint",
     "macro_session_report",
+    "lm_stupid_backoff",
+    "emb_prefix_recall",
 ]
 
 

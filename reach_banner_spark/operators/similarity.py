@@ -1673,3 +1673,113 @@ def emb_dim_stats(spark, sf):
         fmt6(F.col("mx")).alias("max_v"),
         fmt6(F.col("ssum") / F.col("n").cast("double")).alias("mean_v"),
     ).orderBy("dim")
+
+
+# --- prefix-dimension (matryoshka) retrieval quality ------------------------
+
+_PFX_DIMS = 16
+
+
+def _pfx_cos_sql(qcol: str, ecol: str, dims: str) -> str:
+    qs = f"list_transform({qcol}{dims}, x -> CAST(x AS DOUBLE))"
+    es = f"list_transform({ecol}{dims}, x -> CAST(x AS DOUBLE))"
+    return (
+        f"list_dot_product({qs}, {es}) / "
+        f"(SQRT(list_dot_product({qs}, {qs})) * "
+        f"SQRT(list_dot_product({es}, {es})))"
+    )
+
+
+@register(
+    "emb_prefix_recall",
+    # Full-dim exact top-10 vs prefix-16-dim top-10, overlap per query:
+    # both rankings use the ROUND(cos, 6) contract with the vec_id
+    # tie-break; the overlap count and the recall division are exact.
+    f"""WITH full10 AS (SELECT qid, vec_id FROM (
+      SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY ROUND({_pfx_cos_sql('q.embedding', 'e.embedding', '')}, 6)
+            DESC, e.vec_id) AS rn
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}) WHERE rn <= {TOP_K}),
+    pfx10 AS (SELECT qid, vec_id FROM (
+      SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY ROUND({_pfx_cos_sql('q.embedding', 'e.embedding',
+                                       f'[1:{_PFX_DIMS}]')}, 6)
+            DESC, e.vec_id) AS rn
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}) WHERE rn <= {TOP_K})
+    SELECT f.qid, CAST(COUNT(p.vec_id) AS BIGINT) AS n_overlap,
+      printf('%.6f', ROUND(CAST(COUNT(p.vec_id) AS DOUBLE)
+        / CAST({TOP_K} AS DOUBLE), 6)) AS recall_at_10
+    FROM full10 f LEFT JOIN pfx10 p
+      ON p.qid = f.qid AND p.vec_id = f.vec_id
+    GROUP BY f.qid""",
+)
+def emb_prefix_recall(spark, sf):
+    """Prefix-dimension retrieval quality — the matryoshka-embedding
+    question (Kusupati et al.): if we truncate every vector to its
+    first 16 of 64 dimensions (4x cheaper storage, dot products, and
+    index memory), how much of the exact full-dimension top-10 does
+    the truncated search still find? Reported as overlap@10 per query
+    vector — the measurement that decides whether a prefix index is an
+    acceptable first-stage retriever for THIS embedding space (these
+    synthetic embeddings are NOT matryoshka-trained, so the number
+    doubles as the honest baseline a trained model would beat).
+
+    Float discipline: both rankings use the shared ROUND(cos, 6)
+    contract (each cosine is the positional zip_with fold — engine-
+    identical) with the vec_id tie-break; the overlap count is an
+    exact integer and recall is ONE division under ROUND + %.6f.
+
+    Scale shape: two broadcast-query passes over the embeddings table
+    (the ann_cosine_topk discipline — the query side is 5 rows);
+    per-query top-10s join on (qid, vec_id). At real scale the prefix
+    pass is the one you'd index (IVF over 16 dims) — this key measures
+    whether that is safe."""
+    e = _emb(spark, sf)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pairs = F.broadcast(q).crossJoin(
+        e.select("vec_id", "embedding")
+    ).filter(F.col("vec_id") != F.col("qid"))
+
+    def top10(score_col):
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("cos"), F.asc("vec_id")
+        )
+        return (
+            pairs.select(
+                "qid", "vec_id", F.round(score_col, 6).alias("cos")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("qid", "vec_id")
+        )
+
+    full10 = top10(_cosine(F.col("qvec"), F.col("embedding")))
+    pfx10 = top10(
+        _cosine(
+            F.slice(F.col("qvec"), 1, _PFX_DIMS),
+            F.slice(F.col("embedding"), 1, _PFX_DIMS),
+        )
+    ).withColumnRenamed("vec_id", "pvec")
+    j = full10.join(
+        pfx10,
+        (full10["qid"] == pfx10["qid"])
+        & (full10["vec_id"] == pfx10["pvec"]),
+        "left",
+    ).select(full10["qid"].alias("fqid"), "pvec")
+    return j.groupBy(F.col("fqid").alias("qid")).agg(
+        F.count("pvec").cast("long").alias("n_overlap"),
+        F.format_string(
+            "%.6f",
+            F.round(
+                F.count("pvec").cast("double")
+                / F.lit(TOP_K).cast("double"),
+                6,
+            ),
+        ).alias("recall_at_10"),
+    )

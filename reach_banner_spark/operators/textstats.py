@@ -5255,3 +5255,159 @@ def retrieval_interp_pr(spark, sf):
     for o_i in outs[1:]:
         out = out.unionAll(o_i)
     return out
+
+
+# --- stupid-backoff LM scoring ---------------------------------------------
+
+_SB_W1, _SB_W2 = "window", "join"
+# backoff factor 1/2 — DYADIC on purpose (Brants et al. use 0.4; 0.4 is
+# not exactly representable and the engines would type the literal
+# differently — the bm25 dyadic-constants rule): each score is one exact
+# division optionally scaled by an exact power of two.
+
+
+def _sb_sql() -> str:
+    return (
+        "WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents), "
+        "uni AS (SELECT unnest(ws) AS w FROM toks), "
+        "u AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY w), "
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni), "
+        "bi AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),"
+        " i -> ws[i] || chr(1) || ws[i + 1])) AS bg FROM toks), "
+        "b AS (SELECT split_part(bg, chr(1), 1) AS w1, "
+        " split_part(bg, chr(1), 2) AS w2, CAST(COUNT(*) AS BIGINT) AS cb "
+        " FROM bi GROUP BY 1, 2), "
+        "tri AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 2),"
+        " i -> ws[i] || chr(1) || ws[i + 1] || chr(1) || ws[i + 2])) AS tg "
+        " FROM toks), "
+        "t AS (SELECT split_part(tg, chr(1), 3) AS w3, "
+        " CAST(COUNT(*) AS BIGINT) AS ct FROM tri "
+        f" WHERE split_part(tg, chr(1), 1) = '{_SB_W1}' "
+        f" AND split_part(tg, chr(1), 2) = '{_SB_W2}' GROUP BY 1), "
+        "b12 AS (SELECT cb AS c12 FROM b "
+        f" WHERE w1 = '{_SB_W1}' AND w2 = '{_SB_W2}'), "
+        "b2 AS (SELECT w2 AS w, cb FROM b "
+        f" WHERE w1 = '{_SB_W2}'), "
+        "c2t AS (SELECT CAST(SUM(cb) AS BIGINT) AS c2 FROM b "
+        f" WHERE w1 = '{_SB_W2}'), "
+        "sc AS (SELECT u.w, "
+        " CASE WHEN t.ct IS NOT NULL THEN 3 "
+        "  WHEN b2.cb IS NOT NULL THEN 2 ELSE 1 END AS lvl, "
+        " CASE WHEN t.ct IS NOT NULL THEN "
+        "  CAST(t.ct AS DOUBLE) / CAST(b12.c12 AS DOUBLE) "
+        " WHEN b2.cb IS NOT NULL THEN "
+        "  0.5 * (CAST(b2.cb AS DOUBLE) / CAST(c2t.c2 AS DOUBLE)) "
+        " ELSE 0.25 * (CAST(u.cu AS DOUBLE) / CAST(nn.n AS DOUBLE)) END "
+        "  AS s "
+        " FROM u LEFT JOIN t ON t.w3 = u.w LEFT JOIN b2 ON b2.w = u.w, "
+        " b12, c2t, nn) "
+        "SELECT w AS word, CAST(lvl AS BIGINT) AS backoff_level, "
+        "printf('%.6f', ROUND(s, 6)) AS score FROM sc "
+        "ORDER BY s DESC, w LIMIT 20"
+    )
+
+
+@register("lm_stupid_backoff", _sb_sql())
+def lm_stupid_backoff(spark, sf):
+    """Stupid-backoff trigram scoring (Brants et al., the web-scale LM
+    recipe) for the fixed context '{w1} {w2}': every vocabulary word is
+    scored by the trigram relative frequency when the trigram exists,
+    else by the backed-off bigram frequency scaled alpha, else the
+    scaled unigram — the distributed-counts LM that needs NO
+    normalization pass, which is exactly why it was the first LM to
+    run at corpus scale (and why it fits one SQL plan). Top-20
+    continuations reported with their backoff level.
+
+    Float discipline: alpha = 1/2 (not the paper's 0.4 — 0.4 is
+    non-dyadic and the engines type the literal differently, the bm25
+    rule); every count is an exact BIGINT, each score is ONE
+    correctly-rounded division optionally scaled by an exact power of
+    two, the ranking compares those engine-identical doubles with a
+    word tie-break, and the report is ROUND + %.6f.
+
+    Scale shape: the n-gram tables are map-side-combinable counts off
+    ONE token pass (array transforms, no per-row Python); the scoring
+    join runs on the bounded vocab grain; the top-20 is a
+    TakeOrderedAndProject."""
+    d = _docs(spark, sf)
+    ws = F.split(F.col("text"), " ")
+    toks = d.select(ws.alias("ws"))
+    uni = toks.select(F.explode("ws").alias("w"))
+    u = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    nn = uni.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    b = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    tri = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 3),"
+                " i -> struct(ws[i] AS w1, ws[i + 1] AS w2,"
+                " ws[i + 2] AS w3))"
+            )
+        ).alias("tg")
+    ).select("tg.w1", "tg.w2", "tg.w3")
+    t = (
+        tri.filter(
+            (F.col("w1") == _SB_W1) & (F.col("w2") == _SB_W2)
+        )
+        .groupBy("w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    b12 = b.filter(
+        (F.col("w1") == _SB_W1) & (F.col("w2") == _SB_W2)
+    ).select(F.col("cb").alias("c12"))
+    b2 = b.filter(F.col("w1") == _SB_W2).select(
+        F.col("w2").alias("w"), "cb"
+    )
+    c2t = b.filter(F.col("w1") == _SB_W2).agg(
+        F.sum("cb").cast("long").alias("c2")
+    )
+    sc = (
+        u.join(F.broadcast(t), u["w"] == t["w3"], "left")
+        .join(F.broadcast(b2.withColumnRenamed("w", "bw")),
+              F.col("w") == F.col("bw"), "left")
+        .crossJoin(F.broadcast(b12))
+        .crossJoin(F.broadcast(c2t))
+        .crossJoin(F.broadcast(nn))
+    )
+    score = (
+        F.when(
+            F.col("ct").isNotNull(),
+            F.col("ct").cast("double") / F.col("c12").cast("double"),
+        )
+        .when(
+            F.col("cb").isNotNull(),
+            F.lit(0.5)
+            * (F.col("cb").cast("double") / F.col("c2").cast("double")),
+        )
+        .otherwise(
+            F.lit(0.25)
+            * (F.col("cu").cast("double") / F.col("n").cast("double"))
+        )
+    )
+    lvl = (
+        F.when(F.col("ct").isNotNull(), 3)
+        .when(F.col("cb").isNotNull(), 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    return (
+        sc.select(
+            F.col("w").alias("word"),
+            lvl.alias("backoff_level"),
+            score.alias("_s"),
+        )
+        .orderBy(F.desc("_s"), F.asc("word"))
+        .limit(20)
+        .select("word", "backoff_level", fmt(F.col("_s")).alias("score"))
+    )

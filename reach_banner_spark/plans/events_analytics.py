@@ -6768,7 +6768,14 @@ def events_rsi(spark, sf):
 
     Scale shape: one map-side-combinable day collapse, one LAG and one
     rolling window over the bounded day grain — never corpus-scale."""
-    d = purchase_daily_cents(_events(spark, sf))
+    return rsi_rollup(purchase_daily_cents(_events(spark, sf)))
+
+
+def rsi_rollup(d: DataFrame) -> DataFrame:
+    """Fold the (day, cents) grain into the RSI table — shared by
+    ``events_rsi`` and its streaming twin (which rides the SAME
+    sum-mergeable daily-cents state as stream_drawdown: one state
+    definition, two readouts — the wilcoxon/sign pattern)."""
     wl = Window.orderBy("day")
     df = d.select(
         "day",

@@ -3819,3 +3819,69 @@ def stream_bollinger(spark, sf):
     return bollinger_rollup(
         _stream_daily_counts(spark, sf, "stream_bollinger")
     ).localCheckpoint()
+
+
+@register("stream_rsi", None)  # pytest: == batch events_rsi
+def stream_rsi(spark, sf):
+    """INGEST-TIME RSI monitor — the streaming twin of ``events_rsi``
+    on the SAME sum-mergeable daily-cents grain as ``stream_drawdown``
+    (one state definition, two readouts — the wilcoxon/sign pattern);
+    the SHARED ``rsi_rollup`` re-derives diffs, rolling gain/loss sums
+    and the single-division RSI from the final state. State is
+    O(days)."""
+    from ..plans.events_analytics import purchase_daily_cents, rsi_rollup
+
+    merged = _stream_merged_state(
+        spark,
+        sf,
+        "stream_rsi",
+        purchase_daily_cents,
+        _sum_merge(["day"], ["cents"]),
+    )
+    return rsi_rollup(merged).localCheckpoint()
+
+
+@register("stream_fingerprint", None)  # pytest: == events row of batch key
+def stream_fingerprint(spark, sf):
+    """INGEST-TIME dataset fingerprint — the streaming twin of
+    ``dataset_fingerprint``'s events row, and the reason the
+    fingerprint is an XOR: xor of per-batch fingerprints == the
+    fingerprint of the union for DISJOINT batches (an append-only
+    stream is exactly that), so the carried state is ONE (n_rows,
+    fingerprint) row updated per batch — the stream_pack scalar-carry
+    pattern with integrity instead of offsets. A corpus drop's stamp
+    stays current at ingest time without ever re-reading history."""
+    from ..plans.relational import _fp_rowhash_col
+
+    def grain(batch_df: DataFrame) -> DataFrame:
+        row = F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .cast("string"),
+        )
+        return batch_df.select(_fp_rowhash_col(row).alias("h")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("long").alias("fingerprint"),
+        )
+
+    def xor_merge(prev, cur):
+        if prev is None:
+            return cur
+        return prev.unionByName(cur).agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.expr("bit_xor(fingerprint)").cast("long").alias(
+                "fingerprint"
+            ),
+        )
+
+    merged = _stream_merged_state(
+        spark, sf, "stream_fingerprint", grain, xor_merge
+    )
+    return merged.select(
+        F.lit("events").alias("table_name"), "n_rows", "fingerprint"
+    ).localCheckpoint()

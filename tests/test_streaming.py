@@ -1898,3 +1898,38 @@ def test_stream_bollinger_equals_batch(spark):
     assert key(got).equals(key(want))
     again = ops.REGISTRY["stream_bollinger"][0](spark, SF).toPandas()
     assert key(again).equals(key(got))
+
+
+def test_stream_rsi_equals_batch(spark):
+    """stream_rsi's table == the one-shot events_rsi (same shared
+    daily-cents state as stream_drawdown). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    key = lambda df: df.sort_values("day").reset_index(drop=True)  # noqa: E731
+    got = ops.REGISTRY["stream_rsi"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_rsi"][0](spark, SF).toPandas()
+    assert len(got) == len(want) >= 1
+    assert key(got).equals(key(want))
+    again = ops.REGISTRY["stream_rsi"][0](spark, SF).toPandas()
+    assert key(again).equals(key(got))
+
+
+def test_stream_fingerprint_equals_batch_events_row(spark):
+    """stream_fingerprint's carried (n, xor) scalar == the events row
+    of the one-shot dataset_fingerprint — xor of disjoint batches ==
+    xor of the union. Re-run identical."""
+    from reach_banner_spark.plans.relational import (
+        REGISTRY as REL_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_fingerprint"][0](spark, SF).toPandas()
+    want = REL_REGISTRY["dataset_fingerprint"][0](spark, SF).toPandas()
+    want = want[want["table_name"] == "events"].reset_index(drop=True)
+    assert len(got) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_fingerprint"][0](spark, SF).toPandas()
+    assert again.equals(got)
