@@ -397,6 +397,7 @@ HEADLINE = [
     "macro_session_report",
     "lm_stupid_backoff",
     "emb_prefix_recall",
+    "events_holt_winters",
 ]
 
 

@@ -6911,3 +6911,126 @@ def macro_session_report(spark, sf):
             "n_overlap_pairs",
         )
     )
+
+
+# ------------------------------------- Holt-Winters seasonal smoothing ----
+
+def _hw_exprs(y: str, s1: str, l: str, b: str) -> tuple[str, str, str]:
+    """The additive Holt-Winters step (alpha = beta = gamma = 1/2,
+    period 7) as three expression strings over engine-specific operand
+    spellings — the l_t expression textually repeated inside b_t and
+    s_t (the events_holt discipline, now with a third coupled
+    recurrence), so both engines execute the identical IEEE op
+    sequence."""
+    lnew = f"(({y} - {s1}) + ({l} + {b})) / 2"
+    bnew = f"((({lnew}) - {l}) + {b}) / 2"
+    snew = f"(({y} - ({lnew})) + {s1}) / 2"
+    return lnew, bnew, snew
+
+
+def _hw_l0(elem) -> str:
+    """Fixed 7-term left-associated seasonal-init chain over
+    day-ordered values; ``elem(i)`` renders the i-th value's
+    double-cast spelling."""
+    chain = " + ".join(elem(i) for i in range(1, 8))
+    return f"({chain}) / 7"
+
+
+def _hw_sql() -> str:
+    e_y = "CAST(r.cnt AS DOUBLE)"
+    lnew, bnew, snew = _hw_exprs(e_y, "e.s[1]", "e.l", "e.b")
+    l0 = _hw_l0(lambda i: f"CAST(a[{i}] AS DOUBLE)")
+    seed_s = ", ".join(
+        f"CAST(a[{i}] AS DOUBLE) - ({l0})" for i in range(1, 8)
+    )
+    return (
+        "WITH RECURSIVE d AS (SELECT event_type, strftime(ts, '%Y-%m-%d')"
+        " AS day, CAST(COUNT(*) AS BIGINT) AS cnt FROM events"
+        " GROUP BY 1, 2), "
+        "ar AS (SELECT event_type, list(cnt ORDER BY day) AS a,"
+        " CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1), "
+        "r AS (SELECT event_type, cnt, CAST(ROW_NUMBER() OVER ("
+        " PARTITION BY event_type ORDER BY day) AS BIGINT) AS rn FROM d), "
+        "e(event_type, rn, l, b, s) AS ("
+        f" SELECT event_type, CAST(7 AS BIGINT), {l0}, CAST(0 AS DOUBLE),"
+        f" [{seed_s}] FROM ar WHERE n >= 7 "
+        " UNION ALL "
+        f" SELECT r.event_type, r.rn, {lnew}, {bnew},"
+        f" e.s[2:7] || [{snew}] "
+        " FROM e JOIN r ON r.event_type = e.event_type"
+        "  AND r.rn = e.rn + 1), "
+        "f AS (SELECT event_type, MAX(rn) AS mx FROM e GROUP BY 1) "
+        "SELECT e.event_type, "
+        "(SELECT n FROM ar WHERE ar.event_type = e.event_type) AS n_days, "
+        "printf('%.6f', ROUND(e.l, 6)) AS level, "
+        "printf('%.6f', ROUND(e.b, 6)) AS trend, "
+        "printf('%.6f', ROUND(e.s[1], 6)) AS seasonal_next, "
+        "printf('%.6f', ROUND((e.l + e.b) + e.s[1], 6)) AS forecast_1 "
+        "FROM e JOIN f ON f.event_type = e.event_type AND e.rn = f.mx"
+    )
+
+
+@register("events_holt_winters", _hw_sql())
+def events_holt_winters(spark, sf):
+    """Additive Holt-Winters smoothing (alpha = beta = gamma = 1/2,
+    period 7) of each type's daily volume — the seasonal completion of
+    the smoothing family (``events_ewma`` tracks level,
+    ``events_holt`` adds trend; Holt-Winters adds the weekly seasonal
+    a daily business metric actually has, and its one-step forecast
+    level + trend + next-seasonal is what ``events_forecast``'s
+    seasonal-naive baseline graduates into). Emits the final level,
+    trend, next-day seasonal, and one-step forecast per type.
+
+    Float discipline: the TRIPLE coupled recurrence runs under the
+    events_holt fold-vs-recursive-CTE contract — the state carries the
+    last 7 seasonals as an ARRAY (rotated one slot per step), the l_t
+    expression is textually repeated inside b_t AND s_t, the seasonal
+    init is a fixed 7-term left-associated chain, and every constant
+    is dyadic — so each intermediate double is bit-identical across
+    engines by construction.
+
+    Scale shape: one map-side-combinable fact collapse to the shared
+    ``daily_counts`` grain, one event_type exchange; the fold is
+    O(days) per type with an O(period) state — calendar-bounded."""
+    return holt_winters_rollup(daily_counts(_events(spark, sf)))
+
+
+def holt_winters_rollup(d: DataFrame) -> DataFrame:
+    """Fold a (event_type, day, cnt) daily table into the per-type
+    Holt-Winters readout — shared by ``events_holt_winters`` and any
+    streaming twin (the triple-recurrence float contract lives
+    here)."""
+    arr = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "cnt"))).alias("a"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    l0 = _hw_l0(lambda i: f"CAST(element_at(a, {i}).cnt AS DOUBLE)")
+    seed_s = ", ".join(
+        f"CAST(element_at(a, {i}).cnt AS DOUBLE) - ({l0})"
+        for i in range(1, 8)
+    )
+    lnew, bnew, snew = _hw_exprs(
+        "CAST(x.cnt AS DOUBLE)", "element_at(st.s, 1)", "st.l", "st.b"
+    )
+    fold = F.expr(
+        "aggregate(slice(a, 8, size(a) - 7), "
+        f"named_struct('l', {l0}, 'b', CAST(0 AS DOUBLE), "
+        f"'s', array({seed_s})), "
+        f"(st, x) -> named_struct('l', {lnew}, 'b', {bnew}, "
+        f"'s', concat(slice(st.s, 2, 6), array({snew}))))"
+    )
+    return (
+        arr.filter(F.col("n") >= 7)
+        .select("event_type", "n", fold.alias("st"))
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            _FMT6(F.col("st.l")).alias("level"),
+            _FMT6(F.col("st.b")).alias("trend"),
+            _FMT6(F.expr("element_at(st.s, 1)")).alias("seasonal_next"),
+            _FMT6(
+                (F.col("st.l") + F.col("st.b"))
+                + F.expr("element_at(st.s, 1)")
+            ).alias("forecast_1"),
+        )
+    )

@@ -3885,3 +3885,18 @@ def stream_fingerprint(spark, sf):
     return merged.select(
         F.lit("events").alias("table_name"), "n_rows", "fingerprint"
     ).localCheckpoint()
+
+
+@register("stream_holt_winters", None)  # pytest: == batch twin
+def stream_holt_winters(spark, sf):
+    """INGEST-TIME Holt-Winters monitor — the streaming twin of
+    ``events_holt_winters`` on the SAME shared ``_stream_daily_counts``
+    state as stream_holt (per-(type, day) COUNTs are sum-mergeable;
+    the SHARED ``holt_winters_rollup`` replays the triple recurrence
+    over the final state, so streaming == batch is a theorem about
+    SUM). State is O(event-types x days)."""
+    from ..plans.events_analytics import holt_winters_rollup
+
+    return holt_winters_rollup(
+        _stream_daily_counts(spark, sf, "stream_holt_winters")
+    ).localCheckpoint()

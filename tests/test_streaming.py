@@ -1933,3 +1933,23 @@ def test_stream_fingerprint_equals_batch_events_row(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_fingerprint"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_holt_winters_equals_batch(spark):
+    """stream_holt_winters' per-type readout == the one-shot
+    events_holt_winters (shared daily-counts state; the triple
+    recurrence replays identically). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    key = lambda df: df.sort_values("event_type").reset_index(  # noqa: E731
+        drop=True
+    )
+    got = ops.REGISTRY["stream_holt_winters"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_holt_winters"][0](spark, SF).toPandas()
+    assert len(got) == len(want) >= 1
+    assert key(got).equals(key(want))
+    again = ops.REGISTRY["stream_holt_winters"][0](spark, SF).toPandas()
+    assert key(again).equals(key(got))
