@@ -398,6 +398,8 @@ HEADLINE = [
     "lm_stupid_backoff",
     "emb_prefix_recall",
     "events_holt_winters",
+    "join_band",
+    "kg_edge_betweenness",
 ]
 
 

@@ -5655,3 +5655,153 @@ def kg_condensation(spark, sf):
         "conv_id string, scc_label string, n_members long, level long,"
         " is_source boolean, is_sink boolean",
     )
+
+
+def _brandes_ebc(nodes: list, adj: dict) -> dict:
+    """Exact EDGE betweenness (Brandes 2001, edge accumulation) over
+    one undirected graph given as a symmetric adjacency dict of SORTED
+    neighbour lists: in the dependency back-propagation, the shortest-
+    path-DAG edge (v, w) receives exactly the contribution
+    (sigma_v/sigma_w)(1 + delta_w) that flows to v. Sorted iteration
+    fixes the float accumulation order (bit-stable). Returns unordered
+    edge -> ebc (directed accumulation halved)."""
+    from collections import deque
+
+    ebc: dict = {}
+    for s in nodes:
+        stack = []
+        pred = {v: [] for v in nodes}
+        sigma = {v: 0 for v in nodes}
+        dist = {v: -1 for v in nodes}
+        sigma[s] = 1
+        dist[s] = 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    pred[w].append(v)
+        delta = {v: 0.0 for v in nodes}
+        while stack:
+            w = stack.pop()
+            for v in pred[w]:
+                c = (sigma[v] / sigma[w]) * (1.0 + delta[w])
+                e = (v, w) if v < w else (w, v)
+                ebc[e] = ebc.get(e, 0.0) + c
+                delta[v] += c
+    return {e: x / 2.0 for e, x in ebc.items()}
+
+
+@register("kg_edge_betweenness", None)  # == pair-sum twin, pytest-pinned
+def kg_edge_betweenness(spark, sf):
+    """Exact edge betweenness per conversation — which RELATIONS carry
+    the graph's traffic (the Girvan-Newman quantity: removing the
+    highest-betweenness edges is the classic community-splitting move,
+    and the edge ranking is what a KG curator reads to find the
+    load-bearing facts that ``kg_betweenness``'s node scores only
+    imply). Brandes' edge accumulation rides the identical
+    single-source pass as the node kernel — the shortest-path-DAG edge
+    (v, w) receives the same contribution that back-propagates to v.
+
+    Same class-(b) custom-operator shape as kg_betweenness: a
+    grouped-map kernel, sequential per conversation graph (bounded by
+    the entity domain), distributed across conversations on ONE
+    conv_id exchange (plan-gated with the other graph kernels).
+    Deterministic: sorted node/neighbour iteration fixes the float
+    accumulation order (re-run pinned bit-exact); pytest pins it
+    against an independent per-pair path-fraction formulation within
+    1e-9 plus the exact invariant sum_e ebc(e) = sum_pairs d(s, t)."""
+    e = _sym_edges(_triples_table(spark, sf)).select("conv_id", "s", "o")
+
+    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf["conv_id"].iloc[0]
+        adj: dict = {}
+        for s, o in zip(pdf["s"], pdf["o"]):
+            adj.setdefault(s, set()).add(o)
+        nodes = sorted(adj)
+        adj = {v: sorted(adj[v]) for v in nodes}
+        ebc = _brandes_ebc(nodes, adj)
+        keys = sorted(ebc)
+        return pd.DataFrame(
+            {
+                "conv_id": [conv] * len(keys),
+                "ent_a": [a for a, _ in keys],
+                "ent_b": [b for _, b in keys],
+                "edge_betweenness": np.array(
+                    [ebc[k] for k in keys], dtype=np.float64
+                ),
+            }
+        )
+
+    return e.groupBy("conv_id").applyInPandas(
+        per_conv,
+        "conv_id string, ent_a string, ent_b string,"
+        " edge_betweenness double",
+    )
+
+
+def edge_betweenness_pairs_py(edges: pd.DataFrame) -> pd.DataFrame:
+    """Independent pair-sum edge-betweenness twin for the golden test:
+    ebc(u, v) = sum over unordered reachable pairs {s, t} of
+    sigma_st(u -> v)/sigma_st, where a DAG edge u -> v lies on an s-t
+    shortest path iff d_s(u) + 1 + d_t(v) = d_s(t) and then carries
+    sigma_s(u) * sigma_t(v) of the sigma_s(t) paths — per-pair
+    quotients summed in pair order, a different accumulation order
+    from Brandes' back-propagation. ``edges`` has columns (conv_id,
+    subj, obj)."""
+    from collections import deque
+
+    rows = []
+    e = edges[edges["subj"] != edges["obj"]]
+    for conv, grp in e.groupby("conv_id"):
+        adj: dict = {}
+        for s, o in zip(grp["subj"], grp["obj"]):
+            adj.setdefault(s, set()).add(o)
+            adj.setdefault(o, set()).add(s)
+        nodes = sorted(adj)
+        und = sorted(
+            {(min(a, b), max(a, b)) for a in adj for b in adj[a]}
+        )
+
+        def bfs(src):
+            dist = {src: 0}
+            sigma = {src: 1}
+            q = deque([src])
+            while q:
+                v = q.popleft()
+                for w in sorted(adj[v]):
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        sigma[w] = 0
+                        q.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+            return dist, sigma
+
+        sp = {v: bfs(v) for v in nodes}
+        ebc = {eu: 0.0 for eu in und}
+        for i, s in enumerate(nodes):
+            ds, ss = sp[s]
+            for t in nodes[i + 1 :]:
+                if t not in ds:
+                    continue
+                dt, st = sp[t]
+                tot = ss[t]
+                for a, b in und:
+                    for u, v in ((a, b), (b, a)):
+                        if (
+                            u in ds
+                            and v in dt
+                            and ds[u] + 1 + dt[v] == ds[t]
+                        ):
+                            ebc[(a, b)] += ss[u] * st[v] / tot
+        for (a, b), x in ebc.items():
+            rows.append((conv, a, b, x))
+    return pd.DataFrame(
+        rows, columns=["conv_id", "ent_a", "ent_b", "edge_betweenness"]
+    )

@@ -5685,3 +5685,77 @@ def dataset_fingerprint(spark, sf):
         .unionAll(fp(e, evt_row, "events"))
         .unionAll(fp(o, ord_row, "orders"))
     )
+
+
+@register(
+    "join_band",
+    # The oracle takes the band-join definition literally (one non-equi
+    # self-join); the Spark side buckets by the band width and probes
+    # the three adjacent buckets — |diff| <= w implies the bucket
+    # indices differ by at most 1, and for a fixed right bucket exactly
+    # ONE probe matches, so no dedup is needed.
+    "WITH c AS (SELECT o_orderkey AS k, "
+    " CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents "
+    " FROM orders) "
+    "SELECT a.k AS key_a, b.k AS key_b, "
+    "CAST(ABS(a.cents - b.cents) AS BIGINT) AS diff_cents "
+    "FROM c a JOIN c b ON ABS(a.cents - b.cents) <= 1000 AND a.k < b.k",
+)
+def join_band(spark, sf):
+    """Band join: all order pairs whose totals lie within $10 of each
+    other — the |a - b| <= w join class (``join_range`` is
+    point-in-interval, ``join_asof`` is nearest-preceding,
+    ``join_interval_overlap`` is interval-x-interval; the band join is
+    the similarity-on-a-scalar member, the shape behind
+    near-duplicate-amount reconciliation and fuzzy numeric matching).
+    A naive spelling is the full cross product; the scale spelling
+    BUCKETS each value to the band width and probes only the three
+    adjacent buckets — |diff| <= w forces bucket indices within 1 of
+    each other, and for a fixed right bucket exactly one of the three
+    probes matches, so each qualifying pair is emitted exactly once
+    with NO dedup pass (tighter than the interval join, which needs
+    its DISTINCT).
+
+    Float discipline: amounts are exact DECIMAL-cents BIGINTs; the
+    band predicate and the reported diff are pure integer arithmetic.
+
+    Scale shape: one pruned scan to the (key, cents) projection, a
+    3x explode on the probe side, one bucket-keyed equi-join shuffle
+    bounded by per-bucket density — never by the pair space."""
+    band = 1000
+    c = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    bucket = F.floor(F.col("cents") / band).cast("long")
+    probe = c.select(
+        F.col("k").alias("key_a"),
+        F.col("cents").alias("cents_a"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bucket"),
+    )
+    build = c.select(
+        F.col("k").alias("key_b"),
+        F.col("cents").alias("cents_b"),
+        bucket.alias("bucket"),
+    )
+    return (
+        probe.join(build, "bucket")
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (
+                F.abs(F.col("cents_a") - F.col("cents_b"))
+                <= band
+            )
+        )
+        .select(
+            "key_a",
+            "key_b",
+            F.abs(F.col("cents_a") - F.col("cents_b"))
+            .cast("long")
+            .alias("diff_cents"),
+        )
+    )

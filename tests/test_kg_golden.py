@@ -697,3 +697,79 @@ def test_macro_graph_health_cross_key_consistency(spark):
         sub = comp[comp.conv_id == conv]
         assert row.n_comps == sub.comp_label.nunique()
         assert row.n_bridges == len(br[br.conv_id == conv])
+
+
+def test_kg_edge_betweenness_matches_pair_sum_twin(spark):
+    """Distributed grouped-map edge Brandes == the independent
+    per-pair path-fraction formulation within 1e-9, plus the exact
+    invariant sum_e ebc(e) == sum over reachable unordered pairs of
+    d(s, t) (each pair spreads exactly d edges' worth of weight), and
+    a bit-exact determinism re-run."""
+    import numpy as np
+
+    from reach_banner_spark.plans.kg_queries import (
+        REGISTRY,
+        _triples,
+        edge_betweenness_pairs_py,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = (
+        REGISTRY["kg_edge_betweenness"][0](spark, SF)
+        .toPandas()
+        .sort_values(["conv_id", "ent_a", "ent_b"])
+        .reset_index(drop=True)
+    )
+    edges = (
+        _triples(spark, SF)
+        .select("conv_id", "subj", "obj")
+        .distinct()
+        .toPandas()
+    )
+    want = (
+        edge_betweenness_pairs_py(edges)
+        .sort_values(["conv_id", "ent_a", "ent_b"])
+        .reset_index(drop=True)
+    )
+    # Brandes only emits edges that carried weight; the twin emits all
+    # edges — join on the twin's key set and require zero-weight
+    # agreement for the rest
+    m = want.merge(
+        got, on=["conv_id", "ent_a", "ent_b"], how="left", suffixes=("_w", "_g")
+    )
+    m["edge_betweenness_g"] = m["edge_betweenness_g"].fillna(0.0)
+    assert len(m) == len(want) > 0
+    assert np.allclose(
+        m["edge_betweenness_g"], m["edge_betweenness_w"], atol=1e-9, rtol=0
+    )
+    # exact invariant: total edge weight == sum of pairwise distances
+    from collections import deque
+
+    total_d = 0.0
+    e = edges[edges.subj != edges.obj]
+    for conv, grp in e.groupby("conv_id"):
+        adj = {}
+        for s, o in zip(grp["subj"], grp["obj"]):
+            adj.setdefault(s, set()).add(o)
+            adj.setdefault(o, set()).add(s)
+        nodes = sorted(adj)
+        for i, s in enumerate(nodes):
+            dist = {s: 0}
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        q.append(w)
+            for t in nodes[i + 1 :]:
+                total_d += dist.get(t, 0)
+    assert abs(got["edge_betweenness"].sum() - total_d) < 1e-6
+
+    again = (
+        REGISTRY["kg_edge_betweenness"][0](spark, SF)
+        .toPandas()
+        .sort_values(["conv_id", "ent_a", "ent_b"])
+        .reset_index(drop=True)
+    )
+    assert again.equals(got)

@@ -120,8 +120,8 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 469, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 359, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 471, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 360, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
 
 
@@ -506,7 +506,8 @@ def test_graph_kernel_single_exchange(spark):
 
     q = all_queries()
     for key in ("kg_bridges", "kg_articulation", "kg_mst",
-                "kg_betweenness", "kg_scc", "kg_k_truss"):
+                "kg_betweenness", "kg_edge_betweenness", "kg_scc",
+                "kg_k_truss"):
         plan = _plan(q[key](spark, SF))
         assert "FlatMapGroupsInPandas" in plan, (key, plan[:400])
         assert plan.count("Exchange") == 1, (key, plan[:600])
