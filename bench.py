@@ -400,6 +400,8 @@ HEADLINE = [
     "events_holt_winters",
     "join_band",
     "kg_edge_betweenness",
+    "kg_modularity",
+    "macro_tokenizer_report",
 ]
 
 

@@ -5411,3 +5411,70 @@ def lm_stupid_backoff(spark, sf):
         .limit(20)
         .select("word", "backoff_level", fmt(F.col("_s")).alias("score"))
     )
+
+
+@register(
+    "macro_tokenizer_report",
+    # Tokenizer fertility per language: exact token/word/char sums per
+    # lang, each ratio ONE IEEE division under ROUND + %.6f.
+    "WITH t AS (SELECT lang, "
+    " CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words, "
+    " CAST(LEN(REGEXP_EXTRACT_ALL(text, "
+    "  '[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_toks, "
+    " n_chars FROM documents), "
+    "g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    " CAST(SUM(n_words) AS BIGINT) AS words, "
+    " CAST(SUM(n_toks) AS BIGINT) AS toks, "
+    " CAST(SUM(n_chars) AS BIGINT) AS chars FROM t GROUP BY lang) "
+    "SELECT lang, n_docs, toks AS n_tokens, "
+    "printf('%.6f', ROUND(CAST(toks AS DOUBLE) / CAST(words AS DOUBLE),"
+    " 6)) AS tokens_per_word, "
+    "printf('%.6f', ROUND(CAST(chars AS DOUBLE) / CAST(toks AS DOUBLE),"
+    " 6)) AS chars_per_token "
+    "FROM g WHERE words > 0 AND toks > 0",
+)
+def macro_tokenizer_report(spark, sf):
+    """Tokenizer fertility report per language — the compression-cost
+    readout a multilingual data pipeline tracks before training
+    (fertility — tokens per word — decides how much context window
+    each language burns; chars per token is the storage-side view):
+    composes the ``token_count_bpe`` BPE-ish regex grain with the
+    corpus lang column into per-language exact sums.
+
+    Float discipline: token/word/char sums are exact BIGINTs off one
+    pass; each reported ratio is ONE correctly-rounded IEEE division
+    under ROUND + %.6f.
+
+    Scale shape: one pruned scan (text, lang, n_chars), one
+    map-side-combinable lang rollup — the bounded-grain discipline."""
+    d = _docs(spark, sf)
+    t = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9\s]"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_toks"),
+        "n_chars",
+    )
+    g = t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words"),
+        F.sum("n_toks").cast("long").alias("toks"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    return g.filter((F.col("words") > 0) & (F.col("toks") > 0)).select(
+        "lang",
+        "n_docs",
+        F.col("toks").alias("n_tokens"),
+        fmt(
+            F.col("toks").cast("double") / F.col("words").cast("double")
+        ).alias("tokens_per_word"),
+        fmt(
+            F.col("chars").cast("double") / F.col("toks").cast("double")
+        ).alias("chars_per_token"),
+    )

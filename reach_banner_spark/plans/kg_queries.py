@@ -5805,3 +5805,129 @@ def edge_betweenness_pairs_py(edges: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["conv_id", "ent_a", "ent_b", "edge_betweenness"]
     )
+
+
+@register(
+    "kg_modularity",
+    # Newman modularity of the strong-component partition measured
+    # over the FULL distinct edge set: with m edges, e_c intra-edges
+    # and d_c degree sums all exact integers, Q collapses to
+    # (4m*sum(e_c) - sum(d_c^2)) / (4m^2) — one division. The full
+    # edge CTE is freshly named (fo/fl/...) because _ALLPAIRS_SQL
+    # already owns t/e/nodes/r/sp.
+    _ALLPAIRS_SQL
+    + ", lab AS (SELECT conv_id, src, MIN(node) AS lbl FROM sp "
+    " GROUP BY 1, 2), "
+    "fo AS (SELECT DISTINCT conv_id, LEAST(subj, obj) AS a, "
+    " GREATEST(subj, obj) AS b FROM t WHERE subj <> obj), "
+    "fl AS (SELECT fo.conv_id, la.lbl AS ca, lb.lbl AS cb FROM fo "
+    " JOIN lab la ON la.conv_id = fo.conv_id AND la.src = fo.a "
+    " JOIN lab lb ON lb.conv_id = fo.conv_id AND lb.src = fo.b), "
+    "mm AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS m FROM fl "
+    " GROUP BY 1), "
+    "dg AS (SELECT conv_id, c, CAST(SUM(d) AS BIGINT) AS dc, "
+    " CAST(SUM(i) AS BIGINT) AS ec FROM ("
+    "  SELECT conv_id, ca AS c, 1 AS d, "
+    "   CASE WHEN ca = cb THEN 1 ELSE 0 END AS i FROM fl "
+    "  UNION ALL SELECT conv_id, cb, 1, 0 FROM fl WHERE ca <> cb "
+    "  UNION ALL SELECT conv_id, ca, 1, 0 FROM fl WHERE ca = cb) "
+    " GROUP BY 1, 2), "
+    "qn AS (SELECT dg.conv_id, CAST(COUNT(*) AS BIGINT) AS ncomp, "
+    " CAST(SUM(4 * mm.m * ec - dc * dc) AS BIGINT) AS qnum "
+    " FROM dg JOIN mm USING (conv_id) GROUP BY 1) "
+    "SELECT qn.conv_id, ncomp AS n_comps, m AS m_edges, "
+    "printf('%.6f', ROUND(CAST(qnum AS DOUBLE) "
+    " / CAST(4 * m * m AS DOUBLE), 6)) AS modularity "
+    "FROM qn JOIN mm ON mm.conv_id = qn.conv_id WHERE m > 0",
+)
+def kg_modularity(spark, sf):
+    """Newman modularity of the strong-component partition, measured
+    over the conversation's FULL distinct edge set — does the
+    confidence-thresholded backbone's community structure actually
+    explain the raw graph (Q near 0: the weak edges wash the partition
+    out; Q large: the backbone found real modules)? This is the
+    quality score for the partition ``kg_components`` reports and the
+    quantity Girvan-Newman splitting (``kg_edge_betweenness``)
+    optimizes — closing the community-analysis loop.
+
+    Float discipline: with m full edges, e_c intra-community edges and
+    d_c community degree sums (all exact BIGINTs — intra edges
+    contribute 2 to their community's degree), Q = sum_c (e_c/m -
+    (d_c/2m)^2) collapses to (4m*sum e_c - sum d_c^2) / (4m^2): every
+    moment integer, ONE IEEE division under ROUND + %.6f.
+
+    Scale shape: component labels are a rollup of the memoized
+    all-pairs BFS; the full edge set joins to labels on (conv_id,
+    node); all shuffles key conv_id-first on the materialized triple
+    table's co-partitioning."""
+    lab = (
+        _strong_allpairs_dist(spark, sf)
+        .groupBy("conv_id", "src")
+        .agg(F.min("node").alias("lbl"))
+    )
+    fo = _oriented_edges(_triples_table(spark, sf))
+    la = lab.select(
+        "conv_id", F.col("src").alias("a"), F.col("lbl").alias("ca")
+    )
+    lb = lab.select(
+        "conv_id", F.col("src").alias("b"), F.col("lbl").alias("cb")
+    )
+    fl = fo.join(la, ["conv_id", "a"]).join(lb, ["conv_id", "b"])
+    mm = fl.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    intra = F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)
+    parts = (
+        fl.select(
+            "conv_id",
+            F.col("ca").alias("c"),
+            F.lit(1).alias("d"),
+            intra.alias("i"),
+        )
+        .unionAll(
+            fl.filter(F.col("ca") != F.col("cb")).select(
+                "conv_id",
+                F.col("cb").alias("c"),
+                F.lit(1).alias("d"),
+                F.lit(0).alias("i"),
+            )
+        )
+        .unionAll(
+            fl.filter(F.col("ca") == F.col("cb")).select(
+                "conv_id",
+                F.col("ca").alias("c"),
+                F.lit(1).alias("d"),
+                F.lit(0).alias("i"),
+            )
+        )
+    )
+    dg = parts.groupBy("conv_id", "c").agg(
+        F.sum("d").cast("long").alias("dc"),
+        F.sum("i").cast("long").alias("ec"),
+    )
+    qn = dg.join(mm, "conv_id").groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ncomp"),
+        F.sum(
+            4 * F.col("m") * F.col("ec") - F.col("dc") * F.col("dc")
+        )
+        .cast("long")
+        .alias("qnum"),
+    )
+    m = F.col("m")
+    return (
+        qn.join(mm, "conv_id")
+        .filter(m > 0)
+        .select(
+            "conv_id",
+            F.col("ncomp").alias("n_comps"),
+            m.alias("m_edges"),
+            F.format_string(
+                "%.6f",
+                F.round(
+                    F.col("qnum").cast("double")
+                    / (4 * m * m).cast("double"),
+                    6,
+                ),
+            ).alias("modularity"),
+        )
+    )
