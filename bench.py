@@ -402,6 +402,10 @@ HEADLINE = [
     "kg_edge_betweenness",
     "kg_modularity",
     "macro_tokenizer_report",
+    # r5r additions (eighteenth session) — Cliff's delta, Cohen's d
+    # (subtract this group too for earlier-round-comparable subtotals)
+    "events_cliff_delta",
+    "events_cohens_d",
 ]
 
 

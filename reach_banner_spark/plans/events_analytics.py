@@ -7034,3 +7034,188 @@ def holt_winters_rollup(d: DataFrame) -> DataFrame:
             ).alias("forecast_1"),
         )
     )
+
+
+# ------------------------------- two-sample effect sizes (vc grain) ----
+
+def cliff_rollup(vc: DataFrame) -> DataFrame:
+    """Fold the (cents, c0, c1) grain into the one-row Cliff's-delta
+    readout — shared by ``events_cliff_delta`` and its streaming twin
+    (the grain is plain SUMs, so the twin is a theorem about SUM)."""
+    wprev = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    t = vc.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    c = vc.select(
+        "c0",
+        "c1",
+        F.coalesce(F.sum("c1").over(wprev), F.lit(0)).alias("b1"),
+    )
+    gl = c.crossJoin(t.select("n1")).agg(
+        F.sum(F.col("c0") * F.col("b1")).cast("long").alias("gt_pairs"),
+        F.sum(F.col("c0") * (F.col("n1") - F.col("b1") - F.col("c1")))
+        .cast("long")
+        .alias("lt_pairs"),
+    )
+    out = gl.crossJoin(t)
+    diff = F.col("gt_pairs") - F.col("lt_pairs")
+    np_ = F.col("n0") * F.col("n1")
+    return out.select(
+        "n0",
+        "n1",
+        "gt_pairs",
+        "lt_pairs",
+        _FMT6(diff.cast("double") / np_.cast("double")).alias("delta"),
+        F.when(F.abs(diff) * 1000 < 147 * np_, "negligible")
+        .when(F.abs(diff) * 1000 < 330 * np_, "small")
+        .when(F.abs(diff) * 1000 < 474 * np_, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+@register(
+    "events_cliff_delta",
+    # Cliff's delta between the hash variants on binned purchase cents:
+    # gt/lt pair counts via one ordered cumsum over the bounded grain
+    # (gt = sum c0*cumBefore1, lt = sum c0*(n1 - cumIncl1)), delta is
+    # ONE division of exact BIGINTs, and the Romano magnitude labels
+    # (0.147/0.33/0.474) decide through integer cross-multiplication so
+    # the non-dyadic thresholds never meet a float.
+    f"WITH vc AS ({_VC_SQL}), "
+    "t AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0, "
+    " CAST(SUM(c1) AS BIGINT) AS n1 FROM vc), "
+    "c AS (SELECT c0, c1, COALESCE(SUM(c1) OVER (ORDER BY cents "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b1 "
+    " FROM vc), "
+    "gl AS (SELECT CAST(SUM(c0 * b1) AS BIGINT) AS gt_pairs, "
+    " CAST(SUM(c0 * (n1 - b1 - c1)) AS BIGINT) AS lt_pairs "
+    " FROM c, t) "
+    "SELECT n0, n1, gt_pairs, lt_pairs, "
+    "printf('%.6f', ROUND(CAST(gt_pairs - lt_pairs AS DOUBLE) "
+    " / CAST(n0 * n1 AS DOUBLE), 6)) AS delta, "
+    "CASE WHEN ABS(gt_pairs - lt_pairs) * 1000 < 147 * n0 * n1 "
+    " THEN 'negligible' "
+    "WHEN ABS(gt_pairs - lt_pairs) * 1000 < 330 * n0 * n1 THEN 'small' "
+    "WHEN ABS(gt_pairs - lt_pairs) * 1000 < 474 * n0 * n1 THEN 'medium' "
+    "ELSE 'large' END AS magnitude "
+    "FROM gl, t",
+)
+def events_cliff_delta(spark, sf):
+    """Cliff's delta — the ordinal effect size for the variant split:
+    P(amount_A > amount_B) - P(amount_A < amount_B), the robust
+    magnitude companion to ``events_mann_whitney``'s significance z
+    (a rank test can be 'significant' at a negligible effect on big
+    data; delta is what decides if anyone should care).
+
+    Float discipline: both pair counts are exact BIGINTs from one
+    ordered cumsum over the bounded cents grain (gt = sum of
+    c0*cum-before-1, lt via the complement), delta is ONE
+    correctly-rounded IEEE division under ROUND + %.6f, and the
+    Romano/Cliff magnitude bands (|d| < 0.147 / 0.33 / 0.474) are
+    integer cross-multiplications — the non-dyadic thresholds never
+    decide through a float.
+
+    Scale shape: one fact-scale sum-mergeable aggregation to the
+    cents grain (events_ks_test discipline), one window over that
+    dimension table, two one-row rollups."""
+    vc = value_counts_by_variant(_events(spark, sf)).localCheckpoint()
+    return cliff_rollup(vc)
+
+
+def cohens_rollup(vc: DataFrame) -> DataFrame:
+    """Fold the (cents, c0, c1) grain into the Cohen's-d readout —
+    shared with the streaming twin (moment sums are plain SUMs)."""
+    t = vc.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("cents") * F.col("c0")).cast("long").alias("s0"),
+        F.sum(F.col("cents") * F.col("c1")).cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents") * F.col("c0"))
+        .cast("long")
+        .alias("q0"),
+        F.sum(F.col("cents") * F.col("cents") * F.col("c1"))
+        .cast("long")
+        .alias("q1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    s0, s1 = F.col("s0"), F.col("s1")
+    q0, q1 = F.col("q0"), F.col("q1")
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    ss0 = dbl(n0 * q0 - s0 * s0) / dbl(n0)
+    ss1 = dbl(n1 * q1 - s1 * s1) / dbl(n1)
+    sp = F.sqrt((ss0 + ss1) / dbl(n0 + n1 - 2))
+    d = (dbl(s0) / dbl(n0) - dbl(s1) / dbl(n1)) / sp
+    j = F.lit(1.0) - F.lit(3.0) / dbl(4 * (n0 + n1 - 2) - 1)
+    return t.filter((n0 > 1) & (n1 > 1)).select(
+        "n0",
+        "n1",
+        _FMT6(dbl(s0) / dbl(n0)).alias("mean0_cents"),
+        _FMT6(dbl(s1) / dbl(n1)).alias("mean1_cents"),
+        _FMT6(sp).alias("pooled_sd"),
+        _FMT6(d).alias("cohens_d"),
+        _FMT6(d * j).alias("hedges_g"),
+    )
+
+
+@register(
+    "events_cohens_d",
+    # Cohen's d / Hedges' g between the hash variants on binned cents:
+    # per-group moment sums (n, sum, sum-of-squares) are exact BIGINTs,
+    # the pooled sd and d spell ONE fixed IEEE chain (exact-integer
+    # numerators n*q - s^2, correctly-rounded divisions + sqrt)
+    # identically on both engines; g multiplies by the exact-rational
+    # small-sample factor 1 - 3/(4*df - 1).
+    f"WITH vc AS ({_VC_SQL}), "
+    "t AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0, "
+    " CAST(SUM(c1) AS BIGINT) AS n1, "
+    " CAST(SUM(cents * c0) AS BIGINT) AS s0, "
+    " CAST(SUM(cents * c1) AS BIGINT) AS s1, "
+    " CAST(SUM(cents * cents * c0) AS BIGINT) AS q0, "
+    " CAST(SUM(cents * cents * c1) AS BIGINT) AS q1 FROM vc) "
+    "SELECT n0, n1, "
+    "printf('%.6f', ROUND(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6)) "
+    " AS mean0_cents, "
+    "printf('%.6f', ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)) "
+    " AS mean1_cents, "
+    "printf('%.6f', ROUND(sqrt((CAST(n0 * q0 - s0 * s0 AS DOUBLE) "
+    "  / CAST(n0 AS DOUBLE) + CAST(n1 * q1 - s1 * s1 AS DOUBLE) "
+    "  / CAST(n1 AS DOUBLE)) / CAST(n0 + n1 - 2 AS DOUBLE)), 6)) "
+    " AS pooled_sd, "
+    "printf('%.6f', ROUND((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) "
+    "  - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) "
+    " / sqrt((CAST(n0 * q0 - s0 * s0 AS DOUBLE) / CAST(n0 AS DOUBLE) "
+    "  + CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) "
+    "  / CAST(n0 + n1 - 2 AS DOUBLE)), 6)) AS cohens_d, "
+    "printf('%.6f', ROUND(((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) "
+    "  - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) "
+    " / sqrt((CAST(n0 * q0 - s0 * s0 AS DOUBLE) / CAST(n0 AS DOUBLE) "
+    "  + CAST(n1 * q1 - s1 * s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) "
+    "  / CAST(n0 + n1 - 2 AS DOUBLE))) "
+    " * (1.0 - 3.0 / CAST(4 * (n0 + n1 - 2) - 1 AS DOUBLE)), 6)) "
+    " AS hedges_g "
+    "FROM t WHERE n0 > 1 AND n1 > 1",
+)
+def events_cohens_d(spark, sf):
+    """Cohen's d (and Hedges' g) — the standardized mean difference
+    between the hash variants' purchase amounts, the parametric effect
+    size next to ``events_cliff_delta``'s ordinal one and the
+    magnitude companion to ``events_ab_test``'s z.
+
+    Float discipline: group moments (n, sum, sum-of-squares of exact
+    integer cents) are exact BIGINTs; each sum-of-squared-deviations
+    keeps an EXACT integer numerator (n*q - s^2) over one division by
+    n, so the pooled sd, d, and g are ONE fixed chain of
+    correctly-rounded IEEE ops (div/add/sqrt/mul) spelled identically
+    on both engines — identical op trees give identical bits. Hedges'
+    J = 1 - 3/(4*df - 1) is exact-rational, one division. (At 100 TB
+    the moment sums move to DECIMAL(38,0) — cents^2 * count would
+    stress BIGINT around ~1e5-cent amounts x 1e9 rows.)
+
+    Scale shape: one fact-scale sum-mergeable aggregation to the
+    cents grain, then a single one-row fold — never reshuffles."""
+    vc = value_counts_by_variant(_events(spark, sf))
+    return cohens_rollup(vc)
