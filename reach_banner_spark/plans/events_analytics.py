@@ -3097,6 +3097,13 @@ def events_ks_test(spark, sf):
     discipline), one ordered cumsum window over that dimension table,
     a one-row max and a 1x1 join."""
     vc = value_counts_by_variant(_events(spark, sf)).localCheckpoint()
+    return ks_rollup(vc)
+
+
+def ks_rollup(vc: DataFrame) -> DataFrame:
+    """Fold the (cents, c0, c1) grain into the one-row KS readout —
+    shared by ``events_ks_test`` and its streaming twin (the grain is
+    plain SUMs, so the twin is a theorem about SUM)."""
     t = vc.agg(
         F.sum("c0").cast("long").alias("n0"),
         F.sum("c1").cast("long").alias("n1"),
@@ -3198,6 +3205,13 @@ def events_mann_whitney(spark, sf):
     fact-scale aggregation, sum-mergeable), one ordered window over
     the dimension-sized grain, two one-row rollups."""
     vc = value_counts_by_variant(_events(spark, sf)).localCheckpoint()
+    return mwu_rollup(vc)
+
+
+def mwu_rollup(vc: DataFrame) -> DataFrame:
+    """Fold the (cents, c0, c1) grain into the one-row Mann-Whitney
+    readout — shared by ``events_mann_whitney`` and its streaming twin
+    (the grain is plain SUMs, so the twin is a theorem about SUM)."""
     t = vc.agg(
         F.sum("c0").cast("long").alias("n0"),
         F.sum("c1").cast("long").alias("n1"),

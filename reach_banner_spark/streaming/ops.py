@@ -3900,3 +3900,106 @@ def stream_holt_winters(spark, sf):
     return holt_winters_rollup(
         _stream_daily_counts(spark, sf, "stream_holt_winters")
     ).localCheckpoint()
+
+
+def _stream_vc_counts(spark, sf, op_key: str) -> DataFrame:
+    """Consume the staged event stream accumulating the bounded
+    (cents, c0, c1) variant-split purchase-amount grain — the shared
+    fact-scale half of the two-sample twins (stream_ks / stream_mwu /
+    stream_cliff / stream_cohens). Counts are plain SUMs, so the
+    carried state is exactly mergeable for any micro-batch split."""
+    import shutil
+
+    from ..plans.events_analytics import value_counts_by_variant
+
+    d = _stage_stream_dir(sf)
+    work = _op_work_dir(op_key, d)
+    state: dict[str, str | None] = {"path": None}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = value_counts_by_variant(batch_df)
+        allg = (
+            cur
+            if state["path"] is None
+            else sp.read.parquet(state["path"])
+            .unionByName(cur)
+            .groupBy("cents")
+            .agg(
+                F.sum("c0").cast("long").alias("c0"),
+                F.sum("c1").cast("long").alias("c1"),
+            )
+        )
+        new_state = os.path.join(work, f"state_b{batch_id}")
+        allg.write.mode("overwrite").parquet(new_state)
+        prev = state["path"]
+        state["path"] = new_state
+        if prev is not None:  # superseded snapshot
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        _events_stream(spark, sf)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "stream produced no batches"
+    return spark.read.parquet(state["path"])
+
+
+@register("stream_ks", None)  # pytest: == batch events_ks_test
+def stream_ks(spark, sf):
+    """INGEST-TIME Kolmogorov-Smirnov monitor — the streaming twin of
+    ``events_ks_test`` on the shared variant-split cents-grain state
+    (SUM-mergeable; the SHARED ``ks_rollup`` re-derives the ECDF max
+    from the final state, so streaming == batch is a theorem about
+    SUM). The experiment-guardrail shape: distribution drift between
+    variants surfaces as exposures arrive, no history re-scan.
+
+    State is O(price domain) — bounded by distinct cents values."""
+    from ..plans.events_analytics import ks_rollup
+
+    return ks_rollup(
+        _stream_vc_counts(spark, sf, "stream_ks")
+    ).localCheckpoint()
+
+
+@register("stream_mwu", None)  # pytest: == batch events_mann_whitney
+def stream_mwu(spark, sf):
+    """INGEST-TIME Mann-Whitney monitor — the streaming twin of
+    ``events_mann_whitney`` on the same shared variant-split
+    cents-grain state (the SHARED ``mwu_rollup`` re-derives the
+    midrank sums, AUC, and tie-corrected z from the final state)."""
+    from ..plans.events_analytics import mwu_rollup
+
+    return mwu_rollup(
+        _stream_vc_counts(spark, sf, "stream_mwu")
+    ).localCheckpoint()
+
+
+@register("stream_cliff", None)  # pytest: == batch events_cliff_delta
+def stream_cliff(spark, sf):
+    """INGEST-TIME Cliff's-delta monitor — the streaming twin of
+    ``events_cliff_delta`` on the same shared variant-split
+    cents-grain state (the SHARED ``cliff_rollup`` re-derives the
+    gt/lt pair counts and magnitude label from the final state)."""
+    from ..plans.events_analytics import cliff_rollup
+
+    return cliff_rollup(
+        _stream_vc_counts(spark, sf, "stream_cliff")
+    ).localCheckpoint()
+
+
+@register("stream_cohens", None)  # pytest: == batch events_cohens_d
+def stream_cohens(spark, sf):
+    """INGEST-TIME Cohen's-d monitor — the streaming twin of
+    ``events_cohens_d`` on the same shared variant-split cents-grain
+    state (the SHARED ``cohens_rollup`` re-derives the moment sums and
+    the pooled-sd chain from the final state)."""
+    from ..plans.events_analytics import cohens_rollup
+
+    return cohens_rollup(
+        _stream_vc_counts(spark, sf, "stream_cohens")
+    ).localCheckpoint()

@@ -1953,3 +1953,26 @@ def test_stream_holt_winters_equals_batch(spark):
     assert key(got).equals(key(want))
     again = ops.REGISTRY["stream_holt_winters"][0](spark, SF).toPandas()
     assert key(again).equals(key(got))
+
+
+def test_stream_vc_twins_equal_batch(spark):
+    """stream_ks / stream_mwu / stream_cliff / stream_cohens == their
+    batch keys (one shared sum-mergeable variant-split cents-grain
+    state, four rollups). Re-runs identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    for skey, bkey in (
+        ("stream_ks", "events_ks_test"),
+        ("stream_mwu", "events_mann_whitney"),
+        ("stream_cliff", "events_cliff_delta"),
+        ("stream_cohens", "events_cohens_d"),
+    ):
+        got = ops.REGISTRY[skey][0](spark, SF).toPandas()
+        want = EV_REGISTRY[bkey][0](spark, SF).toPandas()
+        assert len(got) == len(want) == 1, skey
+        assert got.equals(want), skey
+        again = ops.REGISTRY[skey][0](spark, SF).toPandas()
+        assert again.equals(got), skey
