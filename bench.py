@@ -406,6 +406,11 @@ HEADLINE = [
     # (subtract this group too for earlier-round-comparable subtotals)
     "events_cliff_delta",
     "events_cohens_d",
+    "events_odds_ratio",
+    "events_gini",
+    "lm_yule_k",
+    "win_percent_rank",
+    "fn_levenshtein",
 ]
 
 

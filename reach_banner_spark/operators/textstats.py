@@ -5478,3 +5478,71 @@ def macro_tokenizer_report(spark, sf):
             F.col("chars").cast("double") / F.col("toks").cast("double")
         ).alias("chars_per_token"),
     )
+
+
+# --- Yule's K (lexical repetitiveness) -------------------------------------
+
+@register(
+    "lm_yule_k",
+    # Yule's characteristic K = 10^4 * (S2 - N) / N^2 with
+    # S2 = sum over words of freq^2 and N the token count — all exact
+    # BIGINTs from one word-count rollup, ONE final division; the
+    # hapax count and vocabulary size ride along as exact integers.
+    "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+    " FROM documents), "
+    "f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM w "
+    " WHERE word <> '' GROUP BY word), "
+    "g AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens, "
+    " CAST(COUNT(*) AS BIGINT) AS vocab_size, "
+    " CAST(SUM(freq * freq) AS BIGINT) AS s2, "
+    " CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS hapax_count FROM f) "
+    "SELECT n_tokens, vocab_size, hapax_count, s2, "
+    "printf('%.6f', ROUND(CAST(10000 * (s2 - n_tokens) AS DOUBLE) "
+    " / CAST(n_tokens * n_tokens AS DOUBLE), 6)) AS yule_k "
+    "FROM g WHERE n_tokens > 0",
+)
+def lm_yule_k(spark, sf):
+    """Yule's characteristic K — the corpus's lexical-repetitiveness
+    constant (high K = a templated / machine-generated vocabulary that
+    leans on few words; low K = natural lexical spread). The
+    sample-size-robust companion to ``lm_zipf_profile``'s head and
+    ``lm_heaps_profile``'s growth curve, and a standard
+    quality-filtering signal for LM training corpora.
+
+    Float discipline: word frequencies, S2 = sum(freq^2), the token
+    count, vocabulary size, and hapax count are all exact BIGINTs from
+    ONE word-count rollup (the lm_zipf_profile space-split tokenization
+    contract); K = 10^4 * (S2 - N) / N^2 is ONE correctly-rounded IEEE
+    division under ROUND + %.6f. (At 100 TB S2 moves to DECIMAL(38,0)
+    — a 1e11-token word squared overflows BIGINT.)
+
+    Scale shape: one fact-scale explode + map-side-combinable word
+    count (Zipf makes the distinct-word table sublinear), then a
+    one-row rollup over the word dimension."""
+    f = (
+        _docs(spark, sf)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    g = f.agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.col("freq") * F.col("freq")).cast("long").alias("s2"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax_count"),
+    )
+    fmt6 = lambda x: F.format_string("%.6f", F.round(x, 6))  # noqa: E731
+    return g.filter(F.col("n_tokens") > 0).select(
+        "n_tokens",
+        "vocab_size",
+        "hapax_count",
+        "s2",
+        fmt6(
+            (10000 * (F.col("s2") - F.col("n_tokens"))).cast("double")
+            / (F.col("n_tokens") * F.col("n_tokens")).cast("double")
+        ).alias("yule_k"),
+    )

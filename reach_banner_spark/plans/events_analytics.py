@@ -7233,3 +7233,178 @@ def events_cohens_d(spark, sf):
     cents grain, then a single one-row fold — never reshuffles."""
     vc = value_counts_by_variant(_events(spark, sf))
     return cohens_rollup(vc)
+
+
+# ------------------------------- 2x2 association (odds ratio / phi) ----
+
+@register(
+    "events_odds_ratio",
+    # 2x2 association between hash variant and conversion (the
+    # events_ab_test conv rule): all four cells are exact BIGINTs, the
+    # odds ratio and relative risk are ONE division each of exact
+    # integer cross-products, and phi (= the binary Matthews
+    # correlation) divides the exact integer a*d - b*c by a sqrt of a
+    # fixed left-associated double product of the four margins.
+    "WITH u AS (SELECT user_id, user_id % 2 AS variant, "
+    " CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5 "
+    "  > COUNT(*) THEN 1 ELSE 0 END AS conv "
+    " FROM events GROUP BY user_id), "
+    "g AS (SELECT "
+    " CAST(SUM(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a, "
+    " CAST(SUM(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b, "
+    " CAST(SUM(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c, "
+    " CAST(SUM(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d "
+    " FROM u) "
+    "SELECT a, b, c, d, "
+    "printf('%.6f', ROUND(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE), 6)) "
+    " AS odds_ratio, "
+    "printf('%.6f', ROUND(CAST(a * (c + d) AS DOUBLE) "
+    " / CAST(c * (a + b) AS DOUBLE), 6)) AS relative_risk, "
+    "printf('%.6f', ROUND(CAST(a * d - b * c AS DOUBLE) "
+    " / sqrt(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) "
+    "   * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)), 6)) AS phi "
+    "FROM g WHERE a > 0 AND b > 0 AND c > 0 AND d > 0",
+)
+def events_odds_ratio(spark, sf):
+    """Odds ratio / relative risk / phi for the variant-conversion 2x2
+    table — the effect-size companions to ``events_ab_test``'s z (the
+    z says WHETHER rates differ; OR/RR/phi say by HOW MUCH, the numbers
+    an experiment readout actually reports). phi is the binary Matthews
+    correlation, the balanced single-number association.
+
+    Float discipline: the four cells are exact BIGINTs from one
+    user-grain rollup; OR = ad/bc and RR = a(c+d)/(c(a+b)) are ONE
+    division each of exact integer cross-products; phi divides the
+    exact integer determinant a*d - b*c by sqrt of a FIXED
+    left-associated double product of the four margins (each margin an
+    exact integer, so the four casts are exact and the multiply chain
+    is the same three correctly-rounded ops on both engines). The
+    all-cells-positive guard keeps IEEE infinities out of the contract.
+
+    Scale shape: one user-keyed aggregation over facts (map-side
+    combinable), then a single-row rollup — the events_ab_test plan
+    with a different final expression."""
+    e = _events(spark, sf)
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                * 5
+                > F.count(F.lit(1)),
+                1,
+            )
+            .otherwise(0)
+            .alias("conv")
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "conv")
+    )
+    cell = lambda v, cv: (  # noqa: E731
+        F.sum(
+            F.when((F.col("variant") == v) & (F.col("conv") == cv), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+    )
+    g = u.agg(
+        cell(0, 1).alias("a"),
+        cell(0, 0).alias("b"),
+        cell(1, 1).alias("c"),
+        cell(1, 0).alias("d"),
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    dbl = lambda col: col.cast("double")  # noqa: E731
+    return g.filter((a > 0) & (b > 0) & (c > 0) & (d > 0)).select(
+        "a",
+        "b",
+        "c",
+        "d",
+        _FMT6(dbl(a * d) / dbl(b * c)).alias("odds_ratio"),
+        _FMT6(dbl(a * (c + d)) / dbl(c * (a + b))).alias("relative_risk"),
+        _FMT6(
+            dbl(a * d - b * c)
+            / F.sqrt(dbl(a + b) * dbl(c + d) * dbl(a + c) * dbl(b + d))
+        ).alias("phi"),
+    )
+
+
+# ------------------------------------------------------ Gini coefficient ----
+
+def user_cents_totals(df: DataFrame) -> DataFrame:
+    """Per-user total purchase cents (purchasers only) — the shared
+    grain for ``events_gini``. The total is a plain SUM of exact
+    integer cents, so the state is exactly mergeable across
+    micro-batches."""
+    return (
+        df.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+
+
+def gini_rollup(ut: DataFrame) -> DataFrame:
+    """Fold the per-user cents totals into the one-row Gini readout —
+    shared by ``events_gini`` and its streaming twin."""
+    w = Window.orderBy("cents", "user_id")
+    r = ut.select(
+        "cents", F.row_number().over(w).cast("long").alias("i")
+    )
+    g = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("wsum"),
+    )
+    num = 2 * F.col("wsum") - (F.col("n_users") + 1) * F.col("total_cents")
+    den = F.col("n_users") * F.col("total_cents")
+    return g.filter(F.col("total_cents") > 0).select(
+        "n_users",
+        "total_cents",
+        _FMT6(num.cast("double") / den.cast("double")).alias("gini"),
+    )
+
+
+@register(
+    "events_gini",
+    # Gini coefficient of per-user purchase spend: with x_(1..n) the
+    # sorted exact-integer cents totals, G = (2*sum i*x_i - (n+1)*S)
+    # / (n*S) — every term an exact BIGINT (ties permute equal values
+    # so the rank tie-break cannot move the sum), ONE final division.
+    "WITH ut AS (SELECT user_id, "
+    " CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+    " FROM events WHERE event_type = 'purchase' GROUP BY user_id), "
+    "r AS (SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents, user_id) "
+    " AS BIGINT) AS i FROM ut), "
+    "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, "
+    " CAST(SUM(cents) AS BIGINT) AS total_cents, "
+    " CAST(SUM(i * cents) AS BIGINT) AS wsum FROM r) "
+    "SELECT n_users, total_cents, "
+    "printf('%.6f', ROUND(CAST(2 * wsum - (n_users + 1) * total_cents "
+    " AS DOUBLE) / CAST(n_users * total_cents AS DOUBLE), 6)) AS gini "
+    "FROM g WHERE total_cents > 0",
+)
+def events_gini(spark, sf):
+    """Gini coefficient of per-user purchase spend — the one-number
+    inequality readout next to ``events_lorenz``'s curve and
+    ``events_pareto``'s top-share (the whale-concentration metric every
+    revenue dashboard carries).
+
+    Float discipline: per-user cents totals are exact BIGINTs; with
+    ranks i from a total order (cents, user_id — ties carry equal
+    values, so any tie order leaves sum(i*x_i) unchanged), the numerator
+    2*sum(i*x_i) - (n+1)*S and denominator n*S are exact BIGINTs and
+    the Gini is ONE correctly-rounded IEEE division under ROUND + %.6f.
+    (At 100 TB the weighted sum moves to DECIMAL(38,0) — rank x cents
+    x users stresses BIGINT around 1e9 purchasers.)
+
+    Scale shape: one user-keyed fact aggregation (map-side combinable),
+    one global sort of the user-grain dimension (the sort_global
+    shape — range-partitioned, no single-node bottleneck), one one-row
+    rollup."""
+    ut = user_cents_totals(_events(spark, sf)).localCheckpoint()
+    return gini_rollup(ut)

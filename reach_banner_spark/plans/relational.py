@@ -5759,3 +5759,74 @@ def join_band(spark, sf):
             .alias("diff_cents"),
         )
     )
+
+
+@register(
+    "win_percent_rank",
+    # PERCENT_RANK / CUME_DIST over a TOTAL order (c_acctbal, c_custkey
+    # tie-break): both are exact-integer rationals — (rank-1)/(n-1) and
+    # peers-through-current/n — evaluated as ONE correctly-rounded IEEE
+    # division by both engines, so the %.6f strings cannot diverge.
+    "SELECT c_custkey, c_nationkey, "
+    "printf('%.6f', ROUND(PERCENT_RANK() OVER "
+    " (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6)) "
+    " AS pct_rank, "
+    "printf('%.6f', ROUND(CUME_DIST() OVER "
+    " (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6)) "
+    " AS cume "
+    "FROM customer",
+)
+def win_percent_rank(spark, sf):
+    """PERCENT_RANK and CUME_DIST — the relative-position window
+    functions (the fraction-of-peers readouts under ``win_rank``'s
+    absolute ranks). Both are exact-integer rationals: percent_rank =
+    (rank-1)/(n-1), cume_dist = rows-through-current/n, each ONE
+    correctly-rounded IEEE division of small integers, identical on
+    both engines under a total order (the win_ntile tie-break
+    contract).
+
+    Scale shape: one hash-partitioned window per c_nationkey — the
+    win_rank plan, no extra exchange."""
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    fmt6 = lambda x: F.format_string("%.6f", F.round(x, 6))  # noqa: E731
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        fmt6(F.percent_rank().over(w)).alias("pct_rank"),
+        fmt6(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+@register(
+    "fn_levenshtein",
+    # levenshtein() builtin parity — the classic Wagner-Fischer edit
+    # distance is an exact integer on both engines; distances between
+    # two independent string columns plus an anchored literal probe.
+    "SELECT p_partkey, "
+    "CAST(levenshtein(p_brand, p_type) AS INT) AS lev_bt, "
+    "CAST(levenshtein(p_name, p_type) AS INT) AS lev_nt, "
+    "CAST(levenshtein(p_brand, 'Brand#00') AS INT) AS lev_lit "
+    "FROM part",
+)
+def fn_levenshtein(spark, sf):
+    """levenshtein() — exact edit distance, the scalar primitive under
+    the fuzzy-linking family (``dict_join`` exact, G1's MinHash
+    approximate, this the character-level ground truth). An exact
+    integer DP on both engines, so parity is unconditional — the
+    fn_luhn builtin-vs-definition discipline without needing a
+    handwritten twin (both engines ship the same Wagner-Fischer
+    metric).
+
+    Scale shape: embarrassingly parallel scalar map over the part
+    scan; at 100 TB the only care is the O(len^2) DP per row — bounded
+    here by the fixed-width dictionary-style columns."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").cast("int").alias("lev_bt"),
+        F.levenshtein("p_name", "p_type").cast("int").alias("lev_nt"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#00"))
+        .cast("int")
+        .alias("lev_lit"),
+    )
