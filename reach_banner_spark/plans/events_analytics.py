@@ -7408,3 +7408,203 @@ def events_gini(spark, sf):
     rollup."""
     ut = user_cents_totals(_events(spark, sf)).localCheckpoint()
     return gini_rollup(ut)
+
+
+# ------------------------------------------- Hoover index / MAD / CV ----
+
+def hoover_rollup(ut: DataFrame) -> DataFrame:
+    """Fold the per-user cents totals into the one-row Hoover-index /
+    mean-absolute-deviation / coefficient-of-variation readout —
+    shared by ``events_hoover`` and its streaming twin."""
+    g = ut.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        .alias("q"),
+    )
+    a = (
+        ut.join(F.broadcast(g))
+        .agg(
+            F.min("n").cast("long").alias("n_users"),
+            F.min("s").cast("long").alias("total_cents"),
+            F.min("q").alias("q"),
+            F.sum(F.abs(F.col("n") * F.col("cents") - F.col("s")))
+            .cast("long")
+            .alias("adev"),
+        )
+    )
+    n, s, q, adev = (F.col(c) for c in ("n_users", "total_cents", "q", "adev"))
+    ss = (
+        n.cast("decimal(38,0)") * q
+        - s.cast("decimal(38,0)") * s.cast("decimal(38,0)")
+    )
+    return a.filter((s > 0) & (n > 1)).select(
+        "n_users",
+        "total_cents",
+        _FMT6(
+            adev.cast("double") / (2 * n * s).cast("double")
+        ).alias("hoover"),
+        _FMT6(adev.cast("double") / (n * n).cast("double")).alias(
+            "mad_mean"
+        ),
+        _FMT6(F.sqrt(ss.cast("double") / n.cast("double")) / s.cast("double")
+              * n.cast("double")).alias("cv"),
+    )
+
+
+@register(
+    "events_hoover",
+    # Hoover (Robin Hood) index, mean absolute deviation around the
+    # mean, and coefficient of variation of per-user purchase spend:
+    # with exact BIGINT cents totals x_i, every |n*x_i - S| is an exact
+    # BIGINT, so Hoover = sum|n*x_i - S| / (2nS) and MAD = that sum /
+    # n^2 are ONE division each; CV uses the exact HUGEINT/DECIMAL
+    # sum-of-squares n*q - S^2 under one correctly-rounded sqrt and a
+    # fixed div/mul chain spelled identically on both engines.
+    "WITH ut AS (SELECT user_id, "
+    " CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+    " FROM events WHERE event_type = 'purchase' GROUP BY user_id), "
+    "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    " CAST(SUM(cents) AS BIGINT) AS s, "
+    " SUM(CAST(cents AS HUGEINT) * cents) AS q FROM ut), "
+    "a AS (SELECT MIN(n) AS n_users, MIN(s) AS total_cents, MIN(q) AS q, "
+    " CAST(SUM(ABS(n * cents - s)) AS BIGINT) AS adev FROM ut, g) "
+    "SELECT CAST(n_users AS BIGINT) AS n_users, "
+    "CAST(total_cents AS BIGINT) AS total_cents, "
+    "printf('%.6f', ROUND(CAST(adev AS DOUBLE) "
+    " / CAST(2 * n_users * total_cents AS DOUBLE), 6)) AS hoover, "
+    "printf('%.6f', ROUND(CAST(adev AS DOUBLE) "
+    " / CAST(n_users * n_users AS DOUBLE), 6)) AS mad_mean, "
+    "printf('%.6f', ROUND(sqrt(CAST(CAST(n_users AS HUGEINT) * q "
+    "  - CAST(total_cents AS HUGEINT) * total_cents AS DOUBLE) "
+    "  / CAST(n_users AS DOUBLE)) / CAST(total_cents AS DOUBLE) "
+    "  * CAST(n_users AS DOUBLE), 6)) AS cv "
+    "FROM a WHERE total_cents > 0 AND n_users > 1",
+)
+def events_hoover(spark, sf):
+    """Hoover (Robin Hood) index, mean absolute deviation, and
+    coefficient of variation of per-user purchase spend — the
+    redistribute-this-much inequality number next to ``events_gini``
+    (Hoover is the largest vertical gap between ``events_lorenz``'s
+    curve and the diagonal: the share of total spend that would have
+    to move to equalize users), plus the two classic spread-to-scale
+    readouts a revenue dashboard quotes alongside it.
+
+    Float discipline: per-user cents totals are exact BIGINTs; every
+    deviation |n*x_i - S| is an exact BIGINT (the events_outlier_mad
+    scaled-deviation trick), so Hoover = A/(2nS) and MAD = A/n^2 are
+    ONE correctly-rounded IEEE division each; CV keeps the
+    sum-of-squares exact in DECIMAL(38,0)/HUGEINT (the events_autocorr
+    wide-integer contract — cents^2 x users overflows BIGINT at
+    corpus scale), casts once, and runs the fixed sqrt/div/mul chain
+    IEEE pins bit-identically on both engines. Degenerate n<=1 or
+    zero-total corpora are filtered (all three undefined).
+
+    Scale shape: one user-keyed fact aggregation (map-side
+    combinable), a one-row broadcast joined back for the deviation
+    pass, one one-row rollup — facts touched once, the user grain
+    twice, nothing global ever sorts."""
+    ut = user_cents_totals(_events(spark, sf)).localCheckpoint()
+    return hoover_rollup(ut)
+
+
+# ------------------------------------------------------ Palma ratio ----
+
+def palma_rollup(ut: DataFrame) -> DataFrame:
+    """Fold the per-user cents totals into the one-row Palma-ratio
+    readout (top-10% share / bottom-40% share) — shared by
+    ``events_palma`` and its streaming twin."""
+    w = Window.orderBy("cents", "user_id")
+    r = ut.select(
+        "cents", F.row_number().over(w).cast("long").alias("i")
+    )
+    g = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    a = (
+        r.join(F.broadcast(g))
+        .agg(
+            F.min("n_users").alias("n_users"),
+            F.min("total_cents").alias("total_cents"),
+            F.sum(
+                F.when(
+                    F.col("i") * 5 <= F.col("n_users") * 2, F.col("cents")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("bottom40_cents"),
+            F.sum(
+                F.when(
+                    F.col("i") * 10 > F.col("n_users") * 9, F.col("cents")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("top10_cents"),
+        )
+    )
+    n, s = F.col("n_users"), F.col("total_cents")
+    b, t = F.col("bottom40_cents"), F.col("top10_cents")
+    return a.filter((s > 0) & (b > 0)).select(
+        "n_users",
+        "total_cents",
+        "bottom40_cents",
+        "top10_cents",
+        _FMT6(b.cast("double") / s.cast("double")).alias("bottom40_share"),
+        _FMT6(t.cast("double") / s.cast("double")).alias("top10_share"),
+        _FMT6(t.cast("double") / b.cast("double")).alias("palma_ratio"),
+    )
+
+
+@register(
+    "events_palma",
+    # Palma ratio of per-user purchase spend: rank users by (cents,
+    # user_id); bottom-40% membership is the exact integer comparison
+    # 5i <= 2n and top-10% is 10i > 9n (no float quantile cut ever
+    # exists), the three sums are exact BIGINTs, and each share/ratio
+    # is ONE correctly-rounded IEEE division under ROUND + %.6f.
+    "WITH ut AS (SELECT user_id, "
+    " CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+    " FROM events WHERE event_type = 'purchase' GROUP BY user_id), "
+    "r AS (SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents, user_id) "
+    " AS BIGINT) AS i FROM ut), "
+    "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, "
+    " CAST(SUM(cents) AS BIGINT) AS total_cents FROM r), "
+    "a AS (SELECT MIN(n_users) AS n_users, "
+    " MIN(total_cents) AS total_cents, "
+    " CAST(SUM(CASE WHEN i * 5 <= n_users * 2 THEN cents ELSE 0 END) "
+    "  AS BIGINT) AS bottom40_cents, "
+    " CAST(SUM(CASE WHEN i * 10 > n_users * 9 THEN cents ELSE 0 END) "
+    "  AS BIGINT) AS top10_cents FROM r, g) "
+    "SELECT CAST(n_users AS BIGINT) AS n_users, "
+    "CAST(total_cents AS BIGINT) AS total_cents, "
+    "bottom40_cents, top10_cents, "
+    "printf('%.6f', ROUND(CAST(bottom40_cents AS DOUBLE) "
+    " / CAST(total_cents AS DOUBLE), 6)) AS bottom40_share, "
+    "printf('%.6f', ROUND(CAST(top10_cents AS DOUBLE) "
+    " / CAST(total_cents AS DOUBLE), 6)) AS top10_share, "
+    "printf('%.6f', ROUND(CAST(top10_cents AS DOUBLE) "
+    " / CAST(bottom40_cents AS DOUBLE), 6)) AS palma_ratio "
+    "FROM a WHERE total_cents > 0 AND bottom40_cents > 0",
+)
+def events_palma(spark, sf):
+    """Palma ratio of per-user purchase spend — the top-10%-share over
+    bottom-40%-share inequality readout (the development-economics
+    standard that reads tail concentration directly, where
+    ``events_gini`` is most sensitive to the middle of the
+    distribution; quoting both is how an inequality report avoids
+    mistaking a fat middle for a heavy tail).
+
+    Float discipline: membership cuts are EXACT integer
+    cross-multiplications on ranks from the total (cents, user_id)
+    order — 5i <= 2n for the bottom 40%, 10i > 9n for the top 10% —
+    so no float quantile boundary exists (ties carry equal values, so
+    tie order cannot move either sum); the three cents sums are exact
+    BIGINTs and each share/ratio is ONE correctly-rounded IEEE
+    division under ROUND + %.6f.
+
+    Scale shape: one user-keyed fact aggregation, one global sort of
+    the user-grain dimension (range-partitioned — the events_gini
+    shape), a one-row broadcast back, one one-row rollup."""
+    ut = user_cents_totals(_events(spark, sf)).localCheckpoint()
+    return palma_rollup(ut)
