@@ -7447,8 +7447,7 @@ def hoover_rollup(ut: DataFrame) -> DataFrame:
         _FMT6(adev.cast("double") / (n * n).cast("double")).alias(
             "mad_mean"
         ),
-        _FMT6(F.sqrt(ss.cast("double") / n.cast("double")) / s.cast("double")
-              * n.cast("double")).alias("cv"),
+        _FMT6(F.sqrt(ss.cast("double")) / s.cast("double")).alias("cv"),
     )
 
 
@@ -7458,9 +7457,9 @@ def hoover_rollup(ut: DataFrame) -> DataFrame:
     # mean, and coefficient of variation of per-user purchase spend:
     # with exact BIGINT cents totals x_i, every |n*x_i - S| is an exact
     # BIGINT, so Hoover = sum|n*x_i - S| / (2nS) and MAD = that sum /
-    # n^2 are ONE division each; CV uses the exact HUGEINT/DECIMAL
-    # sum-of-squares n*q - S^2 under one correctly-rounded sqrt and a
-    # fixed div/mul chain spelled identically on both engines.
+    # n^2 are ONE division each; CV = sqrt(n*q - S^2)/S keeps the
+    # sum-of-squares exact in HUGEINT/DECIMAL under one
+    # correctly-rounded sqrt and ONE division.
     "WITH ut AS (SELECT user_id, "
     " CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents "
     " FROM events WHERE event_type = 'purchase' GROUP BY user_id), "
@@ -7476,9 +7475,8 @@ def hoover_rollup(ut: DataFrame) -> DataFrame:
     "printf('%.6f', ROUND(CAST(adev AS DOUBLE) "
     " / CAST(n_users * n_users AS DOUBLE), 6)) AS mad_mean, "
     "printf('%.6f', ROUND(sqrt(CAST(CAST(n_users AS HUGEINT) * q "
-    "  - CAST(total_cents AS HUGEINT) * total_cents AS DOUBLE) "
-    "  / CAST(n_users AS DOUBLE)) / CAST(total_cents AS DOUBLE) "
-    "  * CAST(n_users AS DOUBLE), 6)) AS cv "
+    "  - CAST(total_cents AS HUGEINT) * total_cents AS DOUBLE)) "
+    "  / CAST(total_cents AS DOUBLE), 6)) AS cv "
     "FROM a WHERE total_cents > 0 AND n_users > 1",
 )
 def events_hoover(spark, sf):
@@ -7496,8 +7494,8 @@ def events_hoover(spark, sf):
     ONE correctly-rounded IEEE division each; CV keeps the
     sum-of-squares exact in DECIMAL(38,0)/HUGEINT (the events_autocorr
     wide-integer contract — cents^2 x users overflows BIGINT at
-    corpus scale), casts once, and runs the fixed sqrt/div/mul chain
-    IEEE pins bit-identically on both engines. Degenerate n<=1 or
+    corpus scale), casts once, and is one correctly-rounded sqrt over
+    ONE division — identical on both engines. Degenerate n<=1 or
     zero-total corpora are filtered (all three undefined).
 
     Scale shape: one user-keyed fact aggregation (map-side
@@ -7608,3 +7606,304 @@ def events_palma(spark, sf):
     shape), a one-row broadcast back, one one-row rollup."""
     ut = user_cents_totals(_events(spark, sf)).localCheckpoint()
     return palma_rollup(ut)
+
+
+# ------------------------------------------- Jonckheere-Terpstra test ----
+
+def jonckheere_rollup(ut: DataFrame) -> DataFrame:
+    """Fold the per-user cents totals into the one-row
+    Jonckheere-Terpstra readout (ordered-alternative trend across the
+    three user-hash exposure tiers) — shared by ``events_jonckheere``
+    and its streaming twin. The doubled statistic 2J stays an exact
+    BIGINT (ties contribute 1 per cross-tier pair, strict wins 2)."""
+    vg = (
+        ut.select((F.col("user_id") % 3).alias("grp"), "cents")
+        .groupBy("cents")
+        .agg(
+            *[
+                F.sum(F.when(F.col("grp") == g, 1).otherwise(0))
+                .cast("long")
+                .alias(f"c{g}")
+                for g in range(3)
+            ]
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    b = vg.select(
+        *[F.col(f"c{g}") for g in range(3)],
+        *[
+            F.coalesce(F.sum(f"c{g}").over(w), F.lit(0))
+            .cast("long")
+            .alias(f"b{g}")
+            for g in range(2)
+        ],
+    )
+    c0, c1, c2 = (F.col(f"c{g}") for g in range(3))
+    b0, b1 = F.col("b0"), F.col("b1")
+    twoj_v = (
+        c1 * (2 * b0 + c0) + c2 * (2 * b0 + c0) + c2 * (2 * b1 + c1)
+    )
+    a = b.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(twoj_v).cast("long").alias("two_j"),
+    )
+    n0, n1, n2 = (F.col(f"n{g}") for g in range(3))
+    nn = n0 + n1 + n2
+    dev4 = 2 * F.col("two_j") - (
+        nn * nn - n0 * n0 - n1 * n1 - n2 * n2
+    )
+    var72 = (
+        nn * nn * (2 * nn + 3)
+        - n0 * n0 * (2 * n0 + 3)
+        - n1 * n1 * (2 * n1 + 3)
+        - n2 * n2 * (2 * n2 + 3)
+    )
+    return a.withColumn("var72", var72).filter(
+        (F.col("var72") > 0) & (n0 > 0) & (n1 > 0) & (n2 > 0)
+    ).select(
+        "n0",
+        "n1",
+        "n2",
+        "two_j",
+        _FMT6(
+            dev4.cast("double")
+            / (
+                F.lit(4.0)
+                * F.sqrt(F.col("var72").cast("double") / F.lit(72.0))
+            )
+        ).alias("jt_z"),
+    )
+
+
+@register(
+    "events_jonckheere",
+    # Jonckheere-Terpstra ordered-alternative test across the three
+    # user-hash tiers: the doubled statistic 2J is an exact BIGINT
+    # accumulated from one ordered cumsum over the bounded cents grain
+    # (strict cross-tier wins count 2, ties 1); E[J] and the
+    # no-tie-correction null variance are exact integer polynomials,
+    # and z is the fixed cast/div/sqrt/mul/div chain both engines pin.
+    "WITH ut AS (SELECT user_id, "
+    " CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+    " FROM events WHERE event_type = 'purchase' GROUP BY user_id), "
+    "vg AS (SELECT cents, "
+    " CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0, "
+    " CAST(SUM(CASE WHEN user_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1, "
+    " CAST(SUM(CASE WHEN user_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2 "
+    " FROM ut GROUP BY cents), "
+    "b AS (SELECT c0, c1, c2, "
+    " CAST(COALESCE(SUM(c0) OVER (ORDER BY cents "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b0, "
+    " CAST(COALESCE(SUM(c1) OVER (ORDER BY cents "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b1 "
+    " FROM vg), "
+    "a AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0, "
+    " CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2, "
+    " CAST(SUM(c1 * (2 * b0 + c0) + c2 * (2 * b0 + c0) "
+    "  + c2 * (2 * b1 + c1)) AS BIGINT) AS two_j FROM b) "
+    "SELECT n0, n1, n2, two_j, "
+    "printf('%.6f', ROUND(CAST(2 * two_j - ((n0 + n1 + n2) * (n0 + n1 + n2) "
+    "  - n0 * n0 - n1 * n1 - n2 * n2) AS DOUBLE) "
+    " / (4.0 * sqrt(CAST((n0 + n1 + n2) * (n0 + n1 + n2) "
+    "  * (2 * (n0 + n1 + n2) + 3) - n0 * n0 * (2 * n0 + 3) "
+    "  - n1 * n1 * (2 * n1 + 3) - n2 * n2 * (2 * n2 + 3) AS DOUBLE) "
+    "  / 72.0)), 6)) AS jt_z "
+    "FROM a WHERE (n0 + n1 + n2) * (n0 + n1 + n2) "
+    " * (2 * (n0 + n1 + n2) + 3) - n0 * n0 * (2 * n0 + 3) "
+    " - n1 * n1 * (2 * n1 + 3) - n2 * n2 * (2 * n2 + 3) > 0 "
+    " AND n0 > 0 AND n1 > 0 AND n2 > 0",
+)
+def events_jonckheere(spark, sf):
+    """Jonckheere-Terpstra trend test for per-user purchase spend
+    across the three user-hash exposure tiers — the ORDERED-alternative
+    companion to ``events_kruskal`` (Kruskal-Wallis asks 'do the k
+    groups differ at all?'; J-T asks the dose-response question an
+    experiment with graded exposures actually poses: 'does spend rise
+    WITH the tier?', gaining power by spending it on the ordering).
+
+    Float discipline: the doubled statistic 2J is an exact BIGINT — a
+    single ordered cumulative sum over the bounded distinct-cents
+    grain counts every cross-tier pair once (strict wins contribute 2,
+    ties 1 — the doubled-midrank trick in pair form); 4(J - E[J]) and
+    the classic no-tie-correction null variance (times 72) are exact
+    integer polynomials in the tier sizes, so the z-score is the fixed
+    cast / divide-by-72 / sqrt / multiply / divide chain IEEE pins
+    bit-identically on both engines under ROUND + %.6f. (The
+    tie-corrected variance is deliberately not used; ties here are
+    sparse cents collisions and the classic statistic is the
+    documented contract.)
+
+    Scale shape: one user-keyed fact aggregation, one bounded
+    cents-grain pivot (map-side combinable), ONE ordered cumulative
+    sum over that dimension-sized grain (the events_cliff_delta
+    single-partition window — bounded by distinct amounts, never by
+    facts), one one-row rollup."""
+    ut = user_cents_totals(_events(spark, sf)).localCheckpoint()
+    return jonckheere_rollup(ut)
+
+
+# ------------------------------------------------- Mood's median test ----
+
+def moods_rollup(ut: DataFrame) -> DataFrame:
+    """Fold the per-user cents totals into the one-row Mood's-median
+    readout (2x3 above/at-or-below contingency + chi-squared) — shared
+    by ``events_moods_median`` and its streaming twin."""
+    w = Window.orderBy("cents", "user_id")
+    r = ut.select(
+        "user_id", "cents", F.row_number().over(w).cast("long").alias("i")
+    )
+    g = r.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med = (
+        r.join(F.broadcast(g))
+        .filter(F.col("i") == F.expr("(n + 1) div 2"))
+        .select(F.col("cents").alias("med_cents"))
+    )
+    cells = (
+        ut.join(F.broadcast(med))
+        .select(
+            (F.col("user_id") % 3).alias("grp"),
+            (F.col("cents") > F.col("med_cents")).alias("above"),
+            "med_cents",
+        )
+        .agg(
+            F.min("med_cents").cast("long").alias("median_cents"),
+            *[
+                F.sum(
+                    F.when(
+                        (F.col("grp") == g_) & (F.col("above") == ab),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"{'a' if ab else 'b'}{g_}")
+                for ab in (True, False)
+                for g_ in range(3)
+            ],
+        )
+    )
+    a0, a1, a2 = (F.col(f"a{g_}") for g_ in range(3))
+    b0, b1, b2 = (F.col(f"b{g_}") for g_ in range(3))
+    ra, rb = a0 + a1 + a2, b0 + b1 + b2
+    nn = ra + rb
+    cols = [a0 + b0, a1 + b1, a2 + b2]
+
+    def term(o, rr, cc):
+        num = (o * nn - rr * cc).cast("decimal(38,0)")
+        return (num * num).cast("double") / (nn * rr * cc).cast("double")
+
+    chi2 = (
+        term(a0, ra, cols[0])
+        + term(a1, ra, cols[1])
+        + term(a2, ra, cols[2])
+        + term(b0, rb, cols[0])
+        + term(b1, rb, cols[1])
+        + term(b2, rb, cols[2])
+    )
+    return cells.filter(
+        (ra > 0)
+        & (rb > 0)
+        & (cols[0] > 0)
+        & (cols[1] > 0)
+        & (cols[2] > 0)
+    ).select(
+        "median_cents",
+        "a0",
+        "a1",
+        "a2",
+        "b0",
+        "b1",
+        "b2",
+        _FMT6(chi2).alias("chi2"),
+    )
+
+
+@register(
+    "events_moods_median",
+    # Mood's median test across the three user-hash tiers: the grand
+    # lower median comes from integer rank selection (i = (n+1)//2 —
+    # never a float quantile), the 2x3 above/at-or-below cells are
+    # exact BIGINTs, and the chi-squared statistic keeps every
+    # (O*N - r*c)^2 numerator exact in HUGEINT/DECIMAL(38,0) with ONE
+    # division per cell summed in a fixed left-associated six-term
+    # chain — the events_chi2 discipline on a median split.
+    "WITH ut AS (SELECT user_id, "
+    " CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+    " FROM events WHERE event_type = 'purchase' GROUP BY user_id), "
+    "r AS (SELECT user_id, cents, CAST(ROW_NUMBER() OVER "
+    " (ORDER BY cents, user_id) AS BIGINT) AS i FROM ut), "
+    "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r), "
+    "med AS (SELECT cents AS med_cents FROM r, g "
+    " WHERE i = (n + 1) // 2), "
+    "cells AS (SELECT MIN(med_cents) AS median_cents, "
+    " CAST(SUM(CASE WHEN user_id % 3 = 0 AND cents > med_cents "
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS a0, "
+    " CAST(SUM(CASE WHEN user_id % 3 = 1 AND cents > med_cents "
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS a1, "
+    " CAST(SUM(CASE WHEN user_id % 3 = 2 AND cents > med_cents "
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS a2, "
+    " CAST(SUM(CASE WHEN user_id % 3 = 0 AND cents <= med_cents "
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS b0, "
+    " CAST(SUM(CASE WHEN user_id % 3 = 1 AND cents <= med_cents "
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS b1, "
+    " CAST(SUM(CASE WHEN user_id % 3 = 2 AND cents <= med_cents "
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS b2 FROM ut, med) "
+    "SELECT CAST(median_cents AS BIGINT) AS median_cents, "
+    "a0, a1, a2, b0, b1, b2, "
+    "printf('%.6f', ROUND("
+    " CAST(CAST(a0 * (a0+a1+a2+b0+b1+b2) - (a0+a1+a2) * (a0+b0) "
+    "   AS HUGEINT) * (a0 * (a0+a1+a2+b0+b1+b2) - (a0+a1+a2) * (a0+b0)) "
+    "   AS DOUBLE) / CAST((a0+a1+a2+b0+b1+b2) * (a0+a1+a2) * (a0+b0) "
+    "   AS DOUBLE) "
+    " + CAST(CAST(a1 * (a0+a1+a2+b0+b1+b2) - (a0+a1+a2) * (a1+b1) "
+    "   AS HUGEINT) * (a1 * (a0+a1+a2+b0+b1+b2) - (a0+a1+a2) * (a1+b1)) "
+    "   AS DOUBLE) / CAST((a0+a1+a2+b0+b1+b2) * (a0+a1+a2) * (a1+b1) "
+    "   AS DOUBLE) "
+    " + CAST(CAST(a2 * (a0+a1+a2+b0+b1+b2) - (a0+a1+a2) * (a2+b2) "
+    "   AS HUGEINT) * (a2 * (a0+a1+a2+b0+b1+b2) - (a0+a1+a2) * (a2+b2)) "
+    "   AS DOUBLE) / CAST((a0+a1+a2+b0+b1+b2) * (a0+a1+a2) * (a2+b2) "
+    "   AS DOUBLE) "
+    " + CAST(CAST(b0 * (a0+a1+a2+b0+b1+b2) - (b0+b1+b2) * (a0+b0) "
+    "   AS HUGEINT) * (b0 * (a0+a1+a2+b0+b1+b2) - (b0+b1+b2) * (a0+b0)) "
+    "   AS DOUBLE) / CAST((a0+a1+a2+b0+b1+b2) * (b0+b1+b2) * (a0+b0) "
+    "   AS DOUBLE) "
+    " + CAST(CAST(b1 * (a0+a1+a2+b0+b1+b2) - (b0+b1+b2) * (a1+b1) "
+    "   AS HUGEINT) * (b1 * (a0+a1+a2+b0+b1+b2) - (b0+b1+b2) * (a1+b1)) "
+    "   AS DOUBLE) / CAST((a0+a1+a2+b0+b1+b2) * (b0+b1+b2) * (a1+b1) "
+    "   AS DOUBLE) "
+    " + CAST(CAST(b2 * (a0+a1+a2+b0+b1+b2) - (b0+b1+b2) * (a2+b2) "
+    "   AS HUGEINT) * (b2 * (a0+a1+a2+b0+b1+b2) - (b0+b1+b2) * (a2+b2)) "
+    "   AS DOUBLE) / CAST((a0+a1+a2+b0+b1+b2) * (b0+b1+b2) * (a2+b2) "
+    "   AS DOUBLE), 6)) AS chi2 "
+    "FROM cells WHERE a0 + a1 + a2 > 0 AND b0 + b1 + b2 > 0 "
+    " AND a0 + b0 > 0 AND a1 + b1 > 0 AND a2 + b2 > 0",
+)
+def events_moods_median(spark, sf):
+    """Mood's median test for per-user purchase spend across the three
+    user-hash exposure tiers — the maximally outlier-robust k-sample
+    location test (it reduces every observation to one bit: above the
+    grand median or not), the coarse companion to ``events_kruskal``'s
+    rank test and ``events_jonckheere``'s ordered one. The 2x3
+    contingency table it builds is also the readout an analyst sanity-
+    checks tier balance with.
+
+    Float discipline: the grand LOWER median is integer rank selection
+    (i = (n+1) div 2 under the total (cents, user_id) order — the
+    events_theil_sen discipline; integer `div`, never Spark's
+    float-producing `/`), so no interpolation formula ever runs; the
+    six cells and all margins are exact BIGINTs; each chi-squared term
+    keeps its (O*N - r*c)^2 numerator exact in DECIMAL(38,0) on Spark
+    and HUGEINT on DuckDB (O*N overflows BIGINT after squaring at
+    corpus scale — the events_chi2 lesson) over ONE division, and the
+    six terms are summed in a fixed left-associated chain, never an
+    unordered SUM over cells.
+
+    Scale shape: one user-keyed fact aggregation, one global sort of
+    the user-grain dimension for the rank selection (range-
+    partitioned), a one-row broadcast median joined back, one one-row
+    rollup."""
+    ut = user_cents_totals(_events(spark, sf)).localCheckpoint()
+    return moods_rollup(ut)
