@@ -5546,3 +5546,310 @@ def lm_yule_k(spark, sf):
             / (F.col("n_tokens") * F.col("n_tokens")).cast("double")
         ).alias("yule_k"),
     )
+
+
+# --- success@k retrieval evaluation -------------------------------------------
+
+_SUCCESS_KS = (1, 3, 5, 10)
+
+
+def _success_sql() -> str:
+    per = ", ".join(
+        f"c{i} AS (SELECT l{i}, ROW_NUMBER() OVER "
+        f"(ORDER BY r{i} DESC, doc_id) AS rn FROM tf WHERE r{i} >= 1 "
+        f"QUALIFY rn <= {max(_SUCCESS_KS)}), "
+        f"a{i} AS (SELECT "
+        + ", ".join(
+            f"CAST(COALESCE(SUM(CASE WHEN rn <= {k} AND "
+            f"l{i} >= {_MRR_REL_TF} THEN 1 ELSE 0 END), 0) AS BIGINT) "
+            f"AS h{k}_{i}"
+            for k in _SUCCESS_KS
+        )
+        + f" FROM c{i})"
+        for i in range(len(_MRR_QUERIES))
+    )
+    froms = ", ".join(f"a{i}" for i in range(len(_MRR_QUERIES)))
+
+    def row(name: str, hits: dict[int, str], div: int) -> str:
+        cols = ", ".join(
+            f"{hits[k]} AS hits_{k}, "
+            f"printf('%.6f', ROUND(CAST(CASE WHEN {hits[k]} > 0 THEN 1 "
+            f"ELSE 0 END AS DOUBLE), 6)) AS success_{k}"
+            if div == 1
+            else f"{hits[k]} AS hits_{k}, "
+            f"printf('%.6f', ROUND(CAST(("
+            + " + ".join(
+                f"CASE WHEN h{k}_{i} > 0 THEN 1 ELSE 0 END"
+                for i in range(len(_MRR_QUERIES))
+            )
+            + f") AS DOUBLE) / {div}.0, 6)) AS success_{k}"
+            for k in _SUCCESS_KS
+        )
+        return f"SELECT '{name}' AS query, {cols} FROM {froms}"
+
+    rows = " UNION ALL ".join(
+        row(f"{r}->{l}", {k: f"h{k}_{i}" for k in _SUCCESS_KS}, 1)
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    )
+    n = len(_MRR_QUERIES)
+    tot = {
+        k: "(" + " + ".join(f"h{k}_{i}" for i in range(n)) + ")"
+        for k in _SUCCESS_KS
+    }
+    allrow = row("__all__", tot, n)
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS "
+        f"{c}{i}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+        for c, t in (("r", r), ("l", l))
+    )
+    return (
+        f"WITH tf AS (SELECT doc_id, {tf_cols} FROM documents), {per} "
+        f"SELECT * FROM ({rows} UNION ALL {allrow}) q"
+    )
+
+
+@register("retrieval_success_at_k", _success_sql())
+def retrieval_success_at_k(spark, sf):
+    """Success@k (hit rate) over the ``retrieval_mrr`` query set at
+    k in {1, 3, 5, 10} — the is-there-ANY-relevant-doc-in-the-cut
+    metric (what a RAG pipeline actually needs from its retriever: one
+    good passage in the context window; ``retrieval_pr_at_k`` grades
+    the whole cut, success@k grades the user-visible outcome). The
+    ``__all__`` row is the macro-average hit rate across queries.
+
+    Float discipline: hit counts at each depth are exact integers off
+    the shared tf grain; per-query success is a 0/1 indicator and the
+    pooled rate is ONE IEEE division of exact small integers — no
+    composed float chain anywhere (the 0/1 rows are formatted through
+    the same ROUND + %.6f contract so the column type is uniform).
+
+    Scale shape: one corpus pass to the tf grain, one
+    TakeOrderedAndProject top-10 cut per query (never a global sort),
+    single-row joins finish it."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    tf_of = lambda t: F.size(  # noqa: E731
+        F.filter(words, lambda w: w == F.lit(t))
+    )
+    cols = [F.col("doc_id")]
+    for i, (r, l) in enumerate(_MRR_QUERIES):
+        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    tf = d.select(*cols).localCheckpoint()
+
+    parts = []
+    for i in range(len(_MRR_QUERIES)):
+        cand = (
+            tf.filter(F.col(f"r{i}") >= 1)
+            .orderBy(F.desc(f"r{i}"), F.asc("doc_id"))
+            .limit(max(_SUCCESS_KS))
+            .select(
+                f"l{i}",
+                F.row_number()
+                .over(Window.orderBy(F.desc(f"r{i}"), F.asc("doc_id")))
+                .alias("rn"),
+            )
+        )
+        parts.append(
+            cand.agg(
+                *[
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                (F.col("rn") <= k)
+                                & (F.col(f"l{i}") >= _MRR_REL_TF),
+                                1,
+                            ).otherwise(0)
+                        ),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias(f"h{k}_{i}")
+                    for k in _SUCCESS_KS
+                ]
+            )
+        )
+    one = parts[0]
+    for p_i in parts[1:]:
+        one = one.crossJoin(p_i)
+
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    n = len(_MRR_QUERIES)
+
+    def row(name, hits, div):
+        fields = [F.lit(name).alias("query")]
+        for k in _SUCCESS_KS:
+            fields.append(hits[k].alias(f"hits_{k}"))
+            if div == 1:
+                succ = F.when(hits[k] > 0, 1).otherwise(0).cast("double")
+            else:
+                succ = sum(
+                    (
+                        F.when(F.col(f"h{k}_{i}") > 0, 1).otherwise(0)
+                        for i in range(1, n)
+                    ),
+                    F.when(F.col(f"h{k}_0") > 0, 1).otherwise(0),
+                ).cast("double") / F.lit(float(div))
+            fields.append(fmt(succ).alias(f"success_{k}"))
+        return F.struct(*fields)
+
+    rows = [
+        row(
+            f"{r}->{l}",
+            {k: F.col(f"h{k}_{i}") for k in _SUCCESS_KS},
+            1,
+        )
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    ]
+    sum_of = lambda k: sum(  # noqa: E731
+        (F.col(f"h{k}_{i}") for i in range(1, n)), F.col(f"h{k}_0")
+    )
+    rows.append(row("__all__", {k: sum_of(k) for k in _SUCCESS_KS}, n))
+    out_cols = ["q.query"]
+    for k in _SUCCESS_KS:
+        out_cols += [f"q.hits_{k}", f"q.success_{k}"]
+    return one.select(F.explode(F.array(*rows)).alias("q")).select(
+        *out_cols
+    )
+
+
+# --- rank-biased overlap ------------------------------------------------------
+
+_RBO_K = 10
+# d * 2^d for d = 1..10: the exact-integer denominators of the RBO
+# terms at p = 1/2 (RBO_min = sum_d X_d / (d * 2^d)).
+_RBO_DENOMS = tuple(d * (1 << d) for d in range(1, _RBO_K + 1))
+
+
+def _rbo_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS "
+        f"{c}{i}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+        for c, t in (("r", r), ("l", l))
+    )
+    per = ", ".join(
+        f"ra{i} AS (SELECT doc_id, ROW_NUMBER() OVER "
+        f"(ORDER BY r{i} + l{i} DESC, doc_id) AS rn FROM tf "
+        f"WHERE r{i} + l{i} >= 1 QUALIFY rn <= {_RBO_K}), "
+        f"rb{i} AS (SELECT doc_id, ROW_NUMBER() OVER "
+        f"(ORDER BY r{i} DESC, doc_id) AS rn FROM tf WHERE r{i} >= 1 "
+        f"QUALIFY rn <= {_RBO_K}), "
+        f"m{i} AS (SELECT GREATEST(ra{i}.rn, rb{i}.rn) AS mx "
+        f" FROM ra{i} JOIN rb{i} USING (doc_id)), "
+        f"x{i} AS (SELECT "
+        + ", ".join(
+            f"CAST(COALESCE(SUM(CASE WHEN mx <= {d} THEN 1 ELSE 0 END), 0) "
+            f"AS BIGINT) AS x{d}"
+            for d in range(1, _RBO_K + 1)
+        )
+        + f" FROM m{i})"
+        for i in range(len(_MRR_QUERIES))
+    )
+    term = " + ".join(
+        f"CAST(x{d} AS DOUBLE) / {_RBO_DENOMS[d - 1]}.0"
+        for d in range(1, _RBO_K + 1)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{r}->{l}' AS query, x{_RBO_K} AS overlap_10, "
+        f"printf('%.6f', ROUND({term}, 6)) AS rbo FROM x{i}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    )
+    return f"WITH tf AS (SELECT doc_id, {tf_cols} FROM documents), {per} {rows}"
+
+
+@register("retrieval_rbo", _rbo_sql())
+def retrieval_rbo(spark, sf):
+    """Rank-biased overlap (RBO at p = 1/2, depth 10) between each
+    query's TWO-TERM ranking (tf of both query terms summed) and its
+    single-term ablation (first term only) — the top-weighted
+    ranking-similarity metric (Webber et al.): where
+    ``events_kendall``-style rank correlations weight all positions
+    equally, RBO geometrically discounts depth, which is how two
+    RETRIEVAL rankings should be compared (nobody reads rank 40). The
+    standard A/B harness readout for 'did the ranker change actually
+    move what users see?' — here instrumented as a query-ablation
+    study, the pair of rankings that genuinely shares documents.
+
+    Float discipline: per-depth overlaps X_d are exact integers from
+    one rank-pair join; at p = 1/2 every weight (1-p)*p^(d-1)/d is the
+    exact dyadic-rational 1/(d*2^d), so each term is ONE IEEE division
+    by the exactly-representable integer d*2^d, and the ten terms are
+    summed in a FIXED left-associated chain spelled identically on
+    both engines (never an unordered SUM over depths) under
+    ROUND + %.6f. No pow() or log ever runs — the p^d ladder is
+    precomputed integer denominators.
+
+    Scale shape: one corpus pass to the checkpointed tf grain; per
+    query two TakeOrderedAndProject top-10 cuts and a 10x10 join —
+    constant work after the scan; single-row unions finish it."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    tf_of = lambda t: F.size(  # noqa: E731
+        F.filter(words, lambda w: w == F.lit(t))
+    )
+    cols = [F.col("doc_id")]
+    for i, (r, l) in enumerate(_MRR_QUERIES):
+        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    tf = d.select(*cols).localCheckpoint()
+
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    parts = []
+    for i, (r, l) in enumerate(_MRR_QUERIES):
+
+        def top(score) -> DataFrame:
+            return (
+                tf.filter(score >= 1)
+                .orderBy(score.desc(), F.asc("doc_id"))
+                .limit(_RBO_K)
+                .select(
+                    "doc_id",
+                    F.row_number()
+                    .over(Window.orderBy(score.desc(), F.asc("doc_id")))
+                    .alias("rn"),
+                )
+            )
+
+        m = (
+            top(F.col(f"r{i}") + F.col(f"l{i}"))
+            .withColumnRenamed("rn", "rna")
+            .join(
+                top(F.col(f"r{i}")).withColumnRenamed("rn", "rnb"),
+                "doc_id",
+            )
+            .select(F.greatest("rna", "rnb").alias("mx"))
+        )
+        x = m.agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("mx") <= dd, 1).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"x{dd}")
+                for dd in range(1, _RBO_K + 1)
+            ]
+        )
+        term = sum(
+            (
+                F.col(f"x{dd}").cast("double")
+                / F.lit(float(_RBO_DENOMS[dd - 1]))
+                for dd in range(2, _RBO_K + 1)
+            ),
+            F.col("x1").cast("double") / F.lit(float(_RBO_DENOMS[0])),
+        )
+        parts.append(
+            x.select(
+                F.lit(f"{r}->{l}").alias("query"),
+                F.col(f"x{_RBO_K}").alias("overlap_10"),
+                fmt(term).alias("rbo"),
+            )
+        )
+    out = parts[0]
+    for p_i in parts[1:]:
+        out = out.unionByName(p_i)
+    return out
