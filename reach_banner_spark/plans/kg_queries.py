@@ -5931,3 +5931,213 @@ def kg_modularity(spark, sf):
             ).alias("modularity"),
         )
     )
+
+
+# ------------------------------------------------- Katz centrality ----
+
+@register(
+    "kg_katz",
+    # Bounded-horizon Katz centrality with a DYADIC attenuation
+    # (alpha = 1/4, 4 hops): walk counts per length are exact BIGINTs
+    # from three chained equi-joins over the symmetrized edge set, so
+    # katz256 = 64*w1 + 16*w2 + 4*w3 + w4 = 256 * sum alpha^k * w_k is
+    # an exact integer and the final katz value is the exact dyadic
+    # division katz256/256 — no float ever enters until one division
+    # by a power of two.
+    f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_SYM_SQL}), "
+    "w1 AS (SELECT conv_id, o AS node, CAST(COUNT(*) AS BIGINT) AS w "
+    " FROM e GROUP BY conv_id, o), "
+    "w2 AS (SELECT e.conv_id, e.o AS node, CAST(SUM(w1.w) AS BIGINT) AS w "
+    " FROM e JOIN w1 ON w1.conv_id = e.conv_id AND w1.node = e.s "
+    " GROUP BY e.conv_id, e.o), "
+    "w3 AS (SELECT e.conv_id, e.o AS node, CAST(SUM(w2.w) AS BIGINT) AS w "
+    " FROM e JOIN w2 ON w2.conv_id = e.conv_id AND w2.node = e.s "
+    " GROUP BY e.conv_id, e.o), "
+    "w4 AS (SELECT e.conv_id, e.o AS node, CAST(SUM(w3.w) AS BIGINT) AS w "
+    " FROM e JOIN w3 ON w3.conv_id = e.conv_id AND w3.node = e.s "
+    " GROUP BY e.conv_id, e.o) "
+    "SELECT w1.conv_id, w1.node AS entity, w1.w AS walks_1, "
+    "COALESCE(w2.w, 0) AS walks_2, COALESCE(w3.w, 0) AS walks_3, "
+    "COALESCE(w4.w, 0) AS walks_4, "
+    "printf('%.6f', ROUND(CAST(64 * w1.w + 16 * COALESCE(w2.w, 0) "
+    " + 4 * COALESCE(w3.w, 0) + COALESCE(w4.w, 0) AS DOUBLE) / 256.0, 6)) "
+    " AS katz "
+    "FROM w1 "
+    "LEFT JOIN w2 ON w2.conv_id = w1.conv_id AND w2.node = w1.node "
+    "LEFT JOIN w3 ON w3.conv_id = w1.conv_id AND w3.node = w1.node "
+    "LEFT JOIN w4 ON w4.conv_id = w1.conv_id AND w4.node = w1.node",
+)
+def kg_katz(spark, sf):
+    """Bounded-horizon Katz centrality (alpha = 1/4, 4 hops) per
+    conversation entity — the walk-counting centrality between
+    ``kg_degree``'s horizon-1 and ``kg_pagerank``'s infinite-horizon
+    views: katz(v) = sum_k alpha^k * (walks of length k ending at v),
+    rewarding entities many short paths reach. With the entity domain
+    dictionary-bounded, four hops saturate most conversation graphs
+    (the kg_reach horizon argument).
+
+    Float discipline: walk counts are exact BIGINTs (three chained
+    joins over the distinct symmetrized edge set — bounded by conv x
+    entity-domain x degree^3); alpha = 1/4 is DYADIC, so 256*katz =
+    64*w1 + 16*w2 + 4*w3 + w4 is an exact integer and the one closing
+    division by 256.0 (a power of two) is exact in IEEE-754 — the
+    emitted katz value carries ZERO rounding error on both engines.
+    Nodes unreachable at a horizon contribute exact zeros via the
+    outer joins.
+
+    Scale shape: every join and aggregation keys conv_id-first over
+    the materialized triple table's co-partitioning (the kg_reach
+    fixed-iteration shape with aggregation instead of MIN); the three
+    hop tables are dimension-sized (conv x entities). No in-loop
+    driver barriers — the four hops are a FIXED unrolled plan.
+
+    Cites SURVEY.md §2.3 (graph analytics family) — reference
+    file:line citations impossible (reference dir empty, SURVEY §0)."""
+    e = _sym_edges(_triples_table(spark, sf))
+    w1 = e.groupBy("conv_id", F.col("o").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+
+    def hop(prev: DataFrame) -> DataFrame:
+        # frontier columns RENAMED before the join — the kg_reach
+        # attribute-ambiguity discipline for iterative self-joins
+        p = prev.select(
+            F.col("conv_id").alias("p_conv"),
+            F.col("node").alias("src"),
+            F.col("w").alias("pw"),
+        )
+        return (
+            e.join(
+                p,
+                (F.col("conv_id") == F.col("p_conv"))
+                & (F.col("s") == F.col("src")),
+            )
+            .select("conv_id", F.col("o").alias("node"), "pw")
+            .groupBy("conv_id", "node")
+            .agg(F.sum("pw").cast("long").alias("w"))
+        )
+
+    w2, w3 = hop(w1), None
+    w3 = hop(w2)
+    w4 = hop(w3)
+    out = w1.select("conv_id", "node", F.col("w").alias("walks_1"))
+    for i, wk in ((2, w2), (3, w3), (4, w4)):
+        out = out.join(
+            wk.select(
+                "conv_id", "node", F.col("w").alias(f"walks_{i}")
+            ),
+            ["conv_id", "node"],
+            "left",
+        ).withColumn(
+            f"walks_{i}", F.coalesce(F.col(f"walks_{i}"), F.lit(0))
+        )
+    katz256 = (
+        64 * F.col("walks_1")
+        + 16 * F.col("walks_2")
+        + 4 * F.col("walks_3")
+        + F.col("walks_4")
+    )
+    fmt = lambda x: F.format_string("%.6f", F.round(x, 6))  # noqa: E731
+    return out.select(
+        "conv_id",
+        F.col("node").alias("entity"),
+        "walks_1",
+        "walks_2",
+        "walks_3",
+        "walks_4",
+        fmt(katz256.cast("double") / F.lit(256.0)).alias("katz"),
+    )
+
+
+# ------------------------------------- hub-normalized link indices ----
+
+@register(
+    "kg_hub_indices",
+    # Hub Depressed / Hub Promoted / Leicht-Holme-Newman link
+    # prediction indices over the SAME common-neighbour pair table as
+    # kg_salton_sorensen: counts are exact integers; HDI = c/max(da,db),
+    # HPI = c/min(da,db) and LHN = c/(da*db) are ONE correctly-rounded
+    # IEEE division each (the LHN denominator an exact integer
+    # product) under ROUND + %.6f.
+    f"WITH t AS ({_TRIPLES_SQL}), e AS ({_EDGES_SYM_SQL}), "
+    "deg AS (SELECT conv_id, s AS node, COUNT(*) AS d FROM e "
+    " GROUP BY conv_id, s), "
+    "cm AS (SELECT a.conv_id, a.s AS ea, b.s AS eb, COUNT(*) AS c FROM e a "
+    " JOIN e b ON b.conv_id = a.conv_id AND b.o = a.o AND a.s < b.s "
+    " GROUP BY a.conv_id, a.s, b.s) "
+    "SELECT cm.conv_id, cm.ea AS ent_a, cm.eb AS ent_b, "
+    "CAST(c AS BIGINT) AS n_common, "
+    "printf('%.6f', ROUND(CAST(c AS DOUBLE) "
+    " / CAST(GREATEST(da.d, db.d) AS DOUBLE), 6)) AS hdi, "
+    "printf('%.6f', ROUND(CAST(c AS DOUBLE) "
+    " / CAST(LEAST(da.d, db.d) AS DOUBLE), 6)) AS hpi, "
+    "printf('%.6f', ROUND(CAST(c AS DOUBLE) "
+    " / CAST(da.d * db.d AS DOUBLE), 6)) AS lhn "
+    "FROM cm JOIN deg da ON da.conv_id = cm.conv_id AND da.node = cm.ea "
+    "JOIN deg db ON db.conv_id = cm.conv_id AND db.node = cm.eb",
+)
+def kg_hub_indices(spark, sf):
+    """Hub Depressed (HDI), Hub Promoted (HPI), and Leicht-Holme-Newman
+    (LHN) link-prediction indices for every same-conversation entity
+    pair sharing a neighbour — completing the common-neighbour
+    normalization family next to ``kg_neighbor_jaccard`` (union),
+    ``kg_salton_sorensen`` (geometric / arithmetic degree means), and
+    ``kg_resource_allocation`` (neighbour-degree weighting): HDI
+    normalizes by the LARGER degree (punishing hub attachment), HPI by
+    the smaller (rewarding it), LHN by the degree product (the
+    expected-common-neighbour count under the configuration model).
+    The three disagree exactly on hub-attached pairs, which is why a
+    link-prediction benchmark reports them side by side.
+
+    Float discipline: common-neighbour and degree counts are exact
+    integers off the shared pair table; GREATEST/LEAST of two exact
+    integers and the product da*db are exact, so each index is ONE
+    correctly-rounded IEEE division spelled identically on both
+    engines under ROUND + %.6f.
+
+    Scale shape: identical to kg_salton_sorensen — pairs from the
+    distinct symmetrized edge set self-joined on (conv_id,
+    shared-neighbour), bounded by convs x entity-domain^2; degrees
+    join back on (conv_id, node); every shuffle keys conv_id-first on
+    the materialized triple table's co-partitioning."""
+    e = _sym_edges(_triples_table(spark, sf))
+    deg = e.groupBy("conv_id", F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    b_side = e.select("conv_id", F.col("s").alias("eb"), "o")
+    cm = (
+        e.select("conv_id", F.col("s").alias("ea"), "o")
+        .join(b_side, ["conv_id", "o"])
+        .filter(F.col("ea") < F.col("eb"))
+        .groupBy("conv_id", "ea", "eb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    da = deg.select(
+        "conv_id", F.col("node").alias("ea"), F.col("d").alias("da_d")
+    )
+    db = deg.select(
+        "conv_id", F.col("node").alias("eb"), F.col("d").alias("db_d")
+    )
+    c = F.col("c")
+    fmt = lambda x: F.format_string("%.6f", F.round(x, 6))  # noqa: E731
+    return (
+        cm.join(da, ["conv_id", "ea"])
+        .join(db, ["conv_id", "eb"])
+        .select(
+            "conv_id",
+            F.col("ea").alias("ent_a"),
+            F.col("eb").alias("ent_b"),
+            c.cast("long").alias("n_common"),
+            fmt(
+                c.cast("double")
+                / F.greatest("da_d", "db_d").cast("double")
+            ).alias("hdi"),
+            fmt(
+                c.cast("double") / F.least("da_d", "db_d").cast("double")
+            ).alias("hpi"),
+            fmt(
+                c.cast("double")
+                / (F.col("da_d") * F.col("db_d")).cast("double")
+            ).alias("lhn"),
+        )
+    )
