@@ -5830,3 +5830,181 @@ def fn_levenshtein(spark, sf):
         .cast("int")
         .alias("lev_lit"),
     )
+
+
+# ------------------------------------------ dynamic partition overwrite ----
+
+def _stage_lang_partitioned(spark: SparkSession, sf: str) -> str:
+    """The documents table written as a lang-partitioned parquet layout
+    (/tmp/rbs_layout_dynov_<sf>, _DONE-guarded) — the mutation target
+    for ``sink_dynamic_overwrite``. Staged once per sf from the
+    testdata parquet; the overwrite below is idempotent (it always
+    rewrites the target partition from the ORIGINAL source), so a
+    previously-mutated staging re-reads identically."""
+    import os
+
+    out = _layout_dir(sf, "dynov")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id", "n_chars", "lang")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(out)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return out
+
+
+@register(
+    "sink_dynamic_overwrite",
+    # Dynamic partition overwrite: ONLY the 'de' partition is replaced
+    # (with n_chars shifted by +1000); every other partition survives
+    # untouched — stated directly from the documents view.
+    "SELECT doc_id, CASE WHEN lang = 'de' THEN n_chars + 1000 "
+    "ELSE n_chars END AS n_chars, lang FROM documents",
+)
+def sink_dynamic_overwrite(spark, sf):
+    """Dynamic partition overwrite — the lakehouse mutation primitive
+    between ``merge_upsert`` (row-level) and a full table rewrite:
+    ``mode("overwrite")`` under
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` replaces ONLY
+    the partitions the incoming frame actually touches (here the 'de'
+    lang partition, its n_chars shifted +1000) and leaves every other
+    partition's files untouched — the daily-reprocessing shape every
+    partitioned warehouse job uses ('recompute yesterday, keep
+    history'). The oracle states the expected FINAL table, so a green
+    row proves both the replacement and the survival.
+
+    The conf is scoped to the write and restored after (the
+    join_runtime_filtered conf-restore pattern) — static mode is the
+    session default and other keys depend on it. The overwrite derives
+    from the ORIGINAL source parquet, so re-invocation is idempotent.
+
+    Scale shape: the write plans one shuffle-free insert of the target
+    partition's rows; commit cost is one directory swap per touched
+    partition — at 100 TB you pay for the day you recompute, never for
+    the table."""
+    path = _stage_lang_partitioned(spark, sf)
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", None
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("lang") == "de")
+            .select(
+                "doc_id",
+                (F.col("n_chars") + 1000).alias("n_chars"),
+                "lang",
+            )
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+    return spark.read.parquet(path).select(
+        "doc_id", "n_chars", F.col("lang").cast("string").alias("lang")
+    )
+
+
+# --------------------------------------------------- LATERAL VIEW syntax ----
+
+@register(
+    "sql_lateral_view",
+    # HiveQL LATERAL VIEW posexplode through the PARSER — the oracle
+    # re-states the 0-based positions via a struct-transform unnest
+    # (this box's DuckDB has no generate_subscripts / WITH ORDINALITY
+    # on unnest — the bigram_novelty workaround).
+    "SELECT doc_id, pos, w FROM ("
+    "SELECT doc_id, UNNEST(list_transform(generate_series(1, "
+    " len(string_split(text, ' '))), i -> {'pos': i - 1, "
+    " 'w': string_split(text, ' ')[i]}), recursive := true) "
+    "FROM documents) u WHERE w = 'spark'",
+)
+def sql_lateral_view(spark, sf):
+    """HiveQL ``LATERAL VIEW posexplode`` exercised through
+    ``spark.sql`` so the PARSER surface itself is under test (the
+    ``fn_generator`` key covers posexplode as a DataFrame function;
+    this one covers the SQL dialect every migrated Hive job still
+    writes). Positions are 0-based exact integers; the filtered token
+    stream is the tokenize-and-match shape.
+
+    Scale shape: the generator runs inside whole-stage codegen over
+    the scan — one pass, no shuffle; the predicate on the exploded
+    token applies before anything wide materializes."""
+    v = "rbs_lateral_docs"
+    _t(spark, sf, "documents").createOrReplaceTempView(v)
+    return spark.sql(
+        f"SELECT doc_id, pos, w FROM {v} "
+        "LATERAL VIEW posexplode(split(text, ' ')) x AS pos, w "
+        "WHERE w = 'spark'"
+    )
+
+
+# ------------------------------------------- pandas UDF as window agg ----
+
+@register(
+    "udf_window_agg",
+    # A grouped-agg pandas UDF evaluated OVER a bounded window frame:
+    # the rolling 3-row sum of exact integer cents per user — the
+    # oracle is the builtin SUM over the identical frame (int64 sums
+    # are exact, so Arrow transfer and JVM agree bit-for-bit).
+    "SELECT event_id, user_id, "
+    "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER "
+    " (PARTITION BY user_id ORDER BY ts, event_id "
+    "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3 "
+    "FROM events",
+)
+def udf_window_agg(spark, sf):
+    """A grouped-agg pandas UDF evaluated OVER a window frame — the
+    UDF-surface corner §2.5's six families don't reach: Spark ships
+    the frame's rows to Python per window position (Arrow-batched) and
+    the UDF reduces them, which is how a custom rolling statistic
+    (trimmed mean, custom decay) deploys when no builtin exists. Here
+    the UDF is a plain int64 sum so the builtin-SUM oracle pins the
+    whole path exactly.
+
+    Float discipline: cents are exact integers; pandas int64 ``.sum``
+    and the JVM window SUM are both exact — no float ever exists.
+    The frame's (ts, event_id) order is total (event_id unique), so
+    the rolling value is deterministic.
+
+    Scale shape: one user-keyed exchange for the partitioned window;
+    the bounded 3-row frame keeps per-position work O(1). A production
+    deployment would prefer the builtin (this plan pays the Arrow
+    round-trip — the measured UDF-vs-builtin trade the udf_* family
+    documents); the key exists to pin the SEMANTICS of the slow path."""
+    # Eval-type inference resolves hint NAMES in the defining module's
+    # globals (the udf_scalar_iter pitfall) — this module has no
+    # top-level pandas import, so declare the type EXPLICITLY instead
+    # of via hints.
+    from pyspark.sql.functions import PandasUDFType
+
+    roll_sum = F.pandas_udf(
+        lambda v: int(v.sum()), "long", PandasUDFType.GROUPED_AGG
+    )
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        roll_sum(
+            F.floor(F.col("value") * 100).cast("long")
+        )
+        .over(w)
+        .alias("roll3"),
+    )
