@@ -5627,17 +5627,16 @@ def retrieval_success_at_k(spark, sf):
     Scale shape: one corpus pass to the tf grain, one
     TakeOrderedAndProject top-10 cut per query (never a global sort),
     single-row joins finish it."""
-    from pyspark.sql.window import Window
-
-    d = _docs(spark, sf)
-    words = F.split(F.col("text"), " ")
-    tf_of = lambda t: F.size(  # noqa: E731
-        F.filter(words, lambda w: w == F.lit(t))
+    return success_at_k_rollup(
+        query_tf_grain(_docs(spark, sf)).localCheckpoint()
     )
-    cols = [F.col("doc_id")]
-    for i, (r, l) in enumerate(_MRR_QUERIES):
-        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
-    tf = d.select(*cols).localCheckpoint()
+
+
+def success_at_k_rollup(tf: DataFrame) -> DataFrame:
+    """Fold the query-tf grain into the success@k report — shared by
+    ``retrieval_success_at_k`` and its streaming twin (the hit-count
+    and pooled-rate contracts live here)."""
+    from pyspark.sql.window import Window
 
     parts = []
     for i in range(len(_MRR_QUERIES)):
@@ -5785,17 +5784,14 @@ def retrieval_rbo(spark, sf):
     Scale shape: one corpus pass to the checkpointed tf grain; per
     query two TakeOrderedAndProject top-10 cuts and a 10x10 join —
     constant work after the scan; single-row unions finish it."""
-    from pyspark.sql.window import Window
+    return rbo_rollup(query_tf_grain(_docs(spark, sf)).localCheckpoint())
 
-    d = _docs(spark, sf)
-    words = F.split(F.col("text"), " ")
-    tf_of = lambda t: F.size(  # noqa: E731
-        F.filter(words, lambda w: w == F.lit(t))
-    )
-    cols = [F.col("doc_id")]
-    for i, (r, l) in enumerate(_MRR_QUERIES):
-        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
-    tf = d.select(*cols).localCheckpoint()
+
+def rbo_rollup(tf: DataFrame) -> DataFrame:
+    """Fold the query-tf grain into the per-query RBO readout — shared
+    by ``retrieval_rbo`` and its streaming twin (the dyadic-weight
+    fixed-chain contract lives here)."""
+    from pyspark.sql.window import Window
 
     fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
     parts = []

@@ -2948,16 +2948,27 @@ def stream_retrieval_report(spark, sf):
 
     State is O(docs) x 7 small ints; parquet-swapped per batch (the
     stream_index discipline)."""
+    from ..operators.textstats import retrieval_report_rollup
+
+    return retrieval_report_rollup(
+        _stream_query_tf(spark, sf, "stream_retrieval_report")
+    ).localCheckpoint()
+
+
+def _stream_query_tf(spark, sf, op_key: str) -> DataFrame:
+    """Consume the staged DOCUMENT stream accumulating the shared
+    per-doc query-tf grain — the state of the retrieval-eval twins
+    (stream_retrieval_report / stream_success / stream_rbo). Each
+    doc's tf row is a pure function of its text and every document
+    lands in exactly one micro-batch, so the merge is a disjoint
+    union keyed doc_id (min-merged for idempotence under any
+    redelivery). Returns the final grain, localCheckpoint'ed."""
     import shutil
 
-    from ..operators.textstats import (
-        _MRR_QUERIES,
-        query_tf_grain,
-        retrieval_report_rollup,
-    )
+    from ..operators.textstats import _MRR_QUERIES, query_tf_grain
 
     d = _staged_doc_stream_dir(sf)
-    work = _op_work_dir("stream_retrieval_report", d)
+    work = _op_work_dir(op_key, d)
     state: dict[str, str | None] = {"path": None}
     tf_cols = [
         f"{c}{i}" for i in range(len(_MRR_QUERIES)) for c in ("r", "l")
@@ -2992,9 +3003,7 @@ def stream_retrieval_report(spark, sf):
     )
     q.awaitTermination()
     assert state["path"] is not None, "stream produced no batches"
-    return retrieval_report_rollup(
-        spark.read.parquet(state["path"]).localCheckpoint()
-    )
+    return spark.read.parquet(state["path"]).localCheckpoint()
 
 
 @register("stream_holt", None)  # pytest: == batch events_holt
@@ -4002,4 +4011,118 @@ def stream_cohens(spark, sf):
 
     return cohens_rollup(
         _stream_vc_counts(spark, sf, "stream_cohens")
+    ).localCheckpoint()
+
+
+def _stream_user_cents(spark, sf, op_key: str) -> DataFrame:
+    """Consume the staged event stream accumulating the per-user
+    purchase-cents-total grain — the shared fact-scale half of the
+    inequality / k-sample twins (stream_gini / stream_hoover /
+    stream_palma / stream_jonckheere / stream_moods). Per-user totals
+    are plain SUMs of exact integer cents, so the state is exactly
+    mergeable across any micro-batch split."""
+    from ..plans.events_analytics import user_cents_totals
+
+    return _stream_merged_state(
+        spark,
+        sf,
+        op_key,
+        user_cents_totals,
+        _sum_merge(["user_id"], ["cents"]),
+    )
+
+
+@register("stream_gini", None)  # pytest: == batch events_gini
+def stream_gini(spark, sf):
+    """INGEST-TIME Gini monitor — the streaming twin of
+    ``events_gini`` on the shared per-user cents state (SUM-mergeable;
+    the shared ``gini_rollup`` re-ranks and re-folds the final state,
+    so streaming == batch is a theorem about SUM). State is
+    O(purchasing users)."""
+    from ..plans.events_analytics import gini_rollup
+
+    return gini_rollup(
+        _stream_user_cents(spark, sf, "stream_gini")
+    ).localCheckpoint()
+
+
+@register("stream_hoover", None)  # pytest: == batch events_hoover
+def stream_hoover(spark, sf):
+    """INGEST-TIME Hoover/MAD/CV monitor — the streaming twin of
+    ``events_hoover`` on the shared per-user cents state (the shared
+    ``hoover_rollup`` re-derives the scaled-deviation and
+    wide-integer moment contracts from the final state)."""
+    from ..plans.events_analytics import hoover_rollup
+
+    return hoover_rollup(
+        _stream_user_cents(spark, sf, "stream_hoover")
+    ).localCheckpoint()
+
+
+@register("stream_palma", None)  # pytest: == batch events_palma
+def stream_palma(spark, sf):
+    """INGEST-TIME Palma-ratio monitor — the streaming twin of
+    ``events_palma`` on the shared per-user cents state (the shared
+    ``palma_rollup`` re-ranks and re-cuts the final state with the
+    exact integer 5i<=2n / 10i>9n memberships)."""
+    from ..plans.events_analytics import palma_rollup
+
+    return palma_rollup(
+        _stream_user_cents(spark, sf, "stream_palma")
+    ).localCheckpoint()
+
+
+@register("stream_jonckheere", None)  # pytest: == batch events_jonckheere
+def stream_jonckheere(spark, sf):
+    """INGEST-TIME Jonckheere-Terpstra monitor — the streaming twin of
+    ``events_jonckheere`` on the shared per-user cents state (tier
+    membership is user_id % 3, derivable from the state key, so the
+    shared ``jonckheere_rollup`` rebuilds the ordered cumsum exactly)."""
+    from ..plans.events_analytics import jonckheere_rollup
+
+    return jonckheere_rollup(
+        _stream_user_cents(spark, sf, "stream_jonckheere")
+    ).localCheckpoint()
+
+
+@register("stream_moods", None)  # pytest: == batch events_moods_median
+def stream_moods(spark, sf):
+    """INGEST-TIME Mood's-median monitor — the streaming twin of
+    ``events_moods_median`` on the shared per-user cents state (the
+    shared ``moods_rollup`` re-selects the grand median by integer
+    rank and rebuilds the 2x3 table from the final state)."""
+    from ..plans.events_analytics import moods_rollup
+
+    return moods_rollup(
+        _stream_user_cents(spark, sf, "stream_moods")
+    ).localCheckpoint()
+
+
+@register("stream_success", None)  # pytest: == batch retrieval_success_at_k
+def stream_success(spark, sf):
+    """INGEST-TIME success@k monitor — the streaming twin of
+    ``retrieval_success_at_k`` on the shared per-doc query-tf state
+    (``_stream_query_tf`` — per-doc purity makes the merge a disjoint
+    union), with the SHARED ``success_at_k_rollup`` re-cutting the
+    top-10 and re-counting hits from the final grain. The
+    release-monitor shape: hit rates stay current as the corpus
+    grows, without re-tokenizing history."""
+    from ..operators.textstats import success_at_k_rollup
+
+    return success_at_k_rollup(
+        _stream_query_tf(spark, sf, "stream_success")
+    ).localCheckpoint()
+
+
+@register("stream_rbo", None)  # pytest: == batch retrieval_rbo
+def stream_rbo(spark, sf):
+    """INGEST-TIME rank-biased-overlap monitor — the streaming twin of
+    ``retrieval_rbo`` on the shared per-doc query-tf state, with the
+    SHARED ``rbo_rollup`` re-ranking both sides of each ablation pair
+    from the final grain (the dyadic-weight fixed-chain contract
+    lives once, in the rollup)."""
+    from ..operators.textstats import rbo_rollup
+
+    return rbo_rollup(
+        _stream_query_tf(spark, sf, "stream_rbo")
     ).localCheckpoint()

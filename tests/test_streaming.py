@@ -1976,3 +1976,58 @@ def test_stream_vc_twins_equal_batch(spark):
         assert got.equals(want), skey
         again = ops.REGISTRY[skey][0](spark, SF).toPandas()
         assert again.equals(got), skey
+
+
+def test_stream_user_cents_twins_equal_batch(spark):
+    """stream_gini / stream_hoover / stream_palma / stream_jonckheere
+    / stream_moods == their batch keys (one shared sum-mergeable
+    per-user purchase-cents state, five rollups). Re-runs identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    for skey, bkey in (
+        ("stream_gini", "events_gini"),
+        ("stream_hoover", "events_hoover"),
+        ("stream_palma", "events_palma"),
+        ("stream_jonckheere", "events_jonckheere"),
+        ("stream_moods", "events_moods_median"),
+    ):
+        got = ops.REGISTRY[skey][0](spark, SF).toPandas()
+        want = EV_REGISTRY[bkey][0](spark, SF).toPandas()
+        assert len(got) == len(want) == 1, skey
+        assert got.equals(want), skey
+        again = ops.REGISTRY[skey][0](spark, SF).toPandas()
+        assert again.equals(got), skey
+
+
+def test_stream_query_tf_twins_equal_batch(spark):
+    """stream_success / stream_rbo == the shared batch rollup over the
+    SAME staged doc slice (the stream_retrieval_report comparison
+    discipline — the staged stream corpus is a slice of documents, so
+    the batch side is the rollup on that slice). Re-runs identical."""
+    from reach_banner_spark.operators.textstats import (
+        query_tf_grain,
+        rbo_rollup,
+        success_at_k_rollup,
+    )
+    from reach_banner_spark.streaming import ops
+
+    staged = ops._staged_doc_stream_dir(SF)
+    tf = query_tf_grain(
+        spark.read.parquet(staged)
+    ).localCheckpoint()
+    key = lambda df: df.sort_values(  # noqa: E731
+        list(df.columns)
+    ).reset_index(drop=True)
+    for skey, rollup in (
+        ("stream_success", success_at_k_rollup),
+        ("stream_rbo", rbo_rollup),
+    ):
+        got = ops.REGISTRY[skey][0](spark, SF).toPandas()
+        want = rollup(tf).toPandas()
+        assert len(got) == len(want) >= 1, skey
+        assert key(got).equals(key(want)), skey
+        again = ops.REGISTRY[skey][0](spark, SF).toPandas()
+        assert key(again).equals(key(got)), skey
