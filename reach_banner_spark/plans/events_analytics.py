@@ -7907,3 +7907,96 @@ def events_moods_median(spark, sf):
     rollup."""
     ut = user_cents_totals(_events(spark, sf)).localCheckpoint()
     return moods_rollup(ut)
+
+
+# ------------------------------------------- inequality report macro ----
+
+def inequality_report_rollup(ut: DataFrame) -> DataFrame:
+    """Compose the three inequality rollups (Gini, Hoover/MAD/CV,
+    Palma) over ONE per-user cents grain into a one-row report —
+    shared by ``macro_inequality_report`` and its streaming twin.
+    Each float contract lives in its own rollup; this joins the
+    one-row readouts (the macro_daily_health composition
+    discipline)."""
+    g = gini_rollup(ut)
+    h = hoover_rollup(ut).drop("n_users", "total_cents")
+    p = palma_rollup(ut).drop("n_users", "total_cents")
+    return g.crossJoin(h).crossJoin(p).select(
+        "n_users",
+        "total_cents",
+        "gini",
+        "hoover",
+        "mad_mean",
+        "cv",
+        "bottom40_cents",
+        "top10_cents",
+        "bottom40_share",
+        "top10_share",
+        "palma_ratio",
+    )
+
+
+@register(
+    "macro_inequality_report",
+    # The full spend-inequality profile in ONE row: Gini + Hoover/MAD/
+    # CV + Palma composed over the SAME per-user cents grain — the
+    # oracle composes all three per-key contracts in one WITH chain,
+    # pinning the COMPOSITION, not just the parts.
+    "WITH ut AS (SELECT user_id, "
+    " CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+    " FROM events WHERE event_type = 'purchase' GROUP BY user_id), "
+    "r AS (SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents, user_id) "
+    " AS BIGINT) AS i FROM ut), "
+    "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, "
+    " CAST(SUM(cents) AS BIGINT) AS total_cents, "
+    " CAST(SUM(i * cents) AS BIGINT) AS wsum FROM r), "
+    "hm AS (SELECT MIN(n_users) AS n, MIN(total_cents) AS s, "
+    " SUM(CAST(cents AS HUGEINT) * cents) AS q, "
+    " CAST(SUM(ABS(n_users * cents - total_cents)) AS BIGINT) AS adev "
+    " FROM ut, g), "
+    "pa AS (SELECT "
+    " CAST(SUM(CASE WHEN i * 5 <= n_users * 2 THEN cents ELSE 0 END) "
+    "  AS BIGINT) AS bottom40_cents, "
+    " CAST(SUM(CASE WHEN i * 10 > n_users * 9 THEN cents ELSE 0 END) "
+    "  AS BIGINT) AS top10_cents FROM r, g) "
+    "SELECT g.n_users, g.total_cents, "
+    "printf('%.6f', ROUND(CAST(2 * g.wsum - (g.n_users + 1) * g.total_cents "
+    " AS DOUBLE) / CAST(g.n_users * g.total_cents AS DOUBLE), 6)) AS gini, "
+    "printf('%.6f', ROUND(CAST(hm.adev AS DOUBLE) "
+    " / CAST(2 * hm.n * hm.s AS DOUBLE), 6)) AS hoover, "
+    "printf('%.6f', ROUND(CAST(hm.adev AS DOUBLE) "
+    " / CAST(hm.n * hm.n AS DOUBLE), 6)) AS mad_mean, "
+    "printf('%.6f', ROUND(sqrt(CAST(CAST(hm.n AS HUGEINT) * hm.q "
+    "  - CAST(hm.s AS HUGEINT) * hm.s AS DOUBLE)) "
+    "  / CAST(hm.s AS DOUBLE), 6)) AS cv, "
+    "pa.bottom40_cents, pa.top10_cents, "
+    "printf('%.6f', ROUND(CAST(pa.bottom40_cents AS DOUBLE) "
+    " / CAST(g.total_cents AS DOUBLE), 6)) AS bottom40_share, "
+    "printf('%.6f', ROUND(CAST(pa.top10_cents AS DOUBLE) "
+    " / CAST(g.total_cents AS DOUBLE), 6)) AS top10_share, "
+    "printf('%.6f', ROUND(CAST(pa.top10_cents AS DOUBLE) "
+    " / CAST(pa.bottom40_cents AS DOUBLE), 6)) AS palma_ratio "
+    "FROM g, hm, pa "
+    "WHERE g.total_cents > 0 AND g.n_users > 1 AND pa.bottom40_cents > 0",
+)
+def macro_inequality_report(spark, sf):
+    """The whole spend-inequality profile as ONE query: Gini + Hoover/
+    MAD/CV + Palma over the SAME checkpointed per-user cents grain —
+    the one-row dashboard a revenue team reads weekly, and the
+    composition key that proves the three per-metric contracts agree
+    when derived from one shared scan (pytest reconciles every column
+    against the standalone keys — the macro_series_profile
+    discipline).
+
+    Float discipline: inherited wholesale from the three composed
+    rollups (each documented at its per-key); the oracle re-states
+    the ENTIRE composition in one WITH chain so the driver pins the
+    composed plan, not just the parts.
+
+    Scale shape: the fact table is touched ONCE (the shared user-grain
+    aggregation, localCheckpoint'ed); the three rollups then read that
+    dimension-scale grain — one global rank sort shared by Gini/Palma
+    via the checkpoint, one-row joins to finish. At 100 TB the only
+    fact-scale cost is the one purchase scan."""
+    ut = user_cents_totals(_events(spark, sf)).localCheckpoint()
+    return inequality_report_rollup(ut)

@@ -4126,3 +4126,16 @@ def stream_rbo(spark, sf):
     return rbo_rollup(
         _stream_query_tf(spark, sf, "stream_rbo")
     ).localCheckpoint()
+
+
+@register("stream_inequality", None)  # pytest: == macro_inequality_report
+def stream_inequality(spark, sf):
+    """INGEST-TIME spend-inequality dashboard — the streaming twin of
+    ``macro_inequality_report`` on the shared per-user cents state
+    (one state, the composed ``inequality_report_rollup`` readout;
+    the composition twin of the five per-metric stream keys)."""
+    from ..plans.events_analytics import inequality_report_rollup
+
+    return inequality_report_rollup(
+        _stream_user_cents(spark, sf, "stream_inequality")
+    ).localCheckpoint()

@@ -2031,3 +2031,35 @@ def test_stream_query_tf_twins_equal_batch(spark):
         assert key(got).equals(key(want)), skey
         again = ops.REGISTRY[skey][0](spark, SF).toPandas()
         assert key(again).equals(key(got)), skey
+
+
+def test_stream_inequality_equals_macro(spark):
+    """stream_inequality == the one-shot macro_inequality_report, and
+    the macro's columns reconcile against the standalone per-metric
+    keys (the macro_daily_health composition discipline)."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_inequality"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["macro_inequality_report"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    # composition: every macro column matches its per-key source
+    gini = EV_REGISTRY["events_gini"][0](spark, SF).toPandas()
+    hoov = EV_REGISTRY["events_hoover"][0](spark, SF).toPandas()
+    palma = EV_REGISTRY["events_palma"][0](spark, SF).toPandas()
+    assert want["gini"][0] == gini["gini"][0]
+    for c in ("hoover", "mad_mean", "cv"):
+        assert want[c][0] == hoov[c][0], c
+    for c in (
+        "bottom40_cents",
+        "top10_cents",
+        "bottom40_share",
+        "top10_share",
+        "palma_ratio",
+    ):
+        assert want[c][0] == palma[c][0], c
+    again = ops.REGISTRY["stream_inequality"][0](spark, SF).toPandas()
+    assert again.equals(got)
