@@ -667,3 +667,80 @@ def dedup_containment(spark, sf):
         fmt(inter.cast("double") / F.size("wa")).alias("cont_a"),
         fmt(inter.cast("double") / F.size("wb")).alias("cont_b"),
     )
+
+
+# ---------------------------------------------------------- winnowing ----
+
+@register(
+    "dedup_winnowing",
+    # Winnowing (Schleimer et al., MOSS): per doc, MD5 word-3-gram
+    # shingle hashes; each sliding window of 4 consecutive hashes
+    # selects its MINIMUM (string min over fixed-width hex — a total
+    # deterministic order); the doc's fingerprint set is the distinct
+    # selected values. Docs are paired by shared fingerprints — all
+    # counts exact integers, top-50 under a tie-free total order.
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w "
+    " FROM documents), "
+    "sh AS (SELECT doc_id, list_transform("
+    " generate_series(1, greatest(len(w) - 2, 0)), "
+    " i -> md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM d), "
+    "fp AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    " generate_series(1, greatest(len(s) - 3, 0)), "
+    " i -> list_min(s[i:i+3])))) AS f FROM sh WHERE len(s) >= 4) "
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_shared "
+    "FROM fp a JOIN fp b ON b.f = a.f AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2 ORDER BY n_shared DESC, doc_a, doc_b LIMIT 50",
+)
+def dedup_winnowing(spark, sf):
+    """Winnowing document fingerprinting (Schleimer et al. 2003 — the
+    MOSS algorithm): every window of 4 consecutive word-3-gram hashes
+    selects its minimum, so any shared substring of ~6 words GUARANTEES
+    a shared fingerprint (the local-selection property ``doc_fingerprint``'s
+    single global min lacks and ``dedup_minhash_lsh``'s random
+    projections only provide probabilistically) while storing ~1/4 of
+    the shingles. Pairs ranked by shared-fingerprint count are the
+    plagiarism/quote-detection candidates a curation pipeline feeds to
+    exact verification (``dedup_containment``).
+
+    Determinism: hashes are fixed-width MD5 hex, so the window MIN is
+    a total lexicographic order with no ties across distinct shingles;
+    everything is exact integers — no float contract at all.
+
+    Scale shape: fingerprint selection is PURE per-doc array algebra
+    (slice + array_min inside whole-stage codegen — zero shuffle, the
+    _tri_md5_col discipline); the pair join keys on the fingerprint
+    value whose selectivity winnowing exists to provide (~1/4 shingle
+    mass), followed by one pair aggregation and a
+    TakeOrderedAndProject top-50 — the bucketed-not-all-pairs shape.
+    At 100 TB the fingerprint table is the only shuffled artifact."""
+    from .textstats import _tri_md5_col
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    sh = d.select(
+        "doc_id",
+        F.filter(_tri_md5_col(), lambda x: x.isNotNull()).alias("s"),
+    ).filter(F.size("s") >= 4)
+    fps = sh.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("s") - 3),
+                    lambda i: F.array_min(F.slice("s", i, 4)),
+                )
+            )
+        ).alias("f"),
+    )
+    b = fps.select(F.col("doc_id").alias("doc_b"), "f")
+    return (
+        fps.select(F.col("doc_id").alias("doc_a"), "f")
+        .join(b, "f")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+        .limit(50)
+    )

@@ -8000,3 +8000,206 @@ def macro_inequality_report(spark, sf):
     fact-scale cost is the one purchase scan."""
     ut = user_cents_totals(_events(spark, sf)).localCheckpoint()
     return inequality_report_rollup(ut)
+
+
+# ------------------------------------------------------ Grubbs test ----
+
+def grubbs_rollup(ut: DataFrame) -> DataFrame:
+    """Fold the per-user cents totals into the one-row Grubbs
+    max-outlier readout — shared by ``events_grubbs`` and its
+    streaming twin."""
+    g = ut.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+        .alias("q"),
+    )
+    j = ut.join(F.broadcast(g)).withColumn(
+        "dev", F.abs(F.col("n") * F.col("cents") - F.col("s"))
+    )
+    mx = j.agg(
+        F.min("n").cast("long").alias("n_users"),
+        F.min("s").cast("long").alias("total_cents"),
+        F.min("q").alias("q"),
+        F.max("dev").cast("long").alias("maxdev"),
+    )
+    arg = (
+        j.join(
+            F.broadcast(
+                mx.select(F.col("maxdev").alias("md"))
+            )
+        )
+        .filter(F.col("dev") == F.col("md"))
+        .agg(
+            F.min("user_id").cast("long").alias("outlier_user"),
+            F.min("cents").cast("long").alias("outlier_cents"),
+        )
+    )
+    n, s, q = F.col("n_users"), F.col("total_cents"), F.col("q")
+    ss = (
+        n.cast("decimal(38,0)") * q
+        - s.cast("decimal(38,0)") * s.cast("decimal(38,0)")
+    )
+    gstat = F.col("maxdev").cast("double") / (
+        n.cast("double")
+        * F.sqrt(ss.cast("double") / (n * (n - 1)).cast("double"))
+    )
+    return (
+        mx.crossJoin(arg)
+        .filter((n > 1) & (F.col("maxdev") > 0))
+        .select(
+            "n_users",
+            "outlier_user",
+            "outlier_cents",
+            "maxdev",
+            _FMT6(gstat).alias("grubbs_g"),
+        )
+    )
+
+
+@register(
+    "events_grubbs",
+    # Grubbs max-outlier statistic on per-user purchase spend: the
+    # scaled deviations |n*x_i - S| are exact BIGINTs so the argmax is
+    # an integer selection (ties -> min user_id); the sum of squares
+    # n*q - S^2 stays exact in HUGEINT/DECIMAL(38,0); G divides the
+    # exact max deviation by n * the sample sd in one fixed
+    # div/sqrt/mul chain spelled identically on both engines.
+    "WITH ut AS (SELECT user_id, "
+    " CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+    " FROM events WHERE event_type = 'purchase' GROUP BY user_id), "
+    "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    " CAST(SUM(cents) AS BIGINT) AS s, "
+    " SUM(CAST(cents AS HUGEINT) * cents) AS q FROM ut), "
+    "j AS (SELECT user_id, cents, ABS(n * cents - s) AS dev FROM ut, g), "
+    "mx AS (SELECT MIN(n) AS n_users, MIN(s) AS total_cents, MIN(q) AS q, "
+    " CAST(MAX(dev) AS BIGINT) AS maxdev FROM j, g), "
+    "arg AS (SELECT CAST(MIN(user_id) AS BIGINT) AS outlier_user, "
+    " CAST(MIN(cents) AS BIGINT) AS outlier_cents "
+    " FROM j, mx WHERE dev = maxdev) "
+    "SELECT CAST(n_users AS BIGINT) AS n_users, outlier_user, "
+    "outlier_cents, maxdev, "
+    "printf('%.6f', ROUND(CAST(maxdev AS DOUBLE) "
+    " / (CAST(n_users AS DOUBLE) "
+    "  * sqrt(CAST(CAST(n_users AS HUGEINT) * q "
+    "   - CAST(total_cents AS HUGEINT) * total_cents AS DOUBLE) "
+    "   / CAST(n_users * (n_users - 1) AS DOUBLE))), 6)) AS grubbs_g "
+    "FROM mx, arg WHERE n_users > 1 AND maxdev > 0",
+)
+def events_grubbs(spark, sf):
+    """Grubbs max-outlier statistic for per-user purchase spend — the
+    single-most-extreme-observation test (who is the whale, and HOW
+    extreme in sd units?), the targeted companion to
+    ``events_outlier_mad``'s robust per-observation flags and
+    ``events_tukey_fences``'s fence counts. G = max|x - mean| / s is
+    the statistic; the critical value needs a t-quantile, so the key
+    reports G and the identified user and leaves the cut to the
+    consumer (the no-transcendentals rule).
+
+    Float discipline: scaled deviations |n*x_i - S| are exact BIGINTs
+    (the events_outlier_mad trick), so the max and its argmax are
+    integer selections (tie -> min user_id, deterministic); the sum of
+    squares stays exact in DECIMAL(38,0)/HUGEINT; G is ONE fixed
+    cast/div/sqrt/mul/div chain — sqrt the only transcendental,
+    IEEE-pinned — under ROUND + %.6f.
+
+    Scale shape: one user-keyed fact aggregation, one-row broadcasts
+    back for the deviation and argmax passes, one one-row rollup —
+    facts touched once, never sorted."""
+    ut = user_cents_totals(_events(spark, sf)).localCheckpoint()
+    return grubbs_rollup(ut)
+
+
+# --------------------------------------------------- trimmed mean ----
+
+def trimmed_rollup(g: DataFrame) -> DataFrame:
+    """Fold the (cents, cnt) purchase-amount grain into the one-row
+    10%-trimmed-mean readout — shared by ``events_trimmed_mean`` and
+    its streaming twin. The retained mass per value is an exact
+    integer interval overlap, so the whole contract is integers until
+    one division."""
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cu = g.select(
+        "cents",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+    )
+    t = g.agg(F.sum("cnt").cast("long").alias("n"))
+    j = cu.join(F.broadcast(t)).withColumn(
+        "k", F.expr("n div 10")
+    )
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("cum") - F.col("cnt"), F.col("k")),
+    )
+    a = j.agg(
+        F.min("n").alias("n"),
+        F.min("k").alias("k_trimmed"),
+        F.sum(kept).cast("long").alias("kept_n"),
+        F.sum(kept * F.col("cents")).cast("long").alias("kept_cents"),
+    )
+    return a.filter(F.col("kept_n") > 0).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k_trimmed").cast("long").alias("k_trimmed"),
+        "kept_n",
+        "kept_cents",
+        _FMT6(
+            F.col("kept_cents").cast("double")
+            / F.col("kept_n").cast("double")
+        ).alias("trimmed_mean_cents"),
+    )
+
+
+@register(
+    "events_trimmed_mean",
+    # 10% two-sided TRIMMED mean of purchase cents (drop the k = n//10
+    # smallest and largest observations, average the rest) — the
+    # retained count per distinct value is the exact integer interval
+    # overlap min(cum, n-k) - max(cum-cnt, k) clamped at 0, so the
+    # numerator and denominator are exact BIGINTs and the mean is ONE
+    # IEEE division.
+    "WITH c AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents "
+    " FROM events WHERE event_type = 'purchase'), "
+    "g AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM c "
+    " GROUP BY cents), "
+    "cu AS (SELECT cents, cnt, CAST(SUM(cnt) OVER (ORDER BY cents "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum "
+    " FROM g), "
+    "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, "
+    " CAST(SUM(cnt) // 10 AS BIGINT) AS k FROM g), "
+    "a AS (SELECT MIN(n) AS n, MIN(k) AS k_trimmed, "
+    " CAST(SUM(GREATEST(0, LEAST(cum, n - k) "
+    "  - GREATEST(cum - cnt, k))) AS BIGINT) AS kept_n, "
+    " CAST(SUM(GREATEST(0, LEAST(cum, n - k) "
+    "  - GREATEST(cum - cnt, k)) * cents) AS BIGINT) AS kept_cents "
+    " FROM cu, t) "
+    "SELECT CAST(n AS BIGINT) AS n, CAST(k_trimmed AS BIGINT) AS k_trimmed, "
+    "kept_n, kept_cents, "
+    "printf('%.6f', ROUND(CAST(kept_cents AS DOUBLE) "
+    " / CAST(kept_n AS DOUBLE), 6)) AS trimmed_mean_cents "
+    "FROM a WHERE kept_n > 0",
+)
+def events_trimmed_mean(spark, sf):
+    """10% two-sided trimmed mean of purchase amounts — the
+    DROP-the-tails robust location estimate next to
+    ``events_winsorized_mean``'s CLAMP-the-tails one (the two disagree
+    exactly when the tails are asymmetric, which is why a robust
+    report quotes both) and ``agg_median``'s 50% extreme.
+
+    Float discipline: with the bounded (cents, cnt) grain under one
+    ordered cumulative sum, the retained count per distinct value is
+    the exact integer interval overlap min(cum, n-k) - max(cum-cnt, k)
+    clamped at zero (k = n div 10 — integer `div`, the events_theil_sen
+    lesson), so kept_n and kept_cents are exact BIGINTs and the mean
+    is ONE correctly-rounded IEEE division under ROUND + %.6f. No
+    rank interpolation formula ever runs.
+
+    Scale shape: one map-side-combinable fact collapse to the bounded
+    cents grain, ONE ordered cumulative sum over that dimension-sized
+    grain (the events_deciles single-partition window — bounded by
+    distinct amounts, never by facts), one one-row rollup."""
+    g = purchase_cents_counts(_events(spark, sf)).localCheckpoint()
+    return trimmed_rollup(g)

@@ -4139,3 +4139,30 @@ def stream_inequality(spark, sf):
     return inequality_report_rollup(
         _stream_user_cents(spark, sf, "stream_inequality")
     ).localCheckpoint()
+
+
+@register("stream_grubbs", None)  # pytest: == batch events_grubbs
+def stream_grubbs(spark, sf):
+    """INGEST-TIME Grubbs max-outlier monitor — the streaming twin of
+    ``events_grubbs`` on the shared per-user cents state (the shared
+    ``grubbs_rollup`` re-derives the exact scaled-deviation argmax and
+    the wide-integer moment chain from the final state)."""
+    from ..plans.events_analytics import grubbs_rollup
+
+    return grubbs_rollup(
+        _stream_user_cents(spark, sf, "stream_grubbs")
+    ).localCheckpoint()
+
+
+@register("stream_trimmed", None)  # pytest: == batch events_trimmed_mean
+def stream_trimmed(spark, sf):
+    """INGEST-TIME trimmed-mean monitor — the streaming twin of
+    ``events_trimmed_mean`` on the shared (cents, cnt) purchase-amount
+    state (``_stream_cents_counts`` — SUM-mergeable; the shared
+    ``trimmed_rollup`` re-runs the interval-overlap selection on the
+    final state)."""
+    from ..plans.events_analytics import trimmed_rollup
+
+    return trimmed_rollup(
+        _stream_cents_counts(spark, sf, "stream_trimmed")
+    ).localCheckpoint()

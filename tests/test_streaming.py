@@ -2063,3 +2063,24 @@ def test_stream_inequality_equals_macro(spark):
         assert want[c][0] == palma[c][0], c
     again = ops.REGISTRY["stream_inequality"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_grubbs_trimmed_equal_batch(spark):
+    """stream_grubbs / stream_trimmed == their batch keys (per-user
+    cents state and cents-counts state respectively). Re-runs
+    identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    for skey, bkey in (
+        ("stream_grubbs", "events_grubbs"),
+        ("stream_trimmed", "events_trimmed_mean"),
+    ):
+        got = ops.REGISTRY[skey][0](spark, SF).toPandas()
+        want = EV_REGISTRY[bkey][0](spark, SF).toPandas()
+        assert len(got) == len(want) == 1, skey
+        assert got.equals(want), skey
+        again = ops.REGISTRY[skey][0](spark, SF).toPandas()
+        assert again.equals(got), skey
