@@ -411,6 +411,11 @@ HEADLINE = [
     "lm_yule_k",
     "win_percent_rank",
     "fn_levenshtein",
+    # r5s additions (nineteenth session) — cohort LTV curve, native XML
+    # source (subtract this group too for earlier-round-comparable
+    # subtotals)
+    "events_cohort_ltv",
+    "source_xml",
 ]
 
 

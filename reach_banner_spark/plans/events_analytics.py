@@ -8203,3 +8203,125 @@ def events_trimmed_mean(spark, sf):
     distinct amounts, never by facts), one one-row rollup."""
     g = purchase_cents_counts(_events(spark, sf)).localCheckpoint()
     return trimmed_rollup(g)
+
+
+# ------------------------------------------------- cohort LTV curve ----
+
+def cohort_ltv_rollup(uw: DataFrame, spend: DataFrame) -> DataFrame:
+    """Fold the per-user first-week table and the (user, week, cents)
+    spend grain into the cumulative LTV-per-user curve — shared by
+    ``events_cohort_ltv`` and its streaming twin. ``uw`` is the
+    (user_id, wk) deduped activity grain; ``spend`` is (user_id, wk,
+    cents) purchase totals — both exactly mergeable."""
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = first.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    aged = (
+        spend.join(first, "user_id")
+        .select(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("age_weeks"),
+            "cents",
+        )
+        .groupBy("cohort_wk", "age_weeks")
+        .agg(F.sum("cents").cast("long").alias("wk_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = aged.select(
+        "cohort_wk",
+        "age_weeks",
+        "wk_cents",
+        F.sum("wk_cents").over(w).cast("long").alias("cum_cents"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_wk").select(
+        "cohort_wk",
+        "age_weeks",
+        "cohort_users",
+        "wk_cents",
+        "cum_cents",
+        _FMT6(
+            F.col("cum_cents").cast("double")
+            / F.col("cohort_users").cast("double")
+        ).alias("ltv_cents_per_user"),
+    )
+
+
+@register(
+    "events_cohort_ltv",
+    # Weekly-cohort cumulative-revenue (LTV) curve: cohort = a user's
+    # first epoch-week (the events_lifecycle week spelling), age =
+    # spend week - cohort week; weekly and cumulative cents are exact
+    # BIGINTs (the cumsum runs over the bounded (cohort, age) grain)
+    # and LTV-per-user is ONE IEEE division per row.
+    "WITH d AS (SELECT DISTINCT user_id, "
+    "  CAST((dn - (dn % 7)) / 7 AS BIGINT) AS wk FROM ("
+    "   SELECT user_id, date_diff('day', DATE '1970-01-01', "
+    "    CAST(ts AS DATE)) AS dn FROM events)), "
+    "f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM d GROUP BY user_id), "
+    "sz AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_users "
+    " FROM f GROUP BY cohort_wk), "
+    "sp AS (SELECT user_id, CAST((dn - (dn % 7)) / 7 AS BIGINT) AS wk, "
+    "  CAST(SUM(cents) AS BIGINT) AS cents FROM ("
+    "   SELECT user_id, date_diff('day', DATE '1970-01-01', "
+    "    CAST(ts AS DATE)) AS dn, "
+    "    CAST(FLOOR(value * 100) AS BIGINT) AS cents "
+    "   FROM events WHERE event_type = 'purchase') GROUP BY 1, 2), "
+    "aged AS (SELECT f.cohort_wk, sp.wk - f.cohort_wk AS age_weeks, "
+    "  CAST(SUM(sp.cents) AS BIGINT) AS wk_cents "
+    " FROM sp JOIN f ON f.user_id = sp.user_id GROUP BY 1, 2), "
+    "cum AS (SELECT cohort_wk, age_weeks, wk_cents, "
+    "  CAST(SUM(wk_cents) OVER (PARTITION BY cohort_wk ORDER BY age_weeks "
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "  AS cum_cents FROM aged) "
+    "SELECT cum.cohort_wk, age_weeks, cohort_users, wk_cents, cum_cents, "
+    "printf('%.6f', ROUND(CAST(cum_cents AS DOUBLE) "
+    " / CAST(cohort_users AS DOUBLE), 6)) AS ltv_cents_per_user "
+    "FROM cum JOIN sz ON sz.cohort_wk = cum.cohort_wk",
+)
+def events_cohort_ltv(spark, sf):
+    """Weekly-cohort cumulative-revenue (LTV) curve — the MONEY
+    companion to ``retention_cohort``'s headcount triangle: per
+    acquisition cohort (a user's first epoch-week, the
+    events_lifecycle spelling) and week-of-life, the cumulative
+    purchase cents and the per-user LTV — the curve every
+    payback-period and CAC decision reads off. Cohorts whose curves
+    flatten early are the churn signal ``events_lifecycle`` counts;
+    here it is priced.
+
+    Float discipline: weeks are exact integer epoch-week numbers;
+    weekly and cumulative cents are exact BIGINTs (the cumulative sum
+    is an ordered window over the BOUNDED (cohort, age) grain — weeks
+    x weeks, dimension-scale); LTV-per-user is ONE correctly-rounded
+    IEEE division per row under ROUND + %.6f.
+
+    Scale shape: two user-keyed fact aggregations (first-week and
+    spend — both map-side combinable and exactly mergeable, which is
+    what the streaming twin carries), one broadcast of the tiny
+    cohort-size table, one window over the bounded cohort-age grain —
+    facts never sorted."""
+    e = _events(spark, sf)
+    uw = user_weeks(e).localCheckpoint()
+    spend = user_week_spend(e).localCheckpoint()
+    return cohort_ltv_rollup(uw, spend)
+
+
+def user_week_spend(df: DataFrame) -> DataFrame:
+    """Per-(user, epoch-week) purchase cents — the spend half of the
+    cohort-LTV state; a plain SUM, exactly mergeable across
+    micro-batches (the user_weeks week spelling)."""
+    dn = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+    return (
+        df.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            ((dn - dn % 7) / 7).cast("long").alias("wk"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "wk")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )

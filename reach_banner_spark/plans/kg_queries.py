@@ -2216,6 +2216,13 @@ def _stage_format(spark, sf: str, fmt: str) -> str:
             d.write.mode("overwrite").json(out)
         elif fmt == "orc":
             d.write.mode("overwrite").orc(out)
+        elif fmt == "xml":
+            (
+                d.write.mode("overwrite")
+                .format("xml")
+                .option("rowTag", "doc")
+                .save(out)
+            )
         else:  # text: one tab-joined line per row
             d.select(
                 F.concat_ws(
@@ -6140,4 +6147,28 @@ def kg_hub_indices(spark, sf):
                 / (F.col("da_d") * F.col("db_d")).cast("double")
             ).alias("lhn"),
         )
+    )
+
+
+@register("source_xml", _SRC_SQL)
+def source_xml(spark, sf):
+    """XML source — Spark 4's NATIVE XML datasource (the spark-xml
+    package folded into core; no external jar needed, unlike Avro —
+    see NOTES env gates), round-tripped: the staging write emits one
+    <doc> row element per document and the read parses them back under
+    an explicit schema. The oracle reads the SAME rows from the
+    parquet view, so a green row proves writer + reader + rowTag
+    handling end-to-end. XML remains the interchange format of
+    regulatory/publishing corpora (PubMed, patents, TEI), which is
+    exactly the kind of raw input a document-ingest pipeline meets.
+
+    Scale shape: one file task per staged shard on read; schema is
+    explicit so no inference pass runs at 100 TB."""
+    path = _stage_format(spark, sf, "xml")
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, lang string, source string, n_chars long")
+        .load(path)
+        .select("doc_id", "lang", "source", "n_chars")
     )
