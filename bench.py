@@ -416,6 +416,12 @@ HEADLINE = [
     # subtotals)
     "events_cohort_ltv",
     "source_xml",
+    # r5t additions (twentieth session) — Durbin-Watson, Hellinger
+    # distance, Nelson-Aalen hazard (subtract this group too for
+    # earlier-round-comparable subtotals)
+    "events_durbin_watson",
+    "events_hellinger",
+    "events_nelson_aalen",
 ]
 
 

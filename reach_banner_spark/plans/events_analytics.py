@@ -3279,12 +3279,12 @@ def conversion_spans(df: DataFrame) -> DataFrame:
     )
 
 
-def km_rollup(u: DataFrame, horizon_hours: int = 48) -> DataFrame:
-    """Fold a per-user (fe, pt) conversion-span table into the
-    Kaplan-Meier time-to-first-purchase curve under an administrative
-    cutoff ``horizon_hours`` after the corpus start — the censoring
-    rule, the at-risk reverse cumsum, and the exact sequential product
-    fold all live here (shared with any streaming twin)."""
+def survival_steps(u: DataFrame, horizon_hours: int = 48) -> DataFrame:
+    """Per-duration (dur, d, n) event-time steps under the shared
+    censoring rule — the common front half of ``km_rollup`` (product
+    fold) and ``na_rollup`` (additive fold): administrative cutoff,
+    exact integer-hour durations, deaths, and the at-risk reverse
+    cumulative sum."""
     mn = u.agg(F.min("fe").alias("t0")).select(
         (F.col("t0") + F.expr(f"INTERVAL {horizon_hours} HOURS")).alias("cut")
     )
@@ -3307,9 +3307,18 @@ def km_rollup(u: DataFrame, horizon_hours: int = 48) -> DataFrame:
     wrev = Window.orderBy(F.desc("dur")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    steps = g.select(
+    return g.select(
         "dur", "d", F.sum("dc").over(wrev).cast("long").alias("n")
     ).filter(F.col("d") > 0)
+
+
+def km_rollup(u: DataFrame, horizon_hours: int = 48) -> DataFrame:
+    """Fold a per-user (fe, pt) conversion-span table into the
+    Kaplan-Meier time-to-first-purchase curve under an administrative
+    cutoff ``horizon_hours`` after the corpus start — the censoring
+    rule, the at-risk reverse cumsum, and the exact sequential product
+    fold all live here (shared with any streaming twin)."""
+    steps = survival_steps(u, horizon_hours)
     arr = steps.agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("dur"), F.col("n"), F.col("d")))
@@ -8325,3 +8334,290 @@ def user_week_spend(df: DataFrame) -> DataFrame:
         .groupBy("user_id", "wk")
         .agg(F.sum("cents").cast("long").alias("cents"))
     )
+
+
+# ---------------------------------------------- Durbin-Watson statistic ---
+
+def dw_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals grain into the one-row
+    Durbin-Watson readout — shared by ``events_durbin_watson`` and its
+    streaming twin. The mean-centering scale factor cancels between
+    numerator and denominator, so DW = n*sum((c_t - c_{t-1})^2) /
+    (n*sum(c^2) - S^2) is a ratio of two exact DECIMAL(38,0)/HUGEINT
+    integers and ONE IEEE division."""
+    w = Window.orderBy("day")
+    lagged = dt.select("cnt", F.lag("cnt").over(w).alias("prev"))
+    diff = F.col("cnt") - F.col("prev")
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("cnt").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).alias(
+            "sxx"
+        ),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull(),
+                diff.cast("decimal(38,0)") * diff,
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("sdd"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("s") * F.col("s")
+    num = F.col("n") * F.col("sdd")
+    return m.filter(den > 0).select(
+        F.col("n").alias("n_days"),
+        _FMT6(num.cast("double") / den.cast("double")).alias("dw"),
+        (2 * den > num).alias("positive_autocorr"),
+    )
+
+
+@register(
+    "events_durbin_watson",
+    # Durbin-Watson serial-correlation statistic of the daily
+    # total-volume series: DW = sum of squared adjacent differences
+    # over the centered sum of squares. Mean-centering is eliminated
+    # algebraically (differences cancel the mean; the denominator
+    # expands to (n*sum(c^2) - S^2)/n), so both sides of the ratio are
+    # exact HUGEINT/DECIMAL(38,0) integers and DW is ONE IEEE division;
+    # the dw < 2 positive-autocorrelation flag is decided by an exact
+    # integer cross-multiply, never by the float.
+    "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+    " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+    "l AS (SELECT cnt, LAG(cnt) OVER (ORDER BY day) AS prev FROM dt), "
+    "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "  CAST(SUM(CAST(cnt AS HUGEINT)) AS HUGEINT) AS s, "
+    "  CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS sxx, "
+    "  CAST(SUM(CASE WHEN prev IS NOT NULL THEN "
+    "   CAST(cnt - prev AS HUGEINT) * (cnt - prev) ELSE 0 END) "
+    "   AS HUGEINT) AS sdd FROM l) "
+    "SELECT n AS n_days, "
+    "printf('%.6f', ROUND(CAST(n * sdd AS DOUBLE) "
+    " / CAST(n * sxx - s * s AS DOUBLE), 6)) AS dw, "
+    "(2 * (n * sxx - s * s) > n * sdd) AS positive_autocorr "
+    "FROM m WHERE n * sxx - s * s > 0",
+)
+def events_durbin_watson(spark, sf):
+    """Durbin-Watson statistic of the daily total-volume series — the
+    regression-residual serial-correlation diagnostic (DW near 2 =
+    independent days, DW < 2 = positive autocorrelation / momentum,
+    DW > 2 = alternation), complementing ``events_autocorr``'s per-type
+    lag-1 ACF and ``events_runs_test``'s sign-based randomness check
+    with the classic econometric readout over the same grain.
+
+    Float discipline: deviations never materialize — the mean cancels
+    in adjacent differences and expands out of the denominator, so
+    numerator (n * sum of squared diffs) and denominator (n * sum of
+    squares - S^2) are BOTH exact DECIMAL(38,0)/HUGEINT integers; DW
+    is ONE correctly-rounded IEEE division under ROUND + %.6f, and the
+    autocorrelation flag is an exact integer cross-multiplication.
+
+    Scale shape: one map-side-combinable fact collapse to the daily
+    grain (shared ``day_totals``), one lag window plus one one-row
+    aggregate over that dimension-sized table — facts touched once,
+    never sorted."""
+    return dw_rollup(day_totals(_events(spark, sf)))
+
+
+# ---------------------------------------- Hellinger distribution distance --
+
+def _hellinger_sql() -> str:
+    """Build the events_hellinger oracle: per-weekday purchase/click
+    cells via one conditional-aggregation scan, then the 7-term
+    left-associated sqrt chain — every sqrt input is an exact integer
+    cast to double, so each term is ONE correctly-rounded IEEE sqrt
+    and the chain order matches the Spark reduce exactly."""
+    cells = ", ".join(
+        f"CAST(SUM(CASE WHEN dow = {d} AND event_type = 'purchase' "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS a{d}, "
+        f"CAST(SUM(CASE WHEN dow = {d} AND event_type = 'click' "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS b{d}"
+        for d in range(7)
+    )
+    chain = " + ".join(f"SQRT(CAST(a{d} * b{d} AS DOUBLE))" for d in range(7))
+    ta = " + ".join(f"a{d}" for d in range(7))
+    tb = " + ".join(f"b{d}" for d in range(7))
+    return (
+        "WITH e AS (SELECT CAST(DATEDIFF('day', DATE '2024-01-01', "
+        " CAST(ts AS DATE)) % 7 AS BIGINT) AS dow, event_type FROM events "
+        " WHERE event_type IN ('purchase', 'click')), "
+        f"o AS (SELECT {cells} FROM e), "
+        f"t AS (SELECT *, {ta} AS ta, {tb} AS tb, "
+        f" ({chain}) / SQRT(CAST(ta * tb AS DOUBLE)) AS bc FROM o) "
+        "SELECT ta AS n_purchase, tb AS n_click, "
+        "printf('%.6f', ROUND(bc, 6)) AS bhattacharyya, "
+        "printf('%.6f', ROUND(SQRT(GREATEST(CAST(0 AS DOUBLE), "
+        " CAST(1 AS DOUBLE) - bc)), 6)) AS hellinger "
+        "FROM t WHERE ta > 0 AND tb > 0"
+    )
+
+
+def hellinger_rollup(cells: DataFrame) -> DataFrame:
+    """Fold a (dow, event_type, cnt) contingency grain into the one-row
+    Bhattacharyya/Hellinger readout between the purchase and click
+    weekday distributions — shared by ``events_hellinger`` and its
+    streaming twin (same sum-mergeable cells as ``cramers_rollup``)."""
+    import functools
+    import operator
+
+    aggs = []
+    for d in range(7):
+        for t, col in (("purchase", "a"), ("click", "b")):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        (F.col("dow") == d) & (F.col("event_type") == t),
+                        F.col("cnt"),
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"{col}{d}")
+            )
+    o = cells.agg(*aggs)
+    o = o.select(
+        "*",
+        functools.reduce(
+            operator.add, [F.col(f"a{d}") for d in range(7)]
+        ).alias("ta"),
+        functools.reduce(
+            operator.add, [F.col(f"b{d}") for d in range(7)]
+        ).alias("tb"),
+    )
+    chain = functools.reduce(
+        operator.add,
+        [
+            F.sqrt((F.col(f"a{d}") * F.col(f"b{d}")).cast("double"))
+            for d in range(7)
+        ],
+    )
+    bc = chain / F.sqrt((F.col("ta") * F.col("tb")).cast("double"))
+    h = F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - bc))
+    return o.filter((F.col("ta") > 0) & (F.col("tb") > 0)).select(
+        F.col("ta").alias("n_purchase"),
+        F.col("tb").alias("n_click"),
+        _FMT6(bc).alias("bhattacharyya"),
+        _FMT6(h).alias("hellinger"),
+    )
+
+
+@register("events_hellinger", _hellinger_sql())
+def events_hellinger(spark, sf):
+    """Hellinger distance (and Bhattacharyya coefficient) between the
+    weekday distributions of purchases and clicks — the bounded [0, 1]
+    distribution-shift readout a drift monitor wants where KL diverges
+    on empty cells: do purchases follow the same weekly rhythm as
+    clicks, or does buying concentrate on different days than
+    browsing? Complements ``events_cramers_v`` (association strength
+    over the full contingency) with a proper metric between two named
+    marginals.
+
+    Float discipline: each of the 7 cells' sqrt(a_d * b_d) is ONE
+    correctly-rounded IEEE sqrt of an exactly-representable integer
+    product (< 2^53 at every test SF); the 7 terms sum in an EXPLICIT
+    left-associated chain spelled identically on both engines; BC
+    divides by one sqrt of an exact integer product, and H =
+    sqrt(GREATEST(0, 1 - BC)) guards the Cauchy-Schwarz boundary so a
+    1-ulp overshoot can never produce NaN on either engine. Weekday is
+    the epoch-anchored (date - 2024-01-01) % 7 — NEVER dayofweek (the
+    events_cramers_v rule).
+
+    Scale shape: one map-side-combinable fact collapse to the 14-cell
+    contingency (shared ``dow_type_counts``), then a single-row fixed
+    expression — no shuffle wider than the aggregate state."""
+    return hellinger_rollup(dow_type_counts(_events(spark, sf)))
+
+
+# ------------------------------------------ Nelson-Aalen cumulative hazard --
+
+def na_rollup(u: DataFrame, horizon_hours: int = 48) -> DataFrame:
+    """Fold a per-user (fe, pt) conversion-span table into the
+    Nelson-Aalen cumulative-hazard curve — the ADDITIVE twin of
+    ``km_rollup`` over the shared ``survival_steps`` front half:
+    H_i = H_{i-1} + d_i / n_i, each step one exact-cast integer
+    division, the running sum a sequential left fold in duration
+    order (0.0 + x == x exactly, so the seed add is elided on both
+    engines)."""
+    steps = survival_steps(u, horizon_hours)
+    arr = steps.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dur"), F.col("n"), F.col("d")))
+        ).alias("a")
+    )
+    folded = arr.select(
+        F.expr(
+            "slice(aggregate(a, "
+            "array(named_struct('dur', CAST(-1 AS BIGINT), "
+            " 'n', CAST(0 AS BIGINT), 'd', CAST(0 AS BIGINT), "
+            " 'h', CAST(0.0 AS DOUBLE))), "
+            "(acc, x) -> acc || array(named_struct("
+            " 'dur', x.dur, 'n', x.n, 'd', x.d, "
+            " 'h', element_at(acc, -1).h "
+            "      + (CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))"
+            "))), 2, size(a))"
+        ).alias("k")
+    )
+    r = folded.select(F.explode("k").alias("r"))
+    return r.select(
+        F.col("r.dur").alias("dur_hours"),
+        F.col("r.n").alias("at_risk"),
+        F.col("r.d").alias("deaths"),
+        _FMT6(F.col("r.h")).alias("cum_hazard"),
+    )
+
+
+@register(
+    "events_nelson_aalen",
+    # Nelson-Aalen cumulative hazard for time-to-first-purchase under
+    # the events_survival censoring rule — the additive companion to
+    # the Kaplan-Meier product fold: H(t) = sum of d_i/n_i over steps
+    # up to t, stepped by a recursive CTE running the IDENTICAL
+    # (cast, cast, divide, add) chain as the Spark sorted-array fold
+    # (0.0 + x == x exactly, so the base case elides the seed add).
+    "WITH RECURSIVE u AS (SELECT user_id, MIN(ts) AS fe, "
+    "  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS pt "
+    " FROM events GROUP BY user_id), "
+    "c AS (SELECT MIN(fe) + INTERVAL 48 HOUR AS cut FROM u), "
+    "sp AS (SELECT CASE WHEN pt IS NOT NULL AND pt <= cut "
+    "   THEN (epoch_us(pt) - epoch_us(fe)) // 3600000000 "
+    "   ELSE (epoch_us(cut) - epoch_us(fe)) // 3600000000 END AS dur, "
+    "  (pt IS NOT NULL AND pt <= cut) AS death "
+    " FROM u, c WHERE fe <= cut), "
+    "g AS (SELECT CAST(dur AS BIGINT) AS dur, "
+    "  CAST(SUM(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT) AS d, "
+    "  CAST(COUNT(*) AS BIGINT) AS dc FROM sp GROUP BY 1), "
+    "r0 AS (SELECT dur, d, CAST(SUM(dc) OVER (ORDER BY dur DESC "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n "
+    " FROM g), "
+    "r AS (SELECT dur, n, d, CAST(ROW_NUMBER() OVER (ORDER BY dur) "
+    "  AS BIGINT) AS rn FROM r0 WHERE d > 0), "
+    "k(rn, dur, n, d, h) AS ("
+    " SELECT rn, dur, n, d, "
+    "  (CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) FROM r WHERE rn = 1 "
+    " UNION ALL "
+    " SELECT r.rn, r.dur, r.n, r.d, "
+    "  k.h + (CAST(r.d AS DOUBLE) / CAST(r.n AS DOUBLE)) "
+    " FROM k JOIN r ON r.rn = k.rn + 1) "
+    "SELECT dur AS dur_hours, n AS at_risk, d AS deaths, "
+    "printf('%.6f', ROUND(h, 6)) AS cum_hazard FROM k",
+)
+def events_nelson_aalen(spark, sf):
+    """Nelson-Aalen cumulative-hazard curve for time-to-first-purchase
+    — the estimator survival analysis reaches for when hazard RATE
+    (conversions per at-risk user per hour) matters more than survival
+    probability: H(t) jumps by d_i/n_i at each event time, its slope
+    IS the conversion intensity, and unlike Kaplan-Meier it stays
+    well-behaved when at-risk counts get small. Same administrative
+    48-hour censoring rule, duration grain, and at-risk accounting as
+    ``events_survival`` (the shared ``survival_steps`` front half) —
+    the two curves together are the standard survival-analysis pair
+    (exp(-H) approximates S where hazards are small).
+
+    Float discipline: every step increment is ONE correctly-rounded
+    IEEE division of exact integers (deaths / at-risk); the running
+    sum is a SEQUENTIAL left fold in duration order — a sorted-array
+    JVM aggregate fold on Spark, a recursive CTE stepping the
+    identical op chain on DuckDB (the events_ewma pattern), with the
+    seed add elided on both sides since 0.0 + x == x exactly.
+
+    Scale shape: identical to ``events_survival`` — one mergeable
+    user-grain collapse, broadcast cutoff, horizon-bounded step table,
+    one single-row fold."""
+    return na_rollup(conversion_spans(_events(spark, sf)))
