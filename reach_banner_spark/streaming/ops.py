@@ -4166,3 +4166,68 @@ def stream_trimmed(spark, sf):
     return trimmed_rollup(
         _stream_cents_counts(spark, sf, "stream_trimmed")
     ).localCheckpoint()
+
+
+@register("stream_dw", None)  # pytest: == batch events_durbin_watson
+def stream_dw(spark, sf):
+    """INGEST-TIME Durbin-Watson serial-correlation monitor — the
+    streaming twin of ``events_durbin_watson``: the carried state is
+    the (day, cnt) daily-totals grain (plain SUM-able counts — exactly
+    mergeable for any micro-batch split, the stream_runs discipline),
+    and the SHARED ``dw_rollup`` re-derives the lag window and the
+    exact integer numerator/denominator from the final state, so
+    streaming == batch is a theorem about SUM. State is O(days)."""
+    from ..plans.events_analytics import day_totals, dw_rollup
+
+    merged = _stream_merged_state(
+        spark, sf, "stream_dw", day_totals, _sum_merge(["day"], ["cnt"])
+    )
+    return dw_rollup(merged).localCheckpoint()
+
+
+@register("stream_hellinger", None)  # pytest: == batch events_hellinger
+def stream_hellinger(spark, sf):
+    """INGEST-TIME distribution-shift monitor — the streaming twin of
+    ``events_hellinger``: the carried state is the (weekday, type,
+    cnt) contingency grain (the stream_cramers state shape — plain
+    SUM-able counts, exactly mergeable), and the SHARED
+    ``hellinger_rollup`` re-derives the 7-sqrt Bhattacharyya chain and
+    the guarded Hellinger distance from the final state. State is
+    O(1) — at most 7 x event-types cells."""
+    from ..plans.events_analytics import dow_type_counts, hellinger_rollup
+
+    merged = _stream_merged_state(
+        spark,
+        sf,
+        "stream_hellinger",
+        dow_type_counts,
+        _sum_merge(["dow", "event_type"], ["cnt"]),
+    )
+    return hellinger_rollup(merged).localCheckpoint()
+
+
+@register("stream_nelson_aalen", None)  # pytest: == events_nelson_aalen
+def stream_nelson_aalen(spark, sf):
+    """INGEST-TIME cumulative-hazard monitor — the streaming twin of
+    ``events_nelson_aalen``: the carried state is the per-user
+    (first-event ts, first-purchase ts) span grain (both plain MINs —
+    exactly mergeable for any micro-batch split: min(merge) ==
+    min(all), the stream_survival discipline), and the SHARED
+    ``na_rollup`` re-derives the censoring cut, the at-risk reverse
+    cumsum, and the sequential additive fold from the final state.
+    State is O(users); each batch's merge keys on user_id only."""
+    from ..plans.events_analytics import conversion_spans, na_rollup
+
+    def min_merge(prev, cur):
+        if prev is None:
+            return cur
+        return (
+            prev.unionByName(cur)
+            .groupBy("user_id")
+            .agg(F.min("fe").alias("fe"), F.min("pt").alias("pt"))
+        )
+
+    merged = _stream_merged_state(
+        spark, sf, "stream_nelson_aalen", conversion_spans, min_merge
+    )
+    return na_rollup(merged).localCheckpoint()

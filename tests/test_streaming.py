@@ -2084,3 +2084,57 @@ def test_stream_grubbs_trimmed_equal_batch(spark):
         assert got.equals(want), skey
         again = ops.REGISTRY[skey][0](spark, SF).toPandas()
         assert again.equals(got), skey
+
+
+def test_stream_dw_equals_batch(spark):
+    """stream_dw's one-row readout == the one-shot
+    events_durbin_watson (carried state is the sum-mergeable
+    daily-totals grain). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_dw"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_durbin_watson"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_dw"][0](spark, SF).toPandas()
+    assert again.equals(got)
+
+
+def test_stream_hellinger_equals_batch(spark):
+    """stream_hellinger's one-row readout == the one-shot
+    events_hellinger (carried state is the sum-mergeable weekday
+    contingency grain). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_hellinger"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_hellinger"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_hellinger"][0](spark, SF).toPandas()
+    assert again.equals(got)
+
+
+def test_stream_nelson_aalen_equals_batch(spark):
+    """stream_nelson_aalen's hazard curve == the one-shot
+    events_nelson_aalen (carried state is the MIN-mergeable per-user
+    span grain — the stream_survival discipline). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    key = lambda df: df.sort_values("dur_hours").reset_index(  # noqa: E731
+        drop=True
+    )
+    got = ops.REGISTRY["stream_nelson_aalen"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_nelson_aalen"][0](spark, SF).toPandas()
+    assert len(got) == len(want) >= 1
+    assert key(got).equals(key(want))
+    again = ops.REGISTRY["stream_nelson_aalen"][0](spark, SF).toPandas()
+    assert key(again).equals(key(got))
