@@ -8450,11 +8450,13 @@ def _hellinger_sql() -> str:
     )
 
 
-def hellinger_rollup(cells: DataFrame) -> DataFrame:
-    """Fold a (dow, event_type, cnt) contingency grain into the one-row
-    Bhattacharyya/Hellinger readout between the purchase and click
-    weekday distributions — shared by ``events_hellinger`` and its
-    streaming twin (same sum-mergeable cells as ``cramers_rollup``)."""
+def dow_marginals(cells: DataFrame) -> DataFrame:
+    """Pivot a (dow, event_type, cnt) contingency grain into ONE wide
+    row of exact BIGINT weekday marginals — a0..a6 (purchase),
+    b0..b6 (click) plus the ta/tb totals — the shared front half of
+    every purchase-vs-click distribution-distance readout
+    (``events_hellinger``, ``events_tv_distance``,
+    ``events_wasserstein`` and their streaming twins)."""
     import functools
     import operator
 
@@ -8472,7 +8474,7 @@ def hellinger_rollup(cells: DataFrame) -> DataFrame:
                 .alias(f"{col}{d}")
             )
     o = cells.agg(*aggs)
-    o = o.select(
+    return o.select(
         "*",
         functools.reduce(
             operator.add, [F.col(f"a{d}") for d in range(7)]
@@ -8481,6 +8483,17 @@ def hellinger_rollup(cells: DataFrame) -> DataFrame:
             operator.add, [F.col(f"b{d}") for d in range(7)]
         ).alias("tb"),
     )
+
+
+def hellinger_rollup(cells: DataFrame) -> DataFrame:
+    """Fold a (dow, event_type, cnt) contingency grain into the one-row
+    Bhattacharyya/Hellinger readout between the purchase and click
+    weekday distributions — shared by ``events_hellinger`` and its
+    streaming twin (same sum-mergeable cells as ``cramers_rollup``)."""
+    import functools
+    import operator
+
+    o = dow_marginals(cells)
     chain = functools.reduce(
         operator.add,
         [
@@ -8621,3 +8634,339 @@ def events_nelson_aalen(spark, sf):
     user-grain collapse, broadcast cutoff, horizon-bounded step table,
     one single-row fold."""
     return na_rollup(conversion_spans(_events(spark, sf)))
+
+
+# ------------------------------------- total-variation distribution shift --
+
+def _dow_pair_sql_front() -> str:
+    """Shared oracle front half for the weekday purchase-vs-click
+    distance family: the epoch-anchored weekday cells (the
+    events_cramers_v rule — NEVER dayofweek) pivoted to one wide row
+    of exact BIGINT marginals a0..a6 / b0..b6 + ta/tb totals."""
+    cells = ", ".join(
+        f"CAST(SUM(CASE WHEN dow = {d} AND event_type = 'purchase' "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS a{d}, "
+        f"CAST(SUM(CASE WHEN dow = {d} AND event_type = 'click' "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS b{d}"
+        for d in range(7)
+    )
+    ta = " + ".join(f"a{d}" for d in range(7))
+    tb = " + ".join(f"b{d}" for d in range(7))
+    return (
+        "WITH e AS (SELECT CAST(DATEDIFF('day', DATE '2024-01-01', "
+        " CAST(ts AS DATE)) % 7 AS BIGINT) AS dow, event_type FROM events "
+        " WHERE event_type IN ('purchase', 'click')), "
+        f"o AS (SELECT {cells} FROM e), "
+        f"t AS (SELECT *, {ta} AS ta, {tb} AS tb FROM o) "
+    )
+
+
+def _tv_sql() -> str:
+    """Build the events_tv_distance oracle: the shared weekday-marginal
+    front half, then TV = sum |a_d*tb - b_d*ta| / (2*ta*tb) — the
+    numerator an all-integer 7-term sum (order-immaterial), the
+    distance ONE IEEE division."""
+    num = " + ".join(f"ABS(a{d} * tb - b{d} * ta)" for d in range(7))
+    return (
+        _dow_pair_sql_front()
+        + "SELECT ta AS n_purchase, tb AS n_click, "
+        f"({num}) AS tv_numer, "
+        f"printf('%.6f', ROUND(CAST({num} AS DOUBLE) "
+        " / CAST(2 * ta * tb AS DOUBLE), 6)) AS tv_distance "
+        "FROM t WHERE ta > 0 AND tb > 0"
+    )
+
+
+def tv_rollup(cells: DataFrame) -> DataFrame:
+    """Fold a (dow, event_type, cnt) contingency grain into the one-row
+    total-variation readout — shared by ``events_tv_distance`` and its
+    streaming twin (the cross-multiplied integer contract lives
+    here)."""
+    import functools
+    import operator
+
+    o = dow_marginals(cells)
+    num = functools.reduce(
+        operator.add,
+        [
+            F.abs(
+                F.col(f"a{d}") * F.col("tb") - F.col(f"b{d}") * F.col("ta")
+            )
+            for d in range(7)
+        ],
+    ).cast("long")
+    return (
+        o.filter((F.col("ta") > 0) & (F.col("tb") > 0))
+        .select(
+            F.col("ta").alias("n_purchase"),
+            F.col("tb").alias("n_click"),
+            num.alias("tv_numer"),
+            _FMT6(
+                num.cast("double")
+                / (2 * F.col("ta") * F.col("tb")).cast("double")
+            ).alias("tv_distance"),
+        )
+    )
+
+
+@register("events_tv_distance", _tv_sql())
+def events_tv_distance(spark, sf):
+    """Total-variation distance between the weekday distributions of
+    purchases and clicks — the L1 companion to ``events_hellinger``
+    over the SAME contingency grain: TV is the tightest bound on how
+    much any event's probability can differ between the two rhythms
+    (the A/B reading: the maximum advantage a day-of-week-based
+    classifier could ever extract), where Hellinger weights small
+    cells more gently.
+
+    Float discipline: TV = sum_d |a_d/ta - b_d/tb| / 2 is respelled
+    over the common denominator as sum_d |a_d*tb - b_d*ta| /
+    (2*ta*tb): the numerator is an ALL-INTEGER 7-term sum (summation
+    order immaterial for BIGINTs; the cross products stay < 2^53 at
+    every test SF — at 100 TB they move to DECIMAL(38,0), the
+    events_spearman note) and the distance is ONE correctly-rounded
+    IEEE division under ROUND + %.6f. The exact integer numerator is
+    emitted alongside so the float column is redundant with the
+    integer contract.
+
+    Scale shape: one map-side-combinable fact collapse to the 14-cell
+    contingency (shared ``dow_type_counts``), then a single-row fixed
+    expression — identical to the Hellinger plan."""
+    return tv_rollup(dow_type_counts(_events(spark, sf)))
+
+
+# ---------------------------------------- 1-D Wasserstein (earth mover) --
+
+def _wasserstein_sql() -> str:
+    """Build the events_wasserstein oracle: the shared weekday-marginal
+    front half, then W1 = sum_{d<6} |cumA_d*tb - cumB_d*ta| /
+    (ta*tb) — explicit per-prefix integer sums, ONE IEEE division."""
+    terms = []
+    for d in range(6):
+        ca = " + ".join(f"a{k}" for k in range(d + 1))
+        cb = " + ".join(f"b{k}" for k in range(d + 1))
+        terms.append(f"ABS(({ca}) * tb - ({cb}) * ta)")
+    num = " + ".join(terms)
+    return (
+        _dow_pair_sql_front()
+        + "SELECT ta AS n_purchase, tb AS n_click, "
+        f"({num}) AS w1_numer, "
+        f"printf('%.6f', ROUND(CAST({num} AS DOUBLE) "
+        " / CAST(ta * tb AS DOUBLE), 6)) AS wasserstein_days "
+        "FROM t WHERE ta > 0 AND tb > 0"
+    )
+
+
+def wasserstein_rollup(cells: DataFrame) -> DataFrame:
+    """Fold a (dow, event_type, cnt) contingency grain into the one-row
+    1-D Wasserstein readout — shared by ``events_wasserstein`` and its
+    streaming twin (the exact prefix-sum contract lives here)."""
+    import functools
+    import operator
+
+    o = dow_marginals(cells)
+    terms = []
+    for d in range(6):
+        ca = functools.reduce(
+            operator.add, [F.col(f"a{k}") for k in range(d + 1)]
+        )
+        cb = functools.reduce(
+            operator.add, [F.col(f"b{k}") for k in range(d + 1)]
+        )
+        terms.append(F.abs(ca * F.col("tb") - cb * F.col("ta")))
+    num = functools.reduce(operator.add, terms).cast("long")
+    return (
+        o.filter((F.col("ta") > 0) & (F.col("tb") > 0))
+        .select(
+            F.col("ta").alias("n_purchase"),
+            F.col("tb").alias("n_click"),
+            num.alias("w1_numer"),
+            _FMT6(
+                num.cast("double")
+                / (F.col("ta") * F.col("tb")).cast("double")
+            ).alias("wasserstein_days"),
+        )
+    )
+
+
+@register("events_wasserstein", _wasserstein_sql())
+def events_wasserstein(spark, sf):
+    """1-D Wasserstein (earth-mover) distance between the weekday
+    distributions of purchases and clicks, in units of DAYS — the
+    geometry-aware member of the distribution-distance family: TV and
+    Hellinger treat Monday-vs-Tuesday the same as Monday-vs-Saturday,
+    while W1 charges mass by how FAR along the week it must move, so
+    a one-day phase shift reads small and a weekday-vs-weekend flip
+    reads large. On an ordered 1-D support W1 is the L1 distance
+    between CDFs: W1 = sum_d |F_a(d) - F_b(d)| * (unit spacing).
+
+    Float discipline: each CDF prefix is an explicit integer sum of
+    the exact BIGINT cells; the 6 cross-multiplied |cumA_d*tb -
+    cumB_d*ta| terms are all-integer (order-immaterial; DECIMAL(38,0)
+    at 100 TB per the events_spearman note); W1 is ONE
+    correctly-rounded IEEE division under ROUND + %.6f, with the
+    exact integer numerator emitted alongside.
+
+    Scale shape: one map-side-combinable fact collapse to the 14-cell
+    contingency (shared ``dow_type_counts``), then a single-row fixed
+    expression — identical to the Hellinger/TV plan."""
+    return wasserstein_rollup(dow_type_counts(_events(spark, sf)))
+
+
+# ------------------------------------------- ordinal association family --
+
+def _ordinal_sql() -> str:
+    """Build the events_gamma oracle: the events_kendall concordance
+    CTE chain (cell-pair products, doubled tie corrections) extended
+    with the two marginal level counts, then each of the four ordinal
+    statistics as ONE exact-integer ratio under ROUND + %.6f."""
+    return (
+        "WITH pu AS (SELECT user_id, "
+        "  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+        "   AS BIGINT) AS a, "
+        "  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        "   AS BIGINT) AS b FROM events GROUP BY user_id), "
+        "cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n "
+        " FROM pu GROUP BY a, b), "
+        "cd AS (SELECT "
+        "  CAST(COALESCE(SUM(CASE WHEN c1.b < c2.b THEN c1.n * c2.n END), 0) "
+        "   AS BIGINT) AS c, "
+        "  CAST(COALESCE(SUM(CASE WHEN c1.b > c2.b THEN c1.n * c2.n END), 0) "
+        "   AS BIGINT) AS d "
+        " FROM cells c1 JOIN cells c2 ON c1.a < c2.a), "
+        "ta AS (SELECT CAST(SUM(t * (t - 1)) AS BIGINT) AS ta, "
+        "  CAST(COUNT(*) AS BIGINT) AS ma "
+        " FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY a)), "
+        "tb AS (SELECT CAST(SUM(t * (t - 1)) AS BIGINT) AS tb, "
+        "  CAST(COUNT(*) AS BIGINT) AS mb "
+        " FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY b)), "
+        "m AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM cells) "
+        "SELECT n AS n_users, c AS concordant, d AS discordant, "
+        "printf('%.6f', ROUND(CAST(c - d AS DOUBLE) "
+        " / CAST(c + d AS DOUBLE), 6)) AS gamma, "
+        "printf('%.6f', ROUND(CAST(2 * (c - d) AS DOUBLE) "
+        " / CAST(n * (n - 1) - ta AS DOUBLE), 6)) AS somers_d_ba, "
+        "printf('%.6f', ROUND(CAST(2 * (c - d) AS DOUBLE) "
+        " / CAST(n * (n - 1) - tb AS DOUBLE), 6)) AS somers_d_ab, "
+        "printf('%.6f', ROUND(CAST(2 * LEAST(ma, mb) * (c - d) AS DOUBLE) "
+        " / CAST(n * n * (LEAST(ma, mb) - 1) AS DOUBLE), 6)) AS tau_c "
+        "FROM m, cd, ta, tb "
+        "WHERE c + d > 0 AND n * (n - 1) > ta AND n * (n - 1) > tb "
+        " AND LEAST(ma, mb) > 1"
+    )
+
+
+def ordinal_rollup(pu: DataFrame) -> DataFrame:
+    """Fold a per-user (a, b) volume table into the one-row ordinal
+    association readout (Goodman-Kruskal gamma, Somers' D in both
+    directions, Stuart's tau-c) — shared by ``events_gamma`` and its
+    streaming twin. Same cell-pair concordance machinery as
+    ``kendall_rollup``; the four one-division contracts live here."""
+    cells = pu.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    c1 = cells.select(
+        F.col("a").alias("a1"), F.col("b").alias("b1"),
+        F.col("n").alias("n1"),
+    )
+    c2 = cells.select(
+        F.col("a").alias("a2"), F.col("b").alias("b2"),
+        F.col("n").alias("n2"),
+    )
+    cd = c1.join(F.broadcast(c2), F.col("a1") < F.col("a2")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("b1") < F.col("b2"), F.col("n1") * F.col("n2"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("c"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("b1") > F.col("b2"), F.col("n1") * F.col("n2"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    ta = (
+        cells.groupBy("a")
+        .agg(F.sum("n").cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("ta"),
+            F.count(F.lit(1)).cast("long").alias("ma"),
+        )
+    )
+    tb = (
+        cells.groupBy("b")
+        .agg(F.sum("n").cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1)).cast("long").alias("tb"),
+            F.count(F.lit(1)).cast("long").alias("mb"),
+        )
+    )
+    m = cells.agg(F.sum("n").cast("long").alias("n"))
+    j = m.crossJoin(cd).crossJoin(ta).crossJoin(tb)
+    p = F.col("n") * (F.col("n") - 1)
+    cmd = F.col("c") - F.col("d")
+    mm = F.least(F.col("ma"), F.col("mb"))
+    return (
+        j.filter(
+            (F.col("c") + F.col("d") > 0)
+            & (p > F.col("ta"))
+            & (p > F.col("tb"))
+            & (mm > 1)
+        )
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("c").alias("concordant"),
+            F.col("d").alias("discordant"),
+            _FMT6(
+                cmd.cast("double") / (F.col("c") + F.col("d")).cast("double")
+            ).alias("gamma"),
+            _FMT6(
+                (2 * cmd).cast("double") / (p - F.col("ta")).cast("double")
+            ).alias("somers_d_ba"),
+            _FMT6(
+                (2 * cmd).cast("double") / (p - F.col("tb")).cast("double")
+            ).alias("somers_d_ab"),
+            _FMT6(
+                (2 * mm * cmd).cast("double")
+                / (F.col("n") * F.col("n") * (mm - 1)).cast("double")
+            ).alias("tau_c"),
+        )
+    )
+
+
+@register("events_gamma", _ordinal_sql())
+def events_gamma(spark, sf):
+    """Ordinal association family between per-user view volume and
+    per-user purchase volume — the three classical companions to
+    ``events_kendall`` off the SAME concordance machinery, in one
+    readout row: Goodman-Kruskal gamma (ties excluded entirely — the
+    optimistic bound), Somers' D in both dependency directions (ties
+    on the independent margin excluded — the asymmetric regression
+    reading, D_ba = 'does more viewing order more purchasing'), and
+    Stuart's tau-c (the rectangular-table correction analysts quote
+    when the two margins have very different level counts). Together
+    with tau-b these four are the complete standard ordinal toolkit.
+
+    Float discipline: C, D, the doubled tie corrections TA/TB, the
+    margin level counts ma/mb, and every numerator/denominator are
+    exact BIGINTs (DECIMAL(38,0) at 100 TB — the events_spearman
+    note); each statistic is ONE correctly-rounded IEEE division
+    under ROUND + %.6f:  gamma = (C-D)/(C+D),
+    D_ba = 2(C-D)/(P-TA), D_ab = 2(C-D)/(P-TB),
+    tau_c = 2m(C-D)/(n^2(m-1)) with m = min(ma, mb). Degenerate
+    margins (all tied, or fewer than two levels) are filtered by
+    identical integer guards on both engines.
+
+    Scale shape: identical to ``events_kendall`` — one
+    map-side-combinable collapse to the user grain (shared
+    ``user_ab``), one further collapse to the dimension-sized
+    distinct-cell table, a broadcast cell self-join (dimension^2
+    pairs, never user^2), two marginal rollups, one single-row
+    readout."""
+    return ordinal_rollup(user_ab(_events(spark, sf)))
