@@ -4231,3 +4231,62 @@ def stream_nelson_aalen(spark, sf):
         spark, sf, "stream_nelson_aalen", conversion_spans, min_merge
     )
     return na_rollup(merged).localCheckpoint()
+
+
+@register("stream_tv", None)  # pytest: == batch events_tv_distance
+def stream_tv(spark, sf):
+    """INGEST-TIME total-variation shift monitor — the streaming twin
+    of ``events_tv_distance``: the carried state is the (weekday,
+    type, cnt) contingency grain (the stream_hellinger state shape —
+    plain SUM-able counts, exactly mergeable for any micro-batch
+    split), and the SHARED ``tv_rollup`` re-derives the all-integer
+    cross-multiplied numerator and the one-division distance from the
+    final state, so streaming == batch is a theorem about SUM. State
+    is O(1) — at most 7 x event-types cells."""
+    from ..plans.events_analytics import dow_type_counts, tv_rollup
+
+    merged = _stream_merged_state(
+        spark,
+        sf,
+        "stream_tv",
+        dow_type_counts,
+        _sum_merge(["dow", "event_type"], ["cnt"]),
+    )
+    return tv_rollup(merged).localCheckpoint()
+
+
+@register("stream_wasserstein", None)  # pytest: == events_wasserstein
+def stream_wasserstein(spark, sf):
+    """INGEST-TIME earth-mover shift monitor — the streaming twin of
+    ``events_wasserstein`` on the SAME (weekday, type, cnt) contingency
+    state ``stream_tv``/``stream_hellinger`` carry; the SHARED
+    ``wasserstein_rollup`` re-derives the exact integer CDF prefixes
+    and the one-division W1 from the final state. State is O(1)."""
+    from ..plans.events_analytics import dow_type_counts, wasserstein_rollup
+
+    merged = _stream_merged_state(
+        spark,
+        sf,
+        "stream_wasserstein",
+        dow_type_counts,
+        _sum_merge(["dow", "event_type"], ["cnt"]),
+    )
+    return wasserstein_rollup(merged).localCheckpoint()
+
+
+@register("stream_gamma", None)  # pytest: == batch events_gamma
+def stream_gamma(spark, sf):
+    """INGEST-TIME ordinal-association monitor — the streaming twin of
+    ``events_gamma``: the carried state is the per-user (view count,
+    purchase count) grain ``stream_spearman``/``stream_kendall`` carry
+    (both plain SUMs — exactly mergeable for any micro-batch split),
+    and the SHARED ``ordinal_rollup`` re-derives the cell-pair
+    concordance counts, the tie corrections, and all four statistics
+    from the final state, so streaming == batch is a theorem about
+    SUM. State is O(users); each batch's merge keys on user_id only."""
+    from ..plans.events_analytics import ordinal_rollup, user_ab
+
+    merged = _stream_merged_state(
+        spark, sf, "stream_gamma", user_ab, _sum_merge(["user_id"], ["a", "b"])
+    )
+    return ordinal_rollup(merged).localCheckpoint()

@@ -2138,3 +2138,54 @@ def test_stream_nelson_aalen_equals_batch(spark):
     assert key(got).equals(key(want))
     again = ops.REGISTRY["stream_nelson_aalen"][0](spark, SF).toPandas()
     assert key(again).equals(key(got))
+
+
+def test_stream_tv_equals_batch(spark):
+    """stream_tv's one-row readout == the one-shot events_tv_distance
+    (carried state is the sum-mergeable weekday contingency grain —
+    the stream_hellinger shape). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_tv"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_tv_distance"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_tv"][0](spark, SF).toPandas()
+    assert again.equals(got)
+
+
+def test_stream_wasserstein_equals_batch(spark):
+    """stream_wasserstein's one-row readout == the one-shot
+    events_wasserstein (same contingency state as stream_tv).
+    Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_wasserstein"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_wasserstein"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_wasserstein"][0](spark, SF).toPandas()
+    assert again.equals(got)
+
+
+def test_stream_gamma_equals_batch(spark):
+    """stream_gamma's one-row readout == the one-shot events_gamma
+    (carried state is the sum-mergeable per-user (a, b) grain — the
+    stream_spearman/stream_kendall shape). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_gamma"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_gamma"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_gamma"][0](spark, SF).toPandas()
+    assert again.equals(got)
