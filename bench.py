@@ -422,6 +422,15 @@ HEADLINE = [
     "events_durbin_watson",
     "events_hellinger",
     "events_nelson_aalen",
+    # r5u additions (twenty-first session) — TV/Wasserstein distances,
+    # ordinal association, PACF/Ljung-Box/Pettitt diagnostics (subtract
+    # this group too for earlier-round-comparable subtotals)
+    "events_tv_distance",
+    "events_wasserstein",
+    "events_gamma",
+    "events_pacf",
+    "events_ljung_box",
+    "events_pettitt",
 ]
 
 

@@ -8970,3 +8970,335 @@ def events_gamma(spark, sf):
     pairs, never user^2), two marginal rollups, one single-row
     readout."""
     return ordinal_rollup(user_ab(_events(spark, sf)))
+
+
+# ------------------------------------ lag-2 autocovariance diagnostics --
+
+def acv_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals grain into the one-row exact
+    lag-0/1/2 autocovariance state (n, C0, C1, C2) — the shared front
+    half of ``events_pacf`` and ``events_ljung_box``. Deviations are
+    scaled by n (d_t = n*x_t - S, an exact BIGINT — the events_autocorr
+    trick), so every product is an exact DECIMAL(38,0) and the n^2
+    scale cancels in every downstream ratio."""
+    w = Window.orderBy("day")
+    tot = dt.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+    )
+    d = dt.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "day",
+        (F.col("n") * F.col("cnt") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("d"),
+    )
+    per = d.select(
+        "n",
+        "d",
+        F.lag("d").over(w).alias("p1"),
+        F.lag("d", 2).over(w).alias("p2"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    return per.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("d") * F.col("d")).alias("c0"),
+        F.sum(
+            F.when(F.col("p1").isNotNull(), F.col("d") * F.col("p1"))
+            .otherwise(zero)
+        ).alias("c1"),
+        F.sum(
+            F.when(F.col("p2").isNotNull(), F.col("d") * F.col("p2"))
+            .otherwise(zero)
+        ).alias("c2"),
+    )
+
+
+def _acv_sql_front() -> str:
+    """Shared oracle front half for the lag-2 autocovariance family:
+    the (day, cnt) daily grain, n-scaled exact deviations, and the
+    HUGEINT lag-0/1/2 product sums (the dw oracle's engine-twin)."""
+    return (
+        "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        " CAST(SUM(cnt) AS BIGINT) AS s FROM dt), "
+        "dd AS (SELECT n, CAST(n * cnt - s AS HUGEINT) AS d, "
+        " LAG(CAST(n * cnt - s AS HUGEINT)) OVER (ORDER BY day) AS p1, "
+        " LAG(CAST(n * cnt - s AS HUGEINT), 2) OVER (ORDER BY day) AS p2 "
+        " FROM dt, tot), "
+        "m AS (SELECT MAX(n) AS n, "
+        " CAST(SUM(d * d) AS HUGEINT) AS c0, "
+        " CAST(SUM(CASE WHEN p1 IS NOT NULL THEN d * p1 ELSE 0 END) "
+        "  AS HUGEINT) AS c1, "
+        " CAST(SUM(CASE WHEN p2 IS NOT NULL THEN d * p2 ELSE 0 END) "
+        "  AS HUGEINT) AS c2 FROM dd) "
+    )
+
+
+def pacf_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals grain into the one-row partial
+    autocorrelation readout — shared by ``events_pacf`` and its
+    streaming twin (the cross-multiplied integer contract lives
+    here)."""
+    m = acv_rollup(dt)
+    c0, c1, c2 = F.col("c0"), F.col("c1"), F.col("c2")
+    return (
+        m.filter(
+            (F.col("n") >= 3) & (c0 > 0) & (F.abs(c1) < c0)
+        )
+        .select(
+            F.col("n").alias("n_days"),
+            c0.cast("long").alias("acv0"),
+            c1.cast("long").alias("acv1"),
+            c2.cast("long").alias("acv2"),
+            _FMT6(c1.cast("double") / c0.cast("double")).alias("r1"),
+            _FMT6(c2.cast("double") / c0.cast("double")).alias("r2"),
+            _FMT6(
+                (c2 * c0 - c1 * c1).cast("double")
+                / (c0 * c0 - c1 * c1).cast("double")
+            ).alias("pacf2"),
+        )
+    )
+
+
+@register(
+    "events_pacf",
+    # Lag-2 partial autocorrelation of the daily total-volume series
+    # via Durbin-Levinson: phi_22 = (r2 - r1^2)/(1 - r1^2) respelled
+    # over the common C0 denominator as (C2*C0 - C1^2)/(C0^2 - C1^2) —
+    # a ratio of two exact HUGEINT/DECIMAL(38,0) integers and ONE IEEE
+    # division; r1, r2 are each one exact-integer division too.
+    _acv_sql_front()
+    + "SELECT n AS n_days, "
+    "CAST(c0 AS BIGINT) AS acv0, CAST(c1 AS BIGINT) AS acv1, "
+    "CAST(c2 AS BIGINT) AS acv2, "
+    "printf('%.6f', ROUND(CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE), 6)) "
+    " AS r1, "
+    "printf('%.6f', ROUND(CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE), 6)) "
+    " AS r2, "
+    "printf('%.6f', ROUND(CAST(c2 * c0 - c1 * c1 AS DOUBLE) "
+    " / CAST(c0 * c0 - c1 * c1 AS DOUBLE), 6)) AS pacf2 "
+    "FROM m WHERE n >= 3 AND c0 > 0 AND ABS(c1) < c0",
+)
+def events_pacf(spark, sf):
+    """Lag-2 partial autocorrelation of the daily total-volume series —
+    the order-identification companion to ``events_autocorr``'s ACF and
+    ``events_durbin_watson``'s residual test: phi_22 is the correlation
+    between today and two days ago AFTER removing what yesterday
+    already explains, the statistic that separates an AR(1) process
+    (phi_22 near 0 — the Box-Jenkins 'cut-off') from genuinely deeper
+    memory (phi_22 large), i.e. whether a one-day-lag forecast model
+    is enough.
+
+    Float discipline: deviations are scaled by n (d_t = n*x_t - S, an
+    exact BIGINT), so the lag-0/1/2 product sums C0, C1, C2 are exact
+    DECIMAL(38,0)/HUGEINT integers whose n^2 scale cancels in every
+    ratio; Durbin-Levinson phi_22 = (r2 - r1^2)/(1 - r1^2) is
+    respelled over the common denominator as (C2*C0 - C1^2) /
+    (C0^2 - C1^2) — still a ratio of two EXACT integers (the decimal
+    products stay < 10^31 at every test SF; headroom documented per
+    the events_spearman note) and ONE correctly-rounded IEEE division
+    under ROUND + %.6f; r1 and r2 are likewise one division each. The
+    exact integer autocovariances are emitted alongside. Degenerate
+    series (n < 3, constant, or |r1| = 1) are filtered by identical
+    integer guards on both engines.
+
+    Scale shape: one map-side-combinable fact collapse to the daily
+    grain (shared ``day_totals``), one broadcast of the one-row total,
+    one lag window plus a one-row aggregate over the dimension-sized
+    day table — facts touched once, never sorted."""
+    return pacf_rollup(day_totals(_events(spark, sf)))
+
+
+_CHI2_95_DF2 = 5.991464547107982  # = -2*ln(0.05): exact chi2(2) 95% point
+
+
+def ljung_box_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals grain into the one-row Ljung-Box
+    portmanteau readout (lags 1-2) — shared by ``events_ljung_box``
+    and its streaming twin (the pinned 3-op float chain lives here)."""
+    m = acv_rollup(dt)
+    n, c0, c1, c2 = F.col("n"), F.col("c0"), F.col("c1"), F.col("c2")
+    q = (
+        (n * (n + 2)).cast("double")
+        * (c1 * c1 * (n - 2) + c2 * c2 * (n - 1)).cast("double")
+        / ((n - 1) * (n - 2)).cast("double")
+        / (c0 * c0).cast("double")
+    )
+    return (
+        m.filter((n >= 3) & (c0 > 0))
+        .select(
+            n.alias("n_days"),
+            _FMT6(q).alias("lb_q"),
+            (q > F.lit(_CHI2_95_DF2)).alias("serial_dependence_95"),
+        )
+    )
+
+
+def _ljung_box_sql() -> str:
+    """Build the events_ljung_box oracle: the shared autocovariance
+    front half, then the IDENTICAL pinned mul/div/div chain and the
+    same inlined chi2(2) literal."""
+    return (
+        _acv_sql_front()
+        + "SELECT n AS n_days, "
+        "printf('%.6f', ROUND("
+        "CAST(n * (n + 2) AS DOUBLE) "
+        " * CAST(c1 * c1 * (n - 2) + c2 * c2 * (n - 1) AS DOUBLE) "
+        " / CAST((n - 1) * (n - 2) AS DOUBLE) / CAST(c0 * c0 AS DOUBLE)"
+        ", 6)) AS lb_q, "
+        "(CAST(n * (n + 2) AS DOUBLE) "
+        " * CAST(c1 * c1 * (n - 2) + c2 * c2 * (n - 1) AS DOUBLE) "
+        " / CAST((n - 1) * (n - 2) AS DOUBLE) / CAST(c0 * c0 AS DOUBLE)"
+        f" > {_CHI2_95_DF2!r}) AS serial_dependence_95 "
+        "FROM m WHERE n >= 3 AND c0 > 0"
+    )
+
+
+@register("events_ljung_box", _ljung_box_sql())
+def events_ljung_box(spark, sf):
+    """Ljung-Box portmanteau test (lags 1-2) on the daily total-volume
+    series — the JOINT whiteness test that complements the per-lag
+    readouts: ``events_autocorr``/``events_pacf`` ask how big each lag
+    is, Q asks whether the first two lags TOGETHER are consistent with
+    white noise, the standard pre-flight check before trusting an
+    i.i.d.-based monitor (and the df=2 twin of the DW single-lag
+    test). Q = n(n+2) * [r1^2/(n-1) + r2^2/(n-2)].
+
+    Float discipline: with rk = Ck/C0 over the exact integer
+    autocovariances (shared ``acv_rollup``), Q is respelled so every
+    integer subterm stays exact — numerator C1^2(n-2) + C2^2(n-1) and
+    denominators (n-1)(n-2), C0^2 are DECIMAL(38,0)/HUGEINT — and the
+    float part is a PINNED 3-op chain (mul, div, div in one textual
+    order on both engines; each IEEE op correctly rounded on identical
+    inputs, so the composition is bit-identical) under ROUND + %.6f.
+    The 5% decision compares that identical double against the inlined
+    chi2(2) critical literal -2*ln(0.05) = 5.991464547107982 — exact
+    for df=2 (the inverse CDF has the closed form -2*ln(alpha)), so
+    the flag is honest, not a non-dyadic table constant (the
+    retrieval_ndcg precomputed-literal trick).
+
+    Scale shape: identical to ``events_pacf`` — one map-side
+    collapse to the daily grain, one lag window over the
+    dimension-sized day table, one single-row readout."""
+    return ljung_box_rollup(day_totals(_events(spark, sf)))
+
+
+_LN40 = 3.6888794541139363  # = ln(40): 2*exp(-6K^2/(n^3+n^2)) < 0.05 bound
+
+
+def pettitt_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals grain into the one-row Pettitt
+    changepoint readout — shared by ``events_pettitt`` and its
+    streaming twin (the all-integer U_t recursion lives here)."""
+    w = Window.orderBy("day")
+    g = dt.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    wcum = Window.orderBy("cnt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cu = g.select(
+        "cnt", "k", F.sum("k").over(wcum).cast("long").alias("cum")
+    )
+    tot = dt.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    v = (
+        dt.join(F.broadcast(cu), "cnt")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n",
+            (2 * F.col("cum") - F.col("k") - F.col("n"))
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    u = v.select(
+        "day",
+        "n",
+        F.sum("v").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long")
+        .alias("u"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") < F.col("n"))
+    pick = Window.orderBy(F.abs(F.col("u")).desc(), F.col("day"))
+    top = (
+        u.select(
+            "day", "n", "u", F.row_number().over(pick).alias("pr")
+        )
+        .filter(F.col("pr") == 1)
+    )
+    kk = F.abs(F.col("u"))
+    nn = F.col("n")
+    return top.select(
+        nn.alias("n_days"),
+        F.col("day").alias("change_day"),
+        kk.alias("k_stat"),
+        F.col("u").alias("u_at_change"),
+        (
+            (6 * kk * kk).cast("double")
+            > F.lit(_LN40) * (nn * nn * nn + nn * nn).cast("double")
+        ).alias("significant_95"),
+    )
+
+
+def _pettitt_sql() -> str:
+    """Build the events_pettitt oracle: the doubled-midrank V_t spelling
+    (V_t = 2*cum - k - n), the windowed U_t prefix sum, the
+    (|U| DESC, day) argmax, and the same inlined ln(40) literal."""
+    return (
+        "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+        "g AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS k FROM dt "
+        " GROUP BY cnt), "
+        "cu AS (SELECT cnt, k, CAST(SUM(k) OVER (ORDER BY cnt) AS BIGINT) "
+        " AS cum FROM g), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dt), "
+        "v AS (SELECT day, n, "
+        "  CAST(2 * cum - k - n AS BIGINT) AS v "
+        " FROM dt JOIN cu USING (cnt), tot), "
+        "u AS (SELECT day, n, "
+        "  CAST(SUM(v) OVER (ORDER BY day) AS BIGINT) AS u, "
+        "  ROW_NUMBER() OVER (ORDER BY day) AS rn FROM v), "
+        "t AS (SELECT day, n, u, "
+        "  ROW_NUMBER() OVER (ORDER BY ABS(u) DESC, day) AS pr "
+        " FROM u WHERE rn < n) "
+        "SELECT n AS n_days, day AS change_day, ABS(u) AS k_stat, "
+        "u AS u_at_change, "
+        "(CAST(6 * ABS(u) * ABS(u) AS DOUBLE) "
+        f" > {_LN40!r} * CAST(n * n * n + n * n AS DOUBLE)) "
+        " AS significant_95 "
+        "FROM t WHERE pr = 1"
+    )
+
+
+@register("events_pettitt", _pettitt_sql())
+def events_pettitt(spark, sf):
+    """Pettitt single-changepoint test on the daily total-volume
+    series — the RANK-based companion to ``events_changepoint``'s
+    CUSUM-of-levels argmax: U_t compares every day before t with every
+    day after t by sign only, so a sustained level shift is found
+    without being dragged by outlier days (the Mann-Whitney statistic
+    swept over all split points). Emits the split day, K = max|U_t|,
+    the signed U there (sign = direction of the shift), and the 5%
+    decision.
+
+    Float discipline: V_t = #(x_j < x_t) - #(x_j > x_t) is spelled
+    from the doubled-midrank machinery as 2*cum - k - n (all exact
+    BIGINTs — the events_spearman rank trick); U_t is the integer
+    prefix sum of V_t (the standard Pettitt recursion U_t = U_{t-1} +
+    V_t); the argmax is pinned by the total (|U| DESC, day) order on
+    both engines. The 5% flag inverts p = 2*exp(-6K^2/(n^3+n^2)) <
+    0.05 into 6K^2 > ln(40)*(n^3+n^2) with ln(40) inlined as a
+    precomputed correctly-rounded literal (the retrieval_ndcg trick) —
+    one identical multiply-and-compare on both engines, never a
+    data-dependent transcendental.
+
+    Scale shape: one map-side-combinable fact collapse to the daily
+    grain (shared ``day_totals``), rank machinery over the TINY
+    value-distribution table (broadcast back), two windows over the
+    dimension-sized day table — the all-pairs double sum is never
+    materialized (the O(n^2) definition collapses to the O(n)
+    recursion)."""
+    return pettitt_rollup(day_totals(_events(spark, sf)))

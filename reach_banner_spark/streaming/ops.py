@@ -4290,3 +4290,54 @@ def stream_gamma(spark, sf):
         spark, sf, "stream_gamma", user_ab, _sum_merge(["user_id"], ["a", "b"])
     )
     return ordinal_rollup(merged).localCheckpoint()
+
+
+@register("stream_pacf", None)  # pytest: == batch events_pacf
+def stream_pacf(spark, sf):
+    """INGEST-TIME partial-autocorrelation monitor — the streaming twin
+    of ``events_pacf``: the carried state is the (day, cnt)
+    daily-totals grain (plain SUM-able counts — exactly mergeable for
+    any micro-batch split, the stream_dw discipline), and the SHARED
+    ``pacf_rollup`` re-derives the exact autocovariances and the
+    cross-multiplied Durbin-Levinson ratio from the final state, so
+    streaming == batch is a theorem about SUM. State is O(days)."""
+    from ..plans.events_analytics import day_totals, pacf_rollup
+
+    merged = _stream_merged_state(
+        spark, sf, "stream_pacf", day_totals, _sum_merge(["day"], ["cnt"])
+    )
+    return pacf_rollup(merged).localCheckpoint()
+
+
+@register("stream_ljung_box", None)  # pytest: == batch events_ljung_box
+def stream_ljung_box(spark, sf):
+    """INGEST-TIME whiteness monitor — the streaming twin of
+    ``events_ljung_box`` on the SAME (day, cnt) daily-totals state
+    ``stream_pacf``/``stream_dw`` carry; the SHARED ``ljung_box_rollup``
+    re-derives the pinned 3-op Q chain and the chi2(2) decision from
+    the final state. State is O(days)."""
+    from ..plans.events_analytics import day_totals, ljung_box_rollup
+
+    merged = _stream_merged_state(
+        spark,
+        sf,
+        "stream_ljung_box",
+        day_totals,
+        _sum_merge(["day"], ["cnt"]),
+    )
+    return ljung_box_rollup(merged).localCheckpoint()
+
+
+@register("stream_pettitt", None)  # pytest: == batch events_pettitt
+def stream_pettitt(spark, sf):
+    """INGEST-TIME changepoint monitor — the streaming twin of
+    ``events_pettitt`` on the SAME (day, cnt) daily-totals state; the
+    SHARED ``pettitt_rollup`` re-runs the all-integer U_t recursion
+    and the pinned argmax from the final state, so streaming == batch
+    is a theorem about SUM. State is O(days)."""
+    from ..plans.events_analytics import day_totals, pettitt_rollup
+
+    merged = _stream_merged_state(
+        spark, sf, "stream_pettitt", day_totals, _sum_merge(["day"], ["cnt"])
+    )
+    return pettitt_rollup(merged).localCheckpoint()

@@ -3534,3 +3534,82 @@ def test_macro_amount_profile_composes_per_keys(spark):
     bw = REGISTRY["events_bowley_skew"][0](spark, SF).toPandas()
     assert int(rep.q2_cents[0]) == int(bw.q2_cents[0])
     assert rep.bowley_skew[0] == bw.bowley_skew[0]
+
+
+def test_events_pettitt_matches_definition(spark):
+    """The U_t = U_{t-1} + V_t recursion (V_t from doubled midranks) ==
+    the definitional O(n^2) double sign-sum over every (before, after)
+    day pair; argmax tie-break is (|U| DESC, day) — earliest day."""
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_pettitt"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    days = (
+        ev.assign(day=ev.ts.dt.strftime("%Y-%m-%d"))
+        .groupby("day")
+        .size()
+        .sort_index()
+    )
+    x = days.to_numpy()
+    n = len(x)
+    assert int(row["n_days"]) == n
+    best = None  # (K, day, u)
+    for t in range(1, n):
+        u = sum(
+            (1 if x[i] > x[j] else -1 if x[i] < x[j] else 0)
+            for i in range(t)
+            for j in range(t, n)
+        )
+        k = abs(u)
+        if best is None or k > best[0]:
+            best = (k, days.index[t - 1], u)
+    assert int(row["k_stat"]) == best[0]
+    assert row["change_day"] == best[1]
+    assert int(row["u_at_change"]) == best[2]
+
+
+def test_events_pacf_ljung_box_match_numpy(spark):
+    """PACF(2) and the Ljung-Box Q re-derive from the definitional
+    mean-centered numpy autocovariances (tolerance-compared — the
+    exact contract is the DuckDB oracle; this pins the FORMULA)."""
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    pa = REGISTRY["events_pacf"][0](spark, SF).toPandas()
+    lb = REGISTRY["events_ljung_box"][0](spark, SF).toPandas()
+    assert len(pa) == len(lb) == 1
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    x = (
+        ev.assign(day=ev.ts.dt.strftime("%Y-%m-%d"))
+        .groupby("day")
+        .size()
+        .sort_index()
+        .to_numpy()
+        .astype(float)
+    )
+    n = len(x)
+    d = x - x.mean()
+    c0 = float((d * d).sum())
+    c1 = float((d[1:] * d[:-1]).sum())
+    c2 = float((d[2:] * d[:-2]).sum())
+    r1, r2 = c1 / c0, c2 / c0
+    assert abs(float(pa.iloc[0]["r1"]) - r1) < 2e-6
+    assert abs(float(pa.iloc[0]["r2"]) - r2) < 2e-6
+    assert (
+        abs(float(pa.iloc[0]["pacf2"]) - (r2 - r1 * r1) / (1 - r1 * r1))
+        < 2e-6
+    )
+    q = n * (n + 2) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2))
+    assert abs(float(lb.iloc[0]["lb_q"]) - q) < 2e-6
+    # exact integer autocovariances reconcile with the scaled spelling
+    s = int(x.sum())
+    dd = (n * x).astype(object) - s
+    assert int(pa.iloc[0]["acv0"]) == int(sum(v * v for v in dd))
+    assert int(pa.iloc[0]["acv1"]) == int(
+        sum(dd[i] * dd[i - 1] for i in range(1, n))
+    )

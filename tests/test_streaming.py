@@ -2189,3 +2189,25 @@ def test_stream_gamma_equals_batch(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_gamma"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_pacf_ljung_pettitt_equal_batch(spark):
+    """The three daily-series diagnostic twins (PACF, Ljung-Box,
+    Pettitt) each == their one-shot batch key on the shared
+    sum-mergeable (day, cnt) state. Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    for skey, bkey in (
+        ("stream_pacf", "events_pacf"),
+        ("stream_ljung_box", "events_ljung_box"),
+        ("stream_pettitt", "events_pettitt"),
+    ):
+        got = ops.REGISTRY[skey][0](spark, SF).toPandas()
+        want = EV_REGISTRY[bkey][0](spark, SF).toPandas()
+        assert len(got) == len(want) == 1, skey
+        assert got.equals(want), skey
+        again = ops.REGISTRY[skey][0](spark, SF).toPandas()
+        assert again.equals(got), skey
