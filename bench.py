@@ -431,6 +431,9 @@ HEADLINE = [
     "events_pacf",
     "events_ljung_box",
     "events_pettitt",
+    "events_cochran_armitage",
+    "kg_avg_neighbor_degree",
+    "retrieval_r_precision",
 ]
 
 

@@ -5849,3 +5849,145 @@ def rbo_rollup(tf: DataFrame) -> DataFrame:
     for p_i in parts[1:]:
         out = out.unionByName(p_i)
     return out
+
+
+# --- R-precision ------------------------------------------------------------
+
+def _rprec_sql() -> str:
+    """Build the retrieval_r_precision oracle: per query the relevant
+    count R from the tf grain, candidates ranked (tf DESC, doc_id),
+    hits inside the top-R cut, one exact division per row."""
+    tf_cols = ", ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS "
+        f"{c}{i}"
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+        for c, t in (("r", r), ("l", l))
+    )
+    per = ", ".join(
+        f"g{i} AS (SELECT CAST(SUM(CASE WHEN l{i} >= {_MRR_REL_TF} "
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS rel{i} FROM tf), "
+        f"c{i} AS (SELECT l{i}, ROW_NUMBER() OVER "
+        f"(ORDER BY r{i} DESC, doc_id) AS rn FROM tf WHERE r{i} >= 1), "
+        f"a{i} AS (SELECT CAST(COALESCE(SUM(CASE WHEN c{i}.l{i} >= "
+        f"{_MRR_REL_TF} AND c{i}.rn <= g{i}.rel{i} THEN 1 ELSE 0 END), 0) "
+        f" AS BIGINT) AS hit{i} FROM c{i}, g{i})"
+        for i in range(len(_MRR_QUERIES))
+    )
+    froms = ", ".join(f"a{i}, g{i}" for i in range(len(_MRR_QUERIES)))
+
+    def row(name: str, hit: str, rel: str) -> str:
+        return (
+            f"SELECT '{name}' AS query, {rel} AS n_relevant, "
+            f"{hit} AS n_hits, "
+            f"printf('%.6f', ROUND(CASE WHEN {rel} > 0 THEN "
+            f" CAST({hit} AS DOUBLE) / {rel} ELSE CAST(0 AS DOUBLE) END, "
+            f" 6)) AS r_precision FROM {froms}"
+        )
+
+    n = len(_MRR_QUERIES)
+    rows = " UNION ALL ".join(
+        row(f"{r}->{l}", f"hit{i}", f"rel{i}")
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    )
+    tot_h = " + ".join(f"hit{i}" for i in range(n))
+    tot_r = " + ".join(f"rel{i}" for i in range(n))
+    allrow = row("__all__", f"({tot_h})", f"({tot_r})")
+    return (
+        f"WITH tf AS (SELECT doc_id, {tf_cols} FROM documents), {per} "
+        f"SELECT * FROM ({rows} UNION ALL {allrow}) q"
+    )
+
+
+@register("retrieval_r_precision", _rprec_sql())
+def retrieval_r_precision(spark, sf):
+    """R-precision over the ``retrieval_mrr`` query set — the
+    break-even point of the precision-recall curve (precision at rank
+    R where R = the query's own relevant count), the single-number
+    set-retrieval summary that, unlike P@k, cannot be gamed by the cut
+    depth: each query is judged at exactly the depth it deserves. At
+    that depth precision == recall, so one number carries both. The
+    ``__all__`` row is the micro-average (pooled hits / pooled R).
+
+    Float discipline: R and the hits-within-top-R are exact integers
+    (ranking pinned by the total (tf DESC, doc_id) order on both
+    engines); R-precision is ONE correctly-rounded IEEE division per
+    row under ROUND + %.6f (zero-relevant queries report 0 by the
+    retrieval_pr_at_k contract).
+
+    Scale shape: one corpus pass to the checkpointed tf grain (the
+    retrieval_mrr discipline); per query the rank window runs over the
+    CANDIDATES ONLY (docs containing the ranking term — a pushed
+    predicate bounds it far below the corpus), one single-row
+    aggregate each; single-row joins finish it."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf)
+    words = F.split(F.col("text"), " ")
+    tf_of = lambda t: F.size(  # noqa: E731
+        F.filter(words, lambda w: w == F.lit(t))
+    )
+    cols = [F.col("doc_id")]
+    for i, (r, l) in enumerate(_MRR_QUERIES):
+        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    tf = d.select(*cols).localCheckpoint()
+
+    parts = []
+    for i in range(len(_MRR_QUERIES)):
+        g = tf.agg(
+            F.sum(
+                F.when(F.col(f"l{i}") >= _MRR_REL_TF, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"rel{i}")
+        )
+        w = Window.orderBy(F.desc(f"r{i}"), F.asc("doc_id"))
+        cand = (
+            tf.filter(F.col(f"r{i}") >= 1)
+            .select(f"l{i}", F.row_number().over(w).alias("rn"))
+            .crossJoin(F.broadcast(g))
+        )
+        a = cand.agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col(f"l{i}") >= _MRR_REL_TF)
+                        & (F.col("rn") <= F.col(f"rel{i}")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"hit{i}")
+        )
+        parts.append(a.crossJoin(g))
+    one = parts[0]
+    for p_i in parts[1:]:
+        one = one.crossJoin(p_i)
+
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+
+    def row(name, hit, rel):
+        return F.struct(
+            F.lit(name).alias("query"),
+            rel.alias("n_relevant"),
+            hit.alias("n_hits"),
+            fmt(
+                F.when(rel > 0, hit.cast("double") / rel).otherwise(
+                    F.lit(0).cast("double")
+                )
+            ).alias("r_precision"),
+        )
+
+    n = len(_MRR_QUERIES)
+    rows = [
+        row(f"{r}->{l}", F.col(f"hit{i}"), F.col(f"rel{i}"))
+        for i, (r, l) in enumerate(_MRR_QUERIES)
+    ]
+    sum_of = lambda pre: sum(  # noqa: E731
+        (F.col(f"{pre}{i}") for i in range(1, n)), F.col(f"{pre}0")
+    )
+    rows.append(row("__all__", sum_of("hit"), sum_of("rel")))
+    return one.select(F.explode(F.array(*rows)).alias("q")).select(
+        "q.query", "q.n_relevant", "q.n_hits", "q.r_precision"
+    )

@@ -9302,3 +9302,130 @@ def events_pettitt(spark, sf):
     materialized (the O(n^2) definition collapses to the O(n)
     recursion)."""
     return pettitt_rollup(day_totals(_events(spark, sf)))
+
+
+# --------------------------------------- Cochran-Armitage dose trend --
+
+_CHI2_95_DF1 = 3.841458820694124  # published chi2(1) 95% point (z_{.975}^2)
+
+
+def dow_trial_counts(df: DataFrame) -> DataFrame:
+    """Per-weekday (trials, purchases) — the shared dose-response grain
+    for ``events_cochran_armitage`` and its streaming twin (plain
+    SUM-able counts, exactly mergeable across micro-batches; weekday =
+    the epoch-anchored events_cramers_v rule, NEVER dayofweek)."""
+    return (
+        df.select(
+            F.pmod(
+                F.datediff(
+                    F.to_date("ts"), F.lit("2024-01-01").cast("date")
+                ),
+                F.lit(7),
+            )
+            .cast("long")
+            .alias("dow"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("p"),
+        )
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("p").cast("long").alias("a"),
+        )
+    )
+
+
+def ca_rollup(g: DataFrame) -> DataFrame:
+    """Fold a (dow, n, a) dose grain into the one-row Cochran-Armitage
+    readout — shared by ``events_cochran_armitage`` and its streaming
+    twin (the exact-integer z^2 contract lives here)."""
+    m = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("a").cast("long").alias("aa"),
+        F.sum(F.col("dow") * F.col("a")).cast("long").alias("t1"),
+        F.sum(F.col("dow") * F.col("n")).cast("long").alias("t2"),
+        F.sum(F.col("dow") * F.col("dow") * F.col("n"))
+        .cast("long")
+        .alias("t3"),
+    )
+    nn, aa = F.col("nn"), F.col("aa")
+    t1, t2, t3 = F.col("t1"), F.col("t2"), F.col("t3")
+    diff = (nn * t1 - aa * t2).cast("decimal(38,0)")
+    vdose = (nn * t3 - t2 * t2).cast("decimal(38,0)")
+    num = nn.cast("decimal(38,0)") * diff * diff
+    den = (aa * (nn - aa)).cast("decimal(38,0)") * vdose
+    z2 = num.cast("double") / den.cast("double")
+    return (
+        m.filter((aa > 0) & (aa < nn) & (nn * t3 > t2 * t2))
+        .select(
+            nn.alias("n_events"),
+            aa.alias("n_purchases"),
+            F.signum((nn * t1 - aa * t2).cast("double"))
+            .cast("int")
+            .alias("trend_direction"),
+            _FMT6(z2).alias("ca_z2"),
+            (z2 > F.lit(_CHI2_95_DF1)).alias("trend_significant_95"),
+        )
+    )
+
+
+def _ca_sql() -> str:
+    """Build the events_cochran_armitage oracle: the epoch-anchored
+    weekday dose grain, the five exact moments, and the IDENTICAL
+    one-division z^2 with the same inlined chi2(1) literal."""
+    return (
+        "WITH g AS (SELECT CAST(DATEDIFF('day', DATE '2024-01-01', "
+        " CAST(ts AS DATE)) % 7 AS BIGINT) AS dow, "
+        " CAST(COUNT(*) AS BIGINT) AS n, "
+        " CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        "  AS BIGINT) AS a FROM events GROUP BY 1), "
+        "m AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, "
+        " CAST(SUM(a) AS BIGINT) AS aa, "
+        " CAST(SUM(dow * a) AS BIGINT) AS t1, "
+        " CAST(SUM(dow * n) AS BIGINT) AS t2, "
+        " CAST(SUM(dow * dow * n) AS BIGINT) AS t3 FROM g) "
+        "SELECT nn AS n_events, aa AS n_purchases, "
+        "CAST(SIGN(CAST(nn * t1 - aa * t2 AS DOUBLE)) AS INT) "
+        " AS trend_direction, "
+        "printf('%.6f', ROUND("
+        "CAST(CAST(nn AS HUGEINT) * CAST(nn * t1 - aa * t2 AS HUGEINT) "
+        "  * CAST(nn * t1 - aa * t2 AS HUGEINT) AS DOUBLE) "
+        " / CAST(CAST(aa * (nn - aa) AS HUGEINT) "
+        "  * CAST(nn * t3 - t2 * t2 AS HUGEINT) AS DOUBLE), 6)) AS ca_z2, "
+        "(CAST(CAST(nn AS HUGEINT) * CAST(nn * t1 - aa * t2 AS HUGEINT) "
+        "  * CAST(nn * t1 - aa * t2 AS HUGEINT) AS DOUBLE) "
+        " / CAST(CAST(aa * (nn - aa) AS HUGEINT) "
+        f"  * CAST(nn * t3 - t2 * t2 AS HUGEINT) AS DOUBLE)"
+        f" > {_CHI2_95_DF1!r}) AS trend_significant_95 "
+        "FROM m WHERE aa > 0 AND aa < nn AND nn * t3 > t2 * t2"
+    )
+
+
+@register("events_cochran_armitage", _ca_sql())
+def events_cochran_armitage(spark, sf):
+    """Cochran-Armitage trend test of purchase propensity across the
+    epoch-week (dose = weekday index 0..6) — the ORDERED-alternative
+    companion to ``events_cramers_v``: chi2 asks only whether the
+    weekday margins differ; CA asks the sharper monotone question (does
+    conversion drift up or down ACROSS the week?), which is the test
+    with power when the effect is a steady within-week ramp. Emits the
+    trend direction, z^2, and the 5% decision.
+
+    Float discipline: the five sufficient moments (N, A, T1 = sum d*a,
+    T2 = sum d*n, T3 = sum d^2*n) are exact BIGINTs; z^2 =
+    N(N*T1 - A*T2)^2 / (A(N-A)(N*T3 - T2^2)) has exact
+    DECIMAL(38,0)/HUGEINT numerator and denominator (products < 10^31
+    at every test SF — headroom per the events_spearman note) and is
+    ONE correctly-rounded IEEE division under ROUND + %.6f. The
+    direction is the exact integer sign of N*T1 - A*T2; the 5% flag
+    compares the identically-computed double against the inlined
+    chi2(1) literal 3.841458820694124 (the retrieval_ndcg
+    precomputed-literal trick), so both engines decide identically.
+    Degenerate margins (no purchases, all purchases, zero dose
+    variance) are filtered by identical integer guards.
+
+    Scale shape: ONE map-side-combinable fact collapse to the 7-row
+    dose grain (shared ``dow_trial_counts``), then a single-row fixed
+    expression — the events_cramers_v plan."""
+    return ca_rollup(dow_trial_counts(_events(spark, sf)))

@@ -6172,3 +6172,101 @@ def source_xml(spark, sf):
         .load(path)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+@register(
+    "kg_avg_neighbor_degree",
+    # Average-neighbor-degree curve knn(k) over the STRONG backbone —
+    # the raw co-occurrence graph is near-complete (every node degree
+    # n-1, the curve collapses to one vacuous row; see kg_diameter),
+    # so the curve is read where the geometry is informative: the
+    # above-mean-support edge set (_STRONG_SQL — the exact-integer
+    # n * n_edges > tot cut). Within a degree class every node has
+    # degree k, so the per-node float mean pools into the EXACT
+    # integer ratio sum_nbr_deg / (k * n_nodes): ONE division per row.
+    f"WITH t AS ({_TRIPLES_SQL}), "
+    f"{_STRONG_SQL}, "
+    "deg AS (SELECT conv_id, s AS node, CAST(COUNT(*) AS BIGINT) AS d "
+    " FROM e GROUP BY 1, 2), "
+    "snd AS (SELECT e.conv_id, e.s AS node, "
+    "  CAST(SUM(dd.d) AS BIGINT) AS snd FROM e "
+    " JOIN deg dd ON dd.conv_id = e.conv_id AND dd.node = e.o "
+    " GROUP BY 1, 2), "
+    "k AS (SELECT du.d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+    "  CAST(SUM(snd.snd) AS BIGINT) AS s_nbr FROM snd "
+    " JOIN deg du ON du.conv_id = snd.conv_id AND du.node = snd.node "
+    " GROUP BY 1) "
+    "SELECT degree, n_nodes, s_nbr AS sum_neighbor_deg, "
+    "printf('%.6f', ROUND(CAST(s_nbr AS DOUBLE) "
+    " / CAST(degree * n_nodes AS DOUBLE), 6)) AS knn "
+    "FROM k",
+)
+def kg_avg_neighbor_degree(spark, sf):
+    """Average-neighbor-degree curve knn(k) of the strong-backbone
+    graph — ``kg_assortativity``'s mixing coefficient unrolled into
+    the curve analysts actually read (Pastor-Satorras et al.): for
+    each degree class k, the mean degree of the neighbors of degree-k
+    nodes. A rising curve = assortative (hubs wire to hubs), falling =
+    disassortative (hubs fan out to leaves), and the SHAPE localizes
+    where the mixing happens in a way one pooled r cannot. Read over
+    the strong backbone (above-mean-support edges, the kg_diameter
+    cut) because the raw co-occurrence graph is near-complete and its
+    curve is the single vacuous row knn(n-1) = n-1.
+
+    Float discipline: within a degree class every node has degree
+    exactly k, so the mean of per-node means collapses to
+    sum_neighbor_deg / (k * n_nodes) — a ratio of exact BIGINTs (the
+    per-degree-class pooling is WHY no per-node float ever exists) and
+    ONE correctly-rounded IEEE division per row under ROUND + %.6f;
+    the exact integer numerator is emitted alongside.
+
+    Scale shape: derives from the memoized checkpointed strong edge
+    set (``_strong_edges_cached`` — bounded by convs × entity-domain²,
+    never turn volume), symmetrized; the degree table joins back on
+    (conv_id, node) — co-partitioned with the edge set's own key — and
+    the final rollup is degree-domain sized (a handful of rows)."""
+    strong = _strong_edges_cached(spark, sf)
+    e = (
+        strong.select("conv_id", F.col("a").alias("s"), F.col("b").alias("o"))
+        .union(
+            strong.select(
+                "conv_id", F.col("b").alias("s"), F.col("a").alias("o")
+            )
+        )
+        .distinct()
+    )
+    deg = e.groupBy("conv_id", F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    snd = (
+        e.join(
+            deg.select(
+                F.col("conv_id").alias("oc"),
+                F.col("node").alias("on"),
+                F.col("d").alias("nbr_d"),
+            ),
+            (F.col("oc") == F.col("conv_id")) & (F.col("on") == F.col("o")),
+        )
+        .groupBy("conv_id", F.col("s").alias("node"))
+        .agg(F.sum("nbr_d").cast("long").alias("snd"))
+    )
+    k = (
+        snd.join(deg, ["conv_id", "node"])
+        .groupBy(F.col("d").alias("degree"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("snd").cast("long").alias("s_nbr"),
+        )
+    )
+    return k.select(
+        "degree",
+        "n_nodes",
+        F.col("s_nbr").alias("sum_neighbor_deg"),
+        F.format_string(
+            "%.6f",
+            F.round(
+                F.col("s_nbr").cast("double")
+                / (F.col("degree") * F.col("n_nodes")).cast("double"),
+                6,
+            ),
+        ).alias("knn"),
+    )

@@ -4341,3 +4341,24 @@ def stream_pettitt(spark, sf):
         spark, sf, "stream_pettitt", day_totals, _sum_merge(["day"], ["cnt"])
     )
     return pettitt_rollup(merged).localCheckpoint()
+
+
+@register("stream_ca_trend", None)  # pytest: == events_cochran_armitage
+def stream_ca_trend(spark, sf):
+    """INGEST-TIME dose-trend monitor — the streaming twin of
+    ``events_cochran_armitage``: the carried state is the 7-row
+    (dow, n, a) dose grain (plain SUM-able counts — exactly mergeable
+    for any micro-batch split), and the SHARED ``ca_rollup`` re-derives
+    the five exact moments and the one-division z^2 from the final
+    state, so streaming == batch is a theorem about SUM. State is
+    O(1) — seven cells."""
+    from ..plans.events_analytics import ca_rollup, dow_trial_counts
+
+    merged = _stream_merged_state(
+        spark,
+        sf,
+        "stream_ca_trend",
+        dow_trial_counts,
+        _sum_merge(["dow"], ["n", "a"]),
+    )
+    return ca_rollup(merged).localCheckpoint()

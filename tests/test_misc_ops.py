@@ -3613,3 +3613,33 @@ def test_events_pacf_ljung_box_match_numpy(spark):
     assert int(pa.iloc[0]["acv1"]) == int(
         sum(dd[i] * dd[i - 1] for i in range(1, n))
     )
+
+
+def test_events_cochran_armitage_matches_python(spark):
+    """The CA z^2 re-derives from the definitional per-dose proportions
+    in float (tolerance-compared — the exact contract is the DuckDB
+    oracle; this pins the FORMULA and the epoch-anchored dose)."""
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_cochran_armitage"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    anchor = pd.Timestamp("2024-01-01")
+    d = ((ev.ts.dt.normalize() - anchor).dt.days % 7).astype(int)
+    a = ev.event_type.eq("purchase").astype(int)
+    g = pd.DataFrame({"d": d, "a": a}).groupby("d").agg(
+        n=("a", "size"), a=("a", "sum")
+    )
+    N, A = int(g.n.sum()), int(g.a.sum())
+    t1 = int((g.index * g.a).sum())
+    t2 = int((g.index * g.n).sum())
+    t3 = int((g.index * g.index * g.n).sum())
+    z2 = N * (N * t1 - A * t2) ** 2 / (A * (N - A) * (N * t3 - t2 * t2))
+    row = got.iloc[0]
+    assert int(row["n_events"]) == N
+    assert int(row["n_purchases"]) == A
+    assert abs(float(row["ca_z2"]) - z2) < 2e-6
+    sign = 1 if N * t1 > A * t2 else (-1 if N * t1 < A * t2 else 0)
+    assert int(row["trend_direction"]) == sign

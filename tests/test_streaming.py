@@ -2211,3 +2211,20 @@ def test_stream_pacf_ljung_pettitt_equal_batch(spark):
         assert got.equals(want), skey
         again = ops.REGISTRY[skey][0](spark, SF).toPandas()
         assert again.equals(got), skey
+
+
+def test_stream_ca_trend_equals_batch(spark):
+    """stream_ca_trend's one-row readout == the one-shot
+    events_cochran_armitage (carried state is the sum-mergeable 7-row
+    dose grain). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_ca_trend"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_cochran_armitage"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_ca_trend"][0](spark, SF).toPandas()
+    assert again.equals(got)
