@@ -434,6 +434,7 @@ HEADLINE = [
     "events_cochran_armitage",
     "kg_avg_neighbor_degree",
     "retrieval_r_precision",
+    "macro_serial_report",
 ]
 
 

@@ -9429,3 +9429,121 @@ def events_cochran_armitage(spark, sf):
     dose grain (shared ``dow_trial_counts``), then a single-row fixed
     expression — the events_cramers_v plan."""
     return ca_rollup(dow_trial_counts(_events(spark, sf)))
+
+
+# ------------------------------------------- serial-dependence macro ----
+
+def serial_report_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals grain into the one-row
+    serial-dependence report — shared by ``macro_serial_report`` and
+    its streaming twin (composes the shared ``dw_rollup``,
+    ``pacf_rollup``, ``ljung_box_rollup`` and ``pettitt_rollup``; each
+    readout keeps its per-key contract exactly)."""
+    dt = dt.localCheckpoint()
+    dw = dw_rollup(dt).select("n_days", "dw", "positive_autocorr")
+    pa = pacf_rollup(dt).select("r1", "r2", "pacf2")
+    lb = ljung_box_rollup(dt).select("lb_q", "serial_dependence_95")
+    pt = pettitt_rollup(dt).select(
+        F.col("change_day").alias("pettitt_day"),
+        F.col("k_stat").alias("pettitt_k"),
+        F.col("significant_95").alias("pettitt_significant_95"),
+    )
+    return (
+        dw.crossJoin(F.broadcast(pa))
+        .crossJoin(F.broadcast(lb))
+        .crossJoin(F.broadcast(pt))
+    )
+
+
+def _serial_report_sql() -> str:
+    """Compose the four serial-dependence oracles over ONE shared
+    day-totals CTE with disjoint names (dm = DW moments, am = the
+    autocovariance front, pg/pc/pv/pu/pt = the Pettitt chain)."""
+    return (
+        "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+        # Durbin-Watson moments
+        "dl AS (SELECT cnt, LAG(cnt) OVER (ORDER BY day) AS prev FROM dt), "
+        "dm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(CAST(cnt AS HUGEINT)) AS HUGEINT) AS s, "
+        "  CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS sxx, "
+        "  CAST(SUM(CASE WHEN prev IS NOT NULL THEN "
+        "   CAST(cnt - prev AS HUGEINT) * (cnt - prev) ELSE 0 END) "
+        "   AS HUGEINT) AS sdd FROM dl), "
+        # lag-2 autocovariances (n-scaled exact deviations)
+        "at AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        " CAST(SUM(cnt) AS BIGINT) AS s FROM dt), "
+        "ad AS (SELECT CAST(n * cnt - s AS HUGEINT) AS d, "
+        " LAG(CAST(n * cnt - s AS HUGEINT)) OVER (ORDER BY day) AS p1, "
+        " LAG(CAST(n * cnt - s AS HUGEINT), 2) OVER (ORDER BY day) AS p2 "
+        " FROM dt, at), "
+        "am AS (SELECT CAST(SUM(d * d) AS HUGEINT) AS c0, "
+        " CAST(SUM(CASE WHEN p1 IS NOT NULL THEN d * p1 ELSE 0 END) "
+        "  AS HUGEINT) AS c1, "
+        " CAST(SUM(CASE WHEN p2 IS NOT NULL THEN d * p2 ELSE 0 END) "
+        "  AS HUGEINT) AS c2 FROM ad), "
+        # Pettitt chain (doubled-midrank V_t, windowed U_t, pinned argmax)
+        "pg AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS k FROM dt "
+        " GROUP BY cnt), "
+        "pc AS (SELECT cnt, k, CAST(SUM(k) OVER (ORDER BY cnt) AS BIGINT) "
+        " AS cum FROM pg), "
+        "pv AS (SELECT day, n, CAST(2 * cum - k - n AS BIGINT) AS v "
+        " FROM dt JOIN pc USING (cnt), at), "
+        "pu AS (SELECT day, n, CAST(SUM(v) OVER (ORDER BY day) AS BIGINT) "
+        " AS u, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM pv), "
+        "pt AS (SELECT day, u, "
+        "  ROW_NUMBER() OVER (ORDER BY ABS(u) DESC, day) AS pr "
+        " FROM pu WHERE rn < n) "
+        "SELECT dm.n AS n_days, "
+        "printf('%.6f', ROUND(CAST(dm.n * dm.sdd AS DOUBLE) "
+        " / CAST(dm.n * dm.sxx - dm.s * dm.s AS DOUBLE), 6)) AS dw, "
+        "(2 * (dm.n * dm.sxx - dm.s * dm.s) > dm.n * dm.sdd) "
+        " AS positive_autocorr, "
+        "printf('%.6f', ROUND(CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE), 6)) "
+        " AS r1, "
+        "printf('%.6f', ROUND(CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE), 6)) "
+        " AS r2, "
+        "printf('%.6f', ROUND(CAST(c2 * c0 - c1 * c1 AS DOUBLE) "
+        " / CAST(c0 * c0 - c1 * c1 AS DOUBLE), 6)) AS pacf2, "
+        "printf('%.6f', ROUND("
+        "CAST(dm.n * (dm.n + 2) AS DOUBLE) "
+        " * CAST(c1 * c1 * (dm.n - 2) + c2 * c2 * (dm.n - 1) AS DOUBLE) "
+        " / CAST((dm.n - 1) * (dm.n - 2) AS DOUBLE) "
+        " / CAST(c0 * c0 AS DOUBLE), 6)) AS lb_q, "
+        "(CAST(dm.n * (dm.n + 2) AS DOUBLE) "
+        " * CAST(c1 * c1 * (dm.n - 2) + c2 * c2 * (dm.n - 1) AS DOUBLE) "
+        " / CAST((dm.n - 1) * (dm.n - 2) AS DOUBLE) "
+        f" / CAST(c0 * c0 AS DOUBLE) > {_CHI2_95_DF2!r}) "
+        " AS serial_dependence_95, "
+        "pt.day AS pettitt_day, ABS(pt.u) AS pettitt_k, "
+        "(CAST(6 * ABS(pt.u) * ABS(pt.u) AS DOUBLE) "
+        f" > {_LN40!r} * CAST(dm.n * dm.n * dm.n + dm.n * dm.n AS DOUBLE)) "
+        " AS pettitt_significant_95 "
+        "FROM dm, am, pt "
+        "WHERE pt.pr = 1 AND dm.n * dm.sxx - dm.s * dm.s > 0 "
+        " AND dm.n >= 3 AND c0 > 0 AND ABS(c1) < c0"
+    )
+
+
+@register("macro_serial_report", _serial_report_sql())
+def macro_serial_report(spark, sf):
+    """One-row serial-dependence report of the daily volume series —
+    the time-series pre-flight an ops dashboard runs before trusting
+    any i.i.d.-based monitor, composing the family's four newest
+    contracts over ONE shared ``day_totals`` grain: Durbin-Watson (and
+    its integer-decided direction flag), the lag-1/2 ACF and the
+    Durbin-Levinson PACF(2), the Ljung-Box joint whiteness Q with its
+    exact chi2(2) decision, and the Pettitt changepoint (day, K, 5%
+    flag). Green here pins the COMPOSITION (the macro_daily_health
+    rationale): the oracle re-derives all four chains from the same
+    day-totals CTE with disjoint names.
+
+    Float discipline: each readout keeps its per-key contract exactly
+    (single divisions of exact integers, the pinned 3-op Ljung-Box
+    chain, the precomputed -2*ln(0.05) and ln(40) literals); nothing
+    new is introduced by composition.
+
+    Scale shape: one map-side-combinable fact collapse to the calendar
+    day grain (localCheckpointed so the four rollups share ONE
+    materialization); every downstream stage is dimension-sized."""
+    return serial_report_rollup(day_totals(_events(spark, sf)))

@@ -4362,3 +4362,22 @@ def stream_ca_trend(spark, sf):
         _sum_merge(["dow"], ["n", "a"]),
     )
     return ca_rollup(merged).localCheckpoint()
+
+
+@register("stream_serial_report", None)  # pytest: == macro_serial_report
+def stream_serial_report(spark, sf):
+    """INGEST-TIME serial-dependence dashboard — the streaming twin of
+    ``macro_serial_report`` on the shared (day, cnt) daily-totals SUM
+    state (one state, the composed ``serial_report_rollup`` readout;
+    the composition twin of stream_dw/stream_pacf/stream_ljung_box/
+    stream_pettitt)."""
+    from ..plans.events_analytics import day_totals, serial_report_rollup
+
+    merged = _stream_merged_state(
+        spark,
+        sf,
+        "stream_serial_report",
+        day_totals,
+        _sum_merge(["day"], ["cnt"]),
+    )
+    return serial_report_rollup(merged).localCheckpoint()

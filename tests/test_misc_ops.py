@@ -3643,3 +3643,32 @@ def test_events_cochran_armitage_matches_python(spark):
     assert abs(float(row["ca_z2"]) - z2) < 2e-6
     sign = 1 if N * t1 > A * t2 else (-1 if N * t1 < A * t2 else 0)
     assert int(row["trend_direction"]) == sign
+
+
+def test_macro_serial_report_composes_per_keys(spark):
+    """The serial-dependence macro's columns reconcile EXACTLY with the
+    four per-key readouts over the same corpus (the
+    macro_series_profile composition discipline)."""
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["macro_serial_report"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    dw = REGISTRY["events_durbin_watson"][0](spark, SF).toPandas().iloc[0]
+    pa = REGISTRY["events_pacf"][0](spark, SF).toPandas().iloc[0]
+    lb = REGISTRY["events_ljung_box"][0](spark, SF).toPandas().iloc[0]
+    pt = REGISTRY["events_pettitt"][0](spark, SF).toPandas().iloc[0]
+    assert int(row["n_days"]) == int(dw["n_days"])
+    assert row["dw"] == dw["dw"]
+    assert bool(row["positive_autocorr"]) == bool(dw["positive_autocorr"])
+    for c in ("r1", "r2", "pacf2"):
+        assert row[c] == pa[c]
+    assert row["lb_q"] == lb["lb_q"]
+    assert bool(row["serial_dependence_95"]) == bool(
+        lb["serial_dependence_95"]
+    )
+    assert row["pettitt_day"] == pt["change_day"]
+    assert int(row["pettitt_k"]) == int(pt["k_stat"])
+    assert bool(row["pettitt_significant_95"]) == bool(
+        pt["significant_95"]
+    )

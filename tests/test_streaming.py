@@ -2228,3 +2228,20 @@ def test_stream_ca_trend_equals_batch(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_ca_trend"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_serial_report_equals_batch(spark):
+    """stream_serial_report's one-row readout == the one-shot
+    macro_serial_report (carried state is the sum-mergeable daily
+    grain). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_serial_report"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["macro_serial_report"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_serial_report"][0](spark, SF).toPandas()
+    assert again.equals(got)
