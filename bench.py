@@ -435,6 +435,7 @@ HEADLINE = [
     "kg_avg_neighbor_degree",
     "retrieval_r_precision",
     "macro_serial_report",
+    "events_page",
 ]
 
 

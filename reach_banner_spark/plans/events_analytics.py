@@ -6188,14 +6188,12 @@ def events_friedman(spark, sf):
     return friedman_rollup(day_totals(_events(spark, sf)))
 
 
-def friedman_rollup(dt: DataFrame) -> DataFrame:
-    """Fold a (day, cnt) daily-totals table into the one-row Friedman
-    readout — shared by ``events_friedman`` and its streaming twin
-    (the within-week doubled-midrank / exact-integer chi2 contract
-    lives here)."""
-    import functools
-    import operator
-
+def week_dow_ranksums(dt: DataFrame) -> DataFrame:
+    """One-row within-week doubled-midrank state over complete calendar
+    weeks — d0..d6 (per-weekday doubled rank sums), sq (sum of squared
+    doubled ranks), n (complete-week count): the shared blocked-rank
+    front of ``events_friedman`` and ``events_page`` (the midrank
+    contract lives ONCE)."""
     anchor = F.lit("2024-01-01").cast("date")
     dd = dt.select(
         "cnt",
@@ -6239,6 +6237,19 @@ def friedman_rollup(dt: DataFrame) -> DataFrame:
     ] + [F.sum(F.col("dr") * F.col("dr")).cast("long").alias("sq")]
     o = j.agg(*aggs)
     nb = cw.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return o.crossJoin(F.broadcast(nb))
+
+
+def friedman_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals table into the one-row Friedman
+    readout — shared by ``events_friedman`` and its streaming twin
+    (the exact-integer chi2 contract lives here, over the shared
+    ``week_dow_ranksums`` blocked-rank front)."""
+    import functools
+    import operator
+
+    o = week_dow_ranksums(dt)
+    gs = range(7)
     num = functools.reduce(
         operator.add,
         [
@@ -6249,8 +6260,7 @@ def friedman_rollup(dt: DataFrame) -> DataFrame:
     )
     den = F.col("sq") - F.col("n") * 7 * 64
     return (
-        o.crossJoin(F.broadcast(nb))
-        .filter((F.col("n") >= 2) & (den > 0))
+        o.filter((F.col("n") >= 2) & (den > 0))
         .select(
             F.col("n").alias("n_weeks"),
             num.alias("chi2_num"),
@@ -9547,3 +9557,102 @@ def macro_serial_report(spark, sf):
     day grain (localCheckpointed so the four rollups share ONE
     materialization); every downstream stage is dimension-sized."""
     return serial_report_rollup(day_totals(_events(spark, sf)))
+
+
+# ------------------------------------------------- Page trend test ----
+
+_Z_95_ONE_SIDED = 1.6448536269514722  # published one-sided normal 95% point
+
+
+def page_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals grain into the one-row Page-L
+    readout — shared by ``events_page`` and its streaming twin (the
+    doubled-L integer contract lives here, over the shared
+    ``week_dow_ranksums`` blocked-rank front)."""
+    import functools
+    import operator
+
+    o = week_dow_ranksums(dt)
+    l2 = functools.reduce(
+        operator.add,
+        [(k + 1) * F.col(f"d{k}") for k in range(7)],
+    ).cast("long")
+    n = F.col("n")
+    diff = (6 * (l2 - 224 * n)).cast("double")
+    z = diff / F.sqrt((18816 * n).cast("double"))
+    return o.filter(n >= 2).select(
+        n.alias("n_weeks"),
+        l2.alias("l2_stat"),
+        F.signum(l2 - 224 * n).cast("int").alias("trend_direction"),
+        _FMT6(z).alias("page_z"),
+        (z > F.lit(_Z_95_ONE_SIDED)).alias("increasing_95"),
+    )
+
+
+def _page_sql() -> str:
+    """Build the events_page oracle: the friedman blocked-midrank CTE
+    chain, then the doubled Page L, the exact-integer expectation
+    term, and the one-division z with the same inlined literal."""
+    l2 = " + ".join(f"{k + 1} * d{k}" for k in range(7))
+    z = (
+        f"CAST(6 * (({l2}) - 224 * n) AS DOUBLE) "
+        " / SQRT(CAST(18816 * n AS DOUBLE))"
+    )
+    cells = ", ".join(
+        f"CAST(SUM(CASE WHEN dow = {g} THEN dr ELSE 0 END) AS BIGINT) "
+        f"AS d{g}"
+        for g in range(7)
+    )
+    return (
+        "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+        "dd AS (SELECT cnt, "
+        " (CAST(day AS DATE) - DATE '2024-01-01') // 7 AS week, "
+        " (CAST(day AS DATE) - DATE '2024-01-01') % 7 AS dow FROM dt), "
+        "cw AS (SELECT week FROM dd GROUP BY week HAVING COUNT(*) = 7), "
+        "db AS (SELECT dd.* FROM dd JOIN cw ON dd.week = cw.week), "
+        "g AS (SELECT week, cnt, CAST(COUNT(*) AS BIGINT) AS t FROM db "
+        " GROUP BY 1, 2), "
+        "r AS (SELECT week, cnt, 2 * CAST(SUM(t) OVER (PARTITION BY week "
+        " ORDER BY cnt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        " AS BIGINT) - t + 1 AS dr FROM g), "
+        "j AS (SELECT db.dow, r.dr FROM db "
+        " JOIN r ON db.week = r.week AND db.cnt = r.cnt), "
+        "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cw), "
+        f"o AS (SELECT {cells} FROM j) "
+        f"SELECT n AS n_weeks, ({l2}) AS l2_stat, "
+        f"CAST(SIGN(({l2}) - 224 * n) AS INT) AS trend_direction, "
+        f"printf('%.6f', ROUND({z}, 6)) AS page_z, "
+        f"({z} > {_Z_95_ONE_SIDED!r}) AS increasing_95 "
+        "FROM o, nb WHERE n >= 2"
+    )
+
+
+@register("events_page", _page_sql())
+def events_page(spark, sf):
+    """Page's L trend test of an ORDERED weekday effect with calendar
+    weeks as blocks — the monotone-alternative sharpening of
+    ``events_friedman`` (Friedman asks only whether weekdays differ;
+    Page asks whether volume RAMPS across the week in the dose order
+    0..6 — the blocked sibling of ``events_jonckheere``, and the test
+    with power when the effect is a steady within-week drift that
+    repeats every week). L = sum_j j * R_j over the within-week rank
+    sums; a large L means late weekdays consistently out-rank early
+    ones.
+
+    Float discipline: within-week doubled midranks are exact integers
+    (the shared ``week_dow_ranksums`` front), so the doubled statistic
+    2L = sum (j+1)*D_j and the centered term 2L - 224n (E[2L] =
+    b*k(k+1)^2/2 with k=7) are exact BIGINTs; z = 6*(2L - 224n) /
+    sqrt(18816n) (4*36*Var[L] = b*k^2(k+1)^2(k-1) = 18816b) is ONE
+    sqrt of an exact integer and ONE IEEE division under ROUND +
+    %.6f. The classical no-ties variance is used (ties enter L via
+    midranks — the standard practice; Friedman's chi2 carries the tie
+    correction for this family). Direction is the exact integer sign;
+    the one-sided 5% flag compares the identically-computed z against
+    the inlined published normal literal 1.6448536269514722.
+
+    Scale shape: identical to ``events_friedman`` — one fact collapse
+    to the calendar-day grain; ranks and the final row live at
+    dimension scale (weeks × 7)."""
+    return page_rollup(day_totals(_events(spark, sf)))

@@ -4381,3 +4381,19 @@ def stream_serial_report(spark, sf):
         _sum_merge(["day"], ["cnt"]),
     )
     return serial_report_rollup(merged).localCheckpoint()
+
+
+@register("stream_page", None)  # pytest: == batch events_page
+def stream_page(spark, sf):
+    """INGEST-TIME ordered weekday-trend monitor — the streaming twin
+    of ``events_page`` on the SAME (day, cnt) daily-totals state the
+    serial-diagnostics twins carry; the SHARED ``page_rollup``
+    re-derives the blocked midranks and the doubled-L readout from the
+    final state, so streaming == batch is a theorem about SUM. State
+    is O(days)."""
+    from ..plans.events_analytics import day_totals, page_rollup
+
+    merged = _stream_merged_state(
+        spark, sf, "stream_page", day_totals, _sum_merge(["day"], ["cnt"])
+    )
+    return page_rollup(merged).localCheckpoint()

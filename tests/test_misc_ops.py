@@ -3672,3 +3672,38 @@ def test_macro_serial_report_composes_per_keys(spark):
     assert bool(row["pettitt_significant_95"]) == bool(
         pt["significant_95"]
     )
+
+
+def test_events_page_matches_python(spark):
+    """Page's doubled L re-derives from definitional within-week
+    midranks in Python; z and the expectation term reconcile with the
+    classical k=7 constants."""
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_page"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    anchor = pd.Timestamp("2024-01-01")
+    days = (
+        ev.assign(day=ev.ts.dt.normalize())
+        .groupby("day")
+        .size()
+        .reset_index(name="cnt")
+    )
+    days["off"] = (days.day - anchor).dt.days
+    days["week"] = days.off // 7
+    days["dow"] = days.off % 7
+    full = days.groupby("week").size()
+    days = days[days.week.isin(full[full == 7].index)]
+    n = days.week.nunique()
+    l2 = 0
+    for _, wk in days.groupby("week"):
+        r = wk.cnt.rank(method="average")  # midranks
+        l2 += int((2 * r * (wk.dow + 1)).sum())
+    assert int(row["n_weeks"]) == n
+    assert int(row["l2_stat"]) == l2
+    z = 6 * (l2 - 224 * n) / (18816 * n) ** 0.5
+    assert abs(float(row["page_z"]) - z) < 2e-6

@@ -2245,3 +2245,20 @@ def test_stream_serial_report_equals_batch(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_serial_report"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_page_equals_batch(spark):
+    """stream_page's one-row readout == the one-shot events_page
+    (carried state is the sum-mergeable daily grain). Re-run
+    identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_page"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_page"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_page"][0](spark, SF).toPandas()
+    assert again.equals(got)
