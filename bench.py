@@ -436,6 +436,9 @@ HEADLINE = [
     "retrieval_r_precision",
     "macro_serial_report",
     "events_page",
+    "events_turning_points",
+    "events_mk_seasonal",
+    "kg_clustering_curve",
 ]
 
 

@@ -9656,3 +9656,233 @@ def events_page(spark, sf):
     to the calendar-day grain; ranks and the final row live at
     dimension scale (weeks × 7)."""
     return page_rollup(day_totals(_events(spark, sf)))
+
+
+# ------------------------------------------------ turning-point test ----
+
+_Z_95_TWO_SIDED = 1.959963984540054  # published two-sided normal 95% point
+
+
+def turning_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals grain into the one-row
+    turning-point randomness readout — shared by
+    ``events_turning_points`` and its streaming twin (the strict
+    integer peak/trough contract lives here)."""
+    w = Window.orderBy("day")
+    tp = dt.select(
+        "cnt",
+        F.lag("cnt").over(w).alias("prev"),
+        F.lead("cnt").over(w).alias("next"),
+    )
+    is_turn = (
+        F.col("prev").isNotNull()
+        & F.col("next").isNotNull()
+        & (
+            ((F.col("prev") < F.col("cnt")) & (F.col("next") < F.col("cnt")))
+            | (
+                (F.col("prev") > F.col("cnt"))
+                & (F.col("next") > F.col("cnt"))
+            )
+        )
+    )
+    m = tp.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(is_turn, 1).otherwise(0)).cast("long").alias("t"),
+    )
+    n, t = F.col("n"), F.col("t")
+    z = (90 * t - 60 * (n - 2)).cast("double") / F.sqrt(
+        (90 * (16 * n - 29)).cast("double")
+    )
+    return m.filter(n >= 3).select(
+        n.alias("n_days"),
+        t.alias("n_turning"),
+        _FMT6((2 * (n - 2)).cast("double") / F.lit(3.0)).alias(
+            "expected_turning"
+        ),
+        _FMT6(z).alias("tp_z"),
+        (F.abs(z) > F.lit(_Z_95_TWO_SIDED)).alias("nonrandom_95"),
+    )
+
+
+def _turning_sql() -> str:
+    """Build the events_turning_points oracle: lag/lead windows over
+    the day grain, the strict integer peak/trough count, and the
+    IDENTICAL respelled z with the same inlined literal."""
+    return (
+        "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+        "l AS (SELECT cnt, LAG(cnt) OVER (ORDER BY day) AS prev, "
+        " LEAD(cnt) OVER (ORDER BY day) AS next FROM dt), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        " CAST(SUM(CASE WHEN prev IS NOT NULL AND next IS NOT NULL AND "
+        "  ((prev < cnt AND next < cnt) OR (prev > cnt AND next > cnt)) "
+        "  THEN 1 ELSE 0 END) AS BIGINT) AS t FROM l) "
+        "SELECT n AS n_days, t AS n_turning, "
+        "printf('%.6f', ROUND(CAST(2 * (n - 2) AS DOUBLE) / 3.0, 6)) "
+        " AS expected_turning, "
+        "printf('%.6f', ROUND(CAST(90 * t - 60 * (n - 2) AS DOUBLE) "
+        " / SQRT(CAST(90 * (16 * n - 29) AS DOUBLE)), 6)) AS tp_z, "
+        "(ABS(CAST(90 * t - 60 * (n - 2) AS DOUBLE) "
+        " / SQRT(CAST(90 * (16 * n - 29) AS DOUBLE))) "
+        f" > {_Z_95_TWO_SIDED!r}) AS nonrandom_95 "
+        "FROM m WHERE n >= 3"
+    )
+
+
+@register("events_turning_points", _turning_sql())
+def events_turning_points(spark, sf):
+    """Turning-point test of randomness on the daily total-volume
+    series — the local-extrema member of the randomness family
+    (``events_runs_test`` watches sign regimes around the median;
+    turning points watch the SHAPE: too few peaks/troughs = momentum
+    or trend, too many = alternation/over-correction). T counts strict
+    interior peaks and troughs; under i.i.d. E[T] = 2(n-2)/3 and
+    Var[T] = (16n-29)/90 (Kendall's classical result).
+
+    Float discipline: T and n are exact integers (strict integer
+    comparisons; equal neighbors simply do not count — both engines
+    apply the identical strict predicate, the honest treatment of the
+    no-ties classical theory on a tied corpus); the z respells to
+    (90T - 60(n-2)) / sqrt(90(16n-29)) — an exact integer numerator,
+    ONE sqrt of an exact integer, ONE IEEE division under ROUND +
+    %.6f; the expectation is ONE division by the dyadic-parsed 3.0
+    literal; the 5% flag compares |z| against the inlined published
+    two-sided normal literal.
+
+    Scale shape: one map-side-combinable fact collapse to the daily
+    grain (shared ``day_totals``), one lag/lead window plus a one-row
+    aggregate over the dimension-sized day table."""
+    return turning_rollup(day_totals(_events(spark, sf)))
+
+
+# ---------------------------------------------- seasonal Mann-Kendall ----
+
+def smk_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals grain into the one-row seasonal
+    Mann-Kendall readout (weekday strata) — shared by
+    ``events_mk_seasonal`` and its streaming twin (the summed exact-S /
+    tie-corrected-variance contract lives here)."""
+    anchor = F.lit("2024-01-01").cast("date")
+    dd = dt.select(
+        "day",
+        "cnt",
+        F.pmod(F.datediff(F.to_date("day"), anchor), F.lit(7))
+        .cast("long")
+        .alias("dow"),
+    )
+    a = dd.select(
+        "dow", F.col("day").alias("day_a"), F.col("cnt").alias("cnt_a")
+    )
+    b = dd.select(
+        "dow", F.col("day").alias("day_b"), F.col("cnt").alias("cnt_b")
+    )
+    s = (
+        a.join(b, ["dow"])
+        .filter(F.col("day_a") < F.col("day_b"))
+        .agg(
+            F.sum(
+                F.when(F.col("cnt_b") > F.col("cnt_a"), 1)
+                .when(F.col("cnt_b") < F.col("cnt_a"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    per = dd.groupBy("dow").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ties = (
+        dd.groupBy("dow", "cnt")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("dow")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("tc")
+        )
+    )
+    v = (
+        per.join(ties, "dow")
+        .agg(
+            F.sum(
+                F.col("m") * (F.col("m") - 1) * (2 * F.col("m") + 5)
+                - F.col("tc")
+            )
+            .cast("long")
+            .alias("var18"),
+            F.sum("m").cast("long").alias("n"),
+        )
+    )
+    j = s.crossJoin(F.broadcast(v))
+    sc = F.col("s")
+    cc = (
+        F.when(sc > 0, sc - 1).when(sc < 0, sc + 1).otherwise(F.lit(0))
+    ).cast("double")
+    z = cc / F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    return j.filter(F.col("var18") > 0).select(
+        F.col("n").alias("n_days"),
+        sc.alias("s_stat"),
+        F.col("var18").alias("var18_num"),
+        F.signum(sc.cast("double")).cast("int").alias("trend_direction"),
+        _FMT6(z).alias("smk_z"),
+        (F.abs(z) > F.lit(_Z_95_TWO_SIDED)).alias("trend_significant_95"),
+    )
+
+
+def _smk_sql() -> str:
+    """Build the events_mk_seasonal oracle: weekday-stratified day
+    pairs (the epoch-anchored dow), per-stratum tie-corrected variance
+    terms summed, and the IDENTICAL continuity-corrected z chain."""
+    return (
+        "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+        "dd AS (SELECT day, cnt, "
+        " CAST((CAST(day AS DATE) - DATE '2024-01-01') % 7 AS BIGINT) "
+        "  AS dow FROM dt), "
+        "s AS (SELECT CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1 "
+        "  WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s "
+        " FROM dd a JOIN dd b ON a.dow = b.dow AND a.day < b.day), "
+        "per AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS m FROM dd "
+        " GROUP BY dow), "
+        "tie AS (SELECT dow, CAST(SUM(t * (t - 1) * (2 * t + 5)) "
+        "  AS BIGINT) AS tc FROM (SELECT dow, cnt, "
+        "  CAST(COUNT(*) AS BIGINT) AS t FROM dd GROUP BY dow, cnt) "
+        " GROUP BY dow), "
+        "v AS (SELECT CAST(SUM(m * (m - 1) * (2 * m + 5) - tc) AS BIGINT) "
+        "  AS var18, CAST(SUM(m) AS BIGINT) AS n "
+        " FROM per JOIN tie USING (dow)) "
+        "SELECT n AS n_days, s AS s_stat, var18 AS var18_num, "
+        "CAST(SIGN(CAST(s AS DOUBLE)) AS INT) AS trend_direction, "
+        "printf('%.6f', ROUND(CAST(CASE WHEN s > 0 THEN s - 1 "
+        "  WHEN s < 0 THEN s + 1 ELSE 0 END AS DOUBLE) "
+        " / SQRT(CAST(var18 AS DOUBLE) / 18.0), 6)) AS smk_z, "
+        "(ABS(CAST(CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1 "
+        "  ELSE 0 END AS DOUBLE) / SQRT(CAST(var18 AS DOUBLE) / 18.0)) "
+        f" > {_Z_95_TWO_SIDED!r}) AS trend_significant_95 "
+        "FROM s, v WHERE var18 > 0"
+    )
+
+
+@register("events_mk_seasonal", _smk_sql())
+def events_mk_seasonal(spark, sf):
+    """Seasonal Mann-Kendall trend test of the daily total-volume
+    series with weekday strata (Hirsch-Slack's seasonal form, the
+    independent-seasons classical version) — the deseasonalized
+    sharpening of ``events_mann_kendall``: only SAME-WEEKDAY day pairs
+    are compared, so the weekly rhythm ``events_seasonality`` measures
+    cannot masquerade as (or mask) a monotone trend. S and the
+    tie-corrected variance are summed across the seven strata.
+
+    Float discipline: S is an exact BIGINT (integer sign comparisons);
+    each stratum's variance term m(m-1)(2m+5) - sum t(t-1)(2t+5) is
+    exact BIGINT arithmetic and the strata sum stays exact; z is the
+    continuity-corrected (S -+ 1)/sqrt(var18/18.0) — the IDENTICAL
+    fixed chain as events_mann_kendall (one int->double cast, one
+    division by the dyadic-parsed 18.0, one sqrt, one division) under
+    ROUND + %.6f; direction is the exact integer sign; the 5% flag
+    compares |z| against the inlined published two-sided normal
+    literal.
+
+    Scale shape: one map-side-combinable fact collapse to the daily
+    grain; the pair self-join keys on the stratum and is bounded by
+    7 x (days/7)^2 — calendar-bounded, independent of corpus size."""
+    return smk_rollup(day_totals(_events(spark, sf)))

@@ -6270,3 +6270,143 @@ def kg_avg_neighbor_degree(spark, sf):
             ),
         ).alias("knn"),
     )
+
+
+@register(
+    "kg_clustering_curve",
+    # Local-clustering-by-degree curve c(k) over the STRONG backbone
+    # (the raw co-occurrence graph is near-complete — see
+    # kg_avg_neighbor_degree). Per-node triangles come from the
+    # canonical-edge triple join (each triangle x<y<z counted once,
+    # then credited to all three corners); within a degree class every
+    # node has k(k-1)/2 wedges, so the mean of per-node clustering
+    # pools into the EXACT integer ratio 2*sum_tri / (k(k-1)*n_k):
+    # all counts BIGINT, ONE division per row. Degree-1 nodes have no
+    # wedges and are excluded by the same integer guard on both sides.
+    f"WITH t AS ({_TRIPLES_SQL}), "
+    f"{_STRONG_SQL}, "
+    "tn AS (SELECT e1.conv_id, e1.a AS x, e1.b AS y, e2.b AS z "
+    " FROM sp0 e1 "
+    " JOIN sp0 e2 ON e2.conv_id = e1.conv_id AND e2.a = e1.a "
+    "  AND e2.b > e1.b "
+    " JOIN sp0 e3 ON e3.conv_id = e1.conv_id AND e3.a = e1.b "
+    "  AND e3.b = e2.b), "
+    "tc AS (SELECT conv_id, node, CAST(COUNT(*) AS BIGINT) AS tri FROM ("
+    " SELECT conv_id, x AS node FROM tn "
+    " UNION ALL SELECT conv_id, y FROM tn "
+    " UNION ALL SELECT conv_id, z FROM tn) GROUP BY 1, 2), "
+    "dg AS (SELECT conv_id, s AS node, CAST(COUNT(*) AS BIGINT) AS d "
+    " FROM e GROUP BY 1, 2), "
+    "k AS (SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+    "  CAST(SUM(COALESCE(tc.tri, 0)) AS BIGINT) AS s_tri FROM dg "
+    " LEFT JOIN tc ON tc.conv_id = dg.conv_id AND tc.node = dg.node "
+    " WHERE dg.d >= 2 GROUP BY 1) "
+    "SELECT degree, n_nodes, s_tri AS sum_triangles, "
+    "printf('%.6f', ROUND(CAST(2 * s_tri AS DOUBLE) "
+    " / CAST(degree * (degree - 1) * n_nodes AS DOUBLE), 6)) AS ck "
+    "FROM k",
+)
+def kg_clustering_curve(spark, sf):
+    """Local-clustering-by-degree curve c(k) of the strong-backbone
+    graph — ``kg_clustering``'s global coefficient unrolled into the
+    degree-resolved curve (the hierarchical-structure fingerprint:
+    c(k) falling like a power law is the classical signature of
+    modular/hierarchical organization, flat c(k) of degree-independent
+    cohesion), read next to ``kg_avg_neighbor_degree``'s knn(k) as the
+    standard two-curve structural profile. Over the strong backbone
+    for the same reason as knn(k): the raw co-occurrence graph is
+    near-complete and every local coefficient degenerates to 1.
+
+    Float discipline: per-node triangle counts come from the
+    canonical-edge (a < b) triple join — each triangle counted once
+    and credited to its three corners, all exact BIGINTs; within a
+    degree class every node has exactly k(k-1)/2 wedges, so the mean
+    of per-node clustering coefficients pools into 2*sum_triangles /
+    (k(k-1)*n_nodes) — a ratio of exact integers (the pooling is WHY
+    no per-node float ever exists) and ONE correctly-rounded IEEE
+    division per row under ROUND + %.6f; the exact numerator is
+    emitted alongside. Degree-1 nodes (zero wedges) are excluded by
+    the identical integer guard on both engines; zero-triangle nodes
+    still count in n_nodes (LEFT join + COALESCE — dropping them would
+    bias c(k) up).
+
+    Scale shape: derives from the memoized checkpointed strong edge
+    set (``_strong_edges_cached``); the triangle join is the bounded
+    kg_triangles self-join keyed conv_id-first; the degree table joins
+    back on (conv_id, node); the final rollup is degree-domain sized."""
+    strong = _strong_edges_cached(spark, sf)
+    sc = strong.select("conv_id", "a", "b")
+    e1 = sc.select(
+        "conv_id", F.col("a").alias("x"), F.col("b").alias("y")
+    )
+    e2 = sc.select(
+        F.col("conv_id").alias("c2"),
+        F.col("a").alias("x2"),
+        F.col("b").alias("z"),
+    )
+    e3 = sc.select(
+        F.col("conv_id").alias("c3"),
+        F.col("a").alias("y3"),
+        F.col("b").alias("z3"),
+    )
+    tn = (
+        e1.join(
+            e2,
+            (F.col("c2") == F.col("conv_id"))
+            & (F.col("x2") == F.col("x"))
+            & (F.col("z") > F.col("y")),
+        )
+        .join(
+            e3,
+            (F.col("c3") == F.col("conv_id"))
+            & (F.col("y3") == F.col("y"))
+            & (F.col("z3") == F.col("z")),
+        )
+        .select("conv_id", "x", "y", "z")
+    )
+    corners = (
+        tn.select("conv_id", F.col("x").alias("node"))
+        .unionByName(tn.select("conv_id", F.col("y").alias("node")))
+        .unionByName(tn.select("conv_id", F.col("z").alias("node")))
+    )
+    tc = corners.groupBy("conv_id", "node").agg(
+        F.count(F.lit(1)).cast("long").alias("tri")
+    )
+    e = (
+        sc.select("conv_id", F.col("a").alias("s"), F.col("b").alias("o"))
+        .union(
+            sc.select("conv_id", F.col("b").alias("s"), F.col("a").alias("o"))
+        )
+        .distinct()
+    )
+    dg = e.groupBy("conv_id", F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    k = (
+        dg.filter(F.col("d") >= 2)
+        .join(tc, ["conv_id", "node"], "left")
+        .groupBy(F.col("d").alias("degree"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.coalesce(F.col("tri"), F.lit(0)))
+            .cast("long")
+            .alias("s_tri"),
+        )
+    )
+    return k.select(
+        "degree",
+        "n_nodes",
+        F.col("s_tri").alias("sum_triangles"),
+        F.format_string(
+            "%.6f",
+            F.round(
+                (2 * F.col("s_tri")).cast("double")
+                / (
+                    F.col("degree")
+                    * (F.col("degree") - 1)
+                    * F.col("n_nodes")
+                ).cast("double"),
+                6,
+            ),
+        ).alias("ck"),
+    )

@@ -4397,3 +4397,38 @@ def stream_page(spark, sf):
         spark, sf, "stream_page", day_totals, _sum_merge(["day"], ["cnt"])
     )
     return page_rollup(merged).localCheckpoint()
+
+
+@register("stream_turning", None)  # pytest: == events_turning_points
+def stream_turning(spark, sf):
+    """INGEST-TIME shape-randomness monitor — the streaming twin of
+    ``events_turning_points`` on the SAME (day, cnt) daily-totals
+    state the serial-diagnostics twins carry; the SHARED
+    ``turning_rollup`` re-derives the strict peak/trough count and the
+    respelled z from the final state. State is O(days)."""
+    from ..plans.events_analytics import day_totals, turning_rollup
+
+    merged = _stream_merged_state(
+        spark, sf, "stream_turning", day_totals, _sum_merge(["day"], ["cnt"])
+    )
+    return turning_rollup(merged).localCheckpoint()
+
+
+@register("stream_mk_seasonal", None)  # pytest: == events_mk_seasonal
+def stream_mk_seasonal(spark, sf):
+    """INGEST-TIME deseasonalized-trend monitor — the streaming twin of
+    ``events_mk_seasonal`` on the SAME (day, cnt) daily-totals state;
+    the SHARED ``smk_rollup`` re-derives the stratified S, the summed
+    tie-corrected variance, and the continuity-corrected z from the
+    final state, so streaming == batch is a theorem about SUM. State
+    is O(days)."""
+    from ..plans.events_analytics import day_totals, smk_rollup
+
+    merged = _stream_merged_state(
+        spark,
+        sf,
+        "stream_mk_seasonal",
+        day_totals,
+        _sum_merge(["day"], ["cnt"]),
+    )
+    return smk_rollup(merged).localCheckpoint()

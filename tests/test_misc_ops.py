@@ -3707,3 +3707,69 @@ def test_events_page_matches_python(spark):
     assert int(row["l2_stat"]) == l2
     z = 6 * (l2 - 224 * n) / (18816 * n) ** 0.5
     assert abs(float(row["page_z"]) - z) < 2e-6
+
+
+def test_events_turning_points_matches_definition(spark):
+    """The turning-point count re-derives from the definitional strict
+    interior peak/trough scan; the z chain reconciles with Kendall's
+    moments."""
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_turning_points"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    x = (
+        ev.assign(day=ev.ts.dt.strftime("%Y-%m-%d"))
+        .groupby("day")
+        .size()
+        .sort_index()
+        .to_numpy()
+    )
+    n = len(x)
+    t = sum(
+        1
+        for i in range(1, n - 1)
+        if (x[i - 1] < x[i] > x[i + 1]) or (x[i - 1] > x[i] < x[i + 1])
+    )
+    assert int(row["n_days"]) == n
+    assert int(row["n_turning"]) == t
+    z = (90 * t - 60 * (n - 2)) / (90 * (16 * n - 29)) ** 0.5
+    assert abs(float(row["tp_z"]) - z) < 2e-6
+
+
+def test_events_mk_seasonal_matches_definition(spark):
+    """Seasonal-MK S re-derives from the definitional same-weekday pair
+    scan; the summed tie-corrected variance reconciles per stratum."""
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_mk_seasonal"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    anchor = pd.Timestamp("2024-01-01")
+    days = (
+        ev.assign(day=ev.ts.dt.normalize())
+        .groupby("day")
+        .size()
+        .reset_index(name="cnt")
+        .sort_values("day")
+    )
+    days["dow"] = (days.day - anchor).dt.days % 7
+    s = 0
+    var18 = 0
+    for _, g in days.groupby("dow"):
+        v = g.cnt.tolist()
+        m = len(v)
+        for i in range(m):
+            for j in range(i + 1, m):
+                s += 1 if v[j] > v[i] else (-1 if v[j] < v[i] else 0)
+        var18 += m * (m - 1) * (2 * m + 5)
+        for t in g.cnt.value_counts():
+            var18 -= int(t) * (int(t) - 1) * (2 * int(t) + 5)
+    assert int(row["s_stat"]) == s
+    assert int(row["var18_num"]) == var18

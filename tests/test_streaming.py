@@ -2262,3 +2262,24 @@ def test_stream_page_equals_batch(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_page"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_turning_mk_seasonal_equal_batch(spark):
+    """The turning-point and seasonal-MK twins each == their one-shot
+    batch key on the shared sum-mergeable (day, cnt) state. Re-run
+    identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    for skey, bkey in (
+        ("stream_turning", "events_turning_points"),
+        ("stream_mk_seasonal", "events_mk_seasonal"),
+    ):
+        got = ops.REGISTRY[skey][0](spark, SF).toPandas()
+        want = EV_REGISTRY[bkey][0](spark, SF).toPandas()
+        assert len(got) == len(want) == 1, skey
+        assert got.equals(want), skey
+        again = ops.REGISTRY[skey][0](spark, SF).toPandas()
+        assert again.equals(got), skey
