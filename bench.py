@@ -439,6 +439,7 @@ HEADLINE = [
     "events_turning_points",
     "events_mk_seasonal",
     "kg_clustering_curve",
+    "events_records",
 ]
 
 

@@ -9886,3 +9886,107 @@ def events_mk_seasonal(spark, sf):
     grain; the pair self-join keys on the stratum and is bounded by
     7 x (days/7)^2 — calendar-bounded, independent of corpus size."""
     return smk_rollup(day_totals(_events(spark, sf)))
+
+
+# ------------------------------------------------ record-counting test ----
+
+def records_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals grain into the one-row
+    record-count readout — shared by ``events_records`` and its
+    streaming twin (the strict prefix-extremum contract and the pinned
+    harmonic fold live here)."""
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    r = dt.select(
+        "cnt",
+        F.max("cnt").over(w).alias("pmax"),
+        F.min("cnt").over(w).alias("pmin"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("pmax").isNull() | (F.col("cnt") > F.col("pmax")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("rh"),
+        F.sum(
+            F.when(
+                F.col("pmin").isNull() | (F.col("cnt") < F.col("pmin")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("rl"),
+    )
+    hn = F.aggregate(
+        F.sequence(F.lit(1), F.col("n").cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / i.cast("double"),
+    )
+    return m.filter(F.col("n") >= 1).select(
+        F.col("n").alias("n_days"),
+        F.col("rh").alias("record_highs"),
+        F.col("rl").alias("record_lows"),
+        _FMT6(hn).alias("expected_records"),
+        (F.col("rh").cast("double") > hn).alias("excess_highs"),
+        (F.col("rl").cast("double") > hn).alias("excess_lows"),
+    )
+
+
+def _records_sql() -> str:
+    """Build the events_records oracle: prefix-extremum windows, the
+    strict integer record counts, and the IDENTICAL ascending harmonic
+    fold (list_reduce over a 0.0-prepended 1..n list — the
+    kg_resource_allocation fold discipline)."""
+    hn = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), range(1, n + 1)), "
+        "(s, x) -> s + CAST(1 AS DOUBLE) / CAST(x AS DOUBLE))"
+    )
+    return (
+        "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+        "r AS (SELECT cnt, "
+        " MAX(cnt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING "
+        "  AND 1 PRECEDING) AS pmax, "
+        " MIN(cnt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING "
+        "  AND 1 PRECEDING) AS pmin FROM dt), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        " CAST(SUM(CASE WHEN pmax IS NULL OR cnt > pmax THEN 1 ELSE 0 END) "
+        "  AS BIGINT) AS rh, "
+        " CAST(SUM(CASE WHEN pmin IS NULL OR cnt < pmin THEN 1 ELSE 0 END) "
+        "  AS BIGINT) AS rl FROM r) "
+        "SELECT n AS n_days, rh AS record_highs, rl AS record_lows, "
+        f"printf('%.6f', ROUND({hn}, 6)) AS expected_records, "
+        f"(CAST(rh AS DOUBLE) > {hn}) AS excess_highs, "
+        f"(CAST(rl AS DOUBLE) > {hn}) AS excess_lows "
+        "FROM m WHERE n >= 1"
+    )
+
+
+@register("events_records", _records_sql())
+def events_records(spark, sf):
+    """Record-counting randomness test on the daily total-volume
+    series — the extreme-value member of the randomness family
+    (``events_runs_test`` watches sign regimes, ``events_turning_points``
+    watches local shape; records watch the FRONTIER: a drifting series
+    keeps setting new highs long after an i.i.d. one has gone quiet).
+    Counts strict record highs and lows (the first day is both, the
+    classical convention); under i.i.d. the expected record count is
+    the harmonic number H_n regardless of the distribution — one of
+    the few exact distribution-free results in statistics.
+
+    Float discipline: record counts are exact integers (strict integer
+    comparisons against prefix extrema; ties are not records — both
+    engines apply the identical predicate); H_n = sum 1/i is a PINNED
+    ascending fold over the integer sequence 1..n (Spark
+    ``aggregate(sequence(1, n))`` == DuckDB ``list_reduce`` over the
+    0.0-prepended ``range`` — the kg_resource_allocation fold
+    discipline: identical term order, each step one correctly-rounded
+    IEEE add/divide) under ROUND + %.6f; the excess flags compare the
+    exact integer counts against the identically-computed H_n.
+
+    Scale shape: one map-side-combinable fact collapse to the daily
+    grain (shared ``day_totals``), one prefix-extremum window plus a
+    one-row aggregate over the dimension-sized day table; the harmonic
+    fold is O(days) on one row."""
+    return records_rollup(day_totals(_events(spark, sf)))

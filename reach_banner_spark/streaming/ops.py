@@ -4432,3 +4432,18 @@ def stream_mk_seasonal(spark, sf):
         _sum_merge(["day"], ["cnt"]),
     )
     return smk_rollup(merged).localCheckpoint()
+
+
+@register("stream_records", None)  # pytest: == batch events_records
+def stream_records(spark, sf):
+    """INGEST-TIME record-frontier monitor — the streaming twin of
+    ``events_records`` on the SAME (day, cnt) daily-totals state; the
+    SHARED ``records_rollup`` re-derives the prefix extrema and the
+    pinned harmonic fold from the final state, so streaming == batch
+    is a theorem about SUM. State is O(days)."""
+    from ..plans.events_analytics import day_totals, records_rollup
+
+    merged = _stream_merged_state(
+        spark, sf, "stream_records", day_totals, _sum_merge(["day"], ["cnt"])
+    )
+    return records_rollup(merged).localCheckpoint()

@@ -2283,3 +2283,20 @@ def test_stream_turning_mk_seasonal_equal_batch(spark):
         assert got.equals(want), skey
         again = ops.REGISTRY[skey][0](spark, SF).toPandas()
         assert again.equals(got), skey
+
+
+def test_stream_records_equals_batch(spark):
+    """stream_records' one-row readout == the one-shot events_records
+    (carried state is the sum-mergeable daily grain). Re-run
+    identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_records"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_records"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_records"][0](spark, SF).toPandas()
+    assert again.equals(got)
