@@ -440,6 +440,7 @@ HEADLINE = [
     "events_mk_seasonal",
     "kg_clustering_curve",
     "events_records",
+    "dedup_cross_split",
 ]
 
 

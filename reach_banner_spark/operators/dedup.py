@@ -744,3 +744,147 @@ def dedup_winnowing(spark, sf):
         .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
         .limit(50)
     )
+# --- cross-split leakage --------------------------------------------------
+
+def _cross_split_sql() -> str:
+    """Build the dedup_cross_split oracle: the split_assign MD5-prefix
+    bands, DISTINCT train membership sets at both the whole-doc-hash
+    and pseudo-line grains, LEFT-join probes, one exact division per
+    rate."""
+    split = (
+        "CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <= '02' "
+        " THEN 'val' "
+        "WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <= '05' "
+        " THEN 'test' ELSE 'train' END"
+    )
+    return (
+        f"WITH s AS (SELECT doc_id, {split} AS split, MD5(text) AS h "
+        " FROM documents), "
+        "tr AS (SELECT DISTINCT h FROM s WHERE split = 'train'), "
+        "ed AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "  CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) "
+        "   AS BIGINT) AS n_leaked_docs "
+        " FROM s LEFT JOIN tr ON tr.h = s.h WHERE split <> 'train' "
+        " GROUP BY split), "
+        "d AS (SELECT doc_id, string_split(text, ' ') AS w "
+        " FROM documents), "
+        "c AS (SELECT doc_id, unnest(generate_series(0, "
+        " CAST(CEIL(LEN(w) / 12.0) AS INT) - 1)) AS ci, w FROM d), "
+        "lines AS (SELECT doc_id, array_to_string(list_slice(w, "
+        " ci * 12 + 1, (ci + 1) * 12), ' ') AS line FROM c), "
+        "sl AS (SELECT lines.line, s.split FROM lines "
+        " JOIN s ON s.doc_id = lines.doc_id), "
+        "tl AS (SELECT DISTINCT line FROM sl WHERE split = 'train'), "
+        "el AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+        "  CAST(SUM(CASE WHEN tl.line IS NOT NULL THEN 1 ELSE 0 END) "
+        "   AS BIGINT) AS n_leaked_lines "
+        " FROM sl LEFT JOIN tl ON tl.line = sl.line "
+        " WHERE sl.split <> 'train' GROUP BY split) "
+        "SELECT ed.split, n_docs, n_leaked_docs, "
+        "printf('%.6f', ROUND(CAST(n_leaked_docs AS DOUBLE) "
+        " / CAST(n_docs AS DOUBLE), 6)) AS doc_leak_rate, "
+        "n_lines, n_leaked_lines, "
+        "printf('%.6f', ROUND(CAST(n_leaked_lines AS DOUBLE) "
+        " / CAST(n_lines AS DOUBLE), 6)) AS line_leak_rate "
+        "FROM ed JOIN el ON el.split = ed.split "
+        "WHERE n_docs > 0 AND n_lines > 0"
+    )
+
+
+@register("dedup_cross_split", _cross_split_sql())
+def dedup_cross_split(spark, sf):
+    """Train→eval leakage report — the DECONTAMINATION check every
+    training run owes its eval numbers (the GPT-3/C4 lesson: benchmark
+    content hiding verbatim in the training split inflates eval scores
+    silently): for each eval split of the deterministic
+    ``split_assign`` bands, membership of eval content in the train
+    split at TWO grains — whole-document exact text (MD5 of the body;
+    near-zero on a healthy corpus, the alarm wire) and the C4-style
+    12-word pseudo-line (the ``dedup_lines`` grain, where boilerplate
+    genuinely crosses the boundary — a few percent here is the
+    realistic background the doc-level zero would hide). Complements
+    ``contamination_ngram`` (partial overlap against a FIXED benchmark
+    list) with the whole-corpus membership sweep across the split
+    boundary itself.
+
+    Float discipline: all counts are exact integers (hash-set /
+    line-set membership via LEFT joins against DISTINCT train sets);
+    each leak rate is ONE correctly-rounded IEEE division per row
+    under ROUND + %.6f. Split membership is the split_assign
+    MD5-prefix contract — a pure function of doc_id, identical on both
+    engines.
+
+    Scale shape: one corpus pass per grain; the DISTINCT train sets
+    are content-bounded and the probes are hash joins keyed on the
+    digest/line (at 100 TB: broadcast if the train digest set fits,
+    else a shuffle join on the key — either way full text moves at
+    most once, into 16-byte hashes and bounded pseudo-lines); the
+    readout is two rows."""
+    from .textstats import doc_lines
+
+    d = _docs(spark, sf)
+    sp = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "02",
+        "val",
+    ).when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "05",
+        "test",
+    ).otherwise("train")
+    s = d.select("doc_id", F.md5("text").alias("h"), sp.alias("split"))
+    tr = (
+        s.filter(F.col("split") == "train")
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ed = (
+        s.filter(F.col("split") != "train")
+        .join(tr, "h", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_leaked_docs"),
+        )
+    )
+    sl = doc_lines(d).select("doc_id", "line").join(
+        s.select("doc_id", "split"), "doc_id"
+    )
+    tl = (
+        sl.filter(F.col("split") == "train")
+        .select("line")
+        .distinct()
+        .withColumn("lhit", F.lit(1))
+    )
+    el = (
+        sl.filter(F.col("split") != "train")
+        .join(tl, "line", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.coalesce(F.col("lhit"), F.lit(0)))
+            .cast("long")
+            .alias("n_leaked_lines"),
+        )
+    )
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    return (
+        ed.join(el, "split")
+        .filter((F.col("n_docs") > 0) & (F.col("n_lines") > 0))
+        .select(
+            "split",
+            "n_docs",
+            "n_leaked_docs",
+            fmt(
+                F.col("n_leaked_docs").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("doc_leak_rate"),
+            "n_lines",
+            "n_leaked_lines",
+            fmt(
+                F.col("n_leaked_lines").cast("double")
+                / F.col("n_lines").cast("double")
+            ).alias("line_leak_rate"),
+        )
+    )
