@@ -6008,3 +6008,40 @@ def udf_window_agg(spark, sf):
         .over(w)
         .alias("roll3"),
     )
+
+
+@register(
+    "scan_inmemory_cache",
+    # The cached projection must agree with the uncached relation — the
+    # oracle states the rollup from the parquet view; the
+    # InMemoryTableScan physical operator (and its columnar-batch read)
+    # is plan-gated in pytest, because caching is observable only in
+    # the plan, never in the rows.
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents GROUP BY source",
+)
+def scan_inmemory_cache(spark, sf):
+    """Aggregate over an explicitly CACHED projection — Spark's
+    in-memory columnar cache (``persist`` → ``InMemoryTableScan``), the
+    interactive-analytics primitive that turns a repeated dashboard's
+    parquet re-scan into a compressed columnar-batch read from executor
+    storage. The cache is registered through ``caching.persist_swap``
+    so repeated invocations in one long session rotate storage instead
+    of accumulating it (the repo-wide tracked-persist lifecycle).
+
+    Scale shape: the cached relation is the PROJECTED three-column
+    slice, not the full table (column pruning happens before the cache
+    fills, so executor storage holds only what downstream reads); the
+    rollup on top is one map-side-combinable aggregation over the
+    cached columnar batches. At 100 TB the same shape is
+    ``spark.catalog.cacheTable`` over a hot dimension or a
+    Delta/Iceberg table pinned in storage — never the raw fact scan."""
+    from ..caching import persist_swap
+
+    d = _t(spark, sf, "documents").select("source", "n_chars")
+    cached = persist_swap(d)
+    return cached.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

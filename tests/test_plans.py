@@ -120,8 +120,8 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 545, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 405, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 546, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 406, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
 
 
@@ -582,3 +582,18 @@ def test_scan_nested_prune_reads_one_subfield(spark):
     rs = scan[0].split("ReadSchema:")[1]
     assert "lang" in rs
     assert "text" not in rs and "source" not in rs and "n_chars" not in rs
+
+
+def test_scan_inmemory_cache_hits_cache(spark):
+    """scan_inmemory_cache's physical plan must read the
+    InMemoryTableScan columnar cache (caching is plan-observable only),
+    and the cached relation must be the pruned 2-column projection,
+    not the full table."""
+    from reach_banner_spark.plans.registry import all_queries
+
+    df = all_queries()["scan_inmemory_cache"](spark, SF)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "text" not in plan.split("InMemoryRelation")[0], (
+        "cache must hold the pruned projection, not the text column"
+    )
