@@ -441,6 +441,7 @@ HEADLINE = [
     "kg_clustering_curve",
     "events_records",
     "dedup_cross_split",
+    "emb_isotropy",
 ]
 
 

@@ -1783,3 +1783,136 @@ def emb_prefix_recall(spark, sf):
             ),
         ).alias("recall_at_10"),
     )
+
+
+# --- embedding isotropy ------------------------------------------------------
+
+def _isotropy_sql() -> str:
+    """Build the emb_isotropy oracle: per-vector positional norm folds,
+    per-dimension vec_id-sorted unit-coordinate folds, the dim-sorted
+    fold of squared dimension sums, and the pinned final
+    subtract-divide chain."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), {lst}), "
+        "(s, x) -> s + x)"
+    )
+    return (
+        "WITH e0 AS (SELECT vec_id, list_transform(embedding, "
+        " v -> CAST(v AS DOUBLE)) AS e FROM embeddings), "
+        "nv AS (SELECT vec_id, e, "
+        f" {fold.format(lst='list_transform(e, v -> v * v)')} AS n2 "
+        " FROM e0), "
+        "u AS (SELECT vec_id, list_transform(e, v -> v / SQRT(n2)) AS u "
+        " FROM nv WHERE n2 > 0), "
+        "q AS (SELECT vec_id, u, "
+        f" {fold.format(lst='list_transform(u, v -> v * v)')} AS q "
+        " FROM u), "
+        "x AS (SELECT vec_id, unnest(generate_series(1, len(u))) AS i, u "
+        " FROM u), "
+        "d AS (SELECT CAST(i - 1 AS BIGINT) AS dim, u[i] AS v, vec_id "
+        " FROM x), "
+        "g AS (SELECT dim, list(v ORDER BY vec_id) AS vs FROM d "
+        " GROUP BY dim), "
+        f"s AS (SELECT dim, {fold.format(lst='vs')} AS sd FROM g), "
+        "ss AS (SELECT "
+        f" {fold.format(lst='list(sd * sd ORDER BY dim)')} AS snorm2 "
+        " FROM s), "
+        "s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        f" {fold.format(lst='list(q ORDER BY vec_id)')} AS sq FROM q) "
+        "SELECT n AS n_vecs, "
+        "printf('%.6f', ROUND(sq, 6)) AS sum_unit_norm2, "
+        "printf('%.6f', ROUND((snorm2 - sq) "
+        " / CAST(n * (n - 1) AS DOUBLE), 6)) AS mean_pairwise_cos "
+        "FROM ss, s2 WHERE n >= 2"
+    )
+
+
+@register("emb_isotropy", _isotropy_sql())
+def emb_isotropy(spark, sf):
+    """Embedding-space isotropy diagnostic — the mean pairwise cosine
+    between all distinct normalized vectors, computed WITHOUT the
+    O(n^2) pair join via the centroid identity ||Σu||^2 = Σ||u||^2 +
+    Σ_{i≠j} cos(u_i, u_j): the Ethayarajh / Mu-Viswanath anisotropy
+    number (encoder cones score far above 0; a healthy retrieval space
+    sits near 0), read before trusting cosine thresholds anywhere else
+    in the embedding family — an anisotropic space silently inflates
+    every ``dedup_embedding_cosine`` and ``ann_*`` similarity.
+
+    Float discipline: every accumulation is a PINNED fold — per-vector
+    norms and unit-norm checks fold positionally over the array (the
+    emb_knn_graph discipline), per-dimension sums fold in vec_id order
+    (the emb_dim_stats sorted-fold discipline), the squared-dimension
+    sums fold in dim order — so each IEEE add happens in one textual
+    order on both engines; the readout is one pinned subtract-divide
+    chain under ROUND + %.6f. Σ||u||^2 is computed explicitly (NOT
+    assumed to be n: unit normalization rounds), and emitted as the
+    sum_unit_norm2 sanity column ≈ n.
+
+    Scale shape: ONE posexplode pass and one dim-keyed aggregation (64
+    groups) replace the n^2 pair join entirely — the identity is the
+    whole point at scale; the collect_list folds are the documented
+    determinism trade (two-pass scaled-integer sums at 100 TB, the
+    emb_dim_stats note)."""
+    e0 = _emb(spark, sf).select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    n2 = F.aggregate(
+        F.transform("e", lambda v: v * v), F.lit(0.0), lambda a, x: a + x
+    )
+    u = e0.select("vec_id", n2.alias("n2"), "e").filter(
+        F.col("n2") > 0
+    ).select(
+        "vec_id",
+        F.transform(
+            "e", lambda v: v / F.sqrt(F.col("n2"))
+        ).alias("u"),
+    )
+    q = u.select(
+        "vec_id",
+        "u",
+        F.aggregate(
+            F.transform("u", lambda v: v * v),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("q"),
+    )
+    q = q.localCheckpoint()
+    d = q.select("vec_id", F.posexplode("u").alias("dim", "v")).select(
+        "vec_id", F.col("dim").cast("long").alias("dim"), "v"
+    )
+    s = d.groupBy("dim").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("vec_id", "v"))),
+            F.lit(0.0),
+            lambda acc, st: acc + st["v"],
+        ).alias("sd")
+    )
+    ss = s.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("dim", "sd"))),
+            F.lit(0.0),
+            lambda acc, st: acc + st["sd"] * st["sd"],
+        ).alias("snorm2")
+    )
+    s2 = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("vec_id", "q"))),
+            F.lit(0.0),
+            lambda acc, st: acc + st["q"],
+        ).alias("sq"),
+    )
+    fmt6 = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    return (
+        ss.crossJoin(F.broadcast(s2))
+        .filter(F.col("n") >= 2)
+        .select(
+            F.col("n").alias("n_vecs"),
+            fmt6(F.col("sq")).alias("sum_unit_norm2"),
+            fmt6(
+                (F.col("snorm2") - F.col("sq"))
+                / (F.col("n") * (F.col("n") - 1)).cast("double")
+            ).alias("mean_pairwise_cos"),
+        )
+    )
