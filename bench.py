@@ -442,6 +442,7 @@ HEADLINE = [
     "events_records",
     "dedup_cross_split",
     "emb_isotropy",
+    "events_quade",
 ]
 
 

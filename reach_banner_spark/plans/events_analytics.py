@@ -6188,12 +6188,11 @@ def events_friedman(spark, sf):
     return friedman_rollup(day_totals(_events(spark, sf)))
 
 
-def week_dow_ranksums(dt: DataFrame) -> DataFrame:
-    """One-row within-week doubled-midrank state over complete calendar
-    weeks — d0..d6 (per-weekday doubled rank sums), sq (sum of squared
-    doubled ranks), n (complete-week count): the shared blocked-rank
-    front of ``events_friedman`` and ``events_page`` (the midrank
-    contract lives ONCE)."""
+def week_dow_ranks(dt: DataFrame) -> DataFrame:
+    """(week, dow, cnt, dr) within-week doubled-midrank table over
+    complete calendar weeks — the shared blocked-rank cell grain of
+    ``events_friedman``, ``events_page`` and ``events_quade`` (the
+    midrank contract lives ONCE)."""
     anchor = F.lit("2024-01-01").cast("date")
     dd = dt.select(
         "cnt",
@@ -6227,7 +6226,15 @@ def week_dow_ranksums(dt: DataFrame) -> DataFrame:
             "dr"
         ),
     )
-    j = db.join(r, ["week", "cnt"])
+    return db.join(r, ["week", "cnt"]).select("week", "dow", "cnt", "dr")
+
+
+def week_dow_ranksums(dt: DataFrame) -> DataFrame:
+    """One-row within-week doubled-midrank state over complete calendar
+    weeks — d0..d6 (per-weekday doubled rank sums), sq (sum of squared
+    doubled ranks), n (complete-week count) — rolled up from the
+    shared ``week_dow_ranks`` cell grain."""
+    j = week_dow_ranks(dt)
     gs = range(7)
     aggs = [
         F.sum(F.when(F.col("dow") == k, F.col("dr")).otherwise(0))
@@ -6236,7 +6243,7 @@ def week_dow_ranksums(dt: DataFrame) -> DataFrame:
         for k in gs
     ] + [F.sum(F.col("dr") * F.col("dr")).cast("long").alias("sq")]
     o = j.agg(*aggs)
-    nb = cw.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nb = j.agg(F.countDistinct("week").cast("long").alias("n"))
     return o.crossJoin(F.broadcast(nb))
 
 
@@ -9990,3 +9997,119 @@ def events_records(spark, sf):
     one-row aggregate over the dimension-sized day table; the harmonic
     fold is O(days) on one row."""
     return records_rollup(day_totals(_events(spark, sf)))
+
+
+# --------------------------------------------------------- Quade test ----
+
+def quade_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals grain into the one-row Quade
+    readout — shared by ``events_quade`` and its streaming twin (the
+    quadrupled-score integer contract lives here, over the shared
+    ``week_dow_ranks`` cell grain)."""
+    j = week_dow_ranks(dt)
+    rng = j.groupBy("week").agg(
+        (F.max("cnt") - F.min("cnt")).cast("long").alias("rg")
+    )
+    g = rng.groupBy("rg").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    wcum = Window.orderBy("rg").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dq = g.select(
+        "rg",
+        (2 * F.sum("t").over(wcum).cast("long") - F.col("t") + 1).alias(
+            "dq"
+        ),
+    )
+    wq = rng.join(F.broadcast(dq), "rg").select("week", "dq")
+    s2 = j.join(F.broadcast(wq), "week").select(
+        "week",
+        "dow",
+        (F.col("dq") * (F.col("dr") - 8)).cast("long").alias("s2"),
+    )
+    tj = s2.groupBy("dow").agg(F.sum("s2").cast("long").alias("tj"))
+    a2 = s2.agg(
+        F.sum(F.col("s2") * F.col("s2")).cast("long").alias("a2"),
+        F.countDistinct("week").cast("long").alias("b"),
+    )
+    st = tj.agg(F.sum(F.col("tj") * F.col("tj")).cast("long").alias("st"))
+    m = a2.crossJoin(F.broadcast(st))
+    b, A2, sT = F.col("b"), F.col("a2"), F.col("st")
+    num = (b - 1) * sT
+    den = b * A2 - sT
+    return m.filter((b >= 2) & (den > 0)).select(
+        b.alias("n_weeks"),
+        num.alias("quade_num"),
+        den.alias("quade_den"),
+        _FMT6(num.cast("double") / den.cast("double")).alias("quade_f"),
+    )
+
+
+def _quade_sql() -> str:
+    """Build the events_quade oracle: the friedman blocked-midrank CTE
+    chain, per-week range midranks, the quadrupled scores S2 =
+    dQ*(dr-8), and the all-integer F ratio (b-1)*ΣT² / (b*ΣS² - ΣT²)."""
+    return (
+        "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+        "dd AS (SELECT cnt, "
+        " (CAST(day AS DATE) - DATE '2024-01-01') // 7 AS week, "
+        " (CAST(day AS DATE) - DATE '2024-01-01') % 7 AS dow FROM dt), "
+        "cw AS (SELECT week FROM dd GROUP BY week HAVING COUNT(*) = 7), "
+        "db AS (SELECT dd.* FROM dd JOIN cw ON dd.week = cw.week), "
+        "g AS (SELECT week, cnt, CAST(COUNT(*) AS BIGINT) AS t FROM db "
+        " GROUP BY 1, 2), "
+        "r AS (SELECT week, cnt, 2 * CAST(SUM(t) OVER (PARTITION BY week "
+        " ORDER BY cnt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        " AS BIGINT) - t + 1 AS dr FROM g), "
+        "j AS (SELECT db.week, db.dow, r.dr FROM db "
+        " JOIN r ON db.week = r.week AND db.cnt = r.cnt), "
+        "rng AS (SELECT week, CAST(MAX(cnt) - MIN(cnt) AS BIGINT) AS rg "
+        " FROM db GROUP BY week), "
+        "rg_g AS (SELECT rg, CAST(COUNT(*) AS BIGINT) AS t FROM rng "
+        " GROUP BY rg), "
+        "rq AS (SELECT rg, 2 * CAST(SUM(t) OVER (ORDER BY rg "
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        " - t + 1 AS dq FROM rg_g), "
+        "wq AS (SELECT week, dq FROM rng JOIN rq USING (rg)), "
+        "s2 AS (SELECT j.week, j.dow, "
+        "  CAST(wq.dq * (j.dr - 8) AS BIGINT) AS s2 "
+        " FROM j JOIN wq ON wq.week = j.week), "
+        "tj AS (SELECT dow, CAST(SUM(s2) AS BIGINT) AS tj FROM s2 "
+        " GROUP BY dow), "
+        "a2 AS (SELECT CAST(SUM(s2 * s2) AS BIGINT) AS a2, "
+        "  CAST(COUNT(DISTINCT week) AS BIGINT) AS b FROM s2), "
+        "st AS (SELECT CAST(SUM(tj * tj) AS BIGINT) AS st FROM tj) "
+        "SELECT b AS n_weeks, (b - 1) * st AS quade_num, "
+        "b * a2 - st AS quade_den, "
+        "printf('%.6f', ROUND(CAST((b - 1) * st AS DOUBLE) "
+        " / CAST(b * a2 - st AS DOUBLE), 6)) AS quade_f "
+        "FROM a2, st WHERE b >= 2 AND b * a2 - st > 0"
+    )
+
+
+@register("events_quade", _quade_sql())
+def events_quade(spark, sf):
+    """Quade test of a weekday effect with calendar weeks as blocks —
+    the RANGE-WEIGHTED sibling of ``events_friedman`` (Friedman gives
+    every week one vote; Quade weights each week by the rank of its
+    own within-week spread, so weeks where the weekday effect is LARGE
+    in absolute terms dominate — the blocked test with more power at
+    small treatment counts, per Conover). S_ij = Q_i*(r_ij - (k+1)/2)
+    with Q_i the rank of week i's range; the statistic is the F ratio
+    (b-1)*B/(A-B).
+
+    Float discipline: with doubled midranks everywhere (within-week
+    dr, across-week range midranks dQ — both the events_spearman
+    trick) the quadrupled score S2 = dQ*(dr - 8) is an exact BIGINT
+    ((k+1)/2 = 4 is an integer for k=7, so no half ever appears); the
+    scale factors cancel in the F ratio, which respells to the
+    all-integer (b-1)*ΣT_j² / (b*ΣS² - ΣT_j²) — ONE correctly-rounded
+    IEEE division under ROUND + %.6f, numerator and denominator
+    emitted exactly. Degenerate corpora (one week, or all scores in
+    the treatment sums) are filtered by identical integer guards.
+
+    Scale shape: identical to ``events_friedman`` — one fact collapse
+    to the calendar-day grain (shared ``week_dow_ranks``); the range
+    midranks live at week scale (broadcast back); everything else is
+    dimension-sized (weeks × 7)."""
+    return quade_rollup(day_totals(_events(spark, sf)))

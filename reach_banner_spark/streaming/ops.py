@@ -4447,3 +4447,19 @@ def stream_records(spark, sf):
         spark, sf, "stream_records", day_totals, _sum_merge(["day"], ["cnt"])
     )
     return records_rollup(merged).localCheckpoint()
+
+
+@register("stream_quade", None)  # pytest: == batch events_quade
+def stream_quade(spark, sf):
+    """INGEST-TIME range-weighted blocked-rank monitor — the streaming
+    twin of ``events_quade`` on the SAME (day, cnt) daily-totals state
+    the friedman/page twins carry; the SHARED ``quade_rollup``
+    re-derives the blocked midranks, range weights, and the
+    all-integer F ratio from the final state, so streaming == batch is
+    a theorem about SUM. State is O(days)."""
+    from ..plans.events_analytics import day_totals, quade_rollup
+
+    merged = _stream_merged_state(
+        spark, sf, "stream_quade", day_totals, _sum_merge(["day"], ["cnt"])
+    )
+    return quade_rollup(merged).localCheckpoint()

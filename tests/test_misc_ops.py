@@ -3773,3 +3773,50 @@ def test_events_mk_seasonal_matches_definition(spark):
             var18 -= int(t) * (int(t) - 1) * (2 * int(t) + 5)
     assert int(row["s_stat"]) == s
     assert int(row["var18_num"]) == var18
+
+
+def test_events_quade_matches_python(spark):
+    """Quade's F re-derives from the textbook float formulation
+    (midranked treatments within blocks, range-ranked block weights,
+    centered scores) — tolerance-compared; the exact contract is the
+    DuckDB oracle."""
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_quade"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    anchor = pd.Timestamp("2024-01-01")
+    days = (
+        ev.assign(day=ev.ts.dt.normalize())
+        .groupby("day")
+        .size()
+        .reset_index(name="cnt")
+    )
+    days["off"] = (days.day - anchor).dt.days
+    days["week"] = days.off // 7
+    days["dow"] = days.off % 7
+    full = days.groupby("week").size()
+    days = days[days.week.isin(full[full == 7].index)]
+    b = days.week.nunique()
+    rng = days.groupby("week").cnt.agg(lambda v: v.max() - v.min())
+    q = rng.rank(method="average")
+    s = []
+    for wk, g in days.groupby("week"):
+        r = g.cnt.rank(method="average")
+        s.extend(float(q[wk]) * (r - 4.0))
+    import numpy as np
+
+    s = np.array(s)
+    a = float((s * s).sum())
+    tj = (
+        pd.DataFrame({"dow": days.dow.to_numpy(), "s": s})
+        .groupby("dow")
+        .s.sum()
+    )
+    bb = float((tj**2).sum()) / b
+    f = (b - 1) * bb / (a - bb)
+    assert int(row["n_weeks"]) == b
+    assert abs(float(row["quade_f"]) - f) < 2e-6

@@ -2300,3 +2300,20 @@ def test_stream_records_equals_batch(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_records"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_quade_equals_batch(spark):
+    """stream_quade's one-row readout == the one-shot events_quade
+    (carried state is the sum-mergeable daily grain). Re-run
+    identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_quade"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_quade"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_quade"][0](spark, SF).toPandas()
+    assert again.equals(got)
