@@ -443,6 +443,8 @@ HEADLINE = [
     "dedup_cross_split",
     "emb_isotropy",
     "events_quade",
+    "events_acf_profile",
+    "corpus_split_budget",
 ]
 
 

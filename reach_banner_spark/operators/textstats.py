@@ -5991,3 +5991,78 @@ def retrieval_r_precision(spark, sf):
     return one.select(F.explode(F.array(*rows)).alias("q")).select(
         "q.query", "q.n_relevant", "q.n_hits", "q.r_precision"
     )
+
+
+# --- per-split token budget --------------------------------------------------
+
+@register(
+    "corpus_split_budget",
+    # Per-split corpus budget over the split_assign MD5 bands: doc /
+    # whitespace-token / char counts (exact integers from one scan)
+    # and each split's token share — one division per row against the
+    # corpus total.
+    "WITH s AS (SELECT CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), "
+    " 1, 2) <= '02' THEN 'val' "
+    " WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <= '05' "
+    " THEN 'test' ELSE 'train' END AS split, "
+    " CAST(LEN(string_split(text, ' ')) AS BIGINT) AS toks, "
+    " CAST(n_chars AS BIGINT) AS chars FROM documents), "
+    "g AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    " CAST(SUM(toks) AS BIGINT) AS n_tokens, "
+    " CAST(SUM(chars) AS BIGINT) AS n_chars FROM s GROUP BY split), "
+    "t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM g) "
+    "SELECT split, n_docs, n_tokens, n_chars, "
+    "printf('%.6f', ROUND(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), "
+    " 6)) AS token_share FROM g, t WHERE tot > 0",
+)
+def corpus_split_budget(spark, sf):
+    """Per-split token budget — the first number a training plan reads
+    off a frozen corpus (how many tokens does each ``split_assign``
+    band actually hold, and is the eval share near its designed few
+    percent?): doc, whitespace-token, and char counts per split plus
+    each split's share of the corpus tokens. Pairs with
+    ``dedup_cross_split`` as the split-health pair (budget + leakage)
+    and with ``mix_weights``/``mix_epochs`` as the denominator their
+    sampling math starts from.
+
+    Float discipline: all counts are exact BIGINTs from ONE corpus
+    scan (split membership is the split_assign MD5-prefix contract);
+    token_share is ONE correctly-rounded IEEE division per row under
+    ROUND + %.6f.
+
+    Scale shape: one map-side-combinable scan collapse to the 3-row
+    split grain; the share join is against a broadcast one-row total.
+    At 100 TB this is the motivating case for materializing the split
+    column into the table layout (split_assign's docstring) — the
+    budget then reads from partition statistics alone."""
+    d = _docs(spark, sf)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    s = d.select(
+        F.when(h <= "02", "val")
+        .when(h <= "05", "test")
+        .otherwise("train")
+        .alias("split"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+        F.col("n_chars").cast("long").alias("chars"),
+    )
+    g = s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.sum("chars").cast("long").alias("n_chars"),
+    )
+    t = g.agg(F.sum("n_tokens").cast("long").alias("tot"))
+    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+    return (
+        g.crossJoin(F.broadcast(t))
+        .filter(F.col("tot") > 0)
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            fmt(
+                F.col("n_tokens").cast("double")
+                / F.col("tot").cast("double")
+            ).alias("token_share"),
+        )
+    )

@@ -10113,3 +10113,113 @@ def events_quade(spark, sf):
     midranks live at week scale (broadcast back); everything else is
     dimension-sized (weeks × 7)."""
     return quade_rollup(day_totals(_events(spark, sf)))
+
+
+# ------------------------------------------------- ACF profile curve ----
+
+def acf_profile_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals grain into the 7-row ACF profile
+    (lags 1..7) — shared by ``events_acf_profile`` and its streaming
+    twin (the n-scaled exact-autocovariance contract of ``acv_rollup``
+    generalized to a per-lag table)."""
+    w = Window.orderBy("day")
+    tot = dt.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+    )
+    d = (
+        dt.crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.row_number().over(w).alias("rn"),
+            (F.col("n") * F.col("cnt") - F.col("s"))
+            .cast("decimal(38,0)")
+            .alias("d"),
+        )
+        .localCheckpoint()
+    )
+    c0 = d.agg(F.sum(F.col("d") * F.col("d")).alias("c0"))
+    lags = d.sparkSession.range(1, 8).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    right = d.select(
+        F.col("rn").alias("rn2"), F.col("d").alias("d2")
+    )
+    ck = (
+        d.crossJoin(F.broadcast(lags))
+        .join(
+            right,
+            F.col("rn2") == F.col("rn") - F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("d") * F.col("d2")).alias("ck"),
+        )
+    )
+    j = ck.crossJoin(F.broadcast(c0))
+    r = F.col("ck").cast("double") / F.col("c0").cast("double")
+    band = F.lit(2.0) / F.sqrt(F.col("n").cast("double"))
+    return (
+        j.filter((F.col("n") >= 8) & (F.col("c0") > 0))
+        .select(
+            "lag",
+            F.col("ck").cast("long").alias("acv"),
+            _FMT6(r).alias("r"),
+            (F.abs(r) > band).alias("outside_band"),
+        )
+    )
+
+
+def _acf_profile_sql() -> str:
+    """Build the events_acf_profile oracle: the n-scaled deviation
+    grain, a lag table joined on row offsets, per-lag exact HUGEINT
+    products, and the identical one-division readout with the
+    2/sqrt(n) white-noise band."""
+    return (
+        "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        " CAST(SUM(cnt) AS BIGINT) AS s FROM dt), "
+        "d AS (SELECT n, ROW_NUMBER() OVER (ORDER BY day) AS rn, "
+        " CAST(n * cnt - s AS HUGEINT) AS dv FROM dt, tot), "
+        "c0 AS (SELECT CAST(SUM(dv * dv) AS HUGEINT) AS c0 FROM d), "
+        "lags AS (SELECT unnest(generate_series(1, 7)) AS lag), "
+        "ck AS (SELECT lag, MAX(a.n) AS n, "
+        "  CAST(SUM(a.dv * b.dv) AS HUGEINT) AS ck "
+        " FROM d a CROSS JOIN lags JOIN d b ON b.rn = a.rn - lag "
+        " GROUP BY lag) "
+        "SELECT lag, CAST(ck AS BIGINT) AS acv, "
+        "printf('%.6f', ROUND(CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE), 6)) "
+        " AS r, "
+        "(ABS(CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE)) "
+        " > CAST(2 AS DOUBLE) / SQRT(CAST(n AS DOUBLE))) AS outside_band "
+        "FROM ck, c0 WHERE n >= 8 AND c0 > 0"
+    )
+
+
+@register("events_acf_profile", _acf_profile_sql())
+def events_acf_profile(spark, sf):
+    """Autocorrelation profile of the daily total-volume series at lags
+    1..7 — the full correlogram the per-lag keys sample
+    (``events_autocorr`` reads lag 1 per type, ``events_pacf`` lags
+    1-2 of the total): the 7-lag window spans one full week, so a
+    weekly rhythm shows up as a spike at lag 7 while momentum decays
+    smoothly from lag 1 — the plot every forecasting postmortem opens
+    with, as a table. Each lag carries the +-2/sqrt(n) white-noise
+    band flag (the Bartlett large-sample band every stats package
+    draws).
+
+    Float discipline: the lag-k autocovariances C_k reuse the
+    ``acv_rollup`` n-scaling (d_t = n*x_t - S exact, products exact
+    DECIMAL(38,0)/HUGEINT; the n^2 cancels in r_k); each r_k is ONE
+    correctly-rounded IEEE division under ROUND + %.6f, with the exact
+    integer C_k emitted alongside; the band flag compares |r_k|
+    against 2/sqrt(n) — both sides computed with the identical op
+    chain on both engines.
+
+    Scale shape: one map-side-combinable fact collapse to the daily
+    grain (shared ``day_totals``), a localCheckpointed deviation grain
+    joined against the TINY 7-row lag table on row offsets (days x 7
+    rows — dimension scale), one per-lag aggregate."""
+    return acf_profile_rollup(day_totals(_events(spark, sf)))

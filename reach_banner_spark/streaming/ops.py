@@ -4463,3 +4463,23 @@ def stream_quade(spark, sf):
         spark, sf, "stream_quade", day_totals, _sum_merge(["day"], ["cnt"])
     )
     return quade_rollup(merged).localCheckpoint()
+
+
+@register("stream_acf_profile", None)  # pytest: == events_acf_profile
+def stream_acf_profile(spark, sf):
+    """INGEST-TIME correlogram monitor — the streaming twin of
+    ``events_acf_profile`` on the SAME (day, cnt) daily-totals state
+    the serial-diagnostics twins carry; the SHARED
+    ``acf_profile_rollup`` re-derives all seven exact autocovariances
+    and band flags from the final state, so streaming == batch is a
+    theorem about SUM. State is O(days)."""
+    from ..plans.events_analytics import acf_profile_rollup, day_totals
+
+    merged = _stream_merged_state(
+        spark,
+        sf,
+        "stream_acf_profile",
+        day_totals,
+        _sum_merge(["day"], ["cnt"]),
+    )
+    return acf_profile_rollup(merged).localCheckpoint()

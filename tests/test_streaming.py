@@ -2317,3 +2317,21 @@ def test_stream_quade_equals_batch(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_quade"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_acf_profile_equals_batch(spark):
+    """stream_acf_profile's 7-row correlogram == the one-shot
+    events_acf_profile (carried state is the sum-mergeable daily
+    grain). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    key = lambda df: df.sort_values("lag").reset_index(drop=True)  # noqa: E731
+    got = ops.REGISTRY["stream_acf_profile"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_acf_profile"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 7
+    assert key(got).equals(key(want))
+    again = ops.REGISTRY["stream_acf_profile"][0](spark, SF).toPandas()
+    assert key(again).equals(key(got))
