@@ -445,6 +445,7 @@ HEADLINE = [
     "events_quade",
     "events_acf_profile",
     "corpus_split_budget",
+    "macro_randomness_report",
 ]
 
 

@@ -10223,3 +10223,124 @@ def events_acf_profile(spark, sf):
     joined against the TINY 7-row lag table on row offsets (days x 7
     rows — dimension scale), one per-lag aggregate."""
     return acf_profile_rollup(day_totals(_events(spark, sf)))
+
+
+# ------------------------------------------------ randomness macro ----
+
+def randomness_report_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals grain into the one-row
+    randomness report — shared by ``macro_randomness_report`` and its
+    streaming twin (composes the shared ``runs_rollup``,
+    ``turning_rollup`` and ``records_rollup``; each readout keeps its
+    per-key contract exactly)."""
+    dt = dt.localCheckpoint()
+    runs = runs_rollup(dt).select(
+        F.col("n_runs").alias("n_runs"), F.col("z").alias("runs_z")
+    )
+    tp = turning_rollup(dt).select(
+        "n_days",
+        "n_turning",
+        F.col("tp_z").alias("tp_z"),
+        F.col("nonrandom_95").alias("tp_nonrandom_95"),
+    )
+    rec = records_rollup(dt).select(
+        "record_highs",
+        "record_lows",
+        "expected_records",
+        "excess_highs",
+        "excess_lows",
+    )
+    return (
+        tp.crossJoin(F.broadcast(runs)).crossJoin(F.broadcast(rec))
+    )
+
+
+def _randomness_report_sql() -> str:
+    """Compose the three randomness oracles over ONE shared day-totals
+    CTE with disjoint names (the macro_serial_report discipline):
+    the runs chain (rg/rr/rm), the turning chain (tl/tm), and the
+    records chain (rc/rm2) with the pinned harmonic fold."""
+    hn = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), range(1, tm.n + 1)), "
+        "(s, x) -> s + CAST(1 AS DOUBLE) / CAST(x AS DOUBLE))"
+    )
+    return (
+        "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+        "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dt), "
+        # runs chain (the macro_daily_health spelling)
+        "g AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS k FROM dt "
+        " GROUP BY cnt), "
+        "cu AS (SELECT cnt, CAST(SUM(k) OVER (ORDER BY cnt "
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        " AS cum FROM g), "
+        "med AS (SELECT MIN(cnt) AS med FROM cu, mm WHERE cum >= "
+        " (n + 1) // 2), "
+        "sg AS (SELECT day, CASE WHEN cnt > med THEN 1 ELSE -1 END AS sgn "
+        " FROM dt, med WHERE cnt <> med), "
+        "rr AS (SELECT sgn, LAG(sgn) OVER (ORDER BY day) AS prev FROM sg), "
+        "rm AS (SELECT "
+        " CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+        " CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2, "
+        " CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND sgn <> prev "
+        "  THEN 1 ELSE 0 END) AS BIGINT) AS runs FROM rr), "
+        # turning chain
+        "tl AS (SELECT cnt, LAG(cnt) OVER (ORDER BY day) AS prev, "
+        " LEAD(cnt) OVER (ORDER BY day) AS next FROM dt), "
+        "tm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        " CAST(SUM(CASE WHEN prev IS NOT NULL AND next IS NOT NULL AND "
+        "  ((prev < cnt AND next < cnt) OR (prev > cnt AND next > cnt)) "
+        "  THEN 1 ELSE 0 END) AS BIGINT) AS t FROM tl), "
+        # records chain
+        "rc AS (SELECT cnt, "
+        " MAX(cnt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING "
+        "  AND 1 PRECEDING) AS pmax, "
+        " MIN(cnt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING "
+        "  AND 1 PRECEDING) AS pmin FROM dt), "
+        "rm2 AS (SELECT "
+        " CAST(SUM(CASE WHEN pmax IS NULL OR cnt > pmax THEN 1 ELSE 0 END) "
+        "  AS BIGINT) AS rh, "
+        " CAST(SUM(CASE WHEN pmin IS NULL OR cnt < pmin THEN 1 ELSE 0 END) "
+        "  AS BIGINT) AS rl FROM rc) "
+        "SELECT tm.n AS n_days, tm.t AS n_turning, "
+        "printf('%.6f', ROUND(CAST(90 * tm.t - 60 * (tm.n - 2) AS DOUBLE) "
+        " / SQRT(CAST(90 * (16 * tm.n - 29) AS DOUBLE)), 6)) AS tp_z, "
+        "(ABS(CAST(90 * tm.t - 60 * (tm.n - 2) AS DOUBLE) "
+        " / SQRT(CAST(90 * (16 * tm.n - 29) AS DOUBLE))) "
+        f" > {_Z_95_TWO_SIDED!r}) AS tp_nonrandom_95, "
+        "runs AS n_runs, "
+        "printf('%.6f', ROUND((CAST(runs AS DOUBLE) "
+        " - (1.0 + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))) "
+        " / SQRT(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE) "
+        "   / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)), 6)) "
+        " AS runs_z, "
+        "rh AS record_highs, rl AS record_lows, "
+        f"printf('%.6f', ROUND({hn}, 6)) AS expected_records, "
+        f"(CAST(rh AS DOUBLE) > {hn}) AS excess_highs, "
+        f"(CAST(rl AS DOUBLE) > {hn}) AS excess_lows "
+        "FROM rm, tm, rm2 "
+        "WHERE tm.n >= 3 AND n1 > 0 AND n2 > 0 AND 2 * n1 * n2 > n1 + n2"
+    )
+
+
+@register("macro_randomness_report", _randomness_report_sql())
+def macro_randomness_report(spark, sf):
+    """One-row randomness report of the daily volume series — the
+    i.i.d. pre-flight's OTHER half (``macro_serial_report`` reads the
+    correlation structure; this one reads the distribution-free
+    randomness tests), composing the family's three classical checks
+    over ONE shared ``day_totals`` grain: the runs test (sign regimes
+    about the median), the turning-point test (local shape), and the
+    record counts against their exact harmonic-number expectation.
+    Green here pins the COMPOSITION: the oracle re-derives all three
+    chains from one day-totals CTE with disjoint names.
+
+    Float discipline: each readout keeps its per-key contract exactly
+    (the fixed runs z chain, the respelled turning z, the pinned
+    ascending harmonic fold, integer-guarded degenerate cases);
+    nothing new is introduced by composition.
+
+    Scale shape: one map-side-combinable fact collapse to the calendar
+    day grain (localCheckpointed so the three rollups share ONE
+    materialization); every downstream stage is dimension-sized."""
+    return randomness_report_rollup(day_totals(_events(spark, sf)))

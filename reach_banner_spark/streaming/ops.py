@@ -4483,3 +4483,25 @@ def stream_acf_profile(spark, sf):
         _sum_merge(["day"], ["cnt"]),
     )
     return acf_profile_rollup(merged).localCheckpoint()
+
+
+@register("stream_randomness", None)  # pytest: == macro_randomness_report
+def stream_randomness(spark, sf):
+    """INGEST-TIME randomness dashboard — the streaming twin of
+    ``macro_randomness_report`` on the shared (day, cnt) daily-totals
+    SUM state (one state, the composed ``randomness_report_rollup``
+    readout; the composition twin of stream_runs/stream_turning/
+    stream_records)."""
+    from ..plans.events_analytics import (
+        day_totals,
+        randomness_report_rollup,
+    )
+
+    merged = _stream_merged_state(
+        spark,
+        sf,
+        "stream_randomness",
+        day_totals,
+        _sum_merge(["day"], ["cnt"]),
+    )
+    return randomness_report_rollup(merged).localCheckpoint()

@@ -3820,3 +3820,27 @@ def test_events_quade_matches_python(spark):
     f = (b - 1) * bb / (a - bb)
     assert int(row["n_weeks"]) == b
     assert abs(float(row["quade_f"]) - f) < 2e-6
+
+
+def test_macro_randomness_report_composes_per_keys(spark):
+    """The randomness macro's columns reconcile EXACTLY with the three
+    per-key readouts over the same corpus."""
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["macro_randomness_report"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    runs = REGISTRY["events_runs_test"][0](spark, SF).toPandas().iloc[0]
+    tp = REGISTRY["events_turning_points"][0](spark, SF).toPandas().iloc[0]
+    rec = REGISTRY["events_records"][0](spark, SF).toPandas().iloc[0]
+    assert int(row["n_runs"]) == int(runs["n_runs"])
+    assert row["runs_z"] == runs["z"]
+    assert int(row["n_days"]) == int(tp["n_days"])
+    assert int(row["n_turning"]) == int(tp["n_turning"])
+    assert row["tp_z"] == tp["tp_z"]
+    assert bool(row["tp_nonrandom_95"]) == bool(tp["nonrandom_95"])
+    for c in ("record_highs", "record_lows"):
+        assert int(row[c]) == int(rec[c])
+    assert row["expected_records"] == rec["expected_records"]
+    assert bool(row["excess_highs"]) == bool(rec["excess_highs"])
+    assert bool(row["excess_lows"]) == bool(rec["excess_lows"])

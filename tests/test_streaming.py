@@ -2335,3 +2335,20 @@ def test_stream_acf_profile_equals_batch(spark):
     assert key(got).equals(key(want))
     again = ops.REGISTRY["stream_acf_profile"][0](spark, SF).toPandas()
     assert key(again).equals(key(got))
+
+
+def test_stream_randomness_equals_batch(spark):
+    """stream_randomness' one-row readout == the one-shot
+    macro_randomness_report (carried state is the sum-mergeable daily
+    grain). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_randomness"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["macro_randomness_report"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_randomness"][0](spark, SF).toPandas()
+    assert again.equals(got)
