@@ -751,11 +751,13 @@ def _cross_split_sql() -> str:
     bands, DISTINCT train membership sets at both the whole-doc-hash
     and pseudo-line grains, LEFT-join probes, one exact division per
     rate."""
+    from .textstats import _LINE_WORDS, _SPLIT_TEST_BOUND, _SPLIT_VAL_BOUND
+
     split = (
-        "CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <= '02' "
-        " THEN 'val' "
-        "WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <= '05' "
-        " THEN 'test' ELSE 'train' END"
+        "CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <= "
+        f"'{_SPLIT_VAL_BOUND}' THEN 'val' "
+        "WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <= "
+        f"'{_SPLIT_TEST_BOUND}' THEN 'test' ELSE 'train' END"
     )
     return (
         f"WITH s AS (SELECT doc_id, {split} AS split, MD5(text) AS h "
@@ -769,9 +771,11 @@ def _cross_split_sql() -> str:
         "d AS (SELECT doc_id, string_split(text, ' ') AS w "
         " FROM documents), "
         "c AS (SELECT doc_id, unnest(generate_series(0, "
-        " CAST(CEIL(LEN(w) / 12.0) AS INT) - 1)) AS ci, w FROM d), "
+        f" CAST(CEIL(LEN(w) / {_LINE_WORDS}.0) AS INT) - 1)) AS ci, w "
+        " FROM d), "
         "lines AS (SELECT doc_id, array_to_string(list_slice(w, "
-        " ci * 12 + 1, (ci + 1) * 12), ' ') AS line FROM c), "
+        f" ci * {_LINE_WORDS} + 1, (ci + 1) * {_LINE_WORDS}), ' ') "
+        " AS line FROM c), "
         "sl AS (SELECT lines.line, s.split FROM lines "
         " JOIN s ON s.doc_id = lines.doc_id), "
         "tl AS (SELECT DISTINCT line FROM sl WHERE split = 'train'), "
@@ -820,14 +824,16 @@ def dedup_cross_split(spark, sf):
     else a shuffle join on the key — either way full text moves at
     most once, into 16-byte hashes and bounded pseudo-lines); the
     readout is two rows."""
-    from .textstats import doc_lines
+    from .textstats import _SPLIT_TEST_BOUND, _SPLIT_VAL_BOUND, doc_lines
 
     d = _docs(spark, sf)
     sp = F.when(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "02",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        <= _SPLIT_VAL_BOUND,
         "val",
     ).when(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "05",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        <= _SPLIT_TEST_BOUND,
         "test",
     ).otherwise("train")
     s = d.select("doc_id", F.md5("text").alias("h"), sp.alias("split"))

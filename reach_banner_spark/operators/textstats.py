@@ -6002,8 +6002,9 @@ def retrieval_r_precision(spark, sf):
     # and each split's token share — one division per row against the
     # corpus total.
     "WITH s AS (SELECT CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), "
-    " 1, 2) <= '02' THEN 'val' "
-    " WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <= '05' "
+    f" 1, 2) <= '{_SPLIT_VAL_BOUND}' THEN 'val' "
+    " WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <= "
+    f"'{_SPLIT_TEST_BOUND}' "
     " THEN 'test' ELSE 'train' END AS split, "
     " CAST(LEN(string_split(text, ' ')) AS BIGINT) AS toks, "
     " CAST(n_chars AS BIGINT) AS chars FROM documents), "
@@ -6038,8 +6039,8 @@ def corpus_split_budget(spark, sf):
     d = _docs(spark, sf)
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     s = d.select(
-        F.when(h <= "02", "val")
-        .when(h <= "05", "test")
+        F.when(h <= _SPLIT_VAL_BOUND, "val")
+        .when(h <= _SPLIT_TEST_BOUND, "test")
         .otherwise("train")
         .alias("split"),
         F.size(F.split("text", " ")).cast("long").alias("toks"),

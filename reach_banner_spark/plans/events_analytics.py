@@ -9058,7 +9058,12 @@ def pacf_rollup(dt: DataFrame) -> DataFrame:
     autocorrelation readout — shared by ``events_pacf`` and its
     streaming twin (the cross-multiplied integer contract lives
     here)."""
-    m = acv_rollup(dt)
+    return _pacf_readout(acv_rollup(dt))
+
+
+def _pacf_readout(m: DataFrame) -> DataFrame:
+    """PACF readout from a precomputed one-row acv state (shared with
+    ``serial_report_rollup``, which derives the state once)."""
     c0, c1, c2 = F.col("c0"), F.col("c1"), F.col("c2")
     return (
         m.filter(
@@ -9135,7 +9140,12 @@ def ljung_box_rollup(dt: DataFrame) -> DataFrame:
     """Fold a (day, cnt) daily-totals grain into the one-row Ljung-Box
     portmanteau readout (lags 1-2) — shared by ``events_ljung_box``
     and its streaming twin (the pinned 3-op float chain lives here)."""
-    m = acv_rollup(dt)
+    return _lb_readout(acv_rollup(dt))
+
+
+def _lb_readout(m: DataFrame) -> DataFrame:
+    """Ljung-Box readout from a precomputed one-row acv state (shared
+    with ``serial_report_rollup``, which derives the state once)."""
     n, c0, c1, c2 = F.col("n"), F.col("c0"), F.col("c1"), F.col("c2")
     q = (
         (n * (n + 2)).cast("double")
@@ -9458,8 +9468,9 @@ def serial_report_rollup(dt: DataFrame) -> DataFrame:
     readout keeps its per-key contract exactly)."""
     dt = dt.localCheckpoint()
     dw = dw_rollup(dt).select("n_days", "dw", "positive_autocorr")
-    pa = pacf_rollup(dt).select("r1", "r2", "pacf2")
-    lb = ljung_box_rollup(dt).select("lb_q", "serial_dependence_95")
+    acv = acv_rollup(dt).localCheckpoint()
+    pa = _pacf_readout(acv).select("r1", "r2", "pacf2")
+    lb = _lb_readout(acv).select("lb_q", "serial_dependence_95")
     pt = pettitt_rollup(dt).select(
         F.col("change_day").alias("pettitt_day"),
         F.col("k_stat").alias("pettitt_k"),

@@ -2625,6 +2625,22 @@ def _strong_canon_edges(t: DataFrame) -> DataFrame:
     )
 
 
+def _sym_of_canon(strong: DataFrame) -> DataFrame:
+    """Symmetrized distinct (conv_id, s, o) view of a canonical (a < b)
+    strong-edge set — the shared spelling for every consumer of
+    ``_strong_edges_cached`` that needs both directions (the all-pairs
+    build, knn(k), c(k))."""
+    return (
+        strong.select("conv_id", F.col("a").alias("s"), F.col("b").alias("o"))
+        .union(
+            strong.select(
+                "conv_id", F.col("b").alias("s"), F.col("a").alias("o")
+            )
+        )
+        .distinct()
+    )
+
+
 def _strong_sym_edges(t: DataFrame) -> DataFrame:
     """Symmetrized (conv_id, s, o) view of the strong backbone."""
     strong = _strong_canon_edges(t)
@@ -6225,15 +6241,7 @@ def kg_avg_neighbor_degree(spark, sf):
     (conv_id, node) — co-partitioned with the edge set's own key — and
     the final rollup is degree-domain sized (a handful of rows)."""
     strong = _strong_edges_cached(spark, sf)
-    e = (
-        strong.select("conv_id", F.col("a").alias("s"), F.col("b").alias("o"))
-        .union(
-            strong.select(
-                "conv_id", F.col("b").alias("s"), F.col("a").alias("o")
-            )
-        )
-        .distinct()
-    )
+    e = _sym_of_canon(strong)
     deg = e.groupBy("conv_id", F.col("s").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
@@ -6372,13 +6380,7 @@ def kg_clustering_curve(spark, sf):
     tc = corners.groupBy("conv_id", "node").agg(
         F.count(F.lit(1)).cast("long").alias("tri")
     )
-    e = (
-        sc.select("conv_id", F.col("a").alias("s"), F.col("b").alias("o"))
-        .union(
-            sc.select("conv_id", F.col("b").alias("s"), F.col("a").alias("o"))
-        )
-        .distinct()
-    )
+    e = _sym_of_canon(sc)
     dg = e.groupBy("conv_id", F.col("s").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
