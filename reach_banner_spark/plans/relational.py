@@ -6041,6 +6041,16 @@ def scan_inmemory_cache(spark, sf):
 
     d = _t(spark, sf, "documents").select("source", "n_chars")
     cached = persist_swap(d)
+    # Same-plan subtlety: a REPEATED invocation builds a new DataFrame
+    # with the SAME canonical plan, so persist() maps to the PRIOR
+    # invocation's still-live cache entry — which persist_swap's
+    # rotation then unpersists (its identity guard compares objects,
+    # not plans), leaving this invocation uncached. Detect the clobber
+    # via the entry's storage level and re-persist; the rotation list
+    # already tracks `cached`, so the lifecycle stays bounded.
+    if not cached.storageLevel.useMemory:
+        cached.persist()
+        cached.count()
     return cached.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
