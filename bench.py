@@ -446,6 +446,7 @@ HEADLINE = [
     "events_acf_profile",
     "corpus_split_budget",
     "macro_randomness_report",
+    "events_cross_correlation",
 ]
 
 

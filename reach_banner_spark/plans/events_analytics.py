@@ -10355,3 +10355,153 @@ def macro_randomness_report(spark, sf):
     day grain (localCheckpointed so the three rollups share ONE
     materialization); every downstream stage is dimension-sized."""
     return randomness_report_rollup(day_totals(_events(spark, sf)))
+
+
+# --------------------------------------------- cross-correlation (CCF) ----
+
+def ccf_rollup(dt2: DataFrame) -> DataFrame:
+    """Fold a (day, x, y) two-series daily grain into the 7-row
+    cross-correlogram (lags -3..+3) — shared by
+    ``events_cross_correlation`` and its streaming twin (the two-series
+    n-scaled exact-covariance contract lives here). x = purchases,
+    y = clicks; positive lag = x leads (today's x pairs with y lag
+    days LATER)."""
+    w = Window.orderBy("day")
+    tot = dt2.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    d = (
+        dt2.crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.row_number().over(w).alias("rn"),
+            (F.col("n") * F.col("x") - F.col("sx"))
+            .cast("decimal(38,0)")
+            .alias("dx"),
+            (F.col("n") * F.col("y") - F.col("sy"))
+            .cast("decimal(38,0)")
+            .alias("dy"),
+        )
+        .localCheckpoint()
+    )
+    c0 = d.agg(
+        F.sum(F.col("dx") * F.col("dx")).alias("c0x"),
+        F.sum(F.col("dy") * F.col("dy")).alias("c0y"),
+    )
+    lags = d.sparkSession.range(-3, 4).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    right = d.select(F.col("rn").alias("rn2"), F.col("dy").alias("dy2"))
+    ck = (
+        d.crossJoin(F.broadcast(lags))
+        .join(right, F.col("rn2") == F.col("rn") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("dx") * F.col("dy2")).alias("ck"),
+        )
+    )
+    j = ck.crossJoin(F.broadcast(c0))
+    r = F.col("ck").cast("double") / F.sqrt(
+        (F.col("c0x") * F.col("c0y")).cast("double")
+    )
+    band = F.lit(2.0) / F.sqrt(F.col("n").cast("double"))
+    return (
+        j.filter(
+            (F.col("n") >= 8) & (F.col("c0x") > 0) & (F.col("c0y") > 0)
+        )
+        .select(
+            "lag",
+            F.col("ck").cast("long").alias("ccov"),
+            _FMT6(r).alias("r"),
+            (F.abs(r) > band).alias("outside_band"),
+        )
+    )
+
+
+def purchase_click_days(df: DataFrame) -> DataFrame:
+    """(day, x, y) per-day purchase/click counts over the UNION of
+    active days (a day with only one type counts 0 for the other) —
+    the shared two-series grain for ``events_cross_correlation`` and
+    its streaming twin (plain SUMs, exactly mergeable)."""
+    return (
+        df.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+
+
+def _ccf_sql() -> str:
+    """Build the events_cross_correlation oracle: the two-series daily
+    grain, n-scaled exact deviations of both series, a lag table
+    joined on row offsets, and the identical
+    one-sqrt-of-product-one-division readout."""
+    return (
+        "WITH dt2 AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        " CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        "  AS BIGINT) AS x, "
+        " CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+        "  AS BIGINT) AS y "
+        " FROM events WHERE event_type IN ('purchase', 'click') "
+        " GROUP BY 1), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        " CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy "
+        " FROM dt2), "
+        "d AS (SELECT n, ROW_NUMBER() OVER (ORDER BY day) AS rn, "
+        " CAST(n * x - sx AS HUGEINT) AS dx, "
+        " CAST(n * y - sy AS HUGEINT) AS dy FROM dt2, tot), "
+        "c0 AS (SELECT CAST(SUM(dx * dx) AS HUGEINT) AS c0x, "
+        " CAST(SUM(dy * dy) AS HUGEINT) AS c0y FROM d), "
+        "lags AS (SELECT unnest(generate_series(-3, 3)) AS lag), "
+        "ck AS (SELECT lag, MAX(a.n) AS n, "
+        "  CAST(SUM(a.dx * b.dy) AS HUGEINT) AS ck "
+        " FROM d a CROSS JOIN lags JOIN d b ON b.rn = a.rn + lag "
+        " GROUP BY lag) "
+        "SELECT lag, CAST(ck AS BIGINT) AS ccov, "
+        "printf('%.6f', ROUND(CAST(ck AS DOUBLE) "
+        " / SQRT(CAST(c0x * c0y AS DOUBLE)), 6)) AS r, "
+        "(ABS(CAST(ck AS DOUBLE) / SQRT(CAST(c0x * c0y AS DOUBLE))) "
+        " > CAST(2 AS DOUBLE) / SQRT(CAST(n AS DOUBLE))) AS outside_band "
+        "FROM ck, c0 WHERE n >= 8 AND c0x > 0 AND c0y > 0"
+    )
+
+
+@register("events_cross_correlation", _ccf_sql())
+def events_cross_correlation(spark, sf):
+    """Cross-correlogram between the daily purchase and click series at
+    lags -3..+3 — the LEAD-LAG diagnostic next to
+    ``events_acf_profile``'s within-series correlogram: a peak at a
+    positive lag means purchases lead clicks by that many days, at a
+    negative lag that clicks lead purchases (the browse-today-buy-
+    tomorrow signature every funnel model assumes — here measured, not
+    assumed). Days missing one type count 0 for it (the union-of-days
+    grain), so the two series share one time index by construction.
+
+    Float discipline: both series' deviations are n-scaled exact
+    integers (the ``acv_rollup`` trick on a two-column grain), so
+    every cross-product sum C_xy(k) and both denominators C0x/C0y are
+    exact DECIMAL(38,0)/HUGEINT; r_k = C_xy(k)/sqrt(C0x*C0y) is ONE
+    sqrt of an exact integer product and ONE IEEE division under
+    ROUND + %.6f, the exact integer cross-covariance emitted
+    alongside; the Bartlett band flag compares |r_k| against
+    2/sqrt(n) with the identical op chain on both engines.
+
+    Scale shape: one map-side-combinable fact collapse to the
+    two-column daily grain (shared ``purchase_click_days``), a
+    localCheckpointed deviation grain joined against the broadcast
+    7-row lag table on row offsets, one per-lag aggregate — the
+    events_acf_profile plan with a second measure column."""
+    return ccf_rollup(purchase_click_days(_events(spark, sf)))

@@ -4505,3 +4505,24 @@ def stream_randomness(spark, sf):
         _sum_merge(["day"], ["cnt"]),
     )
     return randomness_report_rollup(merged).localCheckpoint()
+
+
+@register("stream_ccf", None)  # pytest: == events_cross_correlation
+def stream_ccf(spark, sf):
+    """INGEST-TIME lead-lag monitor — the streaming twin of
+    ``events_cross_correlation``: the carried state is the (day, x, y)
+    two-series daily grain (plain SUM-able counts — exactly mergeable
+    for any micro-batch split), and the SHARED ``ccf_rollup``
+    re-derives the exact cross-covariances and band flags from the
+    final state, so streaming == batch is a theorem about SUM. State
+    is O(days)."""
+    from ..plans.events_analytics import ccf_rollup, purchase_click_days
+
+    merged = _stream_merged_state(
+        spark,
+        sf,
+        "stream_ccf",
+        purchase_click_days,
+        _sum_merge(["day"], ["x", "y"]),
+    )
+    return ccf_rollup(merged).localCheckpoint()

@@ -3844,3 +3844,42 @@ def test_macro_randomness_report_composes_per_keys(spark):
     assert row["expected_records"] == rec["expected_records"]
     assert bool(row["excess_highs"]) == bool(rec["excess_highs"])
     assert bool(row["excess_lows"]) == bool(rec["excess_lows"])
+
+
+def test_events_cross_correlation_matches_numpy(spark):
+    """The CCF re-derives from the definitional mean-centered numpy
+    cross-covariances over the union-of-days two-series grain
+    (tolerance-compared; the exact contract is the DuckDB oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = (
+        REGISTRY["events_cross_correlation"][0](spark, SF)
+        .toPandas()
+        .sort_values("lag")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev.event_type.isin(["purchase", "click"])]
+    g = (
+        ev.assign(day=ev.ts.dt.strftime("%Y-%m-%d"))
+        .groupby("day")
+        .event_type.agg(
+            x=lambda s: int((s == "purchase").sum()),
+            y=lambda s: int((s == "click").sum()),
+        )
+        .sort_index()
+    )
+    x = g.x.to_numpy().astype(float)
+    y = g.y.to_numpy().astype(float)
+    dx, dy = x - x.mean(), y - y.mean()
+    den = np.sqrt((dx * dx).sum() * (dy * dy).sum())
+    for _, row in got.iterrows():
+        k = int(row["lag"])
+        if k >= 0:
+            c = (dx[: len(dx) - k] * dy[k:]).sum()
+        else:
+            c = (dx[-k:] * dy[: len(dy) + k]).sum()
+        assert abs(float(row["r"]) - c / den) < 2e-6, k

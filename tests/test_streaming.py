@@ -2352,3 +2352,21 @@ def test_stream_randomness_equals_batch(spark):
     assert got.equals(want)
     again = ops.REGISTRY["stream_randomness"][0](spark, SF).toPandas()
     assert again.equals(got)
+
+
+def test_stream_ccf_equals_batch(spark):
+    """stream_ccf's 7-row cross-correlogram == the one-shot
+    events_cross_correlation (carried state is the sum-mergeable
+    two-series daily grain). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    key = lambda df: df.sort_values("lag").reset_index(drop=True)  # noqa: E731
+    got = ops.REGISTRY["stream_ccf"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_cross_correlation"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 7
+    assert key(got).equals(key(want))
+    again = ops.REGISTRY["stream_ccf"][0](spark, SF).toPandas()
+    assert key(again).equals(key(got))
