@@ -447,6 +447,7 @@ HEADLINE = [
     "corpus_split_budget",
     "macro_randomness_report",
     "events_cross_correlation",
+    "events_interrupted_ts",
 ]
 
 

@@ -10505,3 +10505,140 @@ def events_cross_correlation(spark, sf):
     7-row lag table on row offsets, one per-lag aggregate — the
     events_acf_profile plan with a second measure column."""
     return ccf_rollup(purchase_click_days(_events(spark, sf)))
+
+
+# ------------------------------------- interrupted time series (ITS) ----
+
+def its_rollup(dt: DataFrame) -> DataFrame:
+    """Fold a (day, cnt) daily-totals grain into the one-row
+    interrupted-time-series readout (segmented OLS around the fixed
+    Jan-16 cut) — shared by ``events_interrupted_ts`` and its
+    streaming twin (the exact-determinant contract lives here)."""
+    anchor = F.lit("2024-01-01").cast("date")
+    cut = 15  # Jan-16, the paired_prepost cut
+    dd = dt.select(
+        F.datediff(F.to_date("day"), anchor).cast("long").alias("t"),
+        F.col("cnt").cast("long").alias("y"),
+    )
+
+    def seg(c, local):
+        s = c.select(
+            (F.col("t") - local).alias("s"), F.col("y")
+        )
+        return s.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("s").cast("long").alias("st"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("s") * F.col("s")).cast("long").alias("stt"),
+            F.sum(F.col("s") * F.col("y")).cast("long").alias("sty"),
+        )
+
+    pre = seg(dd.filter(F.col("t") < cut), 0)
+    post = seg(dd.filter(F.col("t") >= cut), cut)
+    p = pre.select(*[F.col(c).alias(f"{c}1") for c in pre.columns])
+    q = post.select(*[F.col(c).alias(f"{c}2") for c in post.columns])
+    j = p.crossJoin(F.broadcast(q))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n1, st1, sy1 = F.col("n1"), F.col("st1"), F.col("sy1")
+    stt1, sty1 = F.col("stt1"), F.col("sty1")
+    n2, st2, sy2 = F.col("n2"), F.col("st2"), F.col("sy2")
+    stt2, sty2 = F.col("stt2"), F.col("sty2")
+    d1 = dec(n1 * stt1 - st1 * st1)
+    d2 = dec(n2 * stt2 - st2 * st2)
+    nb1 = dec(n1 * sty1 - st1 * sy1)
+    nb2 = dec(n2 * sty2 - st2 * sy2)
+    p1 = dec(sy1 * stt1 - st1 * sty1) + F.lit(cut) * nb1
+    p2 = dec(sy2 * stt2 - st2 * sty2)
+    return (
+        j.filter((d1 > 0) & (d2 > 0))
+        .select(
+            n1.alias("n_pre"),
+            n2.alias("n_post"),
+            _FMT6(nb1.cast("double") / d1.cast("double")).alias(
+                "slope_pre"
+            ),
+            _FMT6(nb2.cast("double") / d2.cast("double")).alias(
+                "slope_post"
+            ),
+            _FMT6(
+                (p2 * d1 - p1 * d2).cast("double")
+                / (d1 * d2).cast("double")
+            ).alias("level_jump"),
+            _FMT6(
+                (nb2 * d1 - nb1 * d2).cast("double")
+                / (d1 * d2).cast("double")
+            ).alias("slope_change"),
+        )
+    )
+
+
+def _its_sql() -> str:
+    """Build the events_interrupted_ts oracle: per-segment exact OLS
+    moments (post re-indexed at the cut), determinant ratios, and the
+    cross-multiplied jump/slope-change — each ONE division."""
+    seg = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy, "
+        "CAST(SUM(s * s) AS BIGINT) AS stt, "
+        "CAST(SUM(s * y) AS BIGINT) AS sty FROM {src}"
+    )
+    return (
+        "WITH dt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+        "dd AS (SELECT CAST(CAST(day AS DATE) - DATE '2024-01-01' "
+        "  AS BIGINT) AS t, cnt AS y FROM dt), "
+        "pre AS (" + seg.format(
+            src="(SELECT t AS s, y FROM dd WHERE t < 15)"
+        ) + "), "
+        "post AS (" + seg.format(
+            src="(SELECT t - 15 AS s, y FROM dd WHERE t >= 15)"
+        ) + "), "
+        "m AS (SELECT "
+        " CAST(pre.n * pre.stt - pre.st * pre.st AS HUGEINT) AS d1, "
+        " CAST(post.n * post.stt - post.st * post.st AS HUGEINT) AS d2, "
+        " CAST(pre.n * pre.sty - pre.st * pre.sy AS HUGEINT) AS nb1, "
+        " CAST(post.n * post.sty - post.st * post.sy AS HUGEINT) AS nb2, "
+        " CAST(pre.sy * pre.stt - pre.st * pre.sty AS HUGEINT) "
+        "  + 15 * CAST(pre.n * pre.sty - pre.st * pre.sy AS HUGEINT) "
+        "  AS p1, "
+        " CAST(post.sy * post.stt - post.st * post.sty AS HUGEINT) AS p2, "
+        " pre.n AS n_pre, post.n AS n_post FROM pre, post) "
+        "SELECT n_pre, n_post, "
+        "printf('%.6f', ROUND(CAST(nb1 AS DOUBLE) / CAST(d1 AS DOUBLE), "
+        " 6)) AS slope_pre, "
+        "printf('%.6f', ROUND(CAST(nb2 AS DOUBLE) / CAST(d2 AS DOUBLE), "
+        " 6)) AS slope_post, "
+        "printf('%.6f', ROUND(CAST(p2 * d1 - p1 * d2 AS DOUBLE) "
+        " / CAST(d1 * d2 AS DOUBLE), 6)) AS level_jump, "
+        "printf('%.6f', ROUND(CAST(nb2 * d1 - nb1 * d2 AS DOUBLE) "
+        " / CAST(d1 * d2 AS DOUBLE), 6)) AS slope_change "
+        "FROM m WHERE d1 > 0 AND d2 > 0"
+    )
+
+
+@register("events_interrupted_ts", _its_sql())
+def events_interrupted_ts(spark, sf):
+    """Interrupted-time-series (segmented regression) analysis of the
+    daily volume around the fixed Jan-16 cut — the causal-inference
+    workhorse next to ``events_did`` (DiD needs a control group; ITS
+    needs only the series' own pre-period trend): fit OLS level+trend
+    separately before and after the cut and read the LEVEL JUMP and
+    SLOPE CHANGE at the intervention — the two coefficients every
+    policy/launch postmortem quotes. The post segment is re-indexed at
+    the cut so its intercept IS the post level there; the pre
+    prediction is extrapolated one step to the same point.
+
+    Float discipline: per-segment OLS is the events_trend contract —
+    five exact BIGINT moments, slope = (n*Sty - St*Sy)/D with
+    determinant D = n*Stt - St² exact; the level jump respells as
+    (P2*D1 - P1*D2)/(D1*D2) with P1 = (Sy*Stt - St*Sty) + cut*(n*Sty -
+    St*Sy) — ALL exact DECIMAL(38,0)/HUGEINT integers (cross products
+    < 10^15 at every test SF) — so jump and slope change are each ONE
+    correctly-rounded IEEE division under ROUND + %.6f. Degenerate
+    segments (< 2 distinct days) are filtered by the identical
+    integer determinant guards.
+
+    Scale shape: one map-side-combinable fact collapse to the daily
+    grain (shared ``day_totals``), two single-row segment aggregates,
+    one 1x1 join — facts touched once."""
+    return its_rollup(day_totals(_events(spark, sf)))

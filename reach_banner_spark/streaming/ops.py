@@ -4526,3 +4526,18 @@ def stream_ccf(spark, sf):
         _sum_merge(["day"], ["x", "y"]),
     )
     return ccf_rollup(merged).localCheckpoint()
+
+
+@register("stream_its", None)  # pytest: == events_interrupted_ts
+def stream_its(spark, sf):
+    """INGEST-TIME intervention monitor — the streaming twin of
+    ``events_interrupted_ts`` on the SAME (day, cnt) daily-totals
+    state; the SHARED ``its_rollup`` re-fits both segments from the
+    final state, so streaming == batch is a theorem about SUM. State
+    is O(days)."""
+    from ..plans.events_analytics import day_totals, its_rollup
+
+    merged = _stream_merged_state(
+        spark, sf, "stream_its", day_totals, _sum_merge(["day"], ["cnt"])
+    )
+    return its_rollup(merged).localCheckpoint()

@@ -3883,3 +3883,39 @@ def test_events_cross_correlation_matches_numpy(spark):
         else:
             c = (dx[-k:] * dy[: len(dy) + k]).sum()
         assert abs(float(row["r"]) - c / den) < 2e-6, k
+
+
+def test_events_interrupted_ts_matches_numpy(spark):
+    """Both segment fits re-derive from numpy lstsq over the same
+    grain; jump = post intercept minus the pre line extrapolated to
+    the cut (tolerance-compared; the exact contract is the oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    from reach_banner_spark.plans.events_analytics import REGISTRY
+
+    got = REGISTRY["events_interrupted_ts"][0](spark, SF).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    anchor = pd.Timestamp("2024-01-01")
+    g = (
+        ev.assign(t=(ev.ts.dt.normalize() - anchor).dt.days)
+        .groupby("t")
+        .size()
+        .sort_index()
+    )
+    pre = g[g.index < 15]
+    post = g[g.index >= 15]
+
+    def fit(idx, y):
+        A = np.vstack([np.ones(len(idx)), np.asarray(idx, float)]).T
+        (a, b), *_ = np.linalg.lstsq(A, np.asarray(y, float), rcond=None)
+        return a, b
+
+    a1, b1 = fit(pre.index, pre.values)
+    a2, b2 = fit(post.index - 15, post.values)
+    assert abs(float(row["slope_pre"]) - b1) < 2e-6
+    assert abs(float(row["slope_post"]) - b2) < 2e-6
+    assert abs(float(row["level_jump"]) - (a2 - (a1 + 15 * b1))) < 2e-6
+    assert abs(float(row["slope_change"]) - (b2 - b1)) < 2e-6

@@ -120,8 +120,8 @@ def test_registry_key_count_pinned():
 
     q = registry.all_queries()
     o = registry.all_oracle_sql()
-    assert len(q) >= 556, f"queries() shrank: {len(q)} keys"
-    assert len(o) >= 412, f"oracle_sql() shrank: {len(o)} keys"
+    assert len(q) >= 558, f"queries() shrank: {len(q)} keys"
+    assert len(o) >= 413, f"oracle_sql() shrank: {len(o)} keys"
     assert set(o) <= set(q)
 
 

@@ -2370,3 +2370,20 @@ def test_stream_ccf_equals_batch(spark):
     assert key(got).equals(key(want))
     again = ops.REGISTRY["stream_ccf"][0](spark, SF).toPandas()
     assert key(again).equals(key(got))
+
+
+def test_stream_its_equals_batch(spark):
+    """stream_its' one-row readout == the one-shot
+    events_interrupted_ts (carried state is the sum-mergeable daily
+    grain). Re-run identical."""
+    from reach_banner_spark.plans.events_analytics import (
+        REGISTRY as EV_REGISTRY,
+    )
+    from reach_banner_spark.streaming import ops
+
+    got = ops.REGISTRY["stream_its"][0](spark, SF).toPandas()
+    want = EV_REGISTRY["events_interrupted_ts"][0](spark, SF).toPandas()
+    assert len(got) == len(want) == 1
+    assert got.equals(want)
+    again = ops.REGISTRY["stream_its"][0](spark, SF).toPandas()
+    assert again.equals(got)
