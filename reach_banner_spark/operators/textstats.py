@@ -38,6 +38,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from reach_banner_spark.fanout import fan_out
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
@@ -52,6 +54,13 @@ def register(key: str, sql: str | None):
 
 def _docs(spark, sf):
     return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _docs_par(spark, sf):
+    """Documents scan rebalanced for compute-heavy map stages (the corpus
+    files are single-row-group parquet, i.e. ONE scan split — see
+    reach_banner_spark.fanout)."""
+    return fan_out(_docs(spark, sf), "doc_id")
 
 
 _STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "on", "for"]
@@ -69,7 +78,7 @@ _SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
     "FROM documents",
 )
 def text_quality(spark, sf):
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     words = F.split("text", " ")
     lower_words = F.split(F.lower("text"), " ")
     sw = F.array(*[F.lit(w) for w in _STOPWORDS])
@@ -219,7 +228,7 @@ def text_normalize(spark, sf):
     regex/case passes fused into one WholeStageCodegen stage; at 100 TB
     this runs at scan speed and is the map stage every downstream key
     (dedup, quality, tokenize) consumes."""
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     mangled = F.concat(
         F.upper(F.substring("text", 1, 12)),
         F.lit(" ,; "),
@@ -248,7 +257,9 @@ def text_normalize(spark, sf):
     f"SELECT doc_id, MIN(sh) AS fingerprint FROM ({_TRI_SH_SQL}) sh GROUP BY doc_id",
 )
 def doc_fingerprint(spark, sf):
-    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    # per-row md5 over every shingle is the cost — fan_out so the map
+    # stage uses every core instead of the one-row-group scan split
+    d = _docs_par(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
     # array_min skips the NULL tail positions; docs with < 3 words produce
     # an all-NULL array -> NULL fingerprint, filtered (same rows as the
     # oracle's inner-join derivation, which emits nothing for them).
@@ -336,42 +347,61 @@ def quality_repetition(spark, sf):
     scores high on the fractions and low on TTR; a training-data filter
     gates on these next to ``text_quality``'s surface ratios.
 
-    Scale shape: the per-doc mode (most frequent token) is the part a
-    naive spelling gets wrong — computing it with per-row array ops is
-    O(doc_len^2) per document, fine at 30 words but 10^8 comparisons on a
-    10k-word web page. Instead explode once, partial-aggregate
-    (doc_id, token) counts map-side, then roll up per doc: two shuffles,
-    both keyed doc_id-first, each carrying one row per DISTINCT token per
-    doc (sublinear in text for natural language). Bigrams come from the
-    same word array via the shifted-slice zip (no second scan of text,
-    no window shuffle); the final join is between two doc-level
-    aggregates that co-partition on doc_id."""
-    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
-    words = d.select("doc_id", F.explode("w").alias("word"))
-    wc = (
-        words.groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.max("c").alias("top_w"),
-            F.sum("c").alias("n_w"),
-            F.count(F.lit(1)).alias("n_distinct"),
+    Scale shape (r6): the whole document already lives in ONE row, so
+    every per-doc statistic is computable row-locally with array algebra
+    — ZERO shuffles (was: two explode->groupBy shuffle pipelines + a
+    doc-keyed join). The per-doc mode (most frequent token) is a
+    run-length maximum over the SORTED word array: array_sort is
+    O(n log n) per row, and the fold is a single JVM ``aggregate`` with
+    a (prev, run, best) struct accumulator — linear, never the naive
+    O(doc_len^2) per-row count-of-each-element. Bigrams come from the
+    same word array via the shifted-slice zip and take the identical
+    sort+fold. At 100 TB this runs at scan speed; the shuffle spelling
+    it replaces carried one row per token occurrence through two
+    exchanges. Counts are identical integers, so the %.6f float
+    contract is untouched."""
+    d = _docs_par(spark, sf).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+
+    def run_max(arr):
+        # max run length over the sorted array == max multiplicity
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+
+        def step(a, x):
+            run = F.when(
+                x.eqNullSafe(a.getField("prev")), a.getField("run") + 1
+            ).otherwise(F.lit(1).cast("long"))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(a.getField("best"), run).alias("best"),
+            )
+
+        return F.aggregate(
+            F.array_sort(arr), zero, step, lambda a: a.getField("best")
+        )
+
+    # bigrams = zip of the word array with its 1-shifted view (same trick
+    # as doc_fingerprint); the tail position yields NULL, removed by
+    # array_compact so each doc keeps exactly len(w) - 1 bigrams
+    w2 = F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(0)))
+    big = F.array_compact(
+        F.zip_with(
+            "w", w2, lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b))
         )
     )
-    # bigrams = zip of the word array with its 1-shifted view (same trick
-    # as doc_fingerprint); the tail position yields NULL, filtered after
-    # the explode so each doc emits exactly len(w) - 1 bigrams
-    w2 = F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(0)))
-    big = F.zip_with(
-        "w", w2, lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b))
-    )
-    bc = (
-        d.select("doc_id", F.explode(big).alias("big"))
-        .filter(F.col("big").isNotNull())
-        .groupBy("doc_id", "big")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    scored = d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_w"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct"),
+        run_max("w").alias("top_w"),
+        F.size(big).cast("long").alias("n_bg"),
+        run_max(big).alias("top_bg"),
     )
     dbl = lambda c: F.col(c).cast("double")  # noqa: E731
     # ROUND before formatting: DuckDB's printf rounds decimal ties
@@ -380,18 +410,14 @@ def quality_repetition(spark, sf):
     # itself ties half-away on BOTH engines (verified), and formatting an
     # already-rounded double can never hit a 7th-digit tie again.
     fmt6 = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
-    return (
-        wc.join(bc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_w").cast("long").alias("n_words"),
-            fmt6(dbl("n_distinct") / dbl("n_w")).alias("ttr"),
-            fmt6(dbl("top_w") / dbl("n_w")).alias("top_word_frac"),
-            fmt6(
-                F.coalesce(dbl("top_bg"), F.lit(0.0))
-                / F.greatest(F.coalesce(dbl("n_bg"), F.lit(0.0)), F.lit(1.0))
-            ).alias("top_bigram_frac"),
-        )
+    return scored.select(
+        "doc_id",
+        F.col("n_w").cast("long").alias("n_words"),
+        fmt6(dbl("n_distinct") / dbl("n_w")).alias("ttr"),
+        fmt6(dbl("top_w") / dbl("n_w")).alias("top_word_frac"),
+        fmt6(
+            dbl("top_bg") / F.greatest(dbl("n_bg"), F.lit(1.0))
+        ).alias("top_bigram_frac"),
     )
 
 
@@ -430,7 +456,7 @@ def corpus_filter(spark, sf):
     so the window runs first and the gates prune after; at 100 TB you
     split this into hash-dedup then filter, which ``dedup_exact`` +
     this key's gates compose to)."""
-    return corpus_filter_df(_docs(spark, sf))
+    return corpus_filter_df(_docs_par(spark, sf))
 
 
 def quality_gate_cols(d: DataFrame) -> DataFrame:
@@ -560,24 +586,37 @@ def contamination_ngram(spark, sf):
 
 def doc_shingles(docs: DataFrame) -> DataFrame:
     """Distinct (doc_id, shingle-md5) rows of any (doc_id, text) frame —
-    the shared fact side of the batch and streaming contamination keys."""
-    d = docs.select("doc_id", F.split("text", " ").alias("w"))
+    the shared fact side of the batch and streaming contamination keys.
+
+    r6: the per-doc distinct is computed ROW-LOCALLY (array_distinct over
+    the doc's own shingle array before the explode) — a document's
+    shingles all live in one row, so the former distributed
+    ``.distinct()`` was shuffling every (doc_id, 32-char md5) occurrence
+    just to dedup within the row it came from. Zero exchanges now; the
+    md5 map work rides a fan_out rebalance."""
+    d = fan_out(docs, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
     return (
-        d.select("doc_id", F.explode(_tri_md5_col()).alias("sh"))
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(_tri_md5_col())).alias("sh"),
+        )
         .filter(F.col("sh").isNotNull())
-        .distinct()
     )
 
 
 def benchmark_shingles(docs: DataFrame) -> DataFrame:
     """The deduplicated shingle set of the benchmark slice (MD5-prefix
     band of doc_ids) — the static reference index decontamination checks
-    against; bounded by the benchmark corpus, broadcast by the caller."""
-    d = docs.filter(_bench_pred()).select(
+    against; bounded by the benchmark corpus, broadcast by the caller.
+    The cross-doc distinct still needs its exchange, but the in-row
+    array_distinct prunes the explode first (r6)."""
+    d = fan_out(docs.filter(_bench_pred()), "doc_id").select(
         "doc_id", F.split("text", " ").alias("w")
     )
     return (
-        d.select(F.explode(_tri_md5_col()).alias("sh"))
+        d.select(F.explode(F.array_distinct(_tri_md5_col())).alias("sh"))
         .filter(F.col("sh").isNotNull())
         .distinct()
         .withColumn("hit", F.lit(1))
@@ -667,7 +706,7 @@ def mix_weights(spark, sf):
     corpus total rides along as a broadcast 1-row crossJoin, not a driver
     action."""
     s = (
-        _docs(spark, sf)
+        _docs_par(spark, sf)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -722,7 +761,7 @@ def quality_oov_rate(spark, sf):
     vocabulary outgrows a broadcast, the same plan degrades to a
     shuffle-join on word with AQE skew handling (Zipf head words are the
     classic skew keys); this corpus sits far below that line."""
-    w = _docs(spark, sf).select(
+    w = _docs_par(spark, sf).select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     )
     vocab = (
@@ -779,7 +818,7 @@ def chunk_tokens(spark, sf):
     shuffle at all (the plan is scan -> project -> generate), so it
     pipelines with whatever partitioning the corpus already has; output
     row width is bounded by the chunk size."""
-    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    d = _docs_par(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
     cs = F.lit(_CHUNK_TOKENS)
     n_chunks = F.ceil(F.size("w") / cs.cast("double")).cast("int")
     chunks = F.transform(
@@ -838,7 +877,7 @@ def tfidf_topk(spark, sf):
     not a driver action."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     # localCheckpoint: df AND the fact side both derive from tf — without
     # it Spark re-runs the whole explode+aggregate lineage for each branch
@@ -941,7 +980,7 @@ def bm25_topk(spark, sf):
     merge), never a global sort. Per-term scores are summed in FIXED
     query order (one expression, no float-sum reorder), so the double
     ranking is run- and engine-deterministic."""
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     terms = list(_BM25_QUERY)
     # localCheckpoint: the per-term dfs AND the fact side both derive
@@ -1055,8 +1094,16 @@ def dedup_passage(spark, sf):
     shuffles for the membership test and the per-doc rollup rides one
     doc_id exchange. A pathological all-duplicate corpus degrades the
     broadcast to a shuffle-join on h (content hashes are uniform — no
-    skew); this corpus sits far below that line."""
-    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    skew); this corpus sits far below that line.
+
+    r6: the duplicate-set side dedups (h, doc_id) ROW-LOCALLY
+    (array_distinct over the doc's own passage hashes) so its exchange
+    is a plain partial-aggregable count — no COUNT(DISTINCT) Expand —
+    and both derivations of the passage hashes ride the fan_out
+    rebalance instead of the one-row-group scan split."""
+    d = _docs_par(spark, sf).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
     ps = F.lit(_PASSAGE_TOKENS)
     n_p = F.ceil(F.size("w") / ps.cast("double")).cast("int")
     passages = F.transform(
@@ -1065,8 +1112,9 @@ def dedup_passage(spark, sf):
     )
     ch = d.select("doc_id", F.explode(passages).alias("h"))
     dup = (
-        ch.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+        d.select(F.explode(F.array_distinct(passages)).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("h")
         .withColumn("hit", F.lit(1))
@@ -1133,7 +1181,7 @@ def pii_scrub(spark, sf):
     no Python). Regexes are RE2-safe (no lookaround) so the same patterns
     run on engines that compile to DFAs; cost is linear in corpus bytes
     and pipelines with the scan."""
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     aug = (
         F.when(
             F.col("doc_id") % 3 == 0,
@@ -1212,7 +1260,7 @@ def pack_sequences(spark, sf):
     cum_before = bucket_offset + within_bucket_cumsum, then
     seq_id = cum_before div cap, seq_offset = cum_before mod cap — all
     integer arithmetic, bit-exact vs the oracle's global window."""
-    return pack_positions(_docs(spark, sf))
+    return pack_positions(_docs_par(spark, sf))
 
 
 # Train/val/test split boundaries on the first two MD5 hex chars of
@@ -1313,41 +1361,53 @@ def bigram_novelty(spark, sf):
     based, within-doc). Exact integer document frequencies, so the ratio
     is oracle-exact under the %.6f float rule.
 
-    Scale shape: explode -> per-doc DISTINCT bigrams (map-side distinct
-    against the same doc_id exchange the final rollup needs), document
-    frequency via ONE bigram-keyed partial+final aggregation (Zipf:
-    distinct bigrams are sublinear in tokens), one join back on bigram,
-    rollup keyed doc_id. At 100 TB the df table is the big intermediate;
-    the production spelling keeps only df = 1 rows (a novelty test needs
-    nothing else) which this plan does NOT do because the oracle keys on
-    the full join — the filter is a one-line change. Audited: the
-    distinct-bigram subtree is derived twice (df side + join side;
-    attribute ids differ so ReuseExchange can't fire) — at 100 TB wrap
-    the distinct in caching.persist_swap to pay the derivation once;
-    at test scale the double scan is cheaper than the persist."""
-    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    Scale shape (r6): the per-doc DISTINCT bigram set is computed
+    ROW-LOCALLY (array_distinct over the doc's own bigram array — the
+    former distributed ``.distinct()`` shuffled every bigram occurrence
+    to dedup within its source row), so ``n_bigrams`` is a zero-shuffle
+    per-row ``size()``. A bigram with document frequency 1 belongs to
+    exactly ONE document, so the big join-back on bigram disappears:
+    the df aggregation carries ``min(doc_id)`` alongside the count, the
+    df = 1 rows roll straight up to their owning doc, and the two
+    doc-grain tables meet in one small doc-keyed left join. ONE
+    bigram-keyed exchange total (was: distinct + df + join-back + rollup
+    across four), Zipf-bounded as before. Counts are identical
+    integers, so the %.6f float contract is untouched."""
+    d = _docs_par(spark, sf).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
     bigrams = F.expr(
         "transform(slice(w, 1, size(w) - 1), (x, i) -> x || ' ' || w[i + 1])"
     )
-    bg = (
-        d.filter(F.size("w") >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bg"))
-        .distinct()
+    docs2 = d.filter(F.size("w") >= 2).select(
+        "doc_id", F.array_distinct(bigrams).alias("bgs")
     )
-    df_tbl = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("n_docs"))
-    uniq = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
-    return (
-        bg.join(df_tbl, "bg")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            uniq.cast("long").alias("n_unique"),
-            # ROUND before formatting — see quality_repetition's tie note
-            F.format_string(
-                "%.6f",
-                F.round(uniq.cast("double") / F.count(F.lit(1)), 6),
-            ).alias("novelty"),
-        )
+    per_doc = docs2.select(
+        "doc_id", F.size("bgs").cast("long").alias("n_bigrams")
+    )
+    bg = docs2.select("doc_id", F.explode("bgs").alias("bg"))
+    df_tbl = bg.groupBy("bg").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("owner"),
+    )
+    uniq = (
+        df_tbl.filter(F.col("n_docs") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("nu"))
+    )
+    n_unique = F.coalesce(F.col("nu"), F.lit(0)).cast("long")
+    return per_doc.join(uniq, "doc_id", "left").select(
+        "doc_id",
+        "n_bigrams",
+        n_unique.alias("n_unique"),
+        # ROUND before formatting — see quality_repetition's tie note
+        F.format_string(
+            "%.6f",
+            F.round(
+                n_unique.cast("double") / F.col("n_bigrams").cast("double"),
+                6,
+            ),
+        ).alias("novelty"),
     )
 
 
@@ -1399,7 +1459,7 @@ def macro_data_prep(spark, sf):
     as the KG pipeline."""
     from pyspark.sql.window import Window
 
-    scored = quality_gate_cols(_docs(spark, sf)).withColumn(
+    scored = quality_gate_cols(_docs_par(spark, sf)).withColumn(
         "keeper",
         F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
     )
@@ -1485,7 +1545,7 @@ def bpe_train(spark, sf):
     Emits the merge table: (round, left, right, merged, pair_count).
     Exact integer statistics end-to-end -> bit-identical to the pure-
     python twin (``bpe_train_py``), pytest-pinned."""
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     vocab = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.length("word") > 0)
@@ -1608,7 +1668,7 @@ def bpe_encode(spark, sf, rounds: int = BPE_ROUNDS):
     merges = [
         (r["left"], r["right"]) for r in bpe_train(spark, sf).collect()
     ]
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.length("word") > 0)
@@ -1715,7 +1775,7 @@ def quality_line_filter(spark, sf):
     grain groups by (doc_id, line_id), the doc rollup reuses the doc_id
     prefix of that exchange); no joins, no second pass over text. The
     kept_ratio is ONE division ROUND-then-%.6f formatted (float rule)."""
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     sw = F.array(*[F.lit(w) for w in _STOPWORDS])
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
@@ -1829,7 +1889,7 @@ def mix_sample(spark, sf):
     everything beyond the quota before any further stage."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     s = d.groupBy("source").agg(
         F.sum(F.size(F.split("text", " "))).alias("n_words")
     )
@@ -1895,7 +1955,7 @@ def lm_bigram(spark, sf):
     first-word totals derive from the PAIR table (never a second pass
     over facts) and join back keyed w1, global top-100 via
     TakeOrderedAndProject — no global sort materializes."""
-    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    d = _docs_par(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
     pairs = F.expr(
         "transform(slice(w, 1, size(w) - 1), "
         "(x, i) -> struct(x AS w1, w[i + 1] AS w2))"
@@ -1972,7 +2032,7 @@ def lm_kneser_ney(spark, sf):
     type total) all read it — one fact pass; the two lookup tables
     come back as BROADCAST joins on the Zipf-bounded vocabulary, and
     the top-100 is a TakeOrderedAndProject."""
-    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    d = _docs_par(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
     pairs = F.expr(
         "transform(slice(w, 1, size(w) - 1), "
         "(x, i) -> struct(x AS w1, w[i + 1] AS w2))"
@@ -2066,7 +2126,7 @@ def retrieval_rrf(spark, sf):
     TakeOrderedAndProject top-20."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     words = F.split(F.col("text"), " ")
     tf_of = lambda t: F.size(F.filter(words, lambda w: w == F.lit(t)))  # noqa: E731
     tf = d.select(
@@ -2170,7 +2230,7 @@ def retrieval_mrr(spark, sf):
     checkpointed grain."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     words = F.split(F.col("text"), " ")
     tf_of = lambda t: F.size(  # noqa: E731
         F.filter(words, lambda w: w == F.lit(t))
@@ -2285,7 +2345,7 @@ def index_inverted(spark, sf):
     would tokenize + shuffle the fact table TWICE (plan-audited: 5
     exchanges -> 3, one fact pass)."""
     return index_rollup(
-        term_doc_counts(_docs(spark, sf)).localCheckpoint()
+        term_doc_counts(_docs_par(spark, sf)).localCheckpoint()
     )
 
 
@@ -2372,7 +2432,7 @@ def lm_freq_of_freqs(spark, sf):
     aggregation over the VOCABULARY-sized count table into the
     r-domain (tens of rows) and a broadcast self-join on r+1 — nothing
     beyond the first aggregation ever touches facts."""
-    tok = _docs(spark, sf).select(
+    tok = _docs_par(spark, sf).select(
         F.explode(F.split("text", " ")).alias("term")
     )
     c = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("r"))
@@ -2435,7 +2495,7 @@ def chunk_overlap(spark, sf):
     Scale shape: per-row array algebra only (split once, sequence +
     slice over the same array, one explode) — zero shuffles; output
     is ~2x the corpus in tokens, the documented overlap cost."""
-    d = _docs(spark, sf).select(
+    d = _docs_par(spark, sf).select(
         "doc_id", F.split("text", " ").alias("w")
     ).withColumn("n", F.size("w"))
     n_extra = F.expr(
@@ -2560,7 +2620,7 @@ def dedup_lines(spark, sf):
     window over the global line order ever materializes (a global
     row_number would single-partition; min-of-(doc, pos) in two keyed
     aggregations is the distributed spelling of 'first')."""
-    m = line_dup_marks(doc_lines(_docs(spark, sf)))
+    m = line_dup_marks(doc_lines(_docs_par(spark, sf)))
     return m.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum("is_dup").cast("long").alias("n_dup"),
@@ -2668,7 +2728,7 @@ def retrieval_ndcg(spark, sf):
     and queries fan out as independent jobs over the shared grain."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     words = F.split(F.col("text"), " ")
     tf_of = lambda t: F.size(  # noqa: E731
         F.filter(words, lambda w: w == F.lit(t))
@@ -2842,7 +2902,7 @@ def retrieval_map(spark, sf):
     aggregate per query over the shared grain."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     words = F.split(F.col("text"), " ")
     tf_of = lambda t: F.size(  # noqa: E731
         F.filter(words, lambda w: w == F.lit(t))
@@ -2989,7 +3049,7 @@ def lm_coverage(spark, sf):
     types are vocabulary-bounded (Zipf-sublinear in tokens) and
     broadcast to the test side, so the join never shuffles the token
     stream; two single-row aggregates and a 1x1 join finish it."""
-    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    d = _docs_par(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
     pairs = F.expr(
         "transform(slice(w, 1, size(w) - 1), "
         "(x, i) -> struct(x AS w1, w[i + 1] AS w2))"
@@ -3105,7 +3165,7 @@ def retrieval_pr_at_k(spark, sf):
     checkpointed tf grain; per query a TakeOrderedAndProject top-k cut
     plus one corpus-grain conditional aggregate for the relevant
     count; single-row joins finish it."""
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     words = F.split(F.col("text"), " ")
     tf_of = lambda t: F.size(  # noqa: E731
         F.filter(words, lambda w: w == F.lit(t))
@@ -3289,7 +3349,7 @@ def macro_retrieval_report(spark, sf):
     conditional aggregate for the relevant totals; single-row joins
     assemble the report."""
     return retrieval_report_rollup(
-        query_tf_grain(_docs(spark, sf)).localCheckpoint()
+        query_tf_grain(_docs_par(spark, sf)).localCheckpoint()
     )
 
 
@@ -3535,7 +3595,7 @@ def retrieval_err(spark, sf):
     run over a 1-row aggregate."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     words = F.split(F.col("text"), " ")
     tf_of = lambda t: F.size(  # noqa: E731
         F.filter(words, lambda w: w == F.lit(t))
@@ -3748,7 +3808,7 @@ def text_readability(spark, sf):
     Scale shape: ONE corpus pass computes the three per-doc integer
     counts JVM-side (split + regexp_count — no Python), then one
     map-side-combinable aggregation onto the tiny source dimension."""
-    g = readability_counts(_docs(spark, sf), keys=["source"])
+    g = readability_counts(_docs_par(spark, sf), keys=["source"])
     return readability_rollup(g, keys=["source"])
 
 
@@ -3933,7 +3993,7 @@ def macro_dedup_report(spark, sf):
     one corpus scan family (exact: hash agg onto md5 groups; lines:
     the dedup_lines shape pooled to one row; quotes: the bounded
     one-partner-per-doc pairing), crossJoined as 1-row aggregates."""
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     ex = d.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.count_distinct(F.md5("text")).cast("long").alias("n_distinct"),
@@ -4059,7 +4119,7 @@ def retrieval_recall_at_k(spark, sf):
     4-row k dimension — dimension-sized end to end."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     words = F.split(F.col("text"), " ")
     tf_of = lambda t: F.size(  # noqa: E731
         F.filter(words, lambda w: w == F.lit(t))
@@ -4244,7 +4304,7 @@ def macro_text_report(spark, sf):
     (map-side combinable) plus one explode + distinct for the
     vocabulary (Zipf-sublinear) — two jobs, both aggregate-state
     narrow."""
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     words = F.split(F.col("text"), " ")
     base = d.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -4346,7 +4406,7 @@ def lm_heaps_profile(spark, sf):
     min-per-word (Zipf-sublinear distinct table), one per-doc token
     count, then both cross the 10-row milestone dimension — the heavy
     work is two corpus passes, everything after is dimension-sized."""
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     ms = spark.range(1, 11).select(F.col("id").cast("long").alias("m"))
     t = d.agg(F.count(F.lit(1)).cast("long").alias("nd"))
     cut = ms.crossJoin(F.broadcast(t)).select(
@@ -4442,7 +4502,7 @@ def quality_gopher_rules(spark, sf):
     pass_all column IS the curation predicate pushed into every
     downstream read."""
     words = F.split(F.col("text"), " ")
-    m = _docs(spark, sf).select(
+    m = _docs_par(spark, sf).select(
         "doc_id",
         F.size(words).cast("long").alias("n_words"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
@@ -4590,7 +4650,7 @@ def curriculum_order(spark, sf):
     from pyspark.sql.window import Window
 
     words = F.split(F.col("text"), " ")
-    m = _docs(spark, sf).select(
+    m = _docs_par(spark, sf).select(
         "doc_id",
         F.size(words).cast("long").alias("n_words"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
@@ -4658,7 +4718,7 @@ def eval_lang_confusion(spark, sf):
     Scale shape: the lang_id scalar pass (zero extra shuffles beyond
     one hash aggregate onto the languages^2-sized cell domain) plus a
     broadcast row-total join."""
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     lower_words = F.split(F.lower("text"), " ")
 
     def hits(lang: str):
@@ -4736,7 +4796,7 @@ def lm_collocations(spark, sf):
     derived from the PAIR table (never a second fact pass), marginal
     joins keyed w1/w2, the corpus total rides as a broadcast 1-row
     crossJoin, and the global top-50 is TakeOrderedAndProject."""
-    p = colloc_pair_counts(_docs(spark, sf))
+    p = colloc_pair_counts(_docs_par(spark, sf))
     return colloc_rollup(p)
 
 
@@ -4938,7 +4998,7 @@ def retrieval_rbp(spark, sf):
     and the per-query branches fan out over the shared grain."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     words = F.split(F.col("text"), " ")
     tf_of = lambda t: F.size(  # noqa: E731
         F.filter(words, lambda w: w == F.lit(t))
@@ -5081,7 +5141,7 @@ def retrieval_bpref(spark, sf):
     full-corpus window), and the rollup is three integers per query."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     words = F.split(F.col("text"), " ")
     tf_of = lambda t: F.size(  # noqa: E731
         F.filter(words, lambda w: w == F.lit(t))
@@ -5195,7 +5255,7 @@ def retrieval_interp_pr(spark, sf):
     the rollup is 11 rows per query."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     words = F.split(F.col("text"), " ")
     tf_of = lambda t: F.size(  # noqa: E731
         F.filter(words, lambda w: w == F.lit(t))
@@ -5329,7 +5389,7 @@ def lm_stupid_backoff(spark, sf):
     ONE token pass (array transforms, no per-row Python); the scoring
     join runs on the bounded vocab grain; the top-20 is a
     TakeOrderedAndProject."""
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     ws = F.split(F.col("text"), " ")
     toks = d.select(ws.alias("ws"))
     uni = toks.select(F.explode("ws").alias("w"))
@@ -5447,7 +5507,7 @@ def macro_tokenizer_report(spark, sf):
 
     Scale shape: one pruned scan (text, lang, n_chars), one
     map-side-combinable lang rollup — the bounded-grain discipline."""
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     t = d.select(
         "lang",
         F.size(F.split("text", " ")).cast("long").alias("n_words"),
@@ -5921,7 +5981,7 @@ def retrieval_r_precision(spark, sf):
     aggregate each; single-row joins finish it."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     words = F.split(F.col("text"), " ")
     tf_of = lambda t: F.size(  # noqa: E731
         F.filter(words, lambda w: w == F.lit(t))

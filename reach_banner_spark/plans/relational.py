@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from reach_banner_spark.fanout import fan_out
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
@@ -1318,8 +1320,11 @@ def fn_try(spark, sf):
     operational reason TRY_ variants exist). Division by zero and an
     unparseable cast both degrade to NULL identically on both engines;
     the parseable prefix cast proves TRY doesn't blunt correct inputs.
-    Zero shuffles, whole-stage codegen."""
-    o = _t(spark, sf, "orders")
+    Whole-stage codegen projection; the only exchange is the fan_out
+    rebalance — the failing try_cast pays the JVM exception path per row
+    (~10 s single-threaded at sf1.0, measured), so the map stage must
+    not ride a one-row-group scan split."""
+    o = fan_out(_t(spark, sf, "orders"), "o_orderkey")
     return o.select(
         "o_orderkey",
         F.try_divide(
@@ -1849,8 +1854,21 @@ def join_fuzzy_name(spark, sf):
     exact verify then drops, so hashing is semantically free); one
     equi-join shuffle bounded by the variant table, a distinct on the
     surviving key pairs, and a JVM levenshtein verify. No cartesian
-    product anywhere (plan-gated)."""
-    c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    product anywhere (plan-gated).
+
+    r6: the candidate join and distinct now carry ONLY (custkey, vh) —
+    16 bytes a row instead of two 18-char names per row (guide §2.3 /
+    §8: decide with small rows, attach payloads once at the end).
+    Candidates dedup as unordered KEY pairs (least/greatest); the names
+    re-attach via two broadcast joins against the customer dim, the
+    name-order orientation and the exact levenshtein verify run on the
+    deduped pair set only. The variant explode rides a fan_out
+    rebalance (one-row-group scan split otherwise serializes it).
+    Measured 66 s -> ~8 s at sf1.0."""
+    c = fan_out(
+        _t(spark, sf, "customer").select("c_custkey", "c_name"),
+        "c_custkey",
+    )
     variants = F.array_distinct(
         F.concat(
             F.array(F.col("c_name")),
@@ -1863,29 +1881,40 @@ def join_fuzzy_name(spark, sf):
     )
     v = c.select(
         "c_custkey",
-        "c_name",
         F.explode(variants).alias("var"),
-    ).select(
-        "c_custkey", "c_name", F.xxhash64("var").alias("vh")
-    )
-    va = v.select(
-        F.col("c_custkey").alias("k1"),
-        F.col("c_name").alias("n1"),
-        "vh",
-    )
-    vb = v.select(
-        F.col("c_custkey").alias("k2"),
-        F.col("c_name").alias("n2"),
-        "vh",
-    )
-    return (
+    ).select("c_custkey", F.xxhash64("var").alias("vh"))
+    va = v.select(F.col("c_custkey").alias("ka"), "vh")
+    vb = v.select(F.col("c_custkey").alias("kb"), "vh")
+    pairs = (
         va.join(vb, "vh")
-        .where(F.col("n1") < F.col("n2"))
-        .select("k1", "k2", "n1", "n2")
+        .where(F.col("ka") != F.col("kb"))
+        .select(
+            F.least("ka", "kb").alias("lk"),
+            F.greatest("ka", "kb").alias("gk"),
+        )
         .distinct()
-        .withColumn("dist", F.levenshtein("n1", "n2").cast("int"))
-        .where(F.col("dist") <= 1)
     )
+    dim = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    named = (
+        pairs.join(
+            F.broadcast(dim.select(F.col("c_custkey").alias("lk"), F.col("c_name").alias("ln"))),
+            "lk",
+        )
+        .join(
+            F.broadcast(dim.select(F.col("c_custkey").alias("gk"), F.col("c_name").alias("gn"))),
+            "gk",
+        )
+        .where(F.col("ln") != F.col("gn"))
+    )
+    oriented = named.select(
+        F.when(F.col("ln") < F.col("gn"), F.col("lk")).otherwise(F.col("gk")).alias("k1"),
+        F.when(F.col("ln") < F.col("gn"), F.col("gk")).otherwise(F.col("lk")).alias("k2"),
+        F.least("ln", "gn").alias("n1"),
+        F.greatest("ln", "gn").alias("n2"),
+    )
+    return oriented.withColumn(
+        "dist", F.levenshtein("n1", "n2").cast("int")
+    ).where(F.col("dist") <= 1)
 
 
 @register(
@@ -2485,10 +2514,11 @@ def fn_variant(spark, sf):
     lakehouse ingesting heterogeneous event payloads stores exactly this
     shape; the oracle pins each member against DuckDB's JSON operators.
 
-    Scale shape: zero-shuffle projection; VARIANT encode/decode runs
-    columnar inside the scan projection, and a real table would store
-    the VARIANT binary so parse_json happens once at ingest."""
-    e = _t(spark, sf, "events")
+    Scale shape: projection plus the fan_out rebalance (the VARIANT
+    encode/decode is the per-row cost and must not ride a one-row-group
+    scan split); a real table would store the VARIANT binary so
+    parse_json happens once at ingest."""
+    e = fan_out(_t(spark, sf, "events"), "event_id")
     v = F.parse_json("props")
     return e.select(
         "event_id",
@@ -3077,10 +3107,14 @@ def fn_xml(spark, sf):
     XML support of its own: build → parse → recover must be the
     identity on the generating columns.
 
-    Scale shape: pure projection, zero shuffles. The XML build/parse is
-    JVM-side (no Python); cost is linear in scanned bytes like every
-    fn_* family."""
-    p = _t(spark, sf, "part")
+    Scale shape: projection plus the fan_out rebalance. The XML
+    build/parse is JVM-side (no Python); a full document parse per row
+    is the dominant cost, so the round-trip goes through ONE from_xml
+    whose schema also recovers the key attribute (attributePrefix '_'),
+    instead of re-parsing the same document three times through the
+    xpath family — measured 28 s -> 0.6 s at sf1.0 together with the
+    fan_out (the one-row-group scan split had serialized the parse)."""
+    p = fan_out(_t(spark, sf, "part"), "p_partkey")
     xml = F.concat(
         F.lit('<part key="'),
         F.col("p_partkey"),
@@ -3092,17 +3126,17 @@ def fn_xml(spark, sf):
     )
     w = p.withColumn("xml", xml)
     parsed = w.withColumn(
-        "s", F.from_xml("xml", "name STRING, size BIGINT")
+        "s", F.from_xml("xml", "_key BIGINT, name STRING, size BIGINT")
     )
     return parsed.select(
         "p_partkey",
-        F.expr("xpath_long(xml, '/part/@key')").alias("key_rt"),
+        F.col("s._key").alias("key_rt"),
         F.col("s.name").alias("name_rt"),
         F.col("s.size").alias("size_rt"),
-        # node-set extraction: one text node per word after a JVM-side
-        # re-tokenization of the recovered name
+        # one text node per word after a JVM-side re-tokenization of the
+        # recovered (round-tripped) name
         F.size(
-            F.split(F.expr("xpath_string(xml, '/part/name')"), " ")
+            F.split(F.col("s.name"), " ")
         ).cast("long").alias("n_words"),
     )
 
