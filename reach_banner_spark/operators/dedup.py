@@ -45,6 +45,16 @@ def _docs(spark, sf):
     return spark.read.parquet(f"{sf}/documents.parquet")
 
 
+def _docs_par(spark, sf):
+    """Documents scan rebalanced for compute-heavy map stages (the corpus
+    files are single-row-group parquet, i.e. ONE scan split and ONE
+    Arrow/Python worker for every mapInArrow/mapInPandas pass — see
+    reach_banner_spark.fanout)."""
+    from reach_banner_spark.fanout import fan_out
+
+    return fan_out(_docs(spark, sf), "doc_id")
+
+
 # ------------------------------------------------------------------ exact ----
 
 @register(
@@ -204,7 +214,7 @@ def dedup_minhash_lsh(spark, sf, min_jaccard: float = 0.9, max_bucket: int = MAX
     """
     from ..caching import persist_swap
 
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     # materialize NOW (lazy persists recompute the UDF per branch); tracked
     # so the next operator invocation releases this cache (ADVICE r2)
     base = persist_swap(doc_shingle_bands(d))
@@ -350,7 +360,7 @@ def dedup_embedding_cosine(
     from .similarity import lsh_signatures
     from ..caching import persist_swap
 
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     # one Python scan feeds signatures AND the verify join; tracked persist
     # so the next operator invocation releases this cache (ADVICE r2)
     emb = persist_swap(doc_embeddings(d).withColumnRenamed("doc_id", "vec_id"))
@@ -640,7 +650,7 @@ def dedup_containment(spark, sf):
     LSH candidate table; the scoring algebra is what this key pins),
     one broadcast-free equi-join on (source, doc_id+20), pure JVM array
     algebra."""
-    d = _docs(spark, sf).select(
+    d = _docs_par(spark, sf).select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("w")
     )
     a = d.select(
@@ -826,7 +836,7 @@ def dedup_cross_split(spark, sf):
     readout is two rows."""
     from .textstats import _SPLIT_TEST_BOUND, _SPLIT_VAL_BOUND, doc_lines
 
-    d = _docs(spark, sf)
+    d = _docs_par(spark, sf)
     sp = F.when(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
         <= _SPLIT_VAL_BOUND,

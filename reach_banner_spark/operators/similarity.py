@@ -44,6 +44,16 @@ def _emb(spark, sf):
     return spark.read.parquet(f"{sf}/embeddings.parquet")
 
 
+def _emb_par(spark, sf):
+    """Embeddings scan rebalanced for compute-heavy map stages (the
+    corpus files are single-row-group parquet, i.e. ONE scan split and
+    ONE Arrow/Python worker for every mapInPandas pass — see
+    reach_banner_spark.fanout)."""
+    from reach_banner_spark.fanout import fan_out
+
+    return fan_out(_emb(spark, sf), "vec_id")
+
+
 def _cosine(a, b):
     """JVM-side cosine of two array<float> columns (float64 math)."""
     dot = F.aggregate(
@@ -86,7 +96,7 @@ _COS_SQL = (
     ) WHERE rn <= {TOP_K}""",
 )
 def ann_cosine_topk(spark, sf):
-    e = _emb(spark, sf)
+    e = _emb_par(spark, sf)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
@@ -156,7 +166,7 @@ def emb_binarize(spark, sf):
     recall-tested ANN keys). Scale shape: the codes table is 16 B/row;
     the 5-query broadcast pre-rank touches codes only; float vectors are
     read for |queries| x HAM_CAND rows."""
-    e = _emb(spark, sf)
+    e = _emb_par(spark, sf)
 
     def pack(off: int):
         return F.expr(
@@ -346,7 +356,7 @@ def ann_ivf_topk(spark, sf):
     DataFrame ops). The 5-query probe table is computed driver-side (it is
     N_QUERIES x N_PROBE rows); a batch-query deployment runs the same
     argpartition inside ``mapInPandas`` like ``ivf_assign``."""
-    e = _emb(spark, sf)
+    e = _emb_par(spark, sf)
     sample = (
         e.orderBy("vec_id").limit(KMEANS_SAMPLE).select("vec_id", "embedding")
         .toPandas()
@@ -418,7 +428,7 @@ def ann_range_search(spark, sf):
     boundary is the same bit pattern in both engines (the float rule);
     the filter sits directly on the scored stream — no window, no global
     sort, one broadcast-join pass over the table."""
-    e = _emb(spark, sf)
+    e = _emb_par(spark, sf)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
@@ -452,7 +462,7 @@ def emb_kmeans(spark, sf):
     parallel with the kilobyte centroid matrix in the closure, and
     nothing shuffles except the final broadcast join of the (k, dim)
     centroid table. Cosine emitted as a formatted string (float rule)."""
-    e = _emb(spark, sf)
+    e = _emb_par(spark, sf)
     sample = (
         e.orderBy("vec_id").limit(KMEANS_SAMPLE).select("embedding").toPandas()
     )
@@ -773,7 +783,7 @@ def ann_ivfpq_topk(spark, sf):
     pinned in pytest — the IVF stage's candidate recall is the ceiling
     (~0.94-0.96 on this near-uniform corpus, see the IVF operating-point
     table), and PQ16x8's ADC ranking is near-exact within candidates."""
-    e = _emb(spark, sf)
+    e = _emb_par(spark, sf)
     sample = (
         e.orderBy("vec_id").limit(KMEANS_SAMPLE).select("vec_id", "embedding")
         .toPandas()
@@ -897,7 +907,7 @@ def emb_prototypicality(spark, sf):
     label-keyed window for the bottom-K flag — the same exchange a
     per-label selection step needs anyway. No full-table driver
     materialization at any scale (the sample is fixed-size)."""
-    e = _emb(spark, sf)
+    e = _emb_par(spark, sf)
     sample = (
         e.orderBy("vec_id")
         .limit(KMEANS_SAMPLE)
@@ -1030,7 +1040,7 @@ def emb_pca(spark, sf):
     Output doubles are the raw float64 matmul results; the pytest twin
     replays the identical numpy op sequence, so equality is bit-exact
     (∅-oracle: per-row float formatting differs across engines)."""
-    e = _emb(spark, sf)
+    e = _emb_par(spark, sf)
     sample = (
         e.orderBy("vec_id").limit(PCA_SAMPLE).select("embedding").toPandas()
     )
@@ -1105,19 +1115,23 @@ def emb_quantize_int8(spark, sf):
     the fixed-IEEE-op-sequence rule — and codes are emitted as the
     joined integer string so the whole 64-dim payload is compared.
 
-    Scale shape: zero shuffles — a pure projection over the embeddings
-    scan (array lambdas are JVM codegen); at 100 TB this runs at scan
-    speed and writes the 64-byte codes column a downstream int8 index
-    consumes."""
-    e = _emb(spark, sf)
+    Scale shape: a projection over the embeddings scan plus the fan_out
+    rebalance (array lambdas are JVM codegen); at 100 TB this runs at
+    scan speed and writes the 64-byte codes column a downstream int8
+    index consumes. r6: the per-vector scale is computed ONCE per row by
+    binding it as a single-element-array lambda variable — the previous
+    spelling re-evaluated array_max(transform(...)) (a 2·d-op fold)
+    inside the per-element CASE, i.e. O(d^2) work per row; the value and
+    therefore the IEEE op sequence per code are unchanged."""
+    e = _emb_par(spark, sf)
     scale = F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
     codes = F.expr(
-        "array_join(transform(embedding, x -> CASE "
-        " WHEN array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0D "
-        "  THEN CAST(0 AS BIGINT) "
-        " ELSE CAST(ROUND(CAST(x AS DOUBLE) "
-        "  / array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE)))) "
-        "  * 127.0) AS BIGINT) END), ',')"
+        "array_join(flatten(transform("
+        " array(array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))), "
+        " s -> transform(embedding, x -> CASE "
+        "  WHEN s = 0D THEN CAST(0 AS BIGINT) "
+        "  ELSE CAST(ROUND(CAST(x AS DOUBLE) / s * 127.0) AS BIGINT) "
+        " END))), ',')"
     )
     return e.select(
         "vec_id",
@@ -1176,7 +1190,7 @@ def _mmr_candidates(spark, sf):
     """Distributed candidate cut for ``retrieval_mmr``: the query row
     (vec_id 0) broadcast against the corpus, rounded-cosine scored,
     TakeOrderedAndProject top-``MMR_CAND`` — one bounded toPandas."""
-    e = _emb(spark, sf)
+    e = _emb_par(spark, sf)
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qvec")
     )
@@ -1483,7 +1497,7 @@ def emb_hard_negatives(spark, sf):
     rank-1 windows per anchor partition (the IVF/LSH keys are the
     scale path for the candidate generation; this key pins the scoring
     and mining semantics those paths re-rank with)."""
-    e = _emb(spark, sf)
+    e = _emb_par(spark, sf)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
@@ -1648,7 +1662,7 @@ def emb_dim_stats(spark, sf):
     collect_list is the price of the deterministic fold and is bounded
     per group by the row count; at 100 TB swap it for a two-pass
     exact-scaled integer sum, the documented trade)."""
-    d = _emb(spark, sf).select(
+    d = _emb_par(spark, sf).select(
         "vec_id", F.posexplode("embedding").alias("dim", "v0")
     ).select(
         "vec_id",
@@ -1738,7 +1752,7 @@ def emb_prefix_recall(spark, sf):
     per-query top-10s join on (qid, vec_id). At real scale the prefix
     pass is the one you'd index (IVF over 16 dims) — this key measures
     whether that is safe."""
-    e = _emb(spark, sf)
+    e = _emb_par(spark, sf)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
@@ -1853,7 +1867,7 @@ def emb_isotropy(spark, sf):
     whole point at scale; the collect_list folds are the documented
     determinism trade (two-pass scaled-integer sums at 100 TB, the
     emb_dim_stats note)."""
-    e0 = _emb(spark, sf).select(
+    e0 = _emb_par(spark, sf).select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("e"),
     )
