@@ -261,10 +261,14 @@ def doc_fingerprint(spark, sf):
     # stage uses every core instead of the one-row-group scan split
     d = _docs_par(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
     # array_min skips the NULL tail positions; docs with < 3 words produce
-    # an all-NULL array -> NULL fingerprint, filtered (same rows as the
-    # oracle's inner-join derivation, which emits nothing for them).
-    return d.select("doc_id", F.array_min(_tri_md5_col()).alias("fingerprint")).filter(
-        F.col("fingerprint").isNotNull()
+    # an all-NULL array -> NULL fingerprint. The row gate is size(w) >= 3
+    # — EXACTLY the rows whose fingerprint is non-null (split elements are
+    # never null, so every position 0..n-3 hashes) — because a
+    # fingerprint-IS-NOT-NULL filter gets pushed below the projection and
+    # re-evaluates the whole md5-shingle fold a second time per row
+    # (guide §4.4 duplication, measured 0.45 s -> 3.8 s at sf1.0).
+    return d.filter(F.size("w") >= 3).select(
+        "doc_id", F.array_min(_tri_md5_col()).alias("fingerprint")
     )
 
 
@@ -597,12 +601,14 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
     d = fan_out(docs, "doc_id").select(
         "doc_id", F.split("text", " ").alias("w")
     )
-    return (
-        d.select(
-            "doc_id",
-            F.explode(F.array_distinct(_tri_md5_col())).alias("sh"),
-        )
-        .filter(F.col("sh").isNotNull())
+    # localCheckpoint: Generate inlines its child, so exploding the
+    # computed shingle array directly would re-run the md5 zip per
+    # output row (the bigram_novelty lesson)
+    sh = d.select(
+        "doc_id", F.array_distinct(_tri_md5_col()).alias("shs")
+    ).localCheckpoint()
+    return sh.select("doc_id", F.explode("shs").alias("sh")).filter(
+        F.col("sh").isNotNull()
     )
 
 
@@ -615,8 +621,11 @@ def benchmark_shingles(docs: DataFrame) -> DataFrame:
     d = fan_out(docs.filter(_bench_pred()), "doc_id").select(
         "doc_id", F.split("text", " ").alias("w")
     )
+    sh = d.select(
+        F.array_distinct(_tri_md5_col()).alias("shs")
+    ).localCheckpoint()
     return (
-        d.select(F.explode(F.array_distinct(_tri_md5_col())).alias("sh"))
+        sh.select(F.explode("shs").alias("sh"))
         .filter(F.col("sh").isNotNull())
         .distinct()
         .withColumn("hit", F.lit(1))
@@ -1110,9 +1119,14 @@ def dedup_passage(spark, sf):
         F.sequence(F.lit(0), n_p - 1),
         lambda i: F.md5(F.array_join(F.slice("w", i * ps + 1, ps), " ")),
     )
-    ch = d.select("doc_id", F.explode(passages).alias("h"))
+    # localCheckpoint: Generate inlines its child, so exploding the
+    # computed passage-hash array would re-run the md5/slice transform
+    # per output row; the cut also lets the fact side and the
+    # duplicate-set side share ONE derivation of the hashes.
+    pas = d.select("doc_id", passages.alias("ps")).localCheckpoint()
+    ch = pas.select("doc_id", F.explode("ps").alias("h"))
     dup = (
-        d.select(F.explode(F.array_distinct(passages)).alias("h"))
+        pas.select(F.explode(F.array_distinct("ps")).alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= 2)
@@ -1379,8 +1393,15 @@ def bigram_novelty(spark, sf):
     bigrams = F.expr(
         "transform(slice(w, 1, size(w) - 1), (x, i) -> x || ' ' || w[i + 1])"
     )
-    docs2 = d.filter(F.size("w") >= 2).select(
-        "doc_id", F.array_distinct(bigrams).alias("bgs")
+    # localCheckpoint: Generate inlines its child expression, so an
+    # explode over the computed bigram array re-evaluates the whole
+    # transform PER OUTPUT ROW — O(len^2) per doc (measured 11 s for the
+    # explode alone at sf1.0 vs 0.1 s from the checkpointed table). The
+    # cut also lets per_doc and the explode share ONE derivation.
+    docs2 = (
+        d.filter(F.size("w") >= 2)
+        .select("doc_id", F.array_distinct(bigrams).alias("bgs"))
+        .localCheckpoint()
     )
     per_doc = docs2.select(
         "doc_id", F.size("bgs").cast("long").alias("n_bigrams")

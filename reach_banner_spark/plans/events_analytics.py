@@ -6890,7 +6890,7 @@ def macro_session_report(spark, sf):
     Scale shape: the span grain is derived once and localCheckpoint'ed
     so the three readouts don't re-run the session windows; the
     overlap count reuses the hour-bucket equi-join discipline."""
-    from .relational import _session_spans
+    from .relational import _OVERLAP_BUCKET_US, _session_spans
 
     s = _session_spans(spark, sf).localCheckpoint()
     m = s.agg(
@@ -6900,7 +6900,10 @@ def macro_session_report(spark, sf):
         .cast("long")
         .alias("total_dur_us"),
     )
-    hour = 3_600_000_000
+    # bucket width near the mean session duration (see
+    # join_interval_overlap's r6 note) — the hour grid paid ~1.3e9
+    # candidate evaluations for 15M true pairs at sf1.0
+    hour = _OVERLAP_BUCKET_US
     b = s.select(
         "user_id",
         "session_id",
@@ -6927,15 +6930,21 @@ def macro_session_report(spark, sf):
         F.col("en").alias("en_b"),
         "bucket",
     )
+    # first-shared-bucket residual: each overlapping pair is emitted
+    # exactly once, so the former DISTINCT exchange disappears (r6; see
+    # join_interval_overlap)
     p = (
         left.join(right, "bucket")
         .filter(
             (F.col("ua") < F.col("ub"))
             & (F.col("st_a") <= F.col("en_b"))
             & (F.col("st_b") <= F.col("en_a"))
+            & (
+                F.col("bucket")
+                == F.floor(F.greatest("st_a", "st_b") / hour).cast("long")
+            )
         )
         .select("ua", "sa", "ub", "sb")
-        .distinct()
         .agg(F.count(F.lit(1)).cast("long").alias("n_overlap_pairs"))
     )
     return (

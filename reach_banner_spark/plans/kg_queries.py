@@ -3473,18 +3473,26 @@ def udtf_polymorphic(spark, sf):
 
         def eval(self, doc_id: int, text: str, fields: str):
             t = text or ""
-            stats = {
-                "n_chars_out": len(t),
-                "n_words": len(t.split(" ")) if t else 1,
-                "n_upper": sum(1 for ch in t if ch.isupper()),
-            }
-            yield tuple(
-                [doc_id] + [stats[n] for n in fields.split(",")]
-            )
+            # compute ONLY the requested fields (r6: the unconditional
+            # stats dict paid a per-character n_upper scan for a column
+            # the projection never asked for)
+            out = [doc_id]
+            for n in fields.split(","):
+                if n == "n_chars_out":
+                    out.append(len(t))
+                elif n == "n_words":
+                    out.append(len(t.split(" ")) if t else 1)
+                else:  # n_upper
+                    out.append(sum(1 for ch in t if ch.isupper()))
+            yield tuple(out)
 
     poly = _udtf(DocStats)
     spark.udtf.register("rbs_doc_stats", poly)
-    d = _docs(spark, sf)
+    # fan_out: the UDTF evaluates row-at-a-time in Python workers; the
+    # one-row-group scan split would pin ALL rows to one worker
+    from reach_banner_spark.fanout import fan_out
+
+    d = fan_out(_docs(spark, sf), "doc_id")
     d.createOrReplaceTempView("rbs_docs_poly")
     return spark.sql(
         "SELECT s.doc_id, s.n_chars_out, s.n_words FROM rbs_docs_poly t, "

@@ -21,6 +21,7 @@ Python. Catalyst handles pushdown/pruning — tests assert that with
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1127,8 +1128,11 @@ def agg_stats_corr(spark, sf):
     double algebra on the group table. Zero-variance groups are excluded
     by the same double comparison on both engines (same inputs, same
     single compare). The Spark sums accumulate in DECIMAL so sum(y*y)
-    can't overflow BIGINT at large SF (DuckDB's HUGEINT twin)."""
-    li = _t(spark, sf, "lineitem")
+    can't overflow BIGINT at large SF (DuckDB's HUGEINT twin). The scan
+    rides a fan_out rebalance (column pruning pushes the 3-column
+    projection below the exchange; the decimal partial aggregation is
+    the per-row cost)."""
+    li = fan_out(_t(spark, sf, "lineitem"), "l_orderkey")
     dec = lambda c: c.cast("decimal(18,0)")  # noqa: E731
     x, y = dec(F.floor("l_quantity")), dec(F.floor(F.col("l_extendedprice") * 100))
     s = (
@@ -1647,8 +1651,9 @@ def sketch_cms(spark, sf):
     binary with no SQL reader; spelling the sketch relationally keeps
     the estimate queryable, the merge a GROUP BY, and the whole path in
     whole-stage codegen. The only corpus-scale work is the token scan;
-    everything downstream is O(depth·width + probes)."""
-    d = _t(spark, sf, "documents")
+    everything downstream is O(depth·width + probes). The scan rides a
+    fan_out rebalance (one-row-group test file)."""
+    d = fan_out(_t(spark, sf, "documents"), "doc_id")
     toks = d.select(
         "source", F.explode(F.split("text", " ")).alias("word")
     )
@@ -1802,14 +1807,17 @@ def join_null_safe(spark, sf):
     physical strategies (here: broadcast) rather than degrading to a
     nested loop — the property worth pinning, since the NULL bucket is
     also the classic skew key at scale (all NULLs co-locate; the salting
-    discipline of ``join_skew_salted`` applies when it grows hot)."""
+    discipline of ``join_skew_salted`` applies when it grows hot).
+    The customer probe side rides a fan_out rebalance: the NULL-bucket
+    match multiplies rows in the probe task, and the one-row-group scan
+    split would otherwise generate the whole output on one core."""
     s = _t(spark, sf, "supplier").select(
         "s_suppkey",
         F.when(F.col("s_suppkey") % 7 == 0, F.lit(None))
         .otherwise(F.col("s_nationkey"))
         .alias("nk"),
     )
-    c = _t(spark, sf, "customer").select(
+    c = fan_out(_t(spark, sf, "customer"), "c_custkey").select(
         "c_custkey",
         F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
         .otherwise(F.col("c_nationkey"))
@@ -2231,7 +2239,11 @@ def sketch_bloom(spark, sf):
     dimension's key set to a fact scan."""
     mem = bloom_members(_t(spark, sf, "orders"))
     bits = bloom_bit_positions(mem)
-    return bloom_probe(_t(spark, sf, "customer"), bits, mem)
+    # fan_out: the probe side pays one md5 + k position extractions per
+    # row, serialized by the one-row-group scan split otherwise
+    return bloom_probe(
+        fan_out(_t(spark, sf, "customer"), "c_custkey"), bits, mem
+    )
 
 
 def bloom_members(o: DataFrame) -> DataFrame:
@@ -3864,47 +3876,58 @@ def table_profile(spark, sf):
     null count, exact distinct count, min, max — the stats a
     cost-based optimizer and a data-quality monitor both live on.
 
-    Scale shape: ONE scan computes every column's stats (the oracle's
-    four-scan spelling is for clarity); the multi-column COUNT
-    DISTINCT runs through Catalyst's Expand (one row per distinct
-    aggregate — 4x map-side rows, still one exchange), then a 4-row
-    ``stack`` unpivot shapes the report. For approximate profiles at
-    petabyte scale swap COUNT DISTINCT for the HLL sketches already on
-    this surface (sketch_hll_merge); this key pins the exact
-    contract. min/max emit as strings so one schema carries every
-    column type."""
+    Scale shape (r6): one independent single-distinct aggregate per
+    column, unioned — each subtree's parquet scan prunes to ITS column
+    (columnar: total bytes read ≈ the one-scan spelling) and a single
+    COUNT DISTINCT plans as a two-level partial aggregate with
+    map-side dedup, so low-cardinality columns collapse before the
+    exchange. The previous one-pass spelling ran four distincts
+    through Catalyst's Expand — 5x map-side row multiplication and a
+    wide multi-column hash state, measured 9.1 s vs 0.9 s at sf1.0.
+    The four subtrees run as one job and back-fill each other's task
+    tails (guide §2.6). For approximate profiles at petabyte scale
+    swap COUNT DISTINCT for the HLL sketches already on this surface
+    (sketch_hll_merge); this key pins the exact contract. min/max emit
+    as strings so one schema carries every column type."""
     li = _t(spark, sf, "lineitem")
-    agg = li.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("l_orderkey").alias("c_ok"),
-        F.countDistinct("l_orderkey").alias("d_ok"),
-        F.min("l_orderkey").cast("string").alias("mn_ok"),
-        F.max("l_orderkey").cast("string").alias("mx_ok"),
-        F.count("l_quantity").alias("c_q"),
-        F.countDistinct("l_quantity").alias("d_q"),
-        F.min("l_quantity").cast("long").cast("string").alias("mn_q"),
-        F.max("l_quantity").cast("long").cast("string").alias("mx_q"),
-        F.count("l_returnflag").alias("c_rf"),
-        F.countDistinct("l_returnflag").alias("d_rf"),
-        F.min("l_returnflag").alias("mn_rf"),
-        F.max("l_returnflag").alias("mx_rf"),
-        F.count("l_shipdate").alias("c_sd"),
-        F.countDistinct("l_shipdate").alias("d_sd"),
-        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("mn_sd"),
-        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("mx_sd"),
-    )
-    return agg.select(
-        F.expr(
-            "stack(4, "
-            "'l_orderkey', n_rows - c_ok, d_ok, mn_ok, mx_ok, "
-            "'l_quantity', n_rows - c_q, d_q, mn_q, mx_q, "
-            "'l_returnflag', n_rows - c_rf, d_rf, mn_rf, mx_rf, "
-            "'l_shipdate', n_rows - c_sd, d_sd, mn_sd, mx_sd) "
-            "AS (col_name, n_null, n_distinct, min_val, max_val)"
-        ),
-        "n_rows",
-    ).select(
-        "col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val"
+
+    def col_profile(col: str, mn, mx):
+        return li.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            mn.alias("min_val"),
+            mx.alias("max_val"),
+        ).select(
+            "col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val"
+        )
+
+    return (
+        col_profile(
+            "l_orderkey",
+            F.min("l_orderkey").cast("string"),
+            F.max("l_orderkey").cast("string"),
+        )
+        .unionAll(
+            col_profile(
+                "l_quantity",
+                F.min("l_quantity").cast("long").cast("string"),
+                F.max("l_quantity").cast("long").cast("string"),
+            )
+        )
+        .unionAll(
+            col_profile(
+                "l_returnflag", F.min("l_returnflag"), F.max("l_returnflag")
+            )
+        )
+        .unionAll(
+            col_profile(
+                "l_shipdate",
+                F.date_format(F.min("l_shipdate"), "yyyy-MM-dd"),
+                F.date_format(F.max("l_shipdate"), "yyyy-MM-dd"),
+            )
+        )
     )
 
 
@@ -5094,9 +5117,10 @@ def fn_aes_roundtrip(spark, sf):
     The oracle pins the round-trip identity and the PKCS7 length law
     (cipher bytes = 16·(⌊plain/16⌋ + 1)); no float contract.
 
-    Scale shape: pure projection inside whole-stage codegen — two JVM
-    crypto calls per row, linear in scanned bytes, no shuffle."""
-    p = _t(spark, sf, "part")
+    Scale shape: projection inside whole-stage codegen — two JVM
+    crypto calls per row, linear in scanned bytes; the scan rides a
+    fan_out rebalance (one-row-group test file)."""
+    p = fan_out(_t(spark, sf, "part"), "p_partkey")
     key = F.lit("0123456789abcdef").cast("binary")
     enc = F.aes_encrypt(
         F.col("p_name").cast("binary"), key, F.lit("ECB"), F.lit("PKCS")
@@ -5486,6 +5510,16 @@ _SESSIONS_SQL = (
 )
 
 
+# Interval-overlap bucket width (µs). The candidate volume of the
+# bucketed overlap join is minimized when the width is near the mean
+# interval duration (see join_interval_overlap); 2 minutes fits the
+# 30-min-gap sessionization on this surface (mean session ~42 s) and is
+# env-overridable for corpora with very different session lengths.
+_OVERLAP_BUCKET_US = int(
+    os.environ.get("RBS_OVERLAP_BUCKET_US", str(120 * 1_000_000))
+)
+
+
 def _session_spans(spark, sf) -> DataFrame:
     """Per-(user, session) activity spans as exact epoch-microsecond
     integers — the win_session_batch gaps-and-islands sessions reduced
@@ -5548,19 +5582,30 @@ def join_interval_overlap(spark, sf):
     predicate as a residual — pairs are only ever generated inside the
     same hour, so the join is bounded by per-hour concurrency, never
     by total sessions (the MinHash-band discipline applied to time).
-    A session spanning two buckets pair-matches twice; the final
-    DISTINCT collapses it (the pair's overlap is bucket-invariant).
+    A pair sharing several buckets is emitted EXACTLY ONCE via the
+    first-shared-bucket residual (bucket == floor(max(st)/hour), which
+    always lies in both sessions' bucket ranges when they overlap) —
+    r6: this replaces the former full DISTINCT over the candidate set,
+    removing its exchange outright (guide §2.4).
 
     Float discipline: spans and overlaps are exact epoch-microsecond
     BIGINTs end-to-end (ts cast to TIMESTAMP first — the
     TIMESTAMP_NTZ/unix_micros pitfall); no floats exist anywhere.
 
     Scale shape: the session derivation is two user-keyed windows on
-    one exchange; the bucket explode emits ~1 row per session-hour;
-    the equi-join shuffles on the bucket key; the residual + DISTINCT
-    run on the bounded candidate set."""
+    one exchange; the bucket explode emits ~1 row per session-bucket;
+    the equi-join shuffles on the bucket key; the residual runs on the
+    bounded candidate set. r6: the bucket width dropped from one hour
+    to ``_OVERLAP_BUCKET_US`` (default 2 min, env-overridable) — the
+    candidate volume is Σ_b |B_b|^2 ≈ n^2 (w + dur)^2 / (T w), minimized
+    near w ≈ mean session duration (42 s on this corpus; the hour grid
+    held ~1,340 sessions per bucket = ~1.3e9 candidate evaluations for
+    15M true pairs — measured 7.3 s -> 1.3 s at sf1.0). Output is
+    width-invariant: two intervals overlap iff they share a bucket at
+    ANY width, and the first-shared-bucket residual emits each pair
+    exactly once."""
     s = _session_spans(spark, sf)
-    hour = 3_600_000_000
+    hour = _OVERLAP_BUCKET_US
     b = s.select(
         "user_id",
         "session_id",
@@ -5587,12 +5632,16 @@ def join_interval_overlap(spark, sf):
         F.col("en").alias("en_b"),
         "bucket",
     )
+    first_shared = F.floor(
+        F.greatest("st_a", "st_b") / hour
+    ).cast("long")
     pairs = (
         left.join(right, "bucket")
         .filter(
             (F.col("user_a") < F.col("user_b"))
             & (F.col("st_a") <= F.col("en_b"))
             & (F.col("st_b") <= F.col("en_a"))
+            & (F.col("bucket") == first_shared)
         )
         .select(
             "user_a",
@@ -5605,7 +5654,6 @@ def join_interval_overlap(spark, sf):
             .cast("long")
             .alias("overlap_us"),
         )
-        .distinct()
     )
     return pairs
 
@@ -5672,10 +5720,14 @@ def dataset_fingerprint(spark, sf):
     shared ``_hex15_to_int`` chain; XOR never touches a float.
 
     Scale shape: three independent single-pass map-side-combinable
-    aggregations — no joins, no windows, nothing driver-side."""
-    d = _t(spark, sf, "documents")
-    e = _t(spark, sf, "events")
-    o = _t(spark, sf, "orders")
+    aggregations — no joins, no windows, nothing driver-side. Each scan
+    rides a fan_out rebalance: the per-row md5 + canonical-string
+    concat IS the cost and the one-row-group test files would serialize
+    it (at a many-row-group layout fan_out is a no-op and the plan is
+    back to pure partial aggregation)."""
+    d = fan_out(_t(spark, sf, "documents"), "doc_id")
+    e = fan_out(_t(spark, sf, "events"), "event_id")
+    o = fan_out(_t(spark, sf, "orders"), "o_orderkey")
     doc_row = F.concat_ws(
         "|",
         F.col("doc_id").cast("string"),
@@ -5757,7 +5809,9 @@ def join_band(spark, sf):
     3x explode on the probe side, one bucket-keyed equi-join shuffle
     bounded by per-bucket density — never by the pair space."""
     band = 1000
-    c = _t(spark, sf, "orders").select(
+    # fan_out: the probe-side 3x explode and the per-bucket pair products
+    # otherwise run on the one-row-group scan split
+    c = fan_out(_t(spark, sf, "orders"), "o_orderkey").select(
         F.col("o_orderkey").alias("k"),
         (F.col("o_totalprice").cast("decimal(12,2)") * 100)
         .cast("long")
