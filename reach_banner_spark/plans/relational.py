@@ -2612,9 +2612,12 @@ def basket_pairs(spark, sf):
     small and bounded — the kg_two_hop discipline); per-part supports
     come from the SAME distinct table and join back on the
     part-dimension; the global top-100 is TakeOrderedAndProject, no
-    full sort."""
+    full sort. r6: the distinct table is localCheckpoint'ed — four
+    consumers (n_orders, both support lookups, both self-join sides)
+    each re-derived the 6M-row scan+distinct otherwise (plan-audited;
+    attribute ids differ so ReuseExchange can't fire)."""
     li = _t(spark, sf, "lineitem")
-    i = li.select("l_orderkey", "l_partkey").distinct()
+    i = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
     n = i.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_orders")
     )
@@ -2624,9 +2627,12 @@ def basket_pairs(spark, sf):
     b = i.select(
         F.col("l_orderkey").alias("b_ok"), F.col("l_partkey").alias("p2")
     )
+    # shuffled-hash beats sort-merge for the pair join (the
+    # assemble_triples rationale: the pair stream is consumed once, so
+    # SMJ's two big sorts buy nothing; measured ~2x at sf1.0)
     pairs = (
         i.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("b_ok") == F.col("l_orderkey"))
             & (F.col("p2") > F.col("l_partkey")),
         )
@@ -4347,22 +4353,32 @@ def recursive_cte(spark, sf):
     dimension-sized edge list derived by one user-keyed window over
     the fact), so each recursive step is a tiny join; the hop bound
     (< 3) caps the unrolling exactly like kg_reach's fixed frontier
-    count. The one fact-scale cost is deriving the edges CTE."""
-    return spark.sql(
+    count. The one fact-scale cost is deriving the edges table — r6:
+    it is localCheckpoint'ed OUTSIDE the recursive query, because the
+    loop re-executes every non-materialized subtree it references per
+    iteration (measured: 3 iterations re-ran the fact-scale window
+    three times, 4.5 s -> ~1.2 s at sf1.0). The WITH RECURSIVE r loop
+    itself is unchanged."""
+    edges = spark.sql(
         """
-        WITH RECURSIVE edges AS (SELECT DISTINCT src, dst FROM (
+        SELECT DISTINCT src, dst FROM (
            SELECT event_type AS src,
             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             AS dst FROM {ev}) WHERE dst IS NOT NULL AND src <> dst),
-        r(node, hop) AS (
+             AS dst FROM {ev}) WHERE dst IS NOT NULL AND src <> dst
+        """,
+        ev=_t(spark, sf, "events"),
+    ).localCheckpoint()
+    return spark.sql(
+        """
+        WITH RECURSIVE r(node, hop) AS (
           SELECT CAST('view' AS STRING), 0
           UNION ALL
-          SELECT e.dst, r.hop + 1 FROM r JOIN edges e ON e.src = r.node
+          SELECT e.dst, r.hop + 1 FROM r JOIN {edges} e ON e.src = r.node
           WHERE r.hop < 3)
         SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hop
         FROM r GROUP BY node
         """,
-        ev=_t(spark, sf, "events"),
+        edges=edges,
     )
 
 
