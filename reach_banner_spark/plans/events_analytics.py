@@ -24,11 +24,20 @@ dimension-sized (steps × 1, cohorts × weeks, event-type²).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# Above this row count events_rfm switches its quartile step from exact
+# unpartitioned NTILE windows to broadcast approx_percentile cutoffs
+# (r5-VERDICT #2): the user-grain single-partition sort is the one
+# window in this module whose size grows with users instead of a
+# bounded domain. Test SFs sit far below the gate, so the oracle pins
+# the exact path; the forced-path pytest exercises the approx branch.
+RFM_EXACT_CUTOFF = int(os.environ.get("RBS_RFM_EXACT_CUTOFF", "5000000"))
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
@@ -765,7 +774,7 @@ def events_streaks(spark, sf):
     "  AS VARCHAR) AS segment "
     "FROM u",
 )
-def events_rfm(spark, sf):
+def events_rfm(spark, sf, exact_cutoff: int | None = None):
     """RFM (recency / frequency / monetary) segmentation — the canonical
     customer-scoring rollup. Every metric is exact: recency is an integer
     day difference against the corpus's max day, frequency a count, and
@@ -774,15 +783,22 @@ def events_rfm(spark, sf):
     NTILE(4) under total orders (user_id tie-break — the win_ntile
     determinism rule), composed into the 'R?F?M?' segment label.
 
-    Scale shape: one user-keyed aggregation over the fact table (map-side
-    combinable, state per user is three scalars), a broadcast 1-row max
-    day (mix_weights precedent), then three NTILE windows over the
-    USER-sized table. Those windows are unpartitioned by construction —
-    quantile ranks are global statements — so at 100 TB this key's fact
-    scan stays fully parallel and only the user-grain profile (orders of
-    magnitude smaller) funnels through the rank step; a production
-    variant swaps NTILE for approx-percentile cutoffs joined back when
-    even the user table outgrows one partition."""
+    Scale shape (r6, the r5-VERDICT #2 fix): one user-keyed aggregation
+    over the fact table (map-side combinable, state per user is three
+    scalars), a broadcast 1-row max day (mix_weights precedent), then a
+    SIZE-GATED rank step over the user-grain table. Below
+    ``RFM_EXACT_CUTOFF`` (events bound users from above; the probe is
+    metadata-cheap) the three exact NTILE windows run (what
+    the oracle pins at test SFs) — quantile ranks are global
+    statements, so those windows are unpartitioned and funnel the user
+    table through one partition. ABOVE the gate that single-partition
+    sort is the scale hazard (it grows with users, unlike this module's
+    bounded-domain windows), so the quartile boundaries come from ONE
+    approx_percentile aggregation (mergeable sketch — no row funnel)
+    broadcast back as three cutoffs per metric and applied as when()
+    buckets: fully parallel, boundary-tie assignment approximate by
+    construction (the documented trade; the forced-path pytest pins
+    schema, bucket range and near-balanced quartiles)."""
     e = _events(spark, sf)
     maxd = e.agg(F.max(F.to_date("ts")).alias("maxd"))
     u = (
@@ -802,9 +818,50 @@ def events_rfm(spark, sf):
             "monetary_cents",
         )
     )
-    rq = F.ntile(4).over(Window.orderBy("recency_days", "user_id"))
-    fq = F.ntile(4).over(Window.orderBy(F.desc("freq"), "user_id"))
-    mq = F.ntile(4).over(Window.orderBy(F.desc("monetary_cents"), "user_id"))
+    if exact_cutoff is None:
+        exact_cutoff = RFM_EXACT_CUTOFF
+    # gate probe: the EVENT count bounds the user count from above and
+    # is metadata-cheap on parquet (no extra pass over the user grain)
+    if e.count() <= int(exact_cutoff):
+        rq = F.ntile(4).over(Window.orderBy("recency_days", "user_id"))
+        fq = F.ntile(4).over(Window.orderBy(F.desc("freq"), "user_id"))
+        mq = F.ntile(4).over(
+            Window.orderBy(F.desc("monetary_cents"), "user_id")
+        )
+    else:
+        cuts = u.agg(
+            F.percentile_approx(
+                "recency_days", [0.25, 0.5, 0.75], 10000
+            ).alias("rc"),
+            F.percentile_approx("freq", [0.75, 0.5, 0.25], 10000).alias(
+                "fc"
+            ),
+            F.percentile_approx(
+                "monetary_cents", [0.75, 0.5, 0.25], 10000
+            ).alias("mc"),
+        ).head()
+
+        def asc_bucket(col, cs):  # quartile 1 = smallest values
+            x = F.col(col)
+            return (
+                F.lit(1)
+                + (x > F.lit(int(cs[0]))).cast("int")
+                + (x > F.lit(int(cs[1]))).cast("int")
+                + (x > F.lit(int(cs[2]))).cast("int")
+            )
+
+        def desc_bucket(col, cs):  # quartile 1 = largest values
+            x = F.col(col)
+            return (
+                F.lit(1)
+                + (x < F.lit(int(cs[0]))).cast("int")
+                + (x < F.lit(int(cs[1]))).cast("int")
+                + (x < F.lit(int(cs[2]))).cast("int")
+            )
+
+        rq = asc_bucket("recency_days", cuts["rc"])
+        fq = desc_bucket("freq", cuts["fc"])
+        mq = desc_bucket("monetary_cents", cuts["mc"])
     return u.select(
         "user_id",
         "recency_days",
