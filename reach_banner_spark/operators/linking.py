@@ -383,28 +383,14 @@ def fuzzy_best_distributed(
     return grouped.mapInPandas(best, _BEST_SCHEMA)
 
 
-def link_mentions(
-    mentions: DataFrame,
-    lexicon: DataFrame,
-    min_jaccard: float = 0.5,
-    broadcast_lex_cutoff: int = 100_000,
-) -> DataFrame:
-    """mentions + lexicon -> mentions with (entity_id, canonical) columns.
-
-    Path 1 (G2): exact broadcast join on lowercased surface == alias.
-    Path 2 (G1): for unmatched surfaces, MinHash-LSH candidates against the
-    lexicon bands, exact-Jaccard verify, best-match per surface (ties broken
-    by alias for determinism). Below ``broadcast_lex_cutoff`` aliases the
-    whole candidate+verify step fuses into one mapInPandas with a broadcast
-    band index (``fuzzy_best_broadcast``); above it, the distributed
-    band-join twin runs (``fuzzy_best_distributed``).
-    """
+def _dedup_lex(lexicon: DataFrame) -> DataFrame:
+    """The lexicon deduped on lowercased alias (deterministic: min
+    entity_id) so the exact join never fans mentions out — shared by
+    ``link_mentions`` and ``collect_lex_rows``."""
     from pyspark.sql import Window
 
-    # dedupe the lexicon on lowercased alias (deterministic: min entity_id)
-    # so the exact join never fans mentions out
     wl = Window.partitionBy("alias_key").orderBy("entity_id", "canonical")
-    lex = (
+    return (
         lexicon.select(
             F.lower(F.col("alias")).alias("alias_key"),
             "canonical",
@@ -416,13 +402,46 @@ def link_mentions(
         .drop("rn")
     )
 
+
+def collect_lex_rows(
+    lexicon: DataFrame, broadcast_lex_cutoff: int = 100_000
+) -> list:
+    """Pre-collect the deduped lexicon rows ONCE for reuse across many
+    ``link_mentions`` calls over the same static lexicon (r6: the
+    incremental pipeline's per-batch fixed cost)."""
+    return _dedup_lex(lexicon).limit(broadcast_lex_cutoff + 1).collect()
+
+
+def link_mentions(
+    mentions: DataFrame,
+    lexicon: DataFrame,
+    min_jaccard: float = 0.5,
+    broadcast_lex_cutoff: int = 100_000,
+    lex_rows: "list | None" = None,
+) -> DataFrame:
+    """mentions + lexicon -> mentions with (entity_id, canonical) columns.
+
+    Path 1 (G2): exact broadcast join on lowercased surface == alias.
+    Path 2 (G1): for unmatched surfaces, MinHash-LSH candidates against the
+    lexicon bands, exact-Jaccard verify, best-match per surface (ties broken
+    by alias for determinism). Below ``broadcast_lex_cutoff`` aliases the
+    whole candidate+verify step fuses into one mapInPandas with a broadcast
+    band index (``fuzzy_best_broadcast``); above it, the distributed
+    band-join twin runs (``fuzzy_best_distributed``).
+    """
+    lex = _dedup_lex(lexicon)
+
     # ONE size-gate job (limit-collect). Below the cutoff the collected
     # rows REPLACE the windowed plan with a local relation: the dedup
     # window would otherwise re-run (scan + Exchange on alias_key) once
     # per downstream branch — three dimension-side shuffles per pipeline
     # run for a table the driver already holds. (Previously a .count()
-    # job AND a .collect() job ran serially here.)
-    lex_rows = lex.limit(broadcast_lex_cutoff + 1).collect()
+    # job AND a .collect() job ran serially here.) A STATIC lexicon's
+    # rows can be pre-collected once by the caller (``collect_lex_rows``)
+    # and passed in — the incremental pipeline does this per stream
+    # instead of per micro-batch (r6).
+    if lex_rows is None:
+        lex_rows = lex.limit(broadcast_lex_cutoff + 1).collect()
     small_lex = len(lex_rows) <= broadcast_lex_cutoff
     if small_lex:
         lex = mentions.sparkSession.createDataFrame(lex_rows, schema=lex.schema)

@@ -62,9 +62,30 @@ class CheckpointedPipeline:
         self.ledger_path = os.path.join(root, "checkpoints.jsonl")
         self.stages_run: list[str] = []
         self.stages_resumed: list[str] = []
+        # r6: per-stage manifest finalization (stats read-back + sidecar
+        # write) runs on a thread so it overlaps the NEXT stage's data
+        # write (guide §2.6 — Spark schedules both jobs concurrently);
+        # every consumer of a manifest joins the owning thread first.
+        self._pending: dict[str, object] = {}
+        self._pending_err: dict[str, BaseException] = {}
 
     def _stage_dir(self, stage: str) -> str:
         return os.path.join(self.root, stage)
+
+    def _join_pending(self, stage: str | None = None) -> None:
+        names = [stage] if stage is not None else list(self._pending)
+        for n in names:
+            t = self._pending.pop(n, None)
+            if t is not None:
+                t.join()
+            err = self._pending_err.pop(n, None)
+            if err is not None:
+                raise err
+
+    def flush(self) -> None:
+        """Join every in-flight manifest finalization (call before
+        handing the checkpoint root to another pipeline instance)."""
+        self._join_pending()
 
     def stage(
         self,
@@ -84,24 +105,52 @@ class CheckpointedPipeline:
         retrained model or changed kwargs invalidates the cached stage
         instead of silently returning stale output.
         """
+        import threading
+
         path = self._stage_dir(name)
+        self._join_pending(name)  # a prior run of this same stage
         manifest = tables.read_manifest(path)
-        want_lineage = self._lineage_of(upstream, config)
-        if manifest is not None and manifest.get("note") == want_lineage:
-            self.stages_resumed.append(name)
-            return tables.read_graph_table(self.spark, path)
+        if manifest is not None:
+            want_lineage = self._lineage_of(upstream, config)
+            if manifest.get("note") == want_lineage:
+                self.stages_resumed.append(name)
+                return tables.read_graph_table(self.spark, path)
         df = build()
         bucket = bucket_col or self.bucket_default
         if bucket not in df.columns:
             bucket = df.columns[0]
-        manifest = tables.write_graph_table(
-            df, path, bucket_col=bucket, snapshot_note=want_lineage
-        )
-        self._append_ledger(name, manifest)
+        # heavy data write FIRST — it runs concurrently with the
+        # UPSTREAM stage's still-in-flight manifest finalization; only
+        # then derive this stage's lineage note (which joins upstream)
+        schema_json = tables.write_graph_data(df, path, bucket_col=bucket)
+        want_lineage = self._lineage_of(upstream, config)
+        columns = list(df.columns)
+
+        def _finalize() -> None:
+            try:
+                m = tables.finalize_graph_manifest(
+                    self.spark, path, schema_json, columns,
+                    bucket_col=bucket, snapshot_note=want_lineage,
+                )
+                self._append_ledger(name, m)
+            except BaseException as e:  # re-raised at the next join
+                self._pending_err[name] = e
+
+        t = threading.Thread(target=_finalize, name=f"rbs-ckpt-{name}")
+        t.start()
+        self._pending[name] = t
         self.stages_run.append(name)
-        return tables.read_graph_table(self.spark, path)
+        try:
+            return tables.read_graph_table(self.spark, path)
+        except Exception:
+            # empty-table case: the read needs the manifest's stored
+            # schema — wait for the finalizer and retry
+            self._join_pending(name)
+            return tables.read_graph_table(self.spark, path)
 
     def _lineage_of(self, upstream: str | None, config: dict | None = None) -> str:
+        if upstream is not None:
+            self._join_pending(upstream)
         cfg = f"|v{CODE_VERSION}|cfg:{_config_fingerprint(config)}"
         if upstream is None:
             return "root" + cfg
@@ -128,6 +177,7 @@ class CheckpointedPipeline:
                 )
 
     def ledger(self) -> list[dict]:
+        self._join_pending()  # ledger rows are appended by finalizers
         if not os.path.exists(self.ledger_path):
             return []
         with open(self.ledger_path) as f:
@@ -170,4 +220,8 @@ def run_pipeline_checkpointed(
         upstream="canonical",
         config={"window_turns": window_turns},
     )
+    # join in-flight manifest finalizers before returning: the caller may
+    # wipe stage dirs (the resume benchmark's kill scenario) or hand the
+    # root to a fresh pipeline instance — no thread may outlive this call
+    cp.flush()
     return triples, cp

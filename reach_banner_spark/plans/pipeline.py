@@ -50,7 +50,22 @@ def canonicalize(
     min-label-propagation loop for genuinely large alias graphs — the same
     decision a planner makes between broadcast and shuffle joins.
     """
-    spark = linked.sparkSession
+    rep = canonical_rep_map(
+        linked.sparkSession, lexicon, small_edge_cutoff=small_edge_cutoff
+    )
+    return apply_canonical(linked, rep)
+
+
+def canonical_rep_map(
+    spark, lexicon: DataFrame, small_edge_cutoff: int = 100_000
+) -> DataFrame | None:
+    """The entity_id -> (rep_id, rep_canonical) mapping ``canonicalize``
+    applies — a pure function of the LEXICON, factored out (r6) so the
+    incremental pipeline can derive it ONCE per stream instead of once
+    per micro-batch (it was rebuilt per batch: a size-gate job, the
+    driver union-find, and the id2canon aggregate — all over static
+    reference data). Returns None when the lexicon has no similarity
+    edges (canonicalization is then the identity)."""
     # ONE size-gate job: limit-toPandas both decides the path and, on the
     # driver path, already holds the rows (previously a .count() job and a
     # .toPandas() job ran serially here — driver-serial fixed cost)
@@ -65,7 +80,7 @@ def canonicalize(
 
         edges_pdf = entity_edges_pandas(lex_pdf)
         if len(edges_pdf) == 0:
-            return linked
+            return None
         comp_pdf = connected_components_pandas(edges_pdf)
         comp = spark.createDataFrame(comp_pdf)
     else:
@@ -75,7 +90,7 @@ def canonicalize(
         .groupBy("entity_id")
         .agg(F.min("canonical").alias("rep_canonical"))
     )
-    rep = (
+    return (
         comp.join(id2canon, comp["comp"] == id2canon["entity_id"])
         .select(
             F.col("node").alias("entity_id"),
@@ -83,6 +98,13 @@ def canonicalize(
             "rep_canonical",
         )
     )
+
+
+def apply_canonical(linked: DataFrame, rep: DataFrame | None) -> DataFrame:
+    """Apply a ``canonical_rep_map`` to linked mentions (identity when
+    the map is None — no similarity edges)."""
+    if rep is None:
+        return linked
     return (
         linked.join(F.broadcast(rep), "entity_id", "left")
         .withColumn("entity_id", F.coalesce("rep_id", "entity_id"))

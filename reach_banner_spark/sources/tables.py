@@ -56,6 +56,33 @@ def write_graph_table(
 ) -> dict:
     """Write a bucket-partitioned graph table + manifest; returns manifest.
 
+    Composed of ``write_graph_data`` (the heavy bucketed write) and
+    ``finalize_graph_manifest`` (the stats read-back + manifest) — split
+    in r6 so the checkpointed pipeline can overlap a stage's manifest
+    stats with the NEXT stage's write (guide §2.6); this one-call form
+    keeps the original synchronous contract for every other caller."""
+    schema_json = write_graph_data(
+        df, path, bucket_col=bucket_col, n_buckets=n_buckets,
+        iceberg_table=iceberg_table,
+    )
+    return finalize_graph_manifest(
+        df.sparkSession, path, schema_json, df.columns,
+        bucket_col=bucket_col, n_buckets=n_buckets,
+        snapshot_note=snapshot_note,
+    )
+
+
+def write_graph_data(
+    df: DataFrame,
+    path: str,
+    bucket_col: str = "conv_id",
+    n_buckets: int = 64,
+    iceberg_table: str | None = None,
+) -> str:
+    """The data half of ``write_graph_table``: bucketed partitioned
+    parquet (or Iceberg when available), returning the schema JSON the
+    manifest needs.
+
     When an Iceberg catalog is on the classpath AND ``iceberg_table`` is
     given, the data goes through ``writeTo(...).partitionedBy(bucket(...))``
     (the manifest is still written beside it for checkpoint lineage);
@@ -83,6 +110,22 @@ def write_graph_table(
         .partitionBy("p_bucket")
         .parquet(path)
     )
+    return schema_json
+
+
+def finalize_graph_manifest(
+    spark: SparkSession,
+    path: str,
+    schema_json: str,
+    columns: list,
+    bucket_col: str = "conv_id",
+    n_buckets: int = 64,
+    snapshot_note: str = "",
+) -> dict:
+    """The manifest half of ``write_graph_table``: per-bucket row counts
+    + order-insensitive content hashes of the DURABLY WRITTEN data (the
+    read-back is deliberate: the hash certifies what is on disk), then
+    the manifest sidecar."""
     try:
         back = spark.read.parquet(path)
         stats = (
@@ -91,7 +134,7 @@ def write_graph_table(
                 F.count(F.lit(1)).alias("rows"),
                 # order-insensitive content hash: sum of bounded row hashes
                 # (bounded to 2^40 so the ANSI-mode long sum can never overflow)
-                F.sum(F.pmod(F.xxhash64(*[c for c in df.columns]), F.lit(1 << 40))).alias(
+                F.sum(F.pmod(F.xxhash64(*[c for c in columns]), F.lit(1 << 40))).alias(
                     "content_hash"
                 ),
             )

@@ -422,7 +422,13 @@ def _run_incremental_turns(
         )
         cleanup: list = []
         try:
-            per_batch(allt, cur, cleanup).write.mode("append").parquet(out_data)
+            # coalesce the tiny per-batch outputs (r6): a 32-partition
+            # append wrote 32 near-empty files per batch, tripling the
+            # final read-back's footer count; 4 output files per batch
+            # keeps the write parallel enough at this batch size
+            per_batch(allt, cur, cleanup).coalesce(4).write.mode(
+                "append"
+            ).parquet(out_data)
             w = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
             tail = (
                 allt.withColumn("rn", F.row_number().over(w))
@@ -430,7 +436,7 @@ def _run_incremental_turns(
                 .drop("rn")
             )
             new_tail = os.path.join(work, f"tail_b{batch_id}")
-            tail.write.mode("overwrite").parquet(new_tail)
+            tail.coalesce(4).write.mode("overwrite").parquet(new_tail)
             prev_tail = state["tail"]
             state["tail"] = new_tail
             if prev_tail is not None:  # superseded snapshot
@@ -565,16 +571,29 @@ def stream_kg(spark, sf, staged_dir=None):
     lexicon, and canonicalization depends on the lexicon alone — so
     processing order cannot change any mention's canonical entity. The
     only cross-batch coupling is the triple window, which the tail state
-    covers. Streaming == one-shot ``run_pipeline`` is pytest-pinned."""
+    covers. Streaming == one-shot ``run_pipeline`` is pytest-pinned.
+
+    r6 (r5-VERDICT #5): the canonicalization mapping is a pure function
+    of the STATIC lexicon, so it is derived once per stream
+    (``canonical_rep_map``, localCheckpoint'ed) and only APPLIED per
+    micro-batch — the per-batch fixed cost previously re-ran the
+    size-gate job, the driver union-find and the id2canon aggregate on
+    every batch."""
     from .. import schemas
     from ..fixtures import ensure_model, make_lexicon
     from ..operators.linking import link_mentions
     from ..operators.mentions import detect_mentions, paren_balanced
     from ..operators.triples import assemble_triples
-    from ..plans.pipeline import canonicalize
+    from ..plans.pipeline import apply_canonical, canonical_rep_map
 
     model_path = ensure_model()
     lexicon = spark.createDataFrame(make_lexicon(), schema=schemas.LEXICON)
+    rep = canonical_rep_map(spark, lexicon)
+    if rep is not None:
+        rep = rep.localCheckpoint()
+    from ..operators.linking import collect_lex_rows
+
+    lex_rows = collect_lex_rows(lexicon)
 
     def per_batch(allt: DataFrame, cur: DataFrame, cleanup: list) -> DataFrame:
         # persist the expensive stages within the batch: linking fans the
@@ -588,7 +607,9 @@ def stream_kg(spark, sf, staged_dir=None):
         mentions = mentions.persist()
         mentions.count()
         cleanup.append(lambda: mentions.unpersist(blocking=False))
-        linked = canonicalize(link_mentions(mentions, lexicon), lexicon)
+        linked = apply_canonical(
+            link_mentions(mentions, lexicon, lex_rows=lex_rows), rep
+        )
         linked = linked.persist()
         linked.count()
         cleanup.append(lambda: linked.unpersist(blocking=False))
