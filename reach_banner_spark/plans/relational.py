@@ -2646,8 +2646,11 @@ def basket_pairs(spark, sf):
     ).cast("double")
     return (
         pairs.crossJoin(F.broadcast(n))
-        .join(c1, "p1")
-        .join(c2, "p2")
+        # broadcast the part-dimension support lookups (~16 B x parts):
+        # size misestimates otherwise pick SMJ and sort+shuffle the
+        # 11M-row pair table TWICE (plan-audited at sf1.0)
+        .join(F.broadcast(c1), "p1")
+        .join(F.broadcast(c2), "p2")
         .select(
             "p1",
             "p2",

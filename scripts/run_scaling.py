@@ -270,8 +270,23 @@ Raw job outputs:
 ```
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # PREPEND, never overwrite: this file carries cross-round history and
+    # a wholesale rewrite has destroyed it twice (r5-VERDICT #4 / NOTES
+    # pitfall) — new evidence goes on top, prior sections stay
+    # byte-for-byte.
+    target = os.path.join(REPO, "BENCH", "BASELINE.md")
+    prior = ""
+    if os.path.exists(target):
+        with open(target) as f:
+            prior = f.read()
+    with open(target, "w") as f:
         f.write(md)
+        if prior:
+            f.write(
+                "\n\n---\n\n<!-- prior sections preserved below"
+                " (run_scaling prepends) -->\n\n"
+            )
+            f.write(prior)
     print(json.dumps({"n": r8, "4n": r32, "efficiency": round(eff, 3)}))
 
 
