@@ -1040,8 +1040,14 @@ def emb_pca(spark, sf):
     matrix in the closure — embarrassingly parallel, zero shuffles.
     Output doubles are the raw float64 matmul results; the pytest twin
     replays the identical numpy op sequence, so equality is bit-exact
-    (∅-oracle: per-row float formatting differs across engines)."""
-    e = _emb_par(spark, sf)
+    (∅-oracle: per-row float formatting differs across engines).
+
+    NOT fan_out (r6): the twin's bit-exactness depends on the BLAS
+    matmul seeing the same batch shapes — dgemm kernel/blocking (and
+    therefore last-ulp summation order) changes with row count, so
+    rebalancing the scan into 32 small batches flips low bits vs the
+    one-batch twin. The key is 0.5 s; exactness wins."""
+    e = _emb(spark, sf)
     sample = (
         e.orderBy("vec_id").limit(PCA_SAMPLE).select("embedding").toPandas()
     )

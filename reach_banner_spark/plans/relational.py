@@ -1893,13 +1893,12 @@ def join_fuzzy_name(spark, sf):
     ).select("c_custkey", F.xxhash64("var").alias("vh"))
     va = v.select(F.col("c_custkey").alias("ka"), "vh")
     vb = v.select(F.col("c_custkey").alias("kb"), "vh")
+    # ka < kb keeps exactly ONE orientation per shared variant (variant
+    # sharing is symmetric), halving the rows the distinct dedups
     pairs = (
         va.join(vb, "vh")
-        .where(F.col("ka") != F.col("kb"))
-        .select(
-            F.least("ka", "kb").alias("lk"),
-            F.greatest("ka", "kb").alias("gk"),
-        )
+        .where(F.col("ka") < F.col("kb"))
+        .select(F.col("ka").alias("lk"), F.col("kb").alias("gk"))
         .distinct()
     )
     dim = _t(spark, sf, "customer").select("c_custkey", "c_name")
