@@ -29,10 +29,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _pred_expr(role_col, tool_col):
+def _pred_tail_expr(role_col, tool_col):
+    """The predicate rule table MINUS the same-turn branch — everything
+    that depends only on the object turn's (role, tool), so it can be
+    evaluated at the mention grain before the window explode; the
+    same-turn override is applied after the pair join."""
     return (
-        F.when(F.col("same_turn"), F.lit("co_mentioned"))
-        .when(
+        F.when(
             (role_col == "assistant") & (tool_col.isNotNull()) & (tool_col != ""),
             F.concat(F.lit("derived_via_"), tool_col),
         )
@@ -58,16 +61,36 @@ def assemble_triples(
     arrive in order, every triple's object turn is >= its subject turn,
     so object-in-new-batch captures exactly the triples the batch did not
     emit before."""
+    # ONE exchange keyed (conv_id, turn_idx) serves the mention dedup, the
+    # object side's turn-meta join AND the subject side of the pair join:
+    # HashPartitioning on (conv_id, turn_idx) is a subset of every one of
+    # those keys, so no further exchange is required (guide §2.4 — two
+    # operations keyed the same way share one exchange).
     m = (
         linked_mentions.filter(F.col("canonical").isNotNull())
         .select("conv_id", "turn_idx", "begin_char", "canonical")
+        .repartition("conv_id", "turn_idx")
         .distinct()
     )
-    mb = m if obj_mentions is None else (
-        obj_mentions.filter(F.col("canonical").isNotNull())
-        .select("conv_id", "turn_idx", "begin_char", "canonical")
-        .distinct()
-    )
+    if obj_mentions is None:
+        # batch path: subject and object sides consume the SAME mention
+        # table — materialize it once (the lazy plan re-derived the whole
+        # upstream mention subtree per side: two scans, two dict joins,
+        # two distincts at sf1.0). persist (not localCheckpoint): the
+        # in-memory scan keeps the (conv_id, turn_idx) outputPartitioning,
+        # so neither side re-shuffles; a checkpointed RDD reports
+        # UnknownPartitioning and both sides would pay a fresh exchange.
+        from ..caching import persist_swap
+
+        m = persist_swap(m)
+        mb = m
+    else:
+        mb = (
+            obj_mentions.filter(F.col("canonical").isNotNull())
+            .select("conv_id", "turn_idx", "begin_char", "canonical")
+            .repartition("conv_id", "turn_idx")
+            .distinct()
+        )
     turn_meta = turns.select("conv_id", "turn_idx", "role", "tool")
 
     a = m.select(
@@ -76,11 +99,29 @@ def assemble_triples(
         F.col("begin_char").alias("c1"),
         F.col("canonical").alias("subj"),
     )
-    b = mb.select(
-        "conv_id",
-        F.col("turn_idx").alias("t2"),
-        F.col("begin_char").alias("c2"),
-        F.col("canonical").alias("obj"),
+    # The predicate depends only on the OBJECT turn's (role, tool) plus
+    # the same-turn test — attach role/tool at the MENTION grain, before
+    # the window explode and pair join (the old plan shuffled the full
+    # pair table by (conv_id, t2) to meet turn_meta; guide §2.3/§8:
+    # decide with small rows). turns is the fact table — never
+    # broadcastable; the shuffled-hash hint pins a shuffle-side path so
+    # size misestimates can't pull it through the driver. The mention
+    # side is already partitioned by (conv_id, turn_idx), so only
+    # turn_meta pays an exchange here.
+    b = (
+        mb.select(
+            "conv_id",
+            F.col("turn_idx").alias("t2"),
+            F.col("begin_char").alias("c2"),
+            F.col("canonical").alias("obj"),
+        )
+        .join(
+            turn_meta.withColumnRenamed("turn_idx", "t2").hint("shuffle_hash"),
+            ["conv_id", "t2"],
+            "left",
+        )
+        .withColumn("pred_tail", _pred_tail_expr(F.col("role"), F.col("tool")))
+        .drop("role", "tool")
     )
     # Equi-join on (conv_id, t1): each object mention is exploded to the
     # window_turns+1 subject turns that may pair with it. A plain join on
@@ -105,24 +146,31 @@ def assemble_triples(
         )
         & (F.col("subj") != F.col("obj"))
     )
-    pairs = pairs.withColumn("same_turn", F.col("t1") == F.col("t2"))
-    # turns is the 10^12-row fact table — never broadcastable; pin a
-    # shuffle-side path so size misestimates can't pull it through the
-    # driver (shuffled-hash: no sort of the large pair table)
-    pairs = pairs.join(
-        turn_meta.withColumnRenamed("turn_idx", "t2").hint("shuffle_hash"),
-        ["conv_id", "t2"],
-        "left",
-    )
+    # The distinct's grouping keys contain the pair join's keys
+    # (conv_id, t1), so the join's HashPartitioning already satisfies the
+    # aggregation's required distribution — the pair-grain dedup runs
+    # with ZERO additional exchange (the old plan paid a full exchange of
+    # the distinct triple set). The int cast happens after the dedup so
+    # the t1 attribute stays recognizable to the planner (turn_idx is
+    # already int, so the cast is a no-op on values).
     return (
         pairs.select(
             "conv_id",
-            F.col("t1").cast("int").alias("window_start"),
+            "t1",
             "subj",
-            _pred_expr(F.col("role"), F.col("tool")).alias("pred"),
+            F.when(F.col("t1") == F.col("t2"), F.lit("co_mentioned"))
+            .otherwise(F.col("pred_tail"))
+            .alias("pred"),
             "obj",
         )
         .distinct()
+        .select(
+            "conv_id",
+            F.col("t1").cast("int").alias("window_start"),
+            "subj",
+            "pred",
+            "obj",
+        )
     )
 
 

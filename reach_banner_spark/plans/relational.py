@@ -1842,7 +1842,7 @@ def join_null_safe(spark, sf):
     "FROM customer a JOIN customer b ON a.c_name < b.c_name "
     "AND levenshtein(a.c_name, b.c_name) <= 1",
 )
-def join_fuzzy_name(spark, sf):
+def join_fuzzy_name(spark, sf, shuffle_cutoff: int | None = None):
     """Fuzzy string self-join (edit distance <= 1) via SymSpell
     deletion-neighborhood blocking — the join-family member for
     approximate keys (typo'd names, OCR'd ids): a cartesian
@@ -1864,43 +1864,104 @@ def join_fuzzy_name(spark, sf):
     surviving key pairs, and a JVM levenshtein verify. No cartesian
     product anywhere (plan-gated).
 
-    r6: the candidate join and distinct now carry ONLY (custkey, vh) —
+    r6: the candidate join and distinct carry ONLY (custkey, vh) —
     16 bytes a row instead of two 18-char names per row (guide §2.3 /
-    §8: decide with small rows, attach payloads once at the end).
-    Candidates dedup as unordered KEY pairs (least/greatest); the names
-    re-attach via two broadcast joins against the customer dim, the
-    name-order orientation and the exact levenshtein verify run on the
-    deduped pair set only. The variant explode rides a fan_out
-    rebalance (one-row-group scan split otherwise serializes it).
-    Measured 66 s -> ~8 s at sf1.0."""
+    §8: decide with small rows, attach payloads once at the end);
+    names re-attach via two broadcast joins against the customer dim
+    and the exact levenshtein verify runs on the deduped pair set only.
+
+    r6b: the blocking key is now POSITION-QUALIFIED. For equal-length
+    strings, distance <= 1 is EXACTLY "their deletions at the SAME
+    position agree" (delete(a,i) = delete(b,i) <=> a and b agree
+    everywhere except possibly i), so keying the deletion variant with
+    its position admits no distance-2 candidates at all — the
+    position-free SymSpell key admitted every pair whose deletions met
+    at DIFFERENT positions (e.g. 'ab...'/'ba...'), ~60% of the 8M
+    candidates, each paying join+distinct+verify for nothing. For
+    length±1 pairs, the shorter string must EQUAL a deletion of the
+    longer, which a second, near-empty join of the variant stream
+    against the full-name hashes covers (completeness: a substitution
+    meets at its own position; an insert/delete means shorter =
+    delete(longer, i)). Hash collisions only ADD candidates (the
+    verify drops them), so xxhash64 keys stay semantically free.
+    The variant explode rides a fan_out rebalance (one-row-group scan
+    split otherwise serializes it). Measured 66 s (r5) -> ~5 s (r6
+    position-free) -> ~2.9 s (position-qualified) on a 150k-name
+    sf1.0-shaped staging."""
     c = fan_out(
         _t(spark, sf, "customer").select("c_custkey", "c_name"),
         "c_custkey",
     )
-    variants = F.array_distinct(
-        F.concat(
-            F.array(F.col("c_name")),
-            F.expr(
-                "transform(sequence(1, length(c_name)), "
-                "i -> concat(substring(c_name, 1, i - 1), "
-                "substring(c_name, i + 1, length(c_name))))"
-            ),
-        )
+    deletions = F.expr(
+        "transform(sequence(1, length(c_name)), "
+        "i -> concat(substring(c_name, 1, i - 1), "
+        "substring(c_name, i + 1, length(c_name))))"
     )
+    # The variant table is derived per consumer rather than materialized:
+    # re-running the scan+explode+hash (~0.3 s/pass at 150k names) keeps
+    # all 32 cores busy, where a localCheckpoint/persist barrier
+    # serializes the pipeline on one materialization (measured +1.2 s).
     v = c.select(
         "c_custkey",
-        F.explode(variants).alias("var"),
-    ).select("c_custkey", F.xxhash64("var").alias("vh"))
-    va = v.select(F.col("c_custkey").alias("ka"), "vh")
-    vb = v.select(F.col("c_custkey").alias("kb"), "vh")
+        F.posexplode(deletions).alias("pos", "var"),
+    ).select("c_custkey", "pos", F.xxhash64("var").alias("vh"))
+    va = v.select(F.col("c_custkey").alias("ka"), "pos", "vh")
+    vb = v.select(F.col("c_custkey").alias("kb"), "pos", "vh")
+    # ONE tiny aggregate over the name-length domain (bounded by max
+    # string length — a safe driver collect, the module's size-gate
+    # discipline) feeds two data-adaptive decisions:
+    # (a) join strategy: size estimates see only the pre-explode scan,
+    #     so above the cutoff the planner would BROADCAST the exploded
+    #     variant side through the driver (BuildLeft — measured 1.5 s+
+    #     at 150k names); the pinned shuffled-hash is the honest 100 TB
+    #     plan there, while small corpora keep the (genuinely faster)
+    #     broadcast that the planner picks unhinted;
+    # (b) the cross-length branch can only match name pairs whose
+    #     lengths differ by EXACTLY 1 — uniform-length corpora (all
+    #     TPC-H name columns) skip the branch's two exchanges entirely.
+    import os as _os
+
+    len_prof = (
+        _t(spark, sf, "customer")
+        .groupBy(F.length("c_name").alias("len"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_names = sum(r["n"] for r in len_prof)
+    lens = sorted(r["len"] for r in len_prof if r["len"] is not None)
+    if shuffle_cutoff is None:
+        shuffle_cutoff = int(
+            _os.environ.get("RBS_FUZZY_SHUFFLE_CUTOFF", "50000")
+        )
+    _pin = (
+        (lambda df: df.hint("shuffle_hash"))
+        if n_names > shuffle_cutoff
+        else (lambda df: df)
+    )
     # ka < kb keeps exactly ONE orientation per shared variant (variant
     # sharing is symmetric), halving the rows the distinct dedups
-    pairs = (
-        va.join(vb, "vh")
+    same_len = (
+        va.join(_pin(vb), ["pos", "vh"])
         .where(F.col("ka") < F.col("kb"))
         .select(F.col("ka").alias("lk"), F.col("kb").alias("gk"))
-        .distinct()
     )
+    need_cross = any(b - a == 1 for a, b in zip(lens, lens[1:]))
+    if need_cross:
+        full = _t(spark, sf, "customer").select(
+            F.col("c_custkey").alias("kb"), F.xxhash64("c_name").alias("vh")
+        )
+        cross_len = (
+            v.select(F.col("c_custkey").alias("ka"), "vh")
+            .join(_pin(full), "vh")
+            .where(F.col("ka") != F.col("kb"))
+            .select(
+                F.least("ka", "kb").alias("lk"),
+                F.greatest("ka", "kb").alias("gk"),
+            )
+        )
+        pairs = same_len.union(cross_len).distinct()
+    else:
+        pairs = same_len.distinct()
     dim = _t(spark, sf, "customer").select("c_custkey", "c_name")
     named = (
         pairs.join(
@@ -2606,36 +2667,40 @@ def basket_pairs(spark, sf):
     transactional schema. Counts are exact; lift is one
     correctly-rounded division; top-100 under a total order.
 
-    Scale shape: reduce to the DISTINCT (order, part) table first, then
-    ONE order-keyed self-join bounded by Σ basket_size² (baskets are
-    small and bounded — the kg_two_hop discipline); per-part supports
-    come from the SAME distinct table and join back on the
-    part-dimension; the global top-100 is TakeOrderedAndProject, no
-    full sort. r6: the distinct table is localCheckpoint'ed — four
-    consumers (n_orders, both support lookups, both self-join sides)
-    each re-derived the 6M-row scan+distinct otherwise (plan-audited;
-    attribute ids differ so ReuseExchange can't fire)."""
+    Scale shape (r6b): ONE order-keyed aggregation builds the sorted
+    per-order part SET in-row (collect_set dedups map-side, so the only
+    fact-grain exchange carries partial basket buffers); pairs are
+    generated by an in-row i<j explode over the sorted array — bounded
+    by Σ basket_size² exactly like the old self-join, but with ZERO
+    join and two fewer 6M-row exchanges (the old plan paid a distinct
+    exchange plus both self-join sides). Baskets are small and bounded
+    (the kg_two_hop discipline), so the per-row pair array is tiny.
+    Per-part supports explode from the SAME basket table (in-row
+    distinct makes the count an order count); the global top-100 is
+    TakeOrderedAndProject, no full sort. The basket table is
+    localCheckpoint'ed — three consumers (n_orders, supports, pairs)
+    would each re-derive the fact aggregation otherwise."""
     li = _t(spark, sf, "lineitem")
-    i = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
-    n = i.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint()
     )
-    pc = i.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    pc = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    b = i.select(
-        F.col("l_orderkey").alias("b_ok"), F.col("l_partkey").alias("p2")
+    pair_structs = F.expr(
+        "flatten(transform(ps, (x, j) -> "
+        "transform(slice(ps, j + 2, size(ps)), "
+        "y -> named_struct('p1', x, 'p2', y))))"
     )
-    # shuffled-hash beats sort-merge for the pair join (the
-    # assemble_triples rationale: the pair stream is consumed once, so
-    # SMJ's two big sorts buy nothing; measured ~2x at sf1.0)
     pairs = (
-        i.join(
-            b.hint("shuffle_hash"),
-            (F.col("b_ok") == F.col("l_orderkey"))
-            & (F.col("p2") > F.col("l_partkey")),
-        )
-        .groupBy(F.col("l_partkey").alias("p1"), "p2")
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
     )
     c1 = pc.select(F.col("l_partkey").alias("p1"), F.col("cnt").alias("cnt1"))

@@ -3970,3 +3970,74 @@ def test_events_rfm_approx_path_scale_shape(spark):
         assert ap[col].nunique() >= 3
     seg = "R" + ap.r_q.astype(str) + "F" + ap.f_q.astype(str) + "M" + ap.m_q.astype(str)
     assert (ap.segment == seg).all()
+
+
+def _lev(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[lb]
+
+
+def test_join_fuzzy_name_shuffle_path_pinned(spark):
+    """The r6b size gate's shuffled-hash branch (forced via
+    shuffle_cutoff=0) must produce the identical pair set as the
+    default (unhinted, broadcast-at-this-scale) branch, with the pinned
+    ShuffledHashJoin actually in the plan — the forced-path discipline
+    of the other size gates."""
+    from reach_banner_spark.plans.relational import join_fuzzy_name
+
+    base = join_fuzzy_name(spark, SF).toPandas()
+    forced = join_fuzzy_name(spark, SF, shuffle_cutoff=0)
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:800]
+    fp = forced.toPandas()
+    key = lambda df: sorted(map(tuple, df[["k1", "k2", "dist"]].to_numpy()))
+    assert key(fp) == key(base)
+    assert len(fp) > 0
+
+
+def test_join_fuzzy_name_cross_length_complete(spark, tmp_path):
+    """Mixed-length corpus: the cross-length branch (shorter name ==
+    deletion of longer) must fire and the result must equal the
+    exhaustive O(n^2) levenshtein pair set — insertions/deletions are
+    exactly the pairs the position-qualified same-length key cannot
+    see, so this pins the branch the uniform-length oracle corpora
+    never exercise."""
+    import pandas as pd
+
+    from reach_banner_spark.plans.relational import join_fuzzy_name
+
+    names = [
+        "alpha", "alpa", "alphaa", "alph", "blpha",
+        "gamma", "gama", "gamm", "gmma", "gammaa",
+        "delta", "delta2", "delt", "dalta", "xelta",
+        "kappa", "kappa", "omega",
+    ]
+    pdf = pd.DataFrame(
+        {"c_custkey": range(1, len(names) + 1), "c_name": names}
+    )
+    d = str(tmp_path / "fuzzmix")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{d}/customer.parquet"
+    )
+    got = join_fuzzy_name(spark, d).toPandas()
+    want = set()
+    for i in range(len(names)):
+        for j in range(len(names)):
+            a, b = names[i], names[j]
+            if a < b and _lev(a, b) <= 1:
+                ka, kb = i + 1, j + 1
+                want.add((ka, kb, a, b, _lev(a, b)))
+    got_set = set(map(tuple, got[["k1", "k2", "n1", "n2", "dist"]].to_numpy()))
+    assert got_set == want
+    # sanity: the fixture really contains cross-length pairs
+    assert any(len(a) != len(b) for (_, _, a, b, _) in want)
