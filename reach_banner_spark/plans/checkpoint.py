@@ -62,12 +62,18 @@ class CheckpointedPipeline:
         self.ledger_path = os.path.join(root, "checkpoints.jsonl")
         self.stages_run: list[str] = []
         self.stages_resumed: list[str] = []
-        # r6: per-stage manifest finalization (stats read-back + sidecar
-        # write) runs on a thread so it overlaps the NEXT stage's data
-        # write (guide §2.6 — Spark schedules both jobs concurrently);
-        # every consumer of a manifest joins the owning thread first.
+        # r6: per-stage durable write + manifest finalization (stats
+        # read-back + sidecar write) run on a thread so they overlap the
+        # NEXT stage's compute (guide §2.6 — Spark schedules both jobs
+        # concurrently); every consumer of a manifest joins the owning
+        # thread first, and flush() joins everything before the pipeline
+        # returns.
         self._pending: dict[str, object] = {}
         self._pending_err: dict[str, BaseException] = {}
+        # stage outputs handed downstream as MEMORY_AND_DISK caches
+        # (byte-identical to the written tables — stages are
+        # deterministic); released at flush()
+        self._cached: list[DataFrame] = []
 
     def _stage_dir(self, stage: str) -> str:
         return os.path.join(self.root, stage)
@@ -83,9 +89,16 @@ class CheckpointedPipeline:
                 raise err
 
     def flush(self) -> None:
-        """Join every in-flight manifest finalization (call before
-        handing the checkpoint root to another pipeline instance)."""
+        """Join every in-flight write/finalization and release the stage
+        caches (call before handing the checkpoint root to another
+        pipeline instance — after this, every stage is durable on
+        disk)."""
         self._join_pending()
+        while self._cached:
+            try:
+                self._cached.pop().unpersist(blocking=False)
+            except Exception:
+                pass
 
     def stage(
         self,
@@ -94,6 +107,8 @@ class CheckpointedPipeline:
         bucket_col: str | None = None,
         upstream: str | None = None,
         config: dict | None = None,
+        durable_read: bool = False,
+        handoff: bool = False,
     ) -> DataFrame:
         """Return the stage output, recomputing only when not checkpointed.
 
@@ -104,6 +119,26 @@ class CheckpointedPipeline:
         is folded into the lineage note along with CODE_VERSION, so a
         retrained model or changed kwargs invalidates the cached stage
         instead of silently returning stale output.
+
+        Cold-path shape (r6b): the stage is materialized ONCE into a
+        MEMORY_AND_DISK cache; the durable parquet write AND the manifest
+        finalization then run on a thread that overlaps the NEXT stage's
+        compute (guide §2.6), and downstream consumes the cache — which
+        is byte-identical to the written table because every stage is
+        deterministic. The critical path therefore carries only the
+        stage computes; the four table writes ride the overlap, and the
+        next stage's lineage derivation joins the upstream thread, so
+        by the time any stage's manifest is consulted its table is
+        durable. The FINAL stage passes ``handoff=True``: its cache is
+        registered with the session-level tracked-persist pool (released
+        by the next operator invocation's persist_swap, the documented
+        lifecycle) instead of the pipeline's flush-released list, so the
+        caller consumes the cache after ``flush()`` without a parquet
+        round-trip; ``durable_read=True`` instead keeps the synchronous
+        write + table read-back for callers that need a parquet-backed
+        DataFrame outliving every cache. At 100 TB the caches spill to
+        local disk (MEMORY_AND_DISK) — still cheaper than the
+        remote-table round-trip the old path paid per stage.
         """
         import threading
 
@@ -119,15 +154,57 @@ class CheckpointedPipeline:
         bucket = bucket_col or self.bucket_default
         if bucket not in df.columns:
             bucket = df.columns[0]
-        # heavy data write FIRST — it runs concurrently with the
-        # UPSTREAM stage's still-in-flight manifest finalization; only
-        # then derive this stage's lineage note (which joins upstream)
-        schema_json = tables.write_graph_data(df, path, bucket_col=bucket)
+        self.stages_run.append(name)
+        if durable_read:
+            # heavy data write on the main thread — it still overlaps the
+            # UPSTREAM stage's in-flight write/finalize; the lineage note
+            # derivation below joins that thread
+            schema_json = tables.write_graph_data(df, path, bucket_col=bucket)
+            want_lineage = self._lineage_of(upstream, config)
+            columns = list(df.columns)
+
+            def _finalize() -> None:
+                try:
+                    m = tables.finalize_graph_manifest(
+                        self.spark, path, schema_json, columns,
+                        bucket_col=bucket, snapshot_note=want_lineage,
+                    )
+                    self._append_ledger(name, m)
+                except BaseException as e:  # re-raised at the next join
+                    self._pending_err[name] = e
+
+            t = threading.Thread(target=_finalize, name=f"rbs-ckpt-{name}")
+            t.start()
+            self._pending[name] = t
+            try:
+                return tables.read_graph_table(self.spark, path)
+            except Exception:
+                # empty-table case: the read needs the manifest's stored
+                # schema — wait for the finalizer and retry
+                self._join_pending(name)
+                return tables.read_graph_table(self.spark, path)
+
+        cached = df.persist()
+        cached.count()  # materialize while the upstream write is in flight
+        if handoff:
+            # final stage: register with the session-level tracked-persist
+            # pool instead of the pipeline's flush-released list, so the
+            # caller can consume the cache after flush(); the next
+            # operator invocation's persist_swap releases it (the
+            # documented lifecycle — callers materialize each key's
+            # result before invoking the next). Durability is unaffected:
+            # flush() joins the write thread before the pipeline returns.
+            from ..caching import persist_swap
+
+            persist_swap(cached)
         want_lineage = self._lineage_of(upstream, config)
         columns = list(df.columns)
 
-        def _finalize() -> None:
+        def _write_and_finalize() -> None:
             try:
+                schema_json = tables.write_graph_data(
+                    cached, path, bucket_col=bucket
+                )
                 m = tables.finalize_graph_manifest(
                     self.spark, path, schema_json, columns,
                     bucket_col=bucket, snapshot_note=want_lineage,
@@ -136,17 +213,12 @@ class CheckpointedPipeline:
             except BaseException as e:  # re-raised at the next join
                 self._pending_err[name] = e
 
-        t = threading.Thread(target=_finalize, name=f"rbs-ckpt-{name}")
+        t = threading.Thread(target=_write_and_finalize, name=f"rbs-ckpt-{name}")
         t.start()
         self._pending[name] = t
-        self.stages_run.append(name)
-        try:
-            return tables.read_graph_table(self.spark, path)
-        except Exception:
-            # empty-table case: the read needs the manifest's stored
-            # schema — wait for the finalizer and retry
-            self._join_pending(name)
-            return tables.read_graph_table(self.spark, path)
+        if not handoff:
+            self._cached.append(cached)
+        return cached
 
     def _lineage_of(self, upstream: str | None, config: dict | None = None) -> str:
         if upstream is not None:
@@ -219,6 +291,7 @@ def run_pipeline_checkpointed(
         lambda: assemble_triples(canon, turns, window_turns=window_turns),
         upstream="canonical",
         config={"window_turns": window_turns},
+        handoff=True,
     )
     # join in-flight manifest finalizers before returning: the caller may
     # wipe stage dirs (the resume benchmark's kill scenario) or hand the
