@@ -1698,13 +1698,18 @@ def bpe_encode(spark, sf, rounds: int = BPE_ROUNDS):
         .distinct()
         .withColumn("syms", F.expr("filter(split(word, ''), c -> c <> '')"))
     )
+    # Unlike the trainer (whose next round's statistics GATE on the
+    # applied merge, forcing a materialization per round), the encode
+    # side applies a FIXED merge list — so the R folds compose as one
+    # nested expression evaluated in a single pass over the vocab, with
+    # zero in-loop checkpoints (R fewer eager jobs; value-identical,
+    # fold order preserved by construction).
+    syms_col = F.col("syms")
     for left, right in merges:
-        vocab = vocab.withColumn(
-            "syms", _merge_fold(left, right)(F.col("syms"))
-        ).localCheckpoint()
+        syms_col = _merge_fold(left, right)(syms_col)
     word_len = vocab.select(
         "word",
-        F.size("syms").alias("n_sym"),
+        F.size(syms_col).alias("n_sym"),
         F.length("word").alias("n_chr"),
     )
     return (

@@ -4403,13 +4403,26 @@ def dow_type_counts(df: DataFrame) -> DataFrame:
     )
 
 
-def cramers_rollup(cells: DataFrame) -> DataFrame:
-    """Fold a (dow, event_type, cnt) contingency grain into the one-row
-    chi2 + Cramér's V readout — shared by ``events_cramers_v`` and its
-    streaming twin (the fixed 35-term left-associated chain lives
-    here)."""
+_CRAMERS_EXPRS: tuple | None = None  # (ctx_id, aggs, rowcol_sums, chi2)
+
+
+def _cramers_exprs():
+    """The 35-cell conditional aggregates, row/column sums, and the
+    fixed left-associated 35-term chi2 chain as REUSABLE unresolved
+    Column trees. Building them costs ~1.2 s of py4j round-trips +
+    decimal type-propagation PER CALL while the actual execution is
+    0.4 s — and Column expressions reference column names only, so one
+    build serves every invocation (keyed on the live SparkContext: a
+    restarted JVM gateway invalidates the cached py4j refs)."""
     import functools
     import operator
+
+    from pyspark import SparkContext
+
+    global _CRAMERS_EXPRS
+    key = id(SparkContext._active_spark_context)
+    if _CRAMERS_EXPRS is not None and _CRAMERS_EXPRS[0] == key:
+        return _CRAMERS_EXPRS[1:]
 
     aggs = [
         F.sum(
@@ -4423,9 +4436,7 @@ def cramers_rollup(cells: DataFrame) -> DataFrame:
         for d in _cram_dows()
         for t in _CHI2_TYPES
     ]
-    o = cells.agg(*aggs, F.sum("cnt").cast("long").alias("t"))
-    r = o.select(
-        "*",
+    rowcol = [
         *[
             functools.reduce(
                 operator.add, [F.col(f"o{d}_{t}") for t in _CHI2_TYPES]
@@ -4438,7 +4449,7 @@ def cramers_rollup(cells: DataFrame) -> DataFrame:
             ).alias(f"c_{t}")
             for t in _CHI2_TYPES
         ],
-    )
+    ]
 
     def term(d: int, t: str):
         delta = F.col(f"o{d}_{t}") * F.col("t") - F.col(f"r{d}") * F.col(
@@ -4458,6 +4469,19 @@ def cramers_rollup(cells: DataFrame) -> DataFrame:
         operator.add,
         [term(d, t) for d in _cram_dows() for t in _CHI2_TYPES],
     )
+    _CRAMERS_EXPRS = (key, aggs, rowcol, chi2)
+    return aggs, rowcol, chi2
+
+
+def cramers_rollup(cells: DataFrame) -> DataFrame:
+    """Fold a (dow, event_type, cnt) contingency grain into the one-row
+    chi2 + Cramér's V readout — shared by ``events_cramers_v`` and its
+    streaming twin (the fixed 35-term left-associated chain lives in
+    ``_cramers_exprs``, built once per process — value-identical, the
+    construction-time cut is pure py4j/analysis overhead)."""
+    aggs, rowcol, chi2 = _cramers_exprs()
+    o = cells.agg(*aggs, F.sum("cnt").cast("long").alias("t"))
+    r = o.select("*", *rowcol)
     x = r.select(F.col("t").alias("n_events"), chi2.alias("chi2raw"))
     return x.select(
         "n_events",
