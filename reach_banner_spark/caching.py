@@ -82,3 +82,28 @@ def release_all() -> None:
             _LIVE_BC.pop().unpersist(blocking=False)
         except Exception:
             pass
+
+
+_EXPR_CACHE: dict = {}
+
+
+def cached_exprs(key: str, builder):
+    """Build-once cache for UNRESOLVED Column expression trees.
+
+    Large Column-API expression chains pay their cost at CONSTRUCTION —
+    py4j round-trips plus analyzer type propagation — every time the
+    query function runs (the events_cramers_v finding: ~1.2 s to build
+    vs 0.4 s to execute). Unresolved Columns reference column NAMES
+    only, so one build serves every invocation. This caches expression
+    TREES, never data: every invocation still computes from the parquet
+    inputs. Keyed on the live SparkContext so a restarted JVM gateway
+    (whose py4j refs would dangle) rebuilds."""
+    from pyspark import SparkContext
+
+    ctx = id(SparkContext._active_spark_context)
+    hit = _EXPR_CACHE.get(key)
+    if hit is not None and hit[0] == ctx:
+        return hit[1]
+    val = builder()
+    _EXPR_CACHE[key] = (ctx, val)
+    return val

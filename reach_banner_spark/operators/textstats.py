@@ -2194,6 +2194,28 @@ _MRR_REL_TF = 3
 _MRR_L = 232792560  # lcm(1..20): every reciprocal rank scales to an int
 
 
+def _mrr_tf_cols():
+    """The shared (doc_id, r{i}, l{i}) term-frequency projection of the
+    ``_MRR_QUERIES`` set — ten retrieval-eval keys build this identical
+    Column list, so it is constructed once per process (cached_exprs:
+    expression TREES only, never data; the ~0.2 s/key construction cost
+    was pure py4j round-trips)."""
+    from ..caching import cached_exprs
+
+    def _build():
+        words = F.split(F.col("text"), " ")
+        tf_of = lambda t: F.size(  # noqa: E731
+            F.filter(words, lambda w: w == F.lit(t))
+        )
+        cols = [F.col("doc_id")]
+        for i, (r, l) in enumerate(_MRR_QUERIES):
+            cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+        return cols
+
+    return cached_exprs("mrr_tf_cols", _build)
+
+
+
 def _mrr_sql() -> str:
     tf_cols = ", ".join(
         f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS "
@@ -2257,13 +2279,7 @@ def retrieval_mrr(spark, sf):
     from pyspark.sql.window import Window
 
     d = _docs_par(spark, sf)
-    words = F.split(F.col("text"), " ")
-    tf_of = lambda t: F.size(  # noqa: E731
-        F.filter(words, lambda w: w == F.lit(t))
-    )
-    cols = [F.col("doc_id")]
-    for i, (r, l) in enumerate(_MRR_QUERIES):
-        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    cols = _mrr_tf_cols()
     tf = d.select(*cols).localCheckpoint()
 
     firsts = []
@@ -2754,24 +2770,64 @@ def retrieval_ndcg(spark, sf):
     and queries fan out as independent jobs over the shared grain."""
     from pyspark.sql.window import Window
 
-    d = _docs_par(spark, sf)
-    words = F.split(F.col("text"), " ")
-    tf_of = lambda t: F.size(  # noqa: E731
-        F.filter(words, lambda w: w == F.lit(t))
-    )
-    cols = [F.col("doc_id")]
-    for i, (r, l) in enumerate(_MRR_QUERIES):
-        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
-    tf = d.select(*cols).localCheckpoint()
+    from ..caching import cached_exprs
 
-    def gain(rankcol: str):
-        out = None
-        for r in range(1, _NDCG_K + 1):
-            term = F.coalesce(
-                F.max(F.when(F.col(rankcol) == r, F.col("rel"))), F.lit(0)
-            ).cast("double") * F.lit(float(_NDCG_DISC[r - 1]))
-            out = term if out is None else out + term
-        return out
+    def _exprs():
+        cols = _mrr_tf_cols()
+
+        def gain(rankcol: str):
+            out = None
+            for r in range(1, _NDCG_K + 1):
+                term = F.coalesce(
+                    F.max(F.when(F.col(rankcol) == r, F.col("rel"))), F.lit(0)
+                ).cast("double") * F.lit(float(_NDCG_DISC[r - 1]))
+                out = term if out is None else out + term
+            return out
+
+        fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
+
+        def ndcg(i: int):
+            return F.when(
+                F.col(f"idcg{i}") > 0, F.col(f"dcg{i}") / F.col(f"idcg{i}")
+            ).otherwise(F.lit(0).cast("double"))
+
+        mean = None
+        for i in range(len(_MRR_QUERIES)):
+            mean = ndcg(i) if mean is None else mean + ndcg(i)
+        mean = mean / F.lit(3).cast("double")
+        rows = [
+            F.struct(
+                F.lit(f"{r}->{l}").alias("query"),
+                F.col(f"n{i}").alias("n_cand"),
+                fmt(F.col(f"dcg{i}")).alias("dcg"),
+                fmt(ndcg(i)).alias("ndcg"),
+            )
+            for i, (r, l) in enumerate(_MRR_QUERIES)
+        ] + [
+            F.struct(
+                F.lit("__all__").alias("query"),
+                F.lit(0).cast("long").alias("n_cand"),
+                fmt(F.lit(0).cast("double")).alias("dcg"),
+                fmt(mean).alias("ndcg"),
+            )
+        ]
+        rel = (
+            F.least(F.col("__l"), F.lit(_NDCG_RELCAP))
+            .cast("long")
+            .alias("rel")
+        )
+        return cols, gain("rn"), gain("irn"), rel, rows
+
+    # the tf columns, both 10-term DCG chains, and the output structs
+    # are fixed name-based Column trees — built once per process
+    # (cached_exprs), value-identical; only the per-query DataFrame ops
+    # below run per call
+    cols, dcg_e, idcg_e, rel_e, rows = cached_exprs(
+        "retrieval_ndcg", _exprs
+    )
+
+    d = _docs_par(spark, sf)
+    tf = d.select(*cols).localCheckpoint()
 
     aggs = []
     for i in range(len(_MRR_QUERIES)):
@@ -2782,11 +2838,9 @@ def retrieval_ndcg(spark, sf):
         )
         w = Window.orderBy(F.desc(f"r{i}"), F.asc("doc_id"))
         ranked = cand.select(
-            F.least(F.col(f"l{i}"), F.lit(_NDCG_RELCAP))
-            .cast("long")
-            .alias("rel"),
+            F.col(f"l{i}").alias("__l"),
             F.row_number().over(w).alias("rn"),
-        )
+        ).select(rel_e, "rn")
         wi = Window.orderBy(F.desc("rel"), F.asc("rn"))
         ci = ranked.select(
             "rel", "rn", F.row_number().over(wi).alias("irn")
@@ -2794,41 +2848,13 @@ def retrieval_ndcg(spark, sf):
         aggs.append(
             ci.agg(
                 F.count(F.lit(1)).cast("long").alias(f"n{i}"),
-                gain("rn").alias(f"dcg{i}"),
-                gain("irn").alias(f"idcg{i}"),
+                dcg_e.alias(f"dcg{i}"),
+                idcg_e.alias(f"idcg{i}"),
             )
         )
     one = aggs[0]
     for a_i in aggs[1:]:
         one = one.crossJoin(a_i)
-
-    fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
-
-    def ndcg(i: int):
-        return F.when(
-            F.col(f"idcg{i}") > 0, F.col(f"dcg{i}") / F.col(f"idcg{i}")
-        ).otherwise(F.lit(0).cast("double"))
-
-    mean = None
-    for i in range(len(_MRR_QUERIES)):
-        mean = ndcg(i) if mean is None else mean + ndcg(i)
-    mean = mean / F.lit(3).cast("double")
-    rows = [
-        F.struct(
-            F.lit(f"{r}->{l}").alias("query"),
-            F.col(f"n{i}").alias("n_cand"),
-            fmt(F.col(f"dcg{i}")).alias("dcg"),
-            fmt(ndcg(i)).alias("ndcg"),
-        )
-        for i, (r, l) in enumerate(_MRR_QUERIES)
-    ] + [
-        F.struct(
-            F.lit("__all__").alias("query"),
-            F.lit(0).cast("long").alias("n_cand"),
-            fmt(F.lit(0).cast("double")).alias("dcg"),
-            fmt(mean).alias("ndcg"),
-        )
-    ]
     return one.select(F.explode(F.array(*rows)).alias("q")).select(
         "q.query", "q.n_cand", "q.dcg", "q.ndcg"
     )
@@ -2929,13 +2955,7 @@ def retrieval_map(spark, sf):
     from pyspark.sql.window import Window
 
     d = _docs_par(spark, sf)
-    words = F.split(F.col("text"), " ")
-    tf_of = lambda t: F.size(  # noqa: E731
-        F.filter(words, lambda w: w == F.lit(t))
-    )
-    cols = [F.col("doc_id")]
-    for i, (r, l) in enumerate(_MRR_QUERIES):
-        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    cols = _mrr_tf_cols()
     tf = d.select(*cols).localCheckpoint()
 
     wexpr = None
@@ -3192,13 +3212,7 @@ def retrieval_pr_at_k(spark, sf):
     plus one corpus-grain conditional aggregate for the relevant
     count; single-row joins finish it."""
     d = _docs_par(spark, sf)
-    words = F.split(F.col("text"), " ")
-    tf_of = lambda t: F.size(  # noqa: E731
-        F.filter(words, lambda w: w == F.lit(t))
-    )
-    cols = [F.col("doc_id")]
-    for i, (r, l) in enumerate(_MRR_QUERIES):
-        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    cols = _mrr_tf_cols()
     tf = d.select(*cols).localCheckpoint()
 
     parts = []
@@ -3385,13 +3399,7 @@ def query_tf_grain(d: DataFrame) -> DataFrame:
     family and its streaming twin. Each doc's row is a pure function
     of its text (each document lands in exactly one micro-batch, so
     the streaming merge is a disjoint union)."""
-    words = F.split(F.col("text"), " ")
-    tf_of = lambda t: F.size(  # noqa: E731
-        F.filter(words, lambda w: w == F.lit(t))
-    )
-    cols = [F.col("doc_id")]
-    for i, (r, l) in enumerate(_MRR_QUERIES):
-        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    cols = _mrr_tf_cols()
     return d.select(*cols)
 
 
@@ -3402,14 +3410,25 @@ def retrieval_report_rollup(tf: DataFrame) -> DataFrame:
     checkpoints the grain)."""
     from pyspark.sql.window import Window
 
-    def gain(rankcol: str):
-        out = None
-        for r in range(1, _NDCG_K + 1):
-            term = F.coalesce(
-                F.max(F.when(F.col(rankcol) == r, F.col("rel"))), F.lit(0)
-            ).cast("double") * F.lit(float(_NDCG_DISC[r - 1]))
-            out = term if out is None else out + term
-        return out
+    from ..caching import cached_exprs
+
+    def _exprs():
+        def gain(rankcol: str):
+            out = None
+            for r in range(1, _NDCG_K + 1):
+                term = F.coalesce(
+                    F.max(F.when(F.col(rankcol) == r, F.col("rel"))),
+                    F.lit(0),
+                ).cast("double") * F.lit(float(_NDCG_DISC[r - 1]))
+                out = term if out is None else out + term
+            return out
+
+        return gain("rn"), gain("irn"), _report_rows()
+
+    # the two 10-term DCG chains and the output structs are fixed
+    # name-based Column trees — built once per process (cached_exprs,
+    # the events_cramers_v finding); value-identical
+    dcg_e, idcg_e, rows = cached_exprs("retrieval_report_rollup", _exprs)
 
     parts = []
     for i in range(len(_MRR_QUERIES)):
@@ -3421,10 +3440,18 @@ def retrieval_report_rollup(tf: DataFrame) -> DataFrame:
             .select(f"l{i}", F.row_number().over(w).alias("rn"))
             .localCheckpoint()
         )
-        fr = cand.filter(F.col(f"l{i}") >= _MRR_REL_TF).agg(
-            F.coalesce(F.min("rn"), F.lit(0)).cast("long").alias(f"fr{i}")
-        )
+        # first-rank, cut size, and hit count share ONE aggregate over
+        # the checkpointed 20-row cut (fr as a conditional MIN — same
+        # rows, same exact integer as the old filtered-then-MIN job)
         a = cand.agg(
+            F.coalesce(
+                F.min(
+                    F.when(F.col(f"l{i}") >= _MRR_REL_TF, F.col("rn"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"fr{i}"),
             F.count(F.lit(1)).cast("long").alias(f"k{i}"),
             F.sum(F.when(F.col(f"l{i}") >= _MRR_REL_TF, 1).otherwise(0))
             .cast("long")
@@ -3438,19 +3465,29 @@ def retrieval_report_rollup(tf: DataFrame) -> DataFrame:
         )
         wi = Window.orderBy(F.desc("rel"), F.asc("rn"))
         ci = ci.select("rel", "rn", F.row_number().over(wi).alias("irn"))
-        nd = ci.agg(
-            gain("rn").alias(f"dcg{i}"), gain("irn").alias(f"idcg{i}")
-        )
+        nd = ci.agg(dcg_e.alias(f"dcg{i}"), idcg_e.alias(f"idcg{i}"))
         g = tf.agg(
             F.sum(F.when(F.col(f"l{i}") >= _MRR_REL_TF, 1).otherwise(0))
             .cast("long")
             .alias(f"rel{i}")
         )
-        parts.append(fr.crossJoin(a).crossJoin(nd).crossJoin(g))
+        parts.append(a.crossJoin(nd).crossJoin(g))
     one = parts[0]
     for p_i in parts[1:]:
         one = one.crossJoin(p_i)
+    return one.select(F.explode(F.array(*rows)).alias("q")).select(
+        "q.query",
+        "q.first_rank",
+        "q.rr",
+        "q.ndcg",
+        "q.precision_k",
+        "q.recall_k",
+    )
 
+
+def _report_rows():
+    """The per-query + __all__ output structs of the retrieval report
+    (pure name-based Column trees, cached by the rollup)."""
     fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
     zero = F.lit(0).cast("double")
 
@@ -3508,14 +3545,7 @@ def retrieval_report_rollup(tf: DataFrame) -> DataFrame:
             ).alias("recall_k"),
         )
     ]
-    return one.select(F.explode(F.array(*rows)).alias("q")).select(
-        "q.query",
-        "q.first_rank",
-        "q.rr",
-        "q.ndcg",
-        "q.precision_k",
-        "q.recall_k",
-    )
+    return rows
 
 
 # --- ERR retrieval evaluation ------------------------------------------------
@@ -3622,13 +3652,7 @@ def retrieval_err(spark, sf):
     from pyspark.sql.window import Window
 
     d = _docs_par(spark, sf)
-    words = F.split(F.col("text"), " ")
-    tf_of = lambda t: F.size(  # noqa: E731
-        F.filter(words, lambda w: w == F.lit(t))
-    )
-    cols = [F.col("doc_id")]
-    for i, (r, l) in enumerate(_MRR_QUERIES):
-        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    cols = _mrr_tf_cols()
     tf = d.select(*cols).localCheckpoint()
 
     aggs = []
@@ -4146,13 +4170,7 @@ def retrieval_recall_at_k(spark, sf):
     from pyspark.sql.window import Window
 
     d = _docs_par(spark, sf)
-    words = F.split(F.col("text"), " ")
-    tf_of = lambda t: F.size(  # noqa: E731
-        F.filter(words, lambda w: w == F.lit(t))
-    )
-    cols = [F.col("doc_id")]
-    for i, (r, l) in enumerate(_MRR_QUERIES):
-        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    cols = _mrr_tf_cols()
     tf = d.select(*cols).localCheckpoint()
 
     cands, rels = [], []
@@ -5025,13 +5043,7 @@ def retrieval_rbp(spark, sf):
     from pyspark.sql.window import Window
 
     d = _docs_par(spark, sf)
-    words = F.split(F.col("text"), " ")
-    tf_of = lambda t: F.size(  # noqa: E731
-        F.filter(words, lambda w: w == F.lit(t))
-    )
-    cols = [F.col("doc_id")]
-    for i, (r, l) in enumerate(_MRR_QUERIES):
-        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    cols = _mrr_tf_cols()
     tf = d.select(*cols).localCheckpoint()
 
     aggs = []
@@ -5168,13 +5180,7 @@ def retrieval_bpref(spark, sf):
     from pyspark.sql.window import Window
 
     d = _docs_par(spark, sf)
-    words = F.split(F.col("text"), " ")
-    tf_of = lambda t: F.size(  # noqa: E731
-        F.filter(words, lambda w: w == F.lit(t))
-    )
-    cols = [F.col("doc_id")]
-    for i, (r, l) in enumerate(_MRR_QUERIES):
-        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    cols = _mrr_tf_cols()
     tf = d.select(*cols).localCheckpoint()
 
     fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
@@ -5282,13 +5288,7 @@ def retrieval_interp_pr(spark, sf):
     from pyspark.sql.window import Window
 
     d = _docs_par(spark, sf)
-    words = F.split(F.col("text"), " ")
-    tf_of = lambda t: F.size(  # noqa: E731
-        F.filter(words, lambda w: w == F.lit(t))
-    )
-    cols = [F.col("doc_id")]
-    for i, (r, l) in enumerate(_MRR_QUERIES):
-        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    cols = _mrr_tf_cols()
     tf = d.select(*cols).localCheckpoint()
 
     fmt = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
@@ -6008,13 +6008,7 @@ def retrieval_r_precision(spark, sf):
     from pyspark.sql.window import Window
 
     d = _docs_par(spark, sf)
-    words = F.split(F.col("text"), " ")
-    tf_of = lambda t: F.size(  # noqa: E731
-        F.filter(words, lambda w: w == F.lit(t))
-    )
-    cols = [F.col("doc_id")]
-    for i, (r, l) in enumerate(_MRR_QUERIES):
-        cols += [tf_of(r).alias(f"r{i}"), tf_of(l).alias(f"l{i}")]
+    cols = _mrr_tf_cols()
     tf = d.select(*cols).localCheckpoint()
 
     parts = []
