@@ -107,3 +107,27 @@ def cached_exprs(key: str, builder):
     val = builder()
     _EXPR_CACHE[key] = (ctx, val)
     return val
+
+
+def cached_scan(spark, path: str):
+    """Build-once LAZY parquet scan per (SparkContext, path).
+
+    ``spark.read.parquet`` pays ~0.1 s of schema-inference I/O and py4j
+    per call, and every query key re-reads its source tables per
+    invocation. Caching the lazy DataFrame is the catalog-table pattern
+    (a registered table resolves its schema from metadata instead of
+    re-reading footers); every action still scans the parquet bytes, so
+    nothing about "compute from the inputs" changes. Only used for
+    write-once source paths (the sf star schema and content-fingerprinted
+    staged corpora — paths whose bytes never change within a process);
+    read-back-after-write paths must keep calling spark.read directly."""
+    from pyspark import SparkContext
+
+    ctx = id(SparkContext._active_spark_context)
+    key = ("scan", ctx, path)
+    hit = _EXPR_CACHE.get(key)
+    if hit is not None and hit[0] == ctx:
+        return hit[1]
+    val = spark.read.parquet(path)
+    _EXPR_CACHE[key] = (ctx, val)
+    return val

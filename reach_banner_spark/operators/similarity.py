@@ -42,7 +42,9 @@ def register(key: str, sql: str | None):
 
 
 def _emb(spark, sf):
-    return spark.read.parquet(f"{sf}/embeddings.parquet")
+    from ..caching import cached_scan
+
+    return cached_scan(spark, f"{sf}/embeddings.parquet")
 
 
 def _emb_par(spark, sf):

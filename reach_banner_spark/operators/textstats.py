@@ -53,7 +53,9 @@ def register(key: str, sql: str | None):
 
 
 def _docs(spark, sf):
-    return spark.read.parquet(f"{sf}/documents.parquet")
+    from ..caching import cached_scan
+
+    return cached_scan(spark, f"{sf}/documents.parquet")
 
 
 def _docs_par(spark, sf):

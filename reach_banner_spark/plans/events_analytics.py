@@ -52,7 +52,9 @@ def register(key: str, sql: str | None):
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..caching import cached_scan
+
+    return cached_scan(spark, f"{sf_dir}/events.parquet")
 
 
 _FMT6 = lambda c: F.format_string("%.6f", F.round(c, 6))  # noqa: E731
@@ -1580,7 +1582,9 @@ def enrich_with_dim(e: DataFrame, dim: DataFrame) -> DataFrame:
 
 def user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The user dimension: market segment keyed by custkey."""
-    return spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    from ..caching import cached_scan
+
+    return cached_scan(spark, f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
     )
@@ -3812,11 +3816,13 @@ def variant_type_counts(df: DataFrame) -> DataFrame:
     )
 
 
-def chi2_rollup(cells: DataFrame) -> DataFrame:
-    """Fold a (variant, event_type, cnt) contingency grain into the
-    one-row chi-square readout — shared by ``events_chi2`` and its
-    streaming twin (the fixed left-associated ten-term float chain
-    lives here)."""
+def _chi2_exprs():
+    """events_chi2's ten conditional aggregates, row/column sums, and
+    fixed left-associated chi2 chain as reusable Column trees (the
+    events_cramers_v construction-cost finding, same 2x5 shape)."""
+    import functools
+    import operator
+
     aggs = [
         F.sum(
             F.when(
@@ -3829,12 +3835,7 @@ def chi2_rollup(cells: DataFrame) -> DataFrame:
         for v in (0, 1)
         for t in _CHI2_TYPES
     ]
-    o = cells.agg(*aggs, F.sum("cnt").cast("long").alias("t"))
-    import functools
-    import operator
-
-    r = o.select(
-        "*",
+    rowcol = [
         functools.reduce(
             operator.add, [F.col(f"o0_{t}") for t in _CHI2_TYPES]
         ).alias("r0"),
@@ -3845,7 +3846,7 @@ def chi2_rollup(cells: DataFrame) -> DataFrame:
             (F.col(f"o0_{t}") + F.col(f"o1_{t}")).alias(f"c_{t}")
             for t in _CHI2_TYPES
         ],
-    )
+    ]
 
     def term(v: int, t: str):
         delta = F.col(f"o{v}_{t}") * F.col("t") - F.col(f"r{v}") * F.col(
@@ -3862,11 +3863,25 @@ def chi2_rollup(cells: DataFrame) -> DataFrame:
     chi2 = functools.reduce(
         operator.add, [term(v, t) for v in (0, 1) for t in _CHI2_TYPES]
     )
-    return r.select(
+    out = [
         F.col("t").alias("n_events"),
         _FMT6(chi2).alias("chi2"),
         (chi2 > 9.488).alias("significant_95"),
-    )
+    ]
+    return aggs, rowcol, out
+
+
+def chi2_rollup(cells: DataFrame) -> DataFrame:
+    """Fold a (variant, event_type, cnt) contingency grain into the
+    one-row chi-square readout — shared by ``events_chi2`` and its
+    streaming twin (the fixed left-associated ten-term float chain
+    lives in ``_chi2_exprs``, built once per process — value-identical,
+    the construction-time cut is pure py4j/analysis overhead)."""
+    from ..caching import cached_exprs
+
+    aggs, rowcol, out = cached_exprs("events_chi2", _chi2_exprs)
+    o = cells.agg(*aggs, F.sum("cnt").cast("long").alias("t"))
+    return o.select("*", *rowcol).select(*out)
 
 
 # ---------------------------------------------------- Theil-Sen trend ----

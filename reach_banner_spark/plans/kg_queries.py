@@ -49,7 +49,9 @@ def register(key: str, sql: str | None):
 
 
 def _docs(spark, sf):
-    return spark.read.parquet(f"{sf}/documents.parquet")
+    from ..caching import cached_scan
+
+    return cached_scan(spark, f"{sf}/documents.parquet")
 
 
 # shared mini-lexicon over the documents vocabulary (DictionaryTagger dim table)
@@ -2013,8 +2015,10 @@ def kg_random_walks(spark, sf):
     "JOIN orders ON l_orderkey = o_orderkey",
 )
 def join_skew_salted(spark, sf):
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf}/orders.parquet")
+    from ..caching import cached_scan
+
+    li = cached_scan(spark, f"{sf}/lineitem.parquet")
+    o = cached_scan(spark, f"{sf}/orders.parquet")
     n_salt = 8
     # deterministic salt on the big/skewed side; replicate the small side
     salted_li = li.withColumn(
@@ -2485,7 +2489,7 @@ def join_partition_pruned(spark, sf):
         d.write.mode("overwrite").partitionBy("p_bucket").parquet(out)
     fact = spark.read.parquet(out)
     dim = (
-        spark.read.parquet(f"{sf}/nation.parquet")
+        __import__("reach_banner_spark.caching", fromlist=["cached_scan"]).cached_scan(spark, f"{sf}/nation.parquet")
         .filter(F.col("n_name").isin("NATION_3", "NATION_5"))
         .select(F.pmod(F.col("n_nationkey"), F.lit(8)).alias("bucket"))
         .distinct()
@@ -3366,7 +3370,9 @@ def udf_map_arrow(spark, sf):
                 ["vec_id", "n_dims", "n_pos", "argmax_idx"],
             )
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+    from ..caching import cached_scan
+
+    emb = cached_scan(spark, f"{sf}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
     return emb.mapInArrow(
@@ -3419,7 +3425,9 @@ def udf_grouped_arrow(spark, sf):
             ["label", "n_vecs", "total_dims", "n_pos"],
         )
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+    from ..caching import cached_scan
+
+    emb = cached_scan(spark, f"{sf}/embeddings.parquet").select(
         "label", "embedding"
     )
     return emb.groupBy("label").applyInArrow(

@@ -35,7 +35,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ..caching import cached_scan
+
+    return cached_scan(spark, f"{sf_dir}/{name}.parquet")
 
 
 def register(key: str, sql: str | None):
@@ -4360,8 +4362,12 @@ def observe_metrics(spark, sf):
     from pyspark.sql import Observation
 
     obs = Observation("rbs_profile")
+    # direct read, NOT the shared cached scan: observation delivery is
+    # matched against the observed query's plan, and two same-named
+    # observations attached to the SAME shared scan object (one from a
+    # plan-only construction, one executing) deadlock the later .get
     df = (
-        _t(spark, sf, "lineitem")
+        spark.read.parquet(f"{sf}/lineitem.parquet")
         .observe(
             obs,
             F.count(F.lit(1)).alias("n_rows"),
@@ -4800,7 +4806,10 @@ def scan_agg_pushdown(spark, sf):
     try:
         for k, v in overrides.items():
             spark.conf.set(k, v)
-        df = _t(spark, sf, "orders").agg(
+        # direct read, NOT the shared cached scan: the DSv2-vs-v1 source
+        # choice is captured when spark.read runs, so this key must
+        # build its relation UNDER the scoped confs
+        df = spark.read.parquet(f"{sf}/orders.parquet").agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.min("o_orderkey").cast("long").alias("min_key"),
             F.max("o_orderkey").cast("long").alias("max_key"),
@@ -5046,7 +5055,9 @@ def scan_row_index(spark, sf):
     Scale shape: a pruned scan plus a generated metadata column — zero
     shuffles on the engine side (the oracle's global window is
     oracle-only; Spark never sorts)."""
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    from ..caching import cached_scan
+
+    d = cached_scan(spark, f"{sf}/documents.parquet")
     return (
         d.filter(F.col("doc_id") % 50 == 0)
         .select(
@@ -6018,7 +6029,7 @@ def _stage_lang_partitioned(spark: SparkSession, sf: str) -> str:
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
         (
-            spark.read.parquet(f"{sf}/documents.parquet")
+            _t(spark, sf, "documents")
             .select("doc_id", "n_chars", "lang")
             .write.mode("overwrite")
             .partitionBy("lang")
@@ -6065,7 +6076,7 @@ def sink_dynamic_overwrite(spark, sf):
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            spark.read.parquet(f"{sf}/documents.parquet")
+            _t(spark, sf, "documents")
             .filter(F.col("lang") == "de")
             .select(
                 "doc_id",

@@ -68,7 +68,9 @@ def break_sentences(
 def documents_as_turns(
     spark: SparkSession, sf_dir: str, sentences: bool = False
 ) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..caching import cached_scan
+
+    docs = cached_scan(spark, f"{sf_dir}/documents.parquet")
     w = Window.partitionBy("source").orderBy("doc_id")
     roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool"))
     tools = F.array(F.lit(""), F.lit("search"), F.lit("python"), F.lit("browser"))
