@@ -597,7 +597,23 @@ def _triples_table(spark, sf):
             os.rename(staging, base)
         except OSError:  # another process won the race; its table is whole
             shutil.rmtree(staging, ignore_errors=True)
-    return tables.read_graph_table(spark, base)
+    # the table path is content-fingerprinted + versioned (write-once:
+    # new corpus content -> new path), so the LAZY read caches per
+    # (SparkContext, path) — ~60 KG-consumption keys each re-paid the
+    # manifest read + multi-file parquet listing/schema per invocation
+    # (the caching.cached_scan rationale; data is still scanned per
+    # action)
+    from ..caching import _EXPR_CACHE
+    from pyspark import SparkContext
+
+    ctx = id(SparkContext._active_spark_context)
+    key = ("triples_tbl", ctx, base)
+    hit = _EXPR_CACHE.get(key)
+    if hit is not None and hit[0] == ctx:
+        return hit[1]
+    val = tables.read_graph_table(spark, base)
+    _EXPR_CACHE[key] = (ctx, val)
+    return val
 
 
 @register("triple_assembly", _TRIPLES_SQL)
